@@ -1,0 +1,630 @@
+package graft.tsdb
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.immutable.SortedMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One ingested sample — the engine's row type.
+  *
+  * Reference data model (/root/reference/index.js:64,96-147): a write is a
+  * `Map<tag, Map<sortKey, value>>`; each sample carries a provenance tuple
+  * `u = "{ingestTime}-{instanceName}-{itemCounter}"` (index.js:123) that makes
+  * re-writes of the same sortKey distinct members. Here that tuple is three
+  * typed columns (`ingestTs`, `writerId`, `seq`) used for deterministic
+  * last-write-wins resolution, and `sortKey` is kept as a `Long` end-to-end
+  * (no 2^53 narrowing as in index.js:284).
+  */
+final case class Sample(
+    tag: String,
+    ts: Long,
+    value: String,
+    ingestTs: Long,
+    writerId: String,
+    seq: Long)
+
+/** One page (partition) entry returned by [[TimeSeriesStore.readIndex]] —
+  * mirrors the reference's `{page, sortWeight, start, end}` shape
+  * (index.js:216-218).
+  */
+final case class PageInfo(page: String, sortWeight: Long, start: Long, end: Long)
+
+/** A pending purge-queue entry (reference: Redis Stream entry written by
+  * lua-scripts/enqueue-purge.lua:17-18, parsed by index.js:350-355).
+  */
+final case class PurgeEntry(
+    id: String,
+    partitionName: String,
+    tag: String,
+    partitionStart: Long,
+    maxSeq: Long,
+    maxIngestTs: Long,
+    data: SortedMap[Long, String])
+
+/** Spark-native re-implementation of the reference engine's capability
+  * surface (`SortedStore`, /root/reference/index.js:16-359).
+  *
+  * Storage layout (replaces the reference's Redis structures, SURVEY.md §1.2):
+  * {{{
+  *   root/<settingsHash>/          namespace = SHA-256 of settings (index.js:48)
+  *     settings.json               write-once settings record
+  *     epoch                       write-once shared epoch (SET-NX semantics, index.js:50-51)
+  *     hot/tag=T/partition_start=P/   data partition parquet (ZSETs, index.js:79)
+  *     cold/tag=T/partition_start=P/  archived tier (example service.js:89-107)
+  *     activity/                      append-only activity log (RecentActivity ZSET, index.js:81)
+  *     queue/<id>/                 purge staging queue (Redis Stream, enqueue-purge.lua:18)
+  * }}}
+  *
+  * The hot/cold tables are Hive-style partitioned by `(tag, partition_start)`
+  * so Catalyst partition pruning replaces the reference's per-tag partition
+  * index ZSET (index.js:80,215) and Parquet predicate pushdown replaces its
+  * client-side residual filter (index.js:262-263).
+  *
+  * Scale notes (100 TB target): all query paths are single declarative
+  * DataFrame plans (no driver-side loops over data); the only driver-side
+  * file manipulation is the purge commit, which touches one partition
+  * directory at a time and is O(partition), not O(store). On a real cluster
+  * the atomic-rename commit becomes a manifest/ACID-table commit; the logical
+  * plan is unchanged.
+  */
+final class TimeSeriesStore(
+    val spark: SparkSession,
+    val rootDir: String,
+    val settings: StoreSettings = StoreSettings()) {
+
+  import Limits._
+
+  private val nsRoot: Path = Paths.get(rootDir, settings.settingsHash)
+  private val hotDir: Path = nsRoot.resolve("hot")
+  private val coldDir: Path = nsRoot.resolve("cold")
+  private val activityDir: Path = nsRoot.resolve("activity")
+  private val queueDir: Path = nsRoot.resolve("queue")
+  private val tmpDir: Path = nsRoot.resolve("tmp")
+
+  /** Writer identity — reference `instanceName` (index.js:58). */
+  val writerId: String = UUID.randomUUID().toString
+
+  private val seqCounter = new AtomicLong(0L)
+  private val purgeIdCounter = new AtomicLong(0L)
+  @volatile private var epochOpt: Option[Long] = None
+
+  /** Injectable clock (tests need controllable ingest/purge times). */
+  @volatile var clock: () => Long = () => System.currentTimeMillis()
+
+  def epoch: Long = epochOpt.getOrElse(
+    throw new IllegalStateException(
+      "Please initialize the instance by calling 'initialize' first before any calls."))
+
+  private def requireInitialized(): Unit = epoch
+
+  // ---------------------------------------------------------------- schema
+
+  private val sampleSchema = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("ingestTs", LongType, nullable = false),
+    StructField("writerId", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false)))
+
+  /** Columns physically present in partition-directory data files —
+    * `tag`/`partition_start` are directory-encoded, not stored in the files.
+    */
+  private val dataFileSchema = StructType(
+    sampleSchema.filterNot(f => f.name == "tag"))
+
+  private val activitySchema = StructType(Seq(
+    StructField("partitionName", StringType, nullable = false),
+    StructField("tag", StringType, nullable = false),
+    StructField("partitionStart", LongType, nullable = false),
+    StructField("activityTs", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false))) // "w" write | "m" marked
+
+  // ---------------------------------------------------------- initialize
+
+  /** Bootstrap the store (reference index.js:46-62). Write-once semantics via
+    * atomic file creation replace Redis `SET NX` (index.js:50-51): the first
+    * process to initialize fixes the epoch; all others adopt it.
+    *
+    * @return the shared store epoch (ms)
+    */
+  def initialize(): Long = {
+    Files.createDirectories(nsRoot)
+    Files.createDirectories(hotDir)
+    Files.createDirectories(coldDir)
+    Files.createDirectories(activityDir)
+    Files.createDirectories(queueDir)
+    Files.createDirectories(tmpDir)
+    val settingsFile = nsRoot.resolve("settings.json")
+    if (!Files.exists(settingsFile)) {
+      try Files.write(settingsFile, settings.canonicalJson.getBytes(StandardCharsets.UTF_8))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    val epochFile = nsRoot.resolve("epoch")
+    val now = clock()
+    try {
+      // CREATE_NEW = atomic create-if-absent: first writer wins (SET NX).
+      Files.write(epochFile, now.toString.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val e = new String(Files.readAllBytes(epochFile), StandardCharsets.UTF_8).trim.toLong
+    epochOpt = Some(e)
+    e
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Partition name `{tag}-{partitionStart}` (reference index.js:122). */
+  def partitionName(tag: String, partitionStart: Long): String =
+    s"$tag$Separator$partitionStart"
+
+  /** Inverse of [[partitionName]] (reference `_extractPartitionInfo`,
+    * index.js:268-276 — split on the LAST separator so tags containing the
+    * separator survive).
+    */
+  def extractPartitionInfo(name: String): (String, Long) = {
+    val i = name.lastIndexOf(Separator)
+    if (i < 0 || i + 1 >= name.length)
+      throw new IllegalArgumentException(s"Seperator misplaced @$i")
+    (name.substring(0, i), name.substring(i + 1).toLong)
+  }
+
+  /** Floor to partition boundary; matches JS BigInt truncated-mod semantics
+    * for negative keys (index.js:121): Java's `%` also truncates toward zero,
+    * so `-21 % 10 == -1` and the partition start is `-20` in both engines.
+    */
+  def partitionStartOf(ts: Long): Long = ts - (ts % settings.partitionWidth)
+
+  /** Bulk upsert write (reference `write`, index.js:64-94).
+    *
+    * Validation reproduces the reference's golden error messages
+    * (index.js:96-147); the physical write is an append of a
+    * `(tag, partition_start)`-partitioned Parquet batch — upserts are
+    * append-only and resolved at read time by LWW dedup, exactly as the
+    * reference keeps multiple members per score (recipe:19-20).
+    *
+    * @return total hot-store size in bytes (the reference returns Redis
+    *         used-memory as a backpressure signal, index.js:91-93)
+    */
+  def write(keyValuePairs: Map[String, Map[Long, String]]): Long = {
+    requireInitialized()
+    val samples = validateAndFlatten(keyValuePairs)
+    writeSamples(samples)
+    hotBytes
+  }
+
+  /** Validation + flatten, reproducing reference error text
+    * (index.js:96-147). Throws [[IllegalArgumentException]] with the
+    * reference's messages.
+    */
+  private def validateAndFlatten(keyValuePairs: Map[String, Map[Long, String]]): Seq[Sample] = {
+    val ingestTs = clock()
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Sample]
+    var itemCounter = 0
+    keyValuePairs.foreach { case (tag, samples) =>
+      if (tag.length > MaxKeyNameLength) {
+        errors += s"""Key "$tag" has name which extends character limit($MaxKeyNameLength)."""
+      } else {
+        samples.foreach { case (ts, value) =>
+          if (itemCounter > MaxSamplesPerWrite)
+            throw new IllegalArgumentException(s"Sample size exceeded limit of $MaxSamplesPerWrite.")
+          out += Sample(tag, ts, value, ingestTs, writerId, seqCounter.getAndIncrement())
+          itemCounter += 1
+        }
+      }
+    }
+    if (itemCounter == 0 && errors.isEmpty)
+      throw new IllegalArgumentException(
+        "Parameter 'keyValuePairs' should contain atleast one item to insert.")
+    if (errors.nonEmpty)
+      throw new IllegalArgumentException(
+        "Parameter 'keyValuePairs' has multiple Errors: " + errors.mkString(" , "))
+    out.toSeq
+  }
+
+  /** Append a batch of samples to the hot tier + the activity log. */
+  def writeSamples(samples: Seq[Sample]): Unit = {
+    requireInitialized()
+    import spark.implicits._
+    val df = samples.toDF()
+      .withColumn("partition_start", col("ts") - (col("ts") % lit(settings.partitionWidth)))
+    // Partitioned append = the per-partition ZADD fan-out (index.js:77-84),
+    // committed atomically by the file-commit protocol (better than the
+    // reference's non-atomic multi-key write, index.js:78 TODO).
+    df.write.mode("append")
+      .partitionBy("tag", "partition_start")
+      .parquet(hotDir.toString)
+    // RecentActivity update (index.js:81): one "w" row per touched partition.
+    val acts = samples
+      .groupBy(s => (s.tag, partitionStartOf(s.ts)))
+      .map { case ((tag, pStart), ss) =>
+        (partitionName(tag, pStart), tag, pStart, ss.map(_.ingestTs).max, "w")
+      }.toSeq
+    acts.toDF("partitionName", "tag", "partitionStart", "activityTs", "kind")
+      .coalesce(1)
+      .write.mode("append").parquet(activityDir.toString)
+  }
+
+  /** Hot-store physical size in bytes (the memory/backpressure signal,
+    * index.js:91-93).
+    */
+  def hotBytes: Long = {
+    val s = Files.walk(hotDir).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    s
+  }
+
+  // --------------------------------------------------------------- read
+
+  /** Hot tier as a DataFrame with pruning-friendly partition columns. */
+  def hotDF: DataFrame = tierDF(hotDir)
+
+  /** Cold (archived) tier. */
+  def coldDF: DataFrame = tierDF(coldDir)
+
+  /** Hot ∪ cold — the full logical table (example consumer stores cold
+    * copies that reads must still see; service.js:89-107 + SURVEY §2.1 #11).
+    */
+  def allDF: DataFrame = {
+    val h = nonEmptyTier(hotDir)
+    val c = nonEmptyTier(coldDir)
+    (h, c) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => emptySamples
+    }
+  }
+
+  private def emptySamples: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      sampleSchema.add("partition_start", LongType))
+
+  private def tierDF(dir: Path): DataFrame =
+    nonEmptyTier(dir).getOrElse(emptySamples)
+
+  private def nonEmptyTier(dir: Path): Option[DataFrame] = {
+    if (!Files.exists(dir)) return None
+    val hasData = Files.walk(dir).iterator().asScala.exists(p =>
+      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+    if (!hasData) None
+    else Some {
+      spark.read
+        .option("basePath", dir.toString)
+        .schema(sampleSchema.add("partition_start", LongType))
+        .parquet(dir.toString)
+    }
+  }
+
+  /** Last-write-wins dedup (reference `_parseRedisData` overwrite loop,
+    * index.js:278-288). The reference's equal-ts winner is
+    * return-order-dependent (recipe:43 TODO); here it is deterministic:
+    * latest `(ingestTs, seq, writerId)` wins. One shuffle on `(tag, ts)`.
+    */
+  def lwwDedup(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tag"), col("ts"))
+      .orderBy(col("ingestTs").desc, col("seq").desc, col("writerId").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** The canonical range query as a single declarative plan: prune + scan +
+    * residual filter + LWW + sort (the reference needs three round-trip
+    * phases for this — readIndex/readPage/merge, consumer-test.js:1135-1162).
+    *
+    * Catalyst prunes `tag=/partition_start=` directories from the two filter
+    * conjuncts (= readIndex, index.js:215) and pushes `ts between` into the
+    * Parquet scan (better than the client-side filter at index.js:263).
+    */
+  def readRangeDF(tag: String, start: Long, end: Long): DataFrame = {
+    requireInitialized()
+    val pStart = partitionStartOf(start)
+    val base = allDF.where(
+      col("tag") === tag &&
+        col("partition_start").between(pStart, end) &&
+        col("ts").between(start, end))
+    lwwDedup(base).orderBy(col("ts"))
+  }
+
+  /** Multi-tag scatter-gather read (reference readData composition,
+    * consumer-test.js:1135-1162). Executed as ONE plan: a broadcast range
+    * join against the (tiny) ranges table replaces the reference's
+    * client-side fan-out + merge.
+    */
+  def readDataDF(ranges: Map[String, (Long, Long)]): DataFrame = {
+    requireInitialized()
+    validateRanges(ranges)
+    import spark.implicits._
+    val r = ranges.toSeq.map { case (t, (s, e)) => (t, partitionStartOf(s), s, e) }
+      .toDF("r_tag", "r_pstart", "r_start", "r_end")
+    val joined = allDF.join(
+      broadcast(r),
+      col("tag") === col("r_tag") &&
+        col("partition_start").between(col("r_pstart"), col("r_end")) &&
+        col("ts").between(col("r_start"), col("r_end")),
+      "inner")
+      .drop("r_tag", "r_pstart", "r_start", "r_end")
+    lwwDedup(joined).orderBy(col("tag"), col("ts"))
+  }
+
+  /** Reference-shaped result: `Map<tag, Map<ts, value>>`, ascending ts, tags
+    * with no hits omitted (consumer-test.js:568-580).
+    */
+  def readData(ranges: Map[String, (Long, Long)]): Map[String, SortedMap[Long, String]] = {
+    val rows = readDataDF(ranges).select("tag", "ts", "value").collect()
+    rows.groupBy(_.getString(0)).map { case (t, rs) =>
+      t -> SortedMap(rs.map(r => r.getLong(1) -> r.getString(2)).toIndexedSeq: _*)
+    }
+  }
+
+  private def validateRanges(ranges: Map[String, (Long, Long)]): Unit = {
+    if (ranges.size > MaxTagsPerRead)
+      throw new IllegalArgumentException(
+        s"Parameter 'partitionRanges' cannot have partitions more than $MaxTagsPerRead.")
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    ranges.foreach { case (tag, (s, e)) =>
+      if (tag.length > MaxKeyNameLength)
+        errors += s"""Key "$tag" has name which extends character limit($MaxKeyNameLength)."""
+      else if (e < s)
+        errors += s"Invalid range; start should be smaller than end for $tag."
+    }
+    if (ranges.isEmpty)
+      throw new IllegalArgumentException(
+        "Parameter 'partitionRanges' should contain atleast one range for query.")
+    if (errors.nonEmpty)
+      throw new IllegalArgumentException(
+        "Parameter 'partitionRanges' has multiple Errors: " + errors.mkString(" , "))
+  }
+
+  /** Two-phase protocol, phase 1 (reference `readIndex`, index.js:157-231):
+    * which partitions overlap each tag's range, newest-first
+    * (consumer-test.js:345-384). `sortWeight` = `epoch - partitionStart`
+    * (index.js:80, recipe:9) so ascending weight = descending recency,
+    * matching the reference's returned scores.
+    */
+  def readIndex(ranges: Map[String, (Long, Long)]): Map[String, Seq[PageInfo]] = {
+    requireInitialized()
+    validateRanges(ranges)
+    import spark.implicits._
+    val r = ranges.toSeq.map { case (t, (s, e)) => (t, partitionStartOf(s), s, e) }
+      .toDF("r_tag", "r_pstart", "r_start", "r_end")
+    val parts = allDF.select(col("tag"), col("partition_start")).distinct()
+      .join(broadcast(r),
+        col("tag") === col("r_tag") &&
+          col("partition_start").between(col("r_pstart"), col("r_end")))
+      .select(col("tag"), col("partition_start"), col("r_start"), col("r_end"))
+      .orderBy(col("tag"), col("partition_start").desc)
+      .collect()
+    val e = epoch
+    ranges.keys.map { t =>
+      t -> parts.filter(_.getString(0) == t).toIndexedSeq.map { row =>
+        val pStart = row.getLong(1)
+        PageInfo(partitionName(t, pStart), e - pStart, row.getLong(2), row.getLong(3))
+      }
+    }.toMap
+  }
+
+  /** Two-phase protocol, phase 2 (reference `readPage`, index.js:233-266):
+    * scan one partition, residual-filter `start ≤ ts ≤ end`, LWW dedup.
+    * Unlike the reference (full `ZRANGE` + client filter, index.js:262-263),
+    * the filter is pushed into the Parquet scan.
+    */
+  def readPage(pagename: String, start: Long, end: Long): SortedMap[Long, String] = {
+    requireInitialized()
+    if (pagename == null || pagename.isEmpty || pagename.length > MaxKeyNameLength * 2)
+      throw new IllegalArgumentException(
+        s"""Parameter "pagename" should be a valid string with characters not exceeding ${MaxKeyNameLength * 2}.""")
+    val (tag, pStart) = extractPartitionInfo(pagename)
+    val rows = lwwDedup(
+      allDF.where(
+        col("tag") === tag && col("partition_start") === pStart &&
+          col("ts").between(start, end)))
+      .select("ts", "value").collect()
+    SortedMap(rows.map(r => r.getLong(0) -> r.getString(1)).toIndexedSeq: _*)
+  }
+
+  // --------------------------------------------------------------- purge
+
+  /** Activity log view with the reference's RecentActivity semantics
+    * (index.js:81, enqueue-purge.lua): a partition is "in the set" iff it has
+    * a write newer than its last purge-mark; its activity time is its last
+    * write time.
+    */
+  def recentActivityDF: DataFrame = {
+    val hasLog = Files.exists(activityDir) &&
+      Files.walk(activityDir).iterator().asScala.exists(p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+    if (!hasLog)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("partitionName", StringType), StructField("tag", StringType),
+          StructField("partitionStart", LongType), StructField("lastActivity", LongType))))
+    val log = spark.read.schema(activitySchema).parquet(activityDir.toString)
+    log.groupBy(col("partitionName"), col("tag"), col("partitionStart"))
+      .agg(
+        max(when(col("kind") === "w", col("activityTs"))).as("lastWrite"),
+        max(when(col("kind") === "m", col("activityTs"))).as("lastMark"))
+      .where(col("lastWrite").isNotNull &&
+        (col("lastMark").isNull || col("lastWrite") > col("lastMark")))
+      .select(col("partitionName"), col("tag"), col("partitionStart"),
+        col("lastWrite").as("lastActivity"))
+  }
+
+  /** Age-based tiering enqueue (reference `purgeScan` + enqueue-purge.lua):
+    * take the K oldest active partitions whose last write is at least
+    * `partitionAgeThresholdSec` old, snapshot each into the staging queue,
+    * and mark them so they cannot be re-marked until a newer write arrives
+    * (lua:19; idempotence per consumer-test.js:898-934). Data stays readable
+    * until [[purgeAck]] (consumer-test.js:925-933).
+    *
+    * The candidate scan is a top-K plan (`orderBy(lastActivity).limit(K)` →
+    * TakeOrderedAndProject); snapshots are per-partition pruned scans.
+    *
+    * @return queue entry ids, one per marked partition
+    */
+  def purgeScan(partitionAgeThreshold: Long = 300, maxPartitionsToMark: Int = 10): Seq[String] = {
+    requireInitialized()
+    if (partitionAgeThreshold <= 0)
+      throw new IllegalArgumentException(
+        "Parameter 'partitionAgeThreshold' is invalid & should greater than 1.")
+    if (maxPartitionsToMark <= 0)
+      throw new IllegalArgumentException(
+        "Parameter 'maxPartitionsToMark' is invalid & should greater than 1.")
+    val now = clock()
+    val victims = recentActivityDF
+      .where(lit(now) - col("lastActivity") >= partitionAgeThreshold * 1000L)
+      .orderBy(col("lastActivity"), col("partitionName"))
+      .limit(maxPartitionsToMark)
+      .collect()
+    val markTs = clock()
+    victims.toIndexedSeq.map { row =>
+      val pName = row.getString(0)
+      val tag = row.getString(1)
+      val pStart = row.getLong(2)
+      val id = s"$markTs-${purgeIdCounter.getAndIncrement()}"
+      val entryDir = queueDir.resolve(id)
+      Files.createDirectories(entryDir)
+      // Snapshot the partition's current content (lua:17) — a pruned scan.
+      val snap = hotDF.where(col("tag") === tag && col("partition_start") === pStart)
+      snap.coalesce(1).write.mode("overwrite").parquet(entryDir.resolve("snapshot").toString)
+      val stats = snap.agg(
+        coalesce(max(col("seq")), lit(-1L)).as("maxSeq"),
+        coalesce(max(col("ingestTs")), lit(-1L)).as("maxIngestTs"),
+        count(lit(1)).as("n")).collect()(0)
+      val meta =
+        s"""{"id":"$id","partitionName":"$pName","tag":"$tag","partitionStart":$pStart,""" +
+          s""""maxSeq":${stats.getLong(0)},"maxIngestTs":${stats.getLong(1)},"rows":${stats.getLong(2)}}"""
+      Files.write(entryDir.resolve("meta.json"), meta.getBytes(StandardCharsets.UTF_8))
+      // Mark: removes it from RecentActivity until a newer write (lua:19).
+      import spark.implicits._
+      Seq((pName, tag, pStart, markTs, "m"))
+        .toDF("partitionName", "tag", "partitionStart", "activityTs", "kind")
+        .coalesce(1).write.mode("append").parquet(activityDir.toString)
+      id
+    }
+  }
+
+  private def readMeta(id: String): Option[Map[String, String]] = {
+    val f = queueDir.resolve(id).resolve("meta.json")
+    if (!Files.exists(f)) None
+    else {
+      val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      // minimal flat-json parse (we wrote it; values contain no escapes)
+      val kv = """"(\w+)":("?)([^,"}]*)\2""".r
+      Some(kv.findAllMatchIn(s).map(m => m.group(1) -> m.group(3)).toMap)
+    }
+  }
+
+  /** Pending (un-acked) queue entries, oldest first — what the reference's
+    * stream consumer receives (service.js:117-120).
+    */
+  def pendingPurgeEntries(): Seq[PurgeEntry] = {
+    requireInitialized()
+    if (!Files.exists(queueDir)) return Seq.empty
+    Files.list(queueDir).iterator().asScala.toSeq
+      .filter(d => Files.isDirectory(d) && !Files.exists(d.resolve("acked")))
+      .map(_.getFileName.toString).sorted
+      .flatMap(loadPurgeEntry)
+  }
+
+  /** Load + decode one queue entry (reference `parsePurgePayload`,
+    * index.js:350-355).
+    */
+  def loadPurgeEntry(id: String): Option[PurgeEntry] = readMeta(id).map { m =>
+    val snap = spark.read.parquet(queueDir.resolve(id).resolve("snapshot").toString)
+    val rows = lwwDedup(snap).select("ts", "value").collect()
+    PurgeEntry(
+      id = m("id"),
+      partitionName = m("partitionName"),
+      tag = m("tag"),
+      partitionStart = m("partitionStart").toLong,
+      maxSeq = m("maxSeq").toLong,
+      maxIngestTs = m("maxIngestTs").toLong,
+      data = SortedMap(rows.map(r => r.getLong(0) -> r.getString(1)).toIndexedSeq: _*))
+  }
+
+  /** Archive a queue entry into the cold tier (the example consumer's file
+    * sink, service.js:89-107, as a partitioned Parquet append preserving the
+    * hot layout so hot∪cold stays one logical table).
+    */
+  def archiveToCold(id: String): Unit = {
+    requireInitialized()
+    val entryDir = queueDir.resolve(id)
+    require(Files.exists(entryDir.resolve("meta.json")), s"unknown purge id $id")
+    val snap = spark.read.parquet(entryDir.resolve("snapshot").toString)
+    snap.write.mode("append").partitionBy("tag", "partition_start").parquet(coldDir.toString)
+  }
+
+  /** Exactly-once archive commit (reference `purgeAck` + ack-purge.lua):
+    * delete from the hot tier EXACTLY the rows captured in the snapshot —
+    * rows written after the snapshot survive (race-safety oracle:
+    * consumer-test.js:936-989). Implemented as a snapshot-scoped anti-join
+    * (`seq ≤ maxSeq` of the snapshot, per writer) and an atomic partition
+    * rewrite; if the partition empties it is dropped entirely, which also
+    * removes it from the partition index (ack-purge.lua:21-23 — here the
+    * index IS the directory listing, so the cleanup is one rmdir).
+    *
+    * @return 1 if the entry existed and was committed, 0 otherwise
+    *         (ack-purge.lua:25-27)
+    */
+  def purgeAck(purgeId: String, partitionNameArg: String, partitionKey: String): Int = {
+    requireInitialized()
+    if (purgeId == null || purgeId.isEmpty)
+      throw new IllegalArgumentException("Invalid parameter 'purgeId'.")
+    if (partitionNameArg == null || partitionNameArg.isEmpty)
+      throw new IllegalArgumentException("Invalid parameter 'partitionName'.")
+    if (partitionKey == null || partitionKey.isEmpty)
+      throw new IllegalArgumentException("Invalid parameter 'partitionKey'.")
+    val entryDir = queueDir.resolve(purgeId)
+    if (!Files.exists(entryDir.resolve("meta.json")) || Files.exists(entryDir.resolve("acked")))
+      return 0
+    val m = readMeta(purgeId).get
+    val tag = m("tag")
+    val pStart = m("partitionStart").toLong
+    val partDir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
+    if (Files.exists(partDir)) {
+      val snap = spark.read.parquet(entryDir.resolve("snapshot").toString)
+        .select(col("writerId").as("s_writerId"), col("seq").as("s_seq"))
+      val current = spark.read.schema(dataFileSchema)
+        .parquet(partDir.toString)
+      // Anti-join on the snapshot's exact member set (writerId, seq) —
+      // the Spark rendering of lua's per-member ZREM (ack-purge.lua:13-18).
+      val remaining = current.join(broadcast(snap),
+        current("writerId") === col("s_writerId") && current("seq") === col("s_seq"),
+        "left_anti")
+      val n = remaining.count()
+      if (n == 0) {
+        deleteRecursively(partDir)
+        val tagDir = partDir.getParent
+        if (Files.exists(tagDir) && !Files.list(tagDir).iterator().hasNext)
+          Files.delete(tagDir) // index cleanup (ack-purge.lua:21-23)
+      } else {
+        val rewrite = tmpDir.resolve(s"rewrite-$purgeId")
+        remaining.coalesce(1).write.mode("overwrite").parquet(rewrite.toString)
+        val backup = tmpDir.resolve(s"old-$purgeId")
+        Files.move(partDir, backup, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(rewrite, partDir, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(backup)
+      }
+    }
+    Files.write(entryDir.resolve("acked"), Array.emptyByteArray)
+    1
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+}

@@ -1,0 +1,264 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.immutable.SortedMap
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.tsdb.{StoreSettings, TimeSeriesStore}
+
+/** Parity suite mirroring the reference's Mocha integration tests
+  * (/root/reference/test/consumer-test.js; scenario line cites inline).
+  */
+class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshStore(width: Long = 5L): TimeSeriesStore = {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = width))
+    store.initialize()
+    store
+  }
+
+  private val gapSerialBatch: Map[String, Map[Long, String]] = Map(
+    "GapTag" -> Map(1L -> "One", 2L -> "Two", 10L -> "Ten", 20L -> "Twenty"),
+    "SerialTag" -> Map(1L -> "One", 2L -> "Two", 3L -> "Three", 4L -> "Four"))
+
+  // consumer-test.js:529-555 — read range covering all data
+  test("read with bigger range returns all data ascending") {
+    val store = freshStore()
+    store.write(gapSerialBatch)
+    val got = store.readData(Map("GapTag" -> (0L, 50L), "SerialTag" -> (0L, 50L)))
+    assert(got("GapTag") === SortedMap(1L -> "One", 2L -> "Two", 10L -> "Ten", 20L -> "Twenty"))
+    assert(got("SerialTag") === SortedMap(1L -> "One", 2L -> "Two", 3L -> "Three", 4L -> "Four"))
+  }
+
+  // consumer-test.js:557-581 — disjoint range: tag omitted from result
+  test("read with non-overlapping range returns no data") {
+    val store = freshStore()
+    store.write(gapSerialBatch)
+    val got = store.readData(Map("GapTag" -> (30L, 100L)))
+    assert(!got.contains("GapTag"))
+  }
+
+  // consumer-test.js:583-610 — single-point range
+  test("read single point") {
+    val store = freshStore()
+    store.write(gapSerialBatch)
+    val got = store.readData(Map("GapTag" -> (1L, 1L), "SerialTag" -> (4L, 4L)))
+    assert(got("GapTag") === SortedMap(1L -> "One"))
+    assert(got("SerialTag") === SortedMap(4L -> "Four"))
+  }
+
+  // consumer-test.js:612-668 — partial overlap / interior subset with gaps
+  test("read partial and interior ranges") {
+    val store = freshStore()
+    store.write(gapSerialBatch)
+    val got = store.readData(Map("GapTag" -> (2L, 10L), "SerialTag" -> (3L, 4L)))
+    assert(got("GapTag") === SortedMap(2L -> "Two", 10L -> "Ten"))
+    assert(got("SerialTag") === SortedMap(3L -> "Three", 4L -> "Four"))
+  }
+
+  // consumer-test.js:738-765 — update semantics: last write wins
+  test("re-written timestamps resolve to the last write") {
+    val store = freshStore(width = 5L)
+    store.write(Map("SerialTag" -> Map(55L -> "One")))
+    store.write(Map("SerialTag" -> Map(55L -> "Two")))
+    store.write(Map("SerialTag" -> Map(56L -> "Three")))
+    store.write(Map("SerialTag" -> Map(55L -> "Four")))
+    val got = store.readData(Map("SerialTag" -> (0L, 100L)))
+    assert(got("SerialTag") === SortedMap(55L -> "Four", 56L -> "Three"))
+  }
+
+  // consumer-test.js:345-384 — index pages returned newest-partition-first
+  test("readIndex returns pages newest-first with epoch-relative weights") {
+    val store = freshStore(width = 5L)
+    store.write(gapSerialBatch)
+    val idx = store.readIndex(Map("GapTag" -> (0L, 50L)))
+    val pages = idx("GapTag")
+    assert(pages.map(_.page) === Seq("GapTag-20", "GapTag-10", "GapTag-0"))
+    assert(pages.map(_.sortWeight) === pages.map(_.sortWeight).sorted) // ascending weight = newest first
+    val idxEmpty = store.readIndex(Map("NoSuchTag" -> (0L, 50L)))
+    assert(idxEmpty("NoSuchTag").isEmpty)
+  }
+
+  // consumer-test.js:105-157 — partition layout: samples land in the right pages
+  test("samples are partitioned by partitionStart = ts - ts % width") {
+    val store = freshStore(width = 10L)
+    store.write(Map("T" -> Map(0L -> "a", 9L -> "b", 10L -> "c", 21L -> "d")))
+    assert(store.readPage("T-0", 0L, 100L) === SortedMap(0L -> "a", 9L -> "b"))
+    assert(store.readPage("T-10", 0L, 100L) === SortedMap(10L -> "c"))
+    assert(store.readPage("T-20", 0L, 100L) === SortedMap(21L -> "d"))
+  }
+
+  // consumer-test.js:159-279 — samples on both sides of the epoch (negative keys)
+  test("negative sort keys partition correctly") {
+    val store = freshStore(width = 10L)
+    store.write(Map("T" -> Map(-21L -> "past", 21L -> "future")))
+    val got = store.readData(Map("T" -> (-100L, 100L)))
+    assert(got("T") === SortedMap(-21L -> "past", 21L -> "future"))
+    // JS BigInt and Java Long % both truncate toward zero: -21 → partition -30? No: -21 - (-21 % 10) = -21 - (-1) = -20.
+    assert(store.partitionStartOf(-21L) === -20L)
+  }
+
+  // validation golden messages (consumer-test.js:41-103, 698-736)
+  test("write validations reproduce reference error messages") {
+    val store = freshStore()
+    val e1 = intercept[IllegalArgumentException](store.write(Map.empty))
+    assert(e1.getMessage === "Parameter 'keyValuePairs' should contain atleast one item to insert.")
+    val longTag = "A" * 201
+    val e2 = intercept[IllegalArgumentException](store.write(Map(longTag -> Map(1L -> "x"))))
+    assert(e2.getMessage ===
+      s"""Parameter 'keyValuePairs' has multiple Errors: Key "$longTag" has name which extends character limit(200).""")
+    // the reference's counter guard fires on the 2002nd sample (index.js:116-118)
+    val big = Map("T" -> (0L until 2002L).map(i => i -> i.toString).toMap)
+    val e3 = intercept[IllegalArgumentException](store.write(big))
+    assert(e3.getMessage === "Sample size exceeded limit of 2000.")
+  }
+
+  test("read validations reproduce reference error messages") {
+    val store = freshStore()
+    store.write(gapSerialBatch)
+    val e1 = intercept[IllegalArgumentException](store.readData(Map.empty))
+    assert(e1.getMessage === "Parameter 'partitionRanges' should contain atleast one range for query.")
+    val e2 = intercept[IllegalArgumentException](store.readData(Map("T" -> (10L, 1L))))
+    assert(e2.getMessage ===
+      "Parameter 'partitionRanges' has multiple Errors: Invalid range; start should be smaller than end for T.")
+    val tooMany = (1 to 101).map(i => s"T$i" -> (0L, 1L)).toMap
+    val e3 = intercept[IllegalArgumentException](store.readData(tooMany))
+    assert(e3.getMessage === "Parameter 'partitionRanges' cannot have partitions more than 100.")
+  }
+
+  // consumer-test.js:767-799 — purge marks aged partitions, data still readable
+  test("purgeScan marks aged partitions and leaves data readable") {
+    val store = freshStore(width = 5L)
+    var now = 1000000L
+    store.clock = () => now
+    store.write(gapSerialBatch)
+    now += 2000 // 2 s later, threshold 1 s
+    val ids = store.purgeScan(partitionAgeThreshold = 1, maxPartitionsToMark = 10)
+    assert(ids.size === 4) // GapTag-0, GapTag-10, GapTag-20, SerialTag-0
+    // marked but un-acked: reads still serve everything (consumer-test.js:925-933)
+    val got = store.readData(Map("GapTag" -> (0L, 50L), "SerialTag" -> (0L, 50L)))
+    assert(got("GapTag").size === 4 && got("SerialTag").size === 4)
+    // consumer-test.js:898-934 — re-scan marks nothing new
+    val again = store.purgeScan(partitionAgeThreshold = 1, maxPartitionsToMark = 10)
+    assert(again.isEmpty)
+  }
+
+  // consumer-test.js:848-896 + 1081-1131 — consume, archive, ack; payload shape
+  test("purge entry payload round-trips and ack removes hot copy") {
+    val store = freshStore(width = 5L)
+    var now = 1000000L
+    store.clock = () => now
+    store.write(Map("ATag" -> Map(1L -> "One", 2L -> "Two")))
+    now += 2000
+    val ids = store.purgeScan(1, 10)
+    assert(ids.size === 1)
+    val entry = store.loadPurgeEntry(ids.head).get
+    assert(entry.partitionName === "ATag-0")
+    assert(entry.tag === "ATag")
+    assert(entry.data === SortedMap(1L -> "One", 2L -> "Two"))
+    store.archiveToCold(entry.id)
+    assert(store.purgeAck(entry.id, entry.partitionName, entry.tag) === 1)
+    // hot copy gone, but hot∪cold still serves the data
+    assert(store.hotDF.count() === 0)
+    val got = store.readData(Map("ATag" -> (0L, 50L)))
+    assert(got("ATag") === SortedMap(1L -> "One", 2L -> "Two"))
+    // double-ack → 0 (ack-purge.lua:25-27)
+    assert(store.purgeAck(entry.id, entry.partitionName, entry.tag) === 0)
+  }
+
+  // consumer-test.js:936-989 — write racing a purge survives the ack
+  test("concurrent write after purge mark survives ack") {
+    val store = freshStore(width = 5L)
+    var now = 1000000L
+    store.clock = () => now
+    store.write(Map("RTag" -> Map(1L -> "One")))
+    now += 2000
+    val ids = store.purgeScan(1, 10)
+    assert(ids.size === 1)
+    // a write AFTER the snapshot, into the same partition
+    now += 10
+    store.write(Map("RTag" -> Map(2L -> "Two")))
+    store.archiveToCold(ids.head)
+    assert(store.purgeAck(ids.head, "RTag-0", "RTag") === 1)
+    // snapshotted row deleted from hot; post-snapshot row survives
+    val hotRows = store.hotDF.select("ts").collect().map(_.getLong(0)).toSet
+    assert(hotRows === Set(2L))
+    val got = store.readData(Map("RTag" -> (0L, 50L)))
+    assert(got("RTag") === SortedMap(1L -> "One", 2L -> "Two"))
+    // the partition is active again (new write) → re-markable after aging
+    now += 2000
+    val again = store.purgeScan(1, 10)
+    assert(again.size === 1)
+  }
+
+  // consumer-test.js:991-1039 — empty partition drops out of the index
+  test("fully purged partition disappears from the index") {
+    val store = freshStore(width = 5L)
+    var now = 1000000L
+    store.clock = () => now
+    store.write(Map("ETag" -> Map(1L -> "One")))
+    now += 2000
+    val ids = store.purgeScan(1, 10)
+    store.archiveToCold(ids.head)
+    store.purgeAck(ids.head, "ETag-0", "ETag")
+    val idx = store.readIndex(Map("ETag" -> (0L, 50L)))
+    // hot index empty; the cold tier still advertises the partition for reads
+    assert(store.hotDF.count() === 0)
+    assert(idx("ETag").map(_.page) === Seq("ETag-0")) // via cold — reads must span tiers
+  }
+
+  // purge parameter validation (index.js:296-314)
+  test("purge validations reproduce reference error messages") {
+    val store = freshStore()
+    val e1 = intercept[IllegalArgumentException](store.purgeScan(0, 10))
+    assert(e1.getMessage === "Parameter 'partitionAgeThreshold' is invalid & should greater than 1.")
+    val e2 = intercept[IllegalArgumentException](store.purgeScan(10, 0))
+    assert(e2.getMessage === "Parameter 'maxPartitionsToMark' is invalid & should greater than 1.")
+    val e3 = intercept[IllegalArgumentException](store.purgeAck("", "p", "k"))
+    assert(e3.getMessage === "Invalid parameter 'purgeId'.")
+  }
+
+  // multi-writer epoch adoption (index.js:50-51 SET NX)
+  test("second store instance adopts the first epoch") {
+    val root = Files.createTempDirectory("graft-epoch").toString
+    val s1 = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    s1.clock = () => 111L
+    val e1 = s1.initialize()
+    val s2 = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    s2.clock = () => 999L
+    val e2 = s2.initialize()
+    assert(e1 === 111L && e2 === 111L)
+    assert(s1.writerId !== s2.writerId)
+  }
+
+  // 10 tags × 200 samples chunk (consumer-test.js:670-696)
+  test("bulk multi-tag chunk round-trips") {
+    val store = freshStore(width = 10L)
+    val base = 1700000000000L
+    val batch = (0 until 10).map { t =>
+      s"Tag$t" -> (0 until 200).map(i => (base + i).toLong -> s"$i").toMap
+    }.toMap
+    store.write(batch)
+    val got = store.readData((0 until 10).map(t => s"Tag$t" -> (base, base + 199L)).toMap)
+    assert(got.size === 10)
+    (0 until 10).foreach { t =>
+      assert(got(s"Tag$t").size === 200)
+      assert(got(s"Tag$t")(base + 57L) === "57")
+    }
+  }
+}

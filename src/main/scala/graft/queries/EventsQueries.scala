@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** The reference engine's operator surface (SURVEY.md §2.1) expressed over
+  * the driver's `events` table (tag = `event_type`, sortKey = `ts_ms`,
+  * seq = `event_id`). Each query is the Spark-first rendering of one
+  * reference operator, with a DuckDB oracle on the same parquet.
+  *
+  * All time constants are inside the data's fixed span (Jan 2024, all SFs).
+  */
+object EventsQueries {
+
+  private val W = Tables.EventPartitionWidthMs // 3600000 — hour partitions
+  private val Jan1 = 1704067200000L            // 2024-01-01T00:00:00Z in ms
+  private def day(n: Int): Long = Jan1 + n.toLong * 86400000L
+
+  /** Millisecond event time in DuckDB — pairs with Tables.events's `ts_ms`. */
+  private val MS = "epoch_ms(ts)"
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // #2/#3 — ingest partitioning transform (reference index.js:96-147):
+    // partition_start = ts - ts % width, relative offset within partition.
+    QueryDef("ts_partition_transform",
+      (s, dir) => ev(s, dir).select(
+        col("event_id"),
+        col("event_type").as("tag"),
+        col("ts_ms"),
+        (col("ts_ms") - (col("ts_ms") % W)).as("partition_start"),
+        (col("ts_ms") % W).as("rel_ts"))
+        .orderBy("event_id"),
+      Some(s"""
+        SELECT event_id, event_type AS tag, $MS AS ts_ms,
+               $MS - ($MS % $W) AS partition_start,
+               $MS % $W AS rel_ts
+        FROM events ORDER BY event_id""")),
+
+    // #4 — partition index scan (readIndex, index.js:157-231): which
+    // partitions exist per tag, newest-first with row counts.
+    QueryDef("ts_read_index",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("event_type").as("tag"),
+          (col("ts_ms") - (col("ts_ms") % W)).as("partition_start"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("tag"), col("partition_start").desc),
+      Some(s"""
+        SELECT event_type AS tag, $MS - ($MS % $W) AS partition_start,
+               count(*) AS n_rows
+        FROM events GROUP BY 1, 2 ORDER BY tag, partition_start DESC""")),
+
+    // #5 — single-partition scan + residual range filter (readPage,
+    // index.js:233-266): partition pruning + pushed-down ts predicate.
+    // Day-wide page so the residual filter bites at every scale factor.
+    QueryDef("ts_read_page",
+      (s, dir) => ev(s, dir)
+        .where(col("event_type") === "purchase" &&
+          (col("ts_ms") - (col("ts_ms") % 86400000L)) === day(2) &&
+          col("ts_ms").between(day(2) + 7200000L, day(2) + 72000000L))
+        .select(col("event_id"), col("ts_ms"), col("value"))
+        .orderBy("ts_ms", "event_id"),
+      Some(s"""
+        SELECT event_id, $MS AS ts_ms, value FROM events
+        WHERE event_type = 'purchase'
+          AND $MS - ($MS % 86400000) = ${day(2)}
+          AND $MS BETWEEN ${day(2) + 7200000L} AND ${day(2) + 72000000L}
+        ORDER BY ts_ms, event_id""")),
+
+    // #6 — last-write-wins dedup (index.js:278-288): latest seq wins per
+    // (tag, bucket). One shuffle; map-side combine via max_by.
+    QueryDef("ts_lww_dedup",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("event_type").as("tag"),
+          (col("ts_ms") - (col("ts_ms") % 60000L)).as("bucket_ts"))
+        .agg(
+          max_by(col("value"), col("event_id")).as("last_value"),
+          max(col("event_id")).as("last_seq"),
+          count(lit(1)).as("n_writes"))
+        .orderBy("tag", "bucket_ts"),
+      Some(s"""
+        SELECT event_type AS tag, $MS - ($MS % 60000) AS bucket_ts,
+               arg_max(value, event_id) AS last_value,
+               max(event_id) AS last_seq, count(*) AS n_writes
+        FROM events GROUP BY 1, 2 ORDER BY tag, bucket_ts""")),
+
+    // #7 — multi-tag scatter-gather range read (consumer-test.js:1135-1162):
+    // a broadcast range-join against the ranges table replaces the
+    // reference's client-side per-tag fan-out + merge.
+    QueryDef("ts_scatter_gather",
+      (s, dir) => {
+        import s.implicits._
+        val ranges = Seq(
+          ("click", day(1), day(2) - 1),
+          ("purchase", day(2), day(5) - 1),
+          ("error", day(9) + 21600000L, day(9) + 64800000L))
+          .toDF("r_tag", "r_start", "r_end")
+        ev(s, dir).join(broadcast(ranges),
+          col("event_type") === col("r_tag") &&
+            col("ts_ms").between(col("r_start"), col("r_end")))
+          .select(col("event_type").as("tag"), col("ts_ms"), col("event_id"), col("value"))
+          .orderBy("tag", "ts_ms", "event_id")
+      },
+      Some(s"""
+        SELECT event_type AS tag, $MS AS ts_ms, event_id, value
+        FROM events JOIN (VALUES
+            ('click', ${day(1)}, ${day(2) - 1}),
+            ('purchase', ${day(2)}, ${day(5) - 1}),
+            ('error', ${day(9) + 21600000L}, ${day(9) + 64800000L})
+          ) AS r(r_tag, r_start, r_end)
+          ON event_type = r_tag AND $MS BETWEEN r_start AND r_end
+        ORDER BY tag, ts_ms, event_id""")),
+
+    // #8 — purge scan: oldest-K partitions by last write activity
+    // (enqueue-purge.lua:12, orderBy+limit → TakeOrderedAndProject).
+    QueryDef("ts_purge_scan_topk",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("event_type").as("tag"),
+          (col("ts_ms") - (col("ts_ms") % W)).as("partition_start"))
+        .agg(max(col("ts_ms")).as("last_activity"), count(lit(1)).as("n_rows"))
+        .orderBy(col("last_activity"), col("tag"), col("partition_start"))
+        .limit(10),
+      Some(s"""
+        SELECT event_type AS tag, $MS - ($MS % $W) AS partition_start,
+               max($MS) AS last_activity, count(*) AS n_rows
+        FROM events GROUP BY 1, 2
+        ORDER BY last_activity, tag, partition_start LIMIT 10""")),
+
+    // #9 — purge ack: snapshot-scoped delete = anti-join of the hot table
+    // against the archived member set (ack-purge.lua:13-18).
+    QueryDef("ts_purge_ack_antijoin",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val snapshot = e.where(col("event_id") % 7 === 0).select(col("event_id").as("s_id"))
+        e.join(snapshot, col("event_id") === col("s_id"), "left_anti")
+          .groupBy(col("event_type").as("tag"))
+          .agg(count(lit(1)).as("n_remaining"), max(col("event_id")).as("max_id"))
+          .orderBy("tag")
+      },
+      Some("""
+        SELECT event_type AS tag, count(*) AS n_remaining, max(event_id) AS max_id
+        FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM events s
+                          WHERE s.event_id = e.event_id AND s.event_id % 7 = 0)
+        GROUP BY 1 ORDER BY tag""")),
+
+    // #10 — purge payload decode: the opaque JSON value column unpacked
+    // (index.js:350-355; from_json ≈ JSON.parse).
+    QueryDef("ts_payload_decode",
+      (s, dir) => ev(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("""
+        SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events ORDER BY event_id""")),
+
+    // #11 — hot∪cold tier union with overlap dedup (service.js:89-107;
+    // SURVEY §2.1 #11): reads span tiers, duplicates resolve once.
+    QueryDef("ts_tier_union",
+      (s, dir) => {
+        val e = ev(s, dir).select(col("event_id"), col("event_type").as("tag"), col("ts_ms"))
+        val cutoff = day(14)
+        val cold = e.where(col("ts_ms") < cutoff)
+        val hot = e.where(col("ts_ms") >= cutoff - 86400000L) // 1-day overlap
+        cold.unionByName(hot).distinct()
+          .groupBy("tag")
+          .agg(count(lit(1)).as("n"), min(col("ts_ms")).as("min_ts"), max(col("ts_ms")).as("max_ts"))
+          .orderBy("tag")
+      },
+      Some(s"""
+        SELECT tag, count(*) AS n, min(ts_ms) AS min_ts, max(ts_ms) AS max_ts
+        FROM (SELECT DISTINCT event_id, event_type AS tag, $MS AS ts_ms
+              FROM (SELECT * FROM events WHERE $MS < ${day(14)}
+                    UNION ALL
+                    SELECT * FROM events WHERE $MS >= ${day(14) - 86400000L}))
+        GROUP BY tag ORDER BY tag""")),
+
+    // #17 — global sort + limit (top-K scan; TakeOrderedAndProject).
+    QueryDef("ts_sorted_topk",
+      (s, dir) => ev(s, dir)
+        .select(col("event_id"), col("event_type").as("tag"), col("value"))
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(100),
+      Some("""
+        SELECT event_id, event_type AS tag, value FROM events
+        ORDER BY value DESC, event_id LIMIT 100""")),
+
+    // #1 — epoch-relative encoding (recipe:10): scores relative to the
+    // shared store epoch; epoch = min event time, broadcast scalar join.
+    QueryDef("ts_epoch_relative",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val epoch = e.agg(min(col("ts_ms")).as("epoch"))
+        e.crossJoin(broadcast(epoch))
+          .select(col("event_id"), (col("ts_ms") - col("epoch")).as("rel_ts"))
+          .orderBy("event_id")
+          .limit(200)
+      },
+      Some(s"""
+        SELECT event_id, $MS - (SELECT min($MS) FROM events) AS rel_ts
+        FROM events ORDER BY event_id LIMIT 200""")),
+
+    // #12-extension — processing-time session windows (streaming semantics
+    // §2.2 run in batch): 30-min-gap sessionization per user via lag +
+    // running sum; the Structured Streaming path uses the same logic in
+    // flatMapGroupsWithState.
+    QueryDef("ts_sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        ev(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev_ts").isNull ||
+              (col("ts") - col("prev_ts")) > 1800000L * 1000000L, 1L).otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        FROM (SELECT user_id,
+                CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                          > 1800000000000 THEN 1 ELSE 0 END AS new_s
+              FROM events)
+        GROUP BY user_id ORDER BY user_id"""))
+  )
+}

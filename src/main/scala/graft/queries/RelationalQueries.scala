@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Relational analytics over the TPC-H-ish tables — the aggregate / join /
+  * window / top-K surface the engine inherits from Spark (SURVEY.md §2.2).
+  *
+  * Float discipline for oracle parity: every SUM over a double column is
+  * computed in DECIMAL (exact, order-independent) and cast back to DOUBLE —
+  * double-sum results depend on reduction order and would hash-mismatch
+  * DuckDB.
+  */
+object RelationalQueries {
+
+  private def decSum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-shaped pricing summary: the canonical partial-agg +
+    // final-agg (map-side combine) plan; filter pushed to parquet.
+    QueryDef("rel_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= expr("TIMESTAMP_NTZ '2000-06-30 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          decSum("l_quantity").cast("double").as("sum_qty"),
+          decSum("l_extendedprice").cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // Star join: orders ⋈ customer ⋈ nation. nation (25 rows) broadcasts;
+    // customer is small enough to broadcast at any SF of this dataset —
+    // at true scale AQE decides; the explicit hint keeps the small side
+    // off the shuffle path.
+    QueryDef("rel_nation_revenue",
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum("o_totalprice").cast("double").as("revenue"))
+        .orderBy("n_name"),
+      Some("""
+        SELECT n_name, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // Global top-K (TakeOrderedAndProject — no full sort at scale).
+    QueryDef("rel_topk_orders",
+      (s, dir) => Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // Ranking window: per-segment top-3 customers by balance.
+    QueryDef("rel_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some("""
+        SELECT c_mktsegment, rn, c_custkey, c_acctbal
+        FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer)
+        WHERE rn <= 3 ORDER BY c_mktsegment, rn""")),
+
+    // Semi-join (EXISTS): customers that placed at least one urgent order.
+    QueryDef("rel_semi_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment"),
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+  )
+}

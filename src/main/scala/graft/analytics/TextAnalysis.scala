@@ -1,0 +1,82 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token statistics, document fingerprinting. All are
+  * single-projection plans (no shuffle) — they scale embarrassingly.
+  */
+object TextAnalysis {
+
+  /** Tiny marker-word profiles for the n-gram/stopword language-ID
+    * heuristic. Deterministic tie-break: first profile in this order wins.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "les", "des", "et"))
+
+  /** Language identification by marker-word hit counts. Emits one score
+    * column per language plus the argmax prediction ("und" when no marker
+    * hits at all).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val scored = LangProfiles.foldLeft(docs.select(col("doc_id"), ws.as("ws"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          aggregate(col("ws"), lit(0),
+            (acc, w) => acc + when(w.isInCollection(markers), 1).otherwise(0)))
+    }
+    val mx = greatest(LangProfiles.map(p => col(s"score_${p._1}")): _*)
+    // argmax with deterministic tie-break: lexicographically-largest lang
+    // among tied scores (the CASE checks langs in reverse-lex order).
+    // foldLeft in lex order wraps later langs outermost, so the final CASE
+    // checks fr, then es, then en, then de.
+    val pick = LangProfiles.map(_._1).sorted
+      .foldLeft(lit("und")) { (els, lang) =>
+        when(col(s"score_$lang") === mx, lit(lang)).otherwise(els)
+      }
+    scored.withColumn("predicted", when(mx > 0, pick).otherwise(lit("und")))
+      .drop("ws")
+  }
+
+  /** Quality scoring: length, stopword ratio, mean word length, type-token
+    * ratio — all ratios are double divisions of exact ints.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs.select(col("doc_id"), col("n_chars"), ws.as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stopwords", stopwordCount(col("ws")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("long"))
+      .withColumn("stop_ratio",
+        col("n_stopwords").cast("double") / col("n_words").cast("double"))
+      .withColumn("avg_word_len",
+        aggregate(col("ws"), lit(0), (acc, w) => acc + length(w)).cast("double") /
+          col("n_words").cast("double"))
+      .withColumn("ttr",
+        col("n_distinct").cast("double") / col("n_words").cast("double"))
+      .drop("ws")
+  }
+
+  /** Token counting: whitespace tokens + distinct counts. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs.select(col("doc_id"),
+      size(ws).cast("long").as("n_tokens"),
+      size(array_distinct(ws)).cast("long").as("n_types"))
+  }
+
+  /** Document fingerprinting: order-sensitive rolling hash over the word
+    * sequence + full-content md5.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      rollingFingerprint(words(col("text"))).as("roll_fp"),
+      md5(col("text")).as("content_hash"))
+}

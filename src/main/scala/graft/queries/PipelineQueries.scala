@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.analytics.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators (dedup, similarity search, text
+  * analysis) as registry queries with DuckDB oracles.
+  *
+  * The oracles re-express the exact same deterministic constructions
+  * (md5-based hashing, quantized-integer vector math) in SQL — see
+  * graft.functions.TextFunctions / VectorFunctions for the shared
+  * conventions.
+  */
+object PipelineQueries {
+
+  /** Shared SQL fragments (DuckDB dialect, 1-based list indexing). */
+  private val WordsCte =
+    "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
+  private val ShinglesCte =
+    """sh AS (SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(1, len(ws)-1),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      | FROM w WHERE len(ws) >= 3)""".stripMargin
+  private val QuantCte =
+    """q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |qn AS (SELECT vec_id, label, v,
+      |  list_sum(list_transform(v, x -> x*x)) AS nrm FROM q)""".stripMargin
+  private def cosSql(av: String, an: String, bv: String, bn: String) =
+    s"list_sum(list_transform(range(1, len($av)+1), i -> $av[i]*$bv[i])) * 1.0" +
+      s" / (sqrt($an) * sqrt($bn))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: content-hash groups, deterministic keeper ----
+    QueryDef("dd_exact",
+      (s, dir) => Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, md5(text) AS content_hash,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+               count(*) OVER (PARTITION BY md5(text)) AS group_size,
+               CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- exact n-gram Jaccard near-dup pairs (threshold 0.5) ----
+    QueryDef("dd_ngram_jaccard",
+      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), 0.5)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common, x.n_sh AS n_a, y.n_sh AS n_b,
+               n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jaccard
+        FROM co JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- MinHash + LSH banding (k=12, 4 bands of 3) ----
+    QueryDef("dd_minhash_lsh",
+      (s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir), k = 12, bands = 4)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte,
+        seeds AS (SELECT unnest(range(0, 12)) AS seed),
+        sig AS (SELECT doc_id, seed,
+                       min(md5(seed || ':' || s)) AS mh
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        band AS (SELECT doc_id, seed // 3 AS band,
+                        md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+                 FROM sig GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM band x JOIN band y
+                   ON x.band = y.band AND x.band_sig = y.band_sig
+                      AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b,
+               sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_matching,
+               sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 12.0 AS est_jaccard
+        FROM cand JOIN sig a ON doc_a = a.doc_id
+                  JOIN sig b ON doc_b = b.doc_id AND a.seed = b.seed
+        GROUP BY 1, 2 ORDER BY doc_a, doc_b""")),
+
+    // ---- SimHash near-dup pairs (32-bit, 4-block candidates, Hamming ≤ 8) ----
+    QueryDef("dd_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH $WordsCte,
+        tok AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+        bits AS (SELECT doc_id, j,
+                   sum(CASE WHEN ascii(substr(md5(tk), j, 1)) % 2 = 1
+                            THEN 1 ELSE -1 END) AS sgn
+                 FROM tok CROSS JOIN (SELECT unnest(range(1, 33)) AS j)
+                 GROUP BY 1, 2),
+        fp AS (SELECT doc_id,
+                 string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, ''
+                            ORDER BY j) AS fp
+               FROM bits GROUP BY 1),
+        blk AS (SELECT doc_id, fp, b, substr(fp, b*8 + 1, 8) AS blk_sig
+                FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        x.fp AS fp_a, y.fp AS fp_b
+                 FROM blk x JOIN blk y
+                   ON x.b = y.b AND x.blk_sig = y.blk_sig
+                      AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b,
+               list_sum(list_transform(range(1, 33),
+                 i -> CASE WHEN substr(fp_a, i, 1) <> substr(fp_b, i, 1)
+                           THEN 1 ELSE 0 END)) AS hamming
+        FROM cand
+        WHERE list_sum(list_transform(range(1, 33),
+                 i -> CASE WHEN substr(fp_a, i, 1) <> substr(fp_b, i, 1)
+                           THEN 1 ELSE 0 END)) <= 3
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- embedding-cosine near-dup pairs within label blocks ----
+    QueryDef("dd_embedding_neardup",
+      (s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3)
+        .orderBy("vec_a", "vec_b"),
+      Some(s"""
+        WITH $QuantCte
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
+        FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3
+        ORDER BY vec_a, vec_b""")),
+
+    // ---- brute-force cosine top-k ANN (exact baseline) ----
+    QueryDef("sim_ann_bruteforce",
+      (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), k = 10, queryModulo = 20)
+        .orderBy("query_id", "rank"),
+      Some(s"""
+        WITH $QuantCte,
+        qry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+                FROM qn WHERE vec_id % 20 = 0),
+        scored AS (SELECT query_id, vec_id AS neighbor_id,
+                     ${cosSql("qv", "qnrm", "v", "nrm")} AS cos
+                   FROM qn CROSS JOIN qry WHERE vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked
+        WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // ---- IVF-bucketed approximate ANN ----
+    QueryDef("sim_ann_ivf",
+      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), k = 5,
+        queryModulo = 20, centroidModulo = 97)
+        .orderBy("query_id", "rank"),
+      Some(s"""
+        WITH $QuantCte,
+        cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+                 FROM qn WHERE vec_id % 97 = 0),
+        assign AS (SELECT vec_id, v, nrm, c_id AS bucket,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                   FROM qn CROSS JOIN cent),
+        bkt AS (SELECT vec_id, v, nrm, bucket FROM assign WHERE arn = 1),
+        qry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+                FROM bkt WHERE vec_id % 20 = 0),
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+                     ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
+                   FROM bkt b JOIN qry USING (bucket)
+                   WHERE b.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- language ID (marker-word profiles) ----
+    QueryDef("tx_lang_id",
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir))
+        .select("doc_id", "score_en", "score_de", "score_es", "score_fr", "predicted")
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH $WordsCte,
+        sc AS (SELECT doc_id,
+          list_sum(list_transform(ws, x -> CASE WHEN x IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS score_en,
+          list_sum(list_transform(ws, x -> CASE WHEN x IN ('der','die','das','und') THEN 1 ELSE 0 END)) AS score_de,
+          list_sum(list_transform(ws, x -> CASE WHEN x IN ('el','la','de','y') THEN 1 ELSE 0 END)) AS score_es,
+          list_sum(list_transform(ws, x -> CASE WHEN x IN ('le','les','des','et') THEN 1 ELSE 0 END)) AS score_fr
+          FROM w)
+        SELECT doc_id, score_en, score_de, score_es, score_fr,
+          CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+               WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr'
+               WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+               WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+               ELSE 'de' END AS predicted
+        FROM sc ORDER BY doc_id""")),
+
+    // ---- quality scoring ----
+    QueryDef("tx_quality",
+      (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""
+        WITH $WordsCte
+        SELECT d.doc_id AS doc_id, d.n_chars,
+               len(ws) AS n_words,
+               list_sum(list_transform(ws, x ->
+                 CASE WHEN x IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END)) AS n_stopwords,
+               len(list_distinct(ws)) AS n_distinct,
+               list_sum(list_transform(ws, x ->
+                 CASE WHEN x IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END)) * 1.0
+                 / len(ws) AS stop_ratio,
+               list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws) AS avg_word_len,
+               len(list_distinct(ws)) * 1.0 / len(ws) AS ttr
+        FROM documents d JOIN w ON d.doc_id = w.doc_id
+        ORDER BY 1""")),
+
+    // ---- token statistics ----
+    QueryDef("tx_token_stats",
+      (s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""
+        WITH $WordsCte
+        SELECT doc_id, len(ws) AS n_tokens, len(list_distinct(ws)) AS n_types
+        FROM w ORDER BY doc_id""")),
+
+    // ---- rolling-hash document fingerprint ----
+    QueryDef("tx_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""
+        WITH $WordsCte
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT), list_transform(ws, tk ->
+              CAST(ascii(substr(md5(tk),1,1)) * 65536
+                 + ascii(substr(md5(tk),2,1)) * 256
+                 + ascii(substr(md5(tk),3,1)) AS BIGINT))),
+            (h, v) -> (h * 1000003 + v) % 2147483647) AS roll_fp,
+          md5(text) AS content_hash
+        FROM w JOIN documents USING (doc_id) ORDER BY doc_id"""))
+  )
+}

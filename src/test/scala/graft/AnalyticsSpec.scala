@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.analytics.{Dedup, Similarity, TextAnalysis}
+
+/** Operator-level specs for the training-data-pipeline analytics
+  * (dedup / similarity / text analysis) on constructed fixtures plus the
+  * sf0.001 driver tables.
+  */
+class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-analytics-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsFixture = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", 49L),
+      (1L, "the quick brown fox jumps over the lazy dog today", 49L), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat today", 49L), // near dup of 0
+      (3L, "completely different words about spark engines and parquet files", 64L))
+      .toDF("doc_id", "text", "n_chars")
+  }
+
+  test("exact dedup groups identical texts and keeps min doc_id") {
+    val r = Dedup.exact(docsFixture).collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4))).sortBy(_._1)
+    assert(r(0) === ((0L, 0L, 2L, 0)))  // keeper
+    assert(r(1) === ((1L, 0L, 2L, 1)))  // dup of 0
+    assert(r(2)._3 === 1L && r(3)._3 === 1L)
+  }
+
+  test("jaccard pairs find the near-duplicate, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docsFixture, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))  // exact dup: jaccard 1.0
+    assert(keys.contains((0L, 2L)) || keys.contains((1L, 2L))) // near dup
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs.find(p => (p._1, p._2) == ((0L, 1L))).get._3 === 1.0)
+  }
+
+  test("minhash LSH candidates include the exact duplicate with full signature match") {
+    val cand = Dedup.minhashCandidates(docsFixture, k = 12, bands = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cand(((0L, 1L))) === 12L) // identical shingle sets → all seeds match
+    assert(!cand.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs the identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docsFixture, maxHamming = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs(((0L, 1L))) === 0)
+  }
+
+  test("brute-force ANN returns k ranked neighbors per query on sf0.001") {
+    val r = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), k = 5, queryModulo = 100)
+    val got = r.collect()
+    val perQuery = got.groupBy(_.getLong(0))
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.length === 5)
+      assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+      // ranks ordered by descending cosine
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF ANN neighbors are a subset of brute-force candidates' space") {
+    val ivf = Similarity.ivfTopK(Tables.embeddings(spark, sf), k = 3,
+      queryModulo = 100, centroidModulo = 97).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.forall(_.getLong(2) != q)) // never self
+    }
+  }
+
+  test("language ID predicts en for the-heavy text and und for markerless text") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the cat and the dog of the house", 32L),
+      (1L, "xyzzy plugh quux", 16L)).toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.langId(df).collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(r(0L) === "en")
+    assert(r(1L) === "und")
+  }
+
+  test("quality + token stats are exact on a known sentence") {
+    import spark.implicits._
+    val df = Seq((0L, "the the fox", 11L)).toDF("doc_id", "text", "n_chars")
+    val q = TextAnalysis.quality(df).collect()(0)
+    assert(q.getAs[Long]("n_words") === 3L)
+    assert(q.getAs[Long]("n_stopwords") === 2L)
+    assert(q.getAs[Long]("n_distinct") === 2L)
+    val t = TextAnalysis.tokenStats(df).collect()(0)
+    assert(t.getLong(1) === 3L && t.getLong(2) === 2L)
+  }
+
+  test("rolling fingerprint is order-sensitive; content hash is not") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta gamma", 16L),
+      (1L, "gamma beta alpha", 16L)).toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.fingerprint(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(r(0L)._1 !== r(1L)._1) // different order → different rolling hash
+  }
+}

@@ -12,7 +12,8 @@ object SparkEntry {
     * a beyond-reference pipeline operator), with DuckDB oracles.
     */
   val registry: Seq[QueryDef] =
-    EventsQueries.all ++ RelationalQueries.all ++ PipelineQueries.all
+    EventsQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++
+      StreamMultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's canonical read: pruned range scan + LWW + order

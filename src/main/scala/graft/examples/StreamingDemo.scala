@@ -1,0 +1,68 @@
+package graft.examples
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.StreamingIngest
+import graft.tsdb.{Sample, StoreSettings, TimeSeriesStore}
+
+/** Drive the streaming topology end-to-end: a MemoryStream ingestion query
+  * feeding the hot tier concurrently with a processing-time purge loop that
+  * archives + acks aged partitions — the reference's microservice topology
+  * (service.js:113-150) in one Spark app.
+  *
+  * Run: `sbt "runMain graft.examples.StreamingDemo"`
+  */
+object StreamingDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = Files.createTempDirectory("graft-stream-demo").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    store.initialize()
+    println(s"[demo] store at $root")
+
+    val (input, ingestQ) = StreamingIngest.sampleStream(spark, store)
+    input.addData(
+      Sample("ETag", 1L, "One", 100L, "w1", 0L),
+      Sample("ETag", 2L, "Two", 100L, "w1", 1L),
+      Sample("FTag", 7L, "Seven", 100L, "w1", 2L))
+    ingestQ.processAllAvailable()
+    println(s"[demo] streamed 3 samples; hot rows = ${store.hotDF.count()}")
+    input.addData(Sample("ETag", 2L, "Two-v2", 200L, "w1", 3L))
+    ingestQ.processAllAvailable()
+    val read1 = store.readData(Map("ETag" -> (0L, 10L), "FTag" -> (0L, 10L)))
+    println(s"[demo] read after streamed upsert: $read1")
+
+    // age everything and let the purge loop tier it out
+    val now = System.currentTimeMillis()
+    store.clock = () => now + 600000L
+    val (purgeQ, acked) = StreamingIngest.purgeLoop(spark, store, ageThresholdSec = 60)
+    val deadline = System.currentTimeMillis() + 30000
+    while (acked.get() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(250)
+    println(s"[demo] purge loop acked ${acked.get()} partitions; hot rows = ${store.hotDF.count()}, cold rows = ${store.coldDF.count()}")
+
+    val read2 = store.readData(Map("ETag" -> (0L, 10L), "FTag" -> (0L, 10L)))
+    println(s"[demo] read after tiering: $read2")
+    val ok = read1 == read2 && store.hotDF.count() == 0
+    println(s"[demo] streamed data survived tiering intact: $ok")
+
+    // multimodal: batched feature extraction over a binary column
+    val media = graft.analytics.Multimodal.withBinary(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val feats = graft.analytics.Multimodal.extractFeatures(spark, media, batchSize = 64)
+    println(s"[demo] multimodal features extracted: ${feats.count()} rows, sample: ${feats.head()}")
+
+    ingestQ.stop(); purgeQ.stop(); spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

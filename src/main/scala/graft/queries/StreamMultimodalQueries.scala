@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.analytics.Multimodal
+import graft.streaming.StreamingIngest
+
+/** Streaming and multimodal operators as registry queries. */
+object StreamMultimodalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- multimodal: binary column + typed metadata plumbing ----
+    // Oracle-checkable part of the media pipeline: byte length, content
+    // digest and base64 head computed on the binary column.
+    QueryDef("mm_binary_meta",
+      (s, dir) => Multimodal.withBinary(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"),
+          sha2(col("media"), 256).as("sha"),
+          substring(base64(col("media")), 1, 24).as("b64_head"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, length(text) AS n_bytes,
+               CAST(n_chars % 640 AS INT) AS width,
+               sha256(text) AS sha,
+               substr(base64(CAST(text AS BLOB)), 1, 24) AS b64_head
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- multimodal: batched decode / feature extraction (STUB codec) ----
+    // Genuinely non-SQL (mapPartitions batch stage) → rows-only check.
+    QueryDef("mm_features",
+      (s, dir) => Multimodal.extractFeatures(s,
+        Multimodal.withBinary(Tables.documents(s, dir)), batchSize = 64)
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("byte_checksum"),
+          col("feature"), col("batch_size"))
+        .orderBy("doc_id"),
+      None),
+
+    // ---- streaming: event-time tumbling-window aggregation ----
+    // Runs as a real Structured Streaming query (file source → watermark →
+    // window agg → memory sink); the oracle is the batch equivalent — the
+    // streaming and batch answers must agree on a bounded source.
+    QueryDef("st_window_agg",
+      (s, dir) => StreamingIngest.windowedEventCounts(s, dir),
+      Some("""
+        SELECT epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS window_start,
+               event_type AS tag, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, tag"""))
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.concurrent.Eventually
+import org.scalatest.time.{Seconds, Span}
+
+import graft.streaming.StreamingIngest
+import graft.tsdb.{Sample, StoreSettings, TimeSeriesStore}
+
+/** Streaming topology specs: MemoryStream ingestion into the hot tier and
+  * the processing-time purge loop (reference service.js:113-150 topology).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming ingestion lands samples in the hot tier, readable by range") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    store.initialize()
+    val (input, q) = StreamingIngest.sampleStream(spark, store)
+    try {
+      input.addData(
+        Sample("STag", 1L, "One", 100L, "w1", 0L),
+        Sample("STag", 2L, "Two", 100L, "w1", 1L))
+      q.processAllAvailable()
+      input.addData(Sample("STag", 2L, "Two-v2", 200L, "w1", 2L)) // upsert
+      q.processAllAvailable()
+      val got = store.readData(Map("STag" -> (0L, 10L)))
+      assert(got("STag") === scala.collection.immutable.SortedMap(1L -> "One", 2L -> "Two-v2"))
+    } finally q.stop()
+  }
+
+  test("purge loop tiers aged partitions end-to-end while reads stay correct") {
+    val root = Files.createTempDirectory("graft-purgeloop").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    store.initialize()
+    store.write(Map("PTag" -> Map(1L -> "One", 7L -> "Seven")))
+    // age the partitions: pretend the writes happened 10 minutes ago
+    val realNow = System.currentTimeMillis()
+    store.clock = () => realNow + 600000L
+    val (q, acked) = StreamingIngest.purgeLoop(spark, store, ageThresholdSec = 60)
+    try {
+      eventually(timeout(Span(30, Seconds))) {
+        assert(acked.get() >= 2L) // both partitions archived + acked
+      }
+      assert(store.hotDF.count() === 0)
+      val got = store.readData(Map("PTag" -> (0L, 10L)))
+      assert(got("PTag") === scala.collection.immutable.SortedMap(1L -> "One", 7L -> "Seven"))
+    } finally q.stop()
+  }
+
+  test("streaming windowed aggregation matches the batch answer") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest.windowedEventCounts(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(((org.apache.spark.sql.functions.col("ts_ms") -
+        (org.apache.spark.sql.functions.col("ts_ms") % 3600000L))).as("window_start"),
+        org.apache.spark.sql.functions.col("event_type").as("tag"))
+      .count()
+      .collect()
+    assert(streamed.length === batch.length)
+    val sMap = streamed.map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    batch.foreach { r =>
+      assert(sMap((r.getLong(0), r.getString(1))) === r.getLong(2))
+    }
+  }
+}

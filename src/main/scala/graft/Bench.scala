@@ -1,5 +1,20 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.tsdb.{StoreSettings, TimeSeriesStore}
+
+/** Driver-run benchmark: one JSON line with per-query steady-state seconds
+  * plus the reference's workload-shape throughput (2,000-sample upsert
+  * batches and 1-tag/20 ms point reads — perf/PerfTest.jmx shape,
+  * BASELINE.md).
+  *
+  * Per query: one untimed warm-up run (JIT + codegen — a cluster pays these
+  * once, not per query), `clearCache()` so cached sub-plans don't flatter
+  * the timed run, then one timed run on cold data.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +28,49 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        fn(spark, sfDir).count() // warm-up: JIT + codegen + file listing
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> dt
+      } catch { case _: Throwable => name -> -1.0 }
     }
+
+    // Reference workload shape (BASELINE.md): 2,000-sample write batches,
+    // 1-tag 20 ms-window point reads.
+    val (ingestRate, readRate) = try {
+      val root = Files.createTempDirectory("graft-bench-store").toString
+      val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 120000L))
+      store.initialize()
+      val base = 1700000000000L
+      def batch(i: Int): Map[String, Map[Long, String]] =
+        (0 until 200).map { t =>
+          s"Tag$t" -> (0 until 10).map(k => (base + i * 10000L + k * 1000L) -> s"v$i-$k").toMap
+        }.toMap
+      store.write(batch(0)) // warm-up
+      val nW = 5
+      val t0 = System.nanoTime()
+      (1 to nW).foreach(i => store.write(batch(i)))
+      val wSec = (System.nanoTime() - t0) / 1e9
+      val nR = 20
+      val t1 = System.nanoTime()
+      (0 until nR).foreach { i =>
+        store.readData(Map(s"Tag${i % 200}" -> (base + i * 1000L - 10L, base + i * 1000L + 10L)))
+      }
+      val rSec = (System.nanoTime() - t1) / 1e9
+      (nW * 2000 / wSec, nR / rSec)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

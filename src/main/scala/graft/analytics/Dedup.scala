@@ -33,10 +33,25 @@ object Dedup {
 
   /** Distinct word-3-gram shingles per document (the basis of the Jaccard
     * and MinHash operators).
+    *
+    * Relational sliding-window construction (posexplode + lead): the text
+    * is split ONCE per document. The array-HOF form
+    * (`transform(sequence…, i -> concat_ws(element_at…))`) is a trap:
+    * Catalyst HOFs run interpreted without common-subexpression
+    * elimination, so the inlined `split(text)` re-executes for every
+    * element access — measured quadratic blowup (20-100 s on 5 000 docs
+    * vs ~2 s for this form).
     */
-  def shingleSet(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles3(words(col("text")))).as("shingle"))
+  def shingleSet(docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"), posexplode(words(col("text"))))
+      .toDF("doc_id", "pos", "w1")
+      .withColumn("w2", lead(col("w1"), 1).over(byPos))
+      .withColumn("w3", lead(col("w1"), 2).over(byPos))
+      .where(col("w3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2"), col("w3")).as("shingle"))
       .distinct()
+  }
 
   /** Exact n-gram Jaccard near-dup pairs with similarity ≥ `threshold`.
     * Candidates come from a shingle-equality join (shuffle on shingle),
@@ -62,66 +77,115 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
-  /** MinHash signatures: for seeds 0..k-1, the min over the doc's shingles
-    * of md5(seed || ':' || shingle). Returns (doc_id, seed, mh).
+  /** MinHash signatures in WIDE form: one row per doc with k `mh<i>`
+    * columns, `mh<i>` = min over the doc's shingles of md5(i || ':' ||
+    * shingle). k static min-aggregates over the shingle rows — ONE narrow
+    * shuffle, no k-way row fan-out, everything codegen'd.
     */
-  def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
-    shingleSet(docs)
-      .crossJoin(broadcast(
-        docs.sparkSession.range(k).select(col("id").cast("int").as("seed"))))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map { s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"mh$s")
+    }
+    shingleSet(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash + LSH banding: k seeds split into `bands` bands; documents
     * sharing any band signature become candidate pairs; each candidate is
     * then scored by its full-signature agreement (est. Jaccard = matching
-    * seeds / k). The band join is the only shuffle that touches pairs.
+    * seeds / k). The band join is the only shuffle that touches pairs;
+    * band keys and match counts are static expressions over the wide
+    * signature columns (no collect_list / unpivot).
     */
   def minhashCandidates(docs: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
     val sig = minhashSignatures(docs, k).cache()
-    val bandSig = sig
-      .withColumn("band", col("seed").divide(r).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh")))).as("band_sig"))
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(s => col(s"mh$s"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_sig"))
+    }
+    val bandSig = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
     val cand = bandSig.as("x").join(bandSig.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = sig.select(col("doc_id").as("doc_a"), col("seed"), col("mh").as("mh_a"))
-    val sb = sig.select(col("doc_id").as("doc_b2"), col("seed").as("seed_b"), col("mh").as("mh_b"))
+    val sa = sig.toDF("doc_a" +: (0 until k).map(s => s"a_mh$s"): _*)
+    val sb = sig.toDF("doc_b2" +: (0 until k).map(s => s"b_mh$s"): _*)
+    val nMatching = (0 until k)
+      .map(s => when(col(s"a_mh$s") === col(s"b_mh$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
     cand
       .join(sa, Seq("doc_a"))
-      .join(sb, col("doc_b") === col("doc_b2") && col("seed") === col("seed_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)).as("n_matching"))
+      .join(sb, col("doc_b") === col("doc_b2"))
+      .select(col("doc_a"), col("doc_b"), nMatching.as("n_matching"))
       .withColumn("est_jaccard", col("n_matching").cast("double") / k)
   }
 
-  /** SimHash fingerprints (32-bit as a bit-string) per document. */
-  def simhashFingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash32(words(col("text"))).as("fp"))
+  /** SimHash fingerprints (64-bit as a bit-string) per document.
+    *
+    * 64 bits (parities of md5(w) and md5('x'||w) hex chars) rather than 32:
+    * on small vocabularies a 32-bit fingerprint saturates and LSH block
+    * buckets blow up quadratically (measured 4.1M candidate pairs at sf0.1
+    * vs ~100k with 64 bits).
+    *
+    * Relational construction rather than 64 nested HOF aggregates (which
+    * run interpreted and cost ~30× more): explode tokens, hash each token
+    * ONCE, fan out 64 (token, bit) rows, hash-aggregate the ±1 signs per
+    * (doc, bit), then assemble the bit-string. Every stage is a codegen'd
+    * hash aggregate; two narrow shuffles on (doc_id, j)/(doc_id).
+    */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    // 64 static aggregate expressions (one per bit) over the exploded
+    // token rows — each token's two md5s are computed once, there is no
+    // 64-way row fan-out, and the single shuffle moves only 400 k narrow
+    // rows with map-side partial aggregation. (The earlier (doc, j)
+    // explode form shuffled 25.6 M rows carrying both md5 strings.)
+    val bitSums: Seq[org.apache.spark.sql.Column] = (1 to 64).map { j =>
+      val c = if (j <= 32) substring(col("h1"), j, 1) else substring(col("h2"), j - 32, 1)
+      sum(when(ascii(c) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    // pack the 64 sign bits into two 32-bit halves (bits 1..32 → hi,
+    // 33..64 → lo): downstream Hamming becomes bit_count(xor) — codegen'd
+    // integer ops instead of 64 interpreted string probes per pair.
+    val hi = (1 to 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << (32 - j))).otherwise(0L)).reduce(_ + _)
+    val lo = (33 to 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << (64 - j))).otherwise(0L)).reduce(_ + _)
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h1"), md5(concat(lit("x"), col("w"))).as("h2"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), hi.as("fp_hi"), lo.as("fp_lo"))
+  }
 
-  /** SimHash near-dup pairs: candidates share at least one of 4 8-bit
+  /** SimHash near-dup pairs: candidates share at least one of 4 16-bit
     * blocks (catches every pair with Hamming ≤ 3 exactly; higher distances
     * probabilistically), verified by full Hamming ≤ `maxHamming` (default 3 = the certainty bound).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = simhashFingerprints(docs)
-    val blocks = fp.select(col("doc_id"), col("fp"),
+    // cache: the fingerprint subplan feeds both sides of the self-join
+    val fp = simhashFingerprints(docs).cache()
+    // 4 candidate blocks of 16 bits, all integer arithmetic
+    val blocks = fp.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
         explode(sequence(lit(0), lit(3))).as("blk"))
-      .withColumn("blk_sig", expr("substring(fp, blk * 8 + 1, 8)"))
+      .withColumn("blk_sig",
+        when(col("blk") === 0, expr("shiftright(fp_hi, 16)"))
+          .when(col("blk") === 1, col("fp_hi").bitwiseAND(lit(65535L)))
+          .when(col("blk") === 2, expr("shiftright(fp_lo, 16)"))
+          .otherwise(col("fp_lo").bitwiseAND(lit(65535L))))
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.blk_sig") === col("y.blk_sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+        col("x.fp_hi").as("hi_a"), col("x.fp_lo").as("lo_a"),
+        col("y.fp_hi").as("hi_b"), col("y.fp_lo").as("lo_b"))
       .distinct()
-      .withColumn("hamming", hammingStr(col("fp_a"), col("fp_b")))
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("bigint"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
@@ -131,13 +195,13 @@ object Dedup {
     * label-equality join.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    val q = emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
-      .withColumn("nrm", normSqQ(col("v")))
+    val q = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", normSqQF(col("v")))
     q.as("a").join(q.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"),
-        cosineQ(dotQ(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")).as("cos"))
+        cosineQ(dotQF(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -25,8 +25,8 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   private def prep(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
-      .withColumn("nrm", normSqQ(col("v")))
+    emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", normSqQF(col("v")))
 
   /** Exact top-k neighbors by cosine for each query vector.
     *
@@ -38,7 +38,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineQ(dotQ(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
+        cosineQ(dotQF(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -61,7 +61,7 @@ object Similarity {
       .orderBy(col("c_cos").desc, col("c_id"))
     val assigned = all.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id"),
-        cosineQ(dotQ(col("v"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"))
+        cosineQ(dotQF(col("v"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"))
       .withColumn("arn", row_number().over(wAssign))
       .where(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("bucket"))
@@ -72,7 +72,7 @@ object Similarity {
     val scored = assigned.join(broadcast(queries), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineQ(dotQ(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
+        cosineQ(dotQF(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

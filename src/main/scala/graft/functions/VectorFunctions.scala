@@ -17,15 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Quantize `array<float>` → `array<long>` at 4 decimal places. */
+  /** Quantize `array<float>` → `array<long>`: floor(x·10⁴ + ½) — identical
+    * IEEE double semantics in Spark, generated Java, and DuckDB (`round()`
+    * would route through engine-specific decimal paths).
+    */
   def quantize(v: Column): Column =
-    transform(v, x => round(x.cast("double") * 10000).cast("long"))
+    transform(v, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (declarative HOF
+    * form — interpreted; prefer [[dotQF]] on hot paths).
+    */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** Exact integer squared norm. */
+  /** Codegen'd quantize+dot over the raw `array<float>` columns — the
+    * native-Expression fast path (graft.expressions.QuantizedDotProduct),
+    * ~30× the HOF form on the ANN benchmark.
+    */
+  def dotQF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.QuantizedDotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Codegen'd squared norm of the raw `array<float>` column. */
+  def normSqQF(v: Column): Column = dotQF(v, v)
+
+  /** Exact integer squared norm (HOF form). */
   def normSqQ(v: Column): Column = dotQ(v, v)
 
   /** Cosine similarity from quantized ints — deterministic double. */

@@ -25,7 +25,7 @@ object PipelineQueries {
       | FROM w WHERE len(ws) >= 3)""".stripMargin
   private val QuantCte =
     """q AS (SELECT vec_id, label,
-      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS v
       | FROM embeddings),
       |qn AS (SELECT vec_id, label, v,
       |  list_sum(list_transform(v, x -> x*x)) AS nrm FROM q)""".stripMargin
@@ -93,29 +93,32 @@ object PipelineQueries {
         WITH $WordsCte,
         tok AS (SELECT doc_id, unnest(ws) AS tk FROM w),
         bits AS (SELECT doc_id, j,
-                   sum(CASE WHEN ascii(substr(md5(tk), j, 1)) % 2 = 1
+                   sum(CASE WHEN ascii(CASE WHEN j <= 32
+                              THEN substr(md5(tk), j, 1)
+                              ELSE substr(md5('x' || tk), j - 32, 1) END) % 2 = 1
                             THEN 1 ELSE -1 END) AS sgn
-                 FROM tok CROSS JOIN (SELECT unnest(range(1, 33)) AS j)
+                 FROM tok CROSS JOIN (SELECT unnest(range(1, 65)) AS j)
                  GROUP BY 1, 2),
         fp AS (SELECT doc_id,
-                 string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, ''
-                            ORDER BY j) AS fp
+                 sum(CASE WHEN j <= 32 AND sgn > 0
+                          THEN (CAST(1 AS BIGINT) << (32 - j)) ELSE 0 END) AS fp_hi,
+                 sum(CASE WHEN j > 32 AND sgn > 0
+                          THEN (CAST(1 AS BIGINT) << (64 - j)) ELSE 0 END) AS fp_lo
                FROM bits GROUP BY 1),
-        blk AS (SELECT doc_id, fp, b, substr(fp, b*8 + 1, 8) AS blk_sig
+        blk AS (SELECT doc_id, fp_hi, fp_lo, b,
+                       CASE b WHEN 0 THEN (fp_hi >> 16) WHEN 1 THEN (fp_hi & 65535)
+                              WHEN 2 THEN (fp_lo >> 16) ELSE (fp_lo & 65535) END AS blk_sig
                 FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                        x.fp AS fp_a, y.fp AS fp_b
+                        x.fp_hi AS hi_a, x.fp_lo AS lo_a,
+                        y.fp_hi AS hi_b, y.fp_lo AS lo_b
                  FROM blk x JOIN blk y
                    ON x.b = y.b AND x.blk_sig = y.blk_sig
                       AND x.doc_id < y.doc_id)
         SELECT doc_a, doc_b,
-               list_sum(list_transform(range(1, 33),
-                 i -> CASE WHEN substr(fp_a, i, 1) <> substr(fp_b, i, 1)
-                           THEN 1 ELSE 0 END)) AS hamming
+               CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
         FROM cand
-        WHERE list_sum(list_transform(range(1, 33),
-                 i -> CASE WHEN substr(fp_a, i, 1) <> substr(fp_b, i, 1)
-                           THEN 1 ELSE 0 END)) <= 3
+        WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
         ORDER BY doc_a, doc_b""")),
 
     // ---- embedding-cosine near-dup pairs within label blocks ----

@@ -96,6 +96,13 @@ final class TimeSeriesStore(
   private val purgeIdCounter = new AtomicLong(0L)
   @volatile private var epochOpt: Option[Long] = None
 
+  /** Bumped on every mutation (write / archive / ack); keys the cached
+    * tier DataFrames so repeated reads of an unchanged store reuse the
+    * already-listed file index instead of re-walking partition dirs.
+    */
+  private val storeVersion = new AtomicLong(0L)
+  @volatile private var cachedTiers: Option[(Long, DataFrame, DataFrame, DataFrame)] = None
+
   /** Injectable clock (tests need controllable ingest/purge times). */
   @volatile var clock: () => Long = () => System.currentTimeMillis()
 
@@ -252,6 +259,7 @@ final class TimeSeriesStore(
     acts.toDF("partitionName", "tag", "partitionStart", "activityTs", "kind")
       .coalesce(1)
       .write.mode("append").parquet(activityDir.toString)
+    storeVersion.incrementAndGet()
   }
 
   /** Hot-store physical size in bytes (the memory/backpressure signal,
@@ -266,22 +274,37 @@ final class TimeSeriesStore(
   // --------------------------------------------------------------- read
 
   /** Hot tier as a DataFrame with pruning-friendly partition columns. */
-  def hotDF: DataFrame = tierDF(hotDir)
+  def hotDF: DataFrame = tiers._2
 
   /** Cold (archived) tier. */
-  def coldDF: DataFrame = tierDF(coldDir)
+  def coldDF: DataFrame = tiers._3
 
   /** Hot ∪ cold — the full logical table (example consumer stores cold
     * copies that reads must still see; service.js:89-107 + SURVEY §2.1 #11).
     */
-  def allDF: DataFrame = {
-    val h = nonEmptyTier(hotDir)
-    val c = nonEmptyTier(coldDir)
-    (h, c) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None)    => a
-      case (None, Some(b))    => b
-      case (None, None)       => emptySamples
+  def allDF: DataFrame = tiers._4
+
+  /** Tier DataFrames, cached per store version: a DataFrame instance holds
+    * its resolved file index, so reusing it across reads of an unchanged
+    * store skips re-listing every partition directory (the dominant cost
+    * of high-rate point reads).
+    */
+  private def tiers: (Long, DataFrame, DataFrame, DataFrame) = {
+    val v = storeVersion.get()
+    cachedTiers match {
+      case Some(t) if t._1 == v => t
+      case _ =>
+        val h = nonEmptyTier(hotDir)
+        val c = nonEmptyTier(coldDir)
+        val all = (h, c) match {
+          case (Some(a), Some(b)) => a.unionByName(b)
+          case (Some(a), None)    => a
+          case (None, Some(b))    => b
+          case (None, None)       => emptySamples
+        }
+        val t = (v, h.getOrElse(emptySamples), c.getOrElse(emptySamples), all)
+        cachedTiers = Some(t)
+        t
     }
   }
 
@@ -354,7 +377,7 @@ final class TimeSeriesStore(
         col("ts").between(col("r_start"), col("r_end")),
       "inner")
       .drop("r_tag", "r_pstart", "r_start", "r_end")
-    lwwDedup(joined).orderBy(col("tag"), col("ts"))
+    lwwDedup(joined)
   }
 
   /** Reference-shaped result: `Map<tag, Map<ts, value>>`, ascending ts, tags
@@ -564,6 +587,7 @@ final class TimeSeriesStore(
     require(Files.exists(entryDir.resolve("meta.json")), s"unknown purge id $id")
     val snap = spark.read.parquet(entryDir.resolve("snapshot").toString)
     snap.write.mode("append").partitionBy("tag", "partition_start").parquet(coldDir.toString)
+    storeVersion.incrementAndGet()
   }
 
   /** Exactly-once archive commit (reference `purgeAck` + ack-purge.lua):
@@ -619,6 +643,7 @@ final class TimeSeriesStore(
       }
     }
     Files.write(entryDir.resolve("acked"), Array.emptyByteArray)
+    storeVersion.incrementAndGet()
     1
   }
 

@@ -62,8 +62,8 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("simhash pairs the identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docsFixture, maxHamming = 3).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
-    assert(pairs(((0L, 1L))) === 0)
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs(((0L, 1L))) === 0L)
   }
 
   test("brute-force ANN returns k ranked neighbors per query on sf0.001") {

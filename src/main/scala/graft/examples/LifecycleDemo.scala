@@ -35,7 +35,13 @@ object LifecycleDemo {
     println(s"[demo] wrote 8 samples; hot tier = $bytes bytes")
 
     store.write(Map("SerialTag" -> Map(3L -> "THREE-v2")))
-    println("[demo] re-wrote SerialTag ts=3 (upsert)")
+    store.write(Map("SerialTag" -> Map(3L -> "THREE-v3")))
+    println("[demo] re-wrote SerialTag ts=3 twice (upserts)")
+
+    // LSM compaction: merge the multi-file partition, dropping superseded members
+    val hotRowsBefore = store.hotDF.count()
+    val nCompacted = store.compact(minFiles = 2, applyLww = true)
+    println(s"[demo] compacted $nCompacted partitions: hot rows $hotRowsBefore -> ${store.hotDF.count()} (superseded members merged away)")
 
     val read1 = store.readData(Map("GapTag" -> (0L, 50L), "SerialTag" -> (0L, 50L)))
     println(s"[demo] readData full range: $read1")

@@ -26,6 +26,34 @@ object EventsQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // beyond-reference — as-of (backward) join: for each purchase, the
+    // latest click of the same user at or before it. Merge-based plan
+    // (union + running window), not a pair join — see operators.AsOfJoin.
+    QueryDef("ts_asof_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        graft.operators.AsOfJoin.backward(
+          purchases, clicks, Seq("user_id"), "ts_ms", "ts_ms", "event_id", "c_")
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("c_event_id").as("click_id"), col("c_ts_ms").as("click_ts_ms"),
+            (col("ts_ms") - col("c_ts_ms")).as("gap_ms"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        SELECT p.event_id, p.user_id, $MS AS ts_ms,
+               c.event_id AS click_id, c.ts_ms AS click_ts_ms,
+               epoch_ms(p.ts) - c.ts_ms AS gap_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+              FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts_ms <= epoch_ms(p.ts)
+        ORDER BY p.event_id""")),
+
     // #2/#3 — ingest partitioning transform (reference index.js:96-147):
     // partition_start = ts - ts % width, relative offset within partition.
     QueryDef("ts_partition_transform",

@@ -247,7 +247,9 @@ final class TimeSeriesStore(
     // Partitioned append = the per-partition ZADD fan-out (index.js:77-84),
     // committed atomically by the file-commit protocol (better than the
     // reference's non-atomic multi-key write, index.js:78 TODO).
-    df.write.mode("append")
+    // coalesce(1): a batch is ≤ 2000 samples (write cap) — one file per
+    // touched partition per batch, not one per Spark task.
+    df.coalesce(1).write.mode("append")
       .partitionBy("tag", "partition_start")
       .parquet(hotDir.toString)
     // RecentActivity update (index.js:81): one "w" row per touched partition.
@@ -651,5 +653,55 @@ final class TimeSeriesStore(
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
+  }
+
+  // ---------------------------------------------------------- compaction
+
+  /** LSM compaction — the leg the reference explicitly lacks
+    * (recipe:43-47): rewrite multi-file hot partitions into one file,
+    * optionally applying the LWW merge (dropping superseded duplicate
+    * members, exactly what an LSM level-merge does). Reads are unchanged
+    * either way because read-side LWW dedup is idempotent.
+    *
+    * @param minFiles only partitions with at least this many data files
+    * @param applyLww merge superseded members away (true = real LSM merge)
+    * @return number of partitions compacted
+    */
+  def compact(minFiles: Int = 2, applyLww: Boolean = true): Int = {
+    requireInitialized()
+    if (!Files.exists(hotDir)) return 0
+    val partDirs = Files.walk(hotDir, 2).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("partition_start="))
+      .toSeq
+    var n = 0
+    partDirs.foreach { dir =>
+      val files = Files.list(dir).iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet")).toSeq
+      if (files.size >= minFiles) {
+        val raw = spark.read.schema(dataFileSchema).parquet(dir.toString)
+        val merged =
+          if (!applyLww) raw
+          else {
+            // latest (ingestTs, seq, writerId) member per ts wins — the
+            // within-partition LSM merge; tag is constant per directory.
+            val w = Window.partitionBy(col("ts"))
+              .orderBy(col("ingestTs").desc, col("seq").desc, col("writerId").desc)
+            raw.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") === 1).drop("__rn")
+          }
+        val id = s"compact-${dir.getParent.getFileName}-${dir.getFileName}"
+          .replaceAll("[^A-Za-z0-9_=.-]", "_")
+        val rewrite = tmpDir.resolve(id)
+        merged.coalesce(1).write.mode("overwrite").parquet(rewrite.toString)
+        val backup = tmpDir.resolve(s"old-$id")
+        Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(rewrite, dir, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(backup)
+        n += 1
+      }
+    }
+    if (n > 0) storeVersion.incrementAndGet()
+    n
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.AsOfJoin
+import graft.tsdb.{StoreSettings, TimeSeriesStore}
+
+import scala.jdk.CollectionConverters._
+
+/** Specs for the as-of join operator and LSM compaction. */
+class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-operator-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("asof backward join picks the latest right row at-or-before each left row") {
+    import spark.implicits._
+    val purchases = Seq((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 30L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val clicks = Seq((1L, 1L, 5L), (2L, 1L, 50L), (3L, 1L, 60L), (4L, 2L, 40L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val got = AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+      "ts_ms", "ts_ms", "event_id", "c_")
+      .select("event_id", "c_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(100L) === 2L)  // click at exactly ts=50 counts (<=)
+    assert(got(101L) === 1L)  // click at 5 precedes purchase at 10
+    assert(got(102L) === -1L) // user 2's only click is later → null
+  }
+
+  test("asof forward join picks the earliest right row at-or-after each left row") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq((1L, 1L, 30L), (2L, 1L, 55L), (3L, 1L, 70L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val got = AsOfJoin.forward(left, right, Seq("user_id"),
+      "ts_ms", "ts_ms", "event_id", "r_")
+      .select("event_id", "r_event_id", "r_ts_ms").collect()(0)
+    assert(got.getLong(1) === 2L && got.getLong(2) === 55L)
+  }
+
+  test("compaction merges multi-file partitions and preserves reads") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 100L))
+    store.initialize()
+    // 4 separate writes into the same partition, incl. 3 upserts of ts=1
+    store.write(Map("CTag" -> Map(1L -> "v1", 2L -> "a")))
+    store.write(Map("CTag" -> Map(1L -> "v2")))
+    store.write(Map("CTag" -> Map(1L -> "v3", 3L -> "b")))
+    store.write(Map("CTag" -> Map(4L -> "c")))
+    val before = store.readData(Map("CTag" -> (0L, 99L)))
+    val partDir = java.nio.file.Paths.get(root).resolve(store.settings.settingsHash)
+      .resolve("hot").resolve("tag=CTag").resolve("partition_start=0")
+    def nFiles = Files.list(partDir).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(nFiles === 4)
+    val compacted = store.compact(minFiles = 2, applyLww = true)
+    assert(compacted === 1)
+    assert(nFiles === 1)
+    // LWW merge dropped the superseded members
+    assert(store.hotDF.count() === 4) // ts 1,2,3,4 — one row each
+    val after = store.readData(Map("CTag" -> (0L, 99L)))
+    assert(after === before)
+    assert(after("CTag")(1L) === "v3")
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.immutable.SortedMap
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.tsdb.{StoreSettings, TimeSeriesStore}
+
+/** Property-based invariants the reference's example-driven suite never
+  * states (SURVEY.md §5): write→read inversion under arbitrary batches,
+  * LWW idempotence, and purge conservation (hot∪cold reads are invariant
+  * across the tiering lifecycle).
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  /** Minimal forAll driver over explicit seeds — the scalatestplus bridge
+    * is not in the offline dependency cache, so properties sample the
+    * generator directly (deterministic seeds → reproducible failures).
+    */
+  private def forAllSeeded[T](gen: Gen[T], n: Int = 4)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen(Gen.Parameters.default.withSize(8), Seed(i.toLong)) match {
+        case Some(v) => body(v)
+        case None    => ()
+      }
+    }
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-property-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // small domains keep each Spark round-trip fast while still exercising
+  // partition-boundary and collision cases
+  private val genBatch: Gen[Map[String, Map[Long, String]]] = for {
+    nTags <- Gen.choose(1, 3)
+    tags <- Gen.listOfN(nTags, Gen.oneOf("A", "B", "C"))
+    batches <- Gen.sequence[List[(String, Map[Long, String])], (String, Map[Long, String])](
+      tags.distinct.map { t =>
+        for {
+          n <- Gen.choose(1, 8)
+          ts <- Gen.listOfN(n, Gen.choose(-25L, 25L))
+          vs <- Gen.listOfN(n, Gen.alphaNumStr.map(_.take(6)))
+        } yield t -> ts.zip(vs).toMap
+      })
+  } yield batches.toMap
+
+  private def freshStore(): TimeSeriesStore = {
+    val store = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-prop").toString,
+      StoreSettings(partitionWidth = 10L))
+    store.initialize()
+    store
+  }
+
+  test("property: a sequence of writes reads back as last-write-wins merge") {
+    forAllSeeded(Gen.listOfN(3, genBatch)) { writes =>
+      if (writes.nonEmpty && writes.forall(_.nonEmpty)) {
+        val store = freshStore()
+        writes.foreach(b => if (b.nonEmpty) store.write(b))
+        // model: fold the batches in order, later writes win
+        val model = writes.foldLeft(Map.empty[String, Map[Long, String]]) {
+          case (acc, batch) =>
+            batch.foldLeft(acc) { case (a, (tag, m)) =>
+              a + (tag -> (a.getOrElse(tag, Map.empty) ++ m))
+            }
+        }
+        val tags = model.keySet
+        val got = store.readData(tags.map(t => t -> (-100L, 100L)).toMap)
+        val want = model.collect { case (t, m) if m.nonEmpty => t -> SortedMap(m.toSeq: _*) }
+        assert(got === want)
+      }
+    }
+  }
+
+  test("property: purge lifecycle conserves the readable contents") {
+    forAllSeeded(genBatch) { batch =>
+      if (batch.nonEmpty) {
+        val store = freshStore()
+        var now = 1000000L
+        store.clock = () => now
+        store.write(batch)
+        val before = store.readData(batch.keySet.map(t => t -> (-100L, 100L)).toMap)
+        now += 10000
+        val ids = store.purgeScan(partitionAgeThreshold = 1, maxPartitionsToMark = 100)
+        assert(ids.nonEmpty)
+        // archive + ack every marked partition
+        store.pendingPurgeEntries().foreach { e =>
+          store.archiveToCold(e.id)
+          assert(store.purgeAck(e.id, e.partitionName, e.tag) === 1)
+        }
+        val after = store.readData(batch.keySet.map(t => t -> (-100L, 100L)).toMap)
+        assert(after === before)
+        assert(store.hotDF.count() === 0)
+      }
+    }
+  }
+
+  test("property: compaction is invisible to readers") {
+    forAllSeeded(Gen.listOfN(3, genBatch)) { writes =>
+      if (writes.nonEmpty) {
+        val store = freshStore()
+        writes.foreach(b => if (b.nonEmpty) store.write(b))
+        val tags = writes.flatMap(_.keySet).toSet
+        if (tags.nonEmpty) {
+          val before = store.readData(tags.map(t => t -> (-100L, 100L)).toMap)
+          store.compact(minFiles = 1, applyLww = true)
+          val after = store.readData(tags.map(t => t -> (-100L, 100L)).toMap)
+          assert(after === before)
+        }
+      }
+    }
+  }
+}

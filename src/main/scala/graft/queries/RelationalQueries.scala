@@ -96,6 +96,38 @@ object RelationalQueries {
               FROM customer)
         WHERE rn <= 3 ORDER BY c_mktsegment, rn""")),
 
+    // Rollup (hierarchical grouping sets) with subtotal + grand-total rows.
+    QueryDef("rel_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(decSum("l_quantity").cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls"),
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // Set difference: customers that never placed an URGENT order.
+    QueryDef("rel_except",
+      (s, dir) => Tables.customer(s, dir).select(col("c_custkey"))
+        .except(Tables.orders(s, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey FROM customer
+        EXCEPT SELECT o_custkey AS c_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+        ORDER BY c_custkey""")),
+
     // Semi-join (EXISTS): customers that placed at least one urgent order.
     QueryDef("rel_semi_join",
       (s, dir) => Tables.customer(s, dir)

@@ -56,6 +56,22 @@ object StreamingDemo {
     val ok = read1 == read2 && store.hotDF.count() == 0
     println(s"[demo] streamed data survived tiering intact: $ok")
 
+    // continuous LWW via custom streaming state: duplicates and stale
+    // re-writes are suppressed inside the stream itself
+    val lwwIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Sample](
+      implicitly[org.apache.spark.sql.Encoder[Sample]](
+        org.apache.spark.sql.Encoders.product[Sample]), spark)
+    val lwwQ = StreamingIngest.streamingLww(spark, lwwIn.toDS(), stateTtlMs = 0L)
+      .writeStream.outputMode("append").format("memory").queryName("lww_demo").start()
+    lwwIn.addData(Sample("S", 9L, "first", 100L, "w", 0L),
+      Sample("S", 9L, "second", 110L, "w", 1L))
+    lwwQ.processAllAvailable()
+    lwwIn.addData(Sample("S", 9L, "stale", 90L, "w", 2L)) // older — suppressed
+    lwwQ.processAllAvailable()
+    val lwwOut = spark.table("lww_demo").collect().map(_.getString(2)).toSeq
+    println(s"[demo] streaming LWW emitted values: $lwwOut (stale suppressed: ${!lwwOut.contains("stale")})")
+    lwwQ.stop()
+
     // multimodal: batched feature extraction over a binary column
     val media = graft.analytics.Multimodal.withBinary(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))

@@ -66,6 +66,51 @@ object StreamingIngest {
     (q, acked)
   }
 
+  /** Continuous last-write-wins dedup as custom streaming state
+    * (`flatMapGroupsWithState`): one state cell per `(tag, ts)` holding the
+    * current winner; a micro-batch emits a row only when a strictly newer
+    * `(ingestTs, seq, writerId)` arrives — the streaming rendering of the
+    * engine's read-side LWW (SURVEY §2.1 #6). With `stateTtlMs > 0` state
+    * expires after that much processing-time inactivity (mirroring the
+    * reference's processing-time purge semantics, §2.2) — note that a
+    * registered timeout keeps the micro-batch scheduler ticking, so
+    * bounded tests should pass `stateTtlMs = 0` (no timeout).
+    */
+  def streamingLww(spark: SparkSession, input: org.apache.spark.sql.Dataset[Sample],
+      stateTtlMs: Long = 3600000L): org.apache.spark.sql.Dataset[Sample] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    def newer(a: Sample, b: Sample): Boolean =
+      a.ingestTs > b.ingestTs ||
+        (a.ingestTs == b.ingestTs && (a.seq > b.seq ||
+          (a.seq == b.seq && a.writerId > b.writerId)))
+    input.groupByKey(s => (s.tag, s.ts))
+      .flatMapGroupsWithState[Sample, Sample](
+        OutputMode.Append, timeoutConf) {
+        case (_, rows, state: GroupState[Sample]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val incoming = rows.toSeq
+            if (incoming.isEmpty) Iterator.empty
+            else {
+              val best = incoming.reduce((a, b) => if (newer(a, b)) a else b)
+              val winner = state.getOption match {
+                case Some(cur) if !newer(best, cur) => None
+                case _ => Some(best)
+              }
+              winner.foreach { w =>
+                state.update(w)
+                if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+              }
+              winner.iterator
+            }
+          }
+      }
+  }
+
   /** Event-time windowed aggregation over a file stream — the streaming
     * rendering of the engine's read-side analytics (watermark + tumbling
     * window). Returns the completed result as a DataFrame by draining the

@@ -106,6 +106,13 @@ final class TimeSeriesStore(
   /** Injectable clock (tests need controllable ingest/purge times). */
   @volatile var clock: () => Long = () => System.currentTimeMillis()
 
+  /** Serializes mutations: concurrent Spark append jobs into one output
+    * root share the committer's `_temporary` directory and can clobber
+    * each other, and the purge/compaction rewrites move partition dirs.
+    * Reads never take this lock.
+    */
+  private val mutationLock = new Object
+
   def epoch: Long = epochOpt.getOrElse(
     throw new IllegalStateException(
       "Please initialize the instance by calling 'initialize' first before any calls."))
@@ -239,7 +246,7 @@ final class TimeSeriesStore(
   }
 
   /** Append a batch of samples to the hot tier + the activity log. */
-  def writeSamples(samples: Seq[Sample]): Unit = {
+  def writeSamples(samples: Seq[Sample]): Unit = mutationLock.synchronized {
     requireInitialized()
     import spark.implicits._
     val df = samples.toDF()
@@ -498,7 +505,7 @@ final class TimeSeriesStore(
     *
     * @return queue entry ids, one per marked partition
     */
-  def purgeScan(partitionAgeThreshold: Long = 300, maxPartitionsToMark: Int = 10): Seq[String] = {
+  def purgeScan(partitionAgeThreshold: Long = 300, maxPartitionsToMark: Int = 10): Seq[String] = mutationLock.synchronized {
     requireInitialized()
     if (partitionAgeThreshold <= 0)
       throw new IllegalArgumentException(
@@ -583,7 +590,7 @@ final class TimeSeriesStore(
     * sink, service.js:89-107, as a partitioned Parquet append preserving the
     * hot layout so hot∪cold stays one logical table).
     */
-  def archiveToCold(id: String): Unit = {
+  def archiveToCold(id: String): Unit = mutationLock.synchronized {
     requireInitialized()
     val entryDir = queueDir.resolve(id)
     require(Files.exists(entryDir.resolve("meta.json")), s"unknown purge id $id")
@@ -604,7 +611,7 @@ final class TimeSeriesStore(
     * @return 1 if the entry existed and was committed, 0 otherwise
     *         (ack-purge.lua:25-27)
     */
-  def purgeAck(purgeId: String, partitionNameArg: String, partitionKey: String): Int = {
+  def purgeAck(purgeId: String, partitionNameArg: String, partitionKey: String): Int = mutationLock.synchronized {
     requireInitialized()
     if (purgeId == null || purgeId.isEmpty)
       throw new IllegalArgumentException("Invalid parameter 'purgeId'.")
@@ -667,7 +674,7 @@ final class TimeSeriesStore(
     * @param applyLww merge superseded members away (true = real LSM merge)
     * @return number of partitions compacted
     */
-  def compact(minFiles: Int = 2, applyLww: Boolean = true): Int = {
+  def compact(minFiles: Int = 2, applyLww: Boolean = true): Int = mutationLock.synchronized {
     requireInitialized()
     if (!Files.exists(hotDir)) return 0
     val partDirs = Files.walk(hotDir, 2).iterator().asScala

@@ -63,6 +63,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     } finally q.stop()
   }
 
+  test("streaming LWW state emits only strictly-newer winners") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Sample]
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Sample](
+      implicitly[org.apache.spark.sql.Encoder[Sample]], spark)
+    val name = s"lww_${System.nanoTime()}"
+    val q = StreamingIngest.streamingLww(spark, input.toDS(), stateTtlMs = 0L)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(
+        Sample("T", 1L, "v1", 100L, "w", 0L),
+        Sample("T", 1L, "v2", 100L, "w", 1L)) // same batch: only v2 emitted
+      q.processAllAvailable()
+      input.addData(Sample("T", 1L, "stale", 50L, "w", 2L)) // older ingestTs: suppressed
+      q.processAllAvailable()
+      input.addData(Sample("T", 1L, "v3", 200L, "w", 3L)) // newer: emitted
+      q.processAllAvailable()
+      val emitted = spark.table(name).as[Sample].collect().map(_.value).toSeq
+      assert(emitted === Seq("v2", "v3"))
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation matches the batch answer") {
     val sf = "/root/testdata/sf0.001"
     val streamed = StreamingIngest.windowedEventCounts(spark, sf).collect()

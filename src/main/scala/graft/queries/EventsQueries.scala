@@ -234,6 +234,91 @@ object EventsQueries {
         SELECT event_id, $MS - (SELECT min($MS) FROM events) AS rel_ts
         FROM events ORDER BY event_id LIMIT 200""")),
 
+    // beyond-reference — time-series downsampling: per (tag, hour) OHLC-
+    // style rollup (first/last by event time via max_by/min_by, extremes,
+    // exact decimal mean). One partial-aggregated shuffle.
+    QueryDef("ts_downsample",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("event_type").as("tag"),
+          (col("ts_ms") - (col("ts_ms") % W)).as("bucket_ts"))
+        .agg(
+          min_by(col("value"), col("ts")).as("first_value"),
+          max_by(col("value"), col("ts")).as("last_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy("tag", "bucket_ts"),
+      Some(s"""
+        SELECT event_type AS tag, $MS - ($MS % $W) AS bucket_ts,
+               arg_min(value, ts) AS first_value, arg_max(value, ts) AS last_value,
+               min(value) AS min_value, max(value) AS max_value,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY tag, bucket_ts""")),
+
+    // beyond-reference — gap-fill + carry-forward: materialize every hour
+    // bucket of January per tag (sequence + explode) and forward-fill the
+    // last observed hourly sum (running last-ignoreNulls window) — the
+    // canonical regularization step before time-series modeling.
+    QueryDef("ts_gap_fill",
+      (s, dir) => {
+        import s.implicits._
+        val observed = ev(s, dir)
+          .groupBy(col("event_type").as("tag"),
+            (col("ts_ms") - (col("ts_ms") % W)).as("bucket_ts"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("obs_sum"))
+        val grid = Seq("click", "error", "purchase", "signup", "view").toDF("tag")
+          .select(col("tag"),
+            explode(sequence(lit(Jan1), lit(day(30) - W), lit(W))).as("bucket_ts"))
+        val w = Window.partitionBy(col("tag")).orderBy(col("bucket_ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(observed, Seq("tag", "bucket_ts"), "left")
+          .withColumn("filled_sum", last(col("obs_sum"), ignoreNulls = true).over(w))
+          .withColumn("is_gap", col("obs_sum").isNull.cast("int"))
+          .select("tag", "bucket_ts", "filled_sum", "is_gap")
+          .orderBy("tag", "bucket_ts")
+      },
+      Some(s"""
+        WITH observed AS (
+          SELECT event_type AS tag, $MS - ($MS % $W) AS bucket_ts,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS obs_sum
+          FROM events GROUP BY 1, 2),
+        grid AS (
+          SELECT tag, unnest(range($Jan1, ${day(30)}, $W)) AS bucket_ts
+          FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')) t(tag))
+        SELECT tag, bucket_ts,
+               last_value(obs_sum IGNORE NULLS) OVER (
+                 PARTITION BY tag ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+               CAST(obs_sum IS NULL AS INT) AS is_gap
+        FROM grid LEFT JOIN observed USING (tag, bucket_ts)
+        ORDER BY tag, bucket_ts""")),
+
+    // beyond-reference — inter-arrival rate statistics per tag: lag deltas
+    // over the millisecond event clock (ms, not ns: DuckDB's read_parquet
+    // narrows TIMESTAMP(NANOS) to microseconds, so sub-ms arithmetic can
+    // never agree across engines), event_id tiebreak for colliding ms.
+    QueryDef("ts_rate",
+      (s, dir) => ev(s, dir)
+        .withColumn("delta_ms",
+          expr("ts_ms - lag(ts_ms, 1) over (partition by event_type order by ts_ms, event_id)"))
+        .groupBy(col("event_type").as("tag"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("delta_ms")).as("min_gap_ms"),
+          max(col("delta_ms")).as("max_gap_ms"),
+          sum(col("delta_ms")).cast("long").as("sum_gap_ms"))
+        .orderBy("tag"),
+      Some(s"""
+        SELECT tag, count(*) AS n_events,
+               min(delta_ms) AS min_gap_ms, max(delta_ms) AS max_gap_ms,
+               CAST(sum(delta_ms) AS BIGINT) AS sum_gap_ms
+        FROM (SELECT event_type AS tag,
+                $MS - lag($MS) OVER (PARTITION BY event_type
+                                     ORDER BY $MS, event_id) AS delta_ms
+              FROM events)
+        GROUP BY tag ORDER BY tag""")),
+
     // #12-extension — processing-time session windows (streaming semantics
     // §2.2 run in batch): 30-min-gap sessionization per user via lag +
     // running sum; the Structured Streaming path uses the same logic in

@@ -319,6 +319,25 @@ object EventsQueries {
               FROM events)
         GROUP BY tag ORDER BY tag""")),
 
+    // beyond-reference — exact percentiles of the value distribution per
+    // tag (Spark `percentile` and DuckDB `quantile_cont` both linearly
+    // interpolate over the sorted values — identical doubles).
+    QueryDef("ts_percentiles",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("event_type").as("tag"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .orderBy("tag"),
+      Some("""
+        SELECT event_type AS tag,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               min(value) AS min_v, max(value) AS max_v
+        FROM events GROUP BY 1 ORDER BY tag""")),
+
     // #12-extension — processing-time session windows (streaming semantics
     // §2.2 run in batch): 30-min-gap sessionization per user via lag +
     // running sum; the Structured Streaming path uses the same logic in

@@ -85,6 +85,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     } finally q.stop()
   }
 
+  test("replaying the driver's events table as a stream matches batch reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-replay").toString
+    val store = new TimeSeriesStore(spark, root,
+      StoreSettings(partitionWidth = 3600000L))
+    store.initialize()
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val toSamples = (df: org.apache.spark.sql.DataFrame) => df
+      .select(
+        col("event_type").as("tag"),
+        expr("ts div 1000000").as("ts"),
+        col("props").as("value"),
+        col("event_id").as("ingestTs"), // replay clock = stable event order
+        lit("replay").as("writerId"),
+        col("event_id").as("seq"))
+      .as[Sample]
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sf)
+      .transform(toSamples)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Sample], _: Long) =>
+        val rows = b.collect()
+        if (rows.nonEmpty) store.writeSamples(rows.toIndexedSeq)
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(store.hotDF.count() === 1000)
+    // batch-side expectation with the same LWW rule (max event_id per ts)
+    val expected = toSamples(Tables.events(spark, sf).where(col("event_type") === "purchase"))
+      .collect().groupBy(_.ts).map { case (ts, ss) => ts -> ss.maxBy(_.seq).value }
+    val got = store.readData(Map("purchase" -> (0L, Long.MaxValue - 3600000L)))
+    assert(got("purchase").size === expected.size)
+    expected.foreach { case (ts, v) => assert(got("purchase")(ts) === v) }
+  }
+
   test("streaming windowed aggregation matches the batch answer") {
     val sf = "/root/testdata/sf0.001"
     val streamed = StreamingIngest.windowedEventCounts(spark, sf).collect()

@@ -66,6 +66,25 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(((0L, 1L))) === 0L)
   }
 
+  test("quantized_dot registers as a SQL function and matches the Column API") {
+    graft.expressions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf).limit(10).createOrReplaceTempView("emb_sql_test")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, quantized_dot(a.embedding, b.embedding) AS d
+        |FROM emb_sql_test a JOIN emb_sql_test b ON b.vec_id = 0
+        |ORDER BY a.vec_id""".stripMargin).collect().map(r => (r.getLong(0), r.getLong(1)))
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf).limit(10)
+    val q0 = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val viaColumn = e.crossJoin(q0)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.dotQF(col("embedding"), col("qv")).as("d"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq === viaColumn.toSeq)
+    assert(viaSql.nonEmpty)
+  }
+
   test("brute-force ANN returns k ranked neighbors per query on sf0.001") {
     val r = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), k = 5, queryModulo = 100)
     val got = r.collect()

@@ -190,6 +190,48 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Duplicate-cluster identification: connected components over the
+    * near-dup pair graph via iterative min-label propagation (the
+    * Pregel-style fixpoint). Each doc that appears in any qualifying pair
+    * gets `cluster_id` = the smallest doc_id reachable through the pair
+    * graph — the keeper of its duplicate cluster.
+    *
+    * The driver loop runs O(component diameter) iterations (each a
+    * shuffle-join over the EDGE set, not the corpus); near-dup components
+    * are shallow in practice, so this converges in a handful of rounds at
+    * any scale.
+    */
+  def duplicateClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .cache()
+    var changed = 1L
+    var iterations = 0
+    while (changed > 0 && iterations < 50) {
+      val prop = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iterations += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (label):
     * exact quantized-integer cosine over candidate pairs from the
     * label-equality join.

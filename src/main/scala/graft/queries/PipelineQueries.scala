@@ -61,6 +61,30 @@ object PipelineQueries {
         WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
+    // ---- duplicate clusters: connected components over the pair graph ----
+    // Spark side: iterative min-label propagation; oracle: transitive
+    // closure by recursive CTE. Both converge to min-reachable-doc_id.
+    QueryDef("dd_dup_clusters",
+      (s, dir) => Dedup.duplicateClusters(Tables.documents(s, dir), 0.5)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH RECURSIVE $WordsCte, $ShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+                  FROM co JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+                  WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
     // ---- MinHash + LSH banding (k=12, 4 bands of 3) ----
     QueryDef("dd_minhash_lsh",
       (s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir), k = 12, bands = 4)

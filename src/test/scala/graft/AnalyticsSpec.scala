@@ -60,6 +60,13 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cand.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("duplicate clusters label the connected component with its min doc_id") {
+    val clusters = Dedup.duplicateClusters(docsFixture, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0, 1 (exact dup) and 2 (near dup) form one component labeled 0
+    assert(clusters === Map(0L -> 0L, 1L -> 0L, 2L -> 0L)) // doc 3 unpaired → absent
+  }
+
   test("simhash pairs the identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docsFixture, maxHamming = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -355,7 +355,7 @@ object EventsQueries {
           .orderBy("user_id")
       },
       Some("""
-        SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM (SELECT user_id,
                 CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)

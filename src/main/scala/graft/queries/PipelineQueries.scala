@@ -103,8 +103,8 @@ object PipelineQueries {
                    ON x.band = y.band AND x.band_sig = y.band_sig
                       AND x.doc_id < y.doc_id)
         SELECT doc_a, doc_b,
-               sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_matching,
-               sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 12.0 AS est_jaccard
+               CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+               CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 12.0 AS est_jaccard
         FROM cand JOIN sig a ON doc_a = a.doc_id
                   JOIN sig b ON doc_b = b.doc_id AND a.seed = b.seed
         GROUP BY 1, 2 ORDER BY doc_a, doc_b""")),
@@ -210,10 +210,10 @@ object PipelineQueries {
       Some(s"""
         WITH $WordsCte,
         sc AS (SELECT doc_id,
-          list_sum(list_transform(ws, x -> CASE WHEN x IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS score_en,
-          list_sum(list_transform(ws, x -> CASE WHEN x IN ('der','die','das','und') THEN 1 ELSE 0 END)) AS score_de,
-          list_sum(list_transform(ws, x -> CASE WHEN x IN ('el','la','de','y') THEN 1 ELSE 0 END)) AS score_es,
-          list_sum(list_transform(ws, x -> CASE WHEN x IN ('le','les','des','et') THEN 1 ELSE 0 END)) AS score_fr
+          CAST(list_sum(list_transform(ws, x -> CASE WHEN x IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS BIGINT) AS score_en,
+          CAST(list_sum(list_transform(ws, x -> CASE WHEN x IN ('der','die','das','und') THEN 1 ELSE 0 END)) AS BIGINT) AS score_de,
+          CAST(list_sum(list_transform(ws, x -> CASE WHEN x IN ('el','la','de','y') THEN 1 ELSE 0 END)) AS BIGINT) AS score_es,
+          CAST(list_sum(list_transform(ws, x -> CASE WHEN x IN ('le','les','des','et') THEN 1 ELSE 0 END)) AS BIGINT) AS score_fr
           FROM w)
         SELECT doc_id, score_en, score_de, score_es, score_fr,
           CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
@@ -230,8 +230,8 @@ object PipelineQueries {
         WITH $WordsCte
         SELECT d.doc_id AS doc_id, d.n_chars,
                len(ws) AS n_words,
-               list_sum(list_transform(ws, x ->
-                 CASE WHEN x IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END)) AS n_stopwords,
+               CAST(list_sum(list_transform(ws, x ->
+                 CASE WHEN x IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END)) AS BIGINT) AS n_stopwords,
                len(list_distinct(ws)) AS n_distinct,
                list_sum(list_transform(ws, x ->
                  CASE WHEN x IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END)) * 1.0

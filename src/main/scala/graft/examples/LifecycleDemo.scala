@@ -34,9 +34,12 @@ object LifecycleDemo {
       "SerialTag" -> Map(1L -> "One", 2L -> "Two", 3L -> "Three", 4L -> "Four")))
     println(s"[demo] wrote 8 samples; hot tier = $bytes bytes")
 
+    store.flushL0() // LSM flush: L0 batch files → Hive-partitioned tier
     store.write(Map("SerialTag" -> Map(3L -> "THREE-v2")))
+    store.flushL0()
     store.write(Map("SerialTag" -> Map(3L -> "THREE-v3")))
-    println("[demo] re-wrote SerialTag ts=3 twice (upserts)")
+    val nFlushed = store.flushL0()
+    println(s"[demo] re-wrote SerialTag ts=3 twice (upserts); flushed $nFlushed L0 batch(es)")
 
     // LSM compaction: merge the multi-file partition, dropping superseded members
     val hotRowsBefore = store.hotDF.count()

@@ -50,4 +50,17 @@ object Limits {
     * (reference `Seperator` "-", index.js:14,122).
     */
   val Separator = "-"
+  /** L0 batch-file count that triggers an automatic flush into the
+    * Hive-partitioned tier (bounds point-read fan-in; the LSM
+    * memtable-size analog).
+    */
+  val L0FlushFileCount = 64
+  /** Point-read fast path only engages when the pruned candidate file set
+    * is at most this many bytes; larger scans go through Spark.
+    */
+  val FastPathMaxBytes: Long = 64L * 1024 * 1024
+  /** L0 flushes at or below this volume regroup driver-side (parquet-java);
+    * larger flushes run as a distributed partitioned append.
+    */
+  val DirectFlushMaxBytes: Long = 128L * 1024 * 1024
 }

@@ -84,10 +84,17 @@ final class TimeSeriesStore(
 
   private val nsRoot: Path = Paths.get(rootDir, settings.settingsHash)
   private val hotDir: Path = nsRoot.resolve("hot")
+  /** L0 ingest tier: one file per write batch, spanning tags/partitions —
+    * the LSM memtable/L0 analog. [[flushL0]] moves it into the
+    * Hive-partitioned `hot/` layout (the L1 analog).
+    */
+  private val l0Dir: Path = nsRoot.resolve("l0")
   private val coldDir: Path = nsRoot.resolve("cold")
   private val activityDir: Path = nsRoot.resolve("activity")
   private val queueDir: Path = nsRoot.resolve("queue")
   private val tmpDir: Path = nsRoot.resolve("tmp")
+
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
 
   /** Writer identity — reference `instanceName` (index.js:58). */
   val writerId: String = UUID.randomUUID().toString
@@ -166,6 +173,7 @@ final class TimeSeriesStore(
   def initialize(): Long = {
     Files.createDirectories(nsRoot)
     Files.createDirectories(hotDir)
+    Files.createDirectories(l0Dir)
     Files.createDirectories(coldDir)
     Files.createDirectories(activityDir)
     Files.createDirectories(queueDir)
@@ -258,36 +266,109 @@ final class TimeSeriesStore(
     out.toSeq
   }
 
-  /** Append a batch of samples to the hot tier + the activity log. */
+  /** Append a batch of samples to the hot tier + the activity log.
+    *
+    * A batch (≤ 2,000 samples, the write cap) is written as ONE L0 parquet
+    * file via parquet-java directly — no Spark job. The reference's write
+    * is one Redis round-trip (index.js:77-84); scheduling a distributed
+    * job per 2,000-row batch would cost 1000× the data's own write time.
+    * [[flushL0]] (triggered automatically past [[Limits.L0FlushFileCount]]
+    * files, and always before purge/compaction) migrates L0 into the
+    * Hive-partitioned layout that analytical scans prune — exactly an
+    * LSM memtable flush. The batch is atomic: one file, created whole
+    * (better than the reference's non-atomic multi-key write, index.js:78
+    * TODO).
+    */
   def writeSamples(samples: Seq[Sample]): Unit = mutationLock.synchronized {
     requireInitialized()
-    import spark.implicits._
-    val df = samples.toDF()
-      .withColumn("partition_start", col("ts") - (col("ts") % lit(settings.partitionWidth)))
-    // Partitioned append = the per-partition ZADD fan-out (index.js:77-84),
-    // committed atomically by the file-commit protocol (better than the
-    // reference's non-atomic multi-key write, index.js:78 TODO).
-    // coalesce(1): a batch is ≤ 2000 samples (write cap) — one file per
-    // touched partition per batch, not one per Spark task.
-    df.coalesce(1).write.mode("append")
-      .partitionBy("tag", "partition_start")
-      .parquet(hotDir.toString)
+    val file = l0Dir.resolve(s"l0-${clock()}-${seqCounter.get()}-$writerId.parquet")
+    val bytes = ParquetIO.writeSamples(file, samples, partitionStartOf, hadoopConf)
+    l0Meta(file.getFileName.toString) =
+      L0Meta(samples.iterator.map(_.ts).min, samples.iterator.map(_.ts).max,
+        samples.iterator.map(_.tag).toSet)
+    if (partSizesFresh) l0Bytes += bytes
     // RecentActivity update (index.js:81): one "w" row per touched partition.
     val acts = samples
       .groupBy(s => (s.tag, partitionStartOf(s.ts)))
       .map { case ((tag, pStart), ss) =>
         (partitionName(tag, pStart), tag, pStart, ss.map(_.ingestTs).max, "w")
       }.toSeq
-    acts.toDF("partitionName", "tag", "partitionStart", "activityTs", "kind")
-      .coalesce(1)
-      .write.mode("append").parquet(activityDir.toString)
-    // Keep the per-partition size cache current for the partitions this
-    // batch touched, so the post-write backpressure signal stays
-    // O(touched partitions) instead of re-walking the whole hot tree.
-    if (partSizesFresh) acts.foreach { case (_, tag, pStart, _, _) =>
-      refreshPartSize(tag, pStart)
-    }
+    ParquetIO.writeActivity(
+      activityDir.resolve(s"act-${clock()}-${seqCounter.get()}-$writerId.parquet"),
+      acts, hadoopConf)
     storeVersion.incrementAndGet()
+    if (l0Meta.size >= L0FlushFileCount) flushL0()
+  }
+
+  private def l0FileList(): Seq[Path] =
+    if (!Files.exists(l0Dir)) Seq.empty
+    else withList(l0Dir)(_.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+
+  /** In-memory L0 manifest: file name → (minTs, maxTs, tags). Known at
+    * write time for our own files; lets the point-read fast path skip L0
+    * batches that cannot contain the requested (tag, window) without
+    * opening them. Files written by OTHER processes have no entry and are
+    * conservatively scanned (correct, just slower).
+    */
+  private case class L0Meta(minTs: Long, maxTs: Long, tags: Set[String])
+  private val l0Meta = scala.collection.concurrent.TrieMap.empty[String, L0Meta]
+
+  private def l0MayMatch(file: Path, ranges: Map[String, (Long, Long)]): Boolean =
+    l0Meta.get(file.getFileName.toString) match {
+      case None => true
+      case Some(m) => ranges.exists { case (tag, (s, e)) =>
+        m.maxTs >= s && m.minTs <= e && m.tags.contains(tag)
+      }
+    }
+
+  /** LSM flush: migrate every L0 batch file into the Hive-partitioned hot
+    * tier (one Spark job), then remove them. Reads are correct before,
+    * during (L0 files are only deleted after the partitioned append
+    * commits; the union view may transiently double-count a flushed row,
+    * which LWW dedup collapses — same member, same provenance), and after.
+    *
+    * @return number of L0 files flushed
+    */
+  def flushL0(): Int = mutationLock.synchronized {
+    requireInitialized()
+    val files = l0FileList()
+    if (files.isEmpty) return 0
+    val totalBytes = files.map(Files.size(_)).sum
+    if (totalBytes <= DirectFlushMaxBytes) {
+      // Small flush: regroup driver-side with parquet-java — a Spark
+      // partitionBy commit over hundreds of directories costs seconds of
+      // scheduling/committer overhead for kilobytes of data. Identical
+      // output layout either way.
+      val groups = scala.collection.mutable.HashMap
+        .empty[(String, Long), scala.collection.mutable.ArrayBuffer[(Long, String, Long, String, Long)]]
+      files.foreach { f =>
+        ParquetIO.foreachSample(f, None, hadoopConf) { (tag, ts, value, ingestTs, wId, seq) =>
+          groups.getOrElseUpdate((tag, partitionStartOf(ts)),
+            scala.collection.mutable.ArrayBuffer.empty) += ((ts, value, ingestTs, wId, seq))
+        }
+      }
+      groups.foreach { case ((tag, pStart), rows) =>
+        val dir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
+        Files.createDirectories(dir)
+        ParquetIO.writePartFile(
+          dir.resolve(s"part-${clock()}-${seqCounter.get()}-$writerId.parquet"),
+          rows.toSeq, hadoopConf)
+      }
+    } else {
+      // Large flush: a distributed partitioned append (the 100 TB path).
+      spark.read.schema(l0SparkSchema)
+        .parquet(files.map(_.toString): _*)
+        .coalesce(1)
+        .write.mode("append").partitionBy("tag", "partition_start")
+        .parquet(hotDir.toString)
+    }
+    files.foreach { f =>
+      Files.deleteIfExists(f)
+      l0Meta.remove(f.getFileName.toString)
+    }
+    partSizesFresh = false // L1 grew by an unknown per-partition split
+    storeVersion.incrementAndGet()
+    files.size
   }
 
   /** Per-partition hot-tier byte sizes ("tag=T/partition_start=P" → bytes),
@@ -297,6 +378,10 @@ final class TimeSeriesStore(
     */
   private val partSizes = scala.collection.mutable.HashMap.empty[String, Long]
   private var partSizesFresh = false
+  /** Bytes currently in the L0 tier; maintained incrementally alongside
+    * `partSizes` (writes add, flushes fold into the rebuild).
+    */
+  private var l0Bytes = 0L
 
   private def partSizeKey(tag: String, pStart: Long): String =
     s"tag=$tag/partition_start=$pStart"
@@ -325,9 +410,10 @@ final class TimeSeriesStore(
           partSizes(key) = partSizes.getOrElse(key, 0L) + Files.size(p)
         }
       }
+      l0Bytes = l0FileList().map(Files.size(_)).sum
       partSizesFresh = true
     }
-    partSizes.valuesIterator.sum
+    partSizes.valuesIterator.sum + l0Bytes
   }
 
   // --------------------------------------------------------------- read
@@ -353,7 +439,12 @@ final class TimeSeriesStore(
     cachedTiers match {
       case Some(t) if t._1 == v => t
       case _ =>
-        val h = nonEmptyTier(hotDir)
+        val h1 = nonEmptyTier(hotDir)
+        val l0 = l0TierDF()
+        val h = (h1, l0) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b)             => a.orElse(b)
+        }
         val c = nonEmptyTier(coldDir)
         val all = (h, c) match {
           case (Some(a), Some(b)) => a.unionByName(b)
@@ -370,6 +461,18 @@ final class TimeSeriesStore(
   private def emptySamples: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       sampleSchema.add("partition_start", LongType))
+
+  /** Spark read schema for L0 batch files (all columns physical). */
+  private def l0SparkSchema: StructType = sampleSchema.add("partition_start", LongType)
+
+  /** L0 tier as a DataFrame (None when empty). Column-order-normalized to
+    * match the Hive-tier view for `unionByName`.
+    */
+  private def l0TierDF(): Option[DataFrame] = {
+    val files = l0FileList()
+    if (files.isEmpty) None
+    else Some(spark.read.schema(l0SparkSchema).parquet(files.map(_.toString): _*))
+  }
 
   private def tierDF(dir: Path): DataFrame =
     nonEmptyTier(dir).getOrElse(emptySamples)
@@ -441,13 +544,60 @@ final class TimeSeriesStore(
 
   /** Reference-shaped result: `Map<tag, Map<ts, value>>`, ascending ts, tags
     * with no hits omitted (consumer-test.js:568-580).
+    *
+    * Point-read shaped requests (the pruned candidate file set is under
+    * [[Limits.FastPathMaxBytes]]) are served by a driver-side merge over
+    * parquet-java — the serving-path analog of the reference's single
+    * `ZRANGE` (index.js:262), with identical LWW semantics. Larger scans run
+    * the declarative Spark plan ([[readDataDF]]). Partition pruning is the
+    * same in both paths: directory names ARE the partition index.
     */
   def readData(ranges: Map[String, (Long, Long)]): Map[String, SortedMap[Long, String]] = {
-    val rows = readDataDF(ranges).select("tag", "ts", "value").collect()
-    rows.groupBy(_.getString(0)).map { case (t, rs) =>
-      t -> SortedMap(rs.map(r => r.getLong(1) -> r.getString(2)).toIndexedSeq: _*)
+    requireInitialized()
+    validateRanges(ranges)
+    fastRead(ranges).getOrElse {
+      val rows = readDataDF(ranges).select("tag", "ts", "value").collect()
+      rows.groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> SortedMap(rs.map(r => r.getLong(1) -> r.getString(2)).toIndexedSeq: _*)
+      }
     }
   }
+
+  /** Driver-side pruned merge read; None when the candidate set is too
+    * large for the fast path (or on any IO race with a concurrent flush —
+    * the Spark path is the always-correct fallback).
+    */
+  private def fastRead(ranges: Map[String, (Long, Long)]): Option[Map[String, SortedMap[Long, String]]] =
+    try {
+      val cand = scala.collection.mutable.ArrayBuffer.empty[(Path, Option[String])]
+      var bytes = 0L
+      def addPartFiles(tier: Path): Unit = ranges.foreach { case (tag, (s, e)) =>
+        val tagDir = tier.resolve(s"tag=$tag")
+        if (Files.exists(tagDir)) withList(tagDir)(_.foreach { pd =>
+          val n = pd.getFileName.toString
+          if (n.startsWith("partition_start=")) {
+            val p = n.substring("partition_start=".length).toLong
+            if (p >= partitionStartOf(s) && p <= e)
+              withList(pd)(_.foreach { f =>
+                if (f.getFileName.toString.endsWith(".parquet")) {
+                  cand += ((f, Some(tag))); bytes += Files.size(f)
+                }
+              })
+          }
+        })
+      }
+      addPartFiles(hotDir)
+      addPartFiles(coldDir)
+      l0FileList().filter(l0MayMatch(_, ranges))
+        .foreach { f => cand += ((f, None)); bytes += Files.size(f) }
+      if (bytes > FastPathMaxBytes) None
+      else {
+        val merged = ParquetIO.mergeRead(cand.toSeq, ranges, hadoopConf)
+        Some(merged.map { case (t, m) =>
+          t -> SortedMap(m.view.map { case (ts, (v, _, _, _)) => ts -> v }.toSeq: _*)
+        }.toMap)
+      }
+    } catch { case _: java.io.IOException => None }
 
   private def validateRanges(ranges: Map[String, (Long, Long)]): Unit = {
     if (ranges.size > MaxTagsPerRead)
@@ -574,6 +724,10 @@ final class TimeSeriesStore(
     if (maxPartitionsToMark <= 0)
       throw new IllegalArgumentException(
         "Parameter 'maxPartitionsToMark' is invalid & should greater than 1.")
+    // Flush L0 first so snapshots and the ack-time anti-join operate on the
+    // partitioned tier only — rows written after this point land in new L0
+    // files and survive the ack untouched (consumer-test.js:936-989).
+    flushL0()
     val now = clock()
     val victims = recentActivityDF
       .where(lit(now) - col("lastActivity") >= partitionAgeThreshold * 1000L)
@@ -745,6 +899,7 @@ final class TimeSeriesStore(
     */
   def compact(minFiles: Int = 2, applyLww: Boolean = true): Int = mutationLock.synchronized {
     requireInitialized()
+    flushL0() // compaction operates on the partitioned tier
     if (!Files.exists(hotDir)) return 0
     val partDirs = withWalk(hotDir, 2)(_
       .filter(p => Files.isDirectory(p) &&

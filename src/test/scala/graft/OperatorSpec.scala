@@ -54,11 +54,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val root = Files.createTempDirectory("graft-compact").toString
     val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 100L))
     store.initialize()
-    // 4 separate writes into the same partition, incl. 3 upserts of ts=1
-    store.write(Map("CTag" -> Map(1L -> "v1", 2L -> "a")))
-    store.write(Map("CTag" -> Map(1L -> "v2")))
-    store.write(Map("CTag" -> Map(1L -> "v3", 3L -> "b")))
-    store.write(Map("CTag" -> Map(4L -> "c")))
+    // 4 separate writes into the same partition, incl. 3 upserts of ts=1;
+    // each flushed L0→L1 so the partition accrues one file per write
+    store.write(Map("CTag" -> Map(1L -> "v1", 2L -> "a"))); store.flushL0()
+    store.write(Map("CTag" -> Map(1L -> "v2"))); store.flushL0()
+    store.write(Map("CTag" -> Map(1L -> "v3", 3L -> "b"))); store.flushL0()
+    store.write(Map("CTag" -> Map(4L -> "c"))); store.flushL0()
     val before = store.readData(Map("CTag" -> (0L, 99L)))
     val partDir = java.nio.file.Paths.get(root).resolve(store.settings.settingsHash)
       .resolve("hot").resolve("tag=CTag").resolve("partition_start=0")

@@ -33,10 +33,16 @@ object Bench {
       try {
         fn(spark, sfDir).count() // warm-up: JIT + codegen + file listing
         spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        // best-of-2 timed runs: single-run numbers on a shared host swing
+        // 2-4x with scheduler/GC noise; the minimum is the steady-state
+        // cost of the plan (each run still starts from a cold cache)
+        val dt = (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val d = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          d
+        }.min
         name -> dt
       } catch { case _: Throwable => name -> -1.0 }
     }

@@ -107,6 +107,10 @@ object Dedup {
     val bandSig = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    // signature-side joins: one row per doc — AQE picks broadcast at
+    // small SF and shuffled-hash at corpus scale (signatures are NOT
+    // broadcastable for a billion-doc corpus; the band-equality shuffle
+    // is the intended scale path)
     val cand = bandSig.as("x").join(bandSig.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -201,8 +205,23 @@ object Dedup {
     * are shallow in practice, so this converges in a handful of rounds at
     * any scale.
     */
+  /** Edge sets at or below this size are solved with driver-side
+    * union-find (O(E α(E)), ~16 bytes/edge — 10 M edges ≈ 160 MB);
+    * larger graphs run the distributed fixpoint. Near-dup edge sets are
+    * tiny relative to the corpus (they're the *output* of a ≥-threshold
+    * similarity filter), so even 100 TB corpora typically stay under
+    * this; the distributed path is the correctness backstop.
+    */
+  val MaxDriverEdges = 10000000L
+
   def duplicateClusters(docs: DataFrame, threshold: Double): DataFrame = {
-    val pairs = jaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val pairs = jaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b")).cache()
+    val nEdges = pairs.count()
+    if (nEdges <= MaxDriverEdges) {
+      val out = driverUnionFind(pairs)
+      pairs.unpersist()
+      return out
+    }
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -229,7 +248,33 @@ object Dedup {
       iterations += 1
     }
     edges.unpersist()
+    pairs.unpersist()
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Union-find over a collected edge list (path compression + union by
+    * min-label so the representative is the smallest doc_id, matching the
+    * distributed fixpoint's answer exactly).
+    */
+  private def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(d => (d, find(d))).toSeq
+      .toDF("doc_id", "cluster_id")
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (label):

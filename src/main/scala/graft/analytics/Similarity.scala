@@ -79,4 +79,52 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** Random-hyperplane LSH bucketing coefficient for (1-based dim `i`,
+    * plane `b`): a fixed pseudo-random ±1 pattern expressible identically
+    * in any SQL dialect (the oracle recomputes it), standing in for the
+    * gaussian hyperplanes a production build would broadcast.
+    */
+  private def lshCoef(i: org.apache.spark.sql.Column, b: Int) =
+    when((i * (b + 7)) % 5 <= 2, 1L).otherwise(-1L)
+
+  /** LSH-bucketed approximate top-k: vectors hash to a bucket from the
+    * sign pattern of `nPlanes` fixed hyperplane projections; queries probe
+    * only their own bucket (single-probe SimHash-LSH).
+    *
+    * Scale shape: one narrow shuffle to aggregate the per-plane projection
+    * sums (map-side combined, codegen'd conditional sums over exploded
+    * (dim, value) rows — the relational form; HOF lambdas run interpreted),
+    * then a bucket-equality join. Bucket count = 2^nPlanes bounds the
+    * join's key cardinality; skewed buckets are AQE's skew-join case.
+    */
+  def lshTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
+      nPlanes: Int = 8): DataFrame = {
+    val all = prep(emb)
+    // per-plane signed projection sums over exploded quantized components
+    val sums = (0 until nPlanes).map { b =>
+      sum(col("x") * lshCoef(col("pos") + 1, b)).as(s"s$b")
+    }
+    val bucketExpr = (0 until nPlanes).map { b =>
+      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val buckets = all
+      .select(col("vec_id"), posexplode(quantize(col("v"))).as(Seq("pos", "x")))
+      .groupBy("vec_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("vec_id"), bucketExpr.as("bucket"))
+    val assigned = all.join(buckets, "vec_id")
+    val queries = assigned.where(col("vec_id") % queryModulo === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val scored = assigned.join(queries, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(dotQF(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
 }

@@ -72,6 +72,27 @@ object TextAnalysis {
       size(array_distinct(ws)).cast("long").as("n_types"))
   }
 
+  /** BPE-style pre-tokenizer regex: letter runs, single digits, or single
+    * punctuation marks — the GPT-2-ish segmentation shape, restricted to
+    * constructs whose regex semantics are identical in Java and RE2-style
+    * engines (so the oracle can reuse the pattern verbatim).
+    */
+  val BpeTokenPattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  /** Subword-ish token statistics from the BPE pre-tokenizer split:
+    * token count, distinct-token count, and longest-token length.
+    * Single projection — no shuffle.
+    */
+  def bpeTokenStats(docs: DataFrame): DataFrame = {
+    val toks = expr(s"regexp_extract_all(lower(text), '$BpeTokenPattern', 0)")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_bpe_types"),
+        coalesce(array_max(transform(col("toks"), t => length(t))), lit(0))
+          .cast("long").as("max_token_len"))
+  }
+
   /** Document fingerprinting: order-sensitive rolling hash over the word
     * sequence + full-content md5.
     */

@@ -202,6 +202,52 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, cos FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- LSH-bucketed approximate ANN (single-probe hyperplane LSH) ----
+    QueryDef("sim_ann_lsh",
+      (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), k = 5,
+        queryModulo = 20, nPlanes = 8)
+        .orderBy("query_id", "rank"),
+      Some(s"""
+        WITH $QuantCte,
+        proj AS (SELECT vec_id,
+          ${(0 until 8).map { b =>
+            s"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * " +
+              s"(CASE WHEN (i * ${b + 7}) % 5 <= 2 THEN 1 ELSE -1 END))) AS s$b"
+          }.mkString(", ")}
+          FROM qn),
+        bkt0 AS (SELECT vec_id,
+          ${(0 until 8).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)")
+            .mkString(" + ")} AS bucket
+          FROM proj),
+        bkt AS (SELECT q.vec_id, q.v, q.nrm, bkt0.bucket
+                FROM qn q JOIN bkt0 ON q.vec_id = bkt0.vec_id),
+        qry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+                FROM bkt WHERE vec_id % 20 = 0),
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+                     ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
+                   FROM bkt b JOIN qry USING (bucket)
+                   WHERE b.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- BPE-style pre-tokenizer statistics ----
+    QueryDef("tx_bpe_tokens",
+      (s, dir) => TextAnalysis.bpeTokenStats(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""
+        WITH t AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]') AS toks
+          FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_bpe_tokens,
+               len(list_distinct(toks)) AS n_bpe_types,
+               coalesce(list_max(list_transform(toks, t -> length(t))), 0) AS max_token_len
+        FROM t ORDER BY doc_id""")),
+
     // ---- language ID (marker-word profiles) ----
     QueryDef("tx_lang_id",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir))

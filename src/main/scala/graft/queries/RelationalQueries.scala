@@ -115,6 +115,52 @@ object RelationalQueries {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY rf, ls""")),
 
+    // Full CUBE over the two status dimensions (grouping-sets family;
+    // rollup's bigger sibling — all 4 grouping combinations).
+    QueryDef("rel_cube",
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(decSum("l_quantity").cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls"),
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // Set intersection: nations having both customers and suppliers.
+    QueryDef("rel_intersect",
+      (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    // Pivot: order counts by priority x status (Spark's pivot relational
+    // operator; the oracle is the conditional-aggregation expansion).
+    QueryDef("rel_pivot",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Set difference: customers that never placed an URGENT order.
     QueryDef("rel_except",
       (s, dir) => Tables.customer(s, dir).select(col("c_custkey"))

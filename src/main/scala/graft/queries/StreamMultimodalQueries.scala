@@ -58,6 +58,47 @@ object StreamMultimodalQueries {
         SELECT epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS window_start,
                event_type AS tag, count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY window_start, tag"""))
+        FROM events GROUP BY 1, 2 ORDER BY window_start, tag""")),
+
+    // ---- streaming: event-time session windows (30-min gap) ----
+    // Real session_window aggregation; the oracle is the batch islands
+    // construction (new session when the gap is >= the threshold —
+    // session_window treats [t, t+gap) as half-open).
+    QueryDef("st_session_window",
+      (s, dir) => StreamingIngest.sessionWindows(s, dir),
+      Some("""
+        WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        d AS (SELECT user_id, ms,
+                CASE WHEN lag(ms) OVER w IS NULL
+                       OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        s AS (SELECT user_id, ms,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d)
+        SELECT user_id, min(ms) AS session_start,
+               max(ms) + 1800000 AS session_end, count(*) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // ---- streaming: chained stateful ops (dedup -> aggregate) ----
+    QueryDef("st_dedup_agg",
+      (s, dir) => StreamingIngest.dedupedTypeCounts(s, dir),
+      Some("""
+        SELECT event_type AS tag, count(DISTINCT event_id) AS n
+        FROM events GROUP BY 1 ORDER BY tag""")),
+
+    // ---- streaming: stream-stream range join (view -> purchase funnel) ----
+    QueryDef("st_stream_join",
+      (s, dir) => StreamingIngest.viewPurchaseJoin(s, dir),
+      Some("""
+        SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+               a.user_id AS user_id,
+               epoch_ms(b.ts) - epoch_ms(a.ts) AS delta_ms
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+         AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 600000
+        ORDER BY view_id, purchase_id"""))
   )
 }

@@ -117,6 +117,87 @@ object StreamingIngest {
     * stream into a memory sink (file source is bounded here, so
     * processAllAvailable terminates).
     */
+  /** Bounded file-stream over the events table with ms event time — shared
+    * entry for the streaming analytics below.
+    */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+  }
+
+  private def drain(df: DataFrame, mode: String): DataFrame = {
+    val name = s"st_q_${System.nanoTime()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Event-time session windows per user (30-min inactivity gap) as a real
+    * Structured Streaming `session_window` aggregation. Update output +
+    * a single micro-batch (the source is one file) makes the drained
+    * memory-sink contents the complete final sessions — append mode would
+    * hold back each user's last session forever on a bounded source
+    * (nothing ever advances the watermark past `last event + gap`).
+    */
+  def sessionWindows(spark: SparkSession, sfDir: String,
+      gapMs: Long = 1800000L): DataFrame = {
+    val out = eventStream(spark, sfDir)
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(session_window(col("event_time"), s"$gapMs milliseconds").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start"),
+        unix_millis(col("sw.end")).as("session_end"),
+        col("n_events"))
+    drain(out, "complete").orderBy("user_id", "session_start")
+  }
+
+  /** Streaming exact dedup → aggregation (two chained stateful operators):
+    * drop duplicate event ids, then count per event type. The dedup state
+    * is the streaming analog of the engine's exact-dedup operator.
+    */
+  def dedupedTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = eventStream(spark, sfDir)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type").as("tag"))
+      .agg(count(lit(1)).as("n"))
+    drain(out, "complete").orderBy("tag")
+  }
+
+  /** Stream-stream inner join with event-time range condition: each `view`
+    * event joins the same user's `purchase` events within the next
+    * `windowMs`. Watermarks on both sides + the range predicate bound the
+    * join state (the production pattern for funnel/attribution joins).
+    */
+  def viewPurchaseJoin(spark: SparkSession, sfDir: String,
+      windowMs: Long = 600000L): DataFrame = {
+    val views = eventStream(spark, sfDir)
+      .where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_ms").as("view_ms"), col("event_time").as("view_time"))
+      .withWatermark("view_time", "1 hour")
+    val purchases = eventStream(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts_ms").as("purchase_ms"), col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "1 hour")
+    val out = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_time") >= col("view_time") &&
+        col("purchase_time") <= col("view_time") + expr(s"INTERVAL $windowMs MILLISECONDS"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (col("purchase_ms") - col("view_ms")).as("delta_ms"))
+    drain(out, "append").orderBy("view_id", "purchase_id")
+  }
+
   def windowedEventCounts(spark: SparkSession, sfDir: String,
       windowMs: Long = 3600000L): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -137,6 +137,28 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.getLong(1) === 3L && t.getLong(2) === 2L)
   }
 
+  test("LSH ANN buckets are consistent: neighbors share the query's bucket and never self-match") {
+    val lsh = Similarity.lshTopK(Tables.embeddings(spark, sf), k = 3,
+      queryModulo = 100, nPlanes = 8).collect()
+    assert(lsh.nonEmpty)
+    lsh.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.forall(_.getLong(2) != q))
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("BPE pre-tokenizer stats are exact on a known sentence") {
+    import spark.implicits._
+    // lower("Ab1, cd!") → tokens: "ab","1",",","cd","!" — 5 tokens, 5 types
+    val df = Seq((0L, "Ab1, cd!", 8L), (1L, "", 0L)).toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.bpeTokenStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(r(0L) === ((5L, 5L, 2L)))
+    assert(r(1L) === ((0L, 0L, 0L))) // empty text → zero counts, no null
+  }
+
   test("rolling fingerprint is order-sensitive; content hash is not") {
     import spark.implicits._
     val df = Seq(

@@ -140,4 +140,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
       assert(sMap((r.getLong(0), r.getString(1))) === r.getLong(2))
     }
   }
+
+  test("streaming session windows match the batch gap-islands construction") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest.sessionWindows(spark, sf).collect()
+    val byUser = W.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val batch = Tables.events(spark, sf)
+      .withColumn("prev", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts_ms") - col("prev") >= 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(byUser))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts_ms")).as("session_start"),
+        (max(col("ts_ms")) + 1800000L).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+    assert(streamed.length === batch.length)
+    val sSet = streamed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    batch.foreach { r =>
+      assert(sSet.contains((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    }
+  }
+
+  test("stream-stream view->purchase join matches the batch range join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest.viewPurchaseJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf)
+    val batch = ev.where(col("event_type") === "view").as("a")
+      .join(ev.where(col("event_type") === "purchase").as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts_ms").between(col("a.ts_ms"), col("a.ts_ms") + 600000L))
+      .select(col("a.event_id"), col("b.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming dedup->aggregate chain matches batch distinct counts") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest.dedupedTypeCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("event_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
 }

@@ -142,27 +142,22 @@ object Dedup {
     * hash aggregate; two narrow shuffles on (doc_id, j)/(doc_id).
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    // 64 static aggregate expressions (one per bit) over the exploded
-    // token rows — each token's two md5s are computed once, there is no
-    // 64-way row fan-out, and the single shuffle moves only 400 k narrow
-    // rows with map-side partial aggregation. (The earlier (doc, j)
-    // explode form shuffled 25.6 M rows carrying both md5 strings.)
-    val bitSums: Seq[org.apache.spark.sql.Column] = (1 to 64).map { j =>
-      val c = if (j <= 32) substring(col("h1"), j, 1) else substring(col("h2"), j - 32, 1)
-      sum(when(ascii(c) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
-    }
-    // pack the 64 sign bits into two 32-bit halves (bits 1..32 → hi,
-    // 33..64 → lo): downstream Hamming becomes bit_count(xor) — codegen'd
-    // integer ops instead of 64 interpreted string probes per pair.
-    val hi = (1 to 32).map(j =>
-      when(col(s"s$j") > 0, lit(1L << (32 - j))).otherwise(0L)).reduce(_ + _)
-    val lo = (33 to 64).map(j =>
-      when(col(s"s$j") > 0, lit(1L << (64 - j))).otherwise(0L)).reduce(_ + _)
+    // Native-kernel form: one codegen'd expression packs each token's 64
+    // md5-hex-parity bits into a long (two MD5 calls, no per-bit string
+    // probes), and one custom TypedImperativeAggregate accumulates the 64
+    // ±1 counters per doc with map-side partial aggregation. Bit-identical
+    // to the declarative 64-sum construction (and the DuckDB oracle) —
+    // see graft.expressions.SimhashOps; measured ~4× the 64-aggregate
+    // form, which itself was ~30× the naive per-(doc,bit) explode.
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val parity = toCol(graft.expressions.Md5BitParity(toExpr(col("w"))))
+    val fpAgg = toCol(
+      graft.expressions.SimhashBitCounts(toExpr(col("pb"))).toAggregateExpression())
     docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h1"), md5(concat(lit("x"), col("w"))).as("h2"))
+      .select(col("doc_id"), parity.as("pb"))
       .groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), hi.as("fp_hi"), lo.as("fp_lo"))
+      .agg(fpAgg.as("fp"))
+      .select(col("doc_id"), col("fp.fp_hi").as("fp_hi"), col("fp.fp_lo").as("fp_lo"))
   }
 
   /** SimHash near-dup pairs: candidates share at least one of 4 16-bit

@@ -61,7 +61,8 @@ object Dedup {
     * upstream if the corpus has them).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleSet(docs)
+    // cache: the shingle subplan feeds both self-join sides + the size agg
+    val sh = shingleSet(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

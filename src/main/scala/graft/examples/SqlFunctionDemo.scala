@@ -7,11 +7,13 @@ import org.apache.spark.sql.SparkSession
   */
 object SqlFunctionDemo {
   def main(args: Array[String]): Unit = {
+    // functions arrive via the config-driven extensions hook — no
+    // imperative register() call anywhere in this main
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.expressions.GraftFunctions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .createOrReplaceTempView("embeddings")
     val top = spark.sql("""
@@ -26,6 +28,12 @@ object SqlFunctionDemo {
     // probe: wrong type
     try { spark.sql("SELECT quantized_dot(vec_id, vec_id) FROM embeddings LIMIT 1").collect() }
     catch { case e: Exception => println(s"[demo] type error surfaced: ${e.getMessage.linesIterator.next()}") }
+    // the simhash kernels through plain SQL (also injected by extensions)
+    val fp = spark.sql("""
+      SELECT fp.fp_hi AS hi, fp.fp_lo AS lo FROM (
+        SELECT simhash_fingerprint(md5_bit_parity(w)) AS fp
+        FROM (SELECT explode(array('the','quick','fox')) AS w))""").collect()(0)
+    println(s"[demo] simhash_fingerprint via SQL: hi=${fp.getLong(0)} lo=${fp.getLong(1)}")
     spark.stop()
   }
 }

@@ -92,6 +92,31 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.nonEmpty)
   }
 
+  test("simhash SQL functions match the DataFrame fingerprint path") {
+    graft.expressions.GraftFunctions.register(spark)
+    docsFixture.createOrReplaceTempView("docs_simhash_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, fp.fp_hi AS fp_hi, fp.fp_lo AS fp_lo FROM (
+        |  SELECT doc_id, simhash_fingerprint(md5_bit_parity(w)) AS fp
+        |  FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM docs_simhash_sql)
+        |  GROUP BY doc_id) ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaDF = Dedup.simhashFingerprints(docsFixture)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaSql.toSeq === viaDF.toSeq)
+    assert(viaSql.length === 4)
+    assert(viaSql(0)._2 === viaSql(1)._2 && viaSql(0)._3 === viaSql(1)._3) // exact dups agree
+  }
+
+  test("GraftExtensions injects all native functions without error") {
+    // the config-driven end-to-end path (a session BUILT with
+    // spark.sql.extensions) is exercised by SqlFunctionDemo in its own JVM;
+    // here we verify the injection hook itself accepts every descriptor
+    new graft.expressions.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("brute-force ANN returns k ranked neighbors per query on sf0.001") {
     val r = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), k = 5, queryModulo = 100)
     val got = r.collect()

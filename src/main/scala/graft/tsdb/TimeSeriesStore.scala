@@ -821,6 +821,30 @@ final class TimeSeriesStore(
     storeVersion.incrementAndGet()
   }
 
+  /** Archive a queue entry in the reference example-consumer's exact cold
+    * file format (service.js:89-107): append `\r\n{ts},{archiveTime},
+    * {base64(value)}` lines to `{dir}/{partitionName}.txt`. Offered for
+    * byte-level sink compatibility next to [[archiveToCold]]'s Parquet
+    * tier (which hot∪cold reads use); the timestamps are the LWW-resolved
+    * page contents, like the consumer's parsed payload (index.js:350-355).
+    */
+  def archiveToReferenceFormat(id: String, dir: Path): Unit = {
+    val entry = loadPurgeEntry(id).getOrElse(
+      throw new IllegalArgumentException(s"unknown purge id $id"))
+    Files.createDirectories(dir)
+    val archiveTime = clock()
+    val sb = new StringBuilder
+    entry.data.foreach { case (ts, value) =>
+      sb.append("\r\n").append(ts).append(',').append(archiveTime).append(',')
+        .append(java.util.Base64.getEncoder.encodeToString(
+          value.getBytes(StandardCharsets.UTF_8)))
+    }
+    Files.write(dir.resolve(s"${entry.partitionName}.txt"),
+      sb.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
   /** Exactly-once archive commit (reference `purgeAck` + ack-purge.lua):
     * delete from the hot tier EXACTLY the rows captured in the snapshot —
     * rows written after the snapshot survive (race-safety oracle:

@@ -141,6 +141,22 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e3.getMessage === "Parameter 'partitionRanges' cannot have partitions more than 100.")
   }
 
+  test("reference-format cold sink writes ts,archiveTime,base64(value) lines") {
+    val store = freshStore(5L)
+    store.clock = () => 1000L
+    store.write(Map("RTag" -> Map(1L -> "One", 2L -> "Two")))
+    store.clock = () => 999999L
+    val ids = store.purgeScan(1, 10)
+    assert(ids.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rawdb")
+    store.archiveToReferenceFormat(ids.head, dir)
+    val f = dir.resolve("RTag-0.txt")
+    assert(java.nio.file.Files.exists(f))
+    val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    val b64 = (s: String) => java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    assert(txt === s"\r\n1,999999,${b64("One")}\r\n2,999999,${b64("Two")}")
+  }
+
   // consumer-test.js:767-799 — purge marks aged partitions, data still readable
   test("purgeScan marks aged partitions and leaves data readable") {
     val store = freshStore(width = 5L)

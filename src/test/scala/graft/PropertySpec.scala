@@ -107,6 +107,36 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: L0 flush placement is invisible to readers") {
+    forAllSeeded(Gen.zip(Gen.listOfN(4, genBatch), Gen.choose(0, 15))) {
+      case (writes, flushMask) =>
+        if (writes.nonEmpty) {
+          // two stores, same writes; one flushes L0 at arbitrary points
+          val a = freshStore()
+          val b = freshStore()
+          writes.zipWithIndex.foreach { case (batch, i) =>
+            if (batch.nonEmpty) {
+              a.write(batch)
+              b.write(batch)
+              if (((flushMask >> i) & 1) == 1) b.flushL0()
+            }
+          }
+          val tags = writes.flatMap(_.keySet).toSet
+          if (tags.nonEmpty) {
+            val ranges = tags.map(t => t -> (-100L, 100L)).toMap
+            assert(a.readData(ranges) === b.readData(ranges))
+            // and the declarative Spark path agrees with the fast path
+            val viaPlan = a.readDataDF(ranges).select("tag", "ts", "value")
+              .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+            val viaFast = a.readData(ranges).flatMap { case (t, m) =>
+              m.map { case (ts, v) => (t, ts, v) }
+            }.toSet
+            assert(viaPlan === viaFast)
+          }
+        }
+    }
+  }
+
   test("property: compaction is invisible to readers") {
     forAllSeeded(Gen.listOfN(3, genBatch)) { writes =>
       if (writes.nonEmpty) {

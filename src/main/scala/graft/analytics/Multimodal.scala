@@ -11,6 +11,12 @@ final case class MediaFeature(
     feature: Array[Float],
     batch_size: Int)
 
+/** Output of the frame-sampling stage (video-ish stub). */
+final case class FrameSample(
+    doc_id: Long,
+    n_frames: Int,
+    frame_checksum: Long)
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * columns with typed metadata, and run decode / feature-extraction as a
   * batched per-partition stage.
@@ -53,11 +59,53 @@ object Multimodal {
     (sum, feat)
   }
 
+  /** STUB resize: where a real pipeline would decode, resize, and re-encode
+    * the image, this halves the nominal dimensions and crops the byte
+    * buffer to a quarter (deterministic — the Spark-side shape is what's
+    * real: a projection over (binary, metadata struct), no shuffle, fully
+    * codegen'd including the binary `substring`).
+    */
+  def resizeStub(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      expr("CAST(meta.width div 2 AS INT)").as("new_width"),
+      expr("CAST(meta.height div 2 AS INT)").as("new_height"),
+      expr("(meta.n_bytes + 3) div 4").as("crop_bytes"),
+      sha2(expr("substring(media, 1, CAST((meta.n_bytes + 3) div 4 AS INT))"), 256)
+        .as("crop_sha"))
+
   /** Batched feature extraction over the binary column: each partition's
     * rows are consumed in fixed-size batches (`batchSize`), mirroring how a
     * vectorized decode stage (Arrow batches / GPU inference) consumes
     * input. Runs fully parallel per partition — no shuffle, no driver data.
     */
+  /** STUB frame sampling: treat the byte buffer as a "video" and keep every
+    * `stride`-th byte as a "frame" (a real build would demux + decode key
+    * frames). Same batched `mapPartitions` contract as [[extractFeatures]]
+    * — the iterator-of-batches shape a vectorized decoder consumes.
+    */
+  def frameSample(spark: SparkSession, media: DataFrame, stride: Int = 16,
+      batchSize: Int = 64): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            var sum = 0L
+            var n = 0
+            var i = 0
+            while (i < bytes.length) {
+              sum = (sum * 131 + (bytes(i) & 0xff)) % 1000000007L
+              n += 1
+              i += stride
+            }
+            FrameSample(id, n, sum)
+          }
+        }
+      }
+  }
+
   def extractFeatures(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"))

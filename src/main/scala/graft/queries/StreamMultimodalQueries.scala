@@ -48,6 +48,31 @@ object StreamMultimodalQueries {
         .orderBy("doc_id"),
       None),
 
+    // ---- multimodal: resize/crop transform (STUB codec, real plumbing) ----
+    // The oracle recomputes the crop on the pre-encoding text — the media
+    // bytes ARE the UTF-8 text (withBinary), so substring-of-blob and
+    // substring-of-text hash identically on this corpus.
+    QueryDef("mm_transform",
+      (s, dir) => Multimodal.resizeStub(
+        Multimodal.withBinary(Tables.documents(s, dir)))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(CAST(n_chars % 640 AS INT) // 2 AS INT) AS new_width,
+               CAST(CAST(n_chars % 480 AS INT) // 2 AS INT) AS new_height,
+               (length(text) + 3) // 4 AS crop_bytes,
+               sha256(left(text, CAST((length(text) + 3) // 4 AS INT))) AS crop_sha
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- multimodal: frame sampling (STUB demux; batched mapPartitions) ----
+    // Genuinely non-SQL (imperative batch stage) → rows-only check.
+    QueryDef("mm_frame_sample",
+      (s, dir) => Multimodal.frameSample(s,
+        Multimodal.withBinary(Tables.documents(s, dir)), stride = 16)
+        .toDF()
+        .orderBy("doc_id"),
+      None),
+
     // ---- streaming: event-time tumbling-window aggregation ----
     // Runs as a real Structured Streaming query (file source → watermark →
     // window agg → memory sink); the oracle is the batch equivalent — the

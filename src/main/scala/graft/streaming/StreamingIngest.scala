@@ -29,9 +29,17 @@ object StreamingIngest {
     val q = input.toDS().writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sample], _: Long) =>
-        val rows = batch.collect() // micro-batches are bounded (≤ write cap)
-        if (rows.nonEmpty) store.writeSamples(rows.toIndexedSeq)
-        ()
+        // small micro-batches take the L0 serving path (one direct file);
+        // large ones append executor-parallel without touching the driver
+        val cached = batch.persist()
+        try {
+          if (cached.count() > graft.tsdb.Limits.DistributedWriteRows)
+            store.writeSamplesDistributed(cached.toDF())
+          else {
+            val rows = cached.collect()
+            if (rows.nonEmpty) store.writeSamples(rows.toIndexedSeq)
+          }
+        } finally { cached.unpersist(); () }
       }
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()

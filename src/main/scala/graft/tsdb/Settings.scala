@@ -63,4 +63,9 @@ object Limits {
     * larger flushes run as a distributed partitioned append.
     */
   val DirectFlushMaxBytes: Long = 128L * 1024 * 1024
+  /** Streaming micro-batches above this row count ingest via the
+    * executor-parallel bulk lane (`writeSamplesDistributed`) instead of
+    * the driver L0 path.
+    */
+  val DistributedWriteRows: Long = 100000L
 }

@@ -300,6 +300,34 @@ final class TimeSeriesStore(
     if (l0Meta.size >= L0FlushFileCount) flushL0()
   }
 
+  /** Distributed bulk ingest — the 100 TB path for large batches (e.g. a
+    * big streaming micro-batch or a backfill): an executor-parallel
+    * partitioned append straight into the Hive tier plus an aggregated
+    * activity update, never routing rows through the driver. Produces the
+    * same layout and read semantics as [[writeSamples]]+[[flushL0]];
+    * [[Limits.MaxSamplesPerWrite]] deliberately does NOT apply (it is the
+    * reference's per-request admission cap, index.js:12 — this is the bulk
+    * lane next to it).
+    */
+  def writeSamplesDistributed(df: DataFrame): Unit = mutationLock.synchronized {
+    requireInitialized()
+    val withPart = df
+      .withColumn("partition_start", col("ts") - (col("ts") % lit(settings.partitionWidth)))
+    withPart.write.mode("append")
+      .partitionBy("tag", "partition_start")
+      .parquet(hotDir.toString)
+    withPart.groupBy(col("tag"), col("partition_start"))
+      .agg(max(col("ingestTs")).as("activityTs"))
+      .select(
+        concat(col("tag"), lit(Separator), col("partition_start")).as("partitionName"),
+        col("tag"), col("partition_start").as("partitionStart"),
+        col("activityTs"), lit("w").as("kind"))
+      .coalesce(1)
+      .write.mode("append").parquet(activityDir.toString)
+    partSizesFresh = false
+    storeVersion.incrementAndGet()
+  }
+
   private def l0FileList(): Seq[Path] =
     if (!Files.exists(l0Dir)) Seq.empty
     else withList(l0Dir)(_.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)

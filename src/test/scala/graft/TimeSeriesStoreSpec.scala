@@ -141,6 +141,27 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e3.getMessage === "Parameter 'partitionRanges' cannot have partitions more than 100.")
   }
 
+  test("distributed bulk ingest produces the same layout and read results") {
+    import spark.implicits._
+    val store = freshStore(5L)
+    store.clock = () => 50L // first write's ingestTs predates the bulk batch
+    store.write(Map("DTag" -> Map(1L -> "one")))
+    // bulk lane: a Dataset[Sample] appended executor-parallel
+    val bulk = Seq(
+      graft.tsdb.Sample("DTag", 2L, "two", 100L, "bulk", 10L),
+      graft.tsdb.Sample("DTag", 1L, "one-v2", 100L, "bulk", 11L), // upsert
+      graft.tsdb.Sample("ETag", 7L, "seven", 100L, "bulk", 12L)).toDF()
+    store.writeSamplesDistributed(bulk)
+    val got = store.readData(Map("DTag" -> (0L, 50L), "ETag" -> (0L, 50L)))
+    assert(got("DTag") === scala.collection.immutable.SortedMap(1L -> "one-v2", 2L -> "two"))
+    assert(got("ETag") === scala.collection.immutable.SortedMap(7L -> "seven"))
+    // activity from the bulk lane is visible: both touched partitions
+    // (DTag-0, ETag-5) become purge-eligible
+    store.clock = () => 10000000L
+    val ids = store.purgeScan(1, 10)
+    assert(ids.size === 2)
+  }
+
   test("reference-format cold sink writes ts,archiveTime,base64(value) lines") {
     val store = freshStore(5L)
     store.clock = () => 1000L

@@ -50,6 +50,25 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getLong(1) === 2L && got.getLong(2) === 55L)
   }
 
+  test("salted skew join returns exactly the unsalted join result") {
+    import spark.implicits._
+    // heavy skew: 1000 rows of one key, a handful of others
+    val left = ((1 to 1000).map(i => (1L, s"l$i")) ++ Seq((2L, "x"), (3L, "y")))
+      .toDF("k", "lv")
+    val right = Seq((1L, "r1"), (1L, "r2"), (2L, "r3"), (4L, "r4")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val salted = graft.operators.SkewJoin.salted(left, right, "k", factor = 8)
+      .select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(plain.size === 2001) // 1000*2 + 1
+    // the salted plan's shuffle key includes the shard column
+    val planStr = graft.operators.SkewJoin.salted(left, right, "k", 8)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("__salt"))
+  }
+
   test("compaction merges multi-file partitions and preserves reads") {
     val root = Files.createTempDirectory("graft-compact").toString
     val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 100L))

@@ -55,15 +55,6 @@ object ParquetIO {
       |  required int64 seq;
       |}""".stripMargin)
 
-  val activitySchema: MessageType = MessageTypeParser.parseMessageType(
-    """message activity {
-      |  required binary partitionName (UTF8);
-      |  required binary tag (UTF8);
-      |  required int64 partitionStart;
-      |  required int64 activityTs;
-      |  required binary kind (UTF8);
-      |}""".stripMargin)
-
   private def writer(file: JPath, schema: MessageType, conf: Configuration) =
     ExampleParquetWriter.builder(new HPath(file.toUri))
       .withConf(conf)
@@ -109,22 +100,6 @@ object ParquetIO {
       g.append("ingestTs", ingestTs)
       g.append("writerId", writerId)
       g.append("seq", seq)
-      w.write(g)
-    } finally w.close()
-  }
-
-  /** Write one activity-log file: (partitionName, tag, partitionStart, activityTs, kind). */
-  def writeActivity(file: JPath, rows: Seq[(String, String, Long, Long, String)],
-      conf: Configuration): Unit = {
-    val f = new SimpleGroupFactory(activitySchema)
-    val w = writer(file, activitySchema, conf)
-    try rows.foreach { case (pName, tag, pStart, actTs, kind) =>
-      val g = f.newGroup()
-      g.append("partitionName", pName)
-      g.append("tag", tag)
-      g.append("partitionStart", pStart)
-      g.append("activityTs", actTs)
-      g.append("kind", kind)
       w.write(g)
     } finally w.close()
   }

@@ -293,11 +293,33 @@ final class TimeSeriesStore(
       .map { case ((tag, pStart), ss) =>
         (partitionName(tag, pStart), tag, pStart, ss.map(_.ingestTs).max, "w")
       }.toSeq
-    ParquetIO.writeActivity(
-      activityDir.resolve(s"act-${clock()}-${seqCounter.get()}-$writerId.parquet"),
-      acts, hadoopConf)
+    appendActivity(acts)
     storeVersion.incrementAndGet()
     if (l0Meta.size >= L0FlushFileCount) flushL0()
+  }
+
+  /** Append activity rows to this writer's JSONL log — one file per writer
+    * for the store's whole lifetime (safe: a writer appends its own file
+    * serially), instead of one parquet file per batch. At scale this keeps
+    * the activity directory's file count O(writers), not O(batches).
+    */
+  private def appendActivity(rows: Seq[(String, String, Long, Long, String)]): Unit = {
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val sb = new StringBuilder
+    rows.foreach { case (pName, tag, pStart, actTs, kind) =>
+      sb.append(s"""{"partitionName":${js(pName)},"tag":${js(tag)},""")
+        .append(s""""partitionStart":$pStart,"activityTs":$actTs,"kind":${js(kind)}}""")
+        .append('\n')
+    }
+    Files.write(activityDir.resolve(s"act-$writerId.jsonl"),
+      sb.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 
   /** Distributed bulk ingest — the 100 TB path for large batches (e.g. a
@@ -316,14 +338,16 @@ final class TimeSeriesStore(
     withPart.write.mode("append")
       .partitionBy("tag", "partition_start")
       .parquet(hotDir.toString)
-    withPart.groupBy(col("tag"), col("partition_start"))
+    // activity rows are one per touched PARTITION (bounded, small) — the
+    // collect here is metadata-sized, not data-sized
+    val acts = withPart.groupBy(col("tag"), col("partition_start"))
       .agg(max(col("ingestTs")).as("activityTs"))
-      .select(
-        concat(col("tag"), lit(Separator), col("partition_start")).as("partitionName"),
-        col("tag"), col("partition_start").as("partitionStart"),
-        col("activityTs"), lit("w").as("kind"))
-      .coalesce(1)
-      .write.mode("append").parquet(activityDir.toString)
+      .collect().toIndexedSeq
+      .map { r =>
+        val tag = r.getString(0); val pStart = r.getLong(1)
+        (partitionName(tag, pStart), tag, pStart, r.getLong(2), "w")
+      }
+    appendActivity(acts)
     partSizesFresh = false
     storeVersion.incrementAndGet()
   }
@@ -703,14 +727,14 @@ final class TimeSeriesStore(
   def recentActivityDF: DataFrame = {
     val hasLog = Files.exists(activityDir) &&
       withWalk(activityDir)(_.exists(p =>
-        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")))
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".jsonl")))
     if (!hasLog)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
           StructField("partitionName", StringType), StructField("tag", StringType),
           StructField("partitionStart", LongType), StructField("lastActivity", LongType))))
-    val log = spark.read.schema(activitySchema).parquet(activityDir.toString)
+    val log = spark.read.schema(activitySchema).json(activityDir.toString)
     log.groupBy(col("partitionName"), col("tag"), col("partitionStart"))
       .agg(
         max(when(col("kind") === "w", col("activityTs"))).as("lastWrite"),
@@ -782,10 +806,7 @@ final class TimeSeriesStore(
           s""""maxSeq":${stats.getLong(0)},"maxIngestTs":${stats.getLong(1)},"rows":${stats.getLong(2)}}"""
       Files.write(entryDir.resolve("meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       // Mark: removes it from RecentActivity until a newer write (lua:19).
-      import spark.implicits._
-      Seq((pName, tag, pStart, markTs, "m"))
-        .toDF("partitionName", "tag", "partitionStart", "activityTs", "kind")
-        .coalesce(1).write.mode("append").parquet(activityDir.toString)
+      appendActivity(Seq((pName, tag, pStart, markTs, "m")))
       id
     }
   }

@@ -54,6 +54,114 @@ object EventsQueries {
           ON p.user_id = c.user_id AND c.ts_ms <= epoch_ms(p.ts)
         ORDER BY p.event_id""")),
 
+    // beyond-reference — as-of (forward) join: for each click, the earliest
+    // purchase of the same user at or after it (the attribution direction).
+    QueryDef("ts_asof_fwd",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        graft.operators.AsOfJoin.forward(
+          clicks, purchases, Seq("user_id"), "ts_ms", "ts_ms", "event_id", "p_")
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("p_event_id").as("purchase_id"), col("p_ts_ms").as("purchase_ts_ms"),
+            (col("p_ts_ms") - col("ts_ms")).as("lead_ms"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH c AS (SELECT event_id, user_id, $MS AS ts_ms FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, $MS AS ts_ms FROM events
+              WHERE event_type = 'purchase'),
+        cand AS (SELECT c.event_id, c.user_id, c.ts_ms,
+                        p.event_id AS purchase_id, p.ts_ms AS purchase_ts_ms,
+                        row_number() OVER (PARTITION BY c.event_id
+                          ORDER BY p.ts_ms, p.event_id) AS rn
+                 FROM c JOIN p ON c.user_id = p.user_id AND p.ts_ms >= c.ts_ms)
+        SELECT c.event_id, c.user_id, c.ts_ms,
+               k.purchase_id, k.purchase_ts_ms,
+               k.purchase_ts_ms - c.ts_ms AS lead_ms
+        FROM c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) k
+          ON c.event_id = k.event_id
+        ORDER BY c.event_id""")),
+
+    // beyond-reference — centered/trailing moving aggregate with an explicit
+    // ROWS frame: 4-row trailing mean of hourly sums per tag.
+    QueryDef("ts_moving_avg",
+      (s, dir) => {
+        val hourly = ev(s, dir)
+          .groupBy(col("event_type").as("tag"),
+            (col("ts_ms") - (col("ts_ms") % W)).as("bucket_ts"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("dec_sum"),
+            count(lit(1)).as("n"))
+        val w4 = Window.partitionBy(col("tag")).orderBy(col("bucket_ts"))
+          .rowsBetween(-3, Window.currentRow)
+        hourly
+          .withColumn("mov_sum",
+            sum(col("dec_sum")).over(w4).cast("double"))
+          .withColumn("mov_n", sum(col("n")).over(w4))
+          .select(col("tag"), col("bucket_ts"),
+            col("dec_sum").cast("double").as("hour_sum"),
+            col("mov_sum"), col("mov_n"))
+          .orderBy("tag", "bucket_ts")
+      },
+      Some(s"""
+        WITH h AS (SELECT event_type AS tag, $MS - ($MS % $W) AS bucket_ts,
+                          sum(CAST(value AS DECIMAL(18,2))) AS dec_sum,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT tag, bucket_ts,
+               CAST(dec_sum AS DOUBLE) AS hour_sum,
+               CAST(sum(dec_sum) OVER w4 AS DOUBLE) AS mov_sum,
+               CAST(sum(n) OVER w4 AS BIGINT) AS mov_n
+        FROM h WINDOW w4 AS (PARTITION BY tag ORDER BY bucket_ts
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY tag, bucket_ts""")),
+
+    // beyond-reference — linear interpolation at hour midpoints between each
+    // consecutive pair of per-tag hourly means (lead window + exact
+    // quantized arithmetic so both engines compute identical doubles).
+    QueryDef("ts_interpolate",
+      (s, dir) => {
+        val hourly = ev(s, dir)
+          .groupBy(col("event_type").as("tag"),
+            (col("ts_ms") - (col("ts_ms") % W)).as("bucket_ts"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long").as("sum_c"),
+            count(lit(1)).as("n"))
+        val byTag = Window.partitionBy(col("tag")).orderBy(col("bucket_ts"))
+        // exact integer arithmetic, one final double division: mid of means
+        // (s1/n1 + s2/n2)/2 = (s1c*n2 + s2c*n1) / (200*n1*n2) with sums in
+        // cents — identical IEEE doubles in both engines (decimal division
+        // would round at engine-specific scales)
+        hourly
+          .withColumn("next_ts", lead(col("bucket_ts"), 1).over(byTag))
+          .withColumn("next_sc", lead(col("sum_c"), 1).over(byTag))
+          .withColumn("next_n", lead(col("n"), 1).over(byTag))
+          .where(col("next_ts").isNotNull)
+          .select(col("tag"),
+            expr("(bucket_ts + next_ts) div 2").as("mid_ts"),
+            ((col("sum_c") * col("next_n") + col("next_sc") * col("n")).cast("double") /
+              (lit(200L) * col("n") * col("next_n")).cast("double")).as("mid_v"))
+          .orderBy("tag", "mid_ts")
+      },
+      Some(s"""
+        WITH h AS (SELECT event_type AS tag, $MS - ($MS % $W) AS bucket_ts,
+                          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_c,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        x AS (SELECT tag, bucket_ts, sum_c, n,
+                     lead(bucket_ts) OVER w AS next_ts,
+                     lead(sum_c) OVER w AS next_sc,
+                     lead(n) OVER w AS next_n
+              FROM h WINDOW w AS (PARTITION BY tag ORDER BY bucket_ts))
+        SELECT tag, (bucket_ts + next_ts) // 2 AS mid_ts,
+               CAST(sum_c * next_n + next_sc * n AS DOUBLE) /
+                 CAST(200 * n * next_n AS DOUBLE) AS mid_v
+        FROM x WHERE next_ts IS NOT NULL
+        ORDER BY tag, mid_ts""")),
+
     // #2/#3 — ingest partitioning transform (reference index.js:96-147):
     // partition_start = ts - ts % width, relative offset within partition.
     QueryDef("ts_partition_transform",

@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: PerfProbe <query> [sfDir] [runs]  — queries: " +
+        graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 2

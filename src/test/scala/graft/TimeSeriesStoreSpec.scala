@@ -283,6 +283,25 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.writerId !== s2.writerId)
   }
 
+  test("two writer instances sharing a root interleave writes; reads see both") {
+    val root = Files.createTempDirectory("graft-multiw").toString
+    val s1 = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    val s2 = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    s1.clock = () => 100L; s2.clock = () => 200L
+    s1.initialize(); s2.initialize()
+    s1.write(Map("MTag" -> Map(1L -> "from-s1", 2L -> "a")))
+    s2.write(Map("MTag" -> Map(1L -> "from-s2", 3L -> "b"))) // newer ingestTs wins ts=1
+    s1.flushL0() // s1 flushes BOTH writers' L0 files into the shared hot tier
+    s1.write(Map("MTag" -> Map(4L -> "late-l0"))) // stays in L0
+    val expect = scala.collection.immutable.SortedMap(
+      1L -> "from-s2", 2L -> "a", 3L -> "b", 4L -> "late-l0")
+    assert(s1.readData(Map("MTag" -> (0L, 50L)))("MTag") === expect)
+    // a FRESH instance over the same root sees the same state
+    val s3 = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    s3.initialize()
+    assert(s3.readData(Map("MTag" -> (0L, 50L)))("MTag") === expect)
+  }
+
   // 10 tags × 200 samples chunk (consumer-test.js:670-696)
   test("bulk multi-tag chunk round-trips") {
     val store = freshStore(width = 10L)

@@ -140,11 +140,21 @@ object StreamingIngest {
   }
 
   private def drain(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
     val name = s"st_q_${System.nanoTime()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(name)
+    // a stateful query's state-store partition count is pinned at its
+    // first checkpoint from spark.sql.shuffle.partitions; these drains are
+    // fresh bounded queries, so run them with a modest state fan-out —
+    // per-micro-batch cost here is state-file churn, not data volume
+    // (a long-lived production stream would size this to its key space)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** Event-time session windows per user (30-min inactivity gap) as a real
@@ -208,17 +218,7 @@ object StreamingIngest {
 
   def windowedEventCounts(spark: SparkSession, sfDir: String,
       windowMs: Long = 3600000L): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val name = s"st_win_${System.nanoTime()}"
-    // the file source wants a directory: stream the containing dir with a
-    // glob filter selecting just the events table
-    val q = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+    val out = eventStream(spark, sfDir)
       .withWatermark("event_time", "1 hour")
       .groupBy(
         window(col("event_time"), s"$windowMs milliseconds").as("win"),
@@ -227,13 +227,6 @@ object StreamingIngest {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(unix_millis(col("win.start")).as("window_start"), col("tag"),
         col("n"), col("sum_value"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name).orderBy("window_start", "tag")
+    drain(out, "complete").orderBy("window_start", "tag")
   }
 }

@@ -565,10 +565,15 @@ final class TimeSeriesStore(
     */
   def readRangeDF(tag: String, start: Long, end: Long): DataFrame = {
     requireInitialized()
-    val pStart = partitionStartOf(start)
+    // Partition bounds are [partitionStartOf(start), partitionStartOf(end)]:
+    // partitionStartOf is monotone, so this is exact. Using raw `end` as the
+    // upper bound (as the reference's index scan does, index.js:215) LOSES
+    // data for ranges ending at negative sort keys, where truncated-mod
+    // partition starts sit ABOVE their members (ts=-21, width 10 → partition
+    // -20 > -21); deliberate correctness fix over the reference.
     val base = allDF.where(
       col("tag") === tag &&
-        col("partition_start").between(pStart, end) &&
+        col("partition_start").between(partitionStartOf(start), partitionStartOf(end)) &&
         col("ts").between(start, end))
     lwwDedup(base).orderBy(col("ts"))
   }
@@ -582,15 +587,16 @@ final class TimeSeriesStore(
     requireInitialized()
     validateRanges(ranges)
     import spark.implicits._
-    val r = ranges.toSeq.map { case (t, (s, e)) => (t, partitionStartOf(s), s, e) }
-      .toDF("r_tag", "r_pstart", "r_start", "r_end")
+    val r = ranges.toSeq
+      .map { case (t, (s, e)) => (t, partitionStartOf(s), partitionStartOf(e), s, e) }
+      .toDF("r_tag", "r_pstart", "r_pend", "r_start", "r_end")
     val joined = allDF.join(
       broadcast(r),
       col("tag") === col("r_tag") &&
-        col("partition_start").between(col("r_pstart"), col("r_end")) &&
+        col("partition_start").between(col("r_pstart"), col("r_pend")) &&
         col("ts").between(col("r_start"), col("r_end")),
       "inner")
-      .drop("r_tag", "r_pstart", "r_start", "r_end")
+      .drop("r_tag", "r_pstart", "r_pend", "r_start", "r_end")
     lwwDedup(joined)
   }
 
@@ -629,7 +635,7 @@ final class TimeSeriesStore(
           val n = pd.getFileName.toString
           if (n.startsWith("partition_start=")) {
             val p = n.substring("partition_start=".length).toLong
-            if (p >= partitionStartOf(s) && p <= e)
+            if (p >= partitionStartOf(s) && p <= partitionStartOf(e))
               withList(pd)(_.foreach { f =>
                 if (f.getFileName.toString.endsWith(".parquet")) {
                   cand += ((f, Some(tag))); bytes += Files.size(f)
@@ -680,12 +686,13 @@ final class TimeSeriesStore(
     requireInitialized()
     validateRanges(ranges)
     import spark.implicits._
-    val r = ranges.toSeq.map { case (t, (s, e)) => (t, partitionStartOf(s), s, e) }
-      .toDF("r_tag", "r_pstart", "r_start", "r_end")
+    val r = ranges.toSeq
+      .map { case (t, (s, e)) => (t, partitionStartOf(s), partitionStartOf(e), s, e) }
+      .toDF("r_tag", "r_pstart", "r_pend", "r_start", "r_end")
     val parts = allDF.select(col("tag"), col("partition_start")).distinct()
       .join(broadcast(r),
         col("tag") === col("r_tag") &&
-          col("partition_start").between(col("r_pstart"), col("r_end")))
+          col("partition_start").between(col("r_pstart"), col("r_pend")))
       .select(col("tag"), col("partition_start"), col("r_start"), col("r_end"))
       .orderBy(col("tag"), col("partition_start").desc)
       .collect()

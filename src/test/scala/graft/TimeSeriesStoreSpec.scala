@@ -114,6 +114,21 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // validation golden messages (consumer-test.js:41-103, 698-736)
+  test("ranges ending at negative sort keys still find their partition") {
+    // truncated-mod partition starts sit ABOVE negative members (ts=-21 →
+    // partition -20); the upper prune bound must be partitionStartOf(end),
+    // not end (the reference's own index scan loses this row, index.js:215)
+    val store = freshStore(10L)
+    store.write(Map("T" -> Map(-21L -> "neg", -35L -> "lower")))
+    store.flushL0() // bug only bites once partition-dir pruning applies
+    val got = store.readData(Map("T" -> (-30L, -21L)))
+    assert(got("T") === scala.collection.immutable.SortedMap(-21L -> "neg"))
+    assert(store.readRangeDF("T", -30L, -21L).count() === 1)
+    // newest-first; partition -30 overlaps too (it holds ts ∈ [-39,-30])
+    assert(store.readIndex(Map("T" -> (-30L, -21L)))("T").map(_.page) ===
+      Seq("T--20", "T--30"))
+  }
+
   test("write validations reproduce reference error messages") {
     val store = freshStore()
     val e1 = intercept[IllegalArgumentException](store.write(Map.empty))

@@ -248,6 +248,20 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** The dedup APPLY step: keep every document that is either untouched by
+    * near-duplication or its cluster's representative (min doc_id) — the
+    * filter a training-data pipeline actually ships. Anti-join against the
+    * non-representative cluster members; at scale the cluster table is the
+    * (small) output of the similarity filter, so the anti-join broadcasts.
+    */
+  def applyDedup(docs: DataFrame, threshold: Double): DataFrame = {
+    val losers = duplicateClusters(docs, threshold)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
   /** Union-find over a collected edge list (path compression + union by
     * min-label so the representative is the smallest doc_id, matching the
     * distributed fixpoint's answer exactly).

@@ -85,6 +85,55 @@ object PipelineQueries {
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---- dedup apply: keep only cluster representatives + untouched docs ----
+    QueryDef("dd_apply",
+      (s, dir) => Dedup.applyDedup(Tables.documents(s, dir), 0.5)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH RECURSIVE $WordsCte, $ShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+                  FROM co JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+                  WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        losers AS (SELECT src AS doc_id FROM reach
+                   GROUP BY src HAVING least(src, min(dst)) <> src)
+        SELECT d.doc_id, md5(d.text) AS content_hash
+        FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---- corpus-level word-bigram frequencies (top 20) ----
+    QueryDef("tx_top_bigrams",
+      (s, dir) => {
+        val byPos = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "w1")
+          .withColumn("w2", org.apache.spark.sql.functions.lead(col("w1"), 1).over(byPos))
+          .where(col("w2").isNotNull)
+          .groupBy(concat_ws(" ", col("w1"), col("w2")).as("bigram"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH $WordsCte,
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bigram
+               FROM w WHERE len(ws) >= 2)
+        SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+        FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
+
     // ---- MinHash + LSH banding (k=12, 4 bands of 3) ----
     QueryDef("dd_minhash_lsh",
       (s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir), k = 12, bands = 4)

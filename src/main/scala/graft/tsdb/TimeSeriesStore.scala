@@ -800,17 +800,29 @@ final class TimeSeriesStore(
       val pStart = row.getLong(2)
       val id = s"$markTs-${purgeIdCounter.getAndIncrement()}"
       val entryDir = queueDir.resolve(id)
-      Files.createDirectories(entryDir)
-      // Snapshot the partition's current content (lua:17) — a pruned scan.
-      val snap = hotDF.where(col("tag") === tag && col("partition_start") === pStart)
-      snap.coalesce(1).write.mode("overwrite").parquet(entryDir.resolve("snapshot").toString)
-      val stats = snap.agg(
-        coalesce(max(col("seq")), lit(-1L)).as("maxSeq"),
-        coalesce(max(col("ingestTs")), lit(-1L)).as("maxIngestTs"),
-        count(lit(1)).as("n")).collect()(0)
+      val snapDir = entryDir.resolve("snapshot")
+      Files.createDirectories(snapDir)
+      // Snapshot the partition's current content (lua:17): parquet files
+      // are immutable once committed, so the snapshot is a plain file copy
+      // plus a driver-side stats scan — partition-sized work (the same
+      // cost class as the reference's ZRANGE), no job scheduling.
+      val partDir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
+      var nRows = 0L
+      var maxSeq = -1L
+      var maxIngest = -1L
+      if (Files.exists(partDir)) withList(partDir)(_
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { f =>
+          Files.copy(f, snapDir.resolve(f.getFileName.toString))
+          ParquetIO.foreachSample(f, Some(tag), hadoopConf) { (_, _, _, ingestTs, _, seq) =>
+            nRows += 1
+            if (seq > maxSeq) maxSeq = seq
+            if (ingestTs > maxIngest) maxIngest = ingestTs
+          }
+        })
       val meta =
         s"""{"id":"$id","partitionName":"$pName","tag":"$tag","partitionStart":$pStart,""" +
-          s""""maxSeq":${stats.getLong(0)},"maxIngestTs":${stats.getLong(1)},"rows":${stats.getLong(2)}}"""
+          s""""maxSeq":$maxSeq,"maxIngestTs":$maxIngest,"rows":$nRows}"""
       Files.write(entryDir.resolve("meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       // Mark: removes it from RecentActivity until a newer write (lua:19).
       appendActivity(Seq((pName, tag, pStart, markTs, "m")))
@@ -852,16 +864,24 @@ final class TimeSeriesStore(
     * index.js:350-355).
     */
   def loadPurgeEntry(id: String): Option[PurgeEntry] = readMeta(id).map { m =>
-    val snap = spark.read.parquet(queueDir.resolve(id).resolve("snapshot").toString)
-    val rows = lwwDedup(snap).select("ts", "value").collect()
+    val tag = m("tag")
+    val snapDir = queueDir.resolve(id).resolve("snapshot")
+    val files = withList(snapDir)(_
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+      .map(f => (f, Some(tag)))
+    // driver-side LWW merge (identical semantics to lwwDedup) — a queue
+    // entry is one partition's snapshot, partition-sized by construction
+    val merged = ParquetIO.mergeRead(files,
+      Map(tag -> (Long.MinValue, Long.MaxValue)), hadoopConf)
+      .getOrElse(tag, scala.collection.mutable.Map.empty)
     PurgeEntry(
       id = m("id"),
       partitionName = m("partitionName"),
-      tag = m("tag"),
+      tag = tag,
       partitionStart = m("partitionStart").toLong,
       maxSeq = m("maxSeq").toLong,
       maxIngestTs = m("maxIngestTs").toLong,
-      data = SortedMap(rows.map(r => r.getLong(0) -> r.getString(1)).toIndexedSeq: _*))
+      data = SortedMap(merged.view.map { case (ts, (v, _, _, _)) => ts -> v }.toSeq: _*))
   }
 
   /** Archive a queue entry into the cold tier (the example consumer's file
@@ -872,8 +892,19 @@ final class TimeSeriesStore(
     requireInitialized()
     val entryDir = queueDir.resolve(id)
     require(Files.exists(entryDir.resolve("meta.json")), s"unknown purge id $id")
-    val snap = spark.read.parquet(entryDir.resolve("snapshot").toString)
-    snap.write.mode("append").partitionBy("tag", "partition_start").parquet(coldDir.toString)
+    val m = readMeta(id).get
+    // cold layout == hot layout: archive = copy the snapshot's immutable
+    // parquet files into the cold partition dir (id-prefixed names keep
+    // repeated archives collision-free)
+    val dst = coldDir.resolve(s"tag=${m("tag")}")
+      .resolve(s"partition_start=${m("partitionStart")}")
+    Files.createDirectories(dst)
+    withList(entryDir.resolve("snapshot"))(_
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { f =>
+        Files.copy(f, dst.resolve(s"arch-$id-${f.getFileName.toString}"),
+          StandardCopyOption.REPLACE_EXISTING)
+      })
     storeVersion.incrementAndGet()
   }
 
@@ -929,28 +960,68 @@ final class TimeSeriesStore(
     val pStart = m("partitionStart").toLong
     val partDir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
     if (Files.exists(partDir)) {
-      val snap = spark.read.parquet(entryDir.resolve("snapshot").toString)
-        .select(col("writerId").as("s_writerId"), col("seq").as("s_seq"))
-      val current = spark.read.schema(dataFileSchema)
-        .parquet(partDir.toString)
-      // Anti-join on the snapshot's exact member set (writerId, seq) —
-      // the Spark rendering of lua's per-member ZREM (ack-purge.lua:13-18).
-      val remaining = current.join(broadcast(snap),
-        current("writerId") === col("s_writerId") && current("seq") === col("s_seq"),
-        "left_anti")
-      val n = remaining.count()
-      if (n == 0) {
-        deleteRecursively(partDir)
-        val tagDir = partDir.getParent
-        if (Files.exists(tagDir) && withList(tagDir)(!_.hasNext))
-          Files.delete(tagDir) // index cleanup (ack-purge.lua:21-23)
+      // Anti-"join" on the snapshot's exact member set (writerId, seq) —
+      // the rendering of lua's per-member ZREM (ack-purge.lua:13-18).
+      // Partitions are partition-sized by design, so the default path is a
+      // driver-side set-difference + atomic rewrite; an oversized hot spot
+      // falls back to the distributed anti-join.
+      val partFiles = withList(partDir)(_
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+      val partBytes = partFiles.map(Files.size(_)).sum
+      if (partBytes <= DirectFlushMaxBytes) {
+        val snapped = scala.collection.mutable.HashSet.empty[(String, Long)]
+        withList(entryDir.resolve("snapshot"))(_
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            ParquetIO.foreachSample(f, Some(tag), hadoopConf) { (_, _, _, _, wId, seq) =>
+              snapped += ((wId, seq)); ()
+            }
+          })
+        val remaining = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long, String, Long)]
+        partFiles.foreach { f =>
+          ParquetIO.foreachSample(f, Some(tag), hadoopConf) { (_, ts, v, ingestTs, wId, seq) =>
+            if (!snapped.contains((wId, seq))) remaining += ((ts, v, ingestTs, wId, seq))
+          }
+        }
+        if (remaining.isEmpty) {
+          deleteRecursively(partDir)
+          val tagDir = partDir.getParent
+          if (Files.exists(tagDir) && withList(tagDir)(!_.hasNext))
+            Files.delete(tagDir) // index cleanup (ack-purge.lua:21-23)
+        } else {
+          val rewrite = tmpDir.resolve(s"rewrite-$purgeId")
+          Files.createDirectories(rewrite)
+          ParquetIO.writePartFile(
+            rewrite.resolve(s"part-ack-$purgeId.parquet"), remaining.toSeq, hadoopConf)
+          val backup = tmpDir.resolve(s"old-$purgeId")
+          Files.move(partDir, backup, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(rewrite, partDir, StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(backup)
+        }
       } else {
-        val rewrite = tmpDir.resolve(s"rewrite-$purgeId")
-        remaining.coalesce(1).write.mode("overwrite").parquet(rewrite.toString)
-        val backup = tmpDir.resolve(s"old-$purgeId")
-        Files.move(partDir, backup, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(rewrite, partDir, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(backup)
+        val snap = spark.read.schema(dataFileSchema)
+          .parquet(entryDir.resolve("snapshot").toString)
+          .select(col("writerId").as("s_writerId"), col("seq").as("s_seq"))
+        val current = spark.read.schema(dataFileSchema)
+          .parquet(partDir.toString)
+        val remaining = current.join(broadcast(snap),
+          current("writerId") === col("s_writerId") && current("seq") === col("s_seq"),
+          "left_anti")
+        val n = remaining.count()
+        if (n == 0) {
+          deleteRecursively(partDir)
+          val tagDir = partDir.getParent
+          if (Files.exists(tagDir) && withList(tagDir)(!_.hasNext))
+            Files.delete(tagDir)
+        } else {
+          val rewrite = tmpDir.resolve(s"rewrite-$purgeId")
+          remaining.coalesce(1).write.mode("overwrite").parquet(rewrite.toString)
+          val backup = tmpDir.resolve(s"old-$purgeId")
+          Files.move(partDir, backup, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(rewrite, partDir, StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(backup)
+        }
       }
     }
     Files.write(entryDir.resolve("acked"), Array.emptyByteArray)

@@ -752,6 +752,47 @@ final class TimeSeriesStore(
         col("lastWrite").as("lastActivity"))
   }
 
+  /** Compact THIS writer's activity log to its net state: per
+    * (partitionName, kind) only the max activityTs matters to
+    * [[recentActivityDF]]'s aggregate, so the log rewrites to at most two
+    * lines per partition ever touched — bounding metadata growth for
+    * long-lived writers. Other writers' logs are never touched (each file
+    * has exactly one appender).
+    *
+    * @return number of lines removed
+    */
+  def compactActivityLog(): Long = mutationLock.synchronized {
+    requireInitialized()
+    val f = activityDir.resolve(s"act-$writerId.jsonl")
+    if (!Files.exists(f)) return 0L
+    val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty)
+    // key = everything except activityTs; JSON was written by us with a
+    // fixed field order, so (partitionName, kind) is (prefix, suffix)
+    val keyOf = (l: String) => {
+      val i = l.indexOf("\"activityTs\":")
+      val j = l.indexOf(',', i)
+      l.substring(0, i) + l.substring(j + 1)
+    }
+    val tsOf = (l: String) => {
+      val i = l.indexOf("\"activityTs\":") + "\"activityTs\":".length
+      l.substring(i, l.indexOf(',', i)).toLong
+    }
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    lines.foreach { l =>
+      val k = keyOf(l)
+      if (!best.contains(k) || tsOf(best(k)) < tsOf(l)) best(k) = l
+    }
+    val removed = lines.size.toLong - best.size
+    if (removed > 0) {
+      val tmp = tmpDir.resolve(s"act-compact-$writerId")
+      Files.write(tmp, (best.values.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      storeVersion.incrementAndGet()
+    }
+    removed
+  }
+
   /** Age-based tiering enqueue (reference `purgeScan` + enqueue-purge.lua):
     * take the K oldest active partitions whose last write is at least
     * `partitionAgeThresholdSec` old, snapshot each into the staging queue,

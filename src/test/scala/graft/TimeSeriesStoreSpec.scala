@@ -177,6 +177,23 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.size === 2)
   }
 
+  test("activity-log compaction keeps the net purge-eligibility state") {
+    val store = freshStore(5L)
+    var now = 1000L
+    store.clock = () => now
+    (1 to 20).foreach { i => now += 10; store.write(Map("ATag" -> Map(1L -> s"v$i"))) }
+    val before = store.recentActivityDF.collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    val removed = store.compactActivityLog()
+    assert(removed > 0)
+    val after = store.recentActivityDF.collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(after === before)
+    // purge still works on the compacted log
+    now += 1000000L
+    assert(store.purgeScan(1, 10).size === 1)
+  }
+
   test("reference-format cold sink writes ts,archiveTime,base64(value) lines") {
     val store = freshStore(5L)
     store.clock = () => 1000L

@@ -177,6 +177,33 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.size === 2)
   }
 
+  test("concurrent writer threads serialize cleanly; every sample lands") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val store = freshStore(100L)
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 4).map { t =>
+      Future {
+        (0 until 5).foreach { i =>
+          store.write(Map(s"CTag$t" -> Map((t * 100 + i).toLong -> s"v$t-$i")))
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 60.seconds)
+    pool.shutdown()
+    val got = store.readData((0 until 4).map(t => s"CTag$t" -> (0L, 1000L)).toMap)
+    (0 until 4).foreach { t =>
+      assert(got(s"CTag$t").size === 5, s"tag CTag$t")
+      (0 until 5).foreach(i => assert(got(s"CTag$t")((t * 100 + i).toLong) === s"v$t-$i"))
+    }
+    // a flush after the contention keeps everything readable
+    store.flushL0()
+    val got2 = store.readData((0 until 4).map(t => s"CTag$t" -> (0L, 1000L)).toMap)
+    assert(got2 === got)
+  }
+
   test("activity-log compaction keeps the net purge-eligibility state") {
     val store = freshStore(5L)
     var now = 1000L

@@ -204,11 +204,24 @@ final class TimeSeriesStore(
   /** Inverse of [[partitionName]] (reference `_extractPartitionInfo`,
     * index.js:268-276 — split on the LAST separator so tags containing the
     * separator survive).
+    *
+    * '''Deviation''': for a name containing `--` the reference splits at
+    * the very last `-`, reading `"A--20"` as tag `"A-"` partition `+20` —
+    * which mis-reconstructs every timestamp of a NEGATIVE partition
+    * (`A` at partition -20) by `2·|partitionStart|` (index.js:275,287).
+    * Negative sort keys are explicitly in the data model (BigInt,
+    * index.js:120), so we resolve the inherent ambiguity the other way:
+    * a `-` immediately before the last separator is the partition sign.
+    * (`"A-"` with partition `+20` becomes unaddressable by name — the
+    * reference computes silently wrong values for the same collision.)
     */
   def extractPartitionInfo(name: String): (String, Long) = {
-    val i = name.lastIndexOf(Separator)
+    var i = name.lastIndexOf(Separator)
     if (i < 0 || i + 1 >= name.length)
       throw new IllegalArgumentException(s"Seperator misplaced @$i")
+    if (i > 0 && name.charAt(i - 1) == '-') i -= 1 // sign of a negative partition
+    if (i == 0)
+      throw new IllegalArgumentException(s"Seperator misplaced @0")
     (name.substring(0, i), name.substring(i + 1).toLong)
   }
 

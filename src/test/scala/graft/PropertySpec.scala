@@ -107,6 +107,31 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: two-phase readIndex/readPage composition equals one-plan readData") {
+    // the reference's client-side composition (consumer-test.js:1135-1162):
+    // readIndex → per-page readPage → reverse to oldest-first → overwrite-
+    // merge. Must produce exactly the single declarative plan's answer.
+    forAllSeeded(Gen.listOfN(2, genBatch)) { writes =>
+      if (writes.nonEmpty) {
+        val store = freshStore()
+        writes.foreach(b => if (b.nonEmpty) store.write(b))
+        val tags = writes.flatMap(_.keySet).toSet
+        if (tags.nonEmpty) {
+          val ranges = tags.map(t => t -> (-100L, 100L)).toMap
+          val viaPlan = store.readData(ranges)
+          val idx = store.readIndex(ranges)
+          val viaPhases = idx.collect { case (tag, pages) if pages.nonEmpty =>
+            val merged = pages.reverse // oldest-first; newer pages overwrite
+              .map(p => store.readPage(p.page, p.start, p.end))
+              .foldLeft(Map.empty[Long, String])(_ ++ _)
+            tag -> SortedMap(merged.toSeq: _*)
+          }.filter(_._2.nonEmpty)
+          assert(viaPhases === viaPlan)
+        }
+      }
+    }
+  }
+
   test("property: L0 flush placement is invisible to readers") {
     forAllSeeded(Gen.zip(Gen.listOfN(4, genBatch), Gen.choose(0, 15))) {
       case (writes, flushMask) =>

@@ -162,6 +162,42 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: random write/flush/compact/purge sequences preserve readable content") {
+    // ops: 0=write, 1=flushL0, 2=compact, 3=full purge cycle. The readable
+    // LWW state must equal the model (fold of writes) after EVERY op.
+    val genOps = Gen.listOfN(8, Gen.zip(Gen.choose(0, 3), genBatch))
+    forAllSeeded(genOps, n = 3) { ops =>
+      val store = freshStore()
+      var now = 1000000L
+      store.clock = () => now
+      var model = Map.empty[String, Map[Long, String]]
+      ops.foreach { case (op, batch) =>
+        now += 5000
+        op match {
+          case 0 if batch.nonEmpty =>
+            store.write(batch)
+            model = batch.foldLeft(model) { case (a, (tag, m)) =>
+              a + (tag -> (a.getOrElse(tag, Map.empty) ++ m))
+            }
+          case 1 => store.flushL0()
+          case 2 => store.compact(minFiles = 1, applyLww = true)
+          case 3 =>
+            store.purgeScan(partitionAgeThreshold = 1, maxPartitionsToMark = 100)
+            store.pendingPurgeEntries().foreach { e =>
+              store.archiveToCold(e.id)
+              assert(store.purgeAck(e.id, e.partitionName, e.tag) === 1)
+            }
+          case _ => ()
+        }
+        if (model.nonEmpty) {
+          val got = store.readData(model.keySet.map(t => t -> (-100L, 100L)).toMap)
+          val want = model.collect { case (t, m) if m.nonEmpty => t -> SortedMap(m.toSeq: _*) }
+          assert(got === want, s"after op $op")
+        }
+      }
+    }
+  }
+
   test("property: compaction is invisible to readers") {
     forAllSeeded(Gen.listOfN(3, genBatch)) { writes =>
       if (writes.nonEmpty) {

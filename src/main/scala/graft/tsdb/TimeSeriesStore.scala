@@ -412,13 +412,25 @@ final class TimeSeriesStore(
             scala.collection.mutable.ArrayBuffer.empty) += ((ts, value, ingestTs, wId, seq))
         }
       }
-      groups.foreach { case ((tag, pStart), rows) =>
-        val dir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
-        Files.createDirectories(dir)
-        ParquetIO.writePartFile(
-          dir.resolve(s"part-${clock()}-${seqCounter.get()}-$writerId.parquet"),
-          rows.toSeq, hadoopConf)
-      }
+      // hundreds of small per-partition files at ~5ms writer setup each:
+      // fan the file writes across a local pool (I/O-bound, independent)
+      val stamp = s"${clock()}-${seqCounter.get()}"
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, Runtime.getRuntime.availableProcessors()))
+      try {
+        val tasks = groups.toSeq.map { case ((tag, pStart), rows) =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              val dir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
+              Files.createDirectories(dir)
+              ParquetIO.writePartFile(
+                dir.resolve(s"part-$stamp-$writerId.parquet"),
+                rows.toSeq, hadoopConf)
+            }
+          })
+        }
+        tasks.foreach(_.get()) // propagate any write failure
+      } finally pool.shutdown()
     } else {
       // Large flush: a distributed partitioned append (the 100 TB path).
       spark.read.schema(l0SparkSchema)

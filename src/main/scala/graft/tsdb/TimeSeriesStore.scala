@@ -998,6 +998,25 @@ final class TimeSeriesStore(
       java.nio.file.StandardOpenOption.APPEND)
   }
 
+  /** Read a directory of reference-format cold files (the example
+    * consumer's `raw-db/`, service.js:95-98) back as a DataFrame —
+    * `(partitionName, ts, archiveTime, value)` — so data archived by the
+    * ORIGINAL reference deployment is queryable by this engine. Line
+    * format: `{ts},{archiveTime},{base64(value)}`; file name =
+    * `{partitionName}.txt`.
+    */
+  def readReferenceFormat(dir: Path): DataFrame = {
+    spark.read.textFile(dir.toString + "/*.txt")
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.txt$", 1).as("partitionName"),
+        col("value").as("line"))
+      .where(length(trim(col("line"))) > 0)
+      .select(col("partitionName"),
+        split(col("line"), ",").getItem(0).cast("long").as("ts"),
+        split(col("line"), ",").getItem(1).cast("long").as("archiveTime"),
+        unbase64(split(col("line"), ",").getItem(2)).cast("string").as("value"))
+  }
+
   /** Exactly-once archive commit (reference `purgeAck` + ack-purge.lua):
     * delete from the hot tier EXACTLY the rows captured in the snapshot —
     * rows written after the snapshot survive (race-safety oracle:

@@ -235,6 +235,10 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
     val b64 = (s: String) => java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
     assert(txt === s"\r\n1,999999,${b64("One")}\r\n2,999999,${b64("Two")}")
+    // and the engine reads the reference's cold format back
+    val back = store.readReferenceFormat(dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(back === Set(("RTag-0", 1L, 999999L, "One"), ("RTag-0", 2L, 999999L, "Two")))
   }
 
   // consumer-test.js:767-799 — purge marks aged partitions, data still readable

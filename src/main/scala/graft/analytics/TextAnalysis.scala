@@ -93,6 +93,33 @@ object TextAnalysis {
           .cast("long").as("max_token_len"))
   }
 
+  /** KMV (k-minimum-values) distinct-token sketch — the deterministic,
+    * engine-portable alternative to HLL for cardinality estimation at
+    * scale: hash every distinct token to a 52-bit integer (13 md5 hex
+    * chars — exact in a double), keep the k smallest (TakeOrdered — only
+    * k values ever cross the network), estimate `(k-1) * 2^52 / v_k`.
+    * md5-based so the oracle reproduces the estimate bit-for-bit; a
+    * probabilistic hash would give an equally valid but uncheckable
+    * estimate. Emits the exact distinct count alongside for reference.
+    */
+  def kmvDistinctTokens(docs: DataFrame, k: Int = 64): DataFrame = {
+    val toks = docs.select(explode(words(col("text"))).as("w"))
+    val hashes = toks.select(md5(col("w")).as("h")).distinct()
+    val vals = hashes.select(
+      conv(substring(col("h"), 1, 13), 16, 10).cast("long").as("v"))
+    val topk = vals.orderBy(col("v")).limit(k)
+      .agg(max(col("v")).as("vk"), count(lit(1)).as("k"))
+    val exact = hashes.agg(count(lit(1)).as("n_exact"))
+    exact.crossJoin(topk).select(
+      col("n_exact"), col("k"), col("vk"),
+      // unsaturated sketch (< k values seen) counts exactly; saturated
+      // uses the KMV estimator (k-1)/normalized v_k
+      when(col("k") < k, col("k").cast("double"))
+        .otherwise((col("k") - 1).cast("double") * lit(4503599627370496.0) /
+          col("vk").cast("double"))
+        .as("est_distinct"))
+  }
+
   /** Document fingerprinting: order-sensitive rolling hash over the word
     * sequence + full-content md5.
     */

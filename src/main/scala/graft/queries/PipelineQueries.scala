@@ -344,6 +344,23 @@ object PipelineQueries {
         SELECT doc_id, len(ws) AS n_tokens, len(list_distinct(ws)) AS n_types
         FROM w ORDER BY doc_id""")),
 
+    // ---- KMV distinct-token sketch (deterministic, oracle-checkable) ----
+    QueryDef("tx_kmv_distinct",
+      (s, dir) => TextAnalysis.kmvDistinctTokens(Tables.documents(s, dir), k = 64),
+      Some(s"""
+        WITH $WordsCte,
+        tok AS (SELECT unnest(ws) AS tk FROM w),
+        h AS (SELECT DISTINCT md5(tk) AS h FROM tok),
+        v AS (SELECT CAST('0x' || substr(h, 1, 13) AS BIGINT) AS v FROM h),
+        tk64 AS (SELECT v FROM v ORDER BY v LIMIT 64),
+        a AS (SELECT max(v) AS vk, CAST(count(*) AS BIGINT) AS k FROM tk64),
+        e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h)
+        SELECT n_exact, k, vk,
+               CASE WHEN k < 64 THEN CAST(k AS DOUBLE)
+                    ELSE CAST(k - 1 AS DOUBLE) * 4503599627370496.0 / CAST(vk AS DOUBLE)
+               END AS est_distinct
+        FROM e CROSS JOIN a""")),
+
     // ---- rolling-hash document fingerprint ----
     QueryDef("tx_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id"),

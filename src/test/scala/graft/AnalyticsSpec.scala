@@ -184,6 +184,17 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) === ((0L, 0L, 0L))) // empty text → zero counts, no null
   }
 
+  test("KMV sketch estimates distinct tokens within the expected error band") {
+    val r = TextAnalysis.kmvDistinctTokens(Tables.documents(spark, sf), k = 64).collect()(0)
+    val exact = r.getLong(0)
+    val est = r.getDouble(3)
+    // sf0.001's vocab is tiny: the sketch holds min(64, n_exact) values
+    assert(r.getLong(1) === math.min(64L, exact))
+    if (exact >= 64) // saturated: KMV std error ~ 1/sqrt(k-2) ≈ 13%, allow 4σ
+      assert(math.abs(est - exact.toDouble) / exact < 0.5, s"est=$est exact=$exact")
+    else assert(est === exact.toDouble) // unsaturated sketch counts exactly
+  }
+
   test("rolling fingerprint is order-sensitive; content hash is not") {
     import spark.implicits._
     val df = Seq(

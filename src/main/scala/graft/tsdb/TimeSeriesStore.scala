@@ -495,6 +495,24 @@ final class TimeSeriesStore(
 
   // --------------------------------------------------------------- read
 
+  /** Register the store's tiers as session temp views (`{prefix}_hot`,
+    * `{prefix}_cold`, `{prefix}_all`) so plain `spark.sql` can query the
+    * store — the SQL face of the engine next to the typed API. Views
+    * resolve lazily through the live tier cache, so they always reflect
+    * the current store version.
+    */
+  def registerViews(prefix: String = "graft"): Unit = {
+    requireInitialized()
+    // TempView over a DataFrame pins that plan; re-register on access via
+    // the current tier DataFrames (cheap: cached per store version).
+    spark.catalog.dropTempView(s"${prefix}_hot")
+    spark.catalog.dropTempView(s"${prefix}_cold")
+    spark.catalog.dropTempView(s"${prefix}_all")
+    hotDF.createOrReplaceTempView(s"${prefix}_hot")
+    coldDF.createOrReplaceTempView(s"${prefix}_cold")
+    allDF.createOrReplaceTempView(s"${prefix}_all")
+  }
+
   /** Hot tier as a DataFrame with pruning-friendly partition columns. */
   def hotDF: DataFrame = tiers._2
 

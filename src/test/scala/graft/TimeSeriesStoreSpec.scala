@@ -177,6 +177,22 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.size === 2)
   }
 
+  test("registered SQL views query the live store") {
+    val store = freshStore(5L)
+    store.write(Map("VTag" -> Map(1L -> "a", 7L -> "b")))
+    store.registerViews("vtest")
+    val n = spark.sql(
+      "SELECT count(*) FROM vtest_all WHERE tag = 'VTag' AND ts BETWEEN 0 AND 10")
+      .collect()(0).getLong(0)
+    assert(n === 2L)
+    // views re-registered after mutations reflect new data
+    store.write(Map("VTag" -> Map(9L -> "c")))
+    store.registerViews("vtest")
+    val n2 = spark.sql("SELECT count(*) FROM vtest_all WHERE tag = 'VTag'")
+      .collect()(0).getLong(0)
+    assert(n2 === 3L)
+  }
+
   test("concurrent writer threads serialize cleanly; every sample lands") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}

@@ -53,16 +53,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Default document-frequency cap for [[jaccardPairs]]: shingles shared
+    * by more than this many documents are excluded from the Jaccard
+    * universe. A shingle with df documents yields df·(df-1)/2 candidate
+    * pairs — one corpus-wide stop-phrase with df = 1 M would emit 5·10¹¹
+    * rows from the self-join. Capping df bounds the worst case at
+    * maxDf²/2 per shingle and drops exactly the shingles that carry no
+    * dedup signal (they are common to everything).
+    */
+  val DefaultMaxShingleDf: Long = 1000L
+
   /** Exact n-gram Jaccard near-dup pairs with similarity ≥ `threshold`.
     * Candidates come from a shingle-equality join (shuffle on shingle),
-    * then |A∩B| / (|A|+|B|-|A∩B|) is computed from exact counts. Documents
-    * sharing no shingle never pair — no quadratic blowup as long as
-    * shingle document-frequency is bounded (drop ultra-common shingles
-    * upstream if the corpus has them).
+    * then |A∩B| / (|A|+|B|-|A∩B|) is computed from exact counts over the
+    * CAPPED shingle universe: shingles with document frequency >
+    * `maxShingleDf` are excluded from both candidate generation and the
+    * per-doc sizes (so the measure stays a true Jaccard over the reduced
+    * universe). Documents sharing no retained shingle never pair — no
+    * quadratic blowup even on corpora with ultra-common shingles.
+    *
+    * No `.cache()` here: the shingle subplan ends in an exchange on
+    * `shingle` (the df window) that physical planning's ReuseExchange
+    * dedups across both self-join sides and the size aggregate, so the
+    * corpus is scanned once per job without pinning executor memory.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // cache: the shingle subplan feeds both self-join sides + the size agg
-    val sh = shingleSet(docs).cache()
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val byShingle = Window.partitionBy(col("shingle"))
+    val sh = shingleSet(docs)
+      .withColumn("__df", count(lit(1)).over(byShingle))
+      .where(col("__df") <= maxShingleDf)
+      .drop("__df")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -210,8 +231,10 @@ object Dedup {
     */
   val MaxDriverEdges = 10000000L
 
-  def duplicateClusters(docs: DataFrame, threshold: Double): DataFrame = {
-    val pairs = jaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b")).cache()
+  def duplicateClusters(docs: DataFrame, threshold: Double,
+      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold, maxShingleDf)
+      .select(col("doc_a"), col("doc_b")).cache()
     val nEdges = pairs.count()
     if (nEdges <= MaxDriverEdges) {
       val out = driverUnionFind(pairs)
@@ -254,8 +277,9 @@ object Dedup {
     * non-representative cluster members; at scale the cluster table is the
     * (small) output of the similarity filter, so the anti-join broadcasts.
     */
-  def applyDedup(docs: DataFrame, threshold: Double): DataFrame = {
-    val losers = duplicateClusters(docs, threshold)
+  def applyDedup(docs: DataFrame, threshold: Double,
+      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val losers = duplicateClusters(docs, threshold, maxShingleDf)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")

@@ -100,25 +100,38 @@ object TextAnalysis {
     * k values ever cross the network), estimate `(k-1) * 2^52 / v_k`.
     * md5-based so the oracle reproduces the estimate bit-for-bit; a
     * probabilistic hash would give an equally valid but uncheckable
-    * estimate. Emits the exact distinct count alongside for reference.
+    * estimate.
+    *
+    * The sketch exists to AVOID a corpus-wide exact distinct, so this
+    * operator deliberately does not compute one — the plan is a single
+    * scan ending in TakeOrderedAndProject. Use [[exactDistinctTokens]]
+    * (spec/validation only) to measure sketch error at small SF.
     */
   def kmvDistinctTokens(docs: DataFrame, k: Int = 64): DataFrame = {
     val toks = docs.select(explode(words(col("text"))).as("w"))
     val hashes = toks.select(md5(col("w")).as("h")).distinct()
     val vals = hashes.select(
       conv(substring(col("h"), 1, 13), 16, 10).cast("long").as("v"))
-    val topk = vals.orderBy(col("v")).limit(k)
+    vals.orderBy(col("v")).limit(k)
       .agg(max(col("v")).as("vk"), count(lit(1)).as("k"))
-    val exact = hashes.agg(count(lit(1)).as("n_exact"))
-    exact.crossJoin(topk).select(
-      col("n_exact"), col("k"), col("vk"),
-      // unsaturated sketch (< k values seen) counts exactly; saturated
-      // uses the KMV estimator (k-1)/normalized v_k
-      when(col("k") < k, col("k").cast("double"))
-        .otherwise((col("k") - 1).cast("double") * lit(4503599627370496.0) /
-          col("vk").cast("double"))
-        .as("est_distinct"))
+      .select(
+        col("k"), col("vk"),
+        // unsaturated sketch (< k values seen) counts exactly; saturated
+        // uses the KMV estimator (k-1)/normalized v_k
+        when(col("k") < k, col("k").cast("double"))
+          .otherwise((col("k") - 1).cast("double") * lit(4503599627370496.0) /
+            col("vk").cast("double"))
+          .as("est_distinct"))
   }
+
+  /** Exact distinct-token count — the ground truth [[kmvDistinctTokens]]
+    * estimates. Spec/validation use only: at corpus scale this is the
+    * full-shuffle distinct the sketch is there to avoid.
+    */
+  def exactDistinctTokens(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).as("w"))
+      .select(md5(col("w")).as("h")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
 
   /** Document fingerprinting: order-sensitive rolling hash over the word
     * sequence + full-content md5.

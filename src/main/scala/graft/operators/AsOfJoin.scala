@@ -59,16 +59,27 @@ object AsOfJoin {
     merged.select(leftCols ++ rightCols: _*)
   }
 
-  /** Forward variant: the earliest right row with `rightTs >= leftTs`. */
+  /** Forward variant: the earliest right row with `rightTs >= leftTs`;
+    * among right rows tied on `rightTs` the SMALLEST tiebreak wins (the
+    * mirror of backward's largest-wins — both pick the row "closest" to
+    * the left event, with the tiebreak ordered the same direction as
+    * time). Implemented by running [[backward]] over negated time AND
+    * negated tiebreak (negating only time would silently flip tie
+    * resolution to largest-tiebreak-wins).
+    */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, tiebreak: String,
       rightPrefix: String = "r_"): DataFrame = {
-    def neg(df: DataFrame, ts: String): DataFrame =
-      df.withColumn(ts, -col(ts).cast("long"))
-    val out = backward(neg(left, leftTs), neg(right, rightTs),
+    def neg(df: DataFrame, cs: String*): DataFrame =
+      cs.foldLeft(df)((d, c) => d.withColumn(c, -col(c).cast("long")))
+    val out = backward(neg(left, leftTs, tiebreak), neg(right, rightTs, tiebreak),
       keys, leftTs, rightTs, tiebreak, rightPrefix)
+    // un-negate every emitted column that was negated on the way in
     out.withColumn(leftTs, -col(leftTs))
+      .withColumn(tiebreak, -col(tiebreak))
       .withColumn(s"$rightPrefix$rightTs",
         when(col(s"$rightPrefix$rightTs").isNotNull, -col(s"$rightPrefix$rightTs")))
+      .withColumn(s"$rightPrefix$tiebreak",
+        when(col(s"$rightPrefix$tiebreak").isNotNull, -col(s"$rightPrefix$tiebreak")))
   }
 }

@@ -20,10 +20,20 @@ object SkewJoin {
   /** Equi-join `left.key == right.key` with the LEFT side salted (use when
     * left's key distribution is skewed and right is too big to broadcast
     * but small enough to replicate `factor`×).
+    *
+    * Only probe-side-preserving join types are accepted: the build (right)
+    * side is replicated `factor`×, so a right-preserving type
+    * (`right_outer`/`full_outer`) would emit each UNMATCHED right row once
+    * per replica — not the unsalted result.
     */
   def salted(left: DataFrame, right: DataFrame, key: String, factor: Int,
       joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+      .contains(normalized),
+      s"joinType '$joinType' is not sound under build-side replication; " +
+        "use inner/left_outer/left_semi/left_anti")
     // deterministic per-row shard: hash of the whole row spreads rows of
     // ONE hot key across shards (hashing only the key would keep them
     // together — the point is to split within a key)

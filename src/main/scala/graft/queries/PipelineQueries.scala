@@ -23,6 +23,13 @@ object PipelineQueries {
       |  unnest(list_transform(range(1, len(ws)-1),
       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
       | FROM w WHERE len(ws) >= 3)""".stripMargin
+  /** Shingle universe with the document-frequency cap applied — mirrors
+    * [[graft.analytics.Dedup.jaccardPairs]]'s `maxShingleDf` semantics.
+    */
+  private val CappedShinglesCte =
+    s"""shc AS (SELECT doc_id, s FROM (
+      |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+      | WHERE df <= ${graft.analytics.Dedup.DefaultMaxShingleDf})""".stripMargin
   private val QuantCte =
     """q AS (SELECT vec_id, label,
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS v
@@ -50,10 +57,10 @@ object PipelineQueries {
       (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), 0.5)
         .orderBy("doc_a", "doc_b"),
       Some(s"""
-        WITH $WordsCte, $ShinglesCte,
-        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        WITH $WordsCte, $ShinglesCte, $CappedShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
         co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
         SELECT doc_a, doc_b, n_common, x.n_sh AS n_a, y.n_sh AS n_b,
                n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jaccard
@@ -68,10 +75,10 @@ object PipelineQueries {
       (s, dir) => Dedup.duplicateClusters(Tables.documents(s, dir), 0.5)
         .orderBy("doc_id"),
       Some(s"""
-        WITH RECURSIVE $WordsCte, $ShinglesCte,
-        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        WITH RECURSIVE $WordsCte, $ShinglesCte, $CappedShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
         co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2),
         pairs AS (SELECT doc_a, doc_b
                   FROM co JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
@@ -90,10 +97,10 @@ object PipelineQueries {
       (s, dir) => Dedup.applyDedup(Tables.documents(s, dir), 0.5)
         .orderBy("doc_id"),
       Some(s"""
-        WITH RECURSIVE $WordsCte, $ShinglesCte,
-        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        WITH RECURSIVE $WordsCte, $ShinglesCte, $CappedShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
         co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2),
         pairs AS (SELECT doc_a, doc_b
                   FROM co JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
@@ -353,13 +360,12 @@ object PipelineQueries {
         h AS (SELECT DISTINCT md5(tk) AS h FROM tok),
         v AS (SELECT CAST('0x' || substr(h, 1, 13) AS BIGINT) AS v FROM h),
         tk64 AS (SELECT v FROM v ORDER BY v LIMIT 64),
-        a AS (SELECT max(v) AS vk, CAST(count(*) AS BIGINT) AS k FROM tk64),
-        e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h)
-        SELECT n_exact, k, vk,
+        a AS (SELECT max(v) AS vk, CAST(count(*) AS BIGINT) AS k FROM tk64)
+        SELECT k, vk,
                CASE WHEN k < 64 THEN CAST(k AS DOUBLE)
                     ELSE CAST(k - 1 AS DOUBLE) * 4503599627370496.0 / CAST(vk AS DOUBLE)
                END AS est_distinct
-        FROM e CROSS JOIN a""")),
+        FROM a""")),
 
     // ---- rolling-hash document fingerprint ----
     QueryDef("tx_fingerprint",

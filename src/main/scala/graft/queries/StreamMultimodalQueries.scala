@@ -30,23 +30,42 @@ object StreamMultimodalQueries {
         FROM documents ORDER BY doc_id""")),
 
     // ---- multimodal: batched decode / feature extraction (STUB codec) ----
-    // Genuinely non-SQL (mapPartitions batch stage) → rows-only check.
+    // The decode stub is deterministic byte arithmetic, so the full DuckDB
+    // oracle recomputes it from the text (the media bytes ARE the UTF-8
+    // text, and the corpus is ASCII — ord(char) == byte). `batch_size`
+    // (which depends on physical partition boundaries, hence is
+    // nondeterministic across layouts) is deliberately NOT part of the
+    // registered output; the Dataset API still exposes it.
     QueryDef("mm_features",
       (s, dir) => Multimodal.extractFeatures(s,
         Multimodal.withBinary(Tables.documents(s, dir)), batchSize = 64)
         .toDF()
         // The raw array<float> feature column is not hashable by the
-        // driver's rows-only sorter — project a quantized scalar digest
-        // (same floor-quantization convention as the embedding queries)
-        // plus the dimension instead of the vector itself.
+        // driver's sorter — project a quantized scalar digest (same
+        // floor-quantization convention as the embedding queries) plus
+        // the dimension instead of the vector itself.
         .select(col("doc_id"), col("n_bytes"), col("byte_checksum"),
           expr("aggregate(feature, CAST(0 AS BIGINT), (acc, x) -> " +
             "acc * 31 + CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))")
             .as("feature_digest"),
-          size(col("feature")).as("feature_dim"),
-          col("batch_size"))
+          size(col("feature")).as("feature_dim"))
         .orderBy("doc_id"),
-      None),
+      Some("""
+        WITH b AS (SELECT doc_id, text, length(text) AS n,
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+                   FROM documents)
+        SELECT doc_id, n AS n_bytes,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS byte_checksum,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 8), j -> CASE WHEN j < n
+                   THEN CAST(floor(CAST(CAST(bytes[CAST(j + 1 AS INT)] AS FLOAT)
+                        / CAST(255 AS FLOAT) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END)),
+                 (acc, x) -> acc * 31 + x) AS feature_digest,
+               CAST(8 AS INT) AS feature_dim
+        FROM b ORDER BY doc_id""")),
 
     // ---- multimodal: resize/crop transform (STUB codec, real plumbing) ----
     // The oracle recomputes the crop on the pre-encoding text — the media
@@ -65,13 +84,23 @@ object StreamMultimodalQueries {
         FROM documents ORDER BY doc_id""")),
 
     // ---- multimodal: frame sampling (STUB demux; batched mapPartitions) ----
-    // Genuinely non-SQL (imperative batch stage) → rows-only check.
+    // The sampling stub keeps every 16th byte and rolls a mod-p hash over
+    // them — deterministic byte arithmetic, so fully oracle-checkable the
+    // same way as mm_features (ASCII corpus: ord(char) == byte).
     QueryDef("mm_frame_sample",
       (s, dir) => Multimodal.frameSample(s,
         Multimodal.withBinary(Tables.documents(s, dir)), stride = 16)
         .toDF()
         .orderBy("doc_id"),
-      None),
+      Some("""
+        WITH f AS (SELECT doc_id,
+                     list_transform(range(1, length(text) + 1, 16),
+                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS frames
+                   FROM documents)
+        SELECT doc_id, CAST(len(frames) AS INT) AS n_frames,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), frames),
+                 (acc, x) -> (acc * 131 + x) % 1000000007) AS frame_checksum
+        FROM f ORDER BY doc_id""")),
 
     // ---- streaming: event-time tumbling-window aggregation ----
     // Runs as a real Structured Streaming query (file source → watermark →

@@ -78,7 +78,12 @@ final case class PurgeEntry(
 final class TimeSeriesStore(
     val spark: SparkSession,
     val rootDir: String,
-    val settings: StoreSettings = StoreSettings()) {
+    val settings: StoreSettings = StoreSettings(),
+    /** Flush volume at or below which L0 regroups driver-side; above it the
+      * flush runs as a distributed partitioned append. Overridable so tests
+      * can exercise the distributed branch without generating 128 MiB.
+      */
+    val directFlushMaxBytes: Long = Limits.DirectFlushMaxBytes) {
 
   import Limits._
 
@@ -294,6 +299,7 @@ final class TimeSeriesStore(
     */
   def writeSamples(samples: Seq[Sample]): Unit = mutationLock.synchronized {
     requireInitialized()
+    if (samples.isEmpty) return // no zero-row L0 files, no min-of-empty throw
     val file = l0Dir.resolve(s"l0-${clock()}-${seqCounter.get()}-$writerId.parquet")
     val bytes = ParquetIO.writeSamples(file, samples, partitionStartOf, hadoopConf)
     l0Meta(file.getFileName.toString) =
@@ -307,7 +313,7 @@ final class TimeSeriesStore(
         (partitionName(tag, pStart), tag, pStart, ss.map(_.ingestTs).max, "w")
       }.toSeq
     appendActivity(acts)
-    storeVersion.incrementAndGet()
+    bumpVersion()
     if (l0Meta.size >= L0FlushFileCount) flushL0()
   }
 
@@ -362,7 +368,7 @@ final class TimeSeriesStore(
       }
     appendActivity(acts)
     partSizesFresh = false
-    storeVersion.incrementAndGet()
+    bumpVersion()
   }
 
   private def l0FileList(): Seq[Path] =
@@ -399,7 +405,7 @@ final class TimeSeriesStore(
     val files = l0FileList()
     if (files.isEmpty) return 0
     val totalBytes = files.map(Files.size(_)).sum
-    if (totalBytes <= DirectFlushMaxBytes) {
+    if (totalBytes <= directFlushMaxBytes) {
       // Small flush: regroup driver-side with parquet-java — a Spark
       // partitionBy commit over hundreds of directories costs seconds of
       // scheduling/committer overhead for kilobytes of data. Identical
@@ -433,9 +439,13 @@ final class TimeSeriesStore(
       } finally pool.shutdown()
     } else {
       // Large flush: a distributed partitioned append (the 100 TB path).
+      // Shuffle on the layout keys so (a) the write runs on every executor,
+      // not one task, and (b) each Hive partition is written by exactly one
+      // task → one file per partition dir per flush (file-count control
+      // without collapsing parallelism the way coalesce(1) did).
       spark.read.schema(l0SparkSchema)
         .parquet(files.map(_.toString): _*)
-        .coalesce(1)
+        .repartition(col("tag"), col("partition_start"))
         .write.mode("append").partitionBy("tag", "partition_start")
         .parquet(hotDir.toString)
     }
@@ -444,7 +454,7 @@ final class TimeSeriesStore(
       l0Meta.remove(f.getFileName.toString)
     }
     partSizesFresh = false // L1 grew by an unknown per-partition split
-    storeVersion.incrementAndGet()
+    bumpVersion()
     files.size
   }
 
@@ -497,20 +507,42 @@ final class TimeSeriesStore(
 
   /** Register the store's tiers as session temp views (`{prefix}_hot`,
     * `{prefix}_cold`, `{prefix}_all`) so plain `spark.sql` can query the
-    * store — the SQL face of the engine next to the typed API. Views
-    * resolve lazily through the live tier cache, so they always reflect
-    * the current store version.
+    * store — the SQL face of the engine next to the typed API.
+    *
+    * A temp view pins the DataFrame plan (and its file listing) it was
+    * registered with, so this store RE-REGISTERS every requested prefix
+    * after each mutation it performs — the views track every write /
+    * flush / purge / compaction made '''through this instance'''.
+    * Mutations by a different process are not observed until this
+    * instance next mutates or `registerViews` is called again.
     */
   def registerViews(prefix: String = "graft"): Unit = {
     requireInitialized()
-    // TempView over a DataFrame pins that plan; re-register on access via
-    // the current tier DataFrames (cheap: cached per store version).
-    spark.catalog.dropTempView(s"${prefix}_hot")
-    spark.catalog.dropTempView(s"${prefix}_cold")
-    spark.catalog.dropTempView(s"${prefix}_all")
-    hotDF.createOrReplaceTempView(s"${prefix}_hot")
-    coldDF.createOrReplaceTempView(s"${prefix}_cold")
-    allDF.createOrReplaceTempView(s"${prefix}_all")
+    registeredPrefixes.add(prefix)
+    refreshViews()
+  }
+
+  /** Prefixes whose views auto-refresh on mutation; guarded by
+    * `mutationLock` on the mutation path (registration itself is
+    * driver-single-threaded in practice, but keep it a concurrent set).
+    */
+  private val registeredPrefixes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def refreshViews(): Unit = {
+    registeredPrefixes.forEach { prefix =>
+      hotDF.createOrReplaceTempView(s"${prefix}_hot")
+      coldDF.createOrReplaceTempView(s"${prefix}_cold")
+      allDF.createOrReplaceTempView(s"${prefix}_all")
+    }
+  }
+
+  /** Every mutation lands here: bump the tier-cache key and refresh any
+    * registered SQL views so they keep reflecting the live store.
+    */
+  private def bumpVersion(): Unit = {
+    storeVersion.incrementAndGet()
+    refreshViews()
   }
 
   /** Hot tier as a DataFrame with pruning-friendly partition columns. */
@@ -831,7 +863,7 @@ final class TimeSeriesStore(
       Files.write(tmp, (best.values.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      storeVersion.incrementAndGet()
+      bumpVersion()
     }
     removed
   }
@@ -989,7 +1021,7 @@ final class TimeSeriesStore(
         Files.copy(f, dst.resolve(s"arch-$id-${f.getFileName.toString}"),
           StandardCopyOption.REPLACE_EXISTING)
       })
-    storeVersion.incrementAndGet()
+    bumpVersion()
   }
 
   /** Archive a queue entry in the reference example-consumer's exact cold
@@ -1129,7 +1161,7 @@ final class TimeSeriesStore(
     }
     Files.write(entryDir.resolve("acked"), Array.emptyByteArray)
     partSizesFresh = false // a hot partition was rewritten or dropped
-    storeVersion.incrementAndGet()
+    bumpVersion()
     1
   }
 
@@ -1159,36 +1191,63 @@ final class TimeSeriesStore(
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("partition_start="))
       .toSeq)
+    // Eligibility is a metadata listing (O(partitions), driver-side); the
+    // DATA rewrite below is ONE Spark job over every eligible partition —
+    // not a driver loop of per-directory jobs, which would cost
+    // O(partitions) scheduling rounds at scale.
+    val eligible = partDirs.filter { dir =>
+      withList(dir)(_
+        .count(f => f.getFileName.toString.endsWith(".parquet")) >= minFiles)
+    }
+    if (eligible.isEmpty) return 0
+    val withPartCols = dataFileSchema
+      .add(StructField("tag", StringType, nullable = false))
+      .add(StructField("partition_start", LongType, nullable = false))
+    // basePath keeps the Hive partition columns when reading a subset of
+    // partition directories.
+    val raw = spark.read.option("basePath", hotDir.toString)
+      .schema(withPartCols)
+      .parquet(eligible.map(_.toString): _*)
+    val merged =
+      if (!applyLww) raw
+      else {
+        // latest (ingestTs, seq, writerId) member per ts wins — the
+        // within-partition LSM merge.
+        val w = Window.partitionBy(col("tag"), col("partition_start"), col("ts"))
+          .orderBy(col("ingestTs").desc, col("seq").desc, col("writerId").desc)
+        raw.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      }
+    val rewriteRoot = tmpDir.resolve(s"compact-${clock()}-${seqCounter.incrementAndGet()}")
+    // One shuffle keyed on the layout → each partition written by one task,
+    // one output file per partition dir (the point of compaction).
+    merged.repartition(col("tag"), col("partition_start"))
+      .write.mode("overwrite").partitionBy("tag", "partition_start")
+      .parquet(rewriteRoot.toString)
+    // Swap each rewritten partition into place. Atomic per partition (same
+    // guarantee as before — readers never observe a half-written dir); the
+    // moves are metadata renames, not data work. LWW can never empty a
+    // partition (≥1 member per ts survives), so every eligible dir has a
+    // rewritten counterpart.
     var n = 0
-    partDirs.foreach { dir =>
-      val files = withList(dir)(_
-        .filter(f => f.getFileName.toString.endsWith(".parquet")).toSeq)
-      if (files.size >= minFiles) {
-        val raw = spark.read.schema(dataFileSchema).parquet(dir.toString)
-        val merged =
-          if (!applyLww) raw
-          else {
-            // latest (ingestTs, seq, writerId) member per ts wins — the
-            // within-partition LSM merge; tag is constant per directory.
-            val w = Window.partitionBy(col("ts"))
-              .orderBy(col("ingestTs").desc, col("seq").desc, col("writerId").desc)
-            raw.withColumn("__rn", row_number().over(w))
-              .where(col("__rn") === 1).drop("__rn")
-          }
-        val id = s"compact-${dir.getParent.getFileName}-${dir.getFileName}"
+    eligible.foreach { dir =>
+      val rel = rewriteRoot
+        .resolve(dir.getParent.getFileName.toString)
+        .resolve(dir.getFileName.toString)
+      if (Files.exists(rel)) {
+        val id = s"${dir.getParent.getFileName}-${dir.getFileName}"
           .replaceAll("[^A-Za-z0-9_=.-]", "_")
-        val rewrite = tmpDir.resolve(id)
-        merged.coalesce(1).write.mode("overwrite").parquet(rewrite.toString)
         val backup = tmpDir.resolve(s"old-$id")
         Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(rewrite, dir, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(rel, dir, StandardCopyOption.ATOMIC_MOVE)
         deleteRecursively(backup)
         n += 1
       }
     }
+    deleteRecursively(rewriteRoot)
     if (n > 0) {
       partSizesFresh = false // partitions were rewritten
-      storeVersion.incrementAndGet()
+      bumpVersion()
     }
     n
   }

@@ -53,6 +53,29 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.find(p => (p._1, p._2) == ((0L, 1L))).get._3 === 1.0)
   }
 
+  test("jaccard DF cap drops ultra-common shingles from candidates and sizes") {
+    import spark.implicits._
+    // docs 0-3 all share the stop-phrase shingle "x y z" (df = 4); docs 0,1
+    // additionally share rare content. With maxShingleDf = 3 the common
+    // shingle is excluded, so only (0,1) can pair — and their jaccard is
+    // computed over the CAPPED universe (stop shingles don't count toward
+    // sizes either).
+    val docs = Seq(
+      (0L, "x y z alpha beta gamma delta", 27L),
+      (1L, "x y z alpha beta gamma delta", 27L),
+      (2L, "x y z unrelated words entirely here", 35L),
+      (3L, "x y z other stuff altogether now", 32L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Dedup.jaccardPairs(docs, 0.5, maxShingleDf = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(pairs.keySet === Set((0L, 1L)))
+    assert(pairs(((0L, 1L))) === 1.0) // identical capped shingle sets
+    // with the cap above every df, the stop shingle pairs everything
+    val uncapped = Dedup.jaccardPairs(docs, 0.0, maxShingleDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size === 6) // all C(4,2) pairs share "x y z"
+  }
+
   test("minhash LSH candidates include the exact duplicate with full signature match") {
     val cand = Dedup.minhashCandidates(docsFixture, k = 12, bands = 4).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
@@ -186,10 +209,11 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("KMV sketch estimates distinct tokens within the expected error band") {
     val r = TextAnalysis.kmvDistinctTokens(Tables.documents(spark, sf), k = 64).collect()(0)
-    val exact = r.getLong(0)
-    val est = r.getDouble(3)
+    val exact = TextAnalysis.exactDistinctTokens(Tables.documents(spark, sf))
+      .collect()(0).getLong(0)
+    val est = r.getDouble(2)
     // sf0.001's vocab is tiny: the sketch holds min(64, n_exact) values
-    assert(r.getLong(1) === math.min(64L, exact))
+    assert(r.getLong(0) === math.min(64L, exact))
     if (exact >= 64) // saturated: KMV std error ~ 1/sqrt(k-2) ≈ 13%, allow 4σ
       assert(math.abs(est - exact.toDouble) / exact < 0.5, s"est=$est exact=$exact")
     else assert(est === exact.toDouble) // unsaturated sketch counts exactly

@@ -50,6 +50,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getLong(1) === 2L && got.getLong(2) === 55L)
   }
 
+  test("asof forward join breaks right-side ts ties by smallest tiebreak") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts_ms")
+    // two right rows at the SAME ts ≥ left ts: the smaller event_id wins
+    // (mirrors the ts_asof_fwd oracle's ROW_NUMBER ORDER BY ts, event_id)
+    val right = Seq((7L, 1L, 55L), (3L, 1L, 55L), (9L, 1L, 70L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val got = AsOfJoin.forward(left, right, Seq("user_id"),
+      "ts_ms", "ts_ms", "event_id", "r_")
+      .select("event_id", "r_event_id", "r_ts_ms").collect()(0)
+    assert(got.getLong(1) === 3L && got.getLong(2) === 55L)
+    // and the left row's own columns come back un-negated
+    assert(got.getLong(0) === 100L)
+  }
+
+  test("salted skew join rejects join types unsound under build-side replication") {
+    import spark.implicits._
+    val l = Seq((1L, "a")).toDF("k", "lv")
+    val r = Seq((1L, "b")).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.salted(l, r, "k", factor = 4, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.salted(l, r, "k", factor = 4, joinType = "full_outer")
+    }
+    // probe-side-preserving types still work
+    assert(graft.operators.SkewJoin.salted(l, r, "k", 4, "left_anti").count() === 0L)
+    assert(graft.operators.SkewJoin.salted(l, r, "k", 4, "left_semi").count() === 1L)
+  }
+
   test("salted skew join returns exactly the unsalted join result") {
     import spark.implicits._
     // heavy skew: 1000 rows of one key, a handful of others
@@ -93,5 +123,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = store.readData(Map("CTag" -> (0L, 99L)))
     assert(after === before)
     assert(after("CTag")(1L) === "v3")
+  }
+
+  test("compaction over many partitions runs as one batched job, not one per dir") {
+    val root = Files.createTempDirectory("graft-compact-many").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 10L))
+    store.initialize()
+    // 60 partitions (6 tags × 10 windows), each written twice → 2 files each
+    (0 until 2).foreach { round =>
+      (0 until 6).foreach { t =>
+        store.write(Map(s"MTag$t" ->
+          (0 until 10).map(p => (p * 10L + round) -> s"v$t-$p-$round").toMap))
+        store.flushL0()
+      }
+    }
+    val before = store.readData((0 until 6).map(t => s"MTag$t" -> (0L, 200L)).toMap)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n =
+      try store.compact(minFiles = 2, applyLww = true)
+      finally {
+        Thread.sleep(500) // let async job-start events drain
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(n === 60)
+    // one partitionBy rewrite job (+ possibly a listing job), NOT 60
+    assert(jobs.get() <= 5, s"compact scheduled ${jobs.get()} Spark jobs for 60 partitions")
+    val after = store.readData((0 until 6).map(t => s"MTag$t" -> (0L, 200L)).toMap)
+    assert(after === before)
   }
 }

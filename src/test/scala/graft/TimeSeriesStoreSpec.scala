@@ -185,12 +185,67 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) FROM vtest_all WHERE tag = 'VTag' AND ts BETWEEN 0 AND 10")
       .collect()(0).getLong(0)
     assert(n === 2L)
-    // views re-registered after mutations reflect new data
+    // views auto-refresh on mutation — NO re-register call here
     store.write(Map("VTag" -> Map(9L -> "c")))
-    store.registerViews("vtest")
     val n2 = spark.sql("SELECT count(*) FROM vtest_all WHERE tag = 'VTag'")
       .collect()(0).getLong(0)
     assert(n2 === 3L)
+    // and survive a flush's file moves (the pinned-listing failure mode)
+    store.flushL0()
+    val n3 = spark.sql("SELECT count(*) FROM vtest_all WHERE tag = 'VTag'")
+      .collect()(0).getLong(0)
+    assert(n3 === 3L)
+  }
+
+  test("writeSamples with an empty batch is a no-op (no stray L0 file, no throw)") {
+    val store = freshStore(5L)
+    store.writeSamples(Seq.empty)
+    assert(store.hotBytes === 0L)
+    store.write(Map("ETag" -> Map(1L -> "x")))
+    store.writeSamples(Seq.empty)
+    assert(store.readData(Map("ETag" -> (0L, 10L)))("ETag").size === 1)
+  }
+
+  test("large L0 flush runs distributed across multiple tasks") {
+    // directFlushMaxBytes = 0 forces every flush down the distributed
+    // branch regardless of volume
+    val root = Files.createTempDirectory("graft-dist-flush").toString
+    val store = new TimeSeriesStore(spark, root,
+      StoreSettings(partitionWidth = 10L), directFlushMaxBytes = 0L)
+    store.initialize()
+    // samples spanning 6 (tag, partition) combos
+    store.write(Map(
+      "FTagA" -> Map(1L -> "a1", 11L -> "a2", 21L -> "a3"),
+      "FTagB" -> Map(1L -> "b1", 11L -> "b2", 21L -> "b3")))
+    val maxTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        maxTasks.updateAndGet(m => math.max(m, sc.stageInfo.numTasks))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE rightly coalesces a 6-row shuffle to one partition; disable the
+    // coalescing so the assertion sees the plan's parallelism, which is
+    // what survives at real flush volumes.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      assert(store.flushL0() === 1)
+      // listener events are async — poll briefly for the write stage
+      val deadline = System.currentTimeMillis() + 10000
+      while (maxTasks.get() <= 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // the repartition(tag, partition_start) write stage ran wide, not as
+    // the old coalesce(1) single task
+    assert(maxTasks.get() > 1, s"flush write stage used ${maxTasks.get()} task(s)")
+    // every partition landed and reads see the flushed data
+    val got = store.readData(Map("FTagA" -> (0L, 30L), "FTagB" -> (0L, 30L)))
+    assert(got("FTagA") === SortedMap(1L -> "a1", 11L -> "a2", 21L -> "a3"))
+    assert(got("FTagB") === SortedMap(1L -> "b1", 11L -> "b2", 21L -> "b3"))
   }
 
   test("concurrent writer threads serialize cleanly; every sample lands") {

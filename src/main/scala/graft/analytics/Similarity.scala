@@ -99,7 +99,24 @@ object Similarity {
     * join's key cardinality; skewed buckets are AQE's skew-join case.
     */
   def lshTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8): DataFrame =
+    lshTopKImpl(emb, k, queryModulo, nPlanes, multiProbe = false)
+
+  /** Multi-probe variant of [[lshTopK]]: each query probes its own bucket
+    * PLUS the `nPlanes` buckets at Hamming distance 1 (one sign bit
+    * flipped). Near-threshold vectors — whose projection on some plane is
+    * small and whose sign therefore disagrees between near-identical
+    * vectors — are exactly the recall the single-probe form loses; probing
+    * the 1-flip neighborhood recovers them at (nPlanes+1)× probe cost
+    * WITHOUT re-hashing or replicating the corpus (the standard multi-probe
+    * LSH trade: more probes per query instead of more hash tables).
+    */
+  def lshTopKMultiProbe(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
+      nPlanes: Int = 8): DataFrame =
+    lshTopKImpl(emb, k, queryModulo, nPlanes, multiProbe = true)
+
+  private def lshTopKImpl(emb: DataFrame, k: Int, queryModulo: Int,
+      nPlanes: Int, multiProbe: Boolean): DataFrame = {
     val all = prep(emb)
     // per-plane signed projection sums over exploded quantized components
     val sums = (0 until nPlanes).map { b =>
@@ -114,13 +131,83 @@ object Similarity {
       .agg(sums.head, sums.tail: _*)
       .select(col("vec_id"), bucketExpr.as("bucket"))
     val assigned = all.join(buckets, "vec_id")
-    val queries = assigned.where(col("vec_id") % queryModulo === 0)
+    val queries0 = assigned.where(col("vec_id") % queryModulo === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
+    // each corpus vector lives in exactly ONE bucket and the probe set
+    // {bucket, bucket^1, bucket^2, ...} is distinct, so multi-probe never
+    // double-scores a (query, neighbor) pair — no dedup needed
+    val queries =
+      if (!multiProbe) queries0
+      else queries0.select(col("query_id"), col("qv"), col("qnrm"),
+        explode(array(col("bucket") +:
+          (0 until nPlanes).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))
+          .as("bucket"))
     val scored = assigned.join(queries, Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineQ(dotQF(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** IVF with REAL k-means centroids: `iters` Lloyd refinement rounds over
+    * the quantized vectors (assign to nearest centroid by cosine →
+    * recompute each centroid as the per-dimension rounded mean), then the
+    * usual bucket-probe search against the refined centroids.
+    *
+    * All arithmetic stays exact and engine-portable: vectors are quantized
+    * ints, centroid means are `floor(sum/n + 0.5)` longs (exact integer
+    * sums, one deterministic double division per dimension), dots run in
+    * the codegen'd [[graft.expressions.LongDotProduct]] kernel. Every
+    * Lloyd round is two shuffles (argmax assignment window + the
+    * per-(centroid, dim) mean aggregate) — no driver-side data, so the
+    * same plan runs at corpus scale; production would run Lloyd on a
+    * sample, which is this plan with a `where` on the input.
+    */
+  def kmeansIvfTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
+      centroidModulo: Int = 97, iters: Int = 2): DataFrame = {
+    val all = prep(emb).select(col("vec_id"),
+      quantize(col("v")).as("qv"), col("nrm"))
+    // init: the deterministic seed subset (what ivfTopK uses as-is)
+    var centroids = all.where(col("vec_id") % centroidModulo === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    def assign(cents: DataFrame): DataFrame = {
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      all.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("qv"), col("nrm"), col("c_id"),
+          cosineQ(dotLL(col("qv"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"))
+        .withColumn("arn", row_number().over(wAssign))
+        .where(col("arn") === 1)
+        .select(col("vec_id"), col("qv"), col("nrm"), col("c_id").as("bucket"))
+    }
+    (0 until iters).foreach { _ =>
+      val assigned = assign(centroids)
+      centroids = assigned
+        .select(col("bucket").as("c_id"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("m",
+          floor(col("sx").cast("double") / col("n").cast("double") + 0.5).cast("long"))
+        .groupBy(col("c_id"))
+        // rebuild the centroid vector in dimension order (collect_list has
+        // no ordering guarantee; sorting (pos, m) structs restores it)
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .withColumn("cnrm", dotLL(col("cv"), col("cv")))
+    }
+    val finalAssigned = assign(centroids)
+    val queries = finalAssigned.where(col("vec_id") % queryModulo === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val scored = finalAssigned.join(broadcast(queries), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(dotLL(col("qqv"), col("qv")), col("qnrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

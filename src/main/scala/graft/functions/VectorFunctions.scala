@@ -43,6 +43,15 @@ object VectorFunctions {
   /** Codegen'd squared norm of the raw `array<float>` column. */
   def normSqQF(v: Column): Column = dotQF(v, v)
 
+  /** Codegen'd exact dot of two ALREADY-quantized `array<long>` columns
+    * (k-means centroids are integer means that never existed as floats).
+    */
+  def dotLL(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.LongDotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Exact integer squared norm (HOF form). */
   def normSqQ(v: Column): Column = dotQ(v, v)
 

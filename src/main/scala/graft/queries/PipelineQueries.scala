@@ -40,6 +40,27 @@ object PipelineQueries {
     s"list_sum(list_transform(range(1, len($av)+1), i -> $av[i]*$bv[i])) * 1.0" +
       s" / (sqrt($an) * sqrt($bn))"
 
+  /** One Lloyd round `t` for the k-means IVF oracle: argmax-cosine
+    * assignment against cent{t-1}, then per-dimension rounded-mean
+    * recompute (exact integer sums, `floor(sum/n + 0.5)` — mirrors
+    * [[graft.analytics.Similarity.kmeansIvfTopK]] bit-for-bit). dim = 64.
+    */
+  private def lloydIterSql(t: Int): String = {
+    val p = t - 1
+    s"""asg$t AS (SELECT vec_id, v, nrm, c_id AS bucket,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                 FROM qn CROSS JOIN cent$p),
+        mem$t AS (SELECT vec_id, v, nrm, bucket FROM asg$t WHERE arn = 1),
+        cm$t AS (SELECT bucket AS c_id, i,
+                   CAST(floor(CAST(sum(v[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
+                 FROM mem$t CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+                 GROUP BY 1, 2),
+        cent$t AS (SELECT c_id, cv, list_sum(list_transform(cv, x -> x*x)) AS cnrm
+                   FROM (SELECT c_id, list(m ORDER BY i) AS cv
+                         FROM cm$t GROUP BY c_id))"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content-hash groups, deterministic keeper ----
@@ -282,6 +303,70 @@ object PipelineQueries {
         scored AS (SELECT query_id, b.vec_id AS neighbor_id,
                      ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
                    FROM bkt b JOIN qry USING (bucket)
+                   WHERE b.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- LSH multi-probe ANN: own bucket + all 1-bit-flip buckets ----
+    QueryDef("sim_ann_lsh_multiprobe",
+      (s, dir) => Similarity.lshTopKMultiProbe(Tables.embeddings(s, dir), k = 5,
+        queryModulo = 20, nPlanes = 8)
+        .orderBy("query_id", "rank"),
+      Some(s"""
+        WITH $QuantCte,
+        proj AS (SELECT vec_id,
+          ${(0 until 8).map { b =>
+            s"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * " +
+              s"(CASE WHEN (i * ${b + 7}) % 5 <= 2 THEN 1 ELSE -1 END))) AS s$b"
+          }.mkString(", ")}
+          FROM qn),
+        bkt0 AS (SELECT vec_id,
+          ${(0 until 8).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)")
+            .mkString(" + ")} AS bucket
+          FROM proj),
+        bkt AS (SELECT q.vec_id, q.v, q.nrm, bkt0.bucket
+                FROM qn q JOIN bkt0 ON q.vec_id = bkt0.vec_id),
+        qry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+                FROM bkt WHERE vec_id % 20 = 0),
+        probes AS (SELECT query_id, qv, qnrm,
+                     unnest(list_prepend(bucket,
+                       list_transform(range(0, 8), b -> xor(bucket, 1 << b)))) AS bucket
+                   FROM qry),
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+                     ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
+                   FROM bkt b JOIN probes USING (bucket)
+                   WHERE b.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- IVF with real k-means centroids (2 Lloyd rounds) ----
+    QueryDef("sim_ann_ivf_kmeans",
+      (s, dir) => Similarity.kmeansIvfTopK(Tables.embeddings(s, dir), k = 5,
+        queryModulo = 20, centroidModulo = 97, iters = 2)
+        .orderBy("query_id", "rank"),
+      Some(s"""
+        WITH $QuantCte,
+        cent0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+                  FROM qn WHERE vec_id % 97 = 0),
+        ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
+        asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                 FROM qn CROSS JOIN cent2),
+        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1),
+        qry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+                FROM memF WHERE vec_id % 20 = 0),
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+                     ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
+                   FROM memF b JOIN qry USING (bucket)
                    WHERE b.vec_id <> query_id),
         ranked AS (SELECT query_id, neighbor_id, cos,
                      row_number() OVER (PARTITION BY query_id

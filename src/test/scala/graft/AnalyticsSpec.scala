@@ -207,6 +207,40 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) === ((0L, 0L, 0L))) // empty text → zero counts, no null
   }
 
+  private def annPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-probe LSH recall meets or beats single-probe against brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val truth = annPairs(Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20))
+    val single = annPairs(Similarity.lshTopK(emb, k = 5, queryModulo = 20, nPlanes = 8))
+    val multi = annPairs(Similarity.lshTopKMultiProbe(emb, k = 5, queryModulo = 20, nPlanes = 8))
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(rMulti > 0.0)
+    // multi-probe scans strictly more candidates than single-probe
+    assert(multi.size >= single.size)
+  }
+
+  test("k-means IVF refines centroids and still returns valid neighbors") {
+    val emb = Tables.embeddings(spark, sf)
+    val refined = Similarity.kmeansIvfTopK(emb, k = 5, queryModulo = 20,
+      centroidModulo = 97, iters = 2)
+    val rows = refined.collect()
+    assert(rows.nonEmpty)
+    // deterministic: two runs produce the identical result
+    val again = Similarity.kmeansIvfTopK(emb, k = 5, queryModulo = 20,
+      centroidModulo = 97, iters = 2).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    // ranks are 1..k per query, no self-neighbors
+    rows.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(2))
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 5)
+    }
+  }
+
   test("KMV sketch estimates distinct tokens within the expected error band") {
     val r = TextAnalysis.kmvDistinctTokens(Tables.documents(spark, sf), k = 64).collect()(0)
     val exact = TextAnalysis.exactDistinctTokens(Tables.documents(spark, sf))

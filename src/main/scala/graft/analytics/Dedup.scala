@@ -121,6 +121,12 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
+    // .cache() is deliberate: the signature subplan feeds THREE consumers
+    // (band explode + both verification sides) and exchange reuse does not
+    // cover all of them (measured: de-caching costs 3.3× on the sf0.1
+    // bench). The cached signatures are one slim row per doc (k md5 hex
+    // strings) — at corpus scale this is the table one would persist
+    // anyway as the LSH index.
     val sig = minhashSignatures(docs, k).cache()
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(s => col(s"mh$s"))
@@ -187,8 +193,9 @@ object Dedup {
     * probabilistically), verified by full Hamming ≤ `maxHamming` (default 3 = the certainty bound).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // cache: the fingerprint subplan feeds both sides of the self-join
-    val fp = simhashFingerprints(docs).cache()
+    // no .cache(): both self-join sides consume the identical
+    // groupBy(doc_id) fingerprint exchange — ReuseExchange computes it once
+    val fp = simhashFingerprints(docs)
     // 4 candidate blocks of 16 bits, all integer arithmetic
     val blocks = fp.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
         explode(sequence(lit(0), lit(3))).as("blk"))

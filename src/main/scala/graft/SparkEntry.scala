@@ -13,7 +13,7 @@ object SparkEntry {
     */
   val registry: Seq[QueryDef] =
     EventsQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++
-      StreamMultimodalQueries.all ++ StoreQueries.all
+      StreamMultimodalQueries.all ++ StoreQueries.all ++ CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's canonical read: pruned range scan + LWW + order

@@ -1,0 +1,103 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators — the steps a training-data pipeline runs
+  * AFTER dedup/quality scoring to assemble the final training set:
+  * deterministic sampling, sequence packing, the combined keep-filter,
+  * and per-class embedding prototypes. All are declarative plans with
+  * engine-portable arithmetic (md5-derived randomness, exact integer
+  * means), so every one is DuckDB-oracle-checked.
+  */
+object Curation {
+
+  /** Deterministic stratified Bernoulli sample: a document is kept iff a
+    * uniform hash of its text falls in the lowest `1/d` of the hash space
+    * — reproducible across engines and runs (md5, not `rand()`), the
+    * property a curation pipeline needs for auditable sampling. Emits the
+    * per-stratum audit aggregate (totals + kept + realized rate); strata
+    * are length deciles (`n_chars div 100`).
+    *
+    * Scale shape: one projection + one hash aggregate on the stratum key.
+    */
+  def stratifiedSample(docs: DataFrame, d: Int = 5): DataFrame =
+    docs.select(
+        (col("n_chars") / 100).cast("long").as("stratum"),
+        (conv(substring(md5(col("text")), 1, 13), 16, 10)
+          .cast("long") % d === 0).cast("int").as("kept"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).as("n_kept"),
+        (sum(col("kept")).cast("double") / count(lit(1)).cast("double"))
+          .as("kept_rate"))
+
+  /** Sequence packing: assign documents to fixed token-budget bins — the
+    * standard pre-training step that concatenates documents into
+    * max-sequence-length rows. Deterministic first-fit in doc_id order
+    * WITHIN a hash shard: a single global running sum would serialize the
+    * corpus through one task, so packing is sharded (`doc_id % shards`),
+    * which is exactly how a distributed packer works — each shard packs
+    * independently, bins never span shards. Emits the per-(shard, bin)
+    * manifest (doc count, token sum).
+    *
+    * A document's bin is `floor(cumulative_tokens_before_it / budget)` —
+    * documents longer than the budget occupy their own bin(s) boundary.
+    */
+  def packBins(docs: DataFrame, budget: Int = 2048, shards: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("pack_shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"),
+        (col("doc_id") % shards).as("pack_shard"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens"))
+        .cast("double") / budget).cast("long"))
+      .groupBy("pack_shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
+  /** The combined curation keep-filter — what actually ships to training:
+    * exact-dedup keepers only (min doc_id of each content group), with a
+    * token-count floor and a type-token-ratio floor (degenerate/repetitive
+    * docs out). One hash shuffle (the content-hash window); the quality
+    * metrics are projections.
+    */
+  def curate(docs: DataFrame, minWords: Int = 10, minTtr: Double = 0.3): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        (size(array_distinct(words(col("text")))).cast("double") /
+          size(words(col("text"))).cast("double")).as("ttr"))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("keeper_id") &&
+        col("n_words") >= minWords && col("ttr") >= minTtr)
+      .select("doc_id", "content_hash", "n_words", "ttr")
+  }
+
+  /** Per-label embedding prototypes (class centroids): the per-dimension
+    * rounded mean of each label's quantized vectors, emitted as a scalar
+    * digest (mod-p polynomial fold over the dimension-ordered means) plus
+    * the member count — the class-prototype table a curriculum/balancing
+    * stage consumes. Exact integer arithmetic end to end.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.quantize
+    emb.select(col("label"), posexplode(quantize(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("m",
+        floor(col("sx").cast("double") / col("n").cast("double") + 0.5).cast("long"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vecs"), // n identical across dims of a label
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")),
+          lit(0L),
+          (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("centroid_digest"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.analytics.Curation
+
+/** Corpus-curation operators (graft.analytics.Curation) plus the
+  * oracle-checked salted skew join, as registry queries with DuckDB
+  * oracles.
+  */
+object CurationQueries {
+
+  private val QuantCte =
+    """q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS v
+      | FROM embeddings)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- deterministic stratified Bernoulli sample (audit aggregate) ----
+    QueryDef("cu_sample_stratified",
+      (s, dir) => Curation.stratifiedSample(Tables.documents(s, dir), d = 5)
+        .orderBy("stratum"),
+      Some("""
+        WITH k AS (SELECT n_chars // 100 AS stratum,
+                     CASE WHEN CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) % 5 = 0
+                          THEN 1 ELSE 0 END AS kept
+                   FROM documents)
+        SELECT stratum, count(*) AS n_total,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               sum(kept) * 1.0 / count(*) AS kept_rate
+        FROM k GROUP BY 1 ORDER BY stratum""")),
+
+    // ---- sharded sequence packing into fixed token budgets ----
+    QueryDef("cu_pack_bins",
+      (s, dir) => Curation.packBins(Tables.documents(s, dir), budget = 2048, shards = 32)
+        .orderBy("pack_shard", "bin"),
+      Some("""
+        WITH t AS (SELECT doc_id, doc_id % 32 AS pack_shard,
+                     len(string_split(text, ' ')) AS n_tokens
+                   FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+        b AS (SELECT pack_shard,
+                CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS bin,
+                n_tokens FROM c)
+        SELECT pack_shard, bin, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM b GROUP BY 1, 2 ORDER BY pack_shard, bin""")),
+
+    // ---- the combined keep-filter that ships to training ----
+    QueryDef("cu_curate",
+      (s, dir) => Curation.curate(Tables.documents(s, dir), minWords = 10, minTtr = 0.3)
+        .orderBy("doc_id"),
+      Some("""
+        WITH q AS (SELECT doc_id, md5(text) AS content_hash,
+                     len(string_split(text, ' ')) AS n_words,
+                     len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) AS ttr,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+                   FROM documents)
+        SELECT doc_id, content_hash, CAST(n_words AS BIGINT) AS n_words, ttr
+        FROM q WHERE doc_id = keeper_id AND n_words >= 10 AND ttr >= 0.3
+        ORDER BY doc_id""")),
+
+    // ---- per-label embedding prototypes (class centroids) ----
+    QueryDef("cu_label_centroids",
+      (s, dir) => Curation.labelCentroids(Tables.embeddings(s, dir))
+        .orderBy("label"),
+      Some(s"""
+        WITH $QuantCte,
+        cm AS (SELECT label, i,
+                 CAST(floor(CAST(sum(v[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m,
+                 count(*) AS n
+               FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+               GROUP BY 1, 2)
+        SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), list(m ORDER BY i)),
+                 (acc, x) -> ((acc * 31 + x) % 1000000007 + 1000000007) % 1000000007)
+                 AS centroid_digest
+        FROM cm GROUP BY label ORDER BY label""")),
+
+    // ---- salted skew join, oracle-checked against the plain join ----
+    // The salt is invisible in the result by construction; the oracle IS
+    // the unsalted join, so the gate proves the identity on real data.
+    QueryDef("rel_skew_salted",
+      (s, dir) => {
+        val left = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("okey"), col("l_quantity"))
+        val right = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        graft.operators.SkewJoin.salted(left, right, "okey", factor = 8)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("priority")
+      },
+      Some("""
+        SELECT o_orderpriority AS priority, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY priority"""))
+  )
+}

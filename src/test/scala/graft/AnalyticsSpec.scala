@@ -241,6 +241,41 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("curation keep-filter drops exact dupes and low-quality docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 57L),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 57L), // dup of 0
+      (2L, "word word word word word word word word word word", 49L),        // ttr 0.1
+      (3L, "too short", 9L))                                                 // n_words 2
+      .toDF("doc_id", "text", "n_chars")
+    val kept = graft.analytics.Curation.curate(docs, minWords = 10, minTtr = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L)) // 1 loses dedup, 2 loses ttr, 3 loses length
+  }
+
+  test("pack bins respect the token budget boundary within each shard") {
+    import spark.implicits._
+    // one shard (doc_id % 32 distinct per doc here — force one shard via ids 0,32,64)
+    val docs = Seq(
+      (0L, Seq.fill(1500)("w").mkString(" "), 1L),
+      (32L, Seq.fill(1000)("w").mkString(" "), 1L),
+      (64L, Seq.fill(600)("w").mkString(" "), 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val bins = graft.analytics.Curation.packBins(docs, budget = 2048, shards = 32)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // doc0 starts at 0 → bin 0; doc32 starts at 1500 → bin 0; doc64 starts at 2500 → bin 1
+    assert(bins.toSeq === Seq((0L, 2L, 2500L), (1L, 1L, 600L)))
+  }
+
+  test("stratified sample is deterministic across runs") {
+    val d1 = graft.analytics.Curation.stratifiedSample(Tables.documents(spark, sf))
+      .collect().map(_.toString).sorted.toSeq
+    val d2 = graft.analytics.Curation.stratifiedSample(Tables.documents(spark, sf))
+      .collect().map(_.toString).sorted.toSeq
+    assert(d1 === d2 && d1.nonEmpty)
+  }
+
   test("KMV sketch estimates distinct tokens within the expected error band") {
     val r = TextAnalysis.kmvDistinctTokens(Tables.documents(spark, sf), k = 64).collect()(0)
     val exact = TextAnalysis.exactDistinctTokens(Tables.documents(spark, sf))

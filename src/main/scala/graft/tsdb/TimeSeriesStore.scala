@@ -1103,7 +1103,7 @@ final class TimeSeriesStore(
       val partFiles = withList(partDir)(_
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
       val partBytes = partFiles.map(Files.size(_)).sum
-      if (partBytes <= DirectFlushMaxBytes) {
+      if (partBytes <= directFlushMaxBytes) {
         val snapped = scala.collection.mutable.HashSet.empty[(String, Long)]
         withList(entryDir.resolve("snapshot"))(_
           .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -1151,7 +1151,12 @@ final class TimeSeriesStore(
             Files.delete(tagDir)
         } else {
           val rewrite = tmpDir.resolve(s"rewrite-$purgeId")
-          remaining.coalesce(1).write.mode("overwrite").parquet(rewrite.toString)
+          // this branch fires precisely when the partition is OVERSIZED
+          // (> directFlushMaxBytes), so keep the write executor-parallel —
+          // multiple files per partition dir are fine (readers scan the
+          // dir; compact() merges later). coalesce(1) here would funnel
+          // the one partition that is too big through one task.
+          remaining.write.mode("overwrite").parquet(rewrite.toString)
           val backup = tmpDir.resolve(s"old-$purgeId")
           Files.move(partDir, backup, StandardCopyOption.ATOMIC_MOVE)
           Files.move(rewrite, partDir, StandardCopyOption.ATOMIC_MOVE)

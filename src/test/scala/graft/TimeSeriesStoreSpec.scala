@@ -248,6 +248,29 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("FTagB") === SortedMap(1L -> "b1", 11L -> "b2", 21L -> "b3"))
   }
 
+  test("oversized-partition purge ack takes the distributed anti-join branch") {
+    // directFlushMaxBytes = 0 forces the distributed ack path (and the
+    // distributed flush) regardless of volume
+    val root = Files.createTempDirectory("graft-dist-ack").toString
+    val store = new TimeSeriesStore(spark, root,
+      StoreSettings(partitionWidth = 100L), directFlushMaxBytes = 0L)
+    store.initialize()
+    store.clock = () => 1000L
+    store.write(Map("ATag" -> Map(1L -> "a", 2L -> "b", 3L -> "c")))
+    store.flushL0()
+    store.clock = () => 10000000L
+    val ids = store.purgeScan(1, 10)
+    assert(ids.nonEmpty)
+    val e = store.loadPurgeEntry(ids.head).get
+    val (pName, pKey) = (e.partitionName, e.tag)
+    // a write AFTER the snapshot must survive the distributed anti-join
+    store.write(Map("ATag" -> Map(5L -> "late")))
+    store.flushL0()
+    assert(store.purgeAck(e.id, pName, pKey) === 1)
+    val got = store.readData(Map("ATag" -> (0L, 99L)))
+    assert(got("ATag") === SortedMap(5L -> "late"))
+  }
+
   test("concurrent writer threads serialize cleanly; every sample lands") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}

@@ -141,6 +141,19 @@ object StreamMultimodalQueries {
         SELECT event_type AS tag, count(DISTINCT event_id) AS n
         FROM events GROUP BY 1 ORDER BY tag""")),
 
+    // ---- streaming: custom LWW state (flatMapGroupsWithState) ----
+    // The engine's read-side LWW as continuous state: one cell per
+    // (tag, ts), emitting only strict improvements. On the bounded source
+    // (one micro-batch) the emitted set IS the final winners — the batch
+    // arg_max per group.
+    QueryDef("st_lww_state",
+      (s, dir) => StreamingIngest.streamingLwwEvents(s, dir),
+      Some("""
+        SELECT event_type AS tag, epoch_ms(ts) AS ts,
+               arg_max(props, event_id) AS value,
+               max(event_id) AS winner_id
+        FROM events GROUP BY 1, 2 ORDER BY tag, ts""")),
+
     // ---- streaming: stream-stream range join (view -> purchase funnel) ----
     QueryDef("st_stream_join",
       (s, dir) => StreamingIngest.viewPurchaseJoin(s, dir),

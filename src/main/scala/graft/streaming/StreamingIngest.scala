@@ -216,6 +216,28 @@ object StreamingIngest {
     drain(out, "append").orderBy("view_id", "purchase_id")
   }
 
+  /** [[streamingLww]] over the bounded events stream, drained — the
+    * registry face of the custom-state operator. Events map to samples as
+    * tag = event_type, ts = ms event time, value = props, and the LWW
+    * ordering key = event_id (ingestTs AND seq — unique, so the winner per
+    * (tag, ts) is deterministic: the max event_id). The bounded source
+    * runs as one micro-batch, so each state cell emits exactly its final
+    * winner — which is what the batch oracle (`arg_max` per group)
+    * computes.
+    */
+  def streamingLwwEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val samples = eventStream(spark, sfDir)
+      .select(col("event_type").as("tag"), col("ts_ms").as("ts"),
+        col("props").as("value"), col("event_id").as("ingestTs"),
+        lit("w").as("writerId"), col("event_id").as("seq"))
+      .as[graft.tsdb.Sample]
+    val out = streamingLww(spark, samples, stateTtlMs = 0L).toDF()
+    drain(out, "append")
+      .select(col("tag"), col("ts"), col("value"), col("ingestTs").as("winner_id"))
+      .orderBy("tag", "ts")
+  }
+
   def windowedEventCounts(spark: SparkSession, sfDir: String,
       windowMs: Long = 3600000L): DataFrame = {
     val out = eventStream(spark, sfDir)

@@ -9,6 +9,28 @@ import graft.streaming.StreamingIngest
 /** Streaming and multimodal operators as registry queries. */
 object StreamMultimodalQueries {
 
+  /** Shared oracle for the batched decode stage — used by both the batch
+    * (`mm_features`) and streaming (`st_mm_features`) renderings, which
+    * must produce identical results (the decode is a stateless
+    * projection; only the execution mode differs).
+    */
+  private val FeaturesOracle = """
+        WITH b AS (SELECT doc_id, text, length(text) AS n,
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+                   FROM documents)
+        SELECT doc_id, n AS n_bytes,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS byte_checksum,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 8), j -> CASE WHEN j < n
+                   THEN CAST(floor(CAST(CAST(bytes[CAST(j + 1 AS INT)] AS FLOAT)
+                        / CAST(255 AS FLOAT) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END)),
+                 (acc, x) -> acc * 31 + x) AS feature_digest,
+               CAST(8 AS INT) AS feature_dim
+        FROM b ORDER BY doc_id"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- multimodal: binary column + typed metadata plumbing ----
@@ -50,22 +72,13 @@ object StreamMultimodalQueries {
             .as("feature_digest"),
           size(col("feature")).as("feature_dim"))
         .orderBy("doc_id"),
-      Some("""
-        WITH b AS (SELECT doc_id, text, length(text) AS n,
-                     list_transform(range(1, length(text) + 1),
-                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
-                   FROM documents)
-        SELECT doc_id, n AS n_bytes,
-               list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
-                 (acc, x) -> (acc * 31 + x) % 1000000007) AS byte_checksum,
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(range(0, 8), j -> CASE WHEN j < n
-                   THEN CAST(floor(CAST(CAST(bytes[CAST(j + 1 AS INT)] AS FLOAT)
-                        / CAST(255 AS FLOAT) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
-                   ELSE CAST(0 AS BIGINT) END)),
-                 (acc, x) -> acc * 31 + x) AS feature_digest,
-               CAST(8 AS INT) AS feature_dim
-        FROM b ORDER BY doc_id""")),
+      Some(FeaturesOracle)),
+
+    // ---- multimodal decode running INSIDE a structured stream ----
+    // Same batched mapPartitions stage, streaming execution; same oracle.
+    QueryDef("st_mm_features",
+      (s, dir) => StreamingIngest.streamingMediaFeatures(s, dir),
+      Some(FeaturesOracle)),
 
     // ---- multimodal: resize/crop transform (STUB codec, real plumbing) ----
     // The oracle recomputes the crop on the pre-encoding text — the media

@@ -238,6 +238,32 @@ object StreamingIngest {
       .orderBy("tag", "ts")
   }
 
+  /** The multimodal batched decode stage running INSIDE a structured
+    * stream: file stream over the documents table → binary column →
+    * [[graft.analytics.Multimodal.extractFeatures]]'s mapPartitions batch
+    * contract, drained. Streaming semantics add nothing to the decode
+    * math (stateless projection), which is the point — the same batched
+    * codec stage serves batch backfills and the live ingest path, and
+    * both check against the same byte-arithmetic oracle.
+    */
+  def streamingMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val media = graft.analytics.Multimodal.withBinary(docs)
+    val out = graft.analytics.Multimodal.extractFeatures(spark, media, batchSize = 64)
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("byte_checksum"),
+        expr("aggregate(feature, CAST(0 AS BIGINT), (acc, x) -> " +
+          "acc * 31 + CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))")
+          .as("feature_digest"),
+        size(col("feature")).as("feature_dim"))
+    drain(out, "append").orderBy("doc_id")
+  }
+
   def windowedEventCounts(spark: SparkSession, sfDir: String,
       windowMs: Long = 3600000L): DataFrame = {
     val out = eventStream(spark, sfDir)

@@ -100,4 +100,36 @@ object Curation {
           lit(0L),
           (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("centroid_digest"))
   }
+
+  /** Benchmark decontamination: find training documents that share any
+    * word 3-gram with a held-out eval set — the standard pre-training
+    * step that keeps benchmark text out of the training corpus. The eval
+    * membership rule here is deterministic (`doc_id % evalMod == 0`)
+    * so the oracle reproduces it; a real pipeline passes its benchmark
+    * table instead.
+    *
+    * Scale shape: the eval set is tiny relative to the corpus (benchmark
+    * suites are megabytes against 100 TB), so its distinct shingles are
+    * BROADCAST and the train side probes them with a broadcast left-semi
+    * join — the corpus is never shuffled on shingle. The only wide
+    * exchange is the per-doc hit aggregate, keyed on `doc_id`, which
+    * reuses the partitioning [[Dedup.shingleSet]]'s window already
+    * established. Emits only contaminated docs (small at scale).
+    */
+  def decontaminate(docs: DataFrame, evalMod: Int = 20): DataFrame = {
+    val sh = Dedup.shingleSet(docs)
+    val isEval = col("doc_id") % evalMod === 0
+    val evalShingles = sh.where(isEval).select("shingle").distinct()
+    val train = sh.where(!isEval)
+    val perDoc = train
+      .join(broadcast(evalShingles).withColumn("__hit", lit(1)),
+        Seq("shingle"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+    perDoc.where(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+          .as("hit_ratio"))
+  }
 }

@@ -56,15 +56,21 @@ object Similarity {
     val all = prep(emb)
     val centroids = all.where(col("vec_id") % centroidModulo === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // coarse assignment: argmax cosine over the (broadcast) centroid set
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
+    // coarse assignment: argmax cosine over the (broadcast) centroid set.
+    // max(struct(cos, -c_id, ...)) — NOT a row_number window: the
+    // aggregate is map-side combined, so one row per vector crosses the
+    // network instead of the full corpus×centroids cross join being
+    // shuffled and sorted. Tie-break identical to (cos DESC, c_id ASC):
+    // struct comparison falls through to -c_id, whose max is the min c_id.
     val assigned = all.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id"),
-        cosineQ(dotQF(col("v"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("bucket"))
+      .select(col("vec_id"), struct(
+          cosineQ(dotQF(col("v"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"),
+          (-col("c_id")).as("negc"), col("c_id").as("c_id"),
+          col("v").as("v"), col("nrm").as("nrm")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("m.c_id").as("bucket"))
     val queries = assigned.where(col("vec_id") % queryModulo === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
@@ -163,10 +169,16 @@ object Similarity {
     * ints, centroid means are `floor(sum/n + 0.5)` longs (exact integer
     * sums, one deterministic double division per dimension), dots run in
     * the codegen'd [[graft.expressions.LongDotProduct]] kernel. Every
-    * Lloyd round is two shuffles (argmax assignment window + the
-    * per-(centroid, dim) mean aggregate) — no driver-side data, so the
-    * same plan runs at corpus scale; production would run Lloyd on a
-    * sample, which is this plan with a `where` on the input.
+    * Lloyd round is two shuffles (map-side-combined argmax aggregate + the
+    * per-(centroid, dim) mean aggregate).
+    *
+    * Centroids MATERIALIZE between rounds (collect → local relation —
+    * the same driver-state shape MLlib's KMeans uses): they are optimizer
+    * state of size k·dim longs, independent of corpus size. Leaving them
+    * lazy instead nests each round's full plan inside the next, so the
+    * corpus scan re-executes 2^iters times and codegen compiles one
+    * enormous tree (measured 11 s first-run at sf0.1 vs ~2 s
+    * materialized). Corpus-sized data never reaches the driver.
     */
   def kmeansIvfTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
       centroidModulo: Int = 97, iters: Int = 2): DataFrame = {
@@ -175,19 +187,21 @@ object Similarity {
     // init: the deterministic seed subset (what ivfTopK uses as-is)
     var centroids = all.where(col("vec_id") % centroidModulo === 0)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
-    def assign(cents: DataFrame): DataFrame = {
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("c_id"))
+    // argmax assignment as a map-side-combined max(struct) aggregate —
+    // same tie-break as (cos DESC, c_id ASC); see ivfTopK's comment.
+    def assign(cents: DataFrame): DataFrame =
       all.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("qv"), col("nrm"), col("c_id"),
-          cosineQ(dotLL(col("qv"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"))
-        .withColumn("arn", row_number().over(wAssign))
-        .where(col("arn") === 1)
-        .select(col("vec_id"), col("qv"), col("nrm"), col("c_id").as("bucket"))
-    }
+        .select(col("vec_id"), struct(
+            cosineQ(dotLL(col("qv"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"),
+            (-col("c_id")).as("negc"), col("c_id").as("c_id"),
+            col("qv").as("qv"), col("nrm").as("nrm")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max(col("sc")).as("m"))
+        .select(col("vec_id"), col("m.qv").as("qv"), col("m.nrm").as("nrm"),
+          col("m.c_id").as("bucket"))
     (0 until iters).foreach { _ =>
       val assigned = assign(centroids)
-      centroids = assigned
+      val next = assigned
         .select(col("bucket").as("c_id"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy(col("c_id"), col("pos"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -199,6 +213,11 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
         .withColumn("cnrm", dotLL(col("cv"), col("cv")))
+      // materialize the k·dim-long centroid table (driver state, like
+      // MLlib KMeans) — see scaladoc; keeps the next round's plan flat
+      import emb.sparkSession.implicits._
+      centroids = next.as[(Long, Array[Long], Long)].collect().toSeq
+        .toDF("c_id", "cv", "cnrm")
     }
     val finalAssigned = assign(centroids)
     val queries = finalAssigned.where(col("vec_id") % queryModulo === 0)

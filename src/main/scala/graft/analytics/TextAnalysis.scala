@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -140,4 +141,63 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       rollingFingerprint(words(col("text"))).as("roll_fp"),
       md5(col("text")).as("content_hash"))
+
+  /** Repetition quality signals (Gopher-style filters): per-doc bigram
+    * histogram → top-bigram fraction (share of bigram slots taken by the
+    * most frequent bigram) and duplicate-bigram fraction (1 − distinct /
+    * total) — the signals that catch boilerplate and degenerate loops
+    * that plain type-token ratio misses.
+    *
+    * Scale shape: relational, not HOF (see [[graft.functions.TextFunctions]]
+    * scaladoc) — posexplode + lead window builds bigrams, then two
+    * aggregates both keyed on `doc_id` (the second reuses the first's
+    * partitioning; one wide exchange total after the window's).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = docs.select(col("doc_id"), posexplode(words(col("text"))))
+      .toDF("doc_id", "pos", "w1")
+      .withColumn("w2", lead(col("w1"), 1).over(byPos))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("bg"))
+    bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"),
+        (lit(1.0) - col("n_distinct_bigrams").cast("double") /
+          col("n_bigrams").cast("double")).as("dup_bigram_frac"))
+  }
+
+  /** Top-k salient terms per document by a TF-IDF-shaped score. The score
+    * is `(tf · N) / df` — one exact integer product then ONE IEEE double
+    * division, so Spark and the oracle agree bit-for-bit (a `log` idf
+    * would differ in the last ulp between libm implementations). Ranking
+    * ties break on the term itself.
+    *
+    * Scale shape: term-frequency aggregate shuffles on `(doc_id, term)`,
+    * document-frequency aggregate on `term` (both high-cardinality keys,
+    * map-side combined); the corpus size is a 1-row broadcast; the final
+    * per-doc top-k is a row_number window that planning rewrites to
+    * WindowGroupLimit (partial top-k before the exchange).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val byScore = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(byScore))
+      .where(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+  }
 }

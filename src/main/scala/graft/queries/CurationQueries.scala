@@ -100,6 +100,26 @@ object CurationQueries {
         SELECT o_orderpriority AS priority, count(*) AS n,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY 1 ORDER BY priority"""))
+        GROUP BY 1 ORDER BY priority""")),
+
+    // ---- benchmark decontamination (eval-set 3-gram overlap) ----
+    QueryDef("cu_decontaminate",
+      (s, dir) => Curation.decontaminate(Tables.documents(s, dir), evalMod = 20)
+        .orderBy("doc_id"),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(ws)-1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+               FROM w WHERE len(ws) >= 3),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        a AS (SELECT tr.doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hits
+              FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1)
+        SELECT doc_id, n_shingles, n_hits,
+               n_hits * 1.0 / n_shingles AS hit_ratio
+        FROM a WHERE n_hits > 0 ORDER BY doc_id"""))
   )
 }

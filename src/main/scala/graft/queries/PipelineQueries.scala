@@ -465,6 +465,40 @@ object PipelineQueries {
                  + ascii(substr(md5(tk),3,1)) AS BIGINT))),
             (h, v) -> (h * 1000003 + v) % 2147483647) AS roll_fp,
           md5(text) AS content_hash
-        FROM w JOIN documents USING (doc_id) ORDER BY doc_id"""))
+        FROM w JOIN documents USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- repetition quality signals (Gopher-style filters) ----
+    QueryDef("tx_repetition",
+      (s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH $WordsCte,
+        b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i+1])) AS bg
+              FROM w WHERE len(ws) >= 2),
+        c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               count(*) AS n_distinct_bigrams, max(c) AS top_bigram_n,
+               max(c) * 1.0 / sum(c) AS top_bigram_frac,
+               1.0 - count(*) * 1.0 / sum(c) AS dup_bigram_frac
+        FROM c GROUP BY 1 ORDER BY doc_id""")),
+
+    // ---- TF-IDF top-k salient terms per document ----
+    QueryDef("tx_tfidf",
+      (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3)
+        .orderBy("doc_id", "rank"),
+      Some(s"""
+        WITH $WordsCte,
+        t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        s AS (SELECT doc_id, tf.term AS term, tf, df,
+                CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term) AS rank FROM s)
+        SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
+        ORDER BY doc_id, rank"""))
   )
 }

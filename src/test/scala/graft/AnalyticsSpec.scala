@@ -297,4 +297,51 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(r(0L)._1 !== r(1L)._1) // different order → different rolling hash
   }
+
+  test("repetition signals separate a degenerate loop from varied text") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "buy now buy now buy now buy now", 31L),       // 4× "buy now"
+      (1L, "one two three four five six seven eight", 39L)) // all distinct
+      .toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.repetition(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // doc 0: 7 bigram slots, 2 distinct ("buy now"×4, "now buy"×3)
+    assert(r(0L) === ((7L, 2L, 4L, 4.0 / 7.0, 1.0 - 2.0 / 7.0)))
+    // doc 1: 7 bigram slots, all distinct, top count 1
+    assert(r(1L) === ((7L, 7L, 1L, 1.0 / 7.0, 0.0)))
+  }
+
+  test("tfidf ranks a document's rare term above corpus-wide terms") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "common common zebra", 19L),
+      (1L, "common common common", 20L),
+      (2L, "common aardvark common", 22L))
+      .toDF("doc_id", "text", "n_chars")
+    val top = TextAnalysis.tfidfTopTerms(df, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "zebra"/"aardvark" have df=1 → score tf·N/df = 3; "common" df=3 →
+    // score ≤ 3·3/3 = 3 only when tf=3 (doc 1, where it's the only term)
+    assert(top(0L) === "zebra")
+    assert(top(1L) === "common")
+    assert(top(2L) === "aardvark")
+  }
+
+  test("decontamination flags only train docs sharing an eval 3-gram") {
+    import spark.implicits._
+    // doc 0 (id % 20 == 0) is the eval set; doc 21 copies one of its
+    // 3-grams, doc 22 shares words but no 3-gram, doc 23 is disjoint.
+    val df = Seq(
+      (0L, "secret benchmark answer key here today", 38L),
+      (21L, "the secret benchmark answer was leaked", 38L),
+      (22L, "benchmark the secret other answer words", 39L),
+      (23L, "entirely unrelated training content now", 39L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = graft.analytics.Curation.decontaminate(df, evalMod = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(r === List((21L, 4L, 1L))) // 4 train shingles, 1 eval hit
+  }
 }

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -171,6 +171,41 @@ object TextAnalysis {
           .as("top_bigram_frac"),
         (lit(1.0) - col("n_distinct_bigrams").cast("double") /
           col("n_bigrams").cast("double")).as("dup_bigram_frac"))
+  }
+
+  /** Count-min sketch term-frequency estimates: `d` md5-derived hash rows
+    * × `w` counters, token counts folded into `counter[j][h_j(token)]`,
+    * estimate = min over rows — the fixed-size-state alternative to a
+    * corpus-wide `groupBy(term)` when only a few terms' counts are needed.
+    * md5-derived buckets keep it deterministic and oracle-reproducible
+    * (like [[kmvDistinctTokens]]); CM never underestimates.
+    *
+    * Scale shape: the ONLY corpus-wide work is the token explode feeding
+    * a map-side-combined aggregate whose key cardinality is bounded by
+    * d·w (not vocabulary size) — each task emits ≤ d·w rows no matter how
+    * much data it scanned. The candidate probe is a broadcast join
+    * against that d·w-row sketch.
+    */
+  def cmSketchEstimates(docs: DataFrame, terms: Seq[String],
+      d: Int = 3, w: Int = 256): DataFrame = {
+    def bucket(tk: Column, j: Int): Column =
+      conv(substring(md5(concat(lit(j.toString), lit(":"), tk)), 1, 13), 16, 10)
+        .cast("long") % w
+    def rowBuckets(tk: Column): Column =
+      explode(array((0 until d).map(j =>
+        struct(lit(j).as("r"), bucket(tk, j).as("b"))): _*))
+    val sketch = docs.select(explode(words(col("text"))).as("tk"))
+      .select(rowBuckets(col("tk")).as("p"))
+      .select(col("p.r").as("r"), col("p.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val candidates = terms.toDF("term")
+      .select(col("term"), rowBuckets(col("term")).as("p"))
+      .select(col("term"), col("p.r").as("r"), col("p.b").as("b"))
+    broadcast(candidates).join(sketch, Seq("r", "b"), "left_outer")
+      .groupBy("term")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
   }
 
   /** Top-k salient terms per document by a TF-IDF-shaped score. The score

@@ -499,6 +499,29 @@ object PipelineQueries {
         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                 ORDER BY score DESC, term) AS rank FROM s)
         SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
-        ORDER BY doc_id, rank"""))
+        ORDER BY doc_id, rank""")),
+
+    // ---- count-min sketch term-frequency estimates ----
+    // Probes the stopword list against a 3×256 md5-bucketed counter
+    // sketch; the only corpus-wide work is a bounded-cardinality
+    // map-side-combined aggregate (≤ d·w rows per task).
+    QueryDef("tx_cmsketch",
+      (s, dir) => TextAnalysis.cmSketchEstimates(Tables.documents(s, dir),
+        graft.functions.TextFunctions.Stopwords).orderBy("term"),
+      Some(s"""
+        WITH $WordsCte,
+        t AS (SELECT unnest(ws) AS tk FROM w),
+        r AS (SELECT unnest(range(0, 3)) AS r),
+        p AS (SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tk), 1, 13)
+                 AS BIGINT) % 256 AS b
+              FROM t CROSS JOIN r),
+        sk AS (SELECT r, b, count(*) AS c FROM p GROUP BY 1, 2),
+        cand AS (SELECT term, r,
+                   CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 13)
+                     AS BIGINT) % 256 AS b
+                 FROM (VALUES ('the'),('a'),('of'),('and'),('to'),('in')) AS v(term)
+                 CROSS JOIN r)
+        SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+        FROM cand LEFT JOIN sk USING (r, b) GROUP BY 1 ORDER BY term"""))
   )
 }

@@ -344,4 +344,24 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     assert(r === List((21L, 4L, 1L))) // 4 train shingles, 1 eval hit
   }
+
+  test("count-min sketch never underestimates and is exact sans collisions") {
+    val docs = Tables.documents(spark, sf)
+    val terms = graft.functions.TextFunctions.Stopwords
+    val est = TextAnalysis.cmSketchEstimates(docs, terms)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    val exact = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("tk"))
+      .groupBy("tk").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach { t =>
+      val e = exact.getOrElse(t, 0L)
+      assert(est(t) >= e, s"$t: est ${est(t)} < exact $e")
+      // 3 rows × 256 buckets on a ~100-word vocab: collisions inflate at
+      // most mildly; estimates stay within 2× of truth on this corpus
+      assert(est(t) <= 2 * e + 50, s"$t: est ${est(t)} vs exact $e")
+    }
+  }
 }

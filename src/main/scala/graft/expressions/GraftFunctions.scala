@@ -45,18 +45,25 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions` entry point — the idiomatic zero-code way to add
-  * the engine's native SQL functions to every session of an application:
+  * the engine's native SQL functions AND its planner strategies (the
+  * sort-merge as-of join operator) to every session of an application:
   *
   * {{{
   *   spark-submit --conf spark.sql.extensions=graft.expressions.GraftExtensions ...
   * }}}
+  *
+  * ([[graft.plans.NativeAsOfJoin]] also self-registers its strategy at
+  * call time via `experimental.extraStrategies`, so sessions built without
+  * the config still plan it.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.expressions.GraftFunctions", null, name, usage, ""),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

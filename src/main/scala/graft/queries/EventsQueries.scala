@@ -54,6 +54,34 @@ object EventsQueries {
           ON p.user_id = c.user_id AND c.ts_ms <= epoch_ms(p.ts)
         ORDER BY p.event_id""")),
 
+    // the SAME as-of join through the native sort-merge physical operator
+    // (custom LogicalPlan + Strategy + SparkPlan, graft.plans) — same
+    // oracle proves the two execution paths agree row-for-row.
+    QueryDef("ts_asof_native",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        graft.plans.NativeAsOfJoin.backward(
+          purchases, clicks, Seq("user_id"), "ts_ms", "ts_ms", "event_id", "c_")
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("c_event_id").as("click_id"), col("c_ts_ms").as("click_ts_ms"),
+            (col("ts_ms") - col("c_ts_ms")).as("gap_ms"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        SELECT p.event_id, p.user_id, $MS AS ts_ms,
+               c.event_id AS click_id, c.ts_ms AS click_ts_ms,
+               epoch_ms(p.ts) - c.ts_ms AS gap_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+              FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts_ms <= epoch_ms(p.ts)
+        ORDER BY p.event_id""")),
+
     // beyond-reference — as-of (forward) join: for each click, the earliest
     // purchase of the same user at or after it (the attribution direction).
     QueryDef("ts_asof_fwd",

@@ -39,6 +39,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(102L) === -1L) // user 2's only click is later → null
   }
 
+  test("native sort-merge asof join matches the compositional form exactly") {
+    import spark.implicits._
+    // covers: exact-ts inclusion, no-match nulls, equal-ts tiebreak (max
+    // event_id wins backward), multi-key groups, and an empty-right key
+    val purchases = Seq((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 30L),
+      (103L, 3L, 99L), (104L, 1L, 4L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val clicks = Seq((1L, 1L, 5L), (2L, 1L, 50L), (5L, 1L, 50L), (3L, 1L, 60L),
+      (4L, 2L, 40L)).toDF("event_id", "user_id", "ts_ms")
+    val native = graft.plans.NativeAsOfJoin.backward(purchases, clicks,
+      Seq("user_id"), "ts_ms", "ts_ms", "event_id", "c_")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val composed = AsOfJoin.backward(purchases, clicks,
+      Seq("user_id"), "ts_ms", "ts_ms", "event_id", "c_")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(native === composed)
+    // spot-check semantics: equal-ts clicks 2 and 5 at ts=50 → largest id
+    val byId = native.map(r => r.head -> r(3)).toMap
+    assert(byId(100L) === 5L)   // tie at ts=50 → max tiebreak
+    assert(byId(103L) === null) // user 3 has no clicks at all
+    assert(byId(104L) === null) // user 1 purchase before any click
+    // the physical plan really is the custom operator
+    val plan = graft.plans.NativeAsOfJoin.backward(purchases, clicks,
+      Seq("user_id"), "ts_ms", "ts_ms", "event_id", "c_")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ["), plan.take(500)) // nodeName strips "Exec"
+  }
+
   test("asof forward join picks the earliest right row at-or-after each left row") {
     import spark.implicits._
     val left = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts_ms")

@@ -213,4 +213,33 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("property: native as-of exec ≡ compositional as-of on random event sets") {
+    import spark.implicits._
+    // small key/ts domains force heavy collisions: equal-ts ties, empty
+    // key groups on either side, keys present on only one side
+    val genEvents: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] = for {
+      nL <- Gen.choose(0, 25)
+      nR <- Gen.choose(0, 25)
+      mk = for {
+        key <- Gen.choose(1L, 5L)
+        ts <- Gen.choose(0L, 20L)
+      } yield (key, ts)
+      ls <- Gen.listOfN(nL, mk)
+      rs <- Gen.listOfN(nR, mk)
+    } yield (
+      ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+      rs.zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) })
+    forAllSeeded(genEvents, n = 6) { case (ls, rs) =>
+      val left = ls.toDF("event_id", "user_id", "ts_ms")
+      val right = rs.toDF("event_id", "user_id", "ts_ms")
+      val native = graft.plans.NativeAsOfJoin.backward(left, right,
+        Seq("user_id"), "ts_ms", "ts_ms", "event_id", "r_")
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      val composed = graft.operators.AsOfJoin.backward(left, right,
+        Seq("user_id"), "ts_ms", "ts_ms", "event_id", "r_")
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(native === composed, s"left=$ls right=$rs")
+    }
+  }
 }

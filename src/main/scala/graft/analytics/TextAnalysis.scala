@@ -173,6 +173,37 @@ object TextAnalysis {
           col("n_bigrams").cast("double")).as("dup_bigram_frac"))
   }
 
+  /** Vocabulary truncation / OOV masking — the tokenizer-prep step that
+    * replaces rare terms with a sentinel: any term whose document
+    * frequency is below `minDfFrac · N` becomes `<unk>`. Emits the per-doc
+    * audit row (token count, masked count, md5 of the reconstructed
+    * masked text — order-preserving, so the hash proves the rewrite kept
+    * token positions intact).
+    *
+    * Scale shape: df is a distinct+count aggregate on the term (map-side
+    * combined, vocabulary-sized output); the token↔vocab join shuffles on
+    * the high-cardinality term; the reconstruction groups by `doc_id`
+    * with a pos-sorted collect_list. Corpus size is a 1-row broadcast.
+    */
+  def vocabTruncate(docs: DataFrame, minDfFrac: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("pos", "w")))
+    val df = toks.select(col("doc_id"), col("w")).distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val mapped = toks.join(df, "w").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("pos"),
+        when(col("df").cast("double") >=
+          lit(minDfFrac) * col("n_docs").cast("double"), col("w"))
+          .otherwise(lit("<unk>")).as("w2"))
+    mapped.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w2") === "<unk>", 1L).otherwise(0L)).as("n_unk"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w2")))),
+            s => s.getField("w2")))).as("trunc_hash"))
+  }
+
   /** Count-min sketch term-frequency estimates: `d` md5-derived hash rows
     * × `w` counters, token counts folded into `counter[j][h_j(token)]`,
     * estimate = min over rows — the fixed-size-state alternative to a

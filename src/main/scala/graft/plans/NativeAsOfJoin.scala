@@ -195,4 +195,25 @@ object NativeAsOfJoin {
       lPlan, rPlan)
     PlanBridge.ofRows(spark, node)
   }
+
+  /** Forward variant (earliest right row with `rightTs >= leftTs`, ties to
+    * the smallest tiebreak) via the same negation identity the
+    * compositional [[graft.operators.AsOfJoin.forward]] uses: run
+    * [[backward]] over negated time and tiebreak, un-negate on output.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, tiebreak: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.functions.when
+    def neg(df: DataFrame, cs: String*): DataFrame =
+      cs.foldLeft(df)((d, c) => d.withColumn(c, (-col(c).cast("long")).as(c)))
+    val out = backward(neg(left, leftTs, tiebreak), neg(right, rightTs, tiebreak),
+      keys, leftTs, rightTs, tiebreak, rightPrefix)
+    out.withColumn(leftTs, -col(leftTs))
+      .withColumn(tiebreak, -col(tiebreak))
+      .withColumn(s"$rightPrefix$rightTs",
+        when(col(s"$rightPrefix$rightTs").isNotNull, -col(s"$rightPrefix$rightTs")))
+      .withColumn(s"$rightPrefix$tiebreak",
+        when(col(s"$rightPrefix$tiebreak").isNotNull, -col(s"$rightPrefix$tiebreak")))
+  }
 }

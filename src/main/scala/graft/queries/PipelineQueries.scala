@@ -522,6 +522,29 @@ object PipelineQueries {
                  FROM (VALUES ('the'),('a'),('of'),('and'),('to'),('in')) AS v(term)
                  CROSS JOIN r)
         SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
-        FROM cand LEFT JOIN sk USING (r, b) GROUP BY 1 ORDER BY term"""))
+        FROM cand LEFT JOIN sk USING (r, b) GROUP BY 1 ORDER BY term""")),
+
+    // ---- vocabulary truncation / OOV masking (tokenizer prep) ----
+    // Terms in fewer than half the documents become <unk>; the md5 of the
+    // order-preserved rewrite proves positions survived the masking.
+    QueryDef("tx_vocab_truncate",
+      (s, dir) => TextAnalysis.vocabTruncate(Tables.documents(s, dir), minDfFrac = 0.5)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH $WordsCte,
+        t AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+                i -> {'pos': i, 'w': ws[i]})) AS s FROM w),
+        t2 AS (SELECT doc_id, s.pos AS pos, s.w AS w FROM t),
+        d AS (SELECT w, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, w FROM t2) GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        m AS (SELECT doc_id, pos,
+                CASE WHEN CAST(df AS DOUBLE) >= 0.5 * CAST(n_docs AS DOUBLE)
+                     THEN w ELSE '<unk>' END AS w2
+              FROM t2 JOIN d USING (w) CROSS JOIN n)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN w2 = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+               md5(string_agg(w2, ' ' ORDER BY pos)) AS trunc_hash
+        FROM m GROUP BY 1 ORDER BY doc_id"""))
   )
 }

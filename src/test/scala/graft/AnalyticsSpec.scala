@@ -345,6 +345,24 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r === List((21L, 4L, 1L))) // 4 train shingles, 1 eval hit
   }
 
+  test("vocab truncation masks rare terms and preserves token positions") {
+    import spark.implicits._
+    // "common" in 2/2 docs (df-frac 1.0, kept); "rare"/"unique" in 1/2
+    // docs (0.5 — kept at >= 0.5); threshold 0.75 masks them
+    val df = Seq(
+      (0L, "common rare common", 18L),
+      (1L, "common unique", 13L)).toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.vocabTruncate(df, minDfFrac = 0.75).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(0L)._1 === 3L && r(0L)._2 === 1L) // "rare" masked
+    assert(r(1L)._1 === 2L && r(1L)._2 === 1L) // "unique" masked
+    // reconstruction hash = md5 of the masked text in original order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(0L)._3 === h("common <unk> common"))
+    assert(r(1L)._3 === h("common <unk>"))
+  }
+
   test("count-min sketch never underestimates and is exact sans collisions") {
     val docs = Tables.documents(spark, sf)
     val terms = graft.functions.TextFunctions.Stopwords

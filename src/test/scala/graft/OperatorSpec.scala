@@ -67,6 +67,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("AsOfJoin ["), plan.take(500)) // nodeName strips "Exec"
   }
 
+  test("native asof forward matches the compositional forward incl. ties") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, 50L), (101L, 2L, 10L)).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq((7L, 1L, 55L), (3L, 1L, 55L), (9L, 1L, 70L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val native = graft.plans.NativeAsOfJoin.forward(left, right,
+      Seq("user_id"), "ts_ms", "ts_ms", "event_id", "r_")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val composed = AsOfJoin.forward(left, right,
+      Seq("user_id"), "ts_ms", "ts_ms", "event_id", "r_")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(native === composed)
+    assert(native.head(3) === 3L) // equal-ts tie at 55 → smallest event_id
+  }
+
   test("asof forward join picks the earliest right row at-or-after each left row") {
     import spark.implicits._
     val left = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts_ms")

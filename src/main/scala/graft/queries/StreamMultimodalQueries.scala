@@ -167,6 +167,17 @@ object StreamMultimodalQueries {
                max(event_id) AS winner_id
         FROM events GROUP BY 1, 2 ORDER BY tag, ts""")),
 
+    // ---- the SAME LWW through Spark 4's transformWithState API ----
+    // Typed ValueState + TimeMode + RocksDB store; identical oracle to
+    // st_lww_state proves both state APIs implement the same semantics.
+    QueryDef("st_lww_tws",
+      (s, dir) => StreamingIngest.streamingLwwTws(s, dir),
+      Some("""
+        SELECT event_type AS tag, epoch_ms(ts) AS ts,
+               arg_max(props, event_id) AS value,
+               max(event_id) AS winner_id
+        FROM events GROUP BY 1, 2 ORDER BY tag, ts""")),
+
     // ---- streaming: stream-stream range join (view -> purchase funnel) ----
     QueryDef("st_stream_join",
       (s, dir) => StreamingIngest.viewPurchaseJoin(s, dir),

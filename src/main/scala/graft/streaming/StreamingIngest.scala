@@ -9,6 +9,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.tsdb.{Sample, TimeSeriesStore}
 
+/** The engine's LWW total order on writes: (ingestTs, seq, writerId).
+  * A standalone Serializable module so streaming closures and
+  * StatefulProcessors can reference it without dragging a non-serializable
+  * enclosing object into the task closure.
+  */
+object Lww extends Serializable {
+  def newer(a: Sample, b: Sample): Boolean =
+    a.ingestTs > b.ingestTs ||
+      (a.ingestTs == b.ingestTs && (a.seq > b.seq ||
+        (a.seq == b.seq && a.writerId > b.writerId)))
+}
+
 /** Structured Streaming ingestion + purge topology — the reference's
   * example-microservice layout (reference:
   * examples/wrap-it-into-microservice/service.js:113-150) inside one Spark
@@ -91,10 +103,7 @@ object StreamingIngest {
     val timeoutConf =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    def newer(a: Sample, b: Sample): Boolean =
-      a.ingestTs > b.ingestTs ||
-        (a.ingestTs == b.ingestTs && (a.seq > b.seq ||
-          (a.seq == b.seq && a.writerId > b.writerId)))
+    def newer(a: Sample, b: Sample): Boolean = Lww.newer(a, b)
     input.groupByKey(s => (s.tag, s.ts))
       .flatMapGroupsWithState[Sample, Sample](
         OutputMode.Append, timeoutConf) {
@@ -238,6 +247,39 @@ object StreamingIngest {
       .orderBy("tag", "ts")
   }
 
+  /** The SAME LWW operator through Spark 4's `transformWithState` — the
+    * arbitrary-state successor to `flatMapGroupsWithState`: typed
+    * [[org.apache.spark.sql.streaming.ValueState]] handles resolved from
+    * the processor handle, explicit `TimeMode`, RocksDB-backed state
+    * store (the API requires it). Registered with the SAME oracle as
+    * `st_lww_state`, so the gate proves the two state APIs implement
+    * identical LWW semantics.
+    */
+  def streamingLwwTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val samples = eventStream(spark, sfDir)
+      .select(col("event_type").as("tag"), col("ts_ms").as("ts"),
+        col("props").as("value"), col("event_id").as("ingestTs"),
+        lit("w").as("writerId"), col("event_id").as("seq"))
+      .as[graft.tsdb.Sample]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = samples.groupByKey(s => (s.tag, s.ts))
+        .transformWithState(new LwwStateProcessor, TimeMode.None(), OutputMode.Append())
+        .toDF()
+      drain(out, "append")
+        .select(col("tag"), col("ts"), col("value"), col("ingestTs").as("winner_id"))
+        .orderBy("tag", "ts")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   /** The multimodal batched decode stage running INSIDE a structured
     * stream: file stream over the documents table → binary column →
     * [[graft.analytics.Multimodal.extractFeatures]]'s mapPartitions batch
@@ -276,5 +318,33 @@ object StreamingIngest {
       .select(unix_millis(col("win.start")).as("window_start"), col("tag"),
         col("n"), col("sum_value"))
     drain(out, "complete").orderBy("window_start", "tag")
+  }
+}
+
+/** Per-(tag, ts) last-write-wins as a Spark 4 `StatefulProcessor`: one
+  * typed ValueState cell holding the current winner; a batch emits a row
+  * only on strict improvement — the `transformWithState` twin of
+  * [[StreamingIngest.streamingLww]]'s flatMapGroupsWithState logic.
+  */
+class LwwStateProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(String, Long), Sample, Sample] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var winner: ValueState[Sample] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    winner = getHandle.getValueState[Sample]("winner",
+      org.apache.spark.sql.Encoders.product[Sample], TTLConfig.NONE)
+
+  override def handleInputRows(key: (String, Long), rows: Iterator[Sample],
+      timerValues: TimerValues): Iterator[Sample] = {
+    val incoming = rows.toSeq
+    if (incoming.isEmpty) Iterator.empty
+    else {
+      val best = incoming.reduce((a, b) => if (Lww.newer(a, b)) a else b)
+      val improves = !winner.exists() || Lww.newer(best, winner.get())
+      if (improves) { winner.update(best); Iterator.single(best) }
+      else Iterator.empty
+    }
   }
 }

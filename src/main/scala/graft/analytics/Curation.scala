@@ -101,6 +101,25 @@ object Curation {
           (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("centroid_digest"))
   }
 
+  /** Domain-mixture reweighting: per-source sampling weights that would
+    * rebalance the corpus to a uniform source mix — `weight_s =
+    * n_total / (n_sources · n_s)` (exact integer product, one IEEE
+    * division). The table a mixture-controlled sampler consumes; a real
+    * pipeline passes its target fractions instead of uniform.
+    *
+    * Scale shape: one map-side-combined aggregate on `source` (domain
+    * cardinality, tiny) + a 1-row broadcast of the corpus totals.
+    */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val totals = perSource.agg(
+      sum(col("n_s")).as("n_total"), count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_s"), col("n_total"), col("n_sources"),
+        (col("n_total").cast("double") /
+          (col("n_sources") * col("n_s")).cast("double")).as("weight"))
+  }
+
   /** Benchmark decontamination: find training documents that share any
     * word 3-gram with a held-out eval set — the standard pre-training
     * step that keeps benchmark text out of the training corpus. The eval

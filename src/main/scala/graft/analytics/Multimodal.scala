@@ -17,6 +17,13 @@ final case class FrameSample(
     n_frames: Int,
     frame_checksum: Long)
 
+/** Output of the audio frame-energy stage (audio-ish stub). */
+final case class AudioEnergy(
+    doc_id: Long,
+    n_frames: Long,
+    max_energy: Long,
+    energy_digest: Long)
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * columns with typed metadata, and run decode / feature-extraction as a
   * batched per-partition stage.
@@ -101,6 +108,46 @@ object Multimodal {
               i += stride
             }
             FrameSample(id, n, sum)
+          }
+        }
+      }
+  }
+
+  /** STUB audio analysis: treat the byte buffer as 8-bit PCM, frame it
+    * into fixed windows, and compute per-frame RMS energy (scaled to an
+    * integer — `floor(sqrt(ssq/frame)·1000 + 0.5)`; sqrt is exactly
+    * rounded in IEEE 754 so the value is bit-portable to the SQL oracle,
+    * unlike a libm `log`). A real build would decode the container and
+    * window PCM samples — the batched `mapPartitions` contract, framing,
+    * and aggregate outputs (frame count, peak, order-sensitive digest)
+    * are the real Spark-side plumbing.
+    */
+  def audioEnergy(spark: SparkSession, media: DataFrame, frame: Int = 64,
+      batchSize: Int = 64): Dataset[AudioEnergy] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val nFrames = bytes.length / frame // full frames only
+            var digest = 0L
+            var maxE = 0L
+            var k = 0
+            while (k < nFrames) {
+              var ssq = 0L
+              var j = 0
+              while (j < frame) {
+                val c = (bytes(k * frame + j) & 0xff) - 128
+                ssq += c.toLong * c
+                j += 1
+              }
+              val e = math.floor(math.sqrt(ssq.toDouble / frame) * 1000 + 0.5).toLong
+              if (e > maxE) maxE = e
+              digest = (digest * 31 + e) % 1000000007L
+              k += 1
+            }
+            AudioEnergy(id, nFrames.toLong, maxE, digest)
           }
         }
       }

@@ -102,6 +102,41 @@ object CurationQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1 ORDER BY priority""")),
 
+    // ---- domain-mixture reweighting (uniform target mix) ----
+    QueryDef("cu_mix_weights",
+      (s, dir) => Curation.mixtureWeights(Tables.documents(s, dir))
+        .orderBy("source"),
+      Some("""
+        WITH p AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+                     count(*) AS n_sources FROM p)
+        SELECT source, n_s, n_total, n_sources,
+               CAST(n_total AS DOUBLE) / CAST(n_sources * n_s AS DOUBLE) AS weight
+        FROM p CROSS JOIN t ORDER BY source""")),
+
+    // ---- join-key skew profile (the diagnosis that picks SkewJoin) ----
+    // One groupBy on the key + one scalar aggregate over the counts: the
+    // max/mean ratio that tells an operator whether to salt.
+    QueryDef("rel_skew_profile",
+      (s, dir) => {
+        val counts = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+        counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"))
+          .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+            (col("max_cnt").cast("double") * col("n_keys").cast("double") /
+              col("n_rows").cast("double")).as("skew_ratio"))
+      },
+      Some("""
+        WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+        SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+               max(cnt) AS max_cnt,
+               CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                 / CAST(sum(cnt) AS DOUBLE) AS skew_ratio
+        FROM c""")),
+
     // ---- benchmark decontamination (eval-set 3-gram overlap) ----
     QueryDef("cu_decontaminate",
       (s, dir) => Curation.decontaminate(Tables.documents(s, dir), evalMod = 20)

@@ -115,6 +115,35 @@ object StreamMultimodalQueries {
                  (acc, x) -> (acc * 131 + x) % 1000000007) AS frame_checksum
         FROM f ORDER BY doc_id""")),
 
+    // ---- multimodal: audio frame-energy (STUB codec, real plumbing) ----
+    // 8-bit-PCM framing + per-frame RMS energy; sqrt is exactly rounded
+    // in IEEE 754, so the scaled-integer energies are bit-portable and
+    // the whole stage oracle-checks like the other mm stubs.
+    QueryDef("mm_audio_energy",
+      (s, dir) => Multimodal.audioEnergy(s,
+        Multimodal.withBinary(Tables.documents(s, dir)), frame = 64)
+        .toDF()
+        .orderBy("doc_id"),
+      Some("""
+        WITH b AS (SELECT doc_id, length(text) AS n,
+                     list_transform(range(1, length(text)+1),
+                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+                   FROM documents),
+        e AS (SELECT doc_id, n // 64 AS n_frames,
+                list_transform(range(0, n // 64), k ->
+                  CAST(floor(sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, 65),
+                           j -> (bytes[CAST(k*64+j AS INT)] - 128)
+                              * (bytes[CAST(k*64+j AS INT)] - 128))),
+                       (acc, x) -> acc + x) AS DOUBLE) / 64.0) * 1000 + 0.5) AS BIGINT))
+                  AS energies
+              FROM b)
+        SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(coalesce(list_max(energies), 0) AS BIGINT) AS max_energy,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), energies),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS energy_digest
+        FROM e ORDER BY doc_id""")),
+
     // ---- streaming: event-time tumbling-window aggregation ----
     // Runs as a real Structured Streaming query (file source → watermark →
     // window agg → memory sink); the oracle is the batch equivalent — the

@@ -363,6 +363,18 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L)._3 === h("common <unk>"))
   }
 
+  test("mixture weights rebalance sources to a uniform mix") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a", "web"), (1L, "b", "web"), (2L, "c", "web"),
+      (3L, "d", "books")).toDF("doc_id", "text", "source")
+    val w = graft.analytics.Curation.mixtureWeights(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(w("web") === 4.0 / (2 * 3))   // under-sample the big source
+    assert(w("books") === 4.0 / (2 * 1)) // over-sample the small one
+    // expected resampled counts equalize: 3·(2/3) = 1·2 = 2 per source
+  }
+
   test("count-min sketch never underestimates and is exact sans collisions") {
     val docs = Tables.documents(spark, sf)
     val terms = graft.functions.TextFunctions.Stopwords

@@ -65,4 +65,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) === 1)
     assert(r(2L) === 25)
   }
+
+  test("audioEnergy frames the buffer and computes exact scaled RMS") {
+    import spark.implicits._
+    // 130 × 'a' (97): per-frame c = 97-128 = -31, ssq = 64·961,
+    // sqrt(961) = 31 exactly → energy 31000; 2 full frames, tail dropped
+    val docs = Seq((0L, "a" * 130, 130L), (1L, "xy", 2L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = Multimodal.audioEnergy(spark, Multimodal.withBinary(docs), frame = 64)
+      .collect().map(a => a.doc_id -> ((a.n_frames, a.max_energy, a.energy_digest)))
+      .toMap
+    assert(r(0L) === ((2L, 31000L, (31000L * 31 + 31000L) % 1000000007L)))
+    assert(r(1L) === ((0L, 0L, 0L))) // shorter than one frame
+  }
 }

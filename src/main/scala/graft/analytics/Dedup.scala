@@ -332,4 +332,40 @@ object Dedup {
         cosineQ(dotQF(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Bloom-filter shingle membership — the incremental-dedup pre-check:
+    * the historical (train) corpus' shingle set compresses to an `mBits`-
+    * position Bloom filter (md5-derived positions, so the oracle
+    * reproduces the filter bit-for-bit); each incoming (eval) document
+    * reports what fraction of its shingles the filter already contains.
+    * High-fraction docs route to the exact dedup chain; the rest skip it.
+    *
+    * This is the inverse-direction scale play to
+    * [[Curation.decontaminate]]: there the tiny EVAL set broadcasts; here
+    * the huge TRAIN side compresses to ≤ `mBits` distinct positions
+    * (constant-size regardless of corpus), and THAT broadcasts. CM-sketch
+    * -style one-sided error: membership can false-positive (never
+    * false-negative), which a dedup pre-filter tolerates by design.
+    */
+  def bloomShingleMembership(docs: DataFrame, evalMod: Int = 20,
+      kHashes: Int = 3, mBits: Int = 65536): DataFrame = {
+    def positions(h: Column): Column = array((0 until kHashes).map(j =>
+      conv(substring(md5(concat(lit(j.toString), lit(":"), h)), 1, 13), 16, 10)
+        .cast("long") % mBits): _*)
+    val sh = shingleSet(docs)
+    val isEval = col("doc_id") % evalMod === 0
+    val trainBits = sh.where(!isEval)
+      .select(explode(positions(col("shingle"))).as("pos")).distinct()
+    val perShingle = sh.where(isEval)
+      .select(col("doc_id"), col("shingle"),
+        explode(positions(col("shingle"))).as("pos"))
+      .join(broadcast(trainBits.withColumn("__hit", lit(1))), Seq("pos"), "left_outer")
+      .groupBy("doc_id", "shingle")
+      .agg((sum(coalesce(col("__hit"), lit(0))) === kHashes).cast("int").as("in_bloom"))
+    perShingle.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(col("in_bloom")).as("n_in_bloom"))
+      .select(col("doc_id"), col("n_shingles"), col("n_in_bloom"),
+        (col("n_in_bloom").cast("double") / col("n_shingles").cast("double"))
+          .as("bloom_frac"))
+  }
 }

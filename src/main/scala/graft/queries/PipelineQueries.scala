@@ -545,6 +545,30 @@ object PipelineQueries {
         SELECT doc_id, count(*) AS n_tokens,
                CAST(sum(CASE WHEN w2 = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
                md5(string_agg(w2, ' ' ORDER BY pos)) AS trunc_hash
-        FROM m GROUP BY 1 ORDER BY doc_id"""))
+        FROM m GROUP BY 1 ORDER BY doc_id""")),
+
+    // ---- Bloom-filter shingle membership (incremental-dedup pre-check) ----
+    // The train shingle set compresses to <=2^16 md5-derived bit positions
+    // that broadcast; eval docs report the already-seen shingle fraction.
+    QueryDef("dd_bloom_membership",
+      (s, dir) => Dedup.bloomShingleMembership(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte,
+        j AS (SELECT unnest(range(0, 3)) AS j),
+        tb AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 13)
+                 AS BIGINT) % 65536 AS pos
+               FROM sh CROSS JOIN j WHERE doc_id % 20 <> 0),
+        ep AS (SELECT doc_id, s, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 13)
+                 AS BIGINT) % 65536 AS pos
+               FROM sh CROSS JOIN j WHERE doc_id % 20 = 0),
+        ps AS (SELECT doc_id, s,
+                 CASE WHEN sum(CASE WHEN tb.pos IS NOT NULL THEN 1 ELSE 0 END) = 3
+                      THEN 1 ELSE 0 END AS in_bloom
+               FROM ep LEFT JOIN tb USING (pos) GROUP BY 1, 2)
+        SELECT doc_id, count(*) AS n_shingles,
+               CAST(sum(in_bloom) AS BIGINT) AS n_in_bloom,
+               sum(in_bloom) * 1.0 / count(*) AS bloom_frac
+        FROM ps GROUP BY 1 ORDER BY doc_id"""))
   )
 }

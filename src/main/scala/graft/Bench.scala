@@ -82,11 +82,17 @@ object Bench {
       (nW * 2000 / wSec, nR / rSec)
     } catch { case _: Throwable => (-1.0, -1.0) }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the last ~2000 chars of output; with 75+
+    // queries, full-precision doubles overflow that window and truncate the
+    // line start. 10 ms resolution keeps the whole line inside the window.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + "%.2f".format(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    // Stop Spark BEFORE printing: shutdown-hook warnings otherwise land
+    // after the JSON line and push it out of the driver's tail window.
     spark.stop()
+    println(s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,""" +
+      s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},"sf":"$sfName"}""")
   }
 }

@@ -26,10 +26,32 @@ object StoreQueries {
     * across query invocations (Verify runs the query once, Bench twice —
     * re-ingesting per call would benchmark ingest, not the scan).
     */
-  private val stores = scala.collection.concurrent.TrieMap.empty[String, TimeSeriesStore]
+  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate: the
+  // latter can run the initializer twice under a concurrent first call,
+  // bulk-ingesting into two temp dirs and leaking one of them. The temp
+  // roots are deleted by a JVM shutdown hook (they are per-process scratch).
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, TimeSeriesStore]()
+
+  private val cleanup: Thread = {
+    val t = new Thread(() => {
+      stores.values.forEach { st =>
+        try {
+          val root = java.nio.file.Paths.get(st.rootDir)
+          if (Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+          }
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-storeq-cleanup")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
 
   private def storeFor(s: SparkSession, dir: String): TimeSeriesStore =
-    stores.getOrElseUpdate(dir, {
+    stores.computeIfAbsent(dir, { _ =>
       val root = Files.createTempDirectory("graft-storeq").toString
       val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
       st.initialize()

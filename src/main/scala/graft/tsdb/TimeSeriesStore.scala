@@ -125,6 +125,19 @@ final class TimeSeriesStore(
     */
   private val mutationLock = new Object
 
+  /** Hive-escaped `tag=` directory name. Spark's `partitionBy` escapes
+    * special characters in partition values (space → %20, ':' → %3A, …,
+    * via `ExternalCatalogUtils.escapePathName`); every driver-side path
+    * that builds or resolves a tag directory must use the same escaping,
+    * or a tag containing such characters splits into two divergent layouts
+    * (one raw dir from the driver flush, one escaped dir from the
+    * distributed lanes) that purge/compaction then fail to match up.
+    * Reference tags are free-form strings ≤ 200 chars (index.js:15).
+    */
+  private def tagDirName(tag: String): String =
+    "tag=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(tag)
+
   def epoch: Long = epochOpt.getOrElse(
     throw new IllegalStateException(
       "Please initialize the instance by calling 'initialize' first before any calls."))
@@ -427,7 +440,7 @@ final class TimeSeriesStore(
         val tasks = groups.toSeq.map { case ((tag, pStart), rows) =>
           pool.submit(new Runnable {
             override def run(): Unit = {
-              val dir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
+              val dir = hotDir.resolve(tagDirName(tag)).resolve(s"partition_start=$pStart")
               Files.createDirectories(dir)
               ParquetIO.writePartFile(
                 dir.resolve(s"part-$stamp-$writerId.parquet"),
@@ -470,11 +483,12 @@ final class TimeSeriesStore(
     */
   private var l0Bytes = 0L
 
+  // escaped form so incremental keys match the rebuild's dir-derived keys
   private def partSizeKey(tag: String, pStart: Long): String =
-    s"tag=$tag/partition_start=$pStart"
+    s"${tagDirName(tag)}/partition_start=$pStart"
 
   private def refreshPartSize(tag: String, pStart: Long): Unit = {
-    val dir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
+    val dir = hotDir.resolve(tagDirName(tag)).resolve(s"partition_start=$pStart")
     if (!Files.exists(dir)) partSizes.remove(partSizeKey(tag, pStart))
     else partSizes(partSizeKey(tag, pStart)) =
       withWalk(dir)(_.filter(Files.isRegularFile(_)).map(Files.size).sum)
@@ -705,7 +719,7 @@ final class TimeSeriesStore(
       val cand = scala.collection.mutable.ArrayBuffer.empty[(Path, Option[String])]
       var bytes = 0L
       def addPartFiles(tier: Path): Unit = ranges.foreach { case (tag, (s, e)) =>
-        val tagDir = tier.resolve(s"tag=$tag")
+        val tagDir = tier.resolve(tagDirName(tag))
         if (Files.exists(tagDir)) withList(tagDir)(_.foreach { pd =>
           val n = pd.getFileName.toString
           if (n.startsWith("partition_start=")) {
@@ -922,7 +936,7 @@ final class TimeSeriesStore(
       // are immutable once committed, so the snapshot is a plain file copy
       // plus a driver-side stats scan — partition-sized work (the same
       // cost class as the reference's ZRANGE), no job scheduling.
-      val partDir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
+      val partDir = hotDir.resolve(tagDirName(tag)).resolve(s"partition_start=$pStart")
       var nRows = 0L
       var maxSeq = -1L
       var maxIngest = -1L
@@ -1012,7 +1026,7 @@ final class TimeSeriesStore(
     // cold layout == hot layout: archive = copy the snapshot's immutable
     // parquet files into the cold partition dir (id-prefixed names keep
     // repeated archives collision-free)
-    val dst = coldDir.resolve(s"tag=${m("tag")}")
+    val dst = coldDir.resolve(tagDirName(m("tag")))
       .resolve(s"partition_start=${m("partitionStart")}")
     Files.createDirectories(dst)
     withList(entryDir.resolve("snapshot"))(_
@@ -1093,7 +1107,7 @@ final class TimeSeriesStore(
     val m = readMeta(purgeId).get
     val tag = m("tag")
     val pStart = m("partitionStart").toLong
-    val partDir = hotDir.resolve(s"tag=$tag").resolve(s"partition_start=$pStart")
+    val partDir = hotDir.resolve(tagDirName(tag)).resolve(s"partition_start=$pStart")
     if (Files.exists(partDir)) {
       // Anti-"join" on the snapshot's exact member set (writerId, seq) —
       // the rendering of lua's per-member ZREM (ack-purge.lua:13-18).

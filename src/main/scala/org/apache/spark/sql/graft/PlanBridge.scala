@@ -22,9 +22,13 @@ object PlanBridge {
 
   /** Idempotently add a planner strategy to the session (the runtime twin
     * of `SparkSessionExtensions.injectPlannerStrategy`, for sessions built
-    * without the extensions config).
+    * without the extensions config). Synchronized on the session's
+    * experimental methods holder: extraStrategies is a plain var, so an
+    * unsynchronized read-modify-write can drop a concurrent registration.
     */
   def ensureStrategy(spark: SparkSession, s: SparkStrategy): Unit =
-    if (!spark.experimental.extraStrategies.contains(s))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ s
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(s))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ s
+    }
 }

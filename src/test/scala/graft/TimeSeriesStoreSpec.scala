@@ -45,6 +45,49 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("SerialTag") === SortedMap(1L -> "One", 2L -> "Two", 3L -> "Three", 4L -> "Four"))
   }
 
+  // Tags are free-form strings (≤ 200 chars, index.js:15): Spark's
+  // partitionBy Hive-escapes special characters in partition values, so the
+  // driver-side flush/purge paths must produce the identical escaped dir
+  // names or one tag splits into two divergent layouts.
+  test("tags with Hive-escapable characters use one directory layout across both flush lanes") {
+    val tag = "Sensor A:1/B%2" // colon, slash, percent get %-escaped
+    val store = freshStore()
+    // lane 1: L0 write + driver-side regroup flush
+    store.write(Map(tag -> Map(1L -> "One", 2L -> "Two")))
+    store.flushL0()
+    // lane 2: distributed partitionBy append (Spark-escaped dirs)
+    val sq = spark
+    import sq.implicits._
+    store.writeSamplesDistributed(
+      Seq((tag, 3L, "Three", 10L, "w2", 100L), (tag, 11L, "Eleven", 10L, "w2", 101L))
+        .toDF("tag", "ts", "value", "ingestTs", "writerId", "seq"))
+    // exactly ONE tag directory exists under hot/, in the escaped form
+    val hotRoot = java.nio.file.Paths.get(store.rootDir, store.settings.settingsHash, "hot")
+    val tagDirs = Files.list(hotRoot).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (tagDirs.hasNext) {
+      val n = tagDirs.next().getFileName.toString
+      if (n.startsWith("tag=")) names += n
+    }
+    assert(names.toSeq === Seq("tag=Sensor A%3A1%2FB%252"))
+    // both lanes' rows come back through the one logical tag — Spark plan
+    // and driver fast path agree
+    val got = store.readData(Map(tag -> (0L, 50L)))
+    assert(got(tag) === SortedMap(1L -> "One", 2L -> "Two", 3L -> "Three", 11L -> "Eleven"))
+    // compaction matches the escaped dirs (multi-file partition from the
+    // two lanes merges; silently-skipped would return 0)
+    assert(store.compact(minFiles = 2) >= 1)
+    val afterCompact = store.readData(Map(tag -> (0L, 50L)))
+    assert(afterCompact(tag) === got(tag))
+    // purge lifecycle resolves the escaped partition dir too
+    store.clock = () => 1000000L
+    val ids = store.purgeScan(partitionAgeThreshold = 1, maxPartitionsToMark = 10)
+    assert(ids.nonEmpty)
+    ids.foreach { id => store.archiveToCold(id); store.purgeAck(id, "p", tag) }
+    val afterPurge = store.readData(Map(tag -> (0L, 50L)))
+    assert(afterPurge(tag) === got(tag)) // cold∪hot still serves everything
+  }
+
   // consumer-test.js:557-581 — disjoint range: tag omitted from result
   test("read with non-overlapping range returns no data") {
     val store = freshStore()

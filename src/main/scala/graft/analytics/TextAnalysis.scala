@@ -239,6 +239,95 @@ object TextAnalysis {
       .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
   }
 
+  /** HyperLogLog distinct-shingle sketch (m = 2^p registers) — the
+    * fixed-state cardinality estimator for the shingle universe that
+    * near-dup pipelines size their LSH parameters from. Deterministic and
+    * engine-portable like [[kmvDistinctTokens]]: the hash is 13 md5 hex
+    * chars (52 bits, exact in a double), bucket = top `p` bits, rho =
+    * leading zeros of the remaining `52-p` bits + 1 (via the minimal
+    * binary-string length, identical in Spark and DuckDB `bin`). The
+    * harmonic sum is kept as an EXACT integer — `sum(2^(Rmax - rho_max))`
+    * over all m registers (each term a dyadic rational scaled by 2^Rmax,
+    * ≤ m·2^45 < 2^53) — so the only floating-point step is one constant
+    * multiply chain and ONE division, both exactly-rounded IEEE ops.
+    *
+    * Raw-estimator regime only (no linear-counting small-range branch: it
+    * needs `ln`, which is not bit-portable across libm implementations);
+    * callers should pick `p` so the expected cardinality is ≥ 2.5·m, which
+    * holds for shingle universes at any real corpus size.
+    *
+    * Scale shape: explode → project → ONE map-side-combined aggregate with
+    * key cardinality ≤ m (each task emits ≤ m rows no matter how much data
+    * it scanned) → broadcast-joined to the m-row register universe. This
+    * is the estimator to use where KMV's global TakeOrdered(k) would make
+    * the driver a merge point for k values per partition.
+    */
+  def hllDistinctShingles(docs: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val tailBits = 52 - p
+    val rMax = tailBits + 1 // rho of an all-zero tail
+    val v = conv(substring(md5(col("shingle")), 1, 13), 16, 10).cast("long")
+    val probe = Dedup.shingleSet(docs).select(
+      shiftright(v, tailBits).as("bucket"),
+      v.bitwiseAND(lit((1L << tailBits) - 1)).as("tail"))
+    val rho = when(col("tail") === 0, lit(rMax))
+      .otherwise(lit(rMax) - length(bin(col("tail"))))
+    val regs = probe.select(col("bucket"), rho.cast("int").as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("mj"))
+    val universe = docs.sparkSession.range(m).toDF("bucket")
+    val filled = universe.join(regs, Seq("bucket"), "left_outer")
+      .select(coalesce(col("mj"), lit(0)).as("mj"))
+    // alpha_m · m² / sum(2^-mj), with the sum scaled by 2^rMax to stay an
+    // exact integer; the SQL oracle repeats this constant chain verbatim.
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    filled
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rMax - mj AS INT))"))
+          .as("s_scaled"),
+        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("n_zero"), col("s_scaled"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) *
+          lit(math.pow(2.0, rMax).toLong.toDouble) /
+          col("s_scaled").cast("double")).as("est_distinct"))
+  }
+
+  /** Per-document fluency scoring against a corpus bigram language model —
+    * the perplexity-proxy quality signal (docs whose word transitions are
+    * rare under the corpus model score low). The per-bigram transition
+    * probability `count(w1 w2) / count(w1 ·)` is quantized to parts-per-
+    * million with ONE exactly-rounded double division then a floor, so the
+    * per-doc sum is an exact integer and the oracle matches bit-for-bit
+    * (a log-prob sum would drift in the last ulp — same reasoning as
+    * [[tfidfTopTerms]]).
+    *
+    * Scale shape: the model is two map-side-combined aggregates (bigram
+    * and prefix counts, both vocabulary-bounded — corpus-size-independent
+    * state); scoring re-joins the corpus bigrams to the model on the
+    * high-cardinality bigram key, then aggregates per doc. At real scale
+    * the model table is usually small enough that AQE picks a broadcast
+    * join on its own; the plan stays correct either way.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = docs.select(col("doc_id"), posexplode(words(col("text"))))
+      .toDF("doc_id", "pos", "w1")
+      .withColumn("w2", lead(col("w1"), 1).over(byPos))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    val pre = big.groupBy("w1").agg(sum(col("c_bigram")).as("c_prefix"))
+    val model = big.join(pre, "w1")
+    bigrams.join(model, Seq("w1", "w2"))
+      .select(col("doc_id"),
+        floor(col("c_bigram").cast("double") * lit(1000000.0) /
+          col("c_prefix").cast("double")).cast("long").as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("lm_score_q"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score_q"),
+        (col("lm_score_q").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_transition_q"))
+  }
+
   /** Top-k salient terms per document by a TF-IDF-shaped score. The score
     * is `(tf · N) / df` — one exact integer product then ONE IEEE double
     * division, so Spark and the oracle agree bit-for-bit (a `log` idf

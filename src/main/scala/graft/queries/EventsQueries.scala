@@ -497,6 +497,47 @@ object EventsQueries {
                        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
                           > 1800000000000 THEN 1 ELSE 0 END AS new_s
               FROM events)
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // beyond-reference — per-tag z-score anomaly detection in EXACT integer
+    // arithmetic: |x − μ| > 3σ rewritten as (n·x − Σx)² > 9·(n·Σx² − (Σx)²)
+    // over cent-quantized values, so no float mean/stddev ever exists and
+    // the oracle matches bit-for-bit. The squares run in DECIMAL(38,0)
+    // (Spark) / HUGEINT (DuckDB) — n·x products overflow BIGINT at real
+    // row counts. Scale shape: one map-side-combined stats aggregate per
+    // tag (5 rows) broadcast back onto the scan; no second wide shuffle.
+    QueryDef("ts_anomaly",
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val stats = ev(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+            sum(cents * cents).as("s2"))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+        ev(s, dir).select(col("event_id"), col("event_type"), cents.as("cents"))
+          .join(broadcast(stats), "event_type")
+          .withColumn("dn", col("n") * col("cents") - col("s1"))
+          .where(dec(col("dn")) * dec(col("dn")) >
+            lit(9).cast("decimal(2,0)") *
+              (dec(col("n")) * dec(col("s2")) - dec(col("s1")) * dec(col("s1"))))
+          .select(col("event_id"), col("event_type"), col("cents"),
+            col("n"), col("dn"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        st AS (SELECT event_type, count(*) AS n,
+                      CAST(sum(cents) AS BIGINT) AS s1,
+                      CAST(sum(cents * cents) AS BIGINT) AS s2
+               FROM e GROUP BY 1)
+        SELECT event_id, event_type, cents, n,
+               n * cents - s1 AS dn
+        FROM e JOIN st USING (event_type)
+        WHERE CAST(n * cents - s1 AS HUGEINT) * CAST(n * cents - s1 AS HUGEINT)
+              > 9 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+                     - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+        ORDER BY event_id"""))
   )
 }

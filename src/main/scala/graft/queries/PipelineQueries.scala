@@ -547,6 +547,55 @@ object PipelineQueries {
                md5(string_agg(w2, ' ' ORDER BY pos)) AS trunc_hash
         FROM m GROUP BY 1 ORDER BY doc_id""")),
 
+    // ---- HyperLogLog distinct-shingle sketch (m=256 registers) ----
+    // Fixed-state cardinality estimation: every task emits ≤ m register
+    // rows regardless of scan size; the harmonic sum stays an exact
+    // integer (see TextAnalysis.hllDistinctShingles) so the one final
+    // division is the only float op and the oracle matches bit-for-bit.
+    QueryDef("tx_hll_shingles",
+      (s, dir) => TextAnalysis.hllDistinctShingles(Tables.documents(s, dir), p = 8),
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte,
+        pv AS (SELECT CAST('0x' || substr(md5(s), 1, 13) AS BIGINT) AS v FROM sh),
+        pr AS (SELECT v >> 44 AS bucket,
+                      v & ((CAST(1 AS BIGINT) << 44) - 1) AS tail FROM pv),
+        rg AS (SELECT bucket,
+                      max(CASE WHEN tail = 0 THEN 45
+                               ELSE 45 - length(bin(tail)) END) AS mj
+               FROM pr GROUP BY 1),
+        un AS (SELECT unnest(range(0, 256)) AS bucket),
+        fl AS (SELECT un.bucket, coalesce(mj, 0) AS mj
+               FROM un LEFT JOIN rg USING (bucket)),
+        ag AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (45 - mj)) AS BIGINT) AS s_scaled,
+                      CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+               FROM fl)
+        SELECT n_zero, s_scaled,
+               0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 35184372088832.0
+                 / CAST(s_scaled AS DOUBLE) AS est_distinct
+        FROM ag""")),
+
+    // ---- corpus bigram-LM fluency scoring (perplexity proxy) ----
+    QueryDef("tx_lm_bigram",
+      (s, dir) => TextAnalysis.bigramLmScore(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH $WordsCte,
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+               FROM w WHERE len(ws) >= 2),
+        b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        cb AS (SELECT w1, w2, count(*) AS c_bigram FROM b2 GROUP BY 1, 2),
+        cp AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix FROM cb GROUP BY 1),
+        sc AS (SELECT doc_id,
+                 CAST(floor(CAST(c_bigram AS DOUBLE) * 1000000.0
+                            / CAST(c_prefix AS DOUBLE)) AS BIGINT) AS q
+               FROM b2 JOIN cb USING (w1, w2) JOIN cp USING (w1))
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(q) AS BIGINT) AS lm_score_q,
+               CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_transition_q
+        FROM sc GROUP BY 1 ORDER BY doc_id""")),
+
     // ---- Bloom-filter shingle membership (incremental-dedup pre-check) ----
     // The train shingle set compresses to <=2^16 md5-derived bit positions
     // that broadcast; eval docs report the already-seen shingle fraction.

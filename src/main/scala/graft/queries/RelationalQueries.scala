@@ -190,6 +190,34 @@ object RelationalQueries {
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Arbitrary GROUPING SETS (the general form rollup/cube specialize) +
+    // GROUPING() disambiguation of "grouped-out" vs literal values — one
+    // pass over orders expands to the three aggregation grains.
+    QueryDef("rel_grouping_sets",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+        s.sql("""
+          SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+                 coalesce(o_orderstatus, 'ALL') AS st,
+                 CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+                 CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+                 count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          ORDER BY pri, st""")
+      },
+      Some("""
+        SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+               coalesce(o_orderstatus, 'ALL') AS st,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY pri, st"""))
   )
 }

@@ -1,0 +1,54 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: space-filling-curve clustering keys for
+  * multi-dimensional locality. At 100 TB, file-skipping lives or dies on
+  * layout — a table range-partitioned by a Z-order (Morton) key keeps rows
+  * that are close in BOTH dimensions in the same files, so min/max zone
+  * maps prune scans filtered on either dimension (the technique behind
+  * Delta/Iceberg `ZORDER BY`).
+  */
+object Layout {
+
+  /** 32-bit Morton (Z-order) key: interleaves the low 16 bits of two
+    * coordinates, `x` on odd bit positions, `y` on even. A static sum of
+    * 32 shift/mask terms — fully codegen'd, no UDF, no lookup table.
+    */
+  def zorderKey(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** The same 32 shift/mask terms as DuckDB SQL (for oracle mirrors). */
+  def zorderKeySql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i + 1}) + ((($y >> $i) & 1) << ${2 * i})"
+    }.mkString(" + ")
+
+  /** Z-order locality audit over events: bucket `user_id` and event time
+    * into 16-bit coordinates, interleave into a Morton key, and summarize
+    * each of the 1024 top-level z-ranges (the would-be file boundaries of
+    * a `repartitionByRange(zkey)` write) by its coordinate bounding box.
+    * Tight per-bucket boxes = both-dimension locality = zone-map pruning
+    * works; the audit is what a layout job would assert before committing
+    * a rewrite.
+    *
+    * Scale shape: one scan + a broadcast 1-row bounds join + one
+    * map-side-combined aggregate on the 1024-value bucket key.
+    */
+  def zorderAudit(events: DataFrame): DataFrame = {
+    val bounds = events.agg(min(col("ts_ms")).as("tmin"), max(col("ts_ms")).as("tmax"))
+    events.crossJoin(broadcast(bounds))
+      .select(
+        pmod(col("user_id"), lit(65536L)).as("ux"),
+        expr("(ts_ms - tmin) * 65535 div (tmax - tmin)").as("tx"))
+      .withColumn("zkey", zorderKey(col("ux"), col("tx")))
+      .groupBy(shiftright(col("zkey"), 22).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ux")).as("min_ux"), max(col("ux")).as("max_ux"),
+        min(col("tx")).as("min_tx"), max(col("tx")).as("max_tx"))
+  }
+}

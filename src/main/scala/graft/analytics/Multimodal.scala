@@ -153,6 +153,69 @@ object Multimodal {
       }
   }
 
+  /** Perceptual-hash-style image near-dup: a 64-bit block-mean fingerprint
+    * (each bit = "this 1/64th of the payload is brighter than the overall
+    * mean") + the same banded-Hamming candidate join [[Dedup.simhashPairs]]
+    * uses. On real images the codes below would be decoded pixel
+    * luminances; here the payload bytes ARE the document's ASCII chars
+    * (see [[withBinary]] — `ascii(char) == byte`, verified corpus-wide),
+    * so the block means are char-code means and the whole construction is
+    * oracle-checkable in SQL.
+    *
+    * Scale shape: the fingerprint is two codegen'd hash aggregates keyed
+    * on (doc_id, block) then (doc_id) — map-side combined, bounded fan-out
+    * (≤ 64 rows/doc); the mean comparison `bsum·tn > tsum·bn` is exact
+    * integer cross-multiplication (no float division anywhere); candidates
+    * come from the 4×16-bit block-equality join (catches every pair with
+    * Hamming ≤ 3 exactly, higher distances probabilistically — never an
+    * all-pairs product).
+    */
+  def phashPairs(docs: DataFrame, maxHamming: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        posexplode(split(col("text"), "")))
+      .toDF("doc_id", "len", "pos", "c")
+      .select(col("doc_id"),
+        expr("CAST(pos * 64 div len AS INT)").as("blk"),
+        ascii(col("c")).cast("long").as("code"))
+    val blocks = codes.groupBy("doc_id", "blk")
+      .agg(sum(col("code")).as("bsum"), count(lit(1)).as("bn"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val fp = blocks
+      .withColumn("tsum", sum(col("bsum")).over(wDoc))
+      .withColumn("tn", sum(col("bn")).over(wDoc))
+      .withColumn("bit",
+        (col("bsum") * col("tn") > col("tsum") * col("bn")).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("CASE WHEN bit = 1 AND blk < 32 " +
+          "THEN shiftleft(CAST(1 AS BIGINT), 31 - blk) ELSE CAST(0 AS BIGINT) END"))
+          .as("fp_hi"),
+        sum(expr("CASE WHEN bit = 1 AND blk >= 32 " +
+          "THEN shiftleft(CAST(1 AS BIGINT), 63 - blk) ELSE CAST(0 AS BIGINT) END"))
+          .as("fp_lo"))
+    val blocks4 = fp.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("blk_sig",
+        when(col("blk") === 0, expr("shiftright(fp_hi, 16)"))
+          .when(col("blk") === 1, col("fp_hi").bitwiseAND(lit(65535L)))
+          .when(col("blk") === 2, expr("shiftright(fp_lo, 16)"))
+          .otherwise(col("fp_lo").bitwiseAND(lit(65535L))))
+    blocks4.as("x").join(blocks4.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blk_sig") === col("y.blk_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.fp_hi").as("hi_a"), col("x.fp_lo").as("lo_a"),
+        col("y.fp_hi").as("hi_b"), col("y.fp_lo").as("lo_b"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("bigint"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   def extractFeatures(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"))

@@ -499,6 +499,80 @@ object EventsQueries {
               FROM events)
         GROUP BY user_id ORDER BY user_id""")),
 
+    // beyond-reference — Z-order (Morton) layout audit: the clustering-key
+    // computation behind a ZORDER-BY table rewrite, plus the per-z-range
+    // bounding-box audit that proves two-dimensional locality (tight boxes
+    // = zone-map pruning works on both user_id and time filters).
+    QueryDef("lay_zorder",
+      (s, dir) => graft.analytics.Layout.zorderAudit(ev(s, dir))
+        .orderBy("zbucket"),
+      Some(s"""
+        WITH e AS (SELECT ((user_id % 65536) + 65536) % 65536 AS ux,
+                          $MS AS ts_ms
+                   FROM events),
+        b AS (SELECT min(ts_ms) AS tmin, max(ts_ms) AS tmax FROM e),
+        k AS (SELECT ux, (ts_ms - tmin) * 65535 // (tmax - tmin) AS tx
+              FROM e CROSS JOIN b),
+        z AS (SELECT ux, tx,
+                ${graft.analytics.Layout.zorderKeySql("ux", "tx")} AS zkey
+              FROM k)
+        SELECT zkey >> 22 AS zbucket, count(*) AS n,
+               min(ux) AS min_ux, max(ux) AS max_ux,
+               min(tx) AS min_tx, max(tx) AS max_tx
+        FROM z GROUP BY 1 ORDER BY zbucket""")),
+
+    // beyond-reference — interval-overlap self-join: which user pairs had
+    // concurrently-active sessions? The scale shape is the time-bucket
+    // equi-join (each interval explodes to the hour buckets it spans;
+    // candidates share a bucket; overlap is verified exactly and pairs
+    // dedup'd) — never the O(n²) theta-join a naive `a.start <= b.end AND
+    // b.start <= a.end` plan would execute. The oracle IS that direct
+    // inequality join, proving the bucketed plan computes the same set.
+    QueryDef("ts_interval_overlap",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        val sess = ev(s, dir).select(col("user_id"), col("ts_ms"))
+          .withColumn("prev", lag(col("ts_ms"), 1).over(byUser))
+          .withColumn("new_s", when(col("prev").isNull ||
+            col("ts_ms") - col("prev") > 1800000L, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min(col("ts_ms")).as("s_ms"), max(col("ts_ms")).as("e_ms"))
+        val buckets = sess.withColumn("bucket",
+          explode(sequence(expr(s"s_ms div $W"), expr(s"e_ms div $W"))))
+        val a = buckets.select(col("user_id").as("user_a"), col("sid").as("sid_a"),
+          col("s_ms").as("sa"), col("e_ms").as("ea"), col("bucket"))
+        val b = buckets.select(col("user_id").as("user_b"), col("sid").as("sid_b"),
+          col("s_ms").as("sb"), col("e_ms").as("eb"), col("bucket"))
+        a.join(b, Seq("bucket"))
+          .where(col("user_a") < col("user_b") &&
+            col("sa") <= col("eb") && col("sb") <= col("ea"))
+          .select("user_a", "sid_a", "user_b", "sid_b").distinct()
+          .groupBy("user_a", "user_b").agg(count(lit(1)).as("n_overlaps"))
+          .orderBy(col("n_overlaps").desc, col("user_a"), col("user_b"))
+          .limit(100)
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, $MS AS t FROM events),
+        m AS (SELECT user_id, t,
+                CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        s AS (SELECT user_id, t,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m),
+        iv AS (SELECT user_id, sid, min(t) AS s_ms, max(t) AS e_ms
+               FROM s GROUP BY 1, 2),
+        ov AS (SELECT a.user_id AS user_a, b.user_id AS user_b
+               FROM iv a JOIN iv b
+                 ON a.user_id < b.user_id
+                AND a.s_ms <= b.e_ms AND b.s_ms <= a.e_ms)
+        SELECT user_a, user_b, count(*) AS n_overlaps
+        FROM ov GROUP BY 1, 2
+        ORDER BY n_overlaps DESC, user_a, user_b LIMIT 100""")),
+
     // beyond-reference — per-tag z-score anomaly detection in EXACT integer
     // arithmetic: |x − μ| > 3σ rewritten as (n·x − Σx)² > 9·(n·Σx² − (Σx)²)
     // over cent-quantized values, so no float mean/stddev ever exists and

@@ -144,6 +144,52 @@ object StreamMultimodalQueries {
                  (acc, x) -> (acc * 31 + x) % 1000000007) AS energy_digest
         FROM e ORDER BY doc_id""")),
 
+    // ---- multimodal: perceptual-hash (block-mean) image near-dup ----
+    // 64-bit blockwise-brightness fingerprint + banded Hamming join —
+    // image dedup with the payload-byte arithmetic standing in for
+    // decoded luminance (ASCII corpus: ord(char) == byte). All-integer
+    // mean comparison (bsum·tn > tsum·bn), so the oracle is exact.
+    QueryDef("mm_phash",
+      (s, dir) => Multimodal.phashPairs(Tables.documents(s, dir), maxHamming = 16)
+        .orderBy("doc_a", "doc_b"),
+      Some("""
+        WITH ch AS (SELECT doc_id, length(text) AS len, text,
+                      unnest(range(0, length(text))) AS pos
+                    FROM documents),
+        co AS (SELECT doc_id, pos * 64 // len AS blk,
+                      CAST(ord(substr(text, CAST(pos + 1 AS INT), 1)) AS BIGINT) AS code
+               FROM ch),
+        bl AS (SELECT doc_id, blk, CAST(sum(code) AS BIGINT) AS bsum,
+                      count(*) AS bn
+               FROM co GROUP BY 1, 2),
+        tt AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS tsum,
+                      CAST(sum(bn) AS BIGINT) AS tn
+               FROM bl GROUP BY 1),
+        bt AS (SELECT doc_id, blk,
+                      CASE WHEN bsum * tn > tsum * bn THEN 1 ELSE 0 END AS bit
+               FROM bl JOIN tt USING (doc_id)),
+        fp AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN bit = 1 AND blk < 32
+                   THEN (CAST(1 AS BIGINT) << CAST(31 - blk AS INT)) ELSE 0 END) AS BIGINT) AS fp_hi,
+                 CAST(sum(CASE WHEN bit = 1 AND blk >= 32
+                   THEN (CAST(1 AS BIGINT) << CAST(63 - blk AS INT)) ELSE 0 END) AS BIGINT) AS fp_lo
+               FROM bt GROUP BY 1),
+        blk4 AS (SELECT doc_id, fp_hi, fp_lo, b,
+                        CASE b WHEN 0 THEN (fp_hi >> 16) WHEN 1 THEN (fp_hi & 65535)
+                               WHEN 2 THEN (fp_lo >> 16) ELSE (fp_lo & 65535) END AS blk_sig
+                 FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        x.fp_hi AS hi_a, x.fp_lo AS lo_a,
+                        y.fp_hi AS hi_b, y.fp_lo AS lo_b
+                 FROM blk4 x JOIN blk4 y
+                   ON x.b = y.b AND x.blk_sig = y.blk_sig
+                      AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 16
+        ORDER BY doc_a, doc_b""")),
+
     // ---- streaming: event-time tumbling-window aggregation ----
     // Runs as a real Structured Streaming query (file source → watermark →
     // window agg → memory sink); the oracle is the batch equivalent — the

@@ -120,6 +120,46 @@ object Curation {
           (col("n_sources") * col("n_s")).cast("double")).as("weight"))
   }
 
+  /** The end-to-end curation manifest — the full keep-chain a pre-training
+    * run ships, composed from the family's individual operators: exact-
+    * dedup keepers ∩ quality floors ([[curate]]) ∩ language filter ∩
+    * NOT contaminated ([[decontaminate]]) ∩ not in the eval set, then
+    * hash-sharded and cut at a per-shard token budget (first-fit in
+    * doc_id order within the shard, like [[packBins]]). Emits one row per
+    * shipped document: (doc_id, shard, n_tokens, cum_tokens).
+    *
+    * Scale shape: every stage is a filter/anti-join over the same corpus
+    * scan — one content-hash window, one broadcast-semi contamination
+    * probe, one per-shard running-sum window on the (tiny) surviving set.
+    * The budget cut runs AFTER all filters, so the windowed set is the
+    * curated corpus, not the raw one.
+    */
+  def manifest(docs: DataFrame, evalMod: Int = 20, minWords: Int = 10,
+      minTtr: Double = 0.3, lang: String = "en", shards: Int = 8,
+      budgetPerShard: Long = 1500L): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    val base = docs.select(col("doc_id"), col("lang"),
+        md5(col("text")).as("content_hash"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        (size(array_distinct(words(col("text")))).cast("double") /
+          size(words(col("text"))).cast("double")).as("ttr"))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+    val quality = base.where(col("doc_id") === col("keeper_id") &&
+      col("n_tokens") >= minWords && col("ttr") >= minTtr &&
+      col("lang") === lang && col("doc_id") % evalMod =!= 0)
+    val contaminated = decontaminate(docs, evalMod).select("doc_id")
+    val kept = quality.join(contaminated, Seq("doc_id"), "left_anti")
+    val ws = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("shard",
+        pmod(conv(substring(col("content_hash"), 1, 13), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(ws))
+      .where(col("cum_tokens") <= budgetPerShard)
+      .select("doc_id", "shard", "n_tokens", "cum_tokens")
+  }
+
   /** Benchmark decontamination: find training documents that share any
     * word 3-gram with a held-out eval set — the standard pre-training
     * step that keeps benchmark text out of the training corpus. The eval

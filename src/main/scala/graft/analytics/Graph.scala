@@ -1,0 +1,54 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over similarity graphs (the near-dup pair output of
+  * [[Dedup]]): PageRank-style centrality in EXACT fixed-point integer
+  * arithmetic, so every iteration is engine-portable and the DuckDB
+  * oracle (iterations unrolled as CTEs) matches bit-for-bit — a float
+  * PageRank's per-node neighbor sums are reduction-order-dependent and
+  * could never hash-match.
+  */
+object Graph {
+
+  /** Fixed-point rank scale: 1e9 keeps every intermediate (`r · 85`)
+    * far below 2^53, so even engines that route integer division through
+    * doubles (DuckDB `//`) compute it exactly.
+    */
+  val RankScale: Long = 1000000000L
+
+  /** PageRank (damping 0.85) in scaled-integer arithmetic:
+    * `r'(v) = 0.15·S + Σ_{u→v} (r(u)·85 div 100) div deg(u)`, all floor
+    * divisions. `edges` is the DIRECTED edge list (callers union both
+    * directions for an undirected similarity graph); ranks are
+    * un-normalized (base 0.15·S per node, the usual formulation for
+    * ranking rather than probability).
+    *
+    * Scale shape: each iteration is one join of the edge list to the
+    * current rank table (both keyed on the node — co-partitioned after
+    * the first round) + a map-side-combined contribution aggregate. The
+    * rank table is MATERIALIZED between rounds (`localCheckpoint`) —
+    * leaving rounds lazy nests each round's plan inside the next and
+    * re-executes the upstream similarity join 2^iters times (the k-means
+    * lesson); a cluster deployment would use a reliable checkpoint dir,
+    * same shape.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var ranks = nodes.withColumn("r", lit(RankScale)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(ranks, col("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          expr("(r * 85 div 100) div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(RankScale * 15L / 100L) + coalesce(col("contrib"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

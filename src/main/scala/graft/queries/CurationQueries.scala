@@ -137,6 +137,47 @@ object CurationQueries {
                  / CAST(sum(cnt) AS DOUBLE) AS skew_ratio
         FROM c""")),
 
+    // ---- the end-to-end curation manifest (full keep-chain + budget) ----
+    // Composes dedup-keeper ∩ quality ∩ lang ∩ not-contaminated ∩
+    // not-eval, then hash-shards and cuts at a per-shard token budget —
+    // the single query a pre-training run materializes as its data
+    // manifest.
+    QueryDef("cu_manifest",
+      (s, dir) => Curation.manifest(Tables.documents(s, dir), evalMod = 20,
+        minWords = 10, minTtr = 0.3, lang = "en", shards = 8,
+        budgetPerShard = 1500L)
+        .orderBy("doc_id"),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        q AS (SELECT d.doc_id AS doc_id, d.lang, md5(d.text) AS content_hash,
+                len(ws) AS n_tokens,
+                len(list_distinct(ws)) * 1.0 / len(ws) AS ttr,
+                min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS keeper_id
+              FROM documents d JOIN w ON d.doc_id = w.doc_id),
+        keep1 AS (SELECT doc_id, content_hash, n_tokens FROM q
+                  WHERE doc_id = keeper_id AND n_tokens >= 10 AND ttr >= 0.3
+                    AND lang = 'en' AND doc_id % 20 <> 0),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(ws)-1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+               FROM w WHERE len(ws) >= 3),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+                 WHERE sh.doc_id % 20 <> 0),
+        kept AS (SELECT k.doc_id, k.content_hash, k.n_tokens
+                 FROM keep1 k ANTI JOIN cont c ON k.doc_id = c.doc_id),
+        sharded AS (SELECT doc_id, n_tokens,
+                      ((CAST('0x' || substr(content_hash, 1, 13) AS BIGINT) % 8)
+                        + 8) % 8 AS shard
+                    FROM kept),
+        c AS (SELECT doc_id, shard, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM sharded)
+        SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens <= 1500 ORDER BY doc_id""")),
+
     // ---- benchmark decontamination (eval-set 3-gram overlap) ----
     QueryDef("cu_decontaminate",
       (s, dir) => Curation.decontaminate(Tables.documents(s, dir), evalMod = 20)

@@ -547,6 +547,40 @@ object PipelineQueries {
                md5(string_agg(w2, ' ' ORDER BY pos)) AS trunc_hash
         FROM m GROUP BY 1 ORDER BY doc_id""")),
 
+    // ---- PageRank centrality over the embedding near-dup graph ----
+    // Exact fixed-point integer PageRank (graft.analytics.Graph): the
+    // oracle unrolls the 3 iterations as CTEs; every division is a floor
+    // division of integers small enough to be exact in both engines.
+    QueryDef("gr_pagerank",
+      (s, dir) => {
+        val pairs = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3)
+          .select("vec_a", "vec_b")
+        val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        graft.analytics.Graph.pageRank(edges, iters = 3)
+          .orderBy(col("r").desc, col("node"))
+      },
+      Some(s"""
+        WITH $QuantCte,
+        pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+               WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3),
+        edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+                  UNION ALL SELECT vec_b, vec_a FROM pr),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        n0 AS (SELECT DISTINCT src AS node FROM edges),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n0),
+        ${(1 to 3).map { t =>
+          val p = t - 1
+          s"""c$t AS (SELECT e.dst AS node,
+                  CAST(sum((r.r * 85 // 100) // d.deg) AS BIGINT) AS contrib
+               FROM edges e JOIN r$p r ON e.src = r.node
+                            JOIN deg d ON e.src = d.src GROUP BY 1),
+          r$t AS (SELECT n0.node, 150000000 + coalesce(contrib, 0) AS r
+                  FROM n0 LEFT JOIN c$t USING (node))"""
+        }.mkString(",\n        ")}
+        SELECT node, r FROM r3 ORDER BY r DESC, node""")),
+
     // ---- HyperLogLog distinct-shingle sketch (m=256 registers) ----
     // Fixed-state cardinality estimation: every task emits ≤ m register
     // rows regardless of scan size; the harmonic sum stays an exact

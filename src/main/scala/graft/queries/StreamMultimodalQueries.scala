@@ -253,6 +253,24 @@ object StreamMultimodalQueries {
                max(event_id) AS winner_id
         FROM events GROUP BY 1, 2 ORDER BY tag, ts""")),
 
+    // ---- streaming: per-tag top-k via transformWithState ----
+    // O(k) ValueState per key; cent-quantized values with event_id
+    // tie-break make the ranking total, so the bounded-source drain
+    // equals the batch row_number oracle exactly.
+    QueryDef("st_topk",
+      (s, dir) => StreamingIngest.streamingTopK(s, dir, k = 5),
+      Some("""
+        WITH e AS (SELECT event_type AS tag,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     event_id
+                   FROM events),
+        r AS (SELECT tag, cents, event_id,
+                row_number() OVER (PARTITION BY tag
+                                   ORDER BY cents DESC, event_id) AS rank
+              FROM e)
+        SELECT tag, CAST(rank AS INT) AS rank, event_id, cents
+        FROM r WHERE rank <= 5 ORDER BY tag, rank""")),
+
     // ---- streaming: stream-stream range join (view -> purchase funnel) ----
     QueryDef("st_stream_join",
       (s, dir) => StreamingIngest.viewPurchaseJoin(s, dir),

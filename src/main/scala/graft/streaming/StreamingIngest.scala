@@ -306,6 +306,42 @@ object StreamingIngest {
     drain(out, "append").orderBy("doc_id")
   }
 
+  /** Per-tag streaming top-k maintenance via `transformWithState`: one
+    * ValueState cell holds the current top-k (two primitive arrays — no
+    * per-row state explosion), each micro-batch merges its rows into the
+    * cell and emits the refreshed ranking. Values are cent-quantized
+    * (`floor(value·100 + 0.5)`, exact in both engines) with event_id
+    * ascending as the tie-break, so the ranking is total and the batch
+    * oracle (row_number over the full table) matches exactly on the
+    * bounded single-micro-batch source.
+    *
+    * Scale shape: state per key is O(k), input per batch is combined
+    * before touching state; a production stream emits one refreshed
+    * ranking per batch (append history = ranking evolution).
+    */
+  def streamingTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val events = eventStream(spark, sfDir)
+      .select(col("event_type").as("tag"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("event_id"))
+      .as[TopEvent]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = events.groupByKey(_.tag)
+        .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
+        .toDF()
+      drain(out, "append").orderBy("tag", "rank")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   def windowedEventCounts(spark: SparkSession, sfDir: String,
       windowMs: Long = 3600000L): DataFrame = {
     val out = eventStream(spark, sfDir)
@@ -318,6 +354,49 @@ object StreamingIngest {
       .select(unix_millis(col("win.start")).as("window_start"), col("tag"),
         col("n"), col("sum_value"))
     drain(out, "complete").orderBy("window_start", "tag")
+  }
+}
+
+/** Input row shape for the streaming top-k operator. */
+final case class TopEvent(tag: String, cents: Long, event_id: Long)
+
+/** One emitted ranking row of the streaming top-k operator. */
+final case class TopKEntry(tag: String, rank: Int, event_id: Long, cents: Long)
+
+/** ValueState buffer of the streaming top-k: parallel primitive arrays
+  * (rank-ordered), the O(k) fixed-size state a per-key ranking needs.
+  */
+final case class TopKBuf(cents: Array[Long], ids: Array[Long])
+
+/** Per-tag top-k as a Spark 4 `StatefulProcessor`: merge the batch's rows
+  * into the O(k) state cell, keep the k best by (cents desc, event_id
+  * asc), emit the refreshed ranking.
+  */
+class TopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, TopEvent, TopKEntry] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var buf: ValueState[TopKBuf] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getValueState[TopKBuf]("topk",
+      org.apache.spark.sql.Encoders.product[TopKBuf], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[TopEvent],
+      timerValues: TimerValues): Iterator[TopKEntry] = {
+    val prev: Seq[(Long, Long)] =
+      if (buf.exists()) { val b = buf.get(); b.cents.zip(b.ids).toSeq }
+      else Seq.empty
+    val merged = (prev ++ rows.map(e => (e.cents, e.event_id)))
+      .sortBy { case (c, id) => (-c, id) }
+      .take(k)
+    if (merged.isEmpty) Iterator.empty
+    else {
+      buf.update(TopKBuf(merged.map(_._1).toArray, merged.map(_._2).toArray))
+      merged.iterator.zipWithIndex.map { case ((c, id), i) =>
+        TopKEntry(key, i + 1, id, c)
+      }
+    }
   }
 }
 

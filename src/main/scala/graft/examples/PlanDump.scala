@@ -41,7 +41,20 @@ object PlanDump {
         "exchange+sort at NATIVE row width on the key — no union padding, no window buffering — then one streaming merge pass per partition. " +
         "Same oracle as ts_asof_join proves the two execution paths agree."),
       "dd_bloom_membership" -> ("Incremental-dedup pre-check: the train shingle set collapses to <=2^16 DISTINCT bit positions " +
-        "(constant size at any corpus scale) that BROADCAST; the eval probe never shuffles the corpus on shingle content."))
+        "(constant size at any corpus scale) that BROADCAST; the eval probe never shuffles the corpus on shingle content."),
+      "tx_hll_shingles" -> ("HyperLogLog cardinality sketch: ONE map-side-combined aggregate with key cardinality <= 256 " +
+        "(each task emits <=256 register rows no matter how much it scanned), then a broadcast join to the register universe — " +
+        "the fixed-state alternative to KMV's global TakeOrdered merge point."),
+      "lay_zorder" -> ("Z-order layout audit: the Morton key is 32 static shift/mask terms inside WholeStageCodegen; " +
+        "the corpus bounds are a 1-row broadcast; the bucket summary is one map-side-combined aggregate on a 1024-value key."),
+      "ts_anomaly" -> ("Integer z-score outliers: the 5-row per-tag stats table BROADCASTS back onto the scan " +
+        "(no second wide exchange); the 3-sigma test is exact DECIMAL cross-multiplication — no float mean/stddev anywhere."),
+      "ts_interval_overlap" -> ("Interval-overlap join via time-bucket equi-join: intervals explode to the hour buckets they span " +
+        "and candidates share a bucket — the theta-join a naive plan would run never appears; overlap is verified exactly after the equi-join."),
+      "gr_pagerank" -> ("Fixed-point PageRank: each unrolled round is an edges-to-ranks hash join + a map-side-combined " +
+        "contribution aggregate; rounds are MATERIALIZED (localCheckpoint) so the similarity join above runs once, not 2^iters times."),
+      "mm_phash" -> ("Perceptual-hash near-dup: block sums and the 64-bit fingerprint are two map-side-combined hash aggregates " +
+        "(<=64 rows per doc); candidates come from the 4x16-bit band join — the same never-all-pairs shape as dd_simhash."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

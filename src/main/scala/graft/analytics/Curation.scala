@@ -120,6 +120,74 @@ object Curation {
           (col("n_sources") * col("n_s")).cast("double")).as("weight"))
   }
 
+  /** Temperature-scaled mixture weights (T = 2): `w_s ∝ √(n_s / N)` — the
+    * standard up-weight-the-tail domain mixing rule (uniform mixing at
+    * T→∞, proportional at T=1). T=2 is the one temperature whose power is
+    * an IEEE-exactly-rounded primitive (`sqrt`), so the whole table is
+    * bit-portable to the oracle — arbitrary temperatures would need
+    * `pow`, which differs across libm implementations.
+    *
+    * The normalizing sum folds the per-source weights IN SOURCE ORDER
+    * (an ordered list fold, not a parallel aggregate) — double addition
+    * is not associative, so only a specified fold order can hash-match.
+    * Source cardinality is tiny (domains, not documents): the fold is a
+    * 1-row broadcast.
+    */
+  def temperatureMixWeights(docs: DataFrame): DataFrame = {
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val totals = perSource.agg(sum(col("n_s")).as("n_total"))
+    val weighted = perSource.crossJoin(broadcast(totals))
+      .withColumn("w_raw",
+        sqrt(col("n_s").cast("double") / col("n_total").cast("double")))
+    val norm = weighted
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("source"), col("w_raw")))),
+          s => s.getField("w_raw")),
+        lit(0.0), (acc, x) => acc + x).as("w_sum"))
+    weighted.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_s"), col("n_total"), col("w_raw"),
+        (col("w_raw") / col("w_sum")).as("weight"))
+  }
+
+  /** DSIR-shaped importance weights for domain-targeted data selection:
+    * score every document under an in-domain bigram model (built from the
+    * `targetSource` slice) and under the full-corpus model, and emit the
+    * quantized likelihood-ratio proxy `floor(10⁶ · (t+1) / (c+1))` over
+    * the two exact integer scores (ppm-quantized transition probabilities,
+    * see [[TextAnalysis.bigramLmScore]]; +1 smooths empty scores). High
+    * weight = looks like the target domain relative to the corpus — the
+    * ranking a targeted sampler consumes.
+    *
+    * Scale shape: both models are vocabulary-bounded aggregates; the
+    * corpus bigrams join each model once (bigram-keyed shuffles); the
+    * target model misses on out-of-domain bigrams (left join, 0-fill).
+    */
+  def dsirWeights(docs: DataFrame, targetSource: String): DataFrame = {
+    val bigrams = TextAnalysis.docBigrams(docs)
+    def model(bg: DataFrame): DataFrame = {
+      val b = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+      val p = b.groupBy("w1").agg(sum(col("c_bigram")).as("c_prefix"))
+      b.join(p, "w1")
+        .select(col("w1"), col("w2"),
+          floor(col("c_bigram").cast("double") * lit(1000000.0) /
+            col("c_prefix").cast("double")).cast("long").as("q"))
+    }
+    val targetIds = docs.where(col("source") === targetSource).select("doc_id")
+    val corpusModel = model(bigrams)
+    val targetModel = model(bigrams.join(targetIds, "doc_id"))
+      .withColumnRenamed("q", "qt")
+    bigrams
+      .join(corpusModel, Seq("w1", "w2"))
+      .join(targetModel, Seq("w1", "w2"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("qt"), lit(0L))).as("score_target_q"),
+        sum(col("q")).as("score_corpus_q"))
+      .withColumn("weight_q",
+        floor((col("score_target_q") + 1).cast("double") * lit(1000000.0) /
+          (col("score_corpus_q") + 1).cast("double")).cast("long"))
+  }
+
   /** The end-to-end curation manifest — the full keep-chain a pre-training
     * run ships, composed from the family's individual operators: exact-
     * dedup keepers ∩ quality floors ([[curate]]) ∩ language filter ∩

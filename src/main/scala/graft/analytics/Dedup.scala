@@ -99,6 +99,40 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Asymmetric containment near-dup pairs: `C(A→B) = |A∩B| / |A|` — the
+    * measure that catches a short document embedded inside a longer one
+    * (quote farms, article aggregators), which symmetric Jaccard misses
+    * (the union denominator dilutes it). Emits pairs where containment in
+    * EITHER direction reaches `threshold`, with both directions' values.
+    *
+    * Same scale discipline as [[jaccardPairs]]: candidates from the
+    * shingle-equality join over the DF-capped universe, sizes over the
+    * same capped universe, never an all-pairs product.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val byShingle = Window.partitionBy(col("shingle"))
+    val sh = shingleSet(docs)
+      .withColumn("__df", count(lit(1)).over(byShingle))
+      .where(col("__df") <= maxShingleDf)
+      .drop("__df")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("containment_a",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b",
+        col("n_common").cast("double") / col("n_b").cast("double"))
+      .where(col("containment_a") >= threshold || col("containment_b") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b",
+        "containment_a", "containment_b")
+  }
+
   /** MinHash signatures in WIDE form: one row per doc with k `mh<i>`
     * columns, `mh<i>` = min over the doc's shingles of md5(i || ':' ||
     * shingle). k static min-aggregates over the shingle rows — ONE narrow

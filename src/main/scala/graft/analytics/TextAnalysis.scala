@@ -307,13 +307,21 @@ object TextAnalysis {
     * the model table is usually small enough that AQE picks a broadcast
     * join on its own; the plan stays correct either way.
     */
-  def bigramLmScore(docs: DataFrame): DataFrame = {
+  /** All word-bigram instances per document (relational lead-window
+    * construction, no interpreted HOF): `(doc_id, w1, w2)`, one row per
+    * adjacent token pair in original order, duplicates preserved.
+    */
+  def docBigrams(docs: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bigrams = docs.select(col("doc_id"), posexplode(words(col("text"))))
+    docs.select(col("doc_id"), posexplode(words(col("text"))))
       .toDF("doc_id", "pos", "w1")
       .withColumn("w2", lead(col("w1"), 1).over(byPos))
       .where(col("w2").isNotNull)
       .select(col("doc_id"), col("w1"), col("w2"))
+  }
+
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val bigrams = docBigrams(docs)
     val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
     val pre = big.groupBy("w1").agg(sum(col("c_bigram")).as("c_prefix"))
     val model = big.join(pre, "w1")

@@ -102,6 +102,25 @@ object CurationQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1 ORDER BY priority""")),
 
+    // ---- temperature-scaled mixture weights (T=2: sqrt is IEEE-exact) ----
+    // The normalizing sum folds per-source weights IN SOURCE ORDER (double
+    // addition is not associative); both engines run the same ordered
+    // fold, so even the normalized shares hash-match.
+    QueryDef("cu_temperature_mix",
+      (s, dir) => Curation.temperatureMixWeights(Tables.documents(s, dir))
+        .orderBy("source"),
+      Some("""
+        WITH p AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM p),
+        wr AS (SELECT source, n_s, n_total,
+                 sqrt(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE)) AS w_raw
+               FROM p CROSS JOIN t),
+        nm AS (SELECT list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE), list(w_raw ORDER BY source)),
+                 (acc, x) -> acc + x) AS w_sum FROM wr)
+        SELECT source, n_s, n_total, w_raw, w_raw / w_sum AS weight
+        FROM wr CROSS JOIN nm ORDER BY source""")),
+
     // ---- domain-mixture reweighting (uniform target mix) ----
     QueryDef("cu_mix_weights",
       (s, dir) => Curation.mixtureWeights(Tables.documents(s, dir))

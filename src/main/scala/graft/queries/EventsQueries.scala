@@ -612,6 +612,84 @@ object EventsQueries {
         WHERE CAST(n * cents - s1 AS HUGEINT) * CAST(n * cents - s1 AS HUGEINT)
               > 9 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
                      - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // beyond-reference — CUSUM-style change-point detection per tag, in
+    // exact integer arithmetic: the cumulative scaled deviation
+    // C_t = Σ_{i≤t} (n·x_i − Σx) peaks where the series' mean shifts;
+    // the detected change point is argmax |C_t| (earliest on ties). The
+    // argmax is a max(struct) AGGREGATE (map-side combined — one row per
+    // tag crosses the network), not a row_number window over the corpus.
+    QueryDef("ts_changepoint",
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val stats = ev(s, dir).groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(cents).as("s1"))
+        val byTime = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir).select(col("event_id"), col("event_type"), col("ts_ms"),
+            cents.as("cents"))
+          .join(broadcast(stats), "event_type")
+          .withColumn("c", sum(col("n") * col("cents") - col("s1")).over(byTime))
+          .withColumn("abs_c", abs(col("c")))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            max(struct(col("abs_c").as("a"), (-col("ts_ms")).as("nt"),
+              (-col("event_id")).as("ni"))).as("m"))
+          .select(col("event_type"), col("n"),
+            (-col("m.nt")).as("cp_ts_ms"), (-col("m.ni")).as("cp_event_id"),
+            col("m.a").as("max_abs_dev"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, event_type, $MS AS ts_ms,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        st AS (SELECT event_type, count(*) AS n,
+                      CAST(sum(cents) AS BIGINT) AS s1
+               FROM e GROUP BY 1),
+        c AS (SELECT event_id, event_type, ts_ms, n,
+                abs(sum(n * cents - s1) OVER (PARTITION BY event_type
+                  ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING)) AS abs_c
+              FROM e JOIN st USING (event_type)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY abs_c DESC, ts_ms, event_id) AS rn FROM c)
+        SELECT event_type, n, ts_ms AS cp_ts_ms, event_id AS cp_event_id,
+               abs_c AS max_abs_dev
+        FROM r WHERE rn = 1 ORDER BY event_type""")),
+
+    // beyond-reference — seasonal (hour-of-day) profile per tag: exact
+    // cent sums, ONE division for the mean, and a per-tag peak-hour flag
+    // from a window max — the periodicity table a forecasting/capacity
+    // stage consumes.
+    QueryDef("ts_seasonal_profile",
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val prof = ev(s, dir)
+          .groupBy(col("event_type"),
+            expr("(ts_ms div 3600000) % 24").as("hod"))
+          .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+          .withColumn("avg_cents",
+            col("sum_cents").cast("double") / col("n").cast("double"))
+        prof.withColumn("is_peak",
+            (col("avg_cents") ===
+              max(col("avg_cents")).over(Window.partitionBy(col("event_type"))))
+              .cast("int"))
+          .orderBy("event_type", "hod")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, ($MS // 3600000) % 24 AS hod,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        p AS (SELECT event_type, hod, count(*) AS n,
+                     CAST(sum(cents) AS BIGINT) AS sum_cents
+              FROM e GROUP BY 1, 2),
+        a AS (SELECT *, CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS avg_cents
+              FROM p)
+        SELECT event_type, hod, n, sum_cents, avg_cents,
+               CAST(avg_cents = max(avg_cents) OVER (PARTITION BY event_type)
+                    AS INT) AS is_peak
+        FROM a ORDER BY event_type, hod"""))
   )
 }

@@ -547,6 +547,59 @@ object PipelineQueries {
                md5(string_agg(w2, ' ' ORDER BY pos)) AS trunc_hash
         FROM m GROUP BY 1 ORDER BY doc_id""")),
 
+    // ---- asymmetric containment near-dup pairs (short-inside-long) ----
+    QueryDef("dd_containment",
+      (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir), 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte, $CappedShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+        co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common, x.n_sh AS n_a, y.n_sh AS n_b,
+               n_common * 1.0 / x.n_sh AS containment_a,
+               n_common * 1.0 / y.n_sh AS containment_b
+        FROM co JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE n_common * 1.0 / x.n_sh >= 0.8
+           OR n_common * 1.0 / y.n_sh >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- DSIR-shaped importance weights for domain-targeted selection ----
+    QueryDef("cu_dsir",
+      (s, dir) => graft.analytics.Curation.dsirWeights(
+        Tables.documents(s, dir), targetSource = "src0")
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH $WordsCte,
+        bg0 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws)),
+                         i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+                FROM w WHERE len(ws) >= 2),
+        bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+        cb AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
+        cp AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix FROM cb GROUP BY 1),
+        cm AS (SELECT w1, w2,
+                 CAST(floor(CAST(c_bigram AS DOUBLE) * 1000000.0
+                            / CAST(c_prefix AS DOUBLE)) AS BIGINT) AS q
+               FROM cb JOIN cp USING (w1)),
+        tids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        tbg AS (SELECT bg.* FROM bg JOIN tids USING (doc_id)),
+        tb AS (SELECT w1, w2, count(*) AS c_bigram FROM tbg GROUP BY 1, 2),
+        tp AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix FROM tb GROUP BY 1),
+        tm AS (SELECT w1, w2,
+                 CAST(floor(CAST(c_bigram AS DOUBLE) * 1000000.0
+                            / CAST(c_prefix AS DOUBLE)) AS BIGINT) AS qt
+               FROM tb JOIN tp USING (w1)),
+        sc AS (SELECT doc_id, cm.q AS q, coalesce(tm.qt, 0) AS qt
+               FROM bg JOIN cm USING (w1, w2) LEFT JOIN tm USING (w1, w2))
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(qt) AS BIGINT) AS score_target_q,
+               CAST(sum(q) AS BIGINT) AS score_corpus_q,
+               CAST(floor(CAST(sum(qt) + 1 AS DOUBLE) * 1000000.0
+                          / CAST(sum(q) + 1 AS DOUBLE)) AS BIGINT) AS weight_q
+        FROM sc GROUP BY 1 ORDER BY doc_id""")),
+
     // ---- PageRank centrality over the embedding near-dup graph ----
     // Exact fixed-point integer PageRank (graft.analytics.Graph): the
     // oracle unrolls the 3 iterations as CTEs; every division is a floor

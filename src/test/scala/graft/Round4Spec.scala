@@ -149,6 +149,52 @@ class Round4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed.toSeq === direct.toSeq)
   }
 
+  test("containment catches a short doc inside a long one that jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((0L, short, short.length.toLong), (1L, long, long.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val cont = graft.analytics.Dedup.containmentPairs(docs, 0.8).collect()
+    assert(cont.length === 1)
+    val r = cont(0)
+    assert(r.getAs[Double]("containment_a") === 1.0) // short fully contained
+    assert(r.getAs[Double]("containment_b") < 0.5)
+    // symmetric jaccard at the same bar finds nothing
+    assert(graft.analytics.Dedup.jaccardPairs(docs, 0.8).count() === 0)
+  }
+
+  test("temperature mixing normalizes to 1 and compresses the mix ratio") {
+    val w = Curation.temperatureMixWeights(Tables.documents(spark, sf)).collect()
+    val total = w.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(total - 1.0) < 1e-12)
+    // T=2 compresses: the weight ratio between any two sources is the
+    // sqrt of their count ratio
+    val byN = w.sortBy(_.getAs[Long]("n_s"))
+    val (lo, hi) = (byN.head, byN.last)
+    val countRatio = hi.getAs[Long]("n_s").toDouble / lo.getAs[Long]("n_s")
+    val weightRatio = hi.getAs[Double]("weight") / lo.getAs[Double]("weight")
+    assert(math.abs(weightRatio - math.sqrt(countRatio)) < 1e-9)
+  }
+
+  test("dsir weights rank in-domain documents above the corpus at large") {
+    val w = Curation.dsirWeights(Tables.documents(spark, sf), "src0").collect()
+    val (target, rest) = w.partition(r =>
+      Tables.documents(spark, sf).where(col("source") === "src0")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+        .contains(r.getAs[Long]("doc_id")))
+    assert(target.nonEmpty && rest.nonEmpty)
+    def meanW(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("weight_q").toDouble).sum / rs.length
+    assert(meanW(target) > meanW(rest))
+  }
+
+  test("change-point cumulative deviation is maximal at the reported point") {
+    val cp = SparkEntry.queries("ts_changepoint")(spark, sf).collect()
+    assert(cp.length === 5) // one per event_type
+    cp.foreach(r => assert(r.getAs[Long]("max_abs_dev") > 0))
+  }
+
   test("streaming top-k equals the batch ranking on the bounded source") {
     val st = graft.streaming.StreamingIngest.streamingTopK(spark, sf, k = 3)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))

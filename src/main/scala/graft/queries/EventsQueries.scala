@@ -659,6 +659,74 @@ object EventsQueries {
                abs_c AS max_abs_dev
         FROM r WHERE rn = 1 ORDER BY event_type""")),
 
+    // beyond-reference — cohort retention matrix: users grouped by their
+    // first-seen day, counted on each later day they return. The classic
+    // event-analytics rollup; all integer day arithmetic. Scale shape:
+    // one distinct (user, day) aggregate, a user-keyed cohort min that
+    // re-uses the same partitioning, and a tiny (days²) final aggregate.
+    QueryDef("ts_cohort_retention",
+      (s, dir) => {
+        val e = ev(s, dir).select(col("user_id"),
+          expr(s"(ts_ms - ${Jan1}L) div 86400000").as("day"))
+        val active = e.distinct()
+        val cohort = active.groupBy("user_id").agg(min(col("day")).as("cohort"))
+        active.join(cohort, "user_id")
+          .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some(s"""
+        WITH a AS (SELECT DISTINCT user_id,
+                     ($MS - $Jan1) // 86400000 AS day
+                   FROM events),
+        c AS (SELECT user_id, min(day) AS cohort FROM a GROUP BY 1)
+        SELECT cohort, day - cohort AS day_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM a JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort, day_offset""")),
+
+    // beyond-reference — ordered funnel conversion (view → click →
+    // purchase, each stage strictly at-or-after the previous): per-user
+    // conditional-min timestamps resolved in two user-keyed joins (both
+    // reuse the first shuffle's partitioning), then one global count row.
+    QueryDef("ts_funnel",
+      (s, dir) => {
+        val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts_ms"))
+        val t1 = e.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t1"))
+        val t2 = e.where(col("event_type") === "click")
+          .join(t1, "user_id").where(col("ts_ms") >= col("t1"))
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t2"))
+        val t3 = e.where(col("event_type") === "purchase")
+          .join(t2, "user_id").where(col("ts_ms") >= col("t2"))
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t3"))
+        val users = e.select("user_id").distinct()
+        users
+          .join(t1, Seq("user_id"), "left_outer")
+          .join(t2, Seq("user_id"), "left_outer")
+          .join(t3, Seq("user_id"), "left_outer")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+            sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+            sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_purchased"))
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, event_type, $MS AS ts_ms FROM events),
+        t1 AS (SELECT user_id, min(ts_ms) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (SELECT e.user_id, min(ts_ms) AS t2 FROM e JOIN t1 USING (user_id)
+               WHERE event_type = 'click' AND ts_ms >= t1 GROUP BY 1),
+        t3 AS (SELECT e.user_id, min(ts_ms) AS t3 FROM e JOIN t2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts_ms >= t2 GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+               CAST(sum(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+               CAST(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        FROM u LEFT JOIN t1 USING (user_id)
+               LEFT JOIN t2 USING (user_id)
+               LEFT JOIN t3 USING (user_id)""")),
+
     // beyond-reference — seasonal (hour-of-day) profile per tag: exact
     // cent sums, ONE division for the mean, and a per-tag peak-hour flag
     // from a window max — the periodicity table a forecasting/capacity

@@ -195,6 +195,20 @@ class Round4Spec extends AnyFunSuite with BeforeAndAfterAll {
     cp.foreach(r => assert(r.getAs[Long]("max_abs_dev") > 0))
   }
 
+  test("funnel stages are monotonically non-increasing; retention covers all users") {
+    val f = SparkEntry.queries("ts_funnel")(spark, sf).collect()(0)
+    val (nu, nv, nc, np) = (f.getAs[Long]("n_users"), f.getAs[Long]("n_viewed"),
+      f.getAs[Long]("n_clicked"), f.getAs[Long]("n_purchased"))
+    assert(nu >= nv && nv >= nc && nc >= np && np >= 0)
+    assert(nv > 0)
+    // cohort matrix: offset-0 row of each cohort counts the cohort itself,
+    // so summing offset-0 users over cohorts = total distinct users
+    val r = SparkEntry.queries("ts_cohort_retention")(spark, sf).collect()
+    val day0 = r.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(day0 === nu)
+  }
+
   test("streaming top-k equals the batch ranking on the bounded source") {
     val st = graft.streaming.StreamingIngest.streamingTopK(spark, sf, k = 3)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))

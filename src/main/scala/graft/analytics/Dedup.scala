@@ -402,4 +402,43 @@ object Dedup {
         (col("n_in_bloom").cast("double") / col("n_shingles").cast("double"))
           .as("bloom_frac"))
   }
+
+  /** Exact-substring duplicate spans via sliding token windows — the
+    * suffix-array-style duplicated-text measure (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed relationally: hash every `window`-token sliding window;
+    * a window whose hash occurs more than once corpus-wide is a duplicated
+    * span occurrence. Per document: the fraction of its windows that are
+    * duplicated anywhere (1.0 for an exact dup, high for docs sharing long
+    * verbatim passages, ~0 for fresh text).
+    *
+    * Scale shape: one explode (≈|tokens| rows per doc), one groupBy on the
+    * md5 window hash (high-cardinality key, map-side combined), one
+    * aggregation back on doc_id — never a pair join, so a hot window costs
+    * O(df) rows, not O(df²) pairs. At 100 TB this is the same shape as the
+    * shingle/minhash ops: linear in corpus tokens, shuffles on hashes.
+    */
+  def substringDupStats(docs: DataFrame, window: Int = 8,
+      dupFracThreshold: Double = 0.2): DataFrame = {
+    val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val wins = toks.where(size(col("ws")) >= window)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (window - 1)),
+          i => md5(concat_ws(" ", slice(col("ws"), i, lit(window)))))).as("h"))
+    val dfCounts = wins.groupBy("h").agg(count(lit(1)).as("c"))
+    val perDoc = wins.join(dfCounts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(col("n_dup_windows").cast("double") /
+            col("n_windows").cast("double")))
+      .withColumn("is_dup", (col("dup_frac") >= dupFracThreshold).cast("int"))
+  }
 }

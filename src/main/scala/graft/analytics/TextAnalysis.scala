@@ -363,4 +363,43 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "score", "rank")
   }
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1):
+    * word-count bounds, mean-word-length band, symbol-to-word ratio cap,
+    * and minimum distinct-stopword evidence, each as a 0/1 flag with
+    * `passes` as the conjunction. All arithmetic is exact-integer with one
+    * double division per ratio. Single projection — no shuffle, scales
+    * embarrassingly.
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+      minMwl: Double = 3.0, maxMwl: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopKinds: Int = 2): DataFrame = {
+    val ws = words(col("text"))
+    docs.select(col("doc_id"), col("text"), ws.as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("sum_word_len",
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)))
+      .withColumn("mean_word_len",
+        col("sum_word_len").cast("double") / col("n_words").cast("double"))
+      .withColumn("n_symbols",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[#*]", ""))).cast("long"))
+      .withColumn("symbol_ratio",
+        col("n_symbols").cast("double") / col("n_words").cast("double"))
+      .withColumn("n_stop_kinds",
+        size(array_intersect(array_distinct(col("ws")),
+          array(Stopwords.map(lit): _*))).cast("long"))
+      .withColumn("f_word_count",
+        (col("n_words") >= minWords && col("n_words") <= maxWords).cast("int"))
+      .withColumn("f_mean_word_len",
+        (col("mean_word_len") >= minMwl && col("mean_word_len") <= maxMwl)
+          .cast("int"))
+      .withColumn("f_symbol_ratio",
+        (col("symbol_ratio") <= maxSymbolRatio).cast("int"))
+      .withColumn("f_stopwords", (col("n_stop_kinds") >= minStopKinds).cast("int"))
+      .withColumn("passes",
+        (col("f_word_count") === 1 && col("f_mean_word_len") === 1 &&
+          col("f_symbol_ratio") === 1 && col("f_stopwords") === 1).cast("int"))
+      .drop("ws", "text")
+  }
 }

@@ -758,6 +758,145 @@ object EventsQueries {
         SELECT event_type, hod, n, sum_cents, avg_cents,
                CAST(avg_cents = max(avg_cents) OVER (PARTITION BY event_type)
                     AS INT) AS is_peak
-        FROM a ORDER BY event_type, hod"""))
+        FROM a ORDER BY event_type, hod""")),
+
+    // beyond-reference — OHLC downsampling bars (open/high/low/close per
+    // minute bucket per tag), the financial-style compaction of a raw
+    // series. min_by/max_by on a (ts, seq) struct keep the whole thing ONE
+    // map-side-combined aggregate — no window, no second shuffle; ties
+    // break on event_id so the result is deterministic under replays.
+    QueryDef("ts_ohlc",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_ms div 60000").as("bucket_min"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("low"), max(col("value")).as("high"),
+          min_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("close"))
+        .orderBy("event_type", "bucket_min"),
+      Some(s"""
+        WITH e AS (SELECT event_type, $MS // 60000 AS bucket_min,
+                     $MS AS ts_ms, event_id, value FROM events),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY event_type, bucket_min
+                                   ORDER BY ts_ms, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY event_type, bucket_min
+                                   ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+              FROM e)
+        SELECT event_type, bucket_min, count(*) AS n,
+               min(value) AS low, max(value) AS high,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_min""")),
+
+    // beyond-reference — exponentially-weighted moving average over the
+    // trailing 16 samples per tag (α = 1/2, so every weight is an exact
+    // power of two and the Spark and oracle folds agree bit-for-bit).
+    // Bounded ROWS frame, not a running recurrence: the state per row is
+    // a ≤16-element window, which keeps the operator a pure window plan
+    // (one shuffle on tag) instead of a sequential scan.
+    QueryDef("ts_ewma",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id")).rowsBetween(-15, 0)
+        ev(s, dir)
+          .select(col("event_id"), col("event_type"), col("ts_ms"), col("value"))
+          .withColumn("wv", collect_list(col("value")).over(w))
+          .withColumn("ewma",
+            expr("aggregate(transform(wv, (x, i) -> x * power(0.5, size(wv) - 1 - i)), 0D, (a, b) -> a + b)") /
+              expr("2.0 - power(0.5, size(wv) - 1)"))
+          .drop("wv").orderBy("event_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, event_type, $MS AS ts_ms, value FROM events),
+        w AS (SELECT *, list(value) OVER (PARTITION BY event_type
+                ORDER BY ts_ms, event_id
+                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wv FROM e)
+        SELECT event_id, event_type, ts_ms, value,
+               list_sum(list_transform(wv, (x, i) -> x * power(0.5, len(wv) - i)))
+                 / (2.0 - power(0.5, len(wv) - 1)) AS ewma
+        FROM w ORDER BY event_id""")),
+
+    // beyond-reference — lagged cross-correlation between two tags on
+    // minute-aligned buckets (does `click` activity lead `purchase`?).
+    // Two map-side-combined aggregates + a 6-row lag table joined by
+    // bucket equality; the final corr is one tiny 6-group aggregate.
+    QueryDef("ts_xcorr",
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val series = ev(s, dir)
+          .groupBy(col("event_type"), expr("ts_ms div 60000").as("b"))
+          .agg(sum(cents).as("v"))
+        val a = series.where(col("event_type") === "click")
+          .select(col("b"), col("v").as("x"))
+        val p = series.where(col("event_type") === "purchase")
+          .select(col("b").as("bb"), col("v").as("y"))
+        val lags = s.range(0, 6).select(col("id").as("lag"))
+        // Pearson from exact integer power sums (NOT corr(): its running
+        // accumulation is order-dependent and engine-specific; the closed
+        // form below is two exact casts, two IEEE sqrts, one divide —
+        // bit-identical in any engine).
+        val joined = a.crossJoin(broadcast(lags))
+          .join(p, col("bb") === col("b") + col("lag"))
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val dx = (col("n_buckets") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val dy = (col("n_buckets") * col("syy") - col("sy") * col("sy")).cast("double")
+        joined.select(col("lag"), col("n_buckets"),
+            when(dx === 0 || dy === 0, lit(null).cast("double"))
+              .otherwise(
+                (col("n_buckets") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                  (sqrt(dx) * sqrt(dy)))
+              .as("xcorr"))
+          .orderBy("lag")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, $MS // 60000 AS b,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        s AS (SELECT event_type, b, CAST(sum(cents) AS BIGINT) AS v
+              FROM e GROUP BY 1, 2),
+        a AS (SELECT b, v AS x FROM s WHERE event_type = 'click'),
+        p AS (SELECT b AS bb, v AS y FROM s WHERE event_type = 'purchase'),
+        l AS (SELECT unnest(range(0, 6)) AS lag),
+        j AS (SELECT lag, count(*) AS n_buckets,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+              FROM a CROSS JOIN l JOIN p ON bb = b + lag
+              GROUP BY lag)
+        SELECT lag, n_buckets,
+               CASE WHEN n_buckets * sxx - sx * sx = 0
+                      OR n_buckets * syy - sy * sy = 0 THEN NULL
+                    ELSE CAST(n_buckets * sxy - sx * sy AS DOUBLE) /
+                           (sqrt(CAST(n_buckets * sxx - sx * sx AS DOUBLE)) *
+                            sqrt(CAST(n_buckets * syy - sy * sy AS DOUBLE)))
+               END AS xcorr
+        FROM j ORDER BY lag""")),
+
+    // beyond-reference — semi-structured property extraction: parse the
+    // JSON `props` payload (get_json_object — codegen'd path evaluation,
+    // no UDF) and aggregate the typed field per tag. The JSON parse stays
+    // inside the scan's projection; the only shuffle is the 5-group agg.
+    QueryDef("ts_json_props",
+      (s, dir) => ev(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          avg(col("k")).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""
+        WITH e AS (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k, avg(k) AS avg_k
+        FROM e GROUP BY event_type ORDER BY event_type"""))
   )
 }

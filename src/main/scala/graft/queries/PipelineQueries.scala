@@ -705,6 +705,122 @@ object PipelineQueries {
         SELECT doc_id, count(*) AS n_shingles,
                CAST(sum(in_bloom) AS BIGINT) AS n_in_bloom,
                sum(in_bloom) * 1.0 / count(*) AS bloom_frac
-        FROM ps GROUP BY 1 ORDER BY doc_id"""))
+        FROM ps GROUP BY 1 ORDER BY doc_id""")),
+
+    // ---- exact-substring duplicate spans (suffix-array-style dedup) ----
+    // Sliding 8-token window hashes; a window seen more than once anywhere
+    // in the corpus is a duplicated span. Per-doc duplicated fraction.
+    QueryDef("dd_substring",
+      (s, dir) => Dedup.substringDupStats(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        wn AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 6),
+                   i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+               FROM t WHERE len(toks) >= 8),
+        df AS (SELECT h, count(*) AS c FROM wn GROUP BY 1),
+        d AS (SELECT wn.doc_id, count(*) AS nw,
+                CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+              FROM wn JOIN df USING (h) GROUP BY 1)
+        SELECT t.doc_id,
+               coalesce(nw, 0) AS n_windows,
+               coalesce(nd, 0) AS n_dup_windows,
+               CASE WHEN coalesce(nw, 0) = 0 THEN 0.0
+                    ELSE nd * 1.0 / nw END AS dup_frac,
+               CAST((CASE WHEN coalesce(nw, 0) = 0 THEN 0.0
+                          ELSE nd * 1.0 / nw END) >= 0.2 AS INT) AS is_dup
+        FROM t LEFT JOIN d USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- Gopher-style rule-based quality gate ----
+    QueryDef("tx_gopher",
+      (s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""
+        WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        m AS (SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS sum_word_len,
+                CAST(len(text) - len(regexp_replace(text, '[#*]', '', 'g')) AS BIGINT) AS n_symbols,
+                CAST(len(list_intersect(list_distinct(ws),
+                  ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT) AS n_stop_kinds
+              FROM w),
+        r AS (SELECT *,
+                CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+                CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio
+              FROM m),
+        f AS (SELECT *,
+                CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS f_word_count,
+                CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS f_mean_word_len,
+                CAST(symbol_ratio <= 0.1 AS INT) AS f_symbol_ratio,
+                CAST(n_stop_kinds >= 2 AS INT) AS f_stopwords
+              FROM r)
+        SELECT doc_id, n_words, sum_word_len, mean_word_len, n_symbols,
+               symbol_ratio, n_stop_kinds, f_word_count, f_mean_word_len,
+               f_symbol_ratio, f_stopwords,
+               CAST(f_word_count = 1 AND f_mean_word_len = 1 AND
+                    f_symbol_ratio = 1 AND f_stopwords = 1 AS INT) AS passes
+        FROM f ORDER BY doc_id""")),
+
+    // ---- ANN recall evaluation: IVF vs exact brute force ----
+    // The quality metric a pipeline watches when tuning nlist/nprobe:
+    // per query, |IVF top-5 ∩ exact top-5| / 5. Both sides reuse the
+    // registered operators; the compare is a tiny (queries × k) join.
+    QueryDef("sim_recall_eval",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val exact = Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.ivfTopK(emb, k = 5, queryModulo = 20,
+          centroidModulo = 97)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("query_id"), "left_outer")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall",
+            col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 20 = 0),
+        bscored AS (SELECT query_id, vec_id AS neighbor_id,
+                      ${cosSql("qv", "qnrm", "v", "nrm")} AS cos
+                    FROM qn CROSS JOIN bq WHERE vec_id <> query_id),
+        branked AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM bscored),
+        exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+        cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+                 FROM qn WHERE vec_id % 97 = 0),
+        assign AS (SELECT vec_id, v, nrm, c_id AS bucket,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                   FROM qn CROSS JOIN cent),
+        bkt AS (SELECT vec_id, v, nrm, bucket FROM assign WHERE arn = 1),
+        iq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+               FROM bkt WHERE vec_id % 20 = 0),
+        iscored AS (SELECT query_id, b.vec_id AS neighbor_id,
+                      ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
+                    FROM bkt b JOIN iq USING (bucket)
+                    WHERE b.vec_id <> query_id),
+        iranked AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM iscored),
+        approx AS (SELECT query_id, neighbor_id FROM iranked WHERE rank <= 5),
+        hits AS (SELECT e.query_id, count(*) AS n_hits
+                 FROM exact e JOIN approx a
+                   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+                 GROUP BY 1),
+        ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+        SELECT ne.query_id, n_exact, coalesce(n_hits, 0) AS n_hits,
+               coalesce(n_hits, 0) * 1.0 / n_exact AS recall
+        FROM ne LEFT JOIN hits USING (query_id) ORDER BY query_id"""))
   )
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.analytics.{Dedup, TextAnalysis}
+
+/** Specs for the round-4 second-batch operators: exact-substring dup
+  * spans, Gopher quality gate, OHLC bars, EWMA, lagged cross-correlation,
+  * JSON property extraction, and the ANN recall evaluation.
+  */
+class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-round5-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("substringDupStats: exact duplicates have dup_frac 1.0") {
+    val docs = Tables.documents(spark, sf)
+    // sf0.001 has no exact-dup docs; the invariant still binds when the
+    // set is empty, and the synthetic-repetition corpus guarantees some
+    // duplicated windows regardless.
+    val dupIds = Dedup.exact(docs).where(col("group_size") > 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stats = Dedup.substringDupStats(docs).collect()
+    assert(stats.length === docs.count())
+    stats.foreach { r =>
+      val (nw, nd) = (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))
+      assert(nd <= nw)
+      val frac = r.getAs[Double]("dup_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (dupIds.contains(r.getAs[Long]("doc_id")) && nw > 0)
+        assert(frac === 1.0, s"exact dup doc ${r.getAs[Long]("doc_id")}")
+    }
+    assert(stats.map(_.getAs[Long]("n_dup_windows")).sum > 0L)
+  }
+
+  test("substringDupStats: sub-window docs report zero windows") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c"), (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(tiny).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_windows") === 0L)
+    assert(got(0).getAs[Double]("dup_frac") === 0.0)
+    // docs 2 and 3 are identical 8-token docs: one window each, duplicated
+    assert(got(1).getAs[Long]("n_windows") === 1L)
+    assert(got(1).getAs[Double]("dup_frac") === 1.0)
+    assert(got(2).getAs[Double]("dup_frac") === 1.0)
+  }
+
+  test("gopherRules: passes is the conjunction of the four flags") {
+    val got = TextAnalysis.gopherRules(Tables.documents(spark, sf)).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val flags = Seq("f_word_count", "f_mean_word_len", "f_symbol_ratio",
+        "f_stopwords").map(r.getAs[Int])
+      assert(flags.forall(f => f == 0 || f == 1))
+      assert(r.getAs[Int]("passes") === flags.min)
+      val mwl = r.getAs[Double]("mean_word_len")
+      assert(mwl === r.getAs[Long]("sum_word_len").toDouble /
+        r.getAs[Long]("n_words").toDouble)
+    }
+    // both outcomes should occur on the fixture (short docs fail word count)
+    assert(got.map(_.getAs[Int]("passes")).distinct.length === 2)
+  }
+
+  test("ts_ohlc: bars bound their bucket and count every event") {
+    val bars = q("ts_ohlc").collect()
+    bars.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("low"), r.getAs[Double]("high"))
+      assert(lo <= hi)
+      assert(r.getAs[Double]("open") >= lo && r.getAs[Double]("open") <= hi)
+      assert(r.getAs[Double]("close") >= lo && r.getAs[Double]("close") <= hi)
+    }
+    assert(bars.map(_.getAs[Long]("n")).sum ===
+      Tables.events(spark, sf).count())
+  }
+
+  test("ts_ewma: equals the closed-form fold on a spot-checked tag") {
+    val rows = q("ts_ewma").where(col("event_type") === "click")
+      .orderBy("ts_ms", "event_id").limit(20).collect()
+    val vals = rows.map(_.getAs[Double]("value"))
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      val win = vals.slice(math.max(0, idx - 15), idx + 1)
+      val n = win.length
+      val num = win.zipWithIndex.map { case (x, i) =>
+        x * math.pow(0.5, n - 1 - i) }.sum
+      val den = 2.0 - math.pow(0.5, n - 1)
+      assert(math.abs(r.getAs[Double]("ewma") - num / den) < 1e-9)
+    }
+  }
+
+  test("ts_xcorr: lags are bounded correlations over joined buckets") {
+    val got = q("ts_xcorr").collect()
+    // lags whose shifted join is empty produce no group (inner join);
+    // at sf0.001 only a few survive, at sf0.01+ all 6 do
+    assert(got.length >= 1 && got.length <= 6)
+    got.foreach { r =>
+      assert(r.getAs[Long]("lag") >= 0 && r.getAs[Long]("lag") <= 5)
+      assert(r.getAs[Long]("n_buckets") > 0)
+      if (!r.isNullAt(r.fieldIndex("xcorr"))) {
+        val c = r.getAs[Double]("xcorr")
+        assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+      }
+    }
+  }
+
+  test("ts_json_props: per-tag stats are consistent and complete") {
+    val got = q("ts_json_props").collect()
+    assert(got.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+    got.foreach { r =>
+      assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
+      assert(r.getAs[Double]("avg_k") ===
+        r.getAs[Long]("sum_k").toDouble / r.getAs[Long]("n").toDouble)
+    }
+  }
+
+  test("sim_recall_eval: recall in [0,1] with k=5 exact sets") {
+    val got = q("sim_recall_eval").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === 5L)
+      assert(r.getAs[Long]("n_hits") <= 5L)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the IVF probe should find at least some true neighbors overall
+    assert(got.map(_.getAs[Long]("n_hits")).sum > 0L)
+  }
+}

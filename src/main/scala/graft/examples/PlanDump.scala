@@ -54,7 +54,15 @@ object PlanDump {
       "gr_pagerank" -> ("Fixed-point PageRank: each unrolled round is an edges-to-ranks hash join + a map-side-combined " +
         "contribution aggregate; rounds are MATERIALIZED (localCheckpoint) so the similarity join above runs once, not 2^iters times."),
       "mm_phash" -> ("Perceptual-hash near-dup: block sums and the 64-bit fingerprint are two map-side-combined hash aggregates " +
-        "(<=64 rows per doc); candidates come from the 4x16-bit band join — the same never-all-pairs shape as dd_simhash."))
+        "(<=64 rows per doc); candidates come from the 4x16-bit band join — the same never-all-pairs shape as dd_simhash."),
+      "dd_substring" -> ("Exact-substring dup spans: window hashes explode once, the document-frequency count is a map-side-combined " +
+        "aggregate on the md5 hash, and the per-doc rollup joins BACK on the hash — a hot window costs O(df) rows, never O(df^2) pairs."),
+      "ts_ohlc" -> ("OHLC bars: ONE map-side-combined aggregate — min_by/max_by on a (ts, seq) struct replace the two " +
+        "row_number windows a naive plan would run, so no second exchange and no per-bucket sort."),
+      "ts_ewma" -> ("EWMA: a single bounded ROWS window (<=16-element state per row) over one exchange on the tag — " +
+        "the weighted fold is a Catalyst higher-order function over the materialized frame, not a sequential scan."),
+      "sim_recall_eval" -> ("ANN quality metric: both retrieval arms reuse their registered plans; the compare is a " +
+        "left-semi hash join on (query, neighbor) over queries x k rows — evaluation costs nothing beyond the two retrievals."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

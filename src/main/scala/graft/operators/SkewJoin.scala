@@ -41,6 +41,12 @@ object SkewJoin {
       pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(factor)))
     val sr = right.withColumn("__salt",
       explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
-    sl.join(sr, Seq(key, "__salt"), joinType).drop("__salt")
+    // SHUFFLE_HASH on the build side: salting is for builds too big to
+    // broadcast, so don't let the planner broadcast the factor×-replicated
+    // relation (a single-threaded driver hash build); a shuffled hash join
+    // builds factor× smaller per-task maps in parallel, and beats
+    // sort-merge because the replicated side never needs sorting.
+    sl.join(sr.hint("shuffle_hash"), Seq(key, "__salt"), joinType)
+      .drop("__salt")
   }
 }

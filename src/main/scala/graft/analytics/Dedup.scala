@@ -190,6 +190,44 @@ object Dedup {
       .withColumn("est_jaccard", col("n_matching").cast("double") / k)
   }
 
+  /** Sketch-quality evaluation for the MinHash family: on every LSH
+    * candidate pair, the signature-agreement estimate next to the EXACT
+    * shingle Jaccard and their absolute error — the number one watches
+    * when trading k/bands against recall (analog of the ANN family's
+    * `sim_recall_eval`).
+    *
+    * Scale shape: the exact side is computed ONLY for candidate pairs —
+    * the shingle join is pre-filtered by a semi-join on the candidates'
+    * doc ids, then pair-restricted, so the full-corpus shingle self-join
+    * never happens.
+    */
+  def minhashErrorEval(docs: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
+    val cand = minhashCandidates(docs, k, bands)
+    val sh = shingleSet(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = sh.join(cand.select(col("doc_a").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val shB = sh.join(cand.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val common = cand.select(col("doc_a"), col("doc_b"))
+      .join(shA.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shB.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    cand
+      .join(common, Seq("doc_a", "doc_b"), "left_outer")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("exact_jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+      .select("doc_a", "doc_b", "n_matching", "est_jaccard",
+        "n_common", "n_a", "n_b", "exact_jaccard", "abs_err")
+  }
+
   /** SimHash fingerprints (64-bit as a bit-string) per document.
     *
     * 64 bits (parities of md5(w) and md5('x'||w) hex chars) rather than 32:

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Extracted per-media features (the output schema of the decode stage). */
@@ -229,5 +230,54 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Silence / low-activity segment detection over the framed PCM stub:
+    * per-frame RMS energies (identical arithmetic to [[audioEnergy]] —
+    * IEEE sqrt is exactly rounded, so the scaled-integer energies are
+    * engine-portable) computed RELATIONALLY, then consecutive
+    * below-threshold frames collapsed to runs with the gaps-and-islands
+    * window (frame index minus per-doc silent rank is constant within a
+    * run). Per doc: silent-frame count, run count, longest run.
+    *
+    * Scale shape: energies reduce to a per-doc array BEFORE the explode,
+    * so frame rows carry one long each — the byte payload is never
+    * replicated across frames; both islands windows partition by doc_id
+    * (one exchange, reused).
+    */
+  def silenceRuns(docs: DataFrame, frame: Int = 64,
+      threshold: Long = 44000L): DataFrame = {
+    val fr = lit(frame)
+    val withEnergies = docs
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("text"))),
+          i => ascii(col("text").substr(i, lit(1)))).as("bytes"))
+      .withColumn("nf", (size(col("bytes")) / frame).cast("long"))
+      .withColumn("energies",
+        when(col("nf") > 0,
+          transform(sequence(lit(0L), col("nf") - 1),
+            k => floor(sqrt(
+              aggregate(slice(col("bytes"), (k * fr + 1).cast("int"), fr),
+                lit(0L), (a, x) => a + (x - 128).cast("long") * (x - 128))
+                .cast("double") / frame.toDouble) * 1000 + 0.5).cast("long")))
+          .otherwise(array().cast("array<bigint>")))
+    val frames = withEnergies
+      .select(col("doc_id"), col("nf"), posexplode_outer(col("energies")))
+      .withColumnRenamed("pos", "k").withColumnRenamed("col", "en")
+    val silent = frames.where(col("en") < threshold)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("k"))
+    val runs = silent
+      .withColumn("grp", col("k") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"), sum(col("run_len")).as("n_silent"),
+        max(col("run_len")).as("longest_run"))
+    withEnergies.select(col("doc_id"), col("nf").as("n_frames"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
   }
 }

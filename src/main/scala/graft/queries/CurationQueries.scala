@@ -215,6 +215,38 @@ object CurationQueries {
               FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1)
         SELECT doc_id, n_shingles, n_hits,
                n_hits * 1.0 / n_shingles AS hit_ratio
-        FROM a WHERE n_hits > 0 ORDER BY doc_id"""))
+        FROM a WHERE n_hits > 0 ORDER BY doc_id""")),
+
+    // ---- dataset card: per-source corpus statistics manifest ----
+    // The summary table a data release ships: volume, language spread,
+    // length distribution, within-source redundancy. ONE map-side-combined
+    // aggregate over the corpus (percentile is the only sort-based part).
+    QueryDef("cu_dataset_card",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("percentile(n_chars, 0.5)").as("p50_chars"),
+          countDistinct(md5(col("text"))).as("n_uniq"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("total_chars"),
+          (col("total_chars").cast("double") / col("n_docs").cast("double"))
+            .as("avg_chars"),
+          col("p50_chars"),
+          (col("n_docs") - col("n_uniq")).as("n_redundant"),
+          ((col("n_docs") - col("n_uniq")).cast("double") /
+            col("n_docs").cast("double")).as("dup_frac"))
+        .orderBy("source"),
+      Some("""
+        SELECT source, count(*) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+               quantile_cont(n_chars, 0.5) AS p50_chars,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_redundant,
+               CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE) AS dup_frac
+        FROM documents GROUP BY source ORDER BY source"""))
   )
 }

@@ -707,6 +707,51 @@ object PipelineQueries {
                sum(in_bloom) * 1.0 / count(*) AS bloom_frac
         FROM ps GROUP BY 1 ORDER BY doc_id""")),
 
+    // ---- MinHash sketch-quality eval: estimate vs exact Jaccard ----
+    // The dedup-family analog of sim_recall_eval: on every LSH candidate
+    // pair, signature agreement next to the exact shingle Jaccard. The
+    // exact side is computed only for candidate pairs (semi-join first).
+    QueryDef("dd_minhash_eval",
+      (s, dir) => Dedup.minhashErrorEval(Tables.documents(s, dir), k = 12,
+        bands = 4)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte,
+        seeds AS (SELECT unnest(range(0, 12)) AS seed),
+        sig AS (SELECT doc_id, seed,
+                       min(md5(seed || ':' || s)) AS mh
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        band AS (SELECT doc_id, seed // 3 AS band,
+                        md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+                 FROM sig GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM band x JOIN band y
+                   ON x.band = y.band AND x.band_sig = y.band_sig
+                      AND x.doc_id < y.doc_id),
+        est AS (SELECT doc_a, doc_b,
+                  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+                  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 12.0 AS est_jaccard
+                FROM cand JOIN sig a ON doc_a = a.doc_id
+                          JOIN sig b ON doc_b = b.doc_id AND a.seed = b.seed
+                GROUP BY 1, 2),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        com AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                            JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+                GROUP BY 1, 2),
+        fin AS (SELECT e.doc_a, e.doc_b, n_matching, est_jaccard,
+                  coalesce(n_common, 0) AS n_common,
+                  za.n_sh AS n_a, zb.n_sh AS n_b
+                FROM est e LEFT JOIN com ON e.doc_a = com.doc_a AND e.doc_b = com.doc_b
+                     JOIN sz za ON za.doc_id = e.doc_a
+                     JOIN sz zb ON zb.doc_id = e.doc_b)
+        SELECT doc_a, doc_b, n_matching, est_jaccard, n_common, n_a, n_b,
+               CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+                 AS exact_jaccard,
+               abs(est_jaccard - CAST(n_common AS DOUBLE) /
+                                 CAST(n_a + n_b - n_common AS DOUBLE)) AS abs_err
+        FROM fin ORDER BY doc_a, doc_b""")),
+
     // ---- exact-substring duplicate spans (suffix-array-style dedup) ----
     // Sliding 8-token window hashes; a window seen more than once anywhere
     // in the corpus is a duplicated span. Per-doc duplicated fraction.

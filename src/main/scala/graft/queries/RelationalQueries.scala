@@ -218,6 +218,49 @@ object RelationalQueries {
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        ORDER BY pri, st"""))
+        ORDER BY pri, st""")),
+
+    // TPC-H Q3-shaped shipping priority: revenue of unshipped orders for
+    // one market segment. Customer filter broadcasts onto orders; the only
+    // wide exchange is the orders⋈lineitem join + the per-order aggregate.
+    // Revenue in exact DECIMAL (price·(1−disc) has ≤4 decimal places);
+    // ONE double cast at the end. Top-10 ties break on the order key.
+    QueryDef("rel_shipping_priority",
+      (s, dir) => {
+        val cutoff = to_timestamp(lit("1998-01-01"))
+        val cust = Tables.customer(s, dir)
+          .where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = Tables.orders(s, dir)
+          .where(col("o_orderdate") < cutoff)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        val li = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") > cutoff)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey").as("okey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("order_ts_ms"),
+            col("o_orderpriority").as("priority"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("okey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey AS okey, epoch_ms(o_orderdate) AS order_ts_ms,
+               o_orderpriority AS priority,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, okey LIMIT 10"""))
   )
 }

@@ -144,6 +144,45 @@ object StreamMultimodalQueries {
                  (acc, x) -> (acc * 31 + x) % 1000000007) AS energy_digest
         FROM e ORDER BY doc_id""")),
 
+    // ---- multimodal: silence-run detection (gaps-and-islands) ----
+    // Per-frame RMS energies reduce to a per-doc array BEFORE the explode
+    // (the payload is never replicated across frame rows); consecutive
+    // below-threshold frames collapse to runs via the islands window.
+    QueryDef("mm_silence",
+      (s, dir) => Multimodal.silenceRuns(Tables.documents(s, dir),
+        frame = 64, threshold = 44000L)
+        .orderBy("doc_id"),
+      Some("""
+        WITH b AS (SELECT doc_id, length(text) AS n,
+                     list_transform(range(1, length(text)+1),
+                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+                   FROM documents),
+        e AS (SELECT doc_id, n // 64 AS n_frames,
+                list_transform(range(0, n // 64), k ->
+                  CAST(floor(sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, 65),
+                           j -> (bytes[CAST(k*64+j AS INT)] - 128)
+                              * (bytes[CAST(k*64+j AS INT)] - 128))),
+                       (acc, x) -> acc + x) AS DOUBLE) / 64.0) * 1000 + 0.5) AS BIGINT))
+                  AS energies
+              FROM b),
+        fe AS (SELECT doc_id, unnest(range(0, n_frames)) AS k, energies FROM e),
+        en AS (SELECT doc_id, k, energies[CAST(k+1 AS INT)] AS en FROM fe),
+        si AS (SELECT doc_id, k FROM en WHERE en < 44000),
+        g AS (SELECT doc_id, k,
+                k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS grp
+              FROM si),
+        r AS (SELECT doc_id, count(*) AS run_len FROM g GROUP BY doc_id, grp),
+        pd AS (SELECT doc_id, count(*) AS n_runs,
+                 CAST(sum(run_len) AS BIGINT) AS n_silent,
+                 max(run_len) AS longest_run
+               FROM r GROUP BY 1)
+        SELECT e.doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+               coalesce(n_silent, 0) AS n_silent,
+               coalesce(n_runs, 0) AS n_runs,
+               coalesce(longest_run, 0) AS longest_run
+        FROM e LEFT JOIN pd USING (doc_id) ORDER BY doc_id""")),
+
     // ---- multimodal: perceptual-hash (block-mean) image near-dup ----
     // 64-bit blockwise-brightness fingerprint + banded Hamming join —
     // image dedup with the payload-byte arithmetic standing in for

@@ -127,6 +127,59 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("silenceRuns: run accounting is internally consistent") {
+    val got = q("mm_silence").collect()
+    assert(got.length === 500)
+    got.foreach { r =>
+      val (nf, ns, nr, lr) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_silent"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("longest_run"))
+      assert(ns <= nf)
+      assert(lr <= ns)
+      if (nr > 0) assert(lr >= 1 && ns >= nr)  // runs partition the silent frames
+      else assert(ns === 0 && lr === 0)
+      if (ns > 0) assert(lr >= (ns + nr - 1) / nr) // pigeonhole on max run
+    }
+    assert(got.map(_.getAs[Long]("n_runs")).sum > 0)
+  }
+
+  test("minhashErrorEval: estimate brackets the exact Jaccard sanely") {
+    val got = q("dd_minhash_eval").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("exact_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(exact >= 0.0 && exact <= 1.0)
+      assert(r.getAs[Double]("abs_err") === math.abs(est - exact))
+      assert(r.getAs[Long]("n_common") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    }
+    // LSH candidates are near-dups: the mean error of a 12-seed sketch
+    // on them should be moderate, not degenerate
+    val meanErr = got.map(_.getAs[Double]("abs_err")).sum / got.length
+    assert(meanErr < 0.5)
+  }
+
+  test("cu_dataset_card: per-source stats reconcile with the corpus") {
+    val got = q("cu_dataset_card").collect()
+    val docs = Tables.documents(spark, sf)
+    assert(got.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_langs") >= 1 && r.getAs[Long]("n_langs") <= 5)
+      assert(r.getAs[Long]("n_redundant") >= 0)
+      assert(r.getAs[Double]("dup_frac") >= 0.0 && r.getAs[Double]("dup_frac") < 1.0)
+      assert(r.getAs[Double]("avg_chars") > 0)
+    }
+  }
+
+  test("rel_shipping_priority: top-10 revenue is sorted and positive") {
+    val got = q("rel_shipping_priority").collect()
+    assert(got.length === 10)
+    val revs = got.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(revs.forall(_ > 0))
+  }
+
   test("sim_recall_eval: recall in [0,1] with k=5 exact sets") {
     val got = q("sim_recall_eval").collect()
     assert(got.nonEmpty)

@@ -261,6 +261,32 @@ object RelationalQueries {
           AND o_orderdate < TIMESTAMP '1998-01-01'
           AND l_shipdate > TIMESTAMP '1998-01-01'
         GROUP BY 1, 2, 3
-        ORDER BY revenue DESC, okey LIMIT 10"""))
+        ORDER BY revenue DESC, okey LIMIT 10""")),
+
+    // Distribution window functions in one pass: quartile bucket,
+    // cumulative distribution, percent rank per priority class. The order
+    // key includes the unique o_orderkey, so every row is its own peer
+    // group and all three are exact integer-position ratios.
+    QueryDef("rel_window_stats",
+      (s, dir) => {
+        val w = Window.partitionBy(col("priority"))
+          .orderBy(col("o_totalprice"), col("okey"))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey").as("okey"),
+            col("o_orderpriority").as("priority"), col("o_totalprice"))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .orderBy("priority", "okey")
+      },
+      Some("""
+        SELECT o_orderkey AS okey, o_orderpriority AS priority, o_totalprice,
+               ntile(4) OVER w AS quartile,
+               cume_dist() OVER w AS cume,
+               percent_rank() OVER w AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY priority, okey"""))
   )
 }

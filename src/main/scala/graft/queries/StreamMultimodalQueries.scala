@@ -241,6 +241,24 @@ object StreamMultimodalQueries {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, tag""")),
 
+    // ---- streaming: OHLC bars (stream/batch parity with ts_ohlc) ----
+    QueryDef("st_ohlc",
+      (s, dir) => StreamingIngest.streamingOhlc(s, dir),
+      Some(s"""
+        WITH e AS (SELECT event_type, epoch_ms(ts) // 60000 AS bucket_min,
+                     epoch_ms(ts) AS ts_ms, event_id, value FROM events),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY event_type, bucket_min
+                                   ORDER BY ts_ms, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY event_type, bucket_min
+                                   ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+              FROM e)
+        SELECT event_type, bucket_min, count(*) AS n,
+               min(value) AS low, max(value) AS high,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_min""")),
+
     // ---- streaming: event-time session windows (30-min gap) ----
     // Real session_window aggregation; the oracle is the batch islands
     // construction (new session when the gap is >= the threshold —

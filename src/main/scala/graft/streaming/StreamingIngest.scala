@@ -355,6 +355,27 @@ object StreamingIngest {
         col("n"), col("sum_value"))
     drain(out, "complete").orderBy("window_start", "tag")
   }
+
+  /** Streaming OHLC bars — the batch `ts_ohlc` aggregate run as a real
+    * Structured Streaming query: the same single min_by/max_by-on-struct
+    * aggregate shape, windowed on event time. Shares `ts_ohlc`'s oracle,
+    * which proves stream/batch parity for the compaction.
+    */
+  def streamingOhlc(spark: SparkSession, sfDir: String,
+      windowMs: Long = 60000L): DataFrame = {
+    val out = eventStream(spark, sfDir)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), s"$windowMs milliseconds").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("low"), max(col("value")).as("high"),
+        min_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("close"))
+      .select(col("event_type"),
+        (unix_millis(col("win.start")) / windowMs).as("bucket_min"),
+        col("n"), col("low"), col("high"), col("open"), col("close"))
+    drain(out, "complete").orderBy("event_type", "bucket_min")
+  }
 }
 
 /** Input row shape for the streaming top-k operator. */

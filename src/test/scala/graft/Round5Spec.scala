@@ -180,6 +180,30 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(revs.forall(_ > 0))
   }
 
+  test("st_ohlc matches the batch ts_ohlc row-for-row") {
+    val stream = q("st_ohlc").collect().map(_.toSeq).toSet
+    val batch = q("ts_ohlc")
+      .select("event_type", "bucket_min", "n", "low", "high", "open", "close")
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+  }
+
+  test("rel_window_stats: distribution stats are positional ratios") {
+    val got = q("rel_window_stats").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val qt = r.getAs[Int]("quartile")
+      assert(qt >= 1 && qt <= 4)
+      val c = r.getAs[Double]("cume")
+      assert(c > 0.0 && c <= 1.0)
+      val p = r.getAs[Double]("pct_rank")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    val perPriorityMax = got.groupBy(_.getAs[String]("priority"))
+      .values.map(_.map(_.getAs[Double]("cume")).max)
+    perPriorityMax.foreach(m => assert(m === 1.0))
+  }
+
   test("sim_recall_eval: recall in [0,1] with k=5 exact sets") {
     val got = q("sim_recall_eval").collect()
     assert(got.nonEmpty)

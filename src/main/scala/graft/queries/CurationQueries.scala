@@ -247,6 +247,33 @@ object CurationQueries {
                CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_redundant,
                CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) /
                  CAST(count(*) AS DOUBLE) AS dup_frac
-        FROM documents GROUP BY source ORDER BY source"""))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- deterministic train/val/test split (90/5/5) ----
+    // Content-independent hash split on the doc id — stable under corpus
+    // re-shuffles and re-runs, the property a reproducible data release
+    // needs (same md5-bucket idiom as cu_sample_stratified). Pure
+    // projection; the split never shuffles the corpus.
+    QueryDef("cu_train_val_split",
+      (s, dir) => {
+        val bucket = (conv(substring(md5(
+          concat(lit("split:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long") % 100).as("bucket")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), bucket)
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val").otherwise("test"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id, source,
+                     CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                          AS BIGINT) % 100 AS bucket
+                   FROM documents)
+        SELECT doc_id, source, bucket,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        FROM b ORDER BY doc_id"""))
   )
 }

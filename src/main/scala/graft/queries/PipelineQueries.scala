@@ -777,6 +777,47 @@ object PipelineQueries {
                           ELSE nd * 1.0 / nw END) >= 0.2 AS INT) AS is_dup
         FROM t LEFT JOIN d USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- shingle novelty: how much NEW text each doc contributes ----
+    // A shingle "belongs" to the lowest doc_id containing it (ingestion
+    // order); a doc's novelty is the fraction of its shingles it
+    // introduces. The data-valuation signal behind dedup-aware sampling:
+    // exact dups score 0, fresh text scores ~1. One min-aggregate on the
+    // shingle (map-side combined) joined back — never a pair join.
+    QueryDef("tx_novelty",
+      (s, dir) => {
+        val sh = Dedup.shingleSet(Tables.documents(s, dir))
+        val firstSeen = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+        val perDoc = sh.join(firstSeen, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+        Tables.documents(s, dir).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+          .withColumn("novelty",
+            when(col("n_shingles") === 0, lit(0.0))
+              .otherwise(col("n_novel").cast("double") /
+                col("n_shingles").cast("double")))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte,
+        fs AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        pd AS (SELECT sh.doc_id, count(*) AS n_shingles,
+                 CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_novel
+               FROM sh JOIN fs USING (s) GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(n_shingles, 0) AS n_shingles,
+               coalesce(n_novel, 0) AS n_novel,
+               CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0
+                    ELSE n_novel * 1.0 / n_shingles END AS novelty
+        FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        ORDER BY d.doc_id""")),
+
     // ---- Gopher-style rule-based quality gate ----
     QueryDef("tx_gopher",
       (s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))

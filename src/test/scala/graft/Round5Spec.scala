@@ -204,6 +204,33 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     perPriorityMax.foreach(m => assert(m === 1.0))
   }
 
+  test("cu_train_val_split: deterministic, complete, roughly 90/5/5") {
+    val a = q("cu_train_val_split").collect()
+    val b = q("cu_train_val_split").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq) // re-run identical
+    assert(a.length === 500)
+    val bySplit = a.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > 400 && bySplit("train") < 490)
+  }
+
+  test("tx_novelty: exact duplicates contribute nothing new") {
+    val got = q("tx_novelty").collect()
+    assert(got.length === 500)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+      val n = r.getAs[Double]("novelty")
+      assert(n >= 0.0 && n <= 1.0)
+    }
+    // the LATER copy of an exact-dup pair introduces zero shingles
+    val docs = Tables.documents(spark, sf)
+    val laterDups = analytics.Dedup.exact(docs)
+      .where(col("is_dup") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    got.filter(r => laterDups.contains(r.getAs[Long]("doc_id")))
+      .foreach(r => assert(r.getAs[Double]("novelty") === 0.0))
+  }
+
   test("sim_recall_eval: recall in [0,1] with k=5 exact sets") {
     val got = q("sim_recall_eval").collect()
     assert(got.nonEmpty)

@@ -95,6 +95,38 @@ object StoreQueries {
         FROM events
         WHERE event_type = 'click'
           AND epoch_ms(ts) BETWEEN ${day(3)} AND ${day(5)}
-        GROUP BY 1 ORDER BY hour_start"""))
+        GROUP BY 1 ORDER BY hour_start""")),
+
+    // ---- SQL-text API over the store's registered views ----
+    // The reference's readData as a *user-written SQL string* against
+    // `registerViews`'s temp views — proves the SQL-first consumption path
+    // (view registration, partition pruning through a view, LWW as a SQL
+    // window) under the same oracle as the DataFrame forms. The
+    // partition_start predicate prunes directories exactly as in
+    // ts_store_pruned_scan.
+    QueryDef("ts_store_sql_lww",
+      (s, dir) => {
+        val lo = day(10)
+        val hi = day(12)
+        val st = storeFor(s, dir)
+        st.registerViews("graft")
+        s.sql(s"""
+          SELECT tag, ts AS ts_ms, CAST(value AS DOUBLE) AS value FROM (
+            SELECT tag, ts, value,
+                   row_number() OVER (PARTITION BY tag, ts
+                     ORDER BY ingestTs DESC, seq DESC, writerId DESC) AS rn
+            FROM graft_hot
+            WHERE partition_start BETWEEN ${lo - lo % W} AND $hi
+              AND ts BETWEEN $lo AND $hi)
+          WHERE rn = 1 ORDER BY tag, ts_ms""")
+      },
+      Some(s"""
+        SELECT tag, ts_ms, value FROM (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                 row_number() OVER (PARTITION BY event_type, epoch_ms(ts)
+                                    ORDER BY event_id DESC) AS rn
+          FROM events
+          WHERE epoch_ms(ts) BETWEEN ${day(10)} AND ${day(12)})
+        WHERE rn = 1 ORDER BY tag, ts_ms"""))
   )
 }

@@ -62,7 +62,13 @@ object PlanDump {
       "ts_ewma" -> ("EWMA: a single bounded ROWS window (<=16-element state per row) over one exchange on the tag — " +
         "the weighted fold is a Catalyst higher-order function over the materialized frame, not a sequential scan."),
       "sim_recall_eval" -> ("ANN quality metric: both retrieval arms reuse their registered plans; the compare is a " +
-        "left-semi hash join on (query, neighbor) over queries x k rows — evaluation costs nothing beyond the two retrievals."))
+        "left-semi hash join on (query, neighbor) over queries x k rows — evaluation costs nothing beyond the two retrievals."),
+      "tx_novelty" -> ("Shingle novelty: first-seen ownership is ONE map-side-combined min-aggregate on the shingle " +
+        "joined back to the shingle rows — the data-valuation score never materializes doc pairs."),
+      "mm_silence" -> ("Silence runs: frame energies reduce to a per-doc array BEFORE the explode (frame rows carry one long, " +
+        "the payload is never replicated); both islands windows share one exchange on doc_id."),
+      "ts_store_sql_lww" -> ("User-written SQL against registerViews's temp views: the view is transparent to Catalyst — " +
+        "the scan under the SQL window still shows non-empty PartitionFilters on (tag, partition_start)."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan shape guards for the scale-critical properties PLANS.md
+  * documents — these fail loudly if a refactor silently regresses a plan
+  * (a broadcast turning into a cartesian product, a pruned scan losing its
+  * PartitionFilters, a top-k losing its WindowGroupLimit). The assertions
+  * run on the INITIAL executed plan (AQE not yet finalized): shape
+  * properties — join strategies, limits, filters — are decided there.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-planshape-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Queries whose candidate generation must NEVER degrade to an unkeyed
+    * pair join. BroadcastNestedLoopJoin over a 1-row corpus-size subplan
+    * is fine; CartesianProduct over data is not.
+    */
+  private val neverCartesian = Seq(
+    "ts_scatter_gather", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
+    "dd_containment", "dd_substring", "dd_embedding_neardup", "mm_phash",
+    "ts_interval_overlap", "tx_novelty", "rel_nation_revenue",
+    "rel_shipping_priority")
+
+  neverCartesian.foreach { name =>
+    test(s"$name: no CartesianProduct anywhere in the plan") {
+      assert(!plan(name).contains("CartesianProduct"))
+    }
+  }
+
+  test("ts_scatter_gather: ranges join is broadcast, ts filter reaches the scan") {
+    val p = plan("ts_scatter_gather")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"))
+  }
+
+  test("rel_nation_revenue: both dimension joins broadcast (no merge join)") {
+    val p = plan("rel_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("rel_topk_orders plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("rel_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("tx_kmv_distinct: the sketch survives as TakeOrderedAndProject") {
+    assert(plan("tx_kmv_distinct").contains("TakeOrderedAndProject"))
+  }
+
+  test("tx_tfidf: per-doc top-k runs as WindowGroupLimit") {
+    assert(plan("tx_tfidf").contains("WindowGroupLimit"))
+  }
+
+  test("ts_lww_dedup: LWW is ONE map-side-combined aggregate, not a window") {
+    val p = plan("ts_lww_dedup")
+    assert(p.contains("partial_max_by"))  // map-side combine present
+    assert(!p.contains("Window "))        // never a row_number rewrite
+    assert(p.linesIterator.count(_.contains("Exchange ")) <= 2)
+  }
+
+  test("ts_store_pruned_scan: the store scan keeps non-empty PartitionFilters") {
+    val p = plan("ts_store_pruned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull"))
+  }
+
+  test("ts_store_sql_lww: pruning survives the SQL temp view") {
+    val p = plan("ts_store_sql_lww")
+    assert(p.contains("PartitionFilters: [isnotnull"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("ts_ohlc: one aggregate exchange plus the output sort, nothing more") {
+    val p = plan("ts_ohlc")
+    assert(p.linesIterator.count(_.contains("Exchange ")) <= 2)
+    assert(!p.contains("Window ")) // min_by/max_by, not row_number windows
+  }
+
+  test("sim_ann_bruteforce: partial top-k runs before the exchange") {
+    val p = plan("sim_ann_bruteforce")
+    // the AQE wrapper hides codegen stars pre-execution; the shape proof
+    // is the Partial WindowGroupLimit below the query_id exchange
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial"))
+  }
+
+  test("cu_decontaminate: eval shingles broadcast — corpus never shuffles on shingle") {
+    val p = plan("cu_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+}

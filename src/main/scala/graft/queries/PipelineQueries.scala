@@ -113,6 +113,42 @@ object PipelineQueries {
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---- duplicate-cluster statistics: the dedup planning summary ----
+    // Cluster-size histogram + removable-doc counts — the table that says
+    // how much the corpus shrinks before running the expensive apply.
+    // A two-level reduce on top of the cluster labels; output is O(max
+    // cluster size) rows.
+    QueryDef("dd_cluster_stats",
+      (s, dir) => Dedup.duplicateClusters(Tables.documents(s, dir), 0.5)
+        .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+        .groupBy("size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("size")).as("n_docs"),
+          sum(col("size") - 1).as("n_removable"))
+        .orderBy("size"),
+      Some(s"""
+        WITH RECURSIVE $WordsCte, $ShinglesCte, $CappedShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+        co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+                  FROM co JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+                  WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+               FROM reach GROUP BY src),
+        cs AS (SELECT cluster_id, count(*) AS size FROM cl GROUP BY 1)
+        SELECT size, count(*) AS n_clusters,
+               CAST(sum(size) AS BIGINT) AS n_docs,
+               CAST(sum(size - 1) AS BIGINT) AS n_removable
+        FROM cs GROUP BY size ORDER BY size""")),
+
     // ---- dedup apply: keep only cluster representatives + untouched docs ----
     QueryDef("dd_apply",
       (s, dir) => Dedup.applyDedup(Tables.documents(s, dir), 0.5)

@@ -287,6 +287,40 @@ object RelationalQueries {
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice, o_orderkey)
-        ORDER BY priority, okey"""))
+        ORDER BY priority, okey""")),
+
+    // Full-outer join coverage: per-user click vs purchase counts with
+    // both one-sided populations preserved — the join type the salted
+    // SkewJoin utility correctly REFUSES (its build-side replication is
+    // unsound for right-preserving types), shown here on the plain path.
+    QueryDef("rel_full_outer",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+        clicks.join(purchases, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+          .withColumn("segment",
+            when(col("n_clicks") > 0 && col("n_purchases") > 0, "both")
+              .when(col("n_clicks") > 0, "click_only").otherwise("purchase_only"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+                   WHERE event_type = 'click' GROUP BY 1),
+        p AS (SELECT user_id, count(*) AS n_purchases FROM events
+              WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT user_id,
+               coalesce(n_clicks, 0) AS n_clicks,
+               coalesce(n_purchases, 0) AS n_purchases,
+               CASE WHEN coalesce(n_clicks, 0) > 0
+                     AND coalesce(n_purchases, 0) > 0 THEN 'both'
+                    WHEN coalesce(n_clicks, 0) > 0 THEN 'click_only'
+                    ELSE 'purchase_only' END AS segment
+        FROM c FULL JOIN p USING (user_id) ORDER BY user_id"""))
   )
 }

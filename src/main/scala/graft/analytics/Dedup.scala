@@ -203,7 +203,12 @@ object Dedup {
     */
   def minhashErrorEval(docs: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
     val cand = minhashCandidates(docs, k, bands)
-    val sh = shingleSet(docs)
+    // every shingle subplan is semi-join-restricted to the candidate docs
+    // FIRST — sizes included: at corpus scale the candidates are a tiny
+    // fraction, so no full-corpus shingle aggregate runs here
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingleSet(docs).join(candIds, Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.join(cand.select(col("doc_a").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")

@@ -232,6 +232,29 @@ object Multimodal {
       }
   }
 
+  /** Shared frame-energy subplan: (doc_id, nf, energies) with the scaled
+    * integer RMS per `frame`-byte window — identical arithmetic to
+    * [[audioEnergy]], computed relationally. The byte array materializes
+    * once per doc; the per-frame fold reads slices of it (O(bytes) total).
+    */
+  private def frameEnergies(docs: DataFrame, frame: Int): DataFrame = {
+    val fr = lit(frame)
+    docs
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("text"))),
+          i => ascii(col("text").substr(i, lit(1)))).as("bytes"))
+      .withColumn("nf", (size(col("bytes")) / frame).cast("long"))
+      .withColumn("energies",
+        when(col("nf") > 0,
+          transform(sequence(lit(0L), col("nf") - 1),
+            k => floor(sqrt(
+              aggregate(slice(col("bytes"), (k * fr + 1).cast("int"), fr),
+                lit(0L), (a, x) => a + (x - 128).cast("long") * (x - 128))
+                .cast("double") / frame.toDouble) * 1000 + 0.5).cast("long")))
+          .otherwise(array().cast("array<bigint>")))
+      .drop("bytes")
+  }
+
   /** Silence / low-activity segment detection over the framed PCM stub:
     * per-frame RMS energies (identical arithmetic to [[audioEnergy]] —
     * IEEE sqrt is exactly rounded, so the scaled-integer energies are
@@ -247,20 +270,7 @@ object Multimodal {
     */
   def silenceRuns(docs: DataFrame, frame: Int = 64,
       threshold: Long = 44000L): DataFrame = {
-    val fr = lit(frame)
-    val withEnergies = docs
-      .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("text"))),
-          i => ascii(col("text").substr(i, lit(1)))).as("bytes"))
-      .withColumn("nf", (size(col("bytes")) / frame).cast("long"))
-      .withColumn("energies",
-        when(col("nf") > 0,
-          transform(sequence(lit(0L), col("nf") - 1),
-            k => floor(sqrt(
-              aggregate(slice(col("bytes"), (k * fr + 1).cast("int"), fr),
-                lit(0L), (a, x) => a + (x - 128).cast("long") * (x - 128))
-                .cast("double") / frame.toDouble) * 1000 + 0.5).cast("long")))
-          .otherwise(array().cast("array<bigint>")))
+    val withEnergies = frameEnergies(docs, frame)
     val frames = withEnergies
       .select(col("doc_id"), col("nf"), posexplode_outer(col("energies")))
       .withColumnRenamed("pos", "k").withColumnRenamed("col", "en")
@@ -279,5 +289,32 @@ object Multimodal {
         coalesce(col("n_silent"), lit(0L)).as("n_silent"),
         coalesce(col("n_runs"), lit(0L)).as("n_runs"),
         coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+  }
+
+  /** Scene-change detection (video-ish stub): a boundary wherever the
+    * frame-to-frame energy delta exceeds `threshold` — the lag-window
+    * complement to [[silenceRuns]]'s islands. Per doc: boundary count,
+    * scene count (boundaries + 1), and the largest jump. Same scale shape:
+    * per-doc energy arrays before the explode, one doc_id window exchange.
+    */
+  def sceneChanges(docs: DataFrame, frame: Int = 64,
+      threshold: Long = 3000L): DataFrame = {
+    val withEnergies = frameEnergies(docs, frame)
+    val frames = withEnergies
+      .select(col("doc_id"), col("nf"), posexplode_outer(col("energies")))
+      .withColumnRenamed("pos", "k").withColumnRenamed("col", "en")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("k"))
+    val deltas = frames
+      .withColumn("delta", abs(col("en") - lag(col("en"), 1).over(byDoc)))
+    val perDoc = deltas.groupBy("doc_id")
+      .agg(sum(when(col("delta") >= threshold, 1L).otherwise(0L)).as("n_boundaries"),
+        max(coalesce(col("delta"), lit(0L))).as("max_delta"))
+    withEnergies.select(col("doc_id"), col("nf").as("n_frames"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_boundaries"), lit(0L)).as("n_boundaries"),
+        when(col("n_frames") === 0, lit(0L))
+          .otherwise(coalesce(col("n_boundaries"), lit(0L)) + 1).as("n_scenes"),
+        coalesce(col("max_delta"), lit(0L)).as("max_delta"))
   }
 }

@@ -670,6 +670,34 @@ object PipelineQueries {
         }.mkString(",\n        ")}
         SELECT node, r FROM r3 ORDER BY r DESC, node""")),
 
+    // ---- triangle count over the embedding near-dup graph ----
+    // Node-iterator triangle join on the (a < b)-oriented edge list:
+    // e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — every join is an equality on a
+    // vertex id, so the shuffle keys are vertices, never pairs; output is
+    // one row per label. The clustering signal that distinguishes a tight
+    // duplicate clique from a star of borderline matches.
+    QueryDef("gr_triangles",
+      (s, dir) => {
+        val e = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"), col("label"))
+        val e2 = e.select(col("a").as("b"), col("b").as("c"))
+        val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+        e.join(e2, "b")
+          .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy("label")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        e AS (SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label
+              FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3)
+        SELECT e1.label, count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        GROUP BY 1 ORDER BY e1.label""")),
+
     // ---- HyperLogLog distinct-shingle sketch (m=256 registers) ----
     // Fixed-state cardinality estimation: every task emits ≤ m register
     // rows regardless of scan size; the harmonic sum stays an exact

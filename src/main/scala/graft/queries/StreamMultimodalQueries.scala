@@ -183,6 +183,42 @@ object StreamMultimodalQueries {
                coalesce(longest_run, 0) AS longest_run
         FROM e LEFT JOIN pd USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- multimodal: scene-change detection (lag window on energies) ----
+    QueryDef("mm_scenes",
+      (s, dir) => Multimodal.sceneChanges(Tables.documents(s, dir),
+        frame = 64, threshold = 3000L)
+        .orderBy("doc_id"),
+      Some("""
+        WITH b AS (SELECT doc_id, length(text) AS n,
+                     list_transform(range(1, length(text)+1),
+                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+                   FROM documents),
+        e AS (SELECT doc_id, n // 64 AS n_frames,
+                list_transform(range(0, n // 64), k ->
+                  CAST(floor(sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, 65),
+                           j -> (bytes[CAST(k*64+j AS INT)] - 128)
+                              * (bytes[CAST(k*64+j AS INT)] - 128))),
+                       (acc, x) -> acc + x) AS DOUBLE) / 64.0) * 1000 + 0.5) AS BIGINT))
+                  AS energies
+              FROM b),
+        fe AS (SELECT doc_id, unnest(range(0, n_frames)) AS k, energies FROM e),
+        en AS (SELECT doc_id, k, energies[CAST(k+1 AS INT)] AS en FROM fe),
+        d AS (SELECT doc_id,
+                abs(en - lag(en) OVER (PARTITION BY doc_id ORDER BY k)) AS delta
+              FROM en),
+        pd AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN delta >= 3000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boundaries,
+                 max(coalesce(delta, 0)) AS max_delta
+               FROM d GROUP BY 1)
+        SELECT e.doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+               coalesce(n_boundaries, 0) AS n_boundaries,
+               CASE WHEN n_frames = 0 THEN 0
+                    ELSE coalesce(n_boundaries, 0) + 1 END AS n_scenes,
+               coalesce(max_delta, 0) AS max_delta
+        FROM e LEFT JOIN pd USING (doc_id) ORDER BY doc_id""")),
+
     // ---- multimodal: perceptual-hash (block-mean) image near-dup ----
     // 64-bit blockwise-brightness fingerprint + banded Hamming join —
     // image dedup with the payload-byte arithmetic standing in for

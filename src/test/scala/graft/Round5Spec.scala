@@ -231,6 +231,39 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(r => assert(r.getAs[Double]("novelty") === 0.0))
   }
 
+  test("sceneChanges: boundaries and scenes reconcile per doc") {
+    val got = q("mm_scenes").collect()
+    assert(got.length === 500)
+    got.foreach { r =>
+      val (nf, nb, ns) = (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_boundaries"), r.getAs[Long]("n_scenes"))
+      assert(nb <= math.max(0L, nf - 1))
+      if (nf > 0) assert(ns === nb + 1) else assert(ns === 0L)
+      if (nb > 0) assert(r.getAs[Long]("max_delta") >= 3000L)
+    }
+  }
+
+  test("gr_triangles: counts match a hand-built clique graph") {
+    import spark.implicits._
+    // a 4-clique has C(4,3)=4 triangles; a path a-b-c has none
+    val emb = Seq.tabulate(6) { i =>
+      // label 0: vectors 0-3 identical (4-clique); label 1: 4,5 + nothing
+      val base = if (i <= 3) Array.fill(4)(1.0f)
+      else Array(1.0f, 0.0f, 0.0f, 0.0f + i)
+      (i.toLong, base, if (i <= 3) 0 else 1)
+    }.toDF("vec_id", "embedding", "label")
+    val e = analytics.Dedup.embeddingNearDups(emb, 0.99)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"), col("label"))
+    val e2 = e.select(col("a").as("b"), col("b").as("c"))
+    val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+    val tri = e.join(e2, "b")
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .groupBy("label").agg(count(lit(1)).as("n_triangles")).collect()
+    assert(tri.length === 1)
+    assert(tri(0).getAs[Int]("label") === 0)
+    assert(tri(0).getAs[Long]("n_triangles") === 4L)
+  }
+
   test("sim_recall_eval: recall in [0,1] with k=5 exact sets") {
     val got = q("sim_recall_eval").collect()
     assert(got.nonEmpty)

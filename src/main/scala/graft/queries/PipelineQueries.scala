@@ -446,6 +446,76 @@ object PipelineQueries {
                ELSE 'de' END AS predicted
         FROM sc ORDER BY doc_id""")),
 
+    // ---- language-ID confusion matrix (prediction vs ground truth) ----
+    // The documents table carries a lang column, so the classifier's
+    // quality is measurable: (actual, predicted, n) cells plus per-cell
+    // share of the actual class. The evaluation costs one 25-cell
+    // aggregate on top of the scoring projection.
+    QueryDef("tx_lang_confusion",
+      (s, dir) => {
+        val pred = TextAnalysis.langId(Tables.documents(s, dir))
+          .select(col("doc_id"), col("predicted"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+          .join(pred, "doc_id")
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share_of_actual",
+            col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+          .orderBy("lang", "predicted")
+      },
+      Some(s"""
+        WITH $WordsCte,
+        sc AS (SELECT doc_id,
+          CAST(list_sum(list_transform(ws, x -> CASE WHEN x IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS BIGINT) AS score_en,
+          CAST(list_sum(list_transform(ws, x -> CASE WHEN x IN ('der','die','das','und') THEN 1 ELSE 0 END)) AS BIGINT) AS score_de,
+          CAST(list_sum(list_transform(ws, x -> CASE WHEN x IN ('el','la','de','y') THEN 1 ELSE 0 END)) AS BIGINT) AS score_es,
+          CAST(list_sum(list_transform(ws, x -> CASE WHEN x IN ('le','les','des','et') THEN 1 ELSE 0 END)) AS BIGINT) AS score_fr
+          FROM w),
+        pr AS (SELECT doc_id,
+          CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+               WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr'
+               WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+               WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+               ELSE 'de' END AS predicted
+          FROM sc),
+        cm AS (SELECT d.lang, pr.predicted, count(*) AS n
+               FROM documents d JOIN pr ON d.doc_id = pr.doc_id
+               GROUP BY 1, 2)
+        SELECT lang, predicted, n,
+               CAST(n AS DOUBLE) /
+                 CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS share_of_actual
+        FROM cm ORDER BY lang, predicted""")),
+
+    // ---- near-dup threshold sweep: pair counts at rising Jaccard bars ----
+    // One pass over the capped candidate pairs answers "how aggressive is
+    // each threshold?" — the tuning table consulted before dd_apply. The
+    // pair set is computed once; the sweep is a 3-row conditional rollup.
+    QueryDef("dd_threshold_sweep",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), 0.5)
+        val sweep = Seq(0.5, 0.7, 0.9)
+        pairs.select(
+          sweep.map(t => sum(when(col("jaccard") >= t, 1L).otherwise(0L))
+            .as(s"n_ge_${(t * 100).toInt}")): _*)
+          .select(
+            lit(sweep.map(t => s"${(t * 100).toInt}").mkString(",")).as("thresholds"),
+            col("n_ge_50"), col("n_ge_70"), col("n_ge_90"))
+      },
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte, $CappedShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+        co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        j AS (SELECT n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jac
+              FROM co JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+        SELECT '50,70,90' AS thresholds,
+               CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_50,
+               CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_70,
+               CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_90
+        FROM j""")),
+
     // ---- quality scoring ----
     QueryDef("tx_quality",
       (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id"),

@@ -264,6 +264,28 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tri(0).getAs[Long]("n_triangles") === 4L)
   }
 
+  test("tx_lang_confusion: cells partition the corpus, shares sum to 1 per lang") {
+    val got = q("tx_lang_confusion").collect()
+    assert(got.map(_.getAs[Long]("n")).sum === 500L)
+    got.groupBy(_.getAs[String]("lang")).values.foreach { cells =>
+      val total = cells.map(_.getAs[Double]("share_of_actual")).sum
+      assert(math.abs(total - 1.0) < 1e-9)
+    }
+    // the marker heuristic must beat chance on English at least
+    val en = got.filter(r => r.getAs[String]("lang") == "en")
+    val enHit = en.find(_.getAs[String]("predicted") == "en")
+      .map(_.getAs[Long]("n")).getOrElse(0L)
+    assert(enHit.toDouble / en.map(_.getAs[Long]("n")).sum > 0.2)
+  }
+
+  test("dd_threshold_sweep: counts are monotone in the threshold") {
+    val r = q("dd_threshold_sweep").collect().head
+    val (a, b, c) = (r.getAs[Long]("n_ge_50"), r.getAs[Long]("n_ge_70"),
+      r.getAs[Long]("n_ge_90"))
+    assert(a >= b && b >= c)
+    assert(a > 0)
+  }
+
   test("sim_recall_eval: recall in [0,1] with k=5 exact sets") {
     val got = q("sim_recall_eval").collect()
     assert(got.nonEmpty)

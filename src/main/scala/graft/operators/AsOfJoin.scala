@@ -82,4 +82,30 @@ object AsOfJoin {
       .withColumn(s"$rightPrefix$tiebreak",
         when(col(s"$rightPrefix$tiebreak").isNotNull, -col(s"$rightPrefix$tiebreak")))
   }
+
+  /** Nearest-in-time as-of join: the right row minimizing
+    * `|leftTs − rightTs|` within the key group. An equal-distance tie (and
+    * the zero-distance case) resolves to the BACKWARD match, so the result
+    * is deterministic. Composition of [[backward]] and [[forward]] — two
+    * merge passes joined back on the left row, never a pair join.
+    *
+    * The left rows must be unique (they are joined back on all their
+    * columns to stitch the two directions together).
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, tiebreak: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    val bwd = backward(left, right, keys, leftTs, rightTs, tiebreak, "__b_")
+    val fwd = forward(left, right, keys, leftTs, rightTs, tiebreak, "__f_")
+    val joined = bwd.join(fwd, left.columns.toIndexedSeq)
+    val bTs = col(s"__b_$rightTs")
+    val fTs = col(s"__f_$rightTs")
+    val pickB = fTs.isNull ||
+      (bTs.isNotNull && (col(leftTs) - bTs) <= (fTs - col(leftTs)))
+    val rightCols = right.columns.map { rc =>
+      when(pickB, col(s"__b_$rc")).otherwise(col(s"__f_$rc"))
+        .as(s"$rightPrefix$rc")
+    }
+    joined.select(left.columns.map(col) ++ rightCols: _*)
+  }
 }

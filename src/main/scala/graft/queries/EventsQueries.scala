@@ -760,6 +760,54 @@ object EventsQueries {
                     AS INT) AS is_peak
         FROM a ORDER BY event_type, hod""")),
 
+    // beyond-reference — NEAREST as-of join: for each click, the purchase
+    // of the same user closest in time, either direction; equal-distance
+    // ties resolve to the backward match. Two merge passes stitched on the
+    // left row — completes the as-of family (backward / forward / native /
+    // nearest), still never a pair join.
+    QueryDef("ts_asof_nearest",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        graft.operators.AsOfJoin.nearest(
+          clicks, purchases, Seq("user_id"), "ts_ms", "ts_ms", "event_id", "n_")
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("n_event_id").as("near_id"), col("n_ts_ms").as("near_ts_ms"),
+            abs(col("n_ts_ms") - col("ts_ms")).as("dist_ms"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH c AS (SELECT event_id, user_id, $MS AS ts_ms FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, $MS AS ts_ms FROM events
+              WHERE event_type = 'purchase'),
+        b AS (SELECT c.event_id, p.event_id AS pid, p.ts_ms AS pts,
+                row_number() OVER (PARTITION BY c.event_id
+                  ORDER BY p.ts_ms DESC, p.event_id DESC) AS rn
+              FROM c JOIN p ON c.user_id = p.user_id AND p.ts_ms <= c.ts_ms),
+        b1 AS (SELECT event_id, pid, pts FROM b WHERE rn = 1),
+        f AS (SELECT c.event_id, p.event_id AS pid, p.ts_ms AS pts,
+                row_number() OVER (PARTITION BY c.event_id
+                  ORDER BY p.ts_ms ASC, p.event_id ASC) AS rn
+              FROM c JOIN p ON c.user_id = p.user_id AND p.ts_ms >= c.ts_ms),
+        f1 AS (SELECT event_id, pid, pts FROM f WHERE rn = 1)
+        SELECT c.event_id, c.user_id, c.ts_ms,
+               CASE WHEN f1.pid IS NULL OR (b1.pid IS NOT NULL
+                         AND c.ts_ms - b1.pts <= f1.pts - c.ts_ms)
+                    THEN b1.pid ELSE f1.pid END AS near_id,
+               CASE WHEN f1.pid IS NULL OR (b1.pid IS NOT NULL
+                         AND c.ts_ms - b1.pts <= f1.pts - c.ts_ms)
+                    THEN b1.pts ELSE f1.pts END AS near_ts_ms,
+               abs((CASE WHEN f1.pid IS NULL OR (b1.pid IS NOT NULL
+                              AND c.ts_ms - b1.pts <= f1.pts - c.ts_ms)
+                         THEN b1.pts ELSE f1.pts END) - c.ts_ms) AS dist_ms
+        FROM c LEFT JOIN b1 ON c.event_id = b1.event_id
+               LEFT JOIN f1 ON c.event_id = f1.event_id
+        ORDER BY c.event_id""")),
+
     // beyond-reference — OHLC downsampling bars (open/high/low/close per
     // minute bucket per tag), the financial-style compaction of a raw
     // series. min_by/max_by on a (ts, seq) struct keep the whole thing ONE

@@ -286,6 +286,26 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a > 0)
   }
 
+  test("asof nearest picks the closer side, backward on equidistant ties") {
+    import spark.implicits._
+    // the tiebreak column (rid) must exist on both sides, like event_id
+    // does in the registry queries
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 100L), (3L, 2L, 50L))
+      .toDF("rid", "k", "ts")
+    val right = Seq(
+      (11L, 1L, 7L),   // 3 before left#1
+      (12L, 1L, 13L),  // 3 after left#1 — equidistant, backward must win
+      (13L, 1L, 104L), // 4 after left#2; 11/12 are 90+ before
+      (14L, 2L, 60L))  // only a forward match for left#3
+      .toDF("rid", "k", "ts")
+    val got = graft.operators.AsOfJoin
+      .nearest(left, right, Seq("k"), "ts", "ts", "rid", "n_")
+      .orderBy(col("rid")).collect()
+    assert(got(0).getAs[Long]("n_rid") === 11L) // tie -> backward
+    assert(got(1).getAs[Long]("n_rid") === 13L) // forward closer
+    assert(got(2).getAs[Long]("n_rid") === 14L) // forward only
+  }
+
   test("sim_recall_eval: recall in [0,1] with k=5 exact sets") {
     val got = q("sim_recall_eval").collect()
     assert(got.nonEmpty)

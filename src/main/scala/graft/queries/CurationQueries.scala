@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -274,6 +275,46 @@ object CurationQueries {
         SELECT doc_id, source, bucket,
                CASE WHEN bucket < 90 THEN 'train'
                     WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-        FROM b ORDER BY doc_id"""))
+        FROM b ORDER BY doc_id""")),
+
+    // ---- token budget curve: cumulative tokens by quality rank ----
+    // Sort the corpus best-first (stopword-evidence quality proxy, doc_id
+    // tiebreak), cut into deciles, report per-decile and cumulative token
+    // counts — the table that answers "how many tokens survive if we keep
+    // only the best X%". The per-doc sort is the one wide operation; the
+    // decile rollup is 10 rows.
+    QueryDef("cu_budget_curve",
+      (s, dir) => {
+        val w = Window.orderBy(col("q_score").desc, col("doc_id"))
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            graft.functions.TextFunctions.stopwordCount(
+              split(col("text"), " ")).cast("long").as("q_score"))
+        val cum = Window.orderBy(col("decile"))
+        scored.withColumn("decile", ntile(10).over(w))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("decile_tokens"))
+          .withColumn("cum_tokens",
+            sum(col("decile_tokens")).over(
+              cum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH sc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      CAST(list_sum(list_transform(string_split(text, ' '),
+                        x -> CASE WHEN x IN ('the','a','of','and','to','in')
+                                  THEN 1 ELSE 0 END)) AS BIGINT) AS q_score
+                    FROM documents),
+        dec AS (SELECT *, ntile(10) OVER (ORDER BY q_score DESC, doc_id) AS decile
+                FROM sc),
+        agg AS (SELECT decile, count(*) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS decile_tokens
+                FROM dec GROUP BY 1)
+        SELECT decile, n_docs, decile_tokens,
+               CAST(sum(decile_tokens) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+        FROM agg ORDER BY decile"""))
   )
 }

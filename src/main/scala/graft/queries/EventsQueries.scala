@@ -926,6 +926,42 @@ object EventsQueries {
                END AS xcorr
         FROM j ORDER BY lag""")),
 
+    // beyond-reference — volume-weighted average (VWAP-style): the value
+    // weighted by the JSON `k` quantity per (tag, hour). Exact integer
+    // numerator/denominator sums (cents × k), ONE double division — and a
+    // zero-volume guard. Composes the JSON path extraction with a
+    // map-side-combined aggregate.
+    QueryDef("ts_vwap",
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        ev(s, dir)
+          .select(col("event_type"), expr("ts_ms div 3600000").as("bucket_hr"),
+            cents.as("cents"), k.as("k"))
+          .groupBy("event_type", "bucket_hr")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("volume"),
+            sum(col("cents") * col("k")).as("turnover_ck"))
+          .withColumn("vwap_cents",
+            when(col("volume") === 0, lit(null).cast("double"))
+              .otherwise(col("turnover_ck").cast("double") /
+                col("volume").cast("double")))
+          .orderBy("event_type", "bucket_hr")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, $MS // 3600000 AS bucket_hr,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+                   FROM events),
+        a AS (SELECT event_type, bucket_hr, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS volume,
+                CAST(sum(cents * k) AS BIGINT) AS turnover_ck
+              FROM e GROUP BY 1, 2)
+        SELECT event_type, bucket_hr, n, volume, turnover_ck,
+               CASE WHEN volume = 0 THEN NULL
+                    ELSE CAST(turnover_ck AS DOUBLE) / CAST(volume AS DOUBLE)
+               END AS vwap_cents
+        FROM a ORDER BY event_type, bucket_hr""")),
+
     // beyond-reference — semi-structured property extraction: parse the
     // JSON `props` payload (get_json_object — codegen'd path evaluation,
     // no UDF) and aggregate the typed field per tag. The JSON parse stays

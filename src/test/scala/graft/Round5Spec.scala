@@ -306,6 +306,26 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2).getAs[Long]("n_rid") === 14L) // forward only
   }
 
+  test("cu_budget_curve: deciles cover the corpus, cumulative is monotone") {
+    val got = q("cu_budget_curve").collect()
+    assert(got.length === 10)
+    assert(got.map(_.getAs[Long]("n_docs")).sum === 500L)
+    val cums = got.map(_.getAs[Long]("cum_tokens"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    assert(cums.last === got.map(_.getAs[Long]("decile_tokens")).sum)
+  }
+
+  test("ts_vwap: weighted mean sits inside the bucket's cent range") {
+    val got = q("ts_vwap").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("vwap_cents"))) {
+        assert(r.getAs[Long]("volume") > 0)
+        assert(r.getAs[Double]("vwap_cents") >= 0.0)
+      } else assert(r.getAs[Long]("volume") === 0L)
+    }
+  }
+
   test("sim_recall_eval: recall in [0,1] with k=5 exact sets") {
     val got = q("sim_recall_eval").collect()
     assert(got.nonEmpty)

@@ -202,7 +202,11 @@ object Dedup {
     * never happens.
     */
   def minhashErrorEval(docs: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
-    val cand = minhashCandidates(docs, k, bands)
+    // the candidate-pair table feeds FIVE consumers below (id restriction
+    // ×2, both per-side semi-joins, the final join); uncached, each one
+    // re-runs the band self-join — measured 5× on the sf0.1 bench. The
+    // pairs are two longs per near-dup: tiny at any corpus scale.
+    val cand = minhashCandidates(docs, k, bands).cache()
     // every shingle subplan is semi-join-restricted to the candidate docs
     // FIRST — sizes included: at corpus scale the candidates are a tiny
     // fraction, so no full-corpus shingle aggregate runs here

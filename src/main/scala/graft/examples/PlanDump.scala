@@ -68,7 +68,11 @@ object PlanDump {
       "mm_silence" -> ("Silence runs: frame energies reduce to a per-doc array BEFORE the explode (frame rows carry one long, " +
         "the payload is never replicated); both islands windows share one exchange on doc_id."),
       "ts_store_sql_lww" -> ("User-written SQL against registerViews's temp views: the view is transparent to Catalyst — " +
-        "the scan under the SQL window still shows non-empty PartitionFilters on (tag, partition_start)."))
+        "the scan under the SQL window still shows non-empty PartitionFilters on (tag, partition_start)."),
+      "ts_asof_nearest" -> ("Nearest-in-time as-of: TWO sort-merge passes (backward + forward over the same union form) " +
+        "stitched by an equality join on the left row — the |dt|-minimizing match without any pair join."),
+      "gr_triangles" -> ("Triangle counting: the (a<b)-oriented edge list joins itself twice, every join keyed on a VERTEX id " +
+        "(b=b, then (a,c)) — wedge checking stays an equality-shuffle, the all-pairs form never appears."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

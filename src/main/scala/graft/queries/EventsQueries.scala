@@ -926,6 +926,91 @@ object EventsQueries {
                END AS xcorr
         FROM j ORDER BY lag""")),
 
+    // beyond-reference — maximum drawdown per tag: largest drop from a
+    // running peak, entirely in exact cents (running max window + one
+    // max aggregate — the risk metric next to the OHLC/VWAP family).
+    QueryDef("ts_drawdown",
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val byTag = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir)
+          .select(col("event_type"), col("ts_ms"), col("event_id"),
+            cents.as("cents"))
+          .withColumn("peak_cents", max(col("cents")).over(byTag))
+          .withColumn("dd", col("peak_cents") - col("cents"))
+          .groupBy(col("event_type").as("tag"))
+          .agg(count(lit(1)).as("n"), max(col("peak_cents")).as("max_peak_cents"),
+            max(col("dd")).as("max_drawdown_cents"))
+          .orderBy("tag")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, $MS AS ts_ms, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        p AS (SELECT event_type, cents,
+                max(cents) OVER (PARTITION BY event_type
+                  ORDER BY ts_ms, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents
+              FROM e)
+        SELECT event_type AS tag, count(*) AS n,
+               max(peak_cents) AS max_peak_cents,
+               max(peak_cents - cents) AS max_drawdown_cents
+        FROM p GROUP BY 1 ORDER BY tag""")),
+
+    // beyond-reference — SMA crossover detection (golden/death crosses):
+    // fast (5-row) vs slow (20-row) moving averages compared WITHOUT
+    // division — 4·Σ5 vs Σ20 is exact in cents — and a lag window finds
+    // the sign flips. Only full windows participate, so every comparison
+    // is between complete averages.
+    QueryDef("ts_sma_cross",
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val ordered = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val w5 = ordered.rowsBetween(-4, 0)
+        val w20 = ordered.rowsBetween(-19, 0)
+        ev(s, dir)
+          .select(col("event_type"), col("ts_ms"), col("event_id"),
+            cents.as("cents"))
+          .withColumn("rn", row_number().over(ordered))
+          .withColumn("s5", sum(col("cents")).over(w5))
+          .withColumn("s20", sum(col("cents")).over(w20))
+          .where(col("rn") >= 20)
+          .withColumn("fast_above", (col("s5") * 4 > col("s20")).cast("int"))
+          .withColumn("prev_above", lag(col("fast_above"), 1).over(ordered))
+          .where(col("prev_above").isNotNull &&
+            col("fast_above") =!= col("prev_above"))
+          .select(col("event_type").as("tag"), col("ts_ms"), col("event_id"),
+            when(col("fast_above") === 1, "golden").otherwise("death")
+              .as("cross"))
+          .orderBy("tag", "ts_ms", "event_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, $MS AS ts_ms, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        s AS (SELECT event_type, ts_ms, event_id,
+                row_number() OVER w AS rn,
+                CAST(sum(cents) OVER (PARTITION BY event_type
+                  ORDER BY ts_ms, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS s5,
+                CAST(sum(cents) OVER (PARTITION BY event_type
+                  ORDER BY ts_ms, event_id
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS s20
+              FROM e
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id)),
+        f AS (SELECT *, CASE WHEN s5 * 4 > s20 THEN 1 ELSE 0 END AS fast_above
+              FROM s WHERE rn >= 20),
+        g AS (SELECT *, lag(fast_above) OVER (PARTITION BY event_type
+                ORDER BY ts_ms, event_id) AS prev_above FROM f)
+        SELECT event_type AS tag, ts_ms, event_id,
+               CASE WHEN fast_above = 1 THEN 'golden' ELSE 'death' END AS cross
+        FROM g
+        WHERE prev_above IS NOT NULL AND fast_above <> prev_above
+        ORDER BY tag, ts_ms, event_id""")),
+
     // beyond-reference — volume-weighted average (VWAP-style): the value
     // weighted by the JSON `k` quantity per (tag, hour). Exact integer
     // numerator/denominator sums (cents × k), ONE double division — and a

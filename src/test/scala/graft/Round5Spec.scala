@@ -326,6 +326,26 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ts_drawdown: drawdown is bounded by the peak") {
+    val got = q("ts_drawdown").collect()
+    assert(got.length === 5)
+    got.foreach { r =>
+      val dd = r.getAs[Long]("max_drawdown_cents")
+      assert(dd >= 0L && dd <= r.getAs[Long]("max_peak_cents"))
+    }
+  }
+
+  test("ts_sma_cross: crossings alternate golden/death per tag") {
+    val got = q("ts_sma_cross").collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[String]("tag")).values.foreach { rows =>
+      val seq = rows.sortBy(r =>
+        (r.getAs[Long]("ts_ms"), r.getAs[Long]("event_id")))
+        .map(_.getAs[String]("cross"))
+      seq.zip(seq.tail).foreach { case (a, b) => assert(a != b) }
+    }
+  }
+
   test("sim_recall_eval: recall in [0,1] with k=5 exact sets") {
     val got = q("sim_recall_eval").collect()
     assert(got.nonEmpty)

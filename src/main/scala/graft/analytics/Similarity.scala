@@ -180,8 +180,13 @@ object Similarity {
     * enormous tree (measured 11 s first-run at sf0.1 vs ~2 s
     * materialized). Corpus-sized data never reaches the driver.
     */
-  def kmeansIvfTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
-      centroidModulo: Int = 97, iters: Int = 2): DataFrame = {
+  /** The Lloyd loop shared by [[kmeansIvfTopK]] and [[semDedupPairs]]:
+    * deterministic seed subset, `iters` rounds of broadcast argmax
+    * assignment + per-(centroid, dim) rounded-mean recompute, returning
+    * the FINAL assignment `(vec_id, qv, nrm, bucket)`.
+    */
+  private def kmeansAssign(emb: DataFrame, centroidModulo: Int,
+      iters: Int): DataFrame = {
     val all = prep(emb).select(col("vec_id"),
       quantize(col("v")).as("qv"), col("nrm"))
     // init: the deterministic seed subset (what ivfTopK uses as-is)
@@ -219,7 +224,12 @@ object Similarity {
       centroids = next.as[(Long, Array[Long], Long)].collect().toSeq
         .toDF("c_id", "cv", "cnrm")
     }
-    val finalAssigned = assign(centroids)
+    assign(centroids)
+  }
+
+  def kmeansIvfTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
+      centroidModulo: Int = 97, iters: Int = 2): DataFrame = {
+    val finalAssigned = kmeansAssign(emb, centroidModulo, iters)
     val queries = finalAssigned.where(col("vec_id") % queryModulo === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("bucket"))
@@ -232,5 +242,26 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): cluster
+    * the embeddings with k-means, then emit cosine-≥-threshold pairs ONLY
+    * within a cluster — the learned-block analog of
+    * `Dedup.embeddingNearDups`'s label blocking. The pair join is a
+    * bucket-equality self-join on the final assignment, so the candidate
+    * set scales with cluster sizes, never the corpus square.
+    */
+  def semDedupPairs(emb: DataFrame, threshold: Double = 0.3,
+      centroidModulo: Int = 97, iters: Int = 2): DataFrame = {
+    val assigned = kmeansAssign(emb, centroidModulo, iters)
+    val a = assigned.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("qv").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("qv").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("bucket"), col("vec_a"), col("vec_b"),
+        cosineQ(dotLL(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
+      .where(col("cos") >= threshold)
   }
 }

@@ -411,6 +411,32 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, cos FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- SemDeDup: semantic near-dups within learned k-means clusters ----
+    // The learned-block analog of dd_embedding_neardup's label blocking
+    // (Abbas et al. 2023): cosine pairs are only scored inside a cluster
+    // of the 2-round Lloyd assignment — candidates scale with cluster
+    // sizes, never the corpus square.
+    QueryDef("dd_semdedup",
+      (s, dir) => Similarity.semDedupPairs(Tables.embeddings(s, dir),
+        threshold = 0.3, centroidModulo = 97, iters = 2)
+        .orderBy("vec_a", "vec_b"),
+      Some(s"""
+        WITH $QuantCte,
+        cent0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+                  FROM qn WHERE vec_id % 97 = 0),
+        ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
+        asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                 FROM qn CROSS JOIN cent2),
+        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1)
+        SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
+        FROM memF a JOIN memF b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3
+        ORDER BY vec_a, vec_b""")),
+
     // ---- BPE-style pre-tokenizer statistics ----
     QueryDef("tx_bpe_tokens",
       (s, dir) => TextAnalysis.bpeTokenStats(Tables.documents(s, dir))

@@ -346,6 +346,24 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dd_semdedup: pairs share a cluster and clear the threshold") {
+    val got = q("dd_semdedup").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cos") >= 0.3)
+    }
+    // learned blocks differ from label blocks: the pair sets should not
+    // be identical to the label-blocked operator's (same threshold)
+    val labelPairs = analytics.Dedup
+      .embeddingNearDups(Tables.embeddings(spark, sf), 0.3)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val semPairs = got.map(r =>
+      (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(semPairs.nonEmpty && semPairs != labelPairs)
+  }
+
   test("sim_recall_eval: recall in [0,1] with k=5 exact sets") {
     val got = q("sim_recall_eval").collect()
     assert(got.nonEmpty)

@@ -104,11 +104,79 @@ object ParquetIO {
     } finally w.close()
   }
 
+  /** One decoded sample row: (tag, ts, value, ingestTs, writerId, seq). */
+  private type SampleRow = (String, Long, String, Long, String, Long)
+
+  /** LSM-style block cache for the serving path: the store's data files
+    * are immutable once written (a new batch, flush, compaction, or ack
+    * rewrite always creates NEW files), so a file decoded for one point
+    * read can serve every later read from memory — the analog of the
+    * reference holding its whole hot tier in Redis memory (README.md:2-7;
+    * every LSM engine pairs its SSTs with exactly this cache). Keyed by
+    * (path, size, mtime) so any replaced file misses and is re-read;
+    * bounded by file count AND an estimated byte budget (LRU eviction).
+    */
+  private val MaxCacheableFileBytes = 4L << 20
+  private val CacheByteBudget = 256L << 20
+  private val cacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val blockCache =
+    new java.util.LinkedHashMap[(String, Long, Long, Option[String]), (Long, IndexedSeq[SampleRow])](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, Option[String]), (Long, IndexedSeq[SampleRow])]): Boolean = {
+        val over = size() > 512 || cacheBytes.get() > CacheByteBudget
+        if (over) cacheBytes.addAndGet(-e.getValue._1)
+        over
+      }
+    }
+
+  private def readAllRows(file: JPath, dirTag: Option[String],
+      conf: Configuration): IndexedSeq[SampleRow] = {
+    val buf = mutable.ArrayBuffer.empty[SampleRow]
+    foreachSampleUncached(file, dirTag, conf) { (t, ts, v, i, w, q) =>
+      buf += ((t, ts, v, i, w, q))
+    }
+    buf.toIndexedSeq
+  }
+
+  /** Rows of `file`, via the block cache when the file qualifies. The
+    * directory tag participates in the key (a Hive-tier file stores no
+    * physical tag column, so its rows are only meaningful under the tag
+    * of the directory they were read for — which never changes for a
+    * given path).
+    */
+  private def cachedRows(file: JPath, dirTag: Option[String],
+      conf: Configuration): IndexedSeq[SampleRow] = {
+    val size = java.nio.file.Files.size(file)
+    if (size > MaxCacheableFileBytes) readAllRows(file, dirTag, conf)
+    else {
+      val key = (file.toString, size,
+        java.nio.file.Files.getLastModifiedTime(file).toMillis, dirTag)
+      val hit = blockCache.synchronized(Option(blockCache.get(key)))
+      hit match {
+        case Some((_, rows)) => rows
+        case None =>
+          val rows = readAllRows(file, dirTag, conf)
+          val est = rows.iterator.map(r => 64L + r._1.length + r._3.length + r._5.length).sum
+          blockCache.synchronized {
+            if (blockCache.put(key, (est, rows)) == null) cacheBytes.addAndGet(est)
+          }
+          rows
+      }
+    }
+  }
+
   /** Driver-side scan of one sample file (L0 or partition-dir).
     * `dirTag` supplies the directory-encoded `tag` for Hive-tier files
-    * (which don't store it physically); the callback receives every row.
+    * (which don't store it physically); the callback receives every row,
+    * served from the block cache when possible.
     */
   def foreachSample(file: JPath, dirTag: Option[String], conf: Configuration)(
+      f: (String, Long, String, Long, String, Long) => Unit): Unit =
+    cachedRows(file, dirTag, conf)
+      .foreach(r => f(r._1, r._2, r._3, r._4, r._5, r._6))
+
+  private def foreachSampleUncached(file: JPath, dirTag: Option[String], conf: Configuration)(
       f: (String, Long, String, Long, String, Long) => Unit): Unit = {
     val r = ParquetReader
       .builder(new GroupReadSupport(), new HPath(file.toUri))

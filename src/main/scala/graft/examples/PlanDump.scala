@@ -72,7 +72,9 @@ object PlanDump {
       "ts_asof_nearest" -> ("Nearest-in-time as-of: TWO sort-merge passes (backward + forward over the same union form) " +
         "stitched by an equality join on the left row — the |dt|-minimizing match without any pair join."),
       "gr_triangles" -> ("Triangle counting: the (a<b)-oriented edge list joins itself twice, every join keyed on a VERTEX id " +
-        "(b=b, then (a,c)) — wedge checking stays an equality-shuffle, the all-pairs form never appears."))
+        "(b=b, then (a,c)) — wedge checking stays an equality-shuffle, the all-pairs form never appears."),
+      "dd_semdedup" -> ("SemDeDup: cosine pairs are scored ONLY inside a learned k-means cluster (bucket-equality self-join " +
+        "on the Lloyd assignment) — candidates scale with cluster sizes; the corpus-square join never appears."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

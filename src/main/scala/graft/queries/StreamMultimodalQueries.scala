@@ -295,6 +295,24 @@ object StreamMultimodalQueries {
                max(CASE WHEN rn_d = 1 THEN value END) AS close
         FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_min""")),
 
+    // ---- streaming: VWAP (stream/batch parity with ts_vwap) ----
+    QueryDef("st_vwap",
+      (s, dir) => StreamingIngest.streamingVwap(s, dir),
+      Some(s"""
+        WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket_hr,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+                   FROM events),
+        a AS (SELECT event_type, bucket_hr, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS volume,
+                CAST(sum(cents * k) AS BIGINT) AS turnover_ck
+              FROM e GROUP BY 1, 2)
+        SELECT event_type, bucket_hr, n, volume, turnover_ck,
+               CASE WHEN volume = 0 THEN NULL
+                    ELSE CAST(turnover_ck AS DOUBLE) / CAST(volume AS DOUBLE)
+               END AS vwap_cents
+        FROM a ORDER BY event_type, bucket_hr""")),
+
     // ---- streaming: event-time session windows (30-min gap) ----
     // Real session_window aggregation; the oracle is the batch islands
     // construction (new session when the gap is >= the threshold —

@@ -356,6 +356,31 @@ object StreamingIngest {
     drain(out, "complete").orderBy("window_start", "tag")
   }
 
+  /** Streaming VWAP — the batch `ts_vwap` aggregate (JSON-quantity
+    * weighted mean from exact integer sums) as a watermarked stream;
+    * shares `ts_vwap`'s oracle for stream/batch parity.
+    */
+  def streamingVwap(spark: SparkSession, sfDir: String,
+      windowMs: Long = 3600000L): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val out = eventStream(spark, sfDir)
+      .withWatermark("event_time", "1 hour")
+      .select(col("event_type"), col("event_time"),
+        cents.as("cents"), k.as("k"))
+      .groupBy(window(col("event_time"), s"$windowMs milliseconds").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("volume"),
+        sum(col("cents") * col("k")).as("turnover_ck"))
+      .select(col("event_type"),
+        (unix_millis(col("win.start")) / windowMs).as("bucket_hr"),
+        col("n"), col("volume"), col("turnover_ck"),
+        when(col("volume") === 0, lit(null).cast("double"))
+          .otherwise(col("turnover_ck").cast("double") /
+            col("volume").cast("double")).as("vwap_cents"))
+    drain(out, "complete").orderBy("event_type", "bucket_hr")
+  }
+
   /** Streaming OHLC bars — the batch `ts_ohlc` aggregate run as a real
     * Structured Streaming query: the same single min_by/max_by-on-struct
     * aggregate shape, windowed on event time. Shares `ts_ohlc`'s oracle,

@@ -180,6 +180,14 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(revs.forall(_ > 0))
   }
 
+  test("st_vwap matches the batch ts_vwap row-for-row") {
+    val stream = q("st_vwap").collect().map(_.toSeq).toSet
+    val batch = q("ts_vwap")
+      .select("event_type", "bucket_hr", "n", "volume", "turnover_ck", "vwap_cents")
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+  }
+
   test("st_ohlc matches the batch ts_ohlc row-for-row") {
     val stream = q("st_ohlc").collect().map(_.toSeq).toSet
     val batch = q("ts_ohlc")

@@ -168,6 +168,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after("CTag")(1L) === "v3")
   }
 
+  test("block cache serves fresh data across upsert, flush, compact, and ack") {
+    val root = Files.createTempDirectory("graft-blockcache").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 100L))
+    store.initialize()
+    def read() = store.readData(Map("BTag" -> (0L, 99L)))("BTag")
+    store.write(Map("BTag" -> Map(1L -> "v1", 2L -> "a")))
+    assert(read()(1L) === "v1") // populates the cache
+    store.write(Map("BTag" -> Map(1L -> "v2"))) // upsert lands in a NEW L0 file
+    assert(read()(1L) === "v2")
+    store.flushL0()                              // L0 files replaced by L1 files
+    assert(read()(1L) === "v2")
+    store.compact(minFiles = 1, applyLww = true) // partition files rewritten
+    assert(read()(1L) === "v2")
+    Thread.sleep(1100)                           // age past the purge threshold
+    val marked = store.purgeScan(partitionAgeThreshold = 1, maxPartitionsToMark = 10)
+    assert(marked.nonEmpty)
+    store.pendingPurgeEntries().foreach { e =>
+      store.archiveToCold(e.id)
+      assert(store.purgeAck(e.id, e.partitionName, e.tag) === 1)
+    }
+    // now served from the cold tier — still the upserted value
+    assert(read()(1L) === "v2")
+  }
+
   test("compaction over many partitions runs as one batched job, not one per dir") {
     val root = Files.createTempDirectory("graft-compact-many").toString
     val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 10L))

@@ -52,7 +52,7 @@ object Bench {
     // store's commit lock, so the batches run sequentially (the streaming
     // ingestion path is the high-throughput route; this measures the
     // reference's request shape faithfully).
-    val (ingestRate, readRate) = try {
+    val (ingestRate, readRate, readRate8) = try {
       val root = Files.createTempDirectory("graft-bench-store").toString
       val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 120000L))
       store.initialize()
@@ -79,8 +79,25 @@ object Bench {
         }
         (System.nanoTime() - t1) / 1e9
       }.min
-      (nW * 2000 / wSec, nR / rSec)
-    } catch { case _: Throwable => (-1.0, -1.0) }
+      // server shape: the same point reads issued from 8 concurrent
+      // clients (the read path is immutable-file + synchronized-cache,
+      // so concurrency is free parallelism, not a lock convoy)
+      val nThr = 8
+      val cSec = (0 until 2).map { _ =>
+        val t2 = System.nanoTime()
+        val threads = (0 until nThr).map { t =>
+          new Thread(() =>
+            (0 until nR).foreach { i =>
+              store.readData(Map(
+                s"Tag${(t * nR + i) % 200}" ->
+                  (base + i * 1000L - 10L, base + i * 1000L + 10L)))
+            })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        (System.nanoTime() - t2) / 1e9
+      }.min
+      (nW * 2000 / wSec, nR / rSec, nThr * nR / cSec)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
     // The driver captures only the last ~2000 chars of output; with 75+
     // queries, full-precision doubles overflow that window and truncate the
@@ -93,6 +110,7 @@ object Bench {
     // after the JSON line and push it out of the driver's tail window.
     spark.stop()
     println(s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,""" +
-      s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},"sf":"$sfName"}""")
+      s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},""" +
+      s""""point_reads_per_sec_8thr":${"%.2f".format(readRate8)},"sf":"$sfName"}""")
   }
 }

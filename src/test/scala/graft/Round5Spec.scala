@@ -294,6 +294,40 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a > 0)
   }
 
+  test("property: substring dup-frac and novelty are consistent on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    (1 to 3).foreach { round =>
+      val base = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      // duplicate a random subset with fresh ids
+      val dups = base.filter(_ => rnd.nextBoolean()).take(10)
+        .zipWithIndex.map { case ((_, t), j) => (1000L + j, t) }
+      val docs = (base ++ dups).toDF("doc_id", "text")
+      val stats = analytics.Dedup.substringDupStats(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
+      // every duplicated text: BOTH copies fully duplicated
+      dups.foreach { case (id, t) =>
+        assert(stats(id) === 1.0, s"round $round dup copy $id")
+        val orig = base.find(_._2 == t).get._1
+        assert(stats(orig) === 1.0, s"round $round original $orig")
+      }
+      // novelty: later exact copies introduce nothing
+      val novelty = {
+        val sh = analytics.Dedup.shingleSet(docs)
+        val fs = sh.groupBy("shingle").agg(min(col("doc_id")).as("fd"))
+        sh.join(fs, "shingle").groupBy("doc_id")
+          .agg((sum(when(col("fd") === col("doc_id"), 1).otherwise(0)) /
+            count(lit(1))).as("novelty")).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+      }
+      dups.foreach { case (id, _) => assert(novelty(id) === 0.0) }
+    }
+  }
+
   test("asof nearest picks the closer side, backward on equidistant ties") {
     import spark.implicits._
     // the tiebreak column (rid) must exist on both sides, like event_id

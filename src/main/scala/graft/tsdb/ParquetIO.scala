@@ -158,7 +158,9 @@ object ParquetIO {
         case None =>
           val rows = readAllRows(file, dirTag, conf)
           val est = rows.iterator.map(r => 64L + r._1.length + r._3.length + r._5.length).sum
-          blockCache.synchronized {
+          // decoded rows can be much larger than the parquet bytes; skip
+          // entries whose decoded estimate alone would dent the budget
+          if (est <= CacheByteBudget / 8) blockCache.synchronized {
             if (blockCache.put(key, (est, rows)) == null) cacheBytes.addAndGet(est)
           }
           rows

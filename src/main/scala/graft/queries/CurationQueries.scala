@@ -285,15 +285,35 @@ object CurationQueries {
     // decile rollup is 10 rows.
     QueryDef("cu_budget_curve",
       (s, dir) => {
-        val w = Window.orderBy(col("q_score").desc, col("doc_id"))
         val scored = Tables.documents(s, dir)
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"),
             graft.functions.TextFunctions.stopwordCount(
               split(col("text"), " ")).cast("long").as("q_score"))
+        // GLOBAL rank without a single-task global window: range-partition
+        // on the sort key (parallel sort), rank locally per partition, and
+        // add broadcast per-partition offsets — the distributed total-order
+        // index pattern. Range boundaries may vary run to run; the final
+        // index cannot (offsets correct for any split points).
+        val parted = scored
+          .repartitionByRange(32, col("q_score").desc, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val local = Window.partitionBy(col("pid"))
+          .orderBy(col("q_score").desc, col("doc_id"))
+        val withLocal = parted.withColumn("lrn", row_number().over(local))
+        // ≤32 rows: this tiny window is driver-scale metadata, not data
+        val offsets = withLocal.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset",
+            coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val n = scored.agg(count(lit(1)).as("n_total"))
+        val ranked = withLocal.join(broadcast(offsets.select("pid", "offset")), "pid")
+          .withColumn("rn", col("offset") + col("lrn"))
+          .crossJoin(broadcast(n))
+          .withColumn("decile",
+            (lit(1) + expr("(rn - 1) * 10 div n_total")).cast("int"))
         val cum = Window.orderBy(col("decile"))
-        scored.withColumn("decile", ntile(10).over(w))
-          .groupBy("decile")
+        ranked.groupBy("decile")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("decile_tokens"))
           .withColumn("cum_tokens",
             sum(col("decile_tokens")).over(
@@ -306,8 +326,10 @@ object CurationQueries {
                         x -> CASE WHEN x IN ('the','a','of','and','to','in')
                                   THEN 1 ELSE 0 END)) AS BIGINT) AS q_score
                     FROM documents),
-        dec AS (SELECT *, ntile(10) OVER (ORDER BY q_score DESC, doc_id) AS decile
-                FROM sc),
+        n AS (SELECT count(*) AS n_total FROM sc),
+        dec AS (SELECT sc.*, CAST(1 + (row_number() OVER (ORDER BY q_score DESC, doc_id) - 1)
+                       * 10 // n_total AS INT) AS decile
+                FROM sc CROSS JOIN n),
         agg AS (SELECT decile, count(*) AS n_docs,
                   CAST(sum(n_tokens) AS BIGINT) AS decile_tokens
                 FROM dec GROUP BY 1)

@@ -926,6 +926,34 @@ object EventsQueries {
                END AS xcorr
         FROM j ORDER BY lag""")),
 
+    // beyond-reference — fixed-width value histogram per tag (16 buckets
+    // over the corpus min/max): the observability table behind dashboards
+    // and alert thresholds. Bounds are a 1-row broadcast; the histogram is
+    // one map-side-combined aggregate with ≤ 16·|tags| output rows.
+    QueryDef("ts_histogram",
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val e = ev(s, dir).select(col("event_type"), cents.as("cents"))
+        val bounds = e.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        e.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            least(expr("(cents - lo) * 16 div greatest(hi - lo + 1, 1)"), lit(15L)))
+          .groupBy(col("event_type").as("tag"), col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+          .orderBy("tag", "bucket")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM e)
+        SELECT event_type AS tag,
+               least((cents - lo) * 16 // greatest(hi - lo + 1, 1), 15) AS bucket,
+               count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
+        FROM e CROSS JOIN b
+        GROUP BY 1, 2 ORDER BY tag, bucket""")),
+
     // beyond-reference — maximum drawdown per tag: largest drop from a
     // running peak, entirely in exact cents (running max window + one
     // max aggregate — the risk metric next to the OHLC/VWAP family).

@@ -368,6 +368,16 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ts_histogram: buckets tile the range and count every event") {
+    val got = q("ts_histogram").collect()
+    assert(got.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+    got.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 15)
+      assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("max_cents"))
+    }
+  }
+
   test("ts_drawdown: drawdown is bounded by the peak") {
     val got = q("ts_drawdown").collect()
     assert(got.length === 5)

@@ -21,10 +21,12 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   * through a Spark job costs ~100-1000 ms of scheduling/commit overhead
   * regardless of data size, so the store uses parquet-java directly for
   * those paths: an L0 write is one small file append, a point read is a
-  * footer-pruned scan of a handful of files. Analytical scans still go
-  * through Spark (the files are ordinary parquet — both engines read the
-  * same bytes). This mirrors how real lakehouse TSDBs pair a serving
-  * path with a batch engine over one storage layout.
+  * footer-pruned scan of a handful of files served through an LSM-style
+  * block cache (immutable files decode once — see `blockCache` below).
+  * Analytical scans still go through Spark (the files are ordinary
+  * parquet — both engines read the same bytes). This mirrors how real
+  * lakehouse TSDBs pair a serving path with a batch engine over one
+  * storage layout.
   */
 object ParquetIO {
 

@@ -437,6 +437,42 @@ object PipelineQueries {
         WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3
         ORDER BY vec_a, vec_b""")),
 
+    // ---- SemDeDup apply: the greedy keep-first filter ----
+    // The pruned set SemDeDup actually ships: a vector is dropped iff it
+    // is the HIGHER id of any semantic near-dup pair (keep-first greedy
+    // rule — deterministic, one anti-join against the pair table's
+    // vec_b side; no connected components needed for the keep decision).
+    QueryDef("dd_semdedup_apply",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val dropped = Similarity.semDedupPairs(emb, threshold = 0.3,
+          centroidModulo = 97, iters = 2)
+          .select(col("vec_b").as("vec_id")).distinct()
+        emb.select(col("vec_id"), col("label"))
+          .join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left_outer")
+          .select(col("vec_id"), col("label"),
+            when(col("__drop").isNotNull, 0).otherwise(1).as("is_kept"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        cent0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+                  FROM qn WHERE vec_id % 97 = 0),
+        ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
+        asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                 FROM qn CROSS JOIN cent2),
+        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1),
+        dropped AS (SELECT DISTINCT b.vec_id
+                    FROM memF a JOIN memF b
+                      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                    WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3)
+        SELECT e.vec_id, e.label,
+               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+        FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+        ORDER BY e.vec_id""")),
+
     // ---- BPE-style pre-tokenizer statistics ----
     QueryDef("tx_bpe_tokens",
       (s, dir) => TextAnalysis.bpeTokenStats(Tables.documents(s, dir))

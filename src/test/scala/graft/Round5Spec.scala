@@ -398,6 +398,19 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dd_semdedup_apply: kept set is exactly the non-vec_b side") {
+    val pairs = q("dd_semdedup").collect()
+      .map(_.getAs[Long]("vec_b")).toSet
+    val got = q("dd_semdedup_apply").collect()
+    assert(got.length === 500)
+    got.foreach { r =>
+      val dropped = pairs.contains(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Int]("is_kept") === (if (dropped) 0 else 1))
+    }
+    val kept = got.count(_.getAs[Int]("is_kept") == 1)
+    assert(kept > 0 && kept < 500) // something dropped, not everything
+  }
+
   test("dd_semdedup: pairs share a cluster and clear the threshold") {
     val got = q("dd_semdedup").collect()
     assert(got.nonEmpty)

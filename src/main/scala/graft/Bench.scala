@@ -99,17 +99,33 @@ object Bench {
       (nW * 2000 / wSec, nR / rSec, nThr * nR / cSec)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
-    // The driver captures only the last ~2000 chars of output; with 75+
-    // queries, full-precision doubles overflow that window and truncate the
-    // line start. 10 ms resolution keeps the whole line inside the window.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + "%.2f".format(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // The driver captures only the last ~2000 chars of output. At 124
+    // registered queries the full per-query map alone is ~2.8 KB — a
+    // single full line would be truncated at the START and fail to parse
+    // (exactly what nulled round 3's bench record). So: the COMPLETE
+    // per-query map goes to BENCH_FULL.json in the repo root, and stdout
+    // gets a compact line — aggregates, workload-shape throughput, and
+    // the slowest 25 queries — that always fits the capture window.
+    def entry(k: String, v: Double) = "\"" + k + "\":" + "%.2f".format(v)
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
+    val fullJson =
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":""" +
+        results.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") +
+        s""","ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},""" +
+        s""""point_reads_per_sec_8thr":${"%.2f".format(readRate8)},"sf":"$sfName"}"""
+    Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    val slowest = ok.sortBy(-_._2).take(25)
+    val mean = if (ok.nonEmpty) total / ok.size else 0.0
     // Stop Spark BEFORE printing: shutdown-hook warnings otherwise land
     // after the JSON line and push it out of the driver's tail window.
     spark.stop()
-    println(s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
+      s""""mean_sec":${"%.3f".format(mean)},""" +
+      s""""queries":${slowest.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")},""" +
+      s""""queries_truncated_to_slowest":25,"full_map":"BENCH_FULL.json",""" +
       s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},""" +
       s""""point_reads_per_sec_8thr":${"%.2f".format(readRate8)},"sf":"$sfName"}""")
   }

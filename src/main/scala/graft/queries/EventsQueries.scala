@@ -656,7 +656,7 @@ object EventsQueries {
         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
                 ORDER BY abs_c DESC, ts_ms, event_id) AS rn FROM c)
         SELECT event_type, n, ts_ms AS cp_ts_ms, event_id AS cp_event_id,
-               abs_c AS max_abs_dev
+               CAST(abs_c AS BIGINT) AS max_abs_dev
         FROM r WHERE rn = 1 ORDER BY event_type""")),
 
     // beyond-reference — cohort retention matrix: users grouped by their

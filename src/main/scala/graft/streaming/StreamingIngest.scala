@@ -373,7 +373,7 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("volume"),
         sum(col("cents") * col("k")).as("turnover_ck"))
       .select(col("event_type"),
-        (unix_millis(col("win.start")) / windowMs).as("bucket_hr"),
+        expr(s"unix_millis(win.start) div ${windowMs}L").as("bucket_hr"),
         col("n"), col("volume"), col("turnover_ck"),
         when(col("volume") === 0, lit(null).cast("double"))
           .otherwise(col("turnover_ck").cast("double") /
@@ -397,7 +397,7 @@ object StreamingIngest {
         min_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("open"),
         max_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("close"))
       .select(col("event_type"),
-        (unix_millis(col("win.start")) / windowMs).as("bucket_min"),
+        expr(s"unix_millis(win.start) div ${windowMs}L").as("bucket_min"),
         col("n"), col("low"), col("high"), col("open"), col("close"))
     drain(out, "complete").orderBy("event_type", "bucket_min")
   }

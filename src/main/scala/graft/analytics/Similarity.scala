@@ -28,6 +28,21 @@ object Similarity {
     emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", normSqQF(col("v")))
 
+  /** Fixed-size deterministic centroid seed: the `k` vectors with the
+    * smallest `md5(vec_id)` — a uniform pseudo-random sample whose size is
+    * CONSTANT in the corpus. This is the scale-critical property: every
+    * downstream centroid structure (the broadcast table in the IVF probes,
+    * the per-Lloyd-round driver materialization in [[kmeansAssign]]) is
+    * bounded by k·dim longs regardless of corpus size, where the previous
+    * `vec_id % modulo` seed grew linearly with n (driver OOM at ~1 B
+    * vectors). Computed as a distributed top-k (`orderBy.limit` →
+    * `TakeOrderedAndProject`: O(k) per partition + a k-row driver merge),
+    * never a global sort. The md5 order is recomputed identically by the
+    * DuckDB oracles (`ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id`).
+    */
+  private def seedSubset(all: DataFrame, k: Int): DataFrame =
+    all.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+
   /** Exact top-k neighbors by cosine for each query vector.
     *
     * @param queryModulo query set = vectors with vec_id % queryModulo == 0
@@ -49,12 +64,13 @@ object Similarity {
   /** IVF-bucketed approximate top-k: probe only the query's centroid
     * bucket.
     *
-    * @param centroidModulo centroid set = vec_id % centroidModulo == 0
+    * @param numCentroids FIXED centroid count (constant in the corpus;
+    *                     broadcast state = numCentroids·dim values)
     */
   def ivfTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
-      centroidModulo: Int = 97): DataFrame = {
+      numCentroids: Int = 64): DataFrame = {
     val all = prep(emb)
-    val centroids = all.where(col("vec_id") % centroidModulo === 0)
+    val centroids = seedSubset(all, numCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     // coarse assignment: argmax cosine over the (broadcast) centroid set.
     // max(struct(cos, -c_id, ...)) — NOT a row_number window: the
@@ -174,23 +190,24 @@ object Similarity {
     *
     * Centroids MATERIALIZE between rounds (collect → local relation —
     * the same driver-state shape MLlib's KMeans uses): they are optimizer
-    * state of size k·dim longs, independent of corpus size. Leaving them
-    * lazy instead nests each round's full plan inside the next, so the
-    * corpus scan re-executes 2^iters times and codegen compiles one
-    * enormous tree (measured 11 s first-run at sf0.1 vs ~2 s
+    * state of size `numCentroids`·dim longs, CONSTANT in corpus size (the
+    * fixed-k [[seedSubset]] seed guarantees the bound; k never grows with
+    * n). Leaving them lazy instead nests each round's full plan inside the
+    * next, so the corpus scan re-executes 2^iters times and codegen
+    * compiles one enormous tree (measured 11 s first-run at sf0.1 vs ~2 s
     * materialized). Corpus-sized data never reaches the driver.
     */
   /** The Lloyd loop shared by [[kmeansIvfTopK]] and [[semDedupPairs]]:
-    * deterministic seed subset, `iters` rounds of broadcast argmax
+    * fixed-k deterministic seed subset, `iters` rounds of broadcast argmax
     * assignment + per-(centroid, dim) rounded-mean recompute, returning
     * the FINAL assignment `(vec_id, qv, nrm, bucket)`.
     */
-  private def kmeansAssign(emb: DataFrame, centroidModulo: Int,
+  private def kmeansAssign(emb: DataFrame, numCentroids: Int,
       iters: Int): DataFrame = {
     val all = prep(emb).select(col("vec_id"),
       quantize(col("v")).as("qv"), col("nrm"))
-    // init: the deterministic seed subset (what ivfTopK uses as-is)
-    var centroids = all.where(col("vec_id") % centroidModulo === 0)
+    // init: the fixed-k deterministic seed subset (what ivfTopK uses as-is)
+    var centroids = seedSubset(all, numCentroids)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
     // argmax assignment as a map-side-combined max(struct) aggregate —
     // same tie-break as (cos DESC, c_id ASC); see ivfTopK's comment.
@@ -228,8 +245,8 @@ object Similarity {
   }
 
   def kmeansIvfTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
-      centroidModulo: Int = 97, iters: Int = 2): DataFrame = {
-    val finalAssigned = kmeansAssign(emb, centroidModulo, iters)
+      numCentroids: Int = 64, iters: Int = 2): DataFrame = {
+    val finalAssigned = kmeansAssign(emb, numCentroids, iters)
     val queries = finalAssigned.where(col("vec_id") % queryModulo === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("bucket"))
@@ -252,8 +269,8 @@ object Similarity {
     * set scales with cluster sizes, never the corpus square.
     */
   def semDedupPairs(emb: DataFrame, threshold: Double = 0.3,
-      centroidModulo: Int = 97, iters: Int = 2): DataFrame = {
-    val assigned = kmeansAssign(emb, centroidModulo, iters)
+      numCentroids: Int = 64, iters: Int = 2): DataFrame = {
+    val assigned = kmeansAssign(emb, numCentroids, iters)
     val a = assigned.select(col("bucket"), col("vec_id").as("vec_a"),
       col("qv").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("bucket"), col("vec_id").as("vec_b"),

@@ -40,6 +40,14 @@ object PipelineQueries {
     s"list_sum(list_transform(range(1, len($av)+1), i -> $av[i]*$bv[i])) * 1.0" +
       s" / (sqrt($an) * sqrt($bn))"
 
+  /** Fixed-k deterministic centroid seed — mirrors
+    * [[graft.analytics.Similarity]]'s `seedSubset` (k smallest
+    * `md5(vec_id)`, vec_id tie-break) bit-for-bit. Constant in corpus size.
+    */
+  private def seedSql(k: Int) =
+    s"""SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM qn
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k"""
+
   /** One Lloyd round `t` for the k-means IVF oracle: argmax-cosine
     * assignment against cent{t-1}, then per-dimension rounded-mean
     * recompute (exact integer sums, `floor(sum/n + 0.5)` — mirrors
@@ -291,12 +299,11 @@ object PipelineQueries {
     // ---- IVF-bucketed approximate ANN ----
     QueryDef("sim_ann_ivf",
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), k = 5,
-        queryModulo = 20, centroidModulo = 97)
+        queryModulo = 20, numCentroids = 64)
         .orderBy("query_id", "rank"),
       Some(s"""
         WITH $QuantCte,
-        cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
-                 FROM qn WHERE vec_id % 97 = 0),
+        cent AS (${seedSql(64)}),
         assign AS (SELECT vec_id, v, nrm, c_id AS bucket,
                      row_number() OVER (PARTITION BY vec_id
                        ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
@@ -386,12 +393,11 @@ object PipelineQueries {
     // ---- IVF with real k-means centroids (2 Lloyd rounds) ----
     QueryDef("sim_ann_ivf_kmeans",
       (s, dir) => Similarity.kmeansIvfTopK(Tables.embeddings(s, dir), k = 5,
-        queryModulo = 20, centroidModulo = 97, iters = 2)
+        queryModulo = 20, numCentroids = 64, iters = 2)
         .orderBy("query_id", "rank"),
       Some(s"""
         WITH $QuantCte,
-        cent0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
-                  FROM qn WHERE vec_id % 97 = 0),
+        cent0 AS (${seedSql(64)}),
         ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
         asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
                    row_number() OVER (PARTITION BY vec_id
@@ -418,12 +424,11 @@ object PipelineQueries {
     // sizes, never the corpus square.
     QueryDef("dd_semdedup",
       (s, dir) => Similarity.semDedupPairs(Tables.embeddings(s, dir),
-        threshold = 0.3, centroidModulo = 97, iters = 2)
+        threshold = 0.3, numCentroids = 64, iters = 2)
         .orderBy("vec_a", "vec_b"),
       Some(s"""
         WITH $QuantCte,
-        cent0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
-                  FROM qn WHERE vec_id % 97 = 0),
+        cent0 AS (${seedSql(64)}),
         ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
         asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
                    row_number() OVER (PARTITION BY vec_id
@@ -446,7 +451,7 @@ object PipelineQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val dropped = Similarity.semDedupPairs(emb, threshold = 0.3,
-          centroidModulo = 97, iters = 2)
+          numCentroids = 64, iters = 2)
           .select(col("vec_b").as("vec_id")).distinct()
         emb.select(col("vec_id"), col("label"))
           .join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left_outer")
@@ -456,8 +461,7 @@ object PipelineQueries {
       },
       Some(s"""
         WITH $QuantCte,
-        cent0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
-                  FROM qn WHERE vec_id % 97 = 0),
+        cent0 AS (${seedSql(64)}),
         ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
         asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
                    row_number() OVER (PARTITION BY vec_id
@@ -1054,7 +1058,7 @@ object PipelineQueries {
         val exact = Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20)
           .select(col("query_id"), col("neighbor_id"))
         val approx = Similarity.ivfTopK(emb, k = 5, queryModulo = 20,
-          centroidModulo = 97)
+          numCentroids = 64)
           .select(col("query_id"), col("neighbor_id"))
         val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
@@ -1078,8 +1082,7 @@ object PipelineQueries {
                                          ORDER BY cos DESC, neighbor_id) AS rank
                     FROM bscored),
         exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
-        cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
-                 FROM qn WHERE vec_id % 97 = 0),
+        cent AS (${seedSql(64)}),
         assign AS (SELECT vec_id, v, nrm, c_id AS bucket,
                      row_number() OVER (PARTITION BY vec_id
                        ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn

@@ -156,7 +156,7 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("IVF ANN neighbors are a subset of brute-force candidates' space") {
     val ivf = Similarity.ivfTopK(Tables.embeddings(spark, sf), k = 3,
-      queryModulo = 100, centroidModulo = 97).collect()
+      queryModulo = 100, numCentroids = 64).collect()
     assert(ivf.nonEmpty)
     ivf.groupBy(_.getLong(0)).foreach { case (q, rows) =>
       assert(rows.length <= 3)
@@ -227,12 +227,12 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("k-means IVF refines centroids and still returns valid neighbors") {
     val emb = Tables.embeddings(spark, sf)
     val refined = Similarity.kmeansIvfTopK(emb, k = 5, queryModulo = 20,
-      centroidModulo = 97, iters = 2)
+      numCentroids = 64, iters = 2)
     val rows = refined.collect()
     assert(rows.nonEmpty)
     // deterministic: two runs produce the identical result
     val again = Similarity.kmeansIvfTopK(emb, k = 5, queryModulo = 20,
-      centroidModulo = 97, iters = 2).collect()
+      numCentroids = 64, iters = 2).collect()
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
     // ranks are 1..k per query, no self-neighbors
     rows.foreach { r =>

@@ -83,7 +83,12 @@ final class TimeSeriesStore(
       * flush runs as a distributed partitioned append. Overridable so tests
       * can exercise the distributed branch without generating 128 MiB.
       */
-    val directFlushMaxBytes: Long = Limits.DirectFlushMaxBytes) {
+    val directFlushMaxBytes: Long = Limits.DirectFlushMaxBytes,
+    /** Cross-process maintenance-lease TTL (crash-holder takeover bound)
+      * and contention wait — see [[MaintenanceLease]]; test-overridable.
+      */
+    val leaseTtlMs: Long = 60000L,
+    val leaseWaitMs: Long = 30000L) {
 
   import Limits._
 
@@ -118,12 +123,23 @@ final class TimeSeriesStore(
   /** Injectable clock (tests need controllable ingest/purge times). */
   @volatile var clock: () => Long = () => System.currentTimeMillis()
 
-  /** Serializes mutations: concurrent Spark append jobs into one output
-    * root share the committer's `_temporary` directory and can clobber
-    * each other, and the purge/compaction rewrites move partition dirs.
-    * Reads never take this lock.
+  /** Serializes mutations WITHIN this JVM: concurrent Spark append jobs
+    * into one output root share the committer's `_temporary` directory and
+    * can clobber each other, and the purge/compaction rewrites move
+    * partition dirs. Reads never take this lock.
     */
   private val mutationLock = new Object
+
+  /** Serializes maintenance (flush / purge / compaction / distributed
+    * append) ACROSS processes sharing this store root — the reference's
+    * multi-process deployment (README.md:4), where Redis/Lua atomicity did
+    * this job. Plain [[writeSamples]] L0 writes are deliberately NOT
+    * leased: L0 batch files and activity logs are writer-unique, so
+    * concurrent writers from any number of processes never collide (the
+    * analog of the reference's atomic per-command writes).
+    */
+  private val maintenanceLease =
+    new MaintenanceLease(nsRoot, writerId, () => clock(), leaseTtlMs, leaseWaitMs)
 
   /** Hive-escaped `tag=` directory name. Spark's `partitionBy` escapes
     * special characters in partition values (space → %20, ':' → %3A, …,
@@ -365,6 +381,7 @@ final class TimeSeriesStore(
     */
   def writeSamplesDistributed(df: DataFrame): Unit = mutationLock.synchronized {
     requireInitialized()
+    maintenanceLease.withLease {
     val withPart = df
       .withColumn("partition_start", col("ts") - (col("ts") % lit(settings.partitionWidth)))
     withPart.write.mode("append")
@@ -382,6 +399,7 @@ final class TimeSeriesStore(
     appendActivity(acts)
     partSizesFresh = false
     bumpVersion()
+    }
   }
 
   private def l0FileList(): Seq[Path] =
@@ -415,6 +433,7 @@ final class TimeSeriesStore(
     */
   def flushL0(): Int = mutationLock.synchronized {
     requireInitialized()
+    maintenanceLease.withLease {
     val files = l0FileList()
     if (files.isEmpty) return 0
     val totalBytes = files.map(Files.size(_)).sum
@@ -469,6 +488,7 @@ final class TimeSeriesStore(
     partSizesFresh = false // L1 grew by an unknown per-partition split
     bumpVersion()
     files.size
+    }
   }
 
   /** Per-partition hot-tier byte sizes ("tag=T/partition_start=P" → bytes),
@@ -913,6 +933,7 @@ final class TimeSeriesStore(
     if (maxPartitionsToMark <= 0)
       throw new IllegalArgumentException(
         "Parameter 'maxPartitionsToMark' is invalid & should greater than 1.")
+    maintenanceLease.withLease {
     // Flush L0 first so snapshots and the ack-time anti-join operate on the
     // partitioned tier only — rows written after this point land in new L0
     // files and survive the ack untouched (consumer-test.js:936-989).
@@ -957,6 +978,7 @@ final class TimeSeriesStore(
       // Mark: removes it from RecentActivity until a newer write (lua:19).
       appendActivity(Seq((pName, tag, pStart, markTs, "m")))
       id
+    }
     }
   }
 
@@ -1101,6 +1123,7 @@ final class TimeSeriesStore(
       throw new IllegalArgumentException("Invalid parameter 'partitionName'.")
     if (partitionKey == null || partitionKey.isEmpty)
       throw new IllegalArgumentException("Invalid parameter 'partitionKey'.")
+    maintenanceLease.withLease {
     val entryDir = queueDir.resolve(purgeId)
     if (!Files.exists(entryDir.resolve("meta.json")) || Files.exists(entryDir.resolve("acked")))
       return 0
@@ -1182,6 +1205,7 @@ final class TimeSeriesStore(
     partSizesFresh = false // a hot partition was rewritten or dropped
     bumpVersion()
     1
+    }
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -1204,6 +1228,7 @@ final class TimeSeriesStore(
     */
   def compact(minFiles: Int = 2, applyLww: Boolean = true): Int = mutationLock.synchronized {
     requireInitialized()
+    maintenanceLease.withLease {
     flushL0() // compaction operates on the partitioned tier
     if (!Files.exists(hotDir)) return 0
     val partDirs = withWalk(hotDir, 2)(_
@@ -1269,5 +1294,6 @@ final class TimeSeriesStore(
       bumpVersion()
     }
     n
+    }
   }
 }

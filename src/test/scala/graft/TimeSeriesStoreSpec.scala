@@ -502,6 +502,82 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s3.readData(Map("MTag" -> (0L, 50L)))("MTag") === expect)
   }
 
+  // Multi-process contract (reference README.md:4): maintenance ops on a
+  // shared root are serialized by the cross-process lease; a live foreign
+  // holder refuses with the golden message, a crashed holder (expired
+  // record) is taken over after its TTL.
+  test("maintenance is lease-serialized across processes: held lease refuses, expiry recovers") {
+    val root = Files.createTempDirectory("graft-lease").toString
+    val settings = StoreSettings(partitionWidth = 5L)
+    val store = new TimeSeriesStore(spark, root, settings, leaseWaitMs = 300L)
+    store.initialize()
+    store.write(Map("LTag" -> Map(1L -> "One")))
+    val leaseFile = java.nio.file.Paths.get(root, settings.settingsHash, "lease")
+    // a live foreign holder: flush is cleanly refused, data untouched
+    Files.write(leaseFile,
+      s"foreign-writer ${System.currentTimeMillis() + 60000}".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException](store.flushL0())
+    assert(ex.getMessage.contains("Maintenance lease"))
+    assert(ex.getMessage.contains("foreign-writer"))
+    assert(store.readData(Map("LTag" -> (0L, 50L)))("LTag") === SortedMap(1L -> "One"))
+    // a crashed holder: expired record is taken over, op proceeds,
+    // lease is released afterwards
+    Files.write(leaseFile,
+      s"foreign-writer ${System.currentTimeMillis() - 1}".getBytes("UTF-8"))
+    assert(store.flushL0() === 1)
+    assert(!Files.exists(leaseFile))
+    assert(store.readData(Map("LTag" -> (0L, 50L)))("LTag") === SortedMap(1L -> "One"))
+  }
+
+  // The full purge lifecycle driven from a SECOND instance on the shared
+  // root (the reference's stateless-consumer deployment, service.js):
+  // B flushes A's L0, marks, archives, acks — and both instances then
+  // serve the identical data from the cold tier.
+  test("purge driven from a second instance on a shared root is safe end to end") {
+    val root = Files.createTempDirectory("graft-xpurge").toString
+    val s1 = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    val s2 = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    var now = 1000000L
+    s1.clock = () => now; s2.clock = () => now
+    s1.initialize(); s2.initialize()
+    s1.write(Map("XTag" -> Map(1L -> "One", 2L -> "Two")))
+    now += 2000
+    val ids = s2.purgeScan(1, 10) // B flushes A's L0 files and marks
+    assert(ids.size === 1)
+    val entry = s2.loadPurgeEntry(ids.head).get
+    assert(entry.data === SortedMap(1L -> "One", 2L -> "Two"))
+    s2.archiveToCold(ids.head)
+    assert(s2.purgeAck(ids.head, entry.partitionName, entry.tag) === 1)
+    val expect = SortedMap(1L -> "One", 2L -> "Two")
+    assert(s1.readData(Map("XTag" -> (0L, 50L)))("XTag") === expect)
+    assert(s2.readData(Map("XTag" -> (0L, 50L)))("XTag") === expect)
+    // no lease left behind by either instance
+    assert(!Files.exists(java.nio.file.Paths.get(root,
+      StoreSettings(partitionWidth = 5L).settingsHash, "lease")))
+  }
+
+  // consumer-test.js:529-555 through the SERVING path, block cache cold
+  // then warm, then across a file-replacing mutation: the cache key is
+  // (path, size, mtime), so a compaction rewrite must MISS and re-read —
+  // a warm cache can never serve pre-mutation bytes.
+  test("fastRead serves identical results cache-cold, cache-warm, and after a rewrite") {
+    val store = freshStore()
+    store.write(gapSerialBatch)
+    val ranges = Map("GapTag" -> (0L, 50L), "SerialTag" -> (0L, 50L))
+    val cold = store.readData(ranges) // first touch: cache miss, files decode
+    val warm = store.readData(ranges) // same immutable files: cache hit
+    assert(cold === warm)
+    assert(cold("GapTag") === SortedMap(1L -> "One", 2L -> "Two", 10L -> "Ten", 20L -> "Twenty"))
+    // upsert + compact → the partition's files are REPLACED on disk
+    store.write(Map("SerialTag" -> Map(3L -> "THREE-v2")))
+    store.compact()
+    val after = store.readData(ranges)
+    assert(after("SerialTag") === SortedMap(1L -> "One", 2L -> "Two", 3L -> "THREE-v2", 4L -> "Four"))
+    assert(after("GapTag") === cold("GapTag"))
+    // and the post-rewrite state is itself stable warm
+    assert(store.readData(ranges) === after)
+  }
+
   // 10 tags × 200 samples chunk (consumer-test.js:670-696)
   test("bulk multi-tag chunk round-trips") {
     val store = freshStore(width = 10L)

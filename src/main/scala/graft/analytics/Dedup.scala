@@ -311,20 +311,28 @@ object Dedup {
     * any scale.
     */
   /** Edge sets at or below this size are solved with driver-side
-    * union-find (O(E α(E)), ~16 bytes/edge — 10 M edges ≈ 160 MB);
-    * larger graphs run the distributed fixpoint. Near-dup edge sets are
-    * tiny relative to the corpus (they're the *output* of a ≥-threshold
-    * similarity filter), so even 100 TB corpora typically stay under
-    * this; the distributed path is the correctness backstop.
+    * union-find (O(E α(E))); larger graphs run the distributed fixpoint.
+    * BYTE-aware, not a fixed count: the driver cost is ~100 bytes/edge
+    * (the collected tuple array plus boxed HashMap parent nodes), so the
+    * cutoff spends at most 1/16 of the ACTUAL driver heap
+    * (`Runtime.maxMemory`, which tracks `spark.driver.memory`), capped at
+    * 10 M edges — a 1 GiB driver switches to the distributed branch at
+    * ~650 K edges instead of OOMing at a hard-coded 10 M. Near-dup edge
+    * sets are tiny relative to the corpus (they're the *output* of a
+    * ≥-threshold similarity filter), so even 100 TB corpora typically
+    * stay under this; the distributed path is the correctness backstop.
     */
-  val MaxDriverEdges = 10000000L
+  def maxDriverEdges: Long =
+    math.min(10000000L, Runtime.getRuntime.maxMemory() / 16 / 100)
 
   def duplicateClusters(docs: DataFrame, threshold: Double,
-      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+      maxShingleDf: Long = DefaultMaxShingleDf,
+      driverEdgeLimit: Long = -1L): DataFrame = {
+    val limit = if (driverEdgeLimit >= 0L) driverEdgeLimit else maxDriverEdges
     val pairs = jaccardPairs(docs, threshold, maxShingleDf)
       .select(col("doc_a"), col("doc_b")).cache()
     val nEdges = pairs.count()
-    if (nEdges <= MaxDriverEdges) {
+    if (nEdges <= limit) {
       val out = driverUnionFind(pairs)
       pairs.unpersist()
       return out

@@ -90,6 +90,19 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters === Map(0L -> 0L, 1L -> 0L, 2L -> 0L)) // doc 3 unpaired → absent
   }
 
+  test("distributed min-label fixpoint matches driver union-find exactly") {
+    // driverEdgeLimit = 0 forces the distributed branch on the same input
+    val driver = Dedup.duplicateClusters(docsFixture, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.duplicateClusters(docsFixture, 0.5,
+      driverEdgeLimit = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(driver.nonEmpty)
+    assert(dist === driver)
+    // the byte-aware default cutoff is positive and bounded
+    assert(Dedup.maxDriverEdges > 0L && Dedup.maxDriverEdges <= 10000000L)
+  }
+
   test("simhash pairs the identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docsFixture, maxHamming = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -102,6 +102,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Partial"))
   }
 
+  test("sim_ann_ivf: fixed-k centroid seed is a distributed top-k, then broadcast") {
+    // the seed must stay TakeOrderedAndProject (O(k) per partition + a
+    // k-row driver merge) — never a global sort — and the k-row centroid
+    // table must broadcast to the assignment join; this is the plan that
+    // keeps centroid state CONSTANT in corpus size
+    val p = plan("sim_ann_ivf")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("cu_decontaminate: eval shingles broadcast — corpus never shuffles on shingle") {
     val p = plan("cu_decontaminate")
     assert(p.contains("BroadcastHashJoin"))

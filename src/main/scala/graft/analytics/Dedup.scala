@@ -410,6 +410,17 @@ object Dedup {
   /** Embedding-cosine near-dup pairs within a blocking key (label):
     * exact quantized-integer cosine over candidate pairs from the
     * label-equality join.
+    *
+    * '''Scale bound (by contract)''': this operator is EXACT within its
+    * block, so its cost is Σ_labels |block|² — quadratic in block size,
+    * linear in block count (the round-6 scale probe measured 6.3× at 10×
+    * data, exactly the Σ|block|² prediction as blocks grew 10×). That is
+    * the right tool when the blocking key keeps blocks bounded (e.g. a
+    * dedup shard key); when blocks grow with the corpus, use the bounded
+    * alternatives that trade exactness inside a learned/hashed block:
+    * [[graft.analytics.Similarity.semDedupPairs]] (fixed-k k-means
+    * blocks) or the `sim_ann_lsh*` family (hash blocks) — both keep the
+    * per-block candidate set constant in corpus size.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
     val q = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))

@@ -86,11 +86,37 @@ object ScaleProbe {
     }.min
   }
 
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      } finally s.close()
+    }
+
   private def generate(spark: SparkSession): Unit = {
     Files.createDirectories(Paths.get(DstDir))
     def src(t: String) = spark.read.parquet(s"$SrcDir/$t.parquet")
-    def write(t: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$DstDir/$t.parquet")
+    // each table must be ONE parquet FILE named <t>.parquet (matching the
+    // driver's testdata layout — the streaming sources pathGlobFilter on
+    // the file name, so a directory layout would feed them zero rows)
+    def write(t: String, df: DataFrame): Unit = {
+      val tmp = s"$DstDir/_tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, Paths.get(DstDir, s"$t.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          moved = true
+        }
+      }
+      require(moved, s"no part file produced for $t")
+      deleteTree(Paths.get(tmp))
+    }
     def replicate(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = src(t)
       write(t, (0 until Replicas).map(i => f(base, i)).reduce(_ unionAll _))

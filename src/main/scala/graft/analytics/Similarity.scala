@@ -197,32 +197,35 @@ object Similarity {
     * compiles one enormous tree (measured 11 s first-run at sf0.1 vs ~2 s
     * materialized). Corpus-sized data never reaches the driver.
     */
-  /** The Lloyd loop shared by [[kmeansIvfTopK]] and [[semDedupPairs]]:
-    * fixed-k deterministic seed subset, `iters` rounds of broadcast argmax
-    * assignment + per-(centroid, dim) rounded-mean recompute, returning
-    * the FINAL assignment `(vec_id, qv, nrm, bucket)`.
+  private def prepQ(emb: DataFrame): DataFrame =
+    prep(emb).select(col("vec_id"), quantize(col("v")).as("qv"), col("nrm"))
+
+  /** Argmax-cosine assignment of every vector in `all` to its nearest
+    * centroid, as a map-side-combined max(struct) aggregate — same
+    * tie-break as (cos DESC, c_id ASC); see ivfTopK's comment.
     */
-  private def kmeansAssign(emb: DataFrame, numCentroids: Int,
+  private def assignToCentroids(all: DataFrame, cents: DataFrame): DataFrame =
+    all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(
+          cosineQ(dotLL(col("qv"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"),
+          (-col("c_id")).as("negc"), col("c_id").as("c_id"),
+          col("qv").as("qv"), col("nrm").as("nrm")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.qv").as("qv"), col("m.nrm").as("nrm"),
+        col("m.c_id").as("bucket"))
+
+  /** The Lloyd loop itself: fixed-k seed, `iters` refinement rounds,
+    * returning the FINAL centroid table `(c_id, cv, cnrm)` — k·dim longs,
+    * constant in corpus size.
+    */
+  private def kmeansCentroids(emb: DataFrame, numCentroids: Int,
       iters: Int): DataFrame = {
-    val all = prep(emb).select(col("vec_id"),
-      quantize(col("v")).as("qv"), col("nrm"))
-    // init: the fixed-k deterministic seed subset (what ivfTopK uses as-is)
+    val all = prepQ(emb)
     var centroids = seedSubset(all, numCentroids)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
-    // argmax assignment as a map-side-combined max(struct) aggregate —
-    // same tie-break as (cos DESC, c_id ASC); see ivfTopK's comment.
-    def assign(cents: DataFrame): DataFrame =
-      all.crossJoin(broadcast(cents))
-        .select(col("vec_id"), struct(
-            cosineQ(dotLL(col("qv"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"),
-            (-col("c_id")).as("negc"), col("c_id").as("c_id"),
-            col("qv").as("qv"), col("nrm").as("nrm")).as("sc"))
-        .groupBy("vec_id")
-        .agg(max(col("sc")).as("m"))
-        .select(col("vec_id"), col("m.qv").as("qv"), col("m.nrm").as("nrm"),
-          col("m.c_id").as("bucket"))
     (0 until iters).foreach { _ =>
-      val assigned = assign(centroids)
+      val assigned = assignToCentroids(all, centroids)
       val next = assigned
         .select(col("bucket").as("c_id"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy(col("c_id"), col("pos"))
@@ -241,8 +244,12 @@ object Similarity {
       centroids = next.as[(Long, Array[Long], Long)].collect().toSeq
         .toDF("c_id", "cv", "cnrm")
     }
-    assign(centroids)
+    centroids
   }
+
+  private def kmeansAssign(emb: DataFrame, numCentroids: Int,
+      iters: Int): DataFrame =
+    assignToCentroids(prepQ(emb), kmeansCentroids(emb, numCentroids, iters))
 
   def kmeansIvfTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
       numCentroids: Int = 64, iters: Int = 2): DataFrame = {
@@ -251,6 +258,46 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("bucket"))
     val scored = finalAssigned.join(broadcast(queries), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(dotLL(col("qqv"), col("qv")), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Multi-probe IVF (the `nprobe` knob every production IVF index
+    * exposes): each query probes its `nProbe` NEAREST refined centroids'
+    * buckets instead of only the top-1. Vectors whose true neighbors sit
+    * just across a Voronoi boundary — the recall the single-probe form
+    * loses — are recovered at nProbe× probe cost, without touching the
+    * index. A neighbor lives in exactly one bucket and the probed buckets
+    * are distinct, so no (query, neighbor) pair is ever double-scored.
+    *
+    * Scale shape: identical to [[kmeansIvfTopK]] plus one window over the
+    * (queries × k) centroid-ranking table — query-set-sized, never
+    * corpus-sized; the probe table stays broadcastable (queries ×
+    * nProbe rows).
+    */
+  def kmeansIvfTopKMultiProbe(emb: DataFrame, k: Int = 5,
+      queryModulo: Int = 20, numCentroids: Int = 64, iters: Int = 2,
+      nProbe: Int = 2): DataFrame = {
+    val all = prepQ(emb)
+    val cents = kmeansCentroids(emb, numCentroids, iters)
+    val assigned = assignToCentroids(all, cents)
+    val qRank = all.where(col("vec_id") % queryModulo === 0)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nrm").as("qnrm"), col("c_id").as("bucket"),
+        cosineQ(dotLL(col("qv"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("bucket"))
+    val probes = qRank.withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= nProbe)
+      .select("query_id", "qqv", "qnrm", "bucket")
+    val scored = assigned.join(broadcast(probes), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineQ(dotLL(col("qqv"), col("qv")), col("qnrm"), col("nrm")).as("cos"))

@@ -417,6 +417,38 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, cos FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- multi-probe IVF k-means: each query probes its nProbe nearest
+    // refined centroids (the production `nprobe` recall knob) ----
+    QueryDef("sim_ann_ivf_kmeans_mp",
+      (s, dir) => Similarity.kmeansIvfTopKMultiProbe(Tables.embeddings(s, dir),
+        k = 5, queryModulo = 20, numCentroids = 64, iters = 2, nProbe = 2)
+        .orderBy("query_id", "rank"),
+      Some(s"""
+        WITH $QuantCte,
+        cent0 AS (${seedSql(64)}),
+        ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
+        asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                 FROM qn CROSS JOIN cent2),
+        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1),
+        qp AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+                 c_id AS bucket,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS prn
+               FROM qn CROSS JOIN cent2 WHERE vec_id % 20 = 0),
+        probes AS (SELECT query_id, qv, qnrm, bucket FROM qp WHERE prn <= 2),
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+                     ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
+                   FROM memF b JOIN probes USING (bucket)
+                   WHERE b.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- SemDeDup: semantic near-dups within learned k-means clusters ----
     // The learned-block analog of dd_embedding_neardup's label blocking
     // (Abbas et al. 2023): cosine pairs are only scored inside a cluster

@@ -237,6 +237,21 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi.size >= single.size)
   }
 
+  test("multi-probe IVF k-means recall meets or beats single-probe against brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val truth = annPairs(Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20))
+    val single = annPairs(Similarity.kmeansIvfTopK(emb, k = 5,
+      queryModulo = 20, numCentroids = 64, iters = 2))
+    val multi = annPairs(Similarity.kmeansIvfTopKMultiProbe(emb, k = 5,
+      queryModulo = 20, numCentroids = 64, iters = 2, nProbe = 2))
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    // the probe set contains the top-1 bucket, and candidates only rank by
+    // true cosine — recall can never decrease
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(multi.size >= single.size)
+  }
+
   test("k-means IVF refines centroids and still returns valid neighbors") {
     val emb = Tables.embeddings(spark, sf)
     val refined = Similarity.kmeansIvfTopK(emb, k = 5, queryModulo = 20,

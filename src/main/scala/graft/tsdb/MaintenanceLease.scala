@@ -3,6 +3,13 @@ package graft.tsdb
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path}
 
+/** Thrown when the maintenance lease is held by a live foreign writer
+  * past the bounded wait — a distinct type so OPPORTUNISTIC callers (the
+  * auto-flush inside a plain write) can yield instead of failing the
+  * caller's write, while explicit maintenance calls surface it.
+  */
+final class LeaseHeldException(msg: String) extends IllegalStateException(msg)
+
 /** Cross-PROCESS maintenance lease for a shared store root.
   *
   * The reference explicitly supports multiple stateless processes sharing
@@ -85,7 +92,7 @@ final class MaintenanceLease(
           Files.deleteIfExists(leaseFile) // TTL takeover (see scaladoc race note)
         case Some((owner, expiry)) =>
           if (clock() >= deadline)
-            throw new IllegalStateException(
+            throw new LeaseHeldException(
               s"Maintenance lease for this store root is held by writer '$owner' " +
                 s"(expires in ${expiry - clock()} ms). Concurrent maintenance " +
                 "(flush/purge/compaction) on a shared root is serialized; " +

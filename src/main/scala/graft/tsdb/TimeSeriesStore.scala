@@ -343,7 +343,12 @@ final class TimeSeriesStore(
       }.toSeq
     appendActivity(acts)
     bumpVersion()
-    if (l0Meta.size >= L0FlushFileCount) flushL0()
+    // Opportunistic flush: a write must never fail because ANOTHER
+    // process is mid-maintenance (the reference's multi-process writes
+    // are unconditionally accepted) — yield and let a later write or an
+    // explicit flush pick it up.
+    if (l0Meta.size >= L0FlushFileCount)
+      try flushL0() catch { case _: LeaseHeldException => () }
   }
 
   /** Append activity rows to this writer's JSONL log — one file per writer

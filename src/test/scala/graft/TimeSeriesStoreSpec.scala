@@ -529,6 +529,29 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.readData(Map("LTag" -> (0L, 50L)))("LTag") === SortedMap(1L -> "One"))
   }
 
+  // A plain write must NEVER fail because another process is
+  // mid-maintenance (the reference's multi-process writes are
+  // unconditionally accepted): past the L0 auto-flush threshold the
+  // flush is opportunistic — it yields on a held lease and a later
+  // flush picks the files up.
+  test("writes never fail under a foreign maintenance lease; flush catches up after release") {
+    val root = Files.createTempDirectory("graft-leasew").toString
+    val settings = StoreSettings(partitionWidth = 5L)
+    val store = new TimeSeriesStore(spark, root, settings, leaseWaitMs = 100L)
+    store.initialize()
+    val leaseFile = java.nio.file.Paths.get(root, settings.settingsHash, "lease")
+    Files.write(leaseFile,
+      s"foreign-writer ${System.currentTimeMillis() + 600000}".getBytes("UTF-8"))
+    // 65 writes cross Limits.L0FlushFileCount (64): every one must land
+    (1 to 65).foreach(i => store.write(Map("WTag" -> Map(i.toLong -> s"v$i"))))
+    val got = store.readData(Map("WTag" -> (0L, 100L)))("WTag")
+    assert(got.size === 65 && got(65L) === "v65")
+    // holder releases → explicit flush succeeds and reads are unchanged
+    Files.deleteIfExists(leaseFile)
+    assert(store.flushL0() === 65)
+    assert(store.readData(Map("WTag" -> (0L, 100L)))("WTag") === got)
+  }
+
   // The full purge lifecycle driven from a SECOND instance on the shared
   // root (the reference's stateless-consumer deployment, service.js):
   // B flushes A's L0, marks, archives, acks — and both instances then

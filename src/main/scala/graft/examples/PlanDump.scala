@@ -74,7 +74,13 @@ object PlanDump {
       "gr_triangles" -> ("Triangle counting: the (a<b)-oriented edge list joins itself twice, every join keyed on a VERTEX id " +
         "(b=b, then (a,c)) — wedge checking stays an equality-shuffle, the all-pairs form never appears."),
       "dd_semdedup" -> ("SemDeDup: cosine pairs are scored ONLY inside a learned k-means cluster (bucket-equality self-join " +
-        "on the Lloyd assignment) — candidates scale with cluster sizes; the corpus-square join never appears."))
+        "on the Lloyd assignment) — candidates scale with cluster sizes; the corpus-square join never appears."),
+      "sim_ann_ivf" -> ("IVF probe with the round-6 fixed-k seed: the centroid table is a distributed top-k " +
+        "(TakeOrderedAndProject on md5(vec_id) — O(k) per partition, k-row driver merge, CONSTANT in corpus size) " +
+        "that BROADCASTS to the argmax assignment; the probe join shuffles on the bucket id only."),
+      "sim_ann_ivf_kmeans_mp" -> ("Multi-probe IVF k-means (the nprobe recall knob): the query-to-centroid ranking is a " +
+        "window over queries x k rows (query-set-sized, never corpus-sized), the nProbe probe table broadcasts, and the " +
+        "bucket join scores each (query, neighbor) exactly once — a neighbor lives in one bucket and probed buckets are distinct."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")
@@ -87,7 +93,16 @@ object PlanDump {
       val trimmed = tree.linesIterator.take(40).map(_.replaceAll("#\\d+L?", "")).mkString("\n")
       sb.append(s"\n## $name\n\n$note\n\n```\n$trimmed\n```\n")
     }
-    Files.write(Paths.get("PLANS.md"), sb.toString.getBytes("UTF-8"))
+    // Everything after the PERSISTENT marker (hand-written analyses —
+    // scale probes, variance notes) survives regeneration verbatim.
+    val marker = "<!-- PERSISTENT -->"
+    val plansPath = Paths.get("PLANS.md")
+    if (Files.exists(plansPath)) {
+      val old = new String(Files.readAllBytes(plansPath), "UTF-8")
+      val i = old.indexOf(marker)
+      if (i >= 0) sb.append("\n").append(old.substring(i))
+    }
+    Files.write(plansPath, sb.toString.getBytes("UTF-8"))
     println("PLANS.md written")
     spark.stop()
   }

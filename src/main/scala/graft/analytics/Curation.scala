@@ -35,6 +35,28 @@ object Curation {
         (sum(col("kept")).cast("double") / count(lit(1)).cast("double"))
           .as("kept_rate"))
 
+  /** Fixed-SIZE per-stratum sample — the deterministic analog of
+    * per-group reservoir sampling, and the complement of
+    * [[stratifiedSample]]'s fixed-RATE Bernoulli keep: every `source`
+    * stratum contributes exactly `min(k, |stratum|)` documents (eval-set
+    * carving, per-domain audit panels, human-review batches all want a
+    * bounded per-group count, not a rate). Rank stratum members by
+    * `md5(doc_id)` (uniform, content-independent, reproducible across
+    * engines) and keep the k smallest.
+    *
+    * Scale shape: one shuffle on the stratum key; the rank-≤-k filter
+    * runs as `WindowGroupLimit` (per-partition partial top-k BEFORE the
+    * exchange), so each task forwards at most k rows per stratum — the
+    * same bounded-state shape as the ANN seeds, never a global sort.
+    */
+  def reservoirSample(docs: DataFrame, k: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins — the
     * standard pre-training step that concatenates documents into
     * max-sequence-length rows. Deterministic first-fit in doc_id order

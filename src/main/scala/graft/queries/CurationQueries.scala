@@ -20,6 +20,19 @@ object CurationQueries {
   val all: Seq[QueryDef] = Seq(
 
     // ---- deterministic stratified Bernoulli sample (audit aggregate) ----
+    // ---- fixed-size per-stratum reservoir sample (bounded per-group
+    // count, vs cu_sample_stratified's fixed rate) ----
+    QueryDef("cu_reservoir",
+      (s, dir) => Curation.reservoirSample(Tables.documents(s, dir), k = 50)
+        .orderBy("source", "sample_rank"),
+      Some("""
+        SELECT doc_id, source, rn AS sample_rank FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 50 ORDER BY source, sample_rank""")),
+
     QueryDef("cu_sample_stratified",
       (s, dir) => Curation.stratifiedSample(Tables.documents(s, dir), d = 5)
         .orderBy("stratum"),

@@ -269,6 +269,21 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reservoir sample keeps exactly k per stratum, deterministically") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"t$i", if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r1 = graft.analytics.Curation.reservoirSample(docs, k = 5).collect()
+    assert(r1.length === 10)
+    val bySrc = r1.groupBy(_.getString(1))
+    assert(bySrc("a").length === 5 && bySrc("b").length === 5)
+    assert(bySrc("a").map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    // content-independent and reproducible: a second run is identical
+    val r2 = graft.analytics.Curation.reservoirSample(docs, k = 5).collect()
+    assert(r1.map(_.toString).sorted.toSeq === r2.map(_.toString).sorted.toSeq)
+  }
+
   test("curation keep-filter drops exact dupes and low-quality docs") {
     import spark.implicits._
     val docs = Seq(

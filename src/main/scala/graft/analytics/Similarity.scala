@@ -268,6 +268,29 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Per-vector quality audit — the sanity table every ANN/semdedup build
+    * runs BEFORE indexing: zero and near-zero vectors poison cosine math
+    * (division by a ~0 norm), saturated components signal a broken
+    * upstream encoder, and dimension drift breaks the index outright.
+    * All outputs are exact integers over the quantized components, so the
+    * audit is engine-portable and hash-checkable.
+    *
+    * Scale shape: a pure projection (one scan, no exchange until the
+    * output sort) — codegen'd norm kernel plus two HOF reductions.
+    */
+  def vectorQuality(emb: DataFrame): DataFrame = {
+    val q = quantize(col("embedding"))
+    emb.select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("n_dims"),
+      aggregate(q, lit(0L),
+        (acc, x) => acc + when(x === 0L, 1L).otherwise(0L)).as("n_zero"),
+      aggregate(q, lit(0L),
+        (acc, x) => greatest(acc, abs(x))).as("max_abs_q"),
+      normSqQF(col("embedding")).as("nrm"),
+      (normSqQF(col("embedding")) === 0L).cast("int").as("is_degenerate"))
+  }
+
   /** Multi-probe IVF (the `nprobe` knob every production IVF index
     * exposes): each query probes its `nProbe` NEAREST refined centroids'
     * buckets instead of only the top-1. Vectors whose true neighbors sit

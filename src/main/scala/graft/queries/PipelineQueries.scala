@@ -417,6 +417,20 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, cos FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- vector-quality audit: the pre-ANN sanity table ----
+    QueryDef("sim_vec_quality",
+      (s, dir) => Similarity.vectorQuality(Tables.embeddings(s, dir))
+        .orderBy("vec_id"),
+      Some(s"""
+        WITH $QuantCte
+        SELECT vec_id, label,
+               CAST(len(v) AS INT) AS n_dims,
+               CAST(len(list_filter(v, x -> x = 0)) AS BIGINT) AS n_zero,
+               CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS max_abs_q,
+               CAST(nrm AS BIGINT) AS nrm,
+               CAST(nrm = 0 AS INT) AS is_degenerate
+        FROM qn ORDER BY vec_id""")),
+
     // ---- multi-probe IVF k-means: each query probes its nProbe nearest
     // refined centroids (the production `nprobe` recall knob) ----
     QueryDef("sim_ann_ivf_kmeans_mp",

@@ -237,6 +237,21 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi.size >= single.size)
   }
 
+  test("vector quality audit flags zero vectors and saturated components") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f), 1),
+      (1L, Array(0.5f, -3.0f), 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.vectorQuality(df).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(0L).getAs[Int]("is_degenerate") === 1)
+    assert(r(0L).getAs[Long]("n_zero") === 2L)
+    assert(r(1L).getAs[Int]("is_degenerate") === 0)
+    assert(r(1L).getAs[Long]("n_zero") === 0L)
+    assert(r(1L).getAs[Long]("max_abs_q") === 30000L)
+    assert(r(1L).getAs[Long]("nrm") === 5000L * 5000 + 30000L * 30000)
+  }
+
   test("multi-probe IVF k-means recall meets or beats single-probe against brute force") {
     val emb = Tables.embeddings(spark, sf)
     val truth = annPairs(Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20))

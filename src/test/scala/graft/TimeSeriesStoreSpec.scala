@@ -552,6 +552,28 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.readData(Map("WTag" -> (0L, 100L)))("WTag") === got)
   }
 
+  // Two live instances racing maintenance on one root: the lease makes
+  // them WAIT for each other (serialized), not fail — contention only
+  // refuses after the bounded wait expires.
+  test("concurrent maintenance from two instances serializes via the lease; both succeed") {
+    val root = Files.createTempDirectory("graft-race").toString
+    val s1 = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    val s2 = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    s1.initialize(); s2.initialize()
+    (1 to 20).foreach(i => s1.write(Map("CTag" -> Map(i.toLong -> s"v$i"))))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(s1, s2).map { s =>
+      new Thread(() =>
+        try { (0 until 3).foreach(_ => s.flushL0()) }
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"maintenance race failed: ${errs.peek()}")
+    // every sample landed exactly once (LWW collapses any double-flush)
+    val got = s2.readData(Map("CTag" -> (0L, 50L)))("CTag")
+    assert(got.size === 20 && got(7L) === "v7")
+  }
+
   // The full purge lifecycle driven from a SECOND instance on the shared
   // root (the reference's stateless-consumer deployment, service.js):
   // B flushes A's L0, marks, archives, acks — and both instances then

@@ -382,6 +382,21 @@ object StreamMultimodalQueries {
         SELECT tag, CAST(rank AS INT) AS rank, event_id, cents
         FROM r WHERE rank <= 5 ORDER BY tag, rank""")),
 
+    // ---- streaming: per-stratum fixed-size reservoir sample ----
+    // O(k) ValueState per source; membership by the content-independent
+    // (md5(doc_id), doc_id) total order, so the maintained sample equals
+    // the batch cu_reservoir on any stream prefix — eval-set carving on
+    // live data gives the backfill answer.
+    QueryDef("st_reservoir",
+      (s, dir) => StreamingIngest.streamingReservoir(s, dir, k = 50),
+      Some("""
+        SELECT source, CAST(rn AS INT) AS sample_rank, doc_id FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 50 ORDER BY source, sample_rank""")),
+
     // ---- streaming: stream-stream range join (view -> purchase funnel) ----
     QueryDef("st_stream_join",
       (s, dir) => StreamingIngest.viewPurchaseJoin(s, dir),

@@ -319,6 +319,39 @@ object StreamingIngest {
     * before touching state; a production stream emits one refreshed
     * ranking per batch (append history = ranking evolution).
     */
+  /** Streaming fixed-size per-stratum reservoir sample — the
+    * `transformWithState` twin of `Curation.reservoirSample` (one O(k)
+    * ValueState cell per source stratum; see [[ReservoirProcessor]]).
+    * On the bounded single-batch source the drained output equals the
+    * batch operator / DuckDB oracle exactly.
+    */
+  def streamingReservoir(spark: SparkSession, sfDir: String,
+      k: Int = 50): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .as[ResDoc]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = docs.groupByKey(_.source)
+        .transformWithState(new ReservoirProcessor(k), TimeMode.None(), OutputMode.Append())
+        .toDF()
+      drain(out, "append").orderBy("source", "sample_rank")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   def streamingTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
@@ -403,6 +436,17 @@ object StreamingIngest {
   }
 }
 
+/** Input row shape for the streaming reservoir-sample operator. */
+final case class ResDoc(source: String, doc_id: Long, h: String)
+
+/** One emitted row of the streaming reservoir sample. */
+final case class ResEntry(source: String, sample_rank: Int, doc_id: Long)
+
+/** ValueState buffer of the streaming reservoir: the k smallest
+  * (md5, doc_id) pairs seen so far — O(k) fixed-size state per stratum.
+  */
+final case class ResBuf(hs: Array[String], ids: Array[Long])
+
 /** Input row shape for the streaming top-k operator. */
 final case class TopEvent(tag: String, cents: Long, event_id: Long)
 
@@ -418,6 +462,43 @@ final case class TopKBuf(cents: Array[Long], ids: Array[Long])
   * into the O(k) state cell, keep the k best by (cents desc, event_id
   * asc), emit the refreshed ranking.
   */
+/** Per-stratum fixed-size reservoir sample as a `StatefulProcessor`:
+  * the streaming twin of `Curation.reservoirSample` — merge each batch's
+  * (md5(doc_id), doc_id) pairs into the k-smallest cell and emit the
+  * refreshed sample. Because membership is decided by a content-
+  * independent total order (not arrival order), the maintained sample is
+  * IDENTICAL to the batch operator's on any prefix of the stream — the
+  * property that lets a pipeline carve eval sets on live data and get
+  * the same answer a backfill would.
+  */
+class ReservoirProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, ResDoc, ResEntry] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var buf: ValueState[ResBuf] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getValueState[ResBuf]("reservoir",
+      org.apache.spark.sql.Encoders.product[ResBuf], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[ResDoc],
+      timerValues: TimerValues): Iterator[ResEntry] = {
+    val prev: Seq[(String, Long)] =
+      if (buf.exists()) { val b = buf.get(); b.hs.zip(b.ids).toSeq }
+      else Seq.empty
+    val merged = (prev ++ rows.map(d => (d.h, d.doc_id)))
+      .sortBy(identity)
+      .take(k)
+    if (merged.isEmpty) Iterator.empty
+    else {
+      buf.update(ResBuf(merged.map(_._1).toArray, merged.map(_._2).toArray))
+      merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+        ResEntry(key, i + 1, id)
+      }
+    }
+  }
+}
+
 class TopKProcessor(k: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[String, TopEvent, TopKEntry] {
   import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}

@@ -8,7 +8,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.concurrent.Eventually
 import org.scalatest.time.{Seconds, Span}
 
-import graft.streaming.StreamingIngest
+import graft.streaming.{ResDoc, ResEntry, ReservoirProcessor, StreamingIngest}
 import graft.tsdb.{Sample, StoreSettings, TimeSeriesStore}
 
 /** Streaming topology specs: MemoryStream ingestion into the hot tier and
@@ -83,6 +83,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
       val emitted = spark.table(name).as[Sample].collect().map(_.value).toSeq
       assert(emitted === Seq("v2", "v3"))
     } finally q.stop()
+  }
+
+  test("streaming reservoir equals the batch sample on every stream prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    def h(id: Long) = org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ResDoc](
+      org.apache.spark.sql.Encoders.product[ResDoc], spark)
+    val name = s"res_${System.nanoTime()}"
+    // transformWithState needs multi-column-family state (RocksDB)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = input.toDS().groupByKey(_.source)
+      .transformWithState(new ReservoirProcessor(3), TimeMode.None(), OutputMode.Append())
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    def batchSample(ids: Seq[Long]): Seq[Long] =
+      ids.sortBy(id => (h(id), id)).take(3)
+    try {
+      val batch1 = Seq(1L, 2L, 3L, 4L)
+      input.addData(batch1.map(id => ResDoc("a", id, h(id))): _*)
+      q.processAllAvailable()
+      val after1 = spark.table(name).as[ResEntry].collect()
+        .sortBy(_.sample_rank).map(_.doc_id).toSeq
+      assert(after1 === batchSample(batch1))
+      // second batch: the maintained sample must equal the batch answer
+      // over the FULL prefix, not just the new rows
+      val batch2 = Seq(5L, 6L, 7L)
+      input.addData(batch2.map(id => ResDoc("a", id, h(id))): _*)
+      q.processAllAvailable()
+      // the memory sink accumulates both emissions (order across batches
+      // is not contractual): the multiset must be exactly prefix-1's
+      // sample plus the full-prefix sample
+      val rows = spark.table(name).as[ResEntry].collect().map(_.doc_id).toSeq.sorted
+      assert(rows === (batchSample(batch1) ++ batchSample(batch1 ++ batch2)).sorted)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("replaying the driver's events table as a stream matches batch reads") {

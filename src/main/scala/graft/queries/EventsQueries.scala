@@ -499,6 +499,29 @@ object EventsQueries {
               FROM events)
         GROUP BY user_id ORDER BY user_id""")),
 
+    // beyond-reference — bucketed co-located join: both sides materialize
+    // as bucketBy+sortBy tables on the join key, so the join itself runs
+    // with NO exchange and no sort on either side (the layout paid the
+    // shuffle once; every later join on the key is free). The oracle is
+    // the plain join — bucketing must be invisible in the result.
+    QueryDef("lay_bucketed_join",
+      (s, dir) => {
+        val left = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("okey"), col("l_quantity"))
+        val right = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        graft.operators.BucketedJoin.coLocatedJoin(s, left, right, "okey")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("priority")
+      },
+      Some("""
+        SELECT o_orderpriority AS priority, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY priority""")),
+
     // beyond-reference — Z-order (Morton) layout audit: the clustering-key
     // computation behind a ZORDER-BY table rewrite, plus the per-z-range
     // bounding-box audit that proves two-dimensional locality (tight boxes

@@ -112,6 +112,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("lay_bucketed_join: the join has no exchange on the join key (bucketed co-location)") {
+    // both sides are bucketBy+sortBy tables on okey: the SortMergeJoin
+    // must consume them directly — a hashpartitioning exchange on okey
+    // would mean the layout's pre-shuffle was wasted
+    val p = plan("lay_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("hashpartitioning(okey"))
+  }
+
   test("cu_decontaminate: eval shingles broadcast — corpus never shuffles on shingle") {
     val p = plan("cu_decontaminate")
     assert(p.contains("BroadcastHashJoin"))

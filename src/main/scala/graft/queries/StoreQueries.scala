@@ -127,6 +127,40 @@ object StoreQueries {
                                     ORDER BY event_id DESC) AS rn
           FROM events
           WHERE epoch_ms(ts) BETWEEN ${day(10)} AND ${day(12)})
-        WHERE rn = 1 ORDER BY tag, ts_ms"""))
+        WHERE rn = 1 ORDER BY tag, ts_ms""")),
+
+    // ---- engine-native DataSource V2 read path ----
+    // Same store, but scanned through the `graft-tsdb` connector
+    // (graft.sources.TsdbTableProvider) instead of generic parquet: the
+    // tag IN (...) predicate prunes tag directories and the ts bounds
+    // prune window directories at PLAN time (TsdbScan lists only
+    // surviving dirs — the plan shows `dirs=k/N` with k≪N), and the
+    // 3-column projection is pushed into the parquet read schema so
+    // value/writerId bytes are never decoded. The oracle over the
+    // original events table proves the connector is a faithful layout
+    // view, not a different answer.
+    QueryDef("ts_dsv2_pruned_scan",
+      (s, dir) => {
+        val lo = day(7)
+        val hi = day(9)
+        storeFor(s, dir).connectorDF("hot")
+          .where(col("tag").isin("click", "view") && col("ts").between(lo, hi))
+          .groupBy(col("tag"),
+            (col("ts") - (col("ts") % 86400000L)).as("day_start"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ts")).as("min_ts_ms"),
+            max(col("ts")).as("max_ts_ms"))
+          .orderBy("tag", "day_start")
+      },
+      Some(s"""
+        SELECT event_type AS tag,
+               epoch_ms(ts) - (epoch_ms(ts) % 86400000) AS day_start,
+               count(*) AS n,
+               min(epoch_ms(ts)) AS min_ts_ms,
+               max(epoch_ms(ts)) AS max_ts_ms
+        FROM events
+        WHERE event_type IN ('click', 'view')
+          AND epoch_ms(ts) BETWEEN ${day(7)} AND ${day(9)}
+        GROUP BY 1, 2 ORDER BY tag, day_start"""))
   )
 }

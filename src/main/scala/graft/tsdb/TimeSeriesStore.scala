@@ -584,6 +584,25 @@ final class TimeSeriesStore(
     refreshViews()
   }
 
+  /** Namespace root (`rootDir/settingsHash`) — the `path` option of the
+    * engine-native DataSource V2 connector ([[graft.sources.TsdbTableProvider]]).
+    */
+  def namespaceRoot: String = nsRoot.toString
+
+  /** Read a tier through the engine-native DataSource V2 connector
+    * (`graft-tsdb`): plan-time directory pruning on `tag` /
+    * `partition_start` / `ts` bounds plus parquet column-projection
+    * pushdown — the 100 TB scan path that never lists a pruned directory.
+    * `tier` ∈ hot | cold | all. L0 is not visible through the connector
+    * (flush first); the generic-path twins are [[hotDF]] / [[allDF]].
+    */
+  def connectorDF(tier: String = "hot"): DataFrame = spark.read
+    .format("graft-tsdb")
+    .option("path", namespaceRoot)
+    .option("tier", tier)
+    .option("partitionWidth", settings.partitionWidth.toString)
+    .load()
+
   /** Hot tier as a DataFrame with pruning-friendly partition columns. */
   def hotDF: DataFrame = tiers._2
 

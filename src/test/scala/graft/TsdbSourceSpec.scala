@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.tsdb.{StoreSettings, TimeSeriesStore}
+
+/** The engine-native DataSource V2 connector (`graft-tsdb`,
+  * graft.sources.TsdbTableProvider): result parity with the generic
+  * parquet tier reads, plan-time directory pruning, projection pushdown,
+  * and the dir-column-only / pure-count projections.
+  */
+class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-tsdb-source-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val Cols = Seq("tag", "partition_start", "ts", "value", "ingestTs", "writerId", "seq")
+
+  /** width-5 store with two tags across partitions 0,5,10,15. */
+  private lazy val store: TimeSeriesStore = {
+    val root = Files.createTempDirectory("graft-dsv2").toString
+    val st = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    st.initialize()
+    st.write(Map(
+      "alpha" -> Map(1L -> "a1", 2L -> "a2", 7L -> "a7", 12L -> "a12", 18L -> "a18"),
+      "beta"  -> Map(3L -> "b3", 9L -> "b9", 16L -> "b16")))
+    st.flushL0()
+    st
+  }
+
+  private def rows(df: DataFrame): Set[(String, Long, Long, String)] =
+    df.select(col("tag"), col("partition_start"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+
+  private def scanDesc(df: DataFrame): String = {
+    df.collect() // force planning
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("full connector scan matches the generic parquet tier read") {
+    val viaConnector = rows(store.connectorDF("hot"))
+    val viaParquet = rows(store.hotDF)
+    assert(viaConnector == viaParquet)
+    assert(viaConnector.size == 8)
+  }
+
+  test("tag filter prunes tag directories at plan time") {
+    val df = store.connectorDF("hot").where(col("tag") === "beta")
+    val plan = scanDesc(df)
+    assert(plan.contains("TsdbScan"))
+    // beta has windows 0,5,15 → 3 of 7 total dirs (alpha has 4)
+    assert(plan.contains("dirs=3/7"), s"plan was:\n$plan")
+    assert(rows(df) == rows(store.hotDF.where(col("tag") === "beta")))
+  }
+
+  test("ts bounds prune window directories through the width invariant") {
+    val df = store.connectorDF("hot")
+      .where(col("ts").between(6L, 11L)) // windows 5..10 only
+    val plan = scanDesc(df)
+    // surviving: alpha/5, alpha/10, beta/5 → 3 of 7 (window 0 and 15 pruned)
+    assert(plan.contains("dirs=3/7"), s"plan was:\n$plan")
+    // residual ts filter still applied row-level
+    assert(rows(df) == rows(store.hotDF.where(col("ts").between(6L, 11L))))
+  }
+
+  test("partition_start predicates prune exactly (no residual rescan)") {
+    val df = store.connectorDF("hot").where(col("partition_start") === 15L)
+    val plan = scanDesc(df)
+    assert(plan.contains("dirs=2/7"), s"plan was:\n$plan") // alpha/15, beta/15
+    assert(rows(df) == rows(store.hotDF.where(col("partition_start") === 15L)))
+  }
+
+  test("tag IN + ts range composes tag and window pruning") {
+    val df = store.connectorDF("hot")
+      .where(col("tag").isin("alpha") && col("ts") >= 12L)
+    val plan = scanDesc(df)
+    assert(plan.contains("dirs=2/7"), s"plan was:\n$plan") // alpha/10, alpha/15
+    assert(rows(df) ==
+      rows(store.hotDF.where(col("tag") === "alpha" && col("ts") >= 12L)))
+  }
+
+  test("projection pushdown: narrow select and pure count are correct") {
+    val narrow = store.connectorDF("hot").select("ts").collect().map(_.getLong(0)).sorted
+    assert(narrow.toSeq == Seq(1L, 2L, 3L, 7L, 9L, 12L, 16L, 18L))
+    assert(store.connectorDF("hot").count() == 8L)
+    // dir-columns-only projection (no physical column requested)
+    val tags = store.connectorDF("hot").select("tag")
+      .groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags == Map("alpha" -> 5L, "beta" -> 3L))
+  }
+
+  test("all tier equals hot when cold is empty; LWW composes on top") {
+    assert(rows(store.connectorDF("all")) == rows(store.connectorDF("hot")))
+    // overwrite one point, flush, and read through lwwDedup over the connector
+    store.write(Map("alpha" -> Map(7L -> "a7v2")))
+    store.flushL0()
+    val lww = store.lwwDedup(store.connectorDF("hot"))
+      .where(col("tag") === "alpha" && col("ts") === 7L)
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(lww == Seq("a7v2"))
+  }
+}

@@ -350,6 +350,60 @@ object CurationQueries {
                CAST(sum(decile_tokens) OVER (ORDER BY decile
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                  AS cum_tokens
-        FROM agg ORDER BY decile"""))
+        FROM agg ORDER BY decile""")),
+
+    // ---- curriculum schedule: easy→hard training stages ----
+    // Orders the corpus by an exact integer difficulty proxy (mean token
+    // length in thousandths — longer words ≈ harder text) and cuts it
+    // into 5 curriculum stages. Reuses the distributed total-order-index
+    // pattern (range partition → local rank → broadcast offsets): the
+    // global sort is the one wide operation, stage stats are 5 rows. The
+    // same shape emits the per-doc schedule when the rollup is dropped.
+    QueryDef("cu_curriculum",
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("n_len"))
+          .withColumn("difficulty", expr("n_len * 1000 div n_tokens"))
+        val parted = scored
+          .repartitionByRange(32, col("difficulty"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val local = Window.partitionBy(col("pid"))
+          .orderBy(col("difficulty"), col("doc_id"))
+        val withLocal = parted.withColumn("lrn", row_number().over(local))
+        // ≤32 rows — driver-scale metadata, not data
+        val offsets = withLocal.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset",
+            coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val n = scored.agg(count(lit(1)).as("n_total"))
+        withLocal.join(broadcast(offsets.select("pid", "offset")), "pid")
+          .withColumn("rn", col("offset") + col("lrn"))
+          .crossJoin(broadcast(n))
+          .withColumn("stage", (lit(1) + expr("(rn - 1) * 5 div n_total")).cast("int"))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("stage_tokens"),
+            min(col("difficulty")).as("min_difficulty"),
+            max(col("difficulty")).as("max_difficulty"))
+          .orderBy("stage")
+      },
+      Some("""
+        WITH sc AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      CAST(len(text) AS BIGINT) * 1000
+                        // CAST(len(string_split(text, ' ')) AS BIGINT) AS difficulty
+                    FROM documents),
+        n AS (SELECT count(*) AS n_total FROM sc),
+        st AS (SELECT sc.*,
+                 CAST(1 + (row_number() OVER (ORDER BY difficulty, doc_id) - 1)
+                   * 5 // n_total AS INT) AS stage
+               FROM sc CROSS JOIN n)
+        SELECT stage, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS stage_tokens,
+               min(difficulty) AS min_difficulty,
+               max(difficulty) AS max_difficulty
+        FROM st GROUP BY 1 ORDER BY stage"""))
   )
 }

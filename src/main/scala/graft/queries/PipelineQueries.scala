@@ -880,6 +880,33 @@ object PipelineQueries {
                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         GROUP BY 1 ORDER BY e1.label""")),
 
+    // ---- degree distribution of the near-dup graph ----
+    // The dedup-planning companion to gr_pagerank/gr_triangles: how many
+    // nodes have degree d. Two narrow aggregations after the pair
+    // materialization (per-node degree, then the histogram) — the second
+    // input is ≤ one row per node and the output ≤ one row per distinct
+    // degree, so everything after the candidate join is metadata-scale.
+    QueryDef("gr_degree_dist",
+      (s, dir) => {
+        val e = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3)
+          .select(col("vec_a"), col("vec_b"))
+        val deg = e.select(col("vec_a").as("v"))
+          .unionAll(e.select(col("vec_b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("degree"))
+        deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("degree")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        e AS (SELECT a.vec_id AS a, b.vec_id AS b
+              FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3),
+        d AS (SELECT v, count(*) AS degree
+              FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+              GROUP BY 1)
+        SELECT degree, count(*) AS n_nodes FROM d
+        GROUP BY 1 ORDER BY degree""")),
+
     // ---- HyperLogLog distinct-shingle sketch (m=256 registers) ----
     // Fixed-state cardinality estimation: every task emits ≤ m register
     // rows regardless of scan size; the harmonic sum stays an exact

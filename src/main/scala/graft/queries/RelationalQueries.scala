@@ -321,6 +321,105 @@ object RelationalQueries {
                      AND coalesce(n_purchases, 0) > 0 THEN 'both'
                     WHEN coalesce(n_clicks, 0) > 0 THEN 'click_only'
                     ELSE 'purchase_only' END AS segment
-        FROM c FULL JOIN p USING (user_id) ORDER BY user_id"""))
+        FROM c FULL JOIN p USING (user_id) ORDER BY user_id""")),
+
+    // TPC-H Q17-shaped small-quantity revenue: correlated "below 20% of
+    // the part's average quantity" rewritten join-first — the selective
+    // part-dim filter broadcasts and restricts lineitem BEFORE the
+    // per-part average is computed, so the aggregate runs over the
+    // selected slice only (at 100 TB the unrestricted per-part agg would
+    // be a full-table shuffle for a 0.1% answer). The threshold compare
+    // is division-free: qty < sum/(5*cnt) ⟺ qty*5*cnt < sum, all in
+    // exact DECIMAL/BIGINT.
+    QueryDef("rel_small_qty_loss",
+      (s, dir) => {
+        val keys = Tables.part(s, dir)
+          .where(col("p_brand") === "Brand#4" && col("p_size") <= 10)
+          .select(col("p_partkey"))
+        val sel = Tables.lineitem(s, dir)
+          .join(broadcast(keys), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"),
+            col("l_quantity").cast("decimal(18,2)").as("q"),
+            col("l_extendedprice").cast("decimal(18,2)").as("ep"))
+        val stats = sel.groupBy("l_partkey")
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("cq"))
+        sel.join(stats, "l_partkey")
+          .where(col("q") * lit(5) * col("cq") < col("sq"))
+          .agg(count(lit(1)).as("n_small"),
+            coalesce(sum(col("ep")).cast("double"), lit(0.0)).as("revenue_loss"))
+      },
+      Some("""
+        WITH sel AS (
+          SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS ep
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_brand = 'Brand#4' AND p_size <= 10)),
+        stats AS (SELECT l_partkey, sum(q) AS sq, count(*) AS cq
+                  FROM sel GROUP BY 1)
+        SELECT count(*) AS n_small,
+               coalesce(CAST(sum(ep) AS DOUBLE), 0.0) AS revenue_loss
+        FROM sel JOIN stats USING (l_partkey)
+        WHERE q * 5 * cq < sq""")),
+
+    // TPC-H Q8-shaped market share: one supplier nation's revenue share
+    // of a region's market per order year. Dim chain region→nation→
+    // customer broadcasts down to a custkey set; supplier→nation
+    // broadcasts a (suppkey, is_target) flag; the only wide operations
+    // are the two fact joins on their natural keys. Volumes are exact
+    // DECIMAL sums; the share divides the two already-identical doubles.
+    QueryDef("rel_market_share",
+      (s, dir) => {
+        val mktNations = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(mktNations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"))
+        val ord = Tables.orders(s, dir)
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+        val supFlag = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), (col("n_name") === "NATION_2").as("is_t"))
+        val v = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), v.as("v"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supFlag), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("yr")
+          .agg(sum(col("v")).cast("double").as("mkt_volume"),
+            coalesce(sum(when(col("is_t"), col("v"))).cast("double"), lit(0.0))
+              .as("target_volume"))
+          .withColumn("share", col("target_volume") / col("mkt_volume"))
+          .orderBy("yr")
+      },
+      Some("""
+        WITH mkt AS (
+          SELECT o_orderkey, year(o_orderdate) AS yr
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'),
+        vol AS (
+          SELECT mkt.yr,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS v,
+                 (n.n_name = 'NATION_2') AS is_t
+          FROM lineitem
+          JOIN mkt ON l_orderkey = mkt.o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n ON s_nationkey = n.n_nationkey)
+        SELECT yr, CAST(sum(v) AS DOUBLE) AS mkt_volume,
+               coalesce(CAST(sum(CASE WHEN is_t THEN v END) AS DOUBLE), 0.0)
+                 AS target_volume,
+               coalesce(CAST(sum(CASE WHEN is_t THEN v END) AS DOUBLE), 0.0)
+                 / CAST(sum(v) AS DOUBLE) AS share
+        FROM vol GROUP BY 1 ORDER BY yr"""))
   )
 }

@@ -313,6 +313,23 @@ object StreamMultimodalQueries {
                END AS vwap_cents
         FROM a ORDER BY event_type, bucket_hr""")),
 
+    // ---- streaming: value histogram (stream/batch parity with ts_histogram) ----
+    // Bounds from a batch profile pass (two literals), then a plain
+    // bounded-state streaming aggregate (≤ tags × 16 cells). Same oracle
+    // as the batch ts_histogram.
+    QueryDef("st_histogram",
+      (s, dir) => StreamingIngest.streamingHistogram(s, dir),
+      Some("""
+        WITH e AS (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM e)
+        SELECT event_type AS tag,
+               least((cents - lo) * 16 // greatest(hi - lo + 1, 1), 15) AS bucket,
+               count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
+        FROM e CROSS JOIN b
+        GROUP BY 1, 2 ORDER BY tag, bucket""")),
+
     // ---- streaming: event-time session windows (30-min gap) ----
     // Real session_window aggregation; the oracle is the batch islands
     // construction (new session when the gap is >= the threshold —

@@ -434,6 +434,32 @@ object StreamingIngest {
         col("n"), col("low"), col("high"), col("open"), col("close"))
     drain(out, "complete").orderBy("event_type", "bucket_min")
   }
+
+  /** Streaming value histogram — the two-phase production shape: bucket
+    * BOUNDS come from a batch profile pass over existing data (two longs,
+    * folded into the streaming expressions as literals — a stream cannot
+    * know its global min/max up front), then the stream itself is a plain
+    * bounded-cardinality aggregate: ≤ tags × nBuckets state cells forever.
+    * Shares `ts_histogram`'s oracle — stream/batch parity for the
+    * histogram compaction.
+    */
+  def streamingHistogram(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 16): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val b = graft.Tables.events(spark, sfDir).select(cents.as("cents"))
+      .agg(min(col("cents")), max(col("cents"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val out = eventStream(spark, sfDir)
+      .withWatermark("event_time", "1 hour")
+      .select(col("event_type"), cents.as("cents"))
+      .withColumn("bucket",
+        least(expr(s"(cents - ${lo}L) * $nBuckets div greatest(${hi}L - ${lo}L + 1, 1)"),
+          lit(nBuckets - 1L)))
+      .groupBy(col("event_type").as("tag"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    drain(out, "complete").orderBy("tag", "bucket")
+  }
 }
 
 /** Input row shape for the streaming reservoir-sample operator. */

@@ -404,6 +404,50 @@ object CurationQueries {
                CAST(sum(n_tokens) AS BIGINT) AS stage_tokens,
                min(difficulty) AS min_difficulty,
                max(difficulty) AS max_difficulty
-        FROM st GROUP BY 1 ORDER BY stage"""))
+        FROM st GROUP BY 1 ORDER BY stage""")),
+
+    // ---- per-epoch deterministic training shuffle ----
+    // Each epoch gets its own content-independent global permutation
+    // (shuffle key = md5(epoch_seed ‖ doc_id)) cut into 8 shards by the
+    // key's leading 16 bits — epochs de-correlate without coordination:
+    // any worker recomputes its shard membership from (epoch, doc_id)
+    // alone, so at 100 TB the "shuffle" is one deterministic hash
+    // bucketing per epoch, no central order to materialize. The manifest
+    // row per (epoch, shard) carries the key range as the audit that the
+    // permutations are reproducible AND differ across epochs.
+    QueryDef("cu_epoch_shuffle",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Seq(1, 2).map { ep =>
+          docs.withColumn("epoch", lit(ep))
+            .withColumn("skey",
+              md5(concat(lit(s"ep$ep:"), col("doc_id").cast("string"))))
+        }.reduce(_ unionAll _)
+          .withColumn("shard",
+            expr("CAST(conv(substr(skey, 1, 4), 16, 10) AS BIGINT) % 8"))
+          .groupBy("epoch", "shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("shard_tokens"),
+            min(col("skey")).as("first_key"), max(col("skey")).as("last_key"))
+          .orderBy("epoch", "shard")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        e AS (SELECT 1 AS epoch, doc_id, n_tokens,
+                     md5('ep1:' || CAST(doc_id AS VARCHAR)) AS skey FROM d
+              UNION ALL
+              SELECT 2, doc_id, n_tokens,
+                     md5('ep2:' || CAST(doc_id AS VARCHAR)) FROM d),
+        sh AS (SELECT epoch,
+                      CAST('0x' || substr(skey, 1, 4) AS BIGINT) % 8 AS shard,
+                      n_tokens, skey
+               FROM e)
+        SELECT epoch, shard, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+               min(skey) AS first_key, max(skey) AS last_key
+        FROM sh GROUP BY 1, 2 ORDER BY epoch, shard"""))
   )
 }

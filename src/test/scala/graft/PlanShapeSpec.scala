@@ -38,7 +38,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ts_scatter_gather", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
     "dd_containment", "dd_substring", "dd_embedding_neardup", "mm_phash",
     "ts_interval_overlap", "tx_novelty", "rel_nation_revenue",
-    "rel_shipping_priority")
+    "rel_shipping_priority", "rel_small_qty_loss", "rel_market_share",
+    "gr_degree_dist")
 
   neverCartesian.foreach { name =>
     test(s"$name: no CartesianProduct anywhere in the plan") {
@@ -124,5 +125,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cu_decontaminate: eval shingles broadcast — corpus never shuffles on shingle") {
     val p = plan("cu_decontaminate")
     assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("ts_dsv2_pruned_scan: the V2 scan prunes directories at plan time") {
+    // the connector's scan node must appear with a strict dirs=k/N prune
+    // (k < N): tag IN + ts bounds prune tag and window directories before
+    // any file is listed — the 100 TB read-path property
+    val p = plan("ts_dsv2_pruned_scan")
+    val m = """dirs=(\d+)/(\d+)""".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"no TsdbScan dirs=k/N in plan:\n$p")
+    assert(m.get.group(1).toLong < m.get.group(2).toLong,
+      s"expected a strict directory prune, got ${m.get.group(0)}")
+  }
+
+  test("rel_small_qty_loss: the part-dim filter broadcasts into lineitem") {
+    // the selective dim restriction must be a broadcast join applied
+    // BEFORE the per-part aggregate — never a full-table shuffle agg
+    assert(plan("rel_small_qty_loss").contains("BroadcastHashJoin"))
+  }
+
+  test("rel_market_share: dim chains broadcast; fact joins keyed") {
+    val p = plan("rel_market_share")
+    // region→nation→customer and supplier→nation flags are broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 }

@@ -80,7 +80,25 @@ object PlanDump {
         "that BROADCASTS to the argmax assignment; the probe join shuffles on the bucket id only."),
       "sim_ann_ivf_kmeans_mp" -> ("Multi-probe IVF k-means (the nprobe recall knob): the query-to-centroid ranking is a " +
         "window over queries x k rows (query-set-sized, never corpus-sized), the nProbe probe table broadcasts, and the " +
-        "bucket join scores each (query, neighbor) exactly once — a neighbor lives in one bucket and probed buckets are distinct."))
+        "bucket join scores each (query, neighbor) exactly once — a neighbor lives in one bucket and probed buckets are distinct."),
+      "ts_dsv2_pruned_scan" -> ("The engine-native DataSource V2 connector (graft-tsdb): BatchScan shows `dirs=k/N` — tag IN " +
+        "plus ts bounds prune tag and window DIRECTORIES at plan time (through the width invariant, before any file listing), " +
+        "and the 3-column projection is pushed into the parquet read schema — value/writerId bytes are never decoded."),
+      "rel_small_qty_loss" -> ("TPC-H Q17 shape, join-first: the selective part filter BROADCASTS and restricts lineitem " +
+        "BEFORE the per-part average — the aggregate runs over the 1%-ish selected slice, never the full fact table; " +
+        "the threshold test is division-free exact DECIMAL (qty*5*cnt < sum)."),
+      "rel_market_share" -> ("TPC-H Q8 shape: region->nation->customer collapses to a broadcast custkey filter and " +
+        "supplier->nation to a broadcast (suppkey, is_target) flag — the only wide operations are the two fact joins " +
+        "on their natural keys; volumes are exact DECIMAL sums, the share one deterministic double division."),
+      "gr_degree_dist" -> ("Degree histogram of the near-dup graph: after the label-blocked candidate join, " +
+        "per-node degree and the degree histogram are two map-side-combined aggregates over vertex-id keys — " +
+        "node-scale then distinct-degree-scale, both metadata-sized next to the pair materialization."),
+      "cu_curriculum" -> ("Curriculum stages: the global easy->hard order uses the distributed total-order-index pattern — " +
+        "repartitionByRange (parallel sort) + per-partition rank + <=32-row broadcast offsets — so no single-task global " +
+        "window ever sees the corpus; the 5-stage rollup is metadata."),
+      "cu_epoch_shuffle" -> ("Per-epoch training shuffle: the permutation key is md5(epoch||doc_id) — content-independent and " +
+        "recomputable anywhere, so shard assignment is ONE hash bucketing per epoch (map-side-combined aggregate on " +
+        "(epoch, shard)); no central order is ever materialized."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

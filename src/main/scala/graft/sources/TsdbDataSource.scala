@@ -161,11 +161,37 @@ final class TsdbScan(
     tier: String,
     width: Long,
     required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter]) extends Scan with Batch with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  // ---------------------------------------------- runtime re-pruning
+  // Dynamic partition pruning, DSv2-style: when this table joins a small
+  // dimension on a directory-encoded column, Spark hands the broadcast
+  // side's key set here at RUNTIME (an `In` filter) and the directory
+  // prune re-runs with it — a 100 TB fact scan driven by a dim filter
+  // never lists the unmatched tag/window directories.
+
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var plannedCache: (Array[TsdbInputPartition], Int) = _
+
+  /** Only attributes surviving column pruning — Spark resolves these
+    * against the scan's OUTPUT, so naming a pruned column is an analysis
+    * error, not a no-op.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Seq("tag", "partition_start")
+      .filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters
+    plannedCache = null
+  }
 
   // -------------------------------------------------- directory pruning
 
@@ -175,17 +201,32 @@ final class TsdbScan(
   }
 
   /** (surviving partitions, total window directories seen). Driver-side,
-    * computed once per scan; only surviving directories are file-listed.
+    * recomputed when runtime filters arrive; only surviving directories
+    * are file-listed.
     */
-  private lazy val planned: (Array[TsdbInputPartition], Int) = {
+  private def planned: (Array[TsdbInputPartition], Int) = {
+    val cached = plannedCache
+    if (cached != null) return cached
+    val computed = computePlanned()
+    plannedCache = computed
+    computed
+  }
+
+  private def computePlanned(): (Array[TsdbInputPartition], Int) = {
     var tsLo = Long.MinValue; var tsHi = Long.MaxValue
     var psLo = Long.MinValue; var psHi = Long.MaxValue
+    var psIn: Option[Set[Long]] = None
     var tags: Option[Set[String]] = None
     def addTags(s: Set[String]): Unit =
       tags = Some(tags.fold(s)(_ intersect s))
-    pushed.foreach {
-      case EqualTo("tag", v: String) => addTags(Set(v))
-      case In("tag", vs) => addTags(vs.collect { case s: String => s }.toSet)
+    (pushed ++ runtimeFilters).foreach {
+      case In("partition_start", vs) =>
+        val s = vs.map(asLong).toSet
+        psIn = Some(psIn.fold(s)(_ intersect s))
+      // runtime filter values may arrive as UTF8String — normalize via
+      // toString (dropping a value here would WRONGLY prune its directory)
+      case EqualTo("tag", v) if v != null => addTags(Set(v.toString))
+      case In("tag", vs) => addTags(vs.filter(_ != null).map(_.toString).toSet)
       case EqualTo("ts", v) => tsLo = math.max(tsLo, asLong(v)); tsHi = math.min(tsHi, asLong(v))
       case GreaterThan("ts", v) => tsLo = math.max(tsLo, Math.addExact(asLong(v), 1))
       case GreaterThanOrEqual("ts", v) => tsLo = math.max(tsLo, asLong(v))
@@ -223,7 +264,7 @@ final class TsdbScan(
         subDirs(tagDir, "partition_start=").foreach { pd =>
           total += 1
           val ps = pd.getFileName.toString.stripPrefix("partition_start=").toLong
-          if (tagOk && ps >= psLo && ps <= psHi) {
+          if (tagOk && ps >= psLo && ps <= psHi && psIn.forall(_.contains(ps))) {
             val s = Files.list(pd)
             val files =
               try s.iterator().asScala.map(_.toString)

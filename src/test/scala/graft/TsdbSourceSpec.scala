@@ -104,6 +104,29 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tags == Map("alpha" -> 5L, "beta" -> 3L))
   }
 
+  test("runtime filters re-prune directories (DPP analog)") {
+    import org.apache.spark.sql.sources.{In => SrcIn}
+    import graft.sources.TsdbScanBuilder
+    val b = new TsdbScanBuilder(store.namespaceRoot, "hot", 5L)
+    val scan = b.build().asInstanceOf[graft.sources.TsdbScan]
+    val before = scan.toBatch.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      SrcIn("tag", Array("beta")),
+      SrcIn("partition_start", Array(0L, 15L))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(before == 7 && after == 2, s"before=$before after=$after") // beta/0, beta/15
+  }
+
+  test("broadcast dim join on tag stays correct (runtime-filter path)") {
+    import spark.implicits._
+    val dim = Seq(("beta", 10L)).toDF("d_tag", "weight")
+    val joined = store.connectorDF("hot")
+      .join(broadcast(dim), col("tag") === col("d_tag"))
+      .groupBy("tag").agg(count(lit(1)).as("n"), sum("weight").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(joined == Set(("beta", 3L, 30L)))
+  }
+
   test("all tier equals hot when cold is empty; LWW composes on top") {
     assert(rows(store.connectorDF("all")) == rows(store.connectorDF("hot")))
     // overwrite one point, flush, and read through lwwDedup over the connector

@@ -68,6 +68,27 @@ object StoreQueries {
       st
     })
 
+  /** Second per-sf store, ingested through the DSv2 connector's
+    * two-phase-commit WRITE path (one week of events) — gating writes
+    * under the same oracle as reads.
+    */
+  private def writeStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
+    stores.computeIfAbsent(dir + "#dsv2w", { _ =>
+      val root = Files.createTempDirectory("graft-storew").toString
+      val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
+      st.initialize()
+      st.connectorAppend(Tables.events(s, dir)
+        .where(col("ts_ms").between(day(0), day(6)))
+        .select(
+          col("event_type").as("tag"),
+          col("ts_ms").as("ts"),
+          col("value").cast("string").as("value"),
+          lit(0L).as("ingestTs"),
+          lit("dsv2").as("writerId"),
+          col("event_id").as("seq")))
+      st
+    })
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- pruned scan over the store's own Hive layout ----
@@ -161,6 +182,32 @@ object StoreQueries {
         FROM events
         WHERE event_type IN ('click', 'view')
           AND epoch_ms(ts) BETWEEN ${day(7)} AND ${day(9)}
-        GROUP BY 1, 2 ORDER BY tag, day_start"""))
+        GROUP BY 1, 2 ORDER BY tag, day_start""")),
+
+    // ---- DSv2 two-phase-commit write path, oracle-gated ----
+    // A week of events ingested through `df.write.format("graft-tsdb")`
+    // (tasks stage per-(tag, window) files, driver publishes by atomic
+    // rename) and read back through the connector: the oracle over the
+    // ORIGINAL events table proves the staged-rename commit loses,
+    // duplicates, and corrupts nothing — values hash-checked in exact
+    // cents after the string-payload roundtrip.
+    QueryDef("ts_dsv2_write_roundtrip",
+      (s, dir) => {
+        writeStoreFor(s, dir).connectorDF("hot")
+          .groupBy(col("tag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ts")).as("min_ts_ms"), max(col("ts")).as("max_ts_ms"),
+            sum(floor(col("value").cast("double") * 100 + lit(0.5)).cast("long"))
+              .as("sum_cents"))
+          .orderBy("tag")
+      },
+      Some(s"""
+        SELECT event_type AS tag, count(*) AS n,
+               min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events
+        WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(6)}
+        GROUP BY 1 ORDER BY tag"""))
   )
 }

@@ -102,17 +102,26 @@ object TsdbSource {
 }
 
 final class TsdbTable(nsRoot: String, tier: String, width: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-tsdb(`$nsRoot`, tier=$tier)"
 
   override def schema(): StructType = TsdbSource.Schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsdbScanBuilder(nsRoot, tier, width)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(tier == "hot",
+      s"graft-tsdb: writes append to the hot tier only, got tier=$tier")
+    new TsdbWriteBuilder(nsRoot, width, info.schema(), info.queryId())
+  }
 }
 
 final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long)
@@ -377,4 +386,195 @@ final class TsdbPartitionReader(p: TsdbInputPartition, schema: StructType)
 
   override def close(): Unit =
     if (reader != null) { reader.close(); reader = null }
+}
+
+// ======================================================= write path
+
+/** DSv2 batch append into the hot tier, with a real two-phase commit:
+  * every task streams its rows into per-(tag, window) files under a
+  * query-scoped staging directory (speculative/retried attempts write to
+  * attempt-unique paths and are simply never published), task commit
+  * messages carry the staged-file manifest, and the DRIVER publishes by
+  * atomic rename into `hot/tag=…/partition_start=…/` — readers never see
+  * a partial task. Activity bookkeeping (one `"w"` row per touched
+  * window, the purge scheduler's input) is appended once at commit, like
+  * the store's own bulk lane (TimeSeriesStore.writeSamplesDistributed).
+  *
+  * The input must carry the full 7-column table schema; `partition_start`
+  * is validated per row against the width invariant (the connector's
+  * analog of the store's partitioning-transform validation) — a
+  * mismatched row fails the write rather than landing in a directory
+  * reads would never prune to.
+  */
+final class TsdbWriteBuilder(
+    nsRoot: String, width: Long, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val expected = TsdbSource.Schema.fields.map(f => f.name -> f.dataType).toMap
+    schema.fields.foreach { f =>
+      val want = expected.getOrElse(f.name, throw new IllegalArgumentException(
+        s"graft-tsdb write: unexpected column '${f.name}' " +
+          s"(table columns: ${TsdbSource.Schema.fieldNames.mkString(", ")})"))
+      require(f.dataType == want,
+        s"graft-tsdb write: column '${f.name}' must be $want, got ${f.dataType}")
+    }
+    val missing = expected.keySet -- schema.fieldNames.toSet
+    require(missing.isEmpty,
+      s"graft-tsdb write: missing columns ${missing.mkString(", ")}")
+    new TsdbWrite(nsRoot, width, schema, queryId)
+  }
+}
+
+final case class TsdbStagedFile(
+    srcRel: String, destRel: String, tag: String, pStart: Long,
+    maxIngestTs: Long, rows: Long)
+
+final case class TsdbCommitMessage(entries: Array[TsdbStagedFile])
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class TsdbWrite(
+    nsRoot: String, width: Long, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val stagingRel = s"tmp/dsv2-$queryId"
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    TsdbWriterFactory(nsRoot, stagingRel, width, schema)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val staging = Paths.get(nsRoot, stagingRel)
+    val hot = Paths.get(nsRoot, "hot")
+    val entries = messages.flatMap {
+      case TsdbCommitMessage(es) => es
+      case other => throw new IllegalStateException(s"foreign commit message: $other")
+    }
+    entries.foreach { e =>
+      val dest = hot.resolve(e.destRel)
+      Files.createDirectories(dest.getParent)
+      Files.move(staging.resolve(e.srcRel), dest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // one "w" activity row per touched window — purge-scan's input
+    val acts = entries.groupBy(e => (e.tag, e.pStart)).map { case ((tag, ps), es) =>
+      (tag, ps, es.map(_.maxIngestTs).max)
+    }
+    if (acts.nonEmpty) {
+      def js(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val sb = new StringBuilder
+      acts.foreach { case (tag, ps, actTs) =>
+        val pName = tag + graft.tsdb.Limits.Separator + ps
+        sb.append(s"""{"partitionName":${js(pName)},"tag":${js(tag)},""")
+          .append(s""""partitionStart":$ps,"activityTs":$actTs,"kind":${js("w")}}""")
+          .append('\n')
+      }
+      val actDir = Paths.get(nsRoot, "activity")
+      Files.createDirectories(actDir)
+      Files.write(actDir.resolve(s"act-dsv2-$queryId.jsonl"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    deleteRecursively(staging)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    deleteRecursively(Paths.get(nsRoot, stagingRel))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+}
+
+final case class TsdbWriterFactory(
+    nsRoot: String, stagingRel: String, width: Long, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TsdbDataWriter(nsRoot, stagingRel, width, schema, partitionId, taskId)
+}
+
+/** Task-side writer: streams rows into one open parquet file per
+  * distinct (tag, window) this task sees, under an attempt-unique
+  * staging subdirectory. For wide backfills, pre-`repartition` the input
+  * by (tag, partition_start) so each task holds few open files — the
+  * same guidance as Spark's own dynamic-partition write.
+  */
+final class TsdbDataWriter(
+    nsRoot: String, stagingRel: String, width: Long, schema: StructType,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val conf = new Configuration()
+  private def idx(n: String): Int = schema.fieldIndex(n)
+  private val (iTag, iPs, iTs, iVal, iIng, iWid, iSeq) =
+    (idx("tag"), idx("partition_start"), idx("ts"), idx("value"),
+      idx("ingestTs"), idx("writerId"), idx("seq"))
+
+  private val taskDir =
+    Paths.get(nsRoot, stagingRel, s"task-$partitionId-$taskId")
+  private val open = scala.collection.mutable.HashMap
+    .empty[(String, Long), (graft.tsdb.ParquetIO.PartStreamWriter, String, Array[Long])]
+
+  override def write(row: InternalRow): Unit = {
+    val tag = row.getUTF8String(iTag).toString
+    val ts = row.getLong(iTs)
+    val ps = ts - java.lang.Math.floorMod(ts, width)
+    val claimed = row.getLong(iPs)
+    require(claimed == ps,
+      s"graft-tsdb write: partition_start $claimed does not match " +
+        s"ts $ts under width $width (expected $ps)")
+    val (w, _, meta) = open.getOrElseUpdate((tag, ps), {
+      val destRel = "tag=" + ExternalCatalogUtils.escapePathName(tag) +
+        s"/partition_start=$ps"
+      val dir = taskDir.resolve(destRel)
+      Files.createDirectories(dir)
+      val fname = s"part-$partitionId-$taskId-${open.size}.parquet"
+      (graft.tsdb.ParquetIO.openPartStream(dir.resolve(fname), conf),
+        s"$destRel/$fname", Array(Long.MinValue))
+    })
+    w.write(ts, row.getUTF8String(iVal).toString, row.getLong(iIng),
+      row.getUTF8String(iWid).toString, row.getLong(iSeq))
+    if (row.getLong(iIng) > meta(0)) meta(0) = row.getLong(iIng)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val entries = open.map { case ((tag, ps), (w, destRel, meta)) =>
+      w.close()
+      TsdbStagedFile(
+        srcRel = s"task-$partitionId-$taskId/$destRel",
+        destRel = destRel, tag = tag, pStart = ps,
+        maxIngestTs = meta(0), rows = w.rows)
+    }.toArray
+    open.clear()
+    TsdbCommitMessage(entries)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { case (w, _, _) =>
+      try w.close() catch { case _: Throwable => () }
+    }
+    open.clear()
+    if (Files.exists(taskDir)) {
+      val s = Files.walk(taskDir)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
+  override def close(): Unit = ()
 }

@@ -106,6 +106,32 @@ object ParquetIO {
     } finally w.close()
   }
 
+  /** Row-at-a-time writer over one Hive-tier partition file — the
+    * executor-side lane of the DSv2 batch writer ([[writePartFile]] is
+    * the driver-side batch form; identical file schema and codec).
+    */
+  final class PartStreamWriter private[ParquetIO] (file: JPath, conf: Configuration) {
+    private val f = new SimpleGroupFactory(partFileSchema)
+    private val w = writer(file, partFileSchema, conf)
+    private var n = 0L
+    def write(ts: Long, value: String, ingestTs: Long,
+        writerId: String, seq: Long): Unit = {
+      val g = f.newGroup()
+      g.append("ts", ts)
+      g.append("value", value)
+      g.append("ingestTs", ingestTs)
+      g.append("writerId", writerId)
+      g.append("seq", seq)
+      w.write(g)
+      n += 1
+    }
+    def rows: Long = n
+    def close(): Unit = w.close()
+  }
+
+  def openPartStream(file: JPath, conf: Configuration): PartStreamWriter =
+    new PartStreamWriter(file, conf)
+
   /** One decoded sample row: (tag, ts, value, ingestTs, writerId, seq). */
   private type SampleRow = (String, Long, String, Long, String, Long)
 

@@ -603,6 +603,28 @@ final class TimeSeriesStore(
     .option("partitionWidth", settings.partitionWidth.toString)
     .load()
 
+  /** Bulk append through the DSv2 connector's two-phase-commit writer
+    * (tasks stage per-(tag, window) files, the driver publishes by atomic
+    * rename and records activity). `df` needs the sample columns
+    * (tag, ts, value, ingestTs, writerId, seq); the width-derived
+    * `partition_start` is added here and re-validated per row by the
+    * writer. The executor-parallel twin of [[writeSamplesDistributed]]
+    * that external producers can drive with no store instance at all.
+    */
+  def connectorAppend(df: DataFrame): Unit = {
+    requireInitialized()
+    df.withColumn("partition_start",
+        col("ts") - (col("ts") % lit(settings.partitionWidth)))
+      .write.format("graft-tsdb")
+      .option("path", namespaceRoot)
+      .option("tier", "hot")
+      .option("partitionWidth", settings.partitionWidth.toString)
+      .mode("append")
+      .save()
+    partSizesFresh = false
+    bumpVersion()
+  }
+
   /** Hot tier as a DataFrame with pruning-friendly partition columns. */
   def hotDF: DataFrame = tiers._2
 

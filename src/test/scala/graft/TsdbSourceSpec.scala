@@ -127,6 +127,60 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined == Set(("beta", 3L, 30L)))
   }
 
+  test("DSv2 write: two-phase-commit append lands rows, records activity") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dsv2-w").toString
+    val st = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    st.initialize()
+    val df = Seq(
+      ("wa", 1L, "v1", 100L, "w0", 1L),
+      ("wa", 7L, "v7", 101L, "w0", 2L),
+      ("wb", 12L, "v12", 102L, "w0", 3L))
+      .toDF("tag", "ts", "value", "ingestTs", "writerId", "seq")
+    st.connectorAppend(df)
+    // rows visible through BOTH read paths
+    assert(rows(st.connectorDF("hot")) == Set(
+      ("wa", 0L, 1L, "v1"), ("wa", 5L, 7L, "v7"), ("wb", 10L, 12L, "v12")))
+    assert(rows(st.hotDF) == rows(st.connectorDF("hot")))
+    // staging cleaned, activity has one "w" row per touched window
+    assert(!Files.list(java.nio.file.Paths.get(st.namespaceRoot, "tmp"))
+      .iterator().hasNext)
+    val acts = st.recentActivityDF.select("tag", "partitionStart")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(acts == Set(("wa", 0L), ("wa", 5L), ("wb", 10L)))
+  }
+
+  test("DSv2 write: a mismatched partition_start fails the write (golden validation)") {
+    import spark.implicits._
+    val bad = Seq(("wa", 7L, "v", 1L, "w", 1L, 0L)) // ts=7 under width 5 → ps must be 5
+      .toDF("tag", "ts", "value", "ingestTs", "writerId", "seq", "partition_start")
+    val e = intercept[Exception] {
+      bad.write.format("graft-tsdb")
+        .option("path", store.namespaceRoot)
+        .option("tier", "hot")
+        .option("partitionWidth", "5")
+        .mode("append").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("partition_start 0 does not match ts 7")))
+    // nothing published, staging aborted
+    assert(rows(store.connectorDF("hot")).forall(_._1 != "wa"))
+  }
+
+  test("DSv2 write: unexpected or missing columns are refused at plan time") {
+    import spark.implicits._
+    val extra = Seq(("a", 1L)).toDF("tag", "bogus")
+    val e = intercept[Exception] {
+      extra.write.format("graft-tsdb")
+        .option("path", store.namespaceRoot)
+        .option("tier", "hot")
+        .option("partitionWidth", "5")
+        .mode("append").save()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("all tier equals hot when cold is empty; LWW composes on top") {
     assert(rows(store.connectorDF("all")) == rows(store.connectorDF("hot")))
     // overwrite one point, flush, and read through lwwDedup over the connector

@@ -351,4 +351,29 @@ object Similarity {
         cosineQ(dotLL(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** k-NN graph: each vector's `k` nearest neighbors inside its label
+    * block — the input structure for graph-side curation (connected
+    * components, PageRank-weighted sampling, semdedup seeding). The rank
+    * filter plans as WindowGroupLimit (partial per-partition top-k before
+    * the exchange), so each candidate block contributes at most k rows
+    * per node to the shuffle. Same Σ|block|² candidate contract as
+    * [[graft.analytics.Dedup.embeddingNearDups]] — with corpus-scale
+    * blocks, swap the blocking key for [[semDedupPairs]]' learned buckets
+    * or an LSH bucket; the top-k shape is unchanged.
+    */
+  def knnGraph(emb: DataFrame, k: Int = 3): DataFrame = {
+    val q = prep(emb)
+    val pairs = q.as("a").join(q.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineQ(dotQF(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos").desc, col("vec_b"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("vec_a"), col("rnk"), col("vec_b"), col("cos"))
+      .orderBy("vec_a", "rnk")
+  }
 }

@@ -880,6 +880,26 @@ object PipelineQueries {
                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         GROUP BY 1 ORDER BY e1.label""")),
 
+    // ---- k-NN graph: per-node top-k neighbors ----
+    // The graph-construction primitive under PageRank-weighted curation
+    // and semdedup seeding: exact quantized cosine within the label
+    // block, rank filter planned as WindowGroupLimit (≤ k rows per node
+    // reach the exchange). The cosine double is computed from identical
+    // integers on both sides, so ordering and the score hash-match.
+    QueryDef("sim_knn_graph",
+      (s, dir) => Similarity.knnGraph(Tables.embeddings(s, dir), k = 3),
+      Some(s"""
+        WITH $QuantCte,
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
+              FROM qn a JOIN qn b
+                ON a.label = b.label AND a.vec_id <> b.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_a
+                          ORDER BY cos DESC, vec_b) AS rnk
+              FROM p)
+        SELECT vec_a, rnk, vec_b, cos FROM r WHERE rnk <= 3
+        ORDER BY vec_a, rnk""")),
+
     // ---- degree distribution of the near-dup graph ----
     // The dedup-planning companion to gr_pagerank/gr_triangles: how many
     // nodes have degree d. Two narrow aggregations after the pair

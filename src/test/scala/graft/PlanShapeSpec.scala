@@ -144,6 +144,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan("rel_small_qty_loss").contains("BroadcastHashJoin"))
   }
 
+  test("sim_knn_graph: per-node top-k runs as WindowGroupLimit") {
+    // ≤ k rows per node may reach the rank exchange — a full per-block
+    // sort would shuffle the entire candidate set
+    assert(plan("sim_knn_graph").contains("WindowGroupLimit"))
+  }
+
   test("rel_market_share: dim chains broadcast; fact joins keyed") {
     val p = plan("rel_market_share")
     // region→nation→customer and supplier→nation flags are broadcast

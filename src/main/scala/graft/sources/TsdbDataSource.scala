@@ -110,7 +110,8 @@ final class TsdbTable(nsRoot: String, tier: String, width: Long)
   override def schema(): StructType = TsdbSource.Schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsdbScanBuilder(nsRoot, tier, width)
@@ -435,9 +436,13 @@ final case class TsdbCommitMessage(entries: Array[TsdbStagedFile])
 final class TsdbWrite(
     nsRoot: String, width: Long, schema: StructType, queryId: String)
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingRel = s"tmp/dsv2-$queryId"
+
+  // both parent defaults agree (true); Scala requires the explicit pick
+  override def useCommitCoordinator(): Boolean = true
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
 
@@ -447,8 +452,47 @@ final class TsdbWrite(
     TsdbWriterFactory(nsRoot, stagingRel, width, schema)
 
   override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    publish(stagingRel, queryId, messages)
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    deleteRecursively(Paths.get(nsRoot, stagingRel))
+
+  // ------------------------------------------------- streaming sink
+  // `writeStream.format("graft-tsdb")`: each epoch stages under its own
+  // directory and publishes on epoch commit — the micro-batch inherits
+  // the same atomic-rename protocol as the batch write. If the driver
+  // dies BETWEEN publishing files and the checkpoint advancing, the
+  // epoch replays and its rows append again (at-least-once, like Spark's
+  // own file sink without a manifest log); the store's LWW read semantics
+  // make such replays invisible to readers because a replayed row carries
+  // the identical (tag, ts, ingestTs, writerId, seq) identity.
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    TsdbStreamingWriterFactory(nsRoot, stagingRel, width, schema)
+
+  override def commit(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    publish(s"$stagingRel-e$epochId", s"$queryId-e$epochId", messages)
+
+  override def abort(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    deleteRecursively(Paths.get(nsRoot, s"$stagingRel-e$epochId"))
+
+  // ------------------------------------------------- shared publish
+
+  private def publish(
+      stageRel: String, commitId: String,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
-    val staging = Paths.get(nsRoot, stagingRel)
+    val staging = Paths.get(nsRoot, stageRel)
     val hot = Paths.get(nsRoot, "hot")
     val entries = messages.flatMap {
       case TsdbCommitMessage(es) => es
@@ -480,7 +524,7 @@ final class TsdbWrite(
       }
       val actDir = Paths.get(nsRoot, "activity")
       Files.createDirectories(actDir)
-      Files.write(actDir.resolve(s"act-dsv2-$queryId.jsonl"),
+      Files.write(actDir.resolve(s"act-dsv2-$commitId.jsonl"),
         sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
@@ -488,16 +532,21 @@ final class TsdbWrite(
     deleteRecursively(staging)
   }
 
-  override def abort(
-      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
-    deleteRecursively(Paths.get(nsRoot, stagingRel))
-
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally s.close()
     }
+}
+
+final case class TsdbStreamingWriterFactory(
+    nsRoot: String, stagingRel: String, width: Long, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TsdbDataWriter(nsRoot, s"$stagingRel-e$epochId", width, schema,
+      partitionId, taskId)
 }
 
 final case class TsdbWriterFactory(

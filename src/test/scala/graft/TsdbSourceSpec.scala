@@ -181,6 +181,37 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
   }
 
+  test("DSv2 streaming sink: epochs publish atomically into the hot tier") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dsv2-st").toString
+    val st = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    st.initialize()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, String, Long, String, Long)](spark, 1)
+    val q = in.toDF()
+      .toDF("tag", "ts", "value", "ingestTs", "writerId", "seq")
+      .withColumn("partition_start", col("ts") - (col("ts") % lit(5L)))
+      .writeStream.format("graft-tsdb")
+      .option("path", st.namespaceRoot)
+      .option("tier", "hot")
+      .option("partitionWidth", "5")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dsv2-ckpt").toString)
+      .outputMode("append")
+      .start()
+    try {
+      in.addData(("sa", 1L, "v1", 10L, "w", 1L), ("sa", 7L, "v7", 11L, "w", 2L))
+      q.processAllAvailable()
+      in.addData(("sb", 3L, "v3", 12L, "w", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(st.connectorDF("hot")) == Set(
+      ("sa", 0L, 1L, "v1"), ("sa", 5L, 7L, "v7"), ("sb", 0L, 3L, "v3")))
+    // per-epoch staging dirs cleaned up after publish
+    val tmp = java.nio.file.Paths.get(st.namespaceRoot, "tmp")
+    assert(!Files.exists(tmp) || !Files.list(tmp).iterator().hasNext)
+  }
+
   test("all tier equals hot when cold is empty; LWW composes on top") {
     assert(rows(store.connectorDF("all")) == rows(store.connectorDF("hot")))
     // overwrite one point, flush, and read through lwwDedup over the connector

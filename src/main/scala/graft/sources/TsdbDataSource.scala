@@ -171,11 +171,31 @@ final class TsdbScan(
     tier: String,
     width: Long,
     required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch with SupportsRuntimeFiltering {
+    pushed: Array[Filter]) extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** Post-prune size estimate from the surviving directories' file
+    * lengths — so the planner can pick a broadcast join when a pruned
+    * connector read is small, without a manual `broadcast()` hint. The
+    * decoded estimate scales raw parquet bytes by 4 (snappy text columns
+    * decode several-fold larger; overestimating is the safe direction
+    * for a broadcast decision).
+    */
+  override def estimateStatistics(): Statistics = {
+    val bytes = planned._1.iterator.flatMap(_.files.iterator)
+      .map(f => try Files.size(Paths.get(f)) catch { case _: Throwable => 0L })
+      .sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes * 4, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   // ---------------------------------------------- runtime re-pruning
   // Dynamic partition pruning, DSv2-style: when this table joins a small

@@ -181,6 +181,20 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
   }
 
+  test("scan statistics drive an automatic broadcast of a small connector read") {
+    import spark.implicits._
+    // a large-ish in-memory side vs the tiny pruned connector read: with
+    // estimateStatistics reporting post-prune bytes, Spark must choose a
+    // BroadcastHashJoin with NO explicit broadcast() hint
+    val big = spark.range(0, 50000)
+      .select((col("id") % 20).cast("long").as("k"),
+        concat(lit("tag-"), (col("id") % 3).cast("string")).as("tag"))
+    val joined = big.join(store.connectorDF("hot").where(col("tag") === "beta"), Seq("tag"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+  }
+
   test("DSv2 streaming sink: epochs publish atomically into the hot tier") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-dsv2-st").toString

@@ -1117,6 +1117,38 @@ object EventsQueries {
                    FROM events)
         SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
                min(k) AS min_k, max(k) AS max_k, avg(k) AS avg_k
-        FROM e GROUP BY event_type ORDER BY event_type"""))
+        FROM e GROUP BY event_type ORDER BY event_type""")),
+
+    // beyond-reference — multi-resolution time rollup: hour, day, per-tag
+    // total and grand total from ONE pass (ROLLUP over the time
+    // hierarchy), exact cents. This is the TSDB downsample ladder
+    // (raw→hour→day) materialized as a single grouping-sets aggregate —
+    // one shuffle produces every resolution, instead of one job per
+    // level; partial aggregation applies per grouping set.
+    QueryDef("ts_multires_rollup",
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        ev(s, dir)
+          .select(col("event_type").as("tag"),
+            (col("ts_ms") - (col("ts_ms") % 86400000L)).as("day_start"),
+            (col("ts_ms") - (col("ts_ms") % 3600000L)).as("hour_start"),
+            cents.as("cents"))
+          .rollup(col("tag"), col("day_start"), col("hour_start"))
+          .agg(grouping_id().as("lvl"), count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy(col("lvl"), col("tag"), col("day_start"), col("hour_start"))
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type AS tag,
+                     $MS - ($MS % 86400000) AS day_start,
+                     $MS - ($MS % 3600000) AS hour_start,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events)
+        SELECT tag, day_start, hour_start,
+               CAST(grouping(tag) * 4 + grouping(day_start) * 2 +
+                    grouping(hour_start) AS BIGINT) AS lvl,
+               count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM e GROUP BY ROLLUP (tag, day_start, hour_start)
+        ORDER BY lvl, tag, day_start, hour_start"""))
   )
 }

@@ -208,6 +208,40 @@ object StoreQueries {
                  AS sum_cents
         FROM events
         WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(6)}
-        GROUP BY 1 ORDER BY tag"""))
+        GROUP BY 1 ORDER BY tag""")),
+
+    // ---- pure-SQL consumption through the TableCatalog ----
+    // The store addressed as `tsdbq.<settingsHash>.hot` with ZERO Scala
+    // on the consumption side (graft.sources.TsdbCatalog; width read
+    // from the namespace's write-once settings.json). The same TsdbScan
+    // serves the SQL: tag + ts predicates prune directories at plan
+    // time. This is the BI-tool/ad-hoc path next to connectorDF.
+    QueryDef("ts_sql_catalog_scan",
+      (s, dir) => {
+        val st = storeFor(s, dir)
+        s.conf.set("spark.sql.catalog.tsdbq", "graft.sources.TsdbCatalog")
+        s.conf.set("spark.sql.catalog.tsdbq.root", st.rootDir)
+        val ns = st.settings.settingsHash
+        val lo = day(14)
+        val hi = day(16)
+        s.sql(s"""
+          SELECT tag, ts - (ts % $W) AS hour_start,
+                 count(*) AS n,
+                 sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
+                   AS sum_cents
+          FROM tsdbq.`$ns`.hot
+          WHERE tag = 'purchase' AND ts BETWEEN $lo AND $hi
+          GROUP BY 1, 2 ORDER BY hour_start""")
+      },
+      Some(s"""
+        SELECT event_type AS tag,
+               epoch_ms(ts) - (epoch_ms(ts) % $W) AS hour_start,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ms(ts) BETWEEN ${day(14)} AND ${day(16)}
+        GROUP BY 1, 2 ORDER BY hour_start"""))
   )
 }

@@ -195,6 +195,29 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
   }
 
+  test("SQL catalog: SELECT and INSERT against tsdb.<ns>.hot, dirs pruned") {
+    spark.conf.set("spark.sql.catalog.tsdb", "graft.sources.TsdbCatalog")
+    spark.conf.set("spark.sql.catalog.tsdb.root", store.rootDir)
+    val ns = store.settings.settingsHash
+    val df = spark.sql(
+      s"SELECT tag, ts, value FROM tsdb.`$ns`.hot " +
+        "WHERE tag = 'alpha' AND ts BETWEEN 12 AND 20 ORDER BY ts")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(("alpha", 12L, "a12"), ("alpha", 18L, "a18")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TsdbScan") && plan.contains("dirs=2/"), plan)
+    // INSERT routes through the two-phase-commit writer
+    spark.sql(
+      s"INSERT INTO tsdb.`$ns`.hot VALUES ('gamma', 20, 21, 'g21', 900, 'sql', 77)")
+    val back = spark.sql(
+      s"SELECT partition_start, value FROM tsdb.`$ns`.hot WHERE tag = 'gamma'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((20L, "g21")))
+    // listTables surfaces the tiers
+    val tables = spark.sql(s"SHOW TABLES IN tsdb.`$ns`").collect().map(_.getString(1)).toSet
+    assert(tables == Set("hot", "cold", "all"))
+  }
+
   test("DSv2 streaming sink: epochs publish atomically into the hot tier") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-dsv2-st").toString

@@ -242,6 +242,32 @@ object StoreQueries {
         FROM events
         WHERE event_type = 'purchase'
           AND epoch_ms(ts) BETWEEN ${day(14)} AND ${day(16)}
-        GROUP BY 1, 2 ORDER BY hour_start"""))
+        GROUP BY 1, 2 ORDER BY hour_start""")),
+
+    // ---- runtime directory pruning (DPP) under the oracle ----
+    // NO static tag predicate: the probe side is a 2-row dim table, and
+    // the connector learns the surviving tags only at RUNTIME when the
+    // broadcast side materializes (SupportsRuntimeFiltering → the scan
+    // re-prunes tag directories before listing files). The oracle joins
+    // the same dim against events — if runtime pruning dropped a live
+    // directory or kept a stale one, the hash would diverge.
+    QueryDef("ts_dsv2_runtime_prune",
+      (s, dir) => {
+        import s.implicits._
+        val st = storeFor(s, dir)
+        val dim = Seq(("signup", 3L), ("error", 5L)).toDF("d_tag", "weight")
+        st.connectorDF("hot")
+          .join(broadcast(dim), col("tag") === col("d_tag"))
+          .groupBy(col("tag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("ts") % lit(1000000007L) * col("weight")).as("wsum"))
+          .orderBy("tag")
+      },
+      Some(s"""
+        WITH dim(d_tag, weight) AS (VALUES ('signup', 3), ('error', 5))
+        SELECT event_type AS tag, count(*) AS n,
+               CAST(sum((epoch_ms(ts) % 1000000007) * weight) AS BIGINT) AS wsum
+        FROM events JOIN dim ON event_type = d_tag
+        GROUP BY 1 ORDER BY tag"""))
   )
 }

@@ -195,6 +195,30 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
   }
 
+  test("property: connectorAppend and writeSamplesDistributed produce identical stores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val batch = (1 to 400).map { i =>
+      (s"t${rnd.nextInt(5)}", rnd.nextInt(200).toLong, s"v$i",
+        rnd.nextInt(50).toLong, s"w${rnd.nextInt(3)}", i.toLong)
+    }
+    val df = batch.toDF("tag", "ts", "value", "ingestTs", "writerId", "seq")
+    def fresh(): TimeSeriesStore = {
+      val st = new TimeSeriesStore(spark,
+        Files.createTempDirectory("graft-eq").toString,
+        StoreSettings(partitionWidth = 25L))
+      st.initialize(); st
+    }
+    val a = fresh(); a.connectorAppend(df)
+    val b = fresh(); b.writeSamplesDistributed(df)
+    def all(st: TimeSeriesStore) = st.connectorDF("hot")
+      .select(Cols.map(col): _*).collect()
+      .map(_.toSeq.toList).toSet
+    assert(all(a) == all(b))
+    // and the generic parquet read agrees with the connector on both
+    assert(rows(a.hotDF) == rows(a.connectorDF("hot")))
+  }
+
   test("SQL catalog: SELECT and INSERT against tsdb.<ns>.hot, dirs pruned") {
     spark.conf.set("spark.sql.catalog.tsdb", "graft.sources.TsdbCatalog")
     spark.conf.set("spark.sql.catalog.tsdb.root", store.rootDir)

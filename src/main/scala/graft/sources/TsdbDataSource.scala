@@ -172,11 +172,32 @@ final class TsdbScan(
     width: Long,
     required: StructType,
     pushed: Array[Filter]) extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** The layout IS a partitioning: every input split holds exactly one
+    * (tag, partition_start) group, so with v2 bucketing enabled
+    * (`spark.sql.sources.v2.bucketing.enabled`) a groupBy on the layout
+    * keys — every window-aligned rollup — runs with NO exchange:
+    * storage-partitioned execution, the shuffle-free 100 TB downsample
+    * path. Reported only while both key columns survive column pruning
+    * (the expressions resolve against the scan output).
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    if (Seq("tag", "partition_start").forall(required.fieldNames.contains))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(
+          org.apache.spark.sql.connector.expressions.Expressions.identity("tag"),
+          org.apache.spark.sql.connector.expressions.Expressions.identity("partition_start")),
+        planned._1.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        planned._1.length)
+  }
 
   /** Post-prune size estimate from the surviving directories' file
     * lengths — so the planner can pick a broadcast join when a pruned
@@ -322,9 +343,16 @@ final class TsdbScan(
   }
 }
 
-/** One store directory = one Spark partition: (tag, window, its files). */
+/** One store directory = one Spark partition: (tag, window, its files).
+  * Carries its (tag, partition_start) key so the scan can report
+  * KeyGroupedPartitioning — storage-partitioned execution.
+  */
 final case class TsdbInputPartition(
-    tag: String, partitionStart: Long, files: Array[String]) extends InputPartition
+    tag: String, partitionStart: Long, files: Array[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(tag), partitionStart))
+}
 
 final case class TsdbReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =

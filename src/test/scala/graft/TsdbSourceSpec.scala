@@ -195,6 +195,25 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
   }
 
+  test("storage-partitioned aggregation: groupBy on layout keys has no exchange") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = store.connectorDF("hot")
+        .groupBy("tag", "partition_start")
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
+      val got = agg.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // counts match the generic read
+      val want = store.hotDF.groupBy("tag", "partition_start")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"expected storage-partitioned aggregation without a shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
   test("property: connectorAppend and writeSamplesDistributed produce identical stores") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)

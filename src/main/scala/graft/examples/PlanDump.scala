@@ -101,7 +101,13 @@ object PlanDump {
         "(epoch, shard)); no central order is ever materialized."),
       "sim_knn_graph" -> ("k-NN graph: exact quantized cosine within the label block, per-node top-k as WindowGroupLimit — " +
         "at most k rows per node survive to the rank exchange. Sigma-|block|^2 candidate contract (probe: 33x at 10x data " +
-        "as blocks grew 10x); with corpus-scale blocks swap the blocking key for fixed-k k-means or LSH buckets."))
+        "as blocks grew 10x); with corpus-scale blocks swap the blocking key for fixed-k k-means or LSH buckets."),
+      "ts_sql_catalog_scan" -> ("Pure-SQL consumption through the TableCatalog (tsdb.<ns>.hot): the catalog resolves the " +
+        "namespace's write-once settings.json and hands back the SAME TsdbTable — the SQL path shows the identical " +
+        "TsdbScan dirs=k/N plan-time prune as the DataFrame path; no view layer, no re-listing."),
+      "ts_dsv2_runtime_prune" -> ("Runtime (DPP) directory pruning under the oracle: NO static tag predicate — the 2-row " +
+        "broadcast dim's key set reaches SupportsRuntimeFiltering.filter at execution, the scan re-prunes tag directories " +
+        "before listing a single file, and the events-side oracle would hash-diverge on any wrong prune."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

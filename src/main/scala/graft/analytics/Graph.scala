@@ -57,4 +57,34 @@ object Graph {
     }
     ranks
   }
+
+  /** Bounded-round synchronous label propagation: after `rounds` rounds
+    * each node's label is the SMALLEST node id within `rounds` hops — the
+    * fixed-cost approximation of connected components (which
+    * [[Dedup.duplicateClusters]] runs to convergence). Production graph
+    * systems ship exactly this trade: R synchronous supersteps cost
+    * R·(one edge join + one map-side-combined min aggregate) regardless
+    * of component diameter, while full convergence needs diameter-many
+    * rounds. Labels MATERIALIZE between rounds (`localCheckpoint`) for
+    * the same reason PageRank's ranks do — lazy chaining would nest each
+    * round's plan inside the next and re-execute the (typically
+    * expensive) edge-producing join 2^rounds times.
+    *
+    * `edgesIn` is the DIRECTED edge list (callers union both directions
+    * for an undirected graph). Output: (node, community).
+    */
+  def labelPropagation(edgesIn: DataFrame, rounds: Int = 3): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbrMin = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nl"))
+      labels = labels.join(nbrMin, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

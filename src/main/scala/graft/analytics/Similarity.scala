@@ -376,4 +376,86 @@ object Similarity {
       .select(col("vec_a"), col("rnk"), col("vec_b"), col("cos"))
       .orderBy("vec_a", "rnk")
   }
+
+  /** Product-quantization ANN with asymmetric distance computation (ADC)
+    * — the memory-compression tier of a production vector index (Jégou et
+    * al. 2011): the corpus is stored as `numSubspaces` small code ids per
+    * vector (here 4×4 bits = 2 bytes vs 256 bytes of raw floats, a 128×
+    * compression), and a query scores a vector by summing per-subspace
+    * dot products looked up from a per-query table instead of touching
+    * any vector arithmetic.
+    *
+    * Pipeline, all exact integer arithmetic over the quantized vectors:
+    *  1. codebook — the [[seedSubset]] fixed-k seed sliced into one
+    *     `subDim`-wide code per (subspace, seed): `numSubspaces ×
+    *     codebookSize` rows, CONSTANT in corpus size, broadcast;
+    *  2. encode — each vector's subspace slice is assigned its nearest
+    *     code by exact L2 (argmin as a map-side-combined `max(struct)`,
+    *     the same shape as the IVF assignment — no window over the
+    *     corpus), then the M code ids collapse to one `codes` array per
+    *     vector: the compressed corpus, ONE slim row per vector;
+    *  3. ADC scan — each query precomputes its `M·K` lookup table of
+    *     partial dots (query-set-sized, broadcast), and the scan is a
+    *     codegen'd array-lookup sum over the compressed rows — the
+    *     dominant cost reads 2-byte codes instead of 256-byte vectors,
+    *     which is exactly the memory-bandwidth win PQ exists for.
+    *
+    * `adc_dot` is the exact integer ADC approximation of the quantized
+    * dot product (bit-identical in any engine — the oracle recomputes
+    * it), so ranking and hashes are deterministic.
+    */
+  def pqTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
+      numSubspaces: Int = 4, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
+    val subDim = dim / numSubspaces
+    val all = prepQ(emb)
+    val subspaceIdx = explode(sequence(lit(0), lit(numSubspaces - 1))).as("m")
+    // (1) codebook: k-seed table → M·K (m, cpos, code, codeNrm) rows.
+    // The global row_number window runs over codebookSize rows — driver-
+    // bounded by construction, same contract as the centroid tables.
+    val wSeed = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val codes = seedSubset(all, codebookSize)
+      .withColumn("cpos", row_number().over(wSeed) - 1)
+      .select(col("cpos"), subspaceIdx, col("qv"))
+      .select(col("m"), col("cpos"),
+        expr(s"slice(qv, m * $subDim + 1, $subDim)").as("cv"))
+      .withColumn("cnrm", dotLL(col("cv"), col("cv")))
+    // (2) encode: nearest code per (vector, subspace) by exact L2
+    // (argmin d = snrm + cnrm − 2·dot, tie → smallest cpos), folded to
+    // one codes-array row per vector.
+    val subs = all.select(col("vec_id"), subspaceIdx, col("qv"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(qv, m * $subDim + 1, $subDim)").as("sv"))
+      .withColumn("snrm", dotLL(col("sv"), col("sv")))
+    val assigned = subs.join(broadcast(codes), "m")
+      .select(col("vec_id"), col("m"), struct(
+          (lit(2L) * dotLL(col("sv"), col("cv")) - col("snrm") - col("cnrm"))
+            .as("negd"),
+          (-col("cpos")).as("negc"), col("cpos").as("cpos")).as("sc"))
+      .groupBy("vec_id", "m").agg(max(col("sc")).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cpos").as("cpos"))
+    val encoded = assigned.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cpos")))),
+        s => s.getField("cpos")).as("codes"))
+    // (3) per-query LUT: flat array indexed by m·K + cpos (query-set ×
+    // M·K longs, broadcast), then the ADC scan over the compressed rows.
+    val lut = subs.where(col("vec_id") % queryModulo === 0)
+      .join(broadcast(codes), "m")
+      .select(col("vec_id").as("query_id"),
+        (col("m") * codebookSize + col("cpos")).as("slot"),
+        dotLL(col("sv"), col("cv")).as("pdot"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("slot"), col("pdot")))),
+        s => s.getField("pdot")).as("lut"))
+    val scored = encoded.crossJoin(broadcast(lut))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"aggregate(sequence(0, ${numSubspaces - 1}), 0L, " +
+          s"(acc, m) -> acc + lut[m * $codebookSize + element_at(codes, m + 1)])")
+          .as("adc_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dot")
+  }
 }

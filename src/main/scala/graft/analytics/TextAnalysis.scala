@@ -402,4 +402,49 @@ object TextAnalysis {
           col("f_symbol_ratio") === 1 && col("f_stopwords") === 1).cast("int"))
       .drop("ws", "text")
   }
+
+  /** PII pattern set for [[piiScrub]] — deliberately simple character
+    * classes that parse identically under Java regex (Spark) and RE2
+    * (most SQL engines), so detection counts and the redacted text are
+    * engine-portable.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+    ("phone", "555-[0-9]+", "<PHONE>"),
+    ("ip", "10\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>"))
+
+  /** PII detection + redaction — the scrub stage every training-data
+    * pipeline runs before text ships. Counts each PII class and emits the
+    * redacted text's digest/length, one projection per document: no
+    * shuffle, embarrassingly parallel, regexes compiled once per task by
+    * codegen — the shape that holds at any corpus size.
+    *
+    * The driver corpus is synthetic word-salad with no organic PII, so
+    * the operator is exercised against a deterministic injection: each
+    * document is augmented with `doc_id`-derived pseudo-PII (a varying
+    * number of emails/phones plus one IP) BEFORE scrubbing — recomputed
+    * identically by the oracle — which makes the counts vary per row and
+    * the redaction genuinely load-bearing instead of a trivially-zero
+    * pass-through.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val aug = concat(col("text"),
+      expr("repeat(concat(' user', doc_id, '@mail', doc_id % 7, '.net'), " +
+        "CAST(doc_id % 3 AS INT))"),
+      expr("repeat(concat(' call 555-0', 100 + doc_id % 900), " +
+        "CAST(doc_id % 2 AS INT))"),
+      expr("concat(' from 10.', doc_id % 256, '.', (doc_id * 7) % 256, " +
+        "'.', (doc_id * 13) % 256)"))
+    val redacted = PiiPatterns.foldLeft(col("aug")) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("aug"), lit(pat)).as(s"n_$name")
+    }
+    docs.select(col("doc_id"), aug.as("aug"))
+      .select(Seq(col("doc_id")) ++ counts ++ Seq(
+        length(col("aug")).cast("long").as("raw_len"),
+        length(redacted).cast("long").as("clean_len"),
+        md5(encode(redacted, "UTF-8")).as("clean_md5")): _*)
+  }
 }

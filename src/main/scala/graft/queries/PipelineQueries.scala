@@ -1199,6 +1199,118 @@ object PipelineQueries {
         ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
         SELECT ne.query_id, n_exact, coalesce(n_hits, 0) AS n_hits,
                coalesce(n_hits, 0) * 1.0 / n_exact AS recall
-        FROM ne LEFT JOIN hits USING (query_id) ORDER BY query_id"""))
+        FROM ne LEFT JOIN hits USING (query_id) ORDER BY query_id""")),
+
+    // ---- product-quantization ANN (asymmetric distance computation) ----
+    // The memory-compression index tier: the corpus is 4 code ids per
+    // vector (vs 64 floats), queries score via a broadcast M·K partial-dot
+    // lookup table. The exact integer `adc_dot` is recomputed by the
+    // oracle end-to-end: codebook slicing, per-subspace L2 argmin encode,
+    // LUT, and the ADC sum.
+    QueryDef("sim_pq_adc",
+      (s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir), k = 5,
+        queryModulo = 20, numSubspaces = 4, codebookSize = 16)
+        .orderBy("query_id", "rank"),
+      Some(s"""
+        WITH $QuantCte,
+        sd AS (SELECT vec_id, v,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   - 1 AS cpos
+               FROM qn ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        ms AS (SELECT unnest(range(0, 4)) AS m),
+        cd AS (SELECT m, cpos, v[m*16+1 : m*16+16] AS cv FROM sd CROSS JOIN ms),
+        cdn AS (SELECT m, cpos, cv,
+                  list_sum(list_transform(cv, x -> x*x)) AS cnrm FROM cd),
+        sb AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
+               FROM qn CROSS JOIN ms),
+        sbn AS (SELECT vec_id, m, sv,
+                  list_sum(list_transform(sv, x -> x*x)) AS snrm FROM sb),
+        asg AS (SELECT vec_id, m, cpos,
+                  row_number() OVER (PARTITION BY vec_id, m
+                    ORDER BY snrm + cnrm
+                      - 2 * list_sum(list_transform(range(1, 17),
+                            i -> sv[i]*cv[i])) ASC, cpos) AS rn
+                FROM sbn JOIN cdn USING (m)),
+        enc AS (SELECT vec_id, m, cpos FROM asg WHERE rn = 1),
+        lut AS (SELECT q.vec_id AS query_id, c.m, c.cpos,
+                  list_sum(list_transform(range(1, 17),
+                    i -> q.sv[i]*c.cv[i])) AS pdot
+                FROM sbn q JOIN cdn c USING (m) WHERE q.vec_id % 20 = 0),
+        sc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+                 CAST(sum(l.pdot) AS BIGINT) AS adc_dot
+               FROM enc e JOIN lut l ON e.m = l.m AND e.cpos = l.cpos
+               WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dot DESC, neighbor_id) AS rank FROM sc)
+        SELECT query_id, rank, neighbor_id, adc_dot FROM rk
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- bounded-round label-propagation communities ----
+    // The fixed-cost community structure over the near-dup graph: after
+    // R=3 synchronous rounds each node holds the smallest id within 3
+    // hops. dd_dup_clusters runs components to CONVERGENCE (diameter-many
+    // rounds); this is the R-supersteps-flat-cost trade production graph
+    // engines take. Oracle unrolls the 3 rounds as CTEs.
+    QueryDef("gr_label_prop",
+      (s, dir) => {
+        val pairs = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3)
+          .select("vec_a", "vec_b")
+        val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        graft.analytics.Graph.labelPropagation(edges, rounds = 3)
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+               WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3),
+        edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+                  UNION ALL SELECT vec_b, vec_a FROM pr),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        ${(1 to 3).map { t =>
+          val p = t - 1
+          s"""n$t AS (SELECT e.dst AS node, min(r.lbl) AS nl
+                 FROM edges e JOIN l$p r ON e.src = r.node GROUP BY 1),
+          l$t AS (SELECT l.node, least(l.lbl, coalesce(n.nl, l.lbl)) AS lbl
+                  FROM l$p l LEFT JOIN n$t n USING (node))"""
+        }.mkString(",\n        ")}
+        SELECT node, lbl AS community FROM l3 ORDER BY node""")),
+
+    // ---- PII detection + redaction (deterministic injected pseudo-PII) ----
+    // One projection per document, no shuffle; counts vary per row via the
+    // doc_id-derived injection, which the oracle recomputes verbatim.
+    QueryDef("tx_pii_scrub",
+      (s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""
+        WITH a AS (SELECT doc_id,
+                     text || repeat(' user' || doc_id || '@mail'
+                                    || doc_id % 7 || '.net',
+                                    CAST(doc_id % 3 AS INT))
+                          || repeat(' call 555-0' || (100 + doc_id % 900),
+                                    CAST(doc_id % 2 AS INT))
+                          || ' from 10.' || doc_id % 256 || '.'
+                          || (doc_id * 7) % 256 || '.'
+                          || (doc_id * 13) % 256 AS aug
+                   FROM documents),
+        r AS (SELECT doc_id, aug,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(aug,
+                      '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+                    '555-[0-9]+', '<PHONE>', 'g'),
+                  '10\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g') AS clean
+              FROM a)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug,
+                 '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(aug, '555-[0-9]+')) AS INT) AS n_phone,
+               CAST(len(regexp_extract_all(aug,
+                 '10\.[0-9]+\.[0-9]+\.[0-9]+')) AS INT) AS n_ip,
+               CAST(length(aug) AS BIGINT) AS raw_len,
+               CAST(length(clean) AS BIGINT) AS clean_len,
+               md5(clean) AS clean_md5
+        FROM r ORDER BY doc_id"""))
   )
 }

@@ -420,6 +420,50 @@ object RelationalQueries {
                  AS target_volume,
                coalesce(CAST(sum(CASE WHEN is_t THEN v END) AS DOUBLE), 0.0)
                  / CAST(sum(v) AS DOUBLE) AS share
-        FROM vol GROUP BY 1 ORDER BY yr"""))
+        FROM vol GROUP BY 1 ORDER BY yr""")),
+
+    // ---- SCD2 dimension build (slowly-changing-dimension merge) ----
+    // The warehouse-standard versioned-dimension construction: per
+    // customer, each CHANGE of order priority (in (o_orderdate,
+    // o_orderkey) order) opens a version row [valid_from, valid_to), the
+    // open version has valid_to NULL. Two windows over one
+    // customer-partitioned sort — the per-key state is a lag cell, so the
+    // build is one shuffle on the dimension key at any history size;
+    // consecutive same-value runs collapse (the MERGE-on-change
+    // semantics), never one row per source event.
+    QueryDef("rel_scd2_merge",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("ms"), col("o_orderkey"))
+        val o = Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
+        val changes = o.withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        changes
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_to", lead(col("ms"), 1).over(w))
+          .select(col("o_custkey").as("custkey"), col("version"),
+            col("o_orderpriority").as("priority"),
+            col("ms").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.cast("int").as("is_current"))
+          .orderBy("custkey", "version")
+      },
+      Some("""
+        WITH o AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+                     epoch_ms(o_orderdate) AS ms FROM orders),
+        m AS (SELECT *, lag(o_orderpriority) OVER w AS prev FROM o
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY ms, o_orderkey)),
+        c AS (SELECT * FROM m
+              WHERE prev IS NULL OR prev <> o_orderpriority),
+        v AS (SELECT o_custkey AS custkey, o_orderpriority AS priority,
+                ms AS valid_from,
+                row_number() OVER w2 AS version,
+                lead(ms) OVER w2 AS valid_to
+              FROM c WINDOW w2 AS (PARTITION BY o_custkey
+                                   ORDER BY ms, o_orderkey))
+        SELECT custkey, version, priority, valid_from, valid_to,
+               CAST(valid_to IS NULL AS INT) AS is_current
+        FROM v ORDER BY custkey, version"""))
   )
 }

@@ -426,6 +426,48 @@ object StreamMultimodalQueries {
          AND a.event_type = 'view' AND b.event_type = 'purchase'
          AND epoch_ms(b.ts) >= epoch_ms(a.ts)
          AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 600000
-        ORDER BY view_id, purchase_id"""))
+        ORDER BY view_id, purchase_id""")),
+
+    // ---- multimodal: exact media dedup by content digest ----
+    // The binary-lane twin of dd_exact: group on md5 of the media BYTES
+    // (not any text decode) — one hash shuffle keyed by digest, keeper =
+    // smallest doc_id, wasted_bytes = what dedup reclaims. On this corpus
+    // media bytes ARE the UTF-8 text (withBinary), so the oracle's
+    // md5(text) is the identical digest.
+    QueryDef("mm_dedup",
+      (s, dir) => Multimodal.withBinary(Tables.documents(s, dir))
+        .groupBy(md5(col("media")).as("content_md5"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"),
+          max(col("meta.n_bytes")).as("n_bytes"))
+        .withColumn("wasted_bytes", (col("n_copies") - 1) * col("n_bytes"))
+        .orderBy("content_md5"),
+      Some("""
+        SELECT md5(text) AS content_md5, count(*) AS n_copies,
+               min(doc_id) AS keeper_id,
+               CAST(max(length(text)) AS BIGINT) AS n_bytes,
+               (count(*) - 1) * CAST(max(length(text)) AS BIGINT) AS wasted_bytes
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- streaming: 3-sigma anomaly flags (parity with ts_anomaly) ----
+    // Profile from a batch pass (like st_histogram's bounds), then a
+    // stream-static broadcast join + stateless filter: zero streaming
+    // state. Shares ts_anomaly's oracle.
+    QueryDef("st_anomaly",
+      (s, dir) => StreamingIngest.streamingAnomaly(s, dir),
+      Some("""
+        WITH e AS (SELECT event_id, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        st AS (SELECT event_type, count(*) AS n,
+                      CAST(sum(cents) AS BIGINT) AS s1,
+                      CAST(sum(cents * cents) AS BIGINT) AS s2
+               FROM e GROUP BY 1)
+        SELECT event_id, event_type, cents, n,
+               n * cents - s1 AS dn
+        FROM e JOIN st USING (event_type)
+        WHERE CAST(n * cents - s1 AS HUGEINT) * CAST(n * cents - s1 AS HUGEINT)
+              > 9 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+                     - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+        ORDER BY event_id"""))
   )
 }

@@ -460,6 +460,34 @@ object StreamingIngest {
         min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
     drain(out, "complete").orderBy("tag", "bucket")
   }
+
+  /** Streaming 3σ anomaly flagging — stream/batch parity with
+    * `ts_anomaly`. The per-tag population profile (count, Σx, Σx² over
+    * cent-quantized values) comes from a batch profile pass, exactly like
+    * `streamingHistogram`'s bounds — a live deployment would refresh it
+    * periodically from the hot store. The stream side is then a
+    * stream-static broadcast join plus a stateless filter (the same
+    * integer-exact `(n·x − Σx)² > 9·(n·Σx² − (Σx)²)` rewrite): ZERO
+    * streaming state, so the operator's cost at any corpus size is the
+    * scan itself. Shares `ts_anomaly`'s oracle.
+    */
+  def streamingAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val stats = graft.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+        sum(cents * cents).as("s2"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val out = eventStream(spark, sfDir)
+      .select(col("event_id"), col("event_type"), cents.as("cents"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("dn", col("n") * col("cents") - col("s1"))
+      .where(dec(col("dn")) * dec(col("dn")) >
+        lit(9).cast("decimal(2,0)") *
+          (dec(col("n")) * dec(col("s2")) - dec(col("s1")) * dec(col("s1"))))
+      .select("event_id", "event_type", "cents", "n", "dn")
+    drain(out, "append").orderBy("event_id")
+  }
 }
 
 /** Input row shape for the streaming reservoir-sample operator. */

@@ -155,4 +155,34 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // region→nation→customer and supplier→nation flags are broadcast
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
+
+  test("sim_pq_adc: codebook and LUT broadcast; no CartesianProduct") {
+    val p = plan("sim_pq_adc")
+    // the M·K codebook joins by subspace id and the per-query LUT joins
+    // the compressed corpus as broadcasts — the corpus itself never
+    // shuffles on anything but its own aggregate keys
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tx_pii_scrub: single projection — no hash exchange before the output sort") {
+    val p = plan("tx_pii_scrub")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("mm_dedup: one map-side-combined aggregate exchange, keyed on the digest") {
+    val p = plan("mm_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("rel_scd2_merge: both windows share ONE shuffle on the dimension key") {
+    val p = plan("rel_scd2_merge")
+    // lag-mark, version row_number and valid_to lead all partition by
+    // o_custkey with the same ordering — a second hash exchange would
+    // mean the window specs diverged
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size === 1,
+      p.take(2000))
+  }
 }

@@ -107,7 +107,19 @@ object PlanDump {
         "TsdbScan dirs=k/N plan-time prune as the DataFrame path; no view layer, no re-listing."),
       "ts_dsv2_runtime_prune" -> ("Runtime (DPP) directory pruning under the oracle: NO static tag predicate — the 2-row " +
         "broadcast dim's key set reaches SupportsRuntimeFiltering.filter at execution, the scan re-prunes tag directories " +
-        "before listing a single file, and the events-side oracle would hash-diverge on any wrong prune."))
+        "before listing a single file, and the events-side oracle would hash-diverge on any wrong prune."),
+      "sim_pq_adc" -> ("Product-quantization ADC: the corpus collapses to ONE slim codes-array row per vector (2 bytes of " +
+        "ids vs 256 bytes of floats — the memory-bandwidth win PQ exists for); the M*K codebook and the per-query LUT both " +
+        "BROADCAST, so the scan is a codegen'd array-lookup sum over compressed rows with no corpus shuffle beyond its own aggregates."),
+      "gr_label_prop" -> ("Bounded-round label propagation: each of the R=3 supersteps is one edges-to-labels hash join + a " +
+        "map-side-combined min aggregate, MATERIALIZED between rounds (localCheckpoint) so the upstream similarity join runs " +
+        "once — fixed R-superstep cost regardless of component diameter, vs dd_dup_clusters' convergence fixpoint."),
+      "tx_pii_scrub" -> ("PII scrub: detection counts and the triple-redaction digest are ONE projection over the scan — " +
+        "no exchange before the output sort; regexes compile once per task inside WholeStageCodegen, the " +
+        "embarrassingly-parallel shape a 100 TB scrub pass needs."),
+      "rel_scd2_merge" -> ("SCD2 dimension build: the change-mark lag, version row_number and valid_to lead all partition " +
+        "by the dimension key with one ordering — a SINGLE hash exchange on o_custkey feeds all three windows; per-key state " +
+        "is one lag cell, so the build holds at any history length."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

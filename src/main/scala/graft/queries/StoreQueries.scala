@@ -184,6 +184,33 @@ object StoreQueries {
           AND epoch_ms(ts) BETWEEN ${day(7)} AND ${day(9)}
         GROUP BY 1, 2 ORDER BY tag, day_start""")),
 
+    // ---- DSv2 FOOTER aggregate pushdown, oracle-gated ----
+    // count/min/max per (tag, window) grouped on the layout keys: the
+    // aggregation pushes into the connector (SupportsPushDownAggregates)
+    // and is answered from parquet FOOTERS — block row counts + int64
+    // column statistics — without decoding a single data page. One
+    // pre-aggregated row per directory reaches Spark's final merge, so a
+    // store-wide stats rollup at 100 TB reads KB of metadata per
+    // directory instead of the data. Wrong footer math (a miscounted
+    // block, a stale stat) would hash-diverge from the events oracle.
+    QueryDef("ts_dsv2_agg_pushdown",
+      (s, dir) => {
+        storeFor(s, dir).connectorDF("hot")
+          .groupBy("tag", "partition_start")
+          .agg(count(lit(1)).as("n"),
+            min(col("ts")).as("min_ts_ms"),
+            max(col("ts")).as("max_ts_ms"))
+          .orderBy("tag", "partition_start")
+      },
+      Some("""
+        SELECT event_type AS tag,
+               epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS partition_start,
+               count(*) AS n,
+               min(epoch_ms(ts)) AS min_ts_ms,
+               max(epoch_ms(ts)) AS max_ts_ms
+        FROM events
+        GROUP BY 1, 2 ORDER BY tag, partition_start""")),
+
     // ---- DSv2 two-phase-commit write path, oracle-gated ----
     // A week of events ingested through `df.write.format("graft-tsdb")`
     // (tasks stage per-(tag, window) files, driver publishes by atomic

@@ -125,13 +125,91 @@ final class TsdbTable(nsRoot: String, tier: String, width: Long)
   }
 }
 
+/** The pushed-down aggregation, normalized: group columns (directory-
+  * encoded, constant per split) plus per-aggregate descriptors the footer
+  * reader can compute. `schema` is the scan's output in Spark's expected
+  * order — group columns first, then aggregate columns.
+  */
+final case class TsdbAggSpec(
+    groupCols: Seq[String], aggs: Seq[TsdbAggSpec.Desc], schema: StructType)
+
+object TsdbAggSpec {
+  sealed trait Desc
+  /** count(*) / count(non-null col) — footer row counts, no data read. */
+  case object RowCount extends Desc
+  final case class MinOf(col: String) extends Desc
+  final case class MaxOf(col: String) extends Desc
+}
+
 final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = TsdbSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggSpec: Option[TsdbAggSpec] = None
+
+  // ---------------------------------------------- aggregate pushdown
+  // The 100 TB metadata path: COUNT/MIN/MAX over the layout need only
+  // parquet FOOTERS — row counts and int64 column statistics — so a
+  // store-wide `count(*)` or a per-(tag, window) min/max rollup reads a
+  // few KB per directory instead of the data pages. Pushdown is partial
+  // (`supportCompletePushDown` = false): each split emits one pre-
+  // aggregated row and Spark runs the final merge, so a retried/split
+  // task can never double-count. Spark only offers an Aggregate for
+  // pushdown when NO residual filter sits between it and the scan — `ts`
+  // bounds stay residual by design (pushFilters), so any row-level
+  // predicate automatically falls back to the data-reading plan.
+
+  /** int64 columns whose parquet statistics the store's own writers
+    * always populate; string stats (value/writerId/tag) are refused —
+    * parquet may truncate binary stats, which would be silently wrong.
+    */
+  private val statCols = Set("ts", "ingestTs", "seq", "partition_start")
+
+  private def refName(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    val groupCols = agg.groupByExpressions.toSeq.map(refName)
+    // only directory-encoded columns are constant per split — any other
+    // grouping needs the rows themselves
+    if (!groupCols.forall(_.exists(Set("tag", "partition_start")))) return false
+    val descs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(TsdbAggSpec.RowCount)
+      case c: Count if !c.isDistinct =>
+        // every schema column is non-null, so count(col) == count(*)
+        refName(c.column).filter(TsdbSource.Schema.fieldNames.contains)
+          .map(_ => TsdbAggSpec.RowCount)
+      case m: Min => refName(m.column).filter(statCols).map(TsdbAggSpec.MinOf)
+      case m: Max => refName(m.column).filter(statCols).map(TsdbAggSpec.MaxOf)
+      case _ => None
+    }
+    if (descs.exists(_.isEmpty)) return false
+    val names = groupCols.map(_.get)
+    val fields = names.map(n => TsdbSource.Schema(TsdbSource.Schema.fieldIndex(n))) ++
+      descs.flatten.map {
+        case TsdbAggSpec.RowCount => StructField("count", LongType, nullable = false)
+        case TsdbAggSpec.MinOf(c) => StructField(s"min_$c", LongType, nullable = true)
+        case TsdbAggSpec.MaxOf(c) => StructField(s"max_$c", LongType, nullable = true)
+      }
+    aggSpec = Some(TsdbAggSpec(names, descs.flatten, StructType(fields)))
+    true
+  }
 
   /** A predicate on a directory-encoded column holds for every row of a
     * surviving directory, so the source evaluates it exactly; `ts` bounds
@@ -163,7 +241,8 @@ final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new TsdbScan(nsRoot, tier, width, required, pushed)
+  override def build(): Scan =
+    new TsdbScan(nsRoot, tier, width, required, pushed, aggSpec)
 }
 
 final class TsdbScan(
@@ -171,10 +250,12 @@ final class TsdbScan(
     tier: String,
     width: Long,
     required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch with SupportsRuntimeFiltering
+    pushed: Array[Filter],
+    aggSpec: Option[TsdbAggSpec] = None)
+    extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportPartitioning {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggSpec.map(_.schema).getOrElse(required)
 
   override def toBatch: Batch = this
 
@@ -188,7 +269,7 @@ final class TsdbScan(
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    if (Seq("tag", "partition_start").forall(required.fieldNames.contains))
+    if (Seq("tag", "partition_start").forall(readSchema().fieldNames.contains))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(
           org.apache.spark.sql.connector.expressions.Expressions.identity("tag"),
@@ -235,7 +316,7 @@ final class TsdbScan(
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Seq("tag", "partition_start")
-      .filter(required.fieldNames.contains)
+      .filter(readSchema().fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
 
@@ -333,13 +414,20 @@ final class TsdbScan(
     planned._1.toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TsdbReaderFactory(required)
+    aggSpec match {
+      case Some(spec) => TsdbAggReaderFactory(spec)
+      case None => TsdbReaderFactory(required)
+    }
 
   override def description(): String = {
     val (kept, total) = (planned._1.length, planned._2)
+    val aggs = aggSpec.fold("")(s =>
+      s"PushedAggregates: [${s.aggs.mkString(", ")}] " +
+        s"GroupBy: [${s.groupCols.mkString(", ")}], ")
     s"TsdbScan tier=$tier dirs=$kept/$total " +
+      aggs +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+      s"ReadSchema: ${readSchema().simpleString}"
   }
 }
 
@@ -357,6 +445,126 @@ final case class TsdbInputPartition(
 final case class TsdbReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TsdbPartitionReader(partition.asInstanceOf[TsdbInputPartition], schema)
+}
+
+final case class TsdbAggReaderFactory(spec: TsdbAggSpec) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TsdbAggPartitionReader(partition.asInstanceOf[TsdbInputPartition], spec)
+}
+
+/** Executor-side FOOTER aggregate reader: one pre-aggregated row per
+  * (tag, window) split, computed from parquet metadata — block row
+  * counts for COUNT, int64 column statistics for MIN/MAX — without
+  * decoding a single data page. A file whose footer lacks a usable
+  * statistic (foreign writer, truncated stats) falls back to scanning
+  * just that column of just that file; store-written files always carry
+  * stats, so the fallback is a correctness net, not a hot path.
+  */
+final class TsdbAggPartitionReader(p: TsdbInputPartition, spec: TsdbAggSpec)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private var emitted = false
+
+  /** Columns needing min/max; `partition_start` is directory-encoded and
+    * never consults the footer.
+    */
+  private val statCols: Seq[String] = spec.aggs.collect {
+    case TsdbAggSpec.MinOf(c) if c != "partition_start" => c
+    case TsdbAggSpec.MaxOf(c) if c != "partition_start" => c
+  }.distinct
+
+  private def fileStats(file: String): (Long, Map[String, (Long, Long)]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new HPath(file), conf)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = fr.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val perCol = statCols.flatMap { c =>
+        val colStats = blocks.filter(_.getRowCount > 0).map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .map(_.getStatistics)
+            .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+            .map(s => (s.genericGetMin.asInstanceOf[Number].longValue(),
+              s.genericGetMax.asInstanceOf[Number].longValue()))
+        }
+        if (colStats.exists(_.isEmpty)) None // some block lacks stats → rescan
+        else if (colStats.isEmpty) Some(c -> None) // 0-row file: no values
+        else Some(c -> Some((colStats.flatten.map(_._1).min,
+          colStats.flatten.map(_._2).max)))
+      }.collect { case (c, Some(mm)) => c -> mm }.toMap
+      val missing = statCols.filterNot(perCol.contains)
+        .filter(_ => blocks.exists(_.getRowCount > 0))
+      if (missing.isEmpty) (rows, perCol)
+      else (rows, perCol ++ rescan(file, missing))
+    } finally fr.close()
+  }
+
+  /** Stats-less fallback: decode only `cols` of this one file. */
+  private def rescan(file: String, cols: Seq[String]): Map[String, (Long, Long)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new HPath(file), conf)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    val proj = new org.apache.parquet.schema.MessageType(
+      "sample", cols.map(c => fileSchema.getType(Seq(c): _*)): _*)
+    val c2 = new Configuration(conf)
+    c2.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new HPath(file)).withConf(c2).build()
+    val mins = Array.fill(cols.length)(Long.MaxValue)
+    val maxs = Array.fill(cols.length)(Long.MinValue)
+    var any = false
+    try {
+      var g = reader.read()
+      while (g != null) {
+        any = true
+        var i = 0
+        while (i < cols.length) {
+          val v = g.getLong(cols(i), 0)
+          if (v < mins(i)) mins(i) = v
+          if (v > maxs(i)) maxs(i) = v
+          i += 1
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    if (!any) Map.empty
+    else cols.zipWithIndex.map { case (c, i) => c -> (mins(i), maxs(i)) }.toMap
+  }
+
+  override def next(): Boolean = !emitted && { emitted = true; true }
+
+  override def get(): InternalRow = {
+    var count = 0L
+    var mins = Map.empty[String, Long]
+    var maxs = Map.empty[String, Long]
+    p.files.foreach { f =>
+      val (rows, mm) = fileStats(f)
+      count += rows
+      mm.foreach { case (c, (lo, hi)) =>
+        mins = mins.updated(c, math.min(lo, mins.getOrElse(c, Long.MaxValue)))
+        maxs = maxs.updated(c, math.max(hi, maxs.getOrElse(c, Long.MinValue)))
+      }
+    }
+    val groupVals: Seq[Any] = spec.groupCols.map {
+      case "tag" => UTF8String.fromString(p.tag)
+      case "partition_start" => p.partitionStart
+    }
+    def stat(c: String, m: Map[String, Long]): Any =
+      if (c == "partition_start") { if (count > 0) p.partitionStart else null }
+      else m.get(c).map(Long.box).orNull
+    val aggVals: Seq[Any] = spec.aggs.map {
+      case TsdbAggSpec.RowCount => count
+      case TsdbAggSpec.MinOf(c) => stat(c, mins)
+      case TsdbAggSpec.MaxOf(c) => stat(c, maxs)
+    }
+    new GenericInternalRow((groupVals ++ aggVals).toArray)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Executor-side reader: streams the directory's parquet files through a

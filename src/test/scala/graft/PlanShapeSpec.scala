@@ -177,6 +177,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate"))
   }
 
+  test("ts_dsv2_agg_pushdown: the aggregate reaches the connector (footer path)") {
+    val df = SparkEntry.queries("ts_dsv2_agg_pushdown")(spark, sf)
+    df.collect() // force planning through AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates: [RowCount, MinOf(ts), MaxOf(ts)]"),
+      p.take(2000))
+    assert(p.contains("GroupBy: [tag, partition_start]"), p.take(2000))
+  }
+
   test("rel_scd2_merge: both windows share ONE shuffle on the dimension key") {
     val p = plan("rel_scd2_merge")
     // lag-mark, version row_number and valid_to lead all partition by

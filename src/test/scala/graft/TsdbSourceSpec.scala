@@ -198,17 +198,23 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("storage-partitioned aggregation: groupBy on layout keys has no exchange") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
+      // sum(ts) is NOT footer-pushable (only count/min/max are), so this
+      // pins the row-reading storage-partitioned path: the scan reports
+      // KeyGroupedPartitioning and the groupBy runs with no exchange.
+      // (count/min/max on the same keys take the pushed footer path
+      // instead — covered by the agg-pushdown cases below.)
       val agg = store.connectorDF("hot")
         .groupBy("tag", "partition_start")
-        .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
+        .agg(sum(col("ts")).as("sum_ts"))
       val got = agg.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-      // counts match the generic read
+      // sums match the generic read
       val want = store.hotDF.groupBy("tag", "partition_start")
-        .agg(count(lit(1)).as("n")).collect()
+        .agg(sum(col("ts")).as("sum_ts")).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == want)
       val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("PushedAggregates"), s"sum must not push:\n$p")
       assert(!p.contains("Exchange hashpartitioning"),
         s"expected storage-partitioned aggregation without a shuffle:\n$p")
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
@@ -301,5 +307,62 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("tag") === "alpha" && col("ts") === 7L)
       .select("value").collect().map(_.getString(0)).toSeq
     assert(lww == Seq("a7v2"))
+  }
+
+  // ------------------------------------------ aggregate pushdown (footers)
+
+  private def aggRows(df: DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("agg pushdown: per-tag count/min/max comes from parquet footers") {
+    val agg = store.connectorDF("hot").groupBy("tag")
+      .agg(count(lit(1)).as("n"), min("ts").as("lo"), max("ts").as("hi"))
+    val plan = scanDesc(agg)
+    assert(plan.contains("PushedAggregates"), s"plan was:\n$plan")
+    val want = aggRows(store.hotDF.groupBy("tag")
+      .agg(count(lit(1)).as("n"), min("ts").as("lo"), max("ts").as("hi")))
+    assert(aggRows(agg) == want)
+  }
+
+  test("agg pushdown: global count(*) over the store is metadata-only") {
+    val agg = store.connectorDF("hot").agg(count(lit(1)).as("n"))
+    val plan = scanDesc(agg)
+    assert(plan.contains("PushedAggregates"), s"plan was:\n$plan")
+    assert(agg.collect().head.getLong(0) === store.hotDF.count())
+  }
+
+  test("agg pushdown: layout-key grouping stays pushed with tag pruning composed") {
+    val agg = store.connectorDF("hot")
+      .where(col("tag") === "alpha")
+      .groupBy("tag", "partition_start")
+      .agg(count(lit(1)).as("n"), max("ts").as("hi"))
+    val plan = scanDesc(agg)
+    assert(plan.contains("PushedAggregates"), s"plan was:\n$plan")
+    // alpha's 4 window dirs survive the tag prune (total dir count varies
+    // with suite order — the SQL-catalog INSERT adds a gamma dir)
+    assert(plan.contains("dirs=4/"), s"plan was:\n$plan")
+    val want = aggRows(store.hotDF.where(col("tag") === "alpha")
+      .groupBy("tag", "partition_start")
+      .agg(count(lit(1)).as("n"), max("ts").as("hi")))
+    assert(aggRows(agg) == want)
+  }
+
+  test("agg pushdown refused for string min/max and for residual row filters") {
+    // min over a string column: parquet binary stats may truncate — the
+    // source refuses, Spark reads rows, result still correct
+    val strAgg = store.connectorDF("hot").groupBy("tag")
+      .agg(min("value").as("v"))
+    val p1 = scanDesc(strAgg)
+    assert(!p1.contains("PushedAggregates"), s"plan was:\n$p1")
+    assert(aggRows(strAgg) ==
+      aggRows(store.hotDF.groupBy("tag").agg(min("value").as("v"))))
+    // a ts bound stays a residual row filter, so the Aggregate is never
+    // offered to the source — counts must come from the surviving rows
+    val fAgg = store.connectorDF("hot").where(col("ts") >= 7L)
+      .groupBy("tag").agg(count(lit(1)).as("n"))
+    val p2 = scanDesc(fAgg)
+    assert(!p2.contains("PushedAggregates"), s"plan was:\n$p2")
+    assert(aggRows(fAgg) == aggRows(store.hotDF.where(col("ts") >= 7L)
+      .groupBy("tag").agg(count(lit(1)).as("n"))))
   }
 }

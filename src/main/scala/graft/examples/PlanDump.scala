@@ -119,7 +119,14 @@ object PlanDump {
         "embarrassingly-parallel shape a 100 TB scrub pass needs."),
       "rel_scd2_merge" -> ("SCD2 dimension build: the change-mark lag, version row_number and valid_to lead all partition " +
         "by the dimension key with one ordering — a SINGLE hash exchange on o_custkey feeds all three windows; per-key state " +
-        "is one lag cell, so the build holds at any history length."))
+        "is one lag cell, so the build holds at any history length."),
+      "ts_dsv2_agg_pushdown" -> ("FOOTER aggregate pushdown: the scan's ReadSchema IS the aggregation (PushedAggregates in " +
+        "the BatchScan line) — each (tag, window) directory emits ONE pre-aggregated row computed from parquet block counts " +
+        "and int64 column statistics, no data pages decoded; Spark's final merge sees directory-count rows, not data."),
+      "ts_dsv2_topn_read" -> ("Top-N pushdown, the reference's newest-first readIndex walk: the dir-encoded sort prefix " +
+        "(partition_start DESC, tag ASC) pushes into the connector, which keeps only enough directories (by footer row " +
+        "counts, boundary-tie-safe) to cover the limit — dirs=k/N in the BatchScan line shows the walk; Spark's " +
+        "TakeOrdered applies the row-level suffix keys to the surviving rows."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

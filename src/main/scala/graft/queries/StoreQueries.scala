@@ -211,6 +211,34 @@ object StoreQueries {
         FROM events
         GROUP BY 1, 2 ORDER BY tag, partition_start""")),
 
+    // ---- DSv2 top-N pushdown (newest-first index walk), oracle-gated ----
+    // ORDER BY partition_start DESC ... LIMIT k — the reference's
+    // readIndex serving pattern (index.js:215 newest-first scan) as a
+    // connector optimization: the source sorts the window DIRECTORIES by
+    // the dir-encoded sort prefix and keeps only enough (by footer row
+    // counts) to cover k, boundary-tie-safe; Spark's final TakeOrdered
+    // applies the row-level suffix keys. At 100 TB the newest-page query
+    // lists a handful of directories out of millions. The full-key sort
+    // makes the result deterministic, so the oracle hash-checks the
+    // exact kept rows.
+    QueryDef("ts_dsv2_topn_read",
+      (s, dir) => {
+        storeFor(s, dir).connectorDF("hot")
+          .orderBy(col("partition_start").desc, col("tag"),
+            col("ts"), col("seq"))
+          .limit(200)
+          .select(col("tag"), col("partition_start"), col("ts"), col("seq"),
+            // the store's string payload, cast back: double→string→double
+            // round-trips exactly (same discipline as ts_store_pruned_scan)
+            col("value").cast("double").as("value"))
+      },
+      Some("""
+        SELECT event_type AS tag,
+               epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS partition_start,
+               epoch_ms(ts) AS ts, event_id AS seq, value
+        FROM events
+        ORDER BY partition_start DESC, tag, ts, seq LIMIT 200""")),
+
     // ---- DSv2 two-phase-commit write path, oracle-gated ----
     // A week of events ingested through `df.write.format("graft-tsdb")`
     // (tasks stage per-(tag, window) files, driver publishes by atomic

@@ -141,15 +141,62 @@ object TsdbAggSpec {
   final case class MaxOf(col: String) extends Desc
 }
 
+/** Pushed LIMIT/top-N, normalized to the directory walk that answers it:
+  * sort the (tag, window) directories by `prefix` (the directory-encoded
+  * PREFIX of the query's sort keys — column name plus ascending flag;
+  * empty for a bare LIMIT), then keep directories in that order until
+  * their cumulative row count covers `limit`, extending through boundary
+  * ties on the prefix key. Partial pushdown: Spark re-sorts and re-limits
+  * the surviving rows, so row-level suffix keys (ts, seq) stay correct.
+  */
+final case class TsdbTopNSpec(prefix: Seq[(String, Boolean)], limit: Int)
+
 final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = TsdbSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var aggSpec: Option[TsdbAggSpec] = None
+  private var topNSpec: Option[TsdbTopNSpec] = None
+
+  // ---------------------------------------------- limit / top-N pushdown
+  // The reference's newest-first index scan (readIndex walks window
+  // directories newest-first and stops at the page budget) as a DSv2
+  // optimization: when the query's sort prefix is directory-encoded —
+  // `ORDER BY partition_start DESC ... LIMIT k` is exactly the serving
+  // pattern — the source walks directories in that order and keeps only
+  // enough to cover k rows (footer row counts, no data read). Rows in a
+  // dropped directory sort strictly after every kept row on the prefix,
+  // so the kept set is a superset of any true top-k; Spark's final
+  // sort+limit (partial pushdown) handles row-level suffix keys.
+
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushLimit(n: Int): Boolean = {
+    if (aggSpec.nonEmpty) return false // defensive: never co-offered by Spark
+    topNSpec = Some(TsdbTopNSpec(Nil, n))
+    true
+  }
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (aggSpec.nonEmpty) return false
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val prefix = orders.toSeq
+      .map(o => (refName(o.expression()),
+        o.direction() == SortDirection.ASCENDING))
+      .takeWhile(_._1.exists(Set("tag", "partition_start")))
+      .map { case (c, asc) => (c.get, asc) }
+    if (prefix.isEmpty) return false
+    topNSpec = Some(TsdbTopNSpec(prefix, n))
+    true
+  }
 
   // ---------------------------------------------- aggregate pushdown
   // The 100 TB metadata path: COUNT/MIN/MAX over the layout need only
@@ -242,7 +289,7 @@ final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long)
     required = requiredSchema
 
   override def build(): Scan =
-    new TsdbScan(nsRoot, tier, width, required, pushed, aggSpec)
+    new TsdbScan(nsRoot, tier, width, required, pushed, aggSpec, topNSpec)
 }
 
 final class TsdbScan(
@@ -251,7 +298,8 @@ final class TsdbScan(
     width: Long,
     required: StructType,
     pushed: Array[Filter],
-    aggSpec: Option[TsdbAggSpec] = None)
+    aggSpec: Option[TsdbAggSpec] = None,
+    topNSpec: Option[TsdbTopNSpec] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -269,7 +317,8 @@ final class TsdbScan(
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    if (Seq("tag", "partition_start").forall(readSchema().fieldNames.contains))
+    if (perDirSplits &&
+      Seq("tag", "partition_start").forall(readSchema().fieldNames.contains))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(
           org.apache.spark.sql.connector.expressions.Expressions.identity("tag"),
@@ -277,7 +326,7 @@ final class TsdbScan(
         planned._1.length)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-        planned._1.length)
+        groupedSplits.length)
   }
 
   /** Post-prune size estimate from the surviving directories' file
@@ -407,11 +456,98 @@ final class TsdbScan(
         }
       }
     }
-    (parts.toArray, total)
+    (applyTopN(parts.toArray), total)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    planned._1.toArray[InputPartition]
+  /** Footer row count of a directory's files (driver-side metadata read —
+    * the same walk the reference's readIndex does newest-first).
+    */
+  private def dirRows(p: TsdbInputPartition): Long = {
+    val conf = new Configuration()
+    p.files.iterator.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new HPath(f), conf)
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally fr.close()
+    }.sum
+  }
+
+  /** Keep only the directories a pushed LIMIT/top-N needs: sort by the
+    * directory-encoded sort prefix, accumulate footer row counts until
+    * the limit is covered, then extend through boundary ties on the
+    * prefix key (two directories can share a prefix value — e.g. the same
+    * window across tags — and dropping a tied one could lose true top-k
+    * rows).
+    */
+  private def applyTopN(parts: Array[TsdbInputPartition]): Array[TsdbInputPartition] =
+    topNSpec match {
+      case None => parts
+      case Some(TsdbTopNSpec(prefix, limit)) =>
+        def key(p: TsdbInputPartition): Seq[Any] = prefix.map {
+          case ("tag", _) => p.tag
+          case ("partition_start", _) => p.partitionStart
+        }
+        val ord: Ordering[TsdbInputPartition] = new Ordering[TsdbInputPartition] {
+          override def compare(x: TsdbInputPartition, y: TsdbInputPartition): Int = {
+            val it = prefix.iterator
+            while (it.hasNext) {
+              val (c, asc) = it.next()
+              val cmp = c match {
+                case "tag" => x.tag.compareTo(y.tag)
+                case "partition_start" =>
+                  java.lang.Long.compare(x.partitionStart, y.partitionStart)
+              }
+              if (cmp != 0) return if (asc) cmp else -cmp
+            }
+            0
+          }
+        }
+        val sorted = parts.sorted(ord)
+        var acc = 0L
+        var cut = 0
+        while (cut < sorted.length && acc < limit.toLong) {
+          acc += dirRows(sorted(cut)); cut += 1
+        }
+        // boundary ties on the prefix key (a bare LIMIT has no prefix and
+        // therefore no tie rule — any covering set of directories is valid)
+        if (prefix.nonEmpty) {
+          while (cut < sorted.length &&
+            key(sorted(cut)) == key(sorted(cut - 1))) cut += 1
+        }
+        sorted.take(cut)
+    }
+
+  /** Whether to keep ONE split per directory (required for
+    * KeyGroupedPartitioning / storage-partitioned execution) or to
+    * coalesce many directories into one task. Per-dir splits at a small
+    * SF mean thousands of near-empty tasks whose scheduling dominates the
+    * scan (measured 7.8 s for a 3,720-dir metadata walk); grouped splits
+    * cut that to ~3 tasks/core. Storage-partitioned execution needs the
+    * per-dir shape, so it wins when v2 bucketing is on — except in agg
+    * mode, where Spark's final merge shuffles the one-row-per-dir output
+    * anyway and grouping loses nothing.
+    */
+  private def perDirSplits: Boolean =
+    aggSpec.isEmpty && (try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    catch { case _: Throwable => false })
+
+  private def groupedSplits: Array[InputPartition] = {
+    val parts = planned._1
+    if (perDirSplits) return parts.toArray[InputPartition]
+    val slots = math.max(1,
+      try org.apache.spark.sql.SparkSession.active.sparkContext
+        .defaultParallelism * 3
+      catch { case _: Throwable => 32 })
+    if (parts.length <= slots) parts.toArray[InputPartition]
+    else Array.tabulate(slots)(i =>
+      TsdbManyDirPartition(
+        parts.zipWithIndex.filter(_._2 % slots == i).map(_._1)))
+      .filter(_.dirs.nonEmpty).toArray[InputPartition]
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = groupedSplits
 
   override def createReaderFactory(): PartitionReaderFactory =
     aggSpec match {
@@ -424,8 +560,12 @@ final class TsdbScan(
     val aggs = aggSpec.fold("")(s =>
       s"PushedAggregates: [${s.aggs.mkString(", ")}] " +
         s"GroupBy: [${s.groupCols.mkString(", ")}], ")
+    val topn = topNSpec.fold("")(s =>
+      s"PushedTopN: [${s.prefix.map { case (c, asc) =>
+        s"$c ${if (asc) "ASC" else "DESC"}" }.mkString(", ")}] " +
+        s"limit=${s.limit}, ")
     s"TsdbScan tier=$tier dirs=$kept/$total " +
-      aggs +
+      aggs + topn +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${readSchema().simpleString}"
   }
@@ -442,14 +582,53 @@ final case class TsdbInputPartition(
     new GenericInternalRow(Array[Any](UTF8String.fromString(tag), partitionStart))
 }
 
+/** Many directories in one task — the coalesced shape used whenever
+  * storage-partitioned execution isn't in play (no partition key: the
+  * split spans keys).
+  */
+final case class TsdbManyDirPartition(dirs: Array[TsdbInputPartition])
+    extends InputPartition
+
+private object TsdbSplit {
+  def dirsOf(partition: InputPartition): Array[TsdbInputPartition] =
+    partition match {
+      case one: TsdbInputPartition => Array(one)
+      case many: TsdbManyDirPartition => many.dirs
+    }
+}
+
 final case class TsdbReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TsdbPartitionReader(partition.asInstanceOf[TsdbInputPartition], schema)
+    new TsdbMultiDirReader(TsdbSplit.dirsOf(partition),
+      d => new TsdbPartitionReader(d, schema))
+}
+
+/** Chains per-directory readers across a coalesced split. */
+final class TsdbMultiDirReader(
+    dirs: Array[TsdbInputPartition],
+    mk: TsdbInputPartition => PartitionReader[InternalRow])
+    extends PartitionReader[InternalRow] {
+  private var i = 0
+  private var cur: PartitionReader[InternalRow] = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (i >= dirs.length) return false
+        cur = mk(dirs(i)); i += 1
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 final case class TsdbAggReaderFactory(spec: TsdbAggSpec) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TsdbAggPartitionReader(partition.asInstanceOf[TsdbInputPartition], spec)
+    new TsdbMultiDirReader(TsdbSplit.dirsOf(partition),
+      d => new TsdbAggPartitionReader(d, spec))
 }
 
 /** Executor-side FOOTER aggregate reader: one pre-aggregated row per

@@ -186,6 +186,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("GroupBy: [tag, partition_start]"), p.take(2000))
   }
 
+  test("ts_dsv2_topn_read: the newest-first limit reaches the connector") {
+    val df = SparkEntry.queries("ts_dsv2_topn_read")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedTopN: [partition_start DESC, tag ASC]"),
+      p.take(2000))
+    // and the walk kept a strict subset of the window directories
+    val m = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(p)
+    assert(m.exists(x => x.group(1).toInt < x.group(2).toInt), p.take(2000))
+  }
+
   test("rel_scd2_merge: both windows share ONE shuffle on the dimension key") {
     val p = plan("rel_scd2_merge")
     // lag-mark, version row_number and valid_to lead all partition by

@@ -347,6 +347,48 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggRows(agg) == want)
   }
 
+  // --------------------------------------- limit / top-N pushdown (dirs)
+
+  test("topN pushdown: newest-first limit walks only the newest window dirs") {
+    // ORDER BY partition_start DESC LIMIT 2 — the reference's readIndex
+    // shape. Window 15 holds 2 rows (a18 + b16), so ONE window layer
+    // covers the limit; ties on the boundary (both dirs share ps=15)
+    // keep both dirs.
+    val df = store.connectorDF("hot")
+      .orderBy(col("partition_start").desc, col("tag"), col("ts"))
+      .limit(2)
+    val plan = scanDesc(df)
+    // the whole dir-encoded prefix (ps DESC, tag ASC) pushes; `ts` stays
+    // with Spark's final TakeOrdered
+    assert(plan.contains("PushedTopN: [partition_start DESC, tag ASC]"),
+      s"plan:\n$plan")
+    val m = "dirs=(\\d+)/".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(m.exists(_ <= 2), s"expected <=2 surviving dirs, plan:\n$plan")
+    val want = store.hotDF.select(Cols.map(col): _*)
+      .orderBy(col("partition_start").desc, col("tag"), col("ts"))
+      .limit(2).collect().map(_.toSeq).toSeq
+    assert(df.select(Cols.map(col): _*).collect().map(_.toSeq).toSeq == want)
+  }
+
+  test("bare LIMIT pushdown keeps just enough directories") {
+    val df = store.connectorDF("hot").limit(3)
+    val plan = scanDesc(df)
+    assert(plan.contains("PushedTopN: [] limit=3"), s"plan:\n$plan")
+    // any 3 rows are a valid LIMIT result; row-count is the contract
+    assert(df.count() === 3L)
+  }
+
+  test("topN pushdown refused when the leading sort key is row-level") {
+    val df = store.connectorDF("hot")
+      .orderBy(col("ts").desc).limit(2)
+    val plan = scanDesc(df)
+    assert(!plan.contains("PushedTopN"), s"plan:\n$plan")
+    val want = store.hotDF.select(Cols.map(col): _*)
+      .orderBy(col("ts").desc).limit(2)
+      .collect().map(_.toSeq).toSeq
+    assert(df.select(Cols.map(col): _*).collect().map(_.toSeq).toSeq == want)
+  }
+
   test("agg pushdown refused for string min/max and for residual row filters") {
     // min over a string column: parquet binary stats may truncate — the
     // source refuses, Spark reads rows, result still correct

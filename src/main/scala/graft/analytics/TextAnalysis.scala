@@ -403,6 +403,35 @@ object TextAnalysis {
       .drop("ws", "text")
   }
 
+  /** Character-diversity quality signal via the Simpson collision index:
+    * `Σ n_c·(n_c−1) / (N·(N−1))` — the probability two random character
+    * draws collide. High collision = repetitive/degenerate text (the
+    * signal entropy-based filters compute), but unlike entropy there is
+    * no transcendental function anywhere: the index is one exact-integer
+    * division, so the double is bit-identical in any engine. Per-char
+    * counts come from `length(text) − length(replace(text, c))` over the
+    * corpus alphabet — an alphabet-bounded PROJECTION (no explode, no
+    * shuffle), the shape that scans 100 TB untouched.
+    */
+  val Alphabet: Seq[String] = ("abcdefghijklmnopqrstuvwxyz".map(_.toString) :+ " ")
+
+  def charDiversity(docs: DataFrame): DataFrame = {
+    val counts = Alphabet.map { ch =>
+      (length(col("text")) -
+        length(expr(s"replace(text, '$ch', '')"))).cast("long")
+    }
+    val n = length(col("text")).cast("long")
+    val simpson = counts.map(c => c * (c - 1L)).reduce(_ + _)
+    val distinct = counts.map(c => when(c > 0L, 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      n.as("n_chars_total"),
+      distinct.as("distinct_chars"),
+      simpson.as("simpson_num"),
+      when(n > 1L, simpson.cast("double") / (n * (n - 1L)).cast("double"))
+        .as("collision_prob"))
+  }
+
   /** PII pattern set for [[piiScrub]] — deliberately simple character
     * classes that parse identically under Java regex (Spark) and RE2
     * (most SQL engines), so detection counts and the redacted text are

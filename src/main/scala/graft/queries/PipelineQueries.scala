@@ -40,6 +40,43 @@ object PipelineQueries {
     s"list_sum(list_transform(range(1, len($av)+1), i -> $av[i]*$bv[i])) * 1.0" +
       s" / (sqrt($an) * sqrt($bn))"
 
+  /** The product-quantization oracle chain (after QuantCte): fixed-16
+    * codebook from the md5 seed order, per-subspace L2 encode (4×16-dim
+    * slices of the 64-dim vectors), per-query LUT, exact-integer ADC sum,
+    * rank — mirrors [[graft.analytics.Similarity.pqTopK]] bit-for-bit.
+    * Ends with `pqrk(query_id, neighbor_id, adc_dot, rank)`.
+    */
+  private val PqChainCtes =
+    """sd AS (SELECT vec_id, v,
+      |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |           - 1 AS cpos
+      |       FROM qn ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |ms AS (SELECT unnest(range(0, 4)) AS m),
+      |cd AS (SELECT m, cpos, v[m*16+1 : m*16+16] AS cv FROM sd CROSS JOIN ms),
+      |cdn AS (SELECT m, cpos, cv,
+      |          list_sum(list_transform(cv, x -> x*x)) AS cnrm FROM cd),
+      |sb AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
+      |       FROM qn CROSS JOIN ms),
+      |sbn AS (SELECT vec_id, m, sv,
+      |          list_sum(list_transform(sv, x -> x*x)) AS snrm FROM sb),
+      |asg AS (SELECT vec_id, m, cpos,
+      |          row_number() OVER (PARTITION BY vec_id, m
+      |            ORDER BY snrm + cnrm
+      |              - 2 * list_sum(list_transform(range(1, 17),
+      |                    i -> sv[i]*cv[i])) ASC, cpos) AS rn
+      |        FROM sbn JOIN cdn USING (m)),
+      |enc AS (SELECT vec_id, m, cpos FROM asg WHERE rn = 1),
+      |lut AS (SELECT q.vec_id AS query_id, c.m, c.cpos,
+      |          list_sum(list_transform(range(1, 17),
+      |            i -> q.sv[i]*c.cv[i])) AS pdot
+      |        FROM sbn q JOIN cdn c USING (m) WHERE q.vec_id % 20 = 0),
+      |pqsc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+      |         CAST(sum(l.pdot) AS BIGINT) AS adc_dot
+      |       FROM enc e JOIN lut l ON e.m = l.m AND e.cpos = l.cpos
+      |       WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
+      |pqrk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY adc_dot DESC, neighbor_id) AS rank FROM pqsc)""".stripMargin
+
   /** Fixed-k deterministic centroid seed — mirrors
     * [[graft.analytics.Similarity]]'s `seedSubset` (k smallest
     * `md5(vec_id)`, vec_id tie-break) bit-for-bit. Constant in corpus size.
@@ -1213,37 +1250,85 @@ object PipelineQueries {
         .orderBy("query_id", "rank"),
       Some(s"""
         WITH $QuantCte,
-        sd AS (SELECT vec_id, v,
-                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-                   - 1 AS cpos
-               FROM qn ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        ms AS (SELECT unnest(range(0, 4)) AS m),
-        cd AS (SELECT m, cpos, v[m*16+1 : m*16+16] AS cv FROM sd CROSS JOIN ms),
-        cdn AS (SELECT m, cpos, cv,
-                  list_sum(list_transform(cv, x -> x*x)) AS cnrm FROM cd),
-        sb AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
-               FROM qn CROSS JOIN ms),
-        sbn AS (SELECT vec_id, m, sv,
-                  list_sum(list_transform(sv, x -> x*x)) AS snrm FROM sb),
-        asg AS (SELECT vec_id, m, cpos,
-                  row_number() OVER (PARTITION BY vec_id, m
-                    ORDER BY snrm + cnrm
-                      - 2 * list_sum(list_transform(range(1, 17),
-                            i -> sv[i]*cv[i])) ASC, cpos) AS rn
-                FROM sbn JOIN cdn USING (m)),
-        enc AS (SELECT vec_id, m, cpos FROM asg WHERE rn = 1),
-        lut AS (SELECT q.vec_id AS query_id, c.m, c.cpos,
-                  list_sum(list_transform(range(1, 17),
-                    i -> q.sv[i]*c.cv[i])) AS pdot
-                FROM sbn q JOIN cdn c USING (m) WHERE q.vec_id % 20 = 0),
-        sc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
-                 CAST(sum(l.pdot) AS BIGINT) AS adc_dot
-               FROM enc e JOIN lut l ON e.m = l.m AND e.cpos = l.cpos
-               WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
-        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY adc_dot DESC, neighbor_id) AS rank FROM sc)
-        SELECT query_id, rank, neighbor_id, adc_dot FROM rk
+        $PqChainCtes
+        SELECT query_id, rank, neighbor_id, adc_dot FROM pqrk
         WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- PQ recall evaluation: ADC vs exact brute force ----
+    // The quality dial of the compression trade: per query,
+    // |PQ top-5 ∩ exact top-5| / 5 — what a pipeline watches when
+    // choosing M (subspaces) and K (codebook size). Both sides reuse the
+    // registered operators; the compare is a (queries × k) join.
+    QueryDef("sim_pq_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val exact = Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.pqTopK(emb, k = 5, queryModulo = 20,
+          numSubspaces = 4, codebookSize = 16)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("query_id"), "left_outer")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall",
+            col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        $PqChainCtes,
+        approx AS (SELECT query_id, neighbor_id FROM pqrk WHERE rank <= 5),
+        bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 20 = 0),
+        bscored AS (SELECT query_id, vec_id AS neighbor_id,
+                      ${cosSql("qv", "qnrm", "v", "nrm")} AS cos
+                    FROM qn CROSS JOIN bq WHERE vec_id <> query_id),
+        branked AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM bscored),
+        exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+        hits AS (SELECT e.query_id, count(*) AS n_hits
+                 FROM exact e JOIN approx a
+                   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+                 GROUP BY 1),
+        ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+        SELECT ne.query_id, n_exact, coalesce(n_hits, 0) AS n_hits,
+               coalesce(n_hits, 0) * 1.0 / n_exact AS recall
+        FROM ne LEFT JOIN hits USING (query_id) ORDER BY query_id""")),
+
+    // ---- character-diversity quality signal (Simpson collision index) ----
+    // The repetitiveness signal entropy filters compute, WITHOUT a
+    // transcendental: one exact-integer division per doc, so the double
+    // hash-matches in any engine. Alphabet-bounded projection — no
+    // explode, no shuffle.
+    QueryDef("tx_char_diversity",
+      (s, dir) => TextAnalysis.charDiversity(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some {
+        val perChar = (TextAnalysis.Alphabet.map { ch =>
+          s"(length(text) - length(replace(text, '$ch', '')))"
+        })
+        val simpson = perChar
+          .map(c => s"CAST($c AS BIGINT) * (CAST($c AS BIGINT) - 1)")
+          .mkString(" + ")
+        val distinct = perChar.map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_total,
+               CAST($distinct AS BIGINT) AS distinct_chars,
+               CAST($simpson AS BIGINT) AS simpson_num,
+               CASE WHEN length(text) > 1 THEN
+                 CAST($simpson AS DOUBLE) /
+                 CAST(CAST(length(text) AS BIGINT)
+                      * (CAST(length(text) AS BIGINT) - 1) AS DOUBLE)
+               END AS collision_prob
+        FROM documents ORDER BY doc_id"""
+      }),
 
     // ---- bounded-round label-propagation communities ----
     // The fixed-cost community structure over the near-dup graph: after

@@ -448,6 +448,30 @@ object StreamMultimodalQueries {
                (count(*) - 1) * CAST(max(length(text)) AS BIGINT) AS wasted_bytes
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // ---- streaming: SCD2 dimension maintenance (parity with rel_scd2_merge) ----
+    // Per-customer StatefulProcessor merges each batch's orders into the
+    // history cell and re-emits the merge-on-change version chain —
+    // out-of-order-safe (see streamingScd2's scaladoc on why exact SCD2
+    // state is the history, not the chain). Shares the batch oracle.
+    QueryDef("st_scd2",
+      (s, dir) => StreamingIngest.streamingScd2(s, dir),
+      Some("""
+        WITH o AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+                     epoch_ms(o_orderdate) AS ms FROM orders),
+        m AS (SELECT *, lag(o_orderpriority) OVER w AS prev FROM o
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY ms, o_orderkey)),
+        c AS (SELECT * FROM m
+              WHERE prev IS NULL OR prev <> o_orderpriority),
+        v AS (SELECT o_custkey AS custkey, o_orderpriority AS priority,
+                ms AS valid_from,
+                row_number() OVER w2 AS version,
+                lead(ms) OVER w2 AS valid_to
+              FROM c WINDOW w2 AS (PARTITION BY o_custkey
+                                   ORDER BY ms, o_orderkey))
+        SELECT custkey, version, priority, valid_from, valid_to,
+               CAST(valid_to IS NULL AS INT) AS is_current
+        FROM v ORDER BY custkey, version""")),
+
     // ---- streaming: 3-sigma anomaly flags (parity with ts_anomaly) ----
     // Profile from a batch pass (like st_histogram's bounds), then a
     // stream-static broadcast join + stateless filter: zero streaming

@@ -461,6 +461,48 @@ object StreamingIngest {
     drain(out, "complete").orderBy("tag", "bucket")
   }
 
+  /** Streaming SCD2 dimension maintenance — stream/batch parity with
+    * `rel_scd2_merge`. Each micro-batch merges its orders into the
+    * per-customer history cell, recomputes the merge-on-change version
+    * chain, and emits the refreshed chain.
+    *
+    * State is the FULL per-key order history, not the collapsed chain —
+    * that is inherent to exact out-of-order SCD2: an early-timestamped
+    * arrival can turn a previously-collapsed same-priority order into a
+    * change point, which the collapsed chain alone cannot recover. A
+    * production deployment bounds this with event-time finalization (a
+    * watermark past which history compacts to the chain); here the
+    * history cell is the honest streaming rendering. Shares
+    * `rel_scd2_merge`'s oracle.
+    */
+  def streamingScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val orders = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(sfDir)
+      .select(col("o_custkey").as("custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_orderkey").as("okey"),
+        col("o_orderpriority").as("priority"))
+      .as[ScdOrder]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = orders.groupByKey(_.custkey)
+        .transformWithState(new Scd2Processor, TimeMode.None(), OutputMode.Append())
+        .toDF()
+      drain(out, "append").orderBy("custkey", "version")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   /** Streaming 3σ anomaly flagging — stream/batch parity with
     * `ts_anomaly`. The per-tag population profile (count, Σx, Σx² over
     * cent-quantized values) comes from a batch profile pass, exactly like
@@ -500,6 +542,60 @@ final case class ResEntry(source: String, sample_rank: Int, doc_id: Long)
   * (md5, doc_id) pairs seen so far — O(k) fixed-size state per stratum.
   */
 final case class ResBuf(hs: Array[String], ids: Array[Long])
+
+/** Input row shape for the streaming SCD2 builder. */
+final case class ScdOrder(custkey: Long, ms: Long, okey: Long, priority: String)
+
+/** ValueState cell of the streaming SCD2 builder: the per-key order
+  * history as parallel arrays (see streamingScd2's scaladoc for why exact
+  * SCD2 keeps history, not the collapsed chain).
+  */
+final case class ScdHist(ms: Array[Long], okey: Array[Long], prio: Array[String])
+
+/** One emitted SCD2 version row — schema-identical to rel_scd2_merge. */
+final case class ScdVersion(custkey: Long, version: Int, priority: String,
+    valid_from: Long, valid_to: Option[Long], is_current: Int)
+
+/** Per-customer SCD2 maintenance as a Spark 4 `StatefulProcessor`: merge
+  * the batch's orders into the history cell (deduped on (ms, okey) — a
+  * replayed order is idempotent), rebuild the merge-on-change chain, emit
+  * the refreshed version rows.
+  */
+class Scd2Processor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ScdOrder, ScdVersion] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var hist: ValueState[ScdHist] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    hist = getHandle.getValueState[ScdHist]("scd2hist",
+      org.apache.spark.sql.Encoders.product[ScdHist], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ScdOrder],
+      timerValues: TimerValues): Iterator[ScdVersion] = {
+    val prev: Seq[(Long, Long, String)] =
+      if (hist.exists()) {
+        val h = hist.get()
+        h.ms.indices.map(i => (h.ms(i), h.okey(i), h.prio(i)))
+      } else Seq.empty
+    val all = (prev ++ rows.map(r => (r.ms, r.okey, r.priority)))
+      .distinctBy(t => (t._1, t._2))
+      .sortBy(t => (t._1, t._2))
+    if (all.isEmpty) return Iterator.empty
+    hist.update(ScdHist(all.map(_._1).toArray, all.map(_._2).toArray,
+      all.map(_._3).toArray))
+    // collapse consecutive same-priority runs to change points
+    val changes = all.foldLeft(Vector.empty[(Long, String)]) {
+      case (acc, (ms, _, p)) =>
+        if (acc.nonEmpty && acc.last._2 == p) acc else acc :+ (ms -> p)
+    }
+    changes.iterator.zipWithIndex.map { case ((from, p), i) =>
+      ScdVersion(key, i + 1, p, from,
+        if (i + 1 < changes.length) Some(changes(i + 1)._1) else None,
+        if (i + 1 == changes.length) 1 else 0)
+    }
+  }
+}
 
 /** Input row shape for the streaming top-k operator. */
 final case class TopEvent(tag: String, cents: Long, event_id: Long)

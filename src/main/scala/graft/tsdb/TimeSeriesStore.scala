@@ -389,7 +389,15 @@ final class TimeSeriesStore(
     maintenanceLease.withLease {
     val withPart = df
       .withColumn("partition_start", col("ts") - (col("ts") % lit(settings.partitionWidth)))
-    withPart.write.mode("append")
+    // Co-locate each (tag, window) group before the partitioned write:
+    // without this, EVERY upstream task writes its own small file into
+    // every directory it has a row for — a 32-task ingest across 3,720
+    // hour windows left ~100k tiny files whose open cost then dominated
+    // every scan (measured 5-7 s on the sf0.1 connector queries). The
+    // REBALANCE hint is the skew-safe form: AQE coalesces small groups
+    // AND splits oversized ones, so one hot window cannot pin a task.
+    withPart.hint("rebalance", col("tag"), col("partition_start"))
+      .write.mode("append")
       .partitionBy("tag", "partition_start")
       .parquet(hotDir.toString)
     // activity rows are one per touched PARTITION (bounded, small) — the

@@ -187,4 +187,94 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.nonEmpty)
     assert(stream.toSeq === batch.toSeq)
   }
+
+  // ---- streaming SCD2 parity ----
+
+  test("st_scd2: stateful streaming build equals the batch rel_scd2_merge") {
+    val batch = q("rel_scd2_merge").collect().map(_.toString).sorted
+    val stream = q("st_scd2").collect().map(_.toString).sorted
+    assert(stream.nonEmpty)
+    assert(stream.toSeq === batch.toSeq)
+  }
+
+  test("Scd2Processor: a late early-timestamped order rebuilds the chain correctly") {
+    // A(p1) then C(p1) collapse to one version; a LATE arrival B(p2)
+    // between them must split the run — C becomes a change point again.
+    // This is exactly the case that forces history (not chain) state.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[graft.streaming.ScdOrder](
+        implicitly[org.apache.spark.sql.Encoder[graft.streaming.ScdOrder]], spark)
+      val out = in.toDS().groupByKey(_.custkey)
+        .transformWithState(new graft.streaming.Scd2Processor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+      val qy = out.writeStream.outputMode("append")
+        .format("memory").queryName("scd2_late").start()
+      try {
+        in.addData(graft.streaming.ScdOrder(1L, 100L, 1L, "p1"),
+          graft.streaming.ScdOrder(1L, 300L, 3L, "p1"))
+        qy.processAllAvailable()
+        in.addData(graft.streaming.ScdOrder(1L, 200L, 2L, "p2"))
+        qy.processAllAvailable()
+      } finally qy.stop()
+      // the LAST emitted chain (second batch) must be p1@100 → p2@200 → p1@300
+      val rows = spark.table("scd2_late").collect()
+        .map(r => (r.getAs[Int]("version"), r.getAs[String]("priority"),
+          r.getAs[Long]("valid_from")))
+      val finalChain = rows.groupBy(_._1).map { case (_, vs) => vs.last }.toSeq.sorted
+      assert(finalChain.containsSlice(Seq((1, "p1", 100L), (2, "p2", 200L), (3, "p1", 300L))),
+        s"got $finalChain")
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None    => spark.conf.unset(pk)
+    }
+  }
+
+  // ---- char diversity ----
+
+  test("charDiversity: Simpson index matches a locally computed value") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab"), (2L, "abab"), (3L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.charDiversity(docs).orderBy("doc_id").collect()
+    // "aab": n_a=2, n_b=1 → simpson 2·1 = 2; N=3 → prob 2/6
+    assert(got(0).getAs[Long]("simpson_num") === 2L)
+    assert(got(0).getAs[Double]("collision_prob") === 2.0 / 6.0)
+    assert(got(0).getAs[Long]("distinct_chars") === 2L)
+    // "abab": 2·1 + 2·1 = 4; N=4 → 4/12
+    assert(got(1).getAs[Long]("simpson_num") === 4L)
+    assert(got(1).getAs[Double]("collision_prob") === 4.0 / 12.0)
+    // single char: simpson 0, prob NULL (N ≤ 1)
+    assert(got(2).getAs[Long]("simpson_num") === 0L)
+    assert(got(2).isNullAt(got(2).fieldIndex("collision_prob")))
+  }
+
+  test("tx_char_diversity: alphabet covers the corpus; probabilities bounded") {
+    val rows = q("tx_char_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("collision_prob")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("distinct_chars") <= TextAnalysis.Alphabet.length.toLong)
+    }
+  }
+
+  // ---- PQ recall ----
+
+  test("sim_pq_recall: recall bounded, exact side always k-deep") {
+    val rows = q("sim_pq_recall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === 5L)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hits") <= 5L)
+    }
+  }
 }

@@ -253,6 +253,37 @@ object EventsQueries {
                max(event_id) AS last_seq, count(*) AS n_writes
         FROM events GROUP BY 1, 2 ORDER BY tag, bucket_ts""")),
 
+    // the LWW total order as a REGISTERED typed UDAF (§2.2's candidate
+    // custom aggregate made real): the same per-minute collapse as
+    // ts_lww_dedup but through `lww_value(...)` called from a SQL string —
+    // proving the Aggregator's reduce/merge implement the identical
+    // (ingestTs, seq, writerId) order as the max_by form and the
+    // streaming processors. Buffer = ONE winner tuple per group (O(1),
+    // map-side combined).
+    QueryDef("ts_lww_udaf",
+      (s, dir) => {
+        graft.functions.LwwAggregator.register(s)
+        ev(s, dir).createOrReplaceTempView("events_lww_udaf")
+        s.sql("""
+          SELECT event_type AS tag,
+                 ts_ms - (ts_ms % 60000) AS bucket_ts,
+                 CAST(lww_value(CAST(value AS STRING), ts_ms, event_id, 'w')
+                      AS DOUBLE) AS last_value,
+                 count(*) AS n_writes
+          FROM events_lww_udaf
+          GROUP BY 1, 2 ORDER BY tag, bucket_ts""")
+      },
+      Some(s"""
+        SELECT tag, bucket_ts, last_value, n_writes FROM (
+          SELECT event_type AS tag, $MS - ($MS % 60000) AS bucket_ts,
+                 value AS last_value, count(*) OVER w AS n_writes,
+                 row_number() OVER (PARTITION BY event_type,
+                                    $MS - ($MS % 60000)
+                                    ORDER BY $MS DESC, event_id DESC) AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY event_type, $MS - ($MS % 60000)))
+        WHERE rn = 1 ORDER BY tag, bucket_ts""")),
+
     // #7 — multi-tag scatter-gather range read (consumer-test.js:1135-1162):
     // a broadcast range-join against the ranges table replaces the
     // reference's client-side per-tag fan-out + merge.

@@ -555,6 +555,28 @@ final class TsdbScan(
       case None => TsdbReaderFactory(required)
     }
 
+  // ---------------------------------------------- observability
+  // Custom SQL metrics (Spark UI / SQLMetrics): what the 100 TB operator
+  // actually wants to see on a scan — how many directories the pruning
+  // kept, how many files were physically opened, and how many rows were
+  // answered from footer metadata alone (the agg-pushdown path's whole
+  // point). Task metrics sum across executors; the directory counts are
+  // driver metrics reported at planning.
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(
+      TsdbMetrics.sum("filesOpened", "data files opened"),
+      TsdbMetrics.sum("rowsFromFooters", "rows answered from footer metadata"),
+      TsdbMetrics.sum("dirsKept", "directories kept after pruning"),
+      TsdbMetrics.sum("dirsTotal", "directories seen before pruning"))
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val (kept, total) = (planned._1.length.toLong, planned._2.toLong)
+    Array(TsdbMetrics.task("dirsKept", kept), TsdbMetrics.task("dirsTotal", total))
+  }
+
   override def description(): String = {
     val (kept, total) = (planned._1.length, planned._2)
     val aggs = aggSpec.fold("")(s =>
@@ -597,16 +619,42 @@ private object TsdbSplit {
     }
 }
 
+/** Shared mutable counters one reader (or a multi-dir chain) accumulates
+  * into; surfaced as DSv2 custom task metrics.
+  */
+final class TsdbReadCounters {
+  var filesOpened: Long = 0L
+  var rowsFromFooters: Long = 0L
+}
+
+object TsdbMetrics {
+  def sum(n: String, desc: String)
+      : org.apache.spark.sql.connector.metric.CustomMetric =
+    new org.apache.spark.sql.connector.metric.CustomSumMetric {
+      override def name(): String = n
+      override def description(): String = desc
+    }
+  def task(n: String, v: Long)
+      : org.apache.spark.sql.connector.metric.CustomTaskMetric =
+    new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
+}
+
 final case class TsdbReaderFactory(schema: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val counters = new TsdbReadCounters
     new TsdbMultiDirReader(TsdbSplit.dirsOf(partition),
-      d => new TsdbPartitionReader(d, schema))
+      d => new TsdbPartitionReader(d, schema, counters), counters)
+  }
 }
 
 /** Chains per-directory readers across a coalesced split. */
 final class TsdbMultiDirReader(
     dirs: Array[TsdbInputPartition],
-    mk: TsdbInputPartition => PartitionReader[InternalRow])
+    mk: TsdbInputPartition => PartitionReader[InternalRow],
+    counters: TsdbReadCounters)
     extends PartitionReader[InternalRow] {
   private var i = 0
   private var cur: PartitionReader[InternalRow] = _
@@ -623,12 +671,18 @@ final class TsdbMultiDirReader(
   }
   override def get(): InternalRow = cur.get()
   override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(TsdbMetrics.task("filesOpened", counters.filesOpened),
+      TsdbMetrics.task("rowsFromFooters", counters.rowsFromFooters))
 }
 
 final case class TsdbAggReaderFactory(spec: TsdbAggSpec) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val counters = new TsdbReadCounters
     new TsdbMultiDirReader(TsdbSplit.dirsOf(partition),
-      d => new TsdbAggPartitionReader(d, spec))
+      d => new TsdbAggPartitionReader(d, spec, counters), counters)
+  }
 }
 
 /** Executor-side FOOTER aggregate reader: one pre-aggregated row per
@@ -639,7 +693,8 @@ final case class TsdbAggReaderFactory(spec: TsdbAggSpec) extends PartitionReader
   * just that column of just that file; store-written files always carry
   * stats, so the fallback is a correctness net, not a hot path.
   */
-final class TsdbAggPartitionReader(p: TsdbInputPartition, spec: TsdbAggSpec)
+final class TsdbAggPartitionReader(p: TsdbInputPartition, spec: TsdbAggSpec,
+    counters: TsdbReadCounters = new TsdbReadCounters)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -657,6 +712,7 @@ final class TsdbAggPartitionReader(p: TsdbInputPartition, spec: TsdbAggSpec)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new HPath(file), conf)
     val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    counters.filesOpened += 1
     try {
       val blocks = fr.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
@@ -722,6 +778,7 @@ final class TsdbAggPartitionReader(p: TsdbInputPartition, spec: TsdbAggSpec)
     var maxs = Map.empty[String, Long]
     p.files.foreach { f =>
       val (rows, mm) = fileStats(f)
+      counters.rowsFromFooters += rows
       count += rows
       mm.foreach { case (c, (lo, hi)) =>
         mins = mins.updated(c, math.min(lo, mins.getOrElse(c, Long.MaxValue)))
@@ -751,7 +808,8 @@ final class TsdbAggPartitionReader(p: TsdbInputPartition, spec: TsdbAggSpec)
   * decoded) and synthesizes the directory-encoded `tag`/`partition_start`
   * values without touching the file bytes.
   */
-final class TsdbPartitionReader(p: TsdbInputPartition, schema: StructType)
+final class TsdbPartitionReader(p: TsdbInputPartition, schema: StructType,
+    counters: TsdbReadCounters = new TsdbReadCounters)
     extends PartitionReader[InternalRow] {
 
   private val physical: Seq[String] =
@@ -793,6 +851,7 @@ final class TsdbPartitionReader(p: TsdbInputPartition, schema: StructType)
           .builder(new GroupReadSupport(), new HPath(p.files(fileIdx)))
           .withConf(withProjection(p.files(fileIdx)))
           .build()
+        counters.filesOpened += 1
         fileIdx += 1
       }
       current = reader.read()

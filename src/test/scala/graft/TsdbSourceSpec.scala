@@ -389,6 +389,46 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select(Cols.map(col): _*).collect().map(_.toSeq).toSeq == want)
   }
 
+  // ------------------------------------------------ custom SQL metrics
+
+  private def scanMetrics(df: DataFrame): Map[String, Long] = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // descend through AQE query stages — a materialized stage is a leaf
+    // of the final plan whose own subtree holds the scan
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScans(s.plan)
+      }.flatten
+    val bs = findScans(finalPlan).head
+    bs.metrics.map { case (k, m) => k -> m.value }
+  }
+
+  test("custom metrics: row scans report files opened and pruning counts") {
+    val m = scanMetrics(store.connectorDF("hot").where(col("tag") === "beta"))
+    assert(m.get("filesOpened").exists(_ > 0L), m.toString)
+    assert(m.get("dirsKept").exists(_ > 0L), m.toString)
+    assert(m.get("dirsTotal").exists(t => m("dirsKept") < t), m.toString)
+    // a row scan answers nothing from footers
+    assert(m.get("rowsFromFooters").contains(0L), m.toString)
+  }
+
+  test("custom metrics: the footer-agg path reports metadata-answered rows") {
+    val m = scanMetrics(store.connectorDF("hot").groupBy("tag")
+      .agg(count(lit(1)).as("n")))
+    assert(m.get("rowsFromFooters").exists(_ > 0L), m.toString)
+    assert(m.get("filesOpened").exists(_ > 0L), m.toString)
+  }
+
   test("agg pushdown refused for string min/max and for residual row filters") {
     // min over a string column: parquet binary stats may truncate — the
     // source refuses, Spark reads rows, result still correct

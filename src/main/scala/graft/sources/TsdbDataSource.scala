@@ -460,17 +460,15 @@ final class TsdbScan(
   }
 
   /** Footer row count of a directory's files (driver-side metadata read —
-    * the same walk the reference's readIndex does newest-first).
+    * the same walk the reference's readIndex does newest-first). Served
+    * from [[graft.tsdb.FooterCache]]: repeat walks over the immutable
+    * layout cost two stat calls per file instead of a file open.
     */
   private def dirRows(p: TsdbInputPartition): Long = {
     val conf = new Configuration()
-    p.files.iterator.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new HPath(f), conf)
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally fr.close()
-    }.sum
+    p.files.iterator
+      .map(f => graft.tsdb.FooterCache.get(f, conf).rows)
+      .sum
   }
 
   /** Keep only the directories a pushed LIMIT/top-N needs: sort by the
@@ -709,51 +707,25 @@ final class TsdbAggPartitionReader(p: TsdbInputPartition, spec: TsdbAggSpec,
   }.distinct
 
   private def fileStats(file: String): (Long, Map[String, (Long, Long)]) = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new HPath(file), conf)
-    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    counters.filesOpened += 1
-    try {
-      val blocks = fr.getFooter.getBlocks.asScala.toSeq
-      val rows = blocks.map(_.getRowCount).sum
-      val perCol = statCols.flatMap { c =>
-        val colStats = blocks.filter(_.getRowCount > 0).map { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == c)
-            .map(_.getStatistics)
-            .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
-            .map(s => (s.genericGetMin.asInstanceOf[Number].longValue(),
-              s.genericGetMax.asInstanceOf[Number].longValue()))
-        }
-        if (colStats.exists(_.isEmpty)) None // some block lacks stats → rescan
-        else if (colStats.isEmpty) Some(c -> None) // 0-row file: no values
-        else Some(c -> Some((colStats.flatten.map(_._1).min,
-          colStats.flatten.map(_._2).max)))
-      }.collect { case (c, Some(mm)) => c -> mm }.toMap
-      val missing = statCols.filterNot(perCol.contains)
-        .filter(_ => blocks.exists(_.getRowCount > 0))
-      if (missing.isEmpty) (rows, perCol)
-      else (rows, perCol ++ rescan(file, missing))
-    } finally fr.close()
+    val meta = graft.tsdb.FooterCache.get(file, conf,
+      onMiss = () => counters.filesOpened += 1)
+    val have = statCols.filter(meta.stats.contains)
+      .map(c => c -> meta.stats(c)).toMap
+    val missing = statCols.filter(meta.statless.contains)
+    if (missing.isEmpty) (meta.rows, have)
+    else (meta.rows, have ++ rescan(file, missing))
   }
 
   /** Stats-less fallback: decode only `cols` of this one file. */
   private def rescan(file: String, cols: Seq[String]): Map[String, (Long, Long)] = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new HPath(file), conf)
-    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-    val proj = new org.apache.parquet.schema.MessageType(
-      "sample", cols.map(c => fileSchema.getType(Seq(c): _*)): _*)
-    val c2 = new Configuration(conf)
-    c2.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-    val reader = ParquetReader
-      .builder(new GroupReadSupport(), new HPath(file)).withConf(c2).build()
+    val reader = new graft.tsdb.ParquetIO.GroupFileStream(
+      Paths.get(file), Some(cols), conf)
+    counters.filesOpened += 1
     val mins = Array.fill(cols.length)(Long.MaxValue)
     val maxs = Array.fill(cols.length)(Long.MinValue)
     var any = false
     try {
-      var g = reader.read()
+      var g = reader.next()
       while (g != null) {
         any = true
         var i = 0
@@ -763,7 +735,7 @@ final class TsdbAggPartitionReader(p: TsdbInputPartition, spec: TsdbAggSpec,
           if (v > maxs(i)) maxs(i) = v
           i += 1
         }
-        g = reader.read()
+        g = reader.next()
       }
     } finally reader.close()
     if (!any) Map.empty
@@ -803,10 +775,17 @@ final class TsdbAggPartitionReader(p: TsdbInputPartition, spec: TsdbAggSpec,
   override def close(): Unit = ()
 }
 
-/** Executor-side reader: streams the directory's parquet files through a
-  * projection-pushed `GroupReadSupport` (only requested columns are
-  * decoded) and synthesizes the directory-encoded `tag`/`partition_start`
-  * values without touching the file bytes.
+/** Executor-side reader: streams the directory's parquet files through
+  * the projection-pushed local page reader
+  * ([[graft.tsdb.ParquetIO.GroupFileStream]] — one open per file, no
+  * Hadoop/checksum layer; only requested columns are decoded) and
+  * synthesizes the directory-encoded `tag`/`partition_start` values
+  * without touching the file bytes. The projection is built from each
+  * file's own footer schema (via the footer cache), because parquet's
+  * schema-containment check requires the requested repetition to match
+  * the file's, and a store legitimately mixes `required` files (the
+  * serving-path writer, ParquetIO.partFileSchema) with `optional` ones
+  * (the distributed bulk lane writes Spark-nullable columns).
   */
 final class TsdbPartitionReader(p: TsdbInputPartition, schema: StructType,
     counters: TsdbReadCounters = new TsdbReadCounters)
@@ -819,42 +798,21 @@ final class TsdbPartitionReader(p: TsdbInputPartition, schema: StructType,
   private val readCols = if (physical.isEmpty) Seq("seq") else physical
   private val conf = new Configuration()
 
-  /** Per-file projection: parquet's schema-containment check requires the
-    * requested repetition to match the file's, and a store legitimately
-    * mixes `required` files (the serving-path writer,
-    * ParquetIO.partFileSchema) with `optional` ones (the distributed bulk
-    * lane writes Spark-nullable columns) — so the projection is built from
-    * each file's own footer, selecting just the requested fields.
-    */
-  private def withProjection(file: String): Configuration = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new HPath(file), conf)
-    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-    val proj = new org.apache.parquet.schema.MessageType(
-      "sample", readCols.map(c => fileSchema.getType(Seq(c): _*)): _*)
-    val c = new Configuration(conf)
-    c.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-    c
-  }
-
   private val tagU8 = UTF8String.fromString(p.tag)
   private var fileIdx = 0
-  private var reader: ParquetReader[Group] = _
+  private var reader: graft.tsdb.ParquetIO.GroupFileStream = _
   private var current: Group = _
 
   override def next(): Boolean = {
     while (true) {
       if (reader == null) {
         if (fileIdx >= p.files.length) return false
-        reader = ParquetReader
-          .builder(new GroupReadSupport(), new HPath(p.files(fileIdx)))
-          .withConf(withProjection(p.files(fileIdx)))
-          .build()
+        reader = new graft.tsdb.ParquetIO.GroupFileStream(
+          Paths.get(p.files(fileIdx)), Some(readCols), conf)
         counters.filesOpened += 1
         fileIdx += 1
       }
-      current = reader.read()
+      current = reader.next()
       if (current != null) return true
       reader.close(); reader = null
     }

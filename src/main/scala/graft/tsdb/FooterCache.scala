@@ -1,0 +1,140 @@
+package graft.tsdb
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.LocalInputFile
+import org.apache.parquet.schema.MessageType
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+/** JVM-wide parquet-footer metadata cache for the store layout.
+  *
+  * Every metadata consumer in the engine — the DSv2 top-N directory walk
+  * (footer row counts), the footer-aggregate readers (row counts + int64
+  * column statistics), and the row readers' per-file projection (the
+  * file's own schema) — needs a few hundred bytes from a file's FOOTER,
+  * yet each footer open pays the full file-open cost, which on a layout
+  * of many small files dominates the query (measured: a 3,600-file
+  * metadata walk costs ~5 s at bench scale, >95% of it open overhead).
+  *
+  * Store data files are immutable once published (batch, flush,
+  * compaction, purge-ack and DSv2 commits always create NEW files and
+  * publish by atomic rename — same discipline as [[ParquetIO]]'s block
+  * cache), so footer metadata can be cached for the lifetime of the JVM
+  * and keyed by `(path, size, mtime)`: any replaced path misses and is
+  * re-read. This is the same footer/manifest caching layer every
+  * production table format runs (Iceberg's manifest cache, Delta's log
+  * snapshot cache, Spark's own `FileStatusCache`).
+  *
+  * Entries are a few hundred bytes (row count, schema ref, a handful of
+  * int64 min/max pairs); the LRU bound of 128k entries caps the cache at
+  * tens of MB. On a multi-executor cluster each executor warms its own
+  * cache — no coordination, correctness from the key alone.
+  */
+object FooterCache {
+
+  /** Footer facts for one immutable parquet file.
+    *
+    * @param rows     total row count (sum of block row counts)
+    * @param schema   the file's own schema (projection source)
+    * @param stats    int64 columns whose min/max is proven by footer
+    *                 statistics present on EVERY non-empty block
+    * @param statless int64 columns where some non-empty block lacks a
+    *                 usable statistic — consumers must rescan those
+    *                 columns (foreign writer / truncated stats; the
+    *                 store's own writers always populate them)
+    */
+  final case class Meta(
+      rows: Long,
+      schema: MessageType,
+      stats: Map[String, (Long, Long)],
+      statless: Set[String])
+
+  private val MaxEntries = 131072
+  private val cache =
+    new java.util.LinkedHashMap[(String, Long, Long), Meta](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Meta]): Boolean =
+        size() > MaxEntries
+    }
+
+  private def key(file: String): (String, Long, Long) = {
+    val p = Paths.get(file)
+    (file, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** Footer metadata of `file`, from cache when the (size, mtime) key
+    * still matches; `onMiss` fires exactly when the footer is physically
+    * read (metrics hook).
+    */
+  def get(file: String, conf: Configuration, onMiss: () => Unit = NoOp): Meta = {
+    val k = key(file)
+    cache.synchronized(Option(cache.get(k))) match {
+      case Some(m) => m
+      case None =>
+        onMiss()
+        val m = toMeta(readFooter(file, conf))
+        cache.synchronized(cache.put(k, m))
+        m
+    }
+  }
+
+  /** Opportunistic population from a footer the caller already holds
+    * open (a data read opens the file anyway — its footer should feed
+    * later metadata walks for free).
+    */
+  def offer(file: String, footer: ParquetMetadata): Unit = {
+    val k = key(file)
+    val hit = cache.synchronized(cache.containsKey(k))
+    if (!hit) {
+      val m = toMeta(footer)
+      cache.synchronized(cache.put(k, m))
+    }
+  }
+
+  /** Test hook. */
+  def clear(): Unit = cache.synchronized(cache.clear())
+
+  private val NoOp: () => Unit = () => ()
+
+  private def readFooter(file: String, conf: Configuration): ParquetMetadata = {
+    val in =
+      try new LocalInputFile(Paths.get(file))
+      catch { case _: Throwable => HadoopInputFile.fromPath(new HPath(file), conf) }
+    val fr = ParquetFileReader.open(in)
+    try fr.getFooter finally fr.close()
+  }
+
+  private def toMeta(footer: ParquetMetadata): Meta = {
+    val schema = footer.getFileMetaData.getSchema
+    val blocks = footer.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    val nonEmpty = blocks.filter(_.getRowCount > 0)
+    val int64Cols = schema.getFields.asScala
+      .filter(f => f.isPrimitive &&
+        f.asPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64)
+      .map(_.getName).toSeq
+    var stats = Map.empty[String, (Long, Long)]
+    var statless = Set.empty[String]
+    int64Cols.foreach { c =>
+      val per = nonEmpty.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == c)
+          .map(_.getStatistics)
+          .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+          .map(s => (s.genericGetMin.asInstanceOf[Number].longValue(),
+            s.genericGetMax.asInstanceOf[Number].longValue()))
+      }
+      if (per.exists(_.isEmpty)) statless += c
+      else if (per.nonEmpty)
+        stats += c -> ((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+    }
+    Meta(rows, schema, stats, statless)
+  }
+}

@@ -208,19 +208,88 @@ object ParquetIO {
 
   private def foreachSampleUncached(file: JPath, dirTag: Option[String], conf: Configuration)(
       f: (String, Long, String, Long, String, Long) => Unit): Unit = {
-    val r = ParquetReader
-      .builder(new GroupReadSupport(), new HPath(file.toUri))
-      .withConf(conf)
-      .build()
+    val r = new GroupFileStream(file, None, conf)
     try {
-      var g: Group = r.read()
+      var g: Group = r.next()
       while (g != null) {
         val tag = dirTag.getOrElse(g.getString("tag", 0))
         f(tag, g.getLong("ts", 0), g.getString("value", 0),
           g.getLong("ingestTs", 0), g.getString("writerId", 0), g.getLong("seq", 0))
-        g = r.read()
+        g = r.next()
       }
     } finally r.close()
+  }
+
+  /** Pull-style Group reader over one parquet file, through parquet's
+    * page-level API on a [[org.apache.parquet.io.LocalInputFile]] — no
+    * Hadoop FileSystem layer, no `.crc` shadow-file verification reads,
+    * no per-file `Configuration` construction. On a layout of many small
+    * files those three costs ARE the scan (the data pages are a few KB);
+    * on big files the savings amortize away and the bytes dominate, so
+    * this is strictly the small-file-floor fix. The projection is built
+    * from the file's own footer schema, so `required`/`optional`
+    * repetition always matches the file (store lanes legitimately mix
+    * both). The footer parsed for the read is offered to [[FooterCache]]
+    * so later metadata-only walks (top-N row counts, footer aggregates)
+    * never reopen the file. Falls back to the Hadoop `ParquetReader`
+    * stack when the path isn't a local file.
+    *
+    * @param cols projected column names; None = the file's full schema
+    */
+  final class GroupFileStream(file: JPath, cols: Option[Seq[String]],
+      conf: Configuration) {
+    import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.io.{ColumnIOFactory, MessageColumnIO, RecordReader}
+
+    private var low: ParquetFileReader = _
+    private var hadoop: ParquetReader[Group] = _
+    private var msgIO: MessageColumnIO = _
+    private var proj: MessageType = _
+    private var rr: RecordReader[Group] = _
+    private var left = 0L
+
+    try {
+      low = ParquetFileReader.open(
+        new org.apache.parquet.io.LocalInputFile(file))
+      val footer = low.getFooter
+      FooterCache.offer(file.toString, footer)
+      val fileSchema = footer.getFileMetaData.getSchema
+      proj = cols.fold(fileSchema)(cs => new MessageType(
+        fileSchema.getName, cs.map(c => fileSchema.getType(Seq(c): _*)): _*))
+      low.setRequestedSchema(proj)
+      msgIO = new ColumnIOFactory().getColumnIO(proj)
+    } catch {
+      case _: Throwable =>
+        if (low != null) { try low.close() catch { case _: Throwable => () }; low = null }
+        val fileSchema = FooterCache.get(file.toString, conf).schema
+        proj = cols.fold(fileSchema)(cs => new MessageType(
+          fileSchema.getName, cs.map(c => fileSchema.getType(Seq(c): _*)): _*))
+        val c = new Configuration(conf)
+        c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          proj.toString)
+        hadoop = ParquetReader
+          .builder(new GroupReadSupport(), new HPath(file.toUri))
+          .withConf(c).build()
+    }
+
+    /** Next record, or null at EOF. */
+    def next(): Group = {
+      if (hadoop != null) return hadoop.read()
+      while (left == 0L) {
+        val pages = low.readNextRowGroup()
+        if (pages == null) return null
+        rr = msgIO.getRecordReader(pages, new GroupRecordConverter(proj))
+        left = pages.getRowCount
+      }
+      left -= 1
+      rr.read()
+    }
+
+    def close(): Unit = {
+      if (low != null) { low.close(); low = null }
+      if (hadoop != null) { hadoop.close(); hadoop = null }
+    }
   }
 
   /** Merge rows from candidate files with last-write-wins resolution:

@@ -423,10 +423,20 @@ class TsdbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("custom metrics: the footer-agg path reports metadata-answered rows") {
-    val m = scanMetrics(store.connectorDF("hot").groupBy("tag")
-      .agg(count(lit(1)).as("n")))
-    assert(m.get("rowsFromFooters").exists(_ > 0L), m.toString)
-    assert(m.get("filesOpened").exists(_ > 0L), m.toString)
+    graft.tsdb.FooterCache.clear()
+    // fresh DataFrame per measurement: a reused one would replay its
+    // already-materialized AQE stages and report the first run's metrics
+    def agg = store.connectorDF("hot").groupBy("tag")
+      .agg(count(lit(1)).as("n"))
+    val cold = scanMetrics(agg)
+    assert(cold.get("rowsFromFooters").exists(_ > 0L), cold.toString)
+    // cache cold → every footer is a physical open
+    assert(cold.get("filesOpened").exists(_ > 0L), cold.toString)
+    // cache warm → same metadata answers, ZERO file opens (the immutable
+    // layout makes footer facts reusable across queries)
+    val warm = scanMetrics(agg)
+    assert(warm.get("rowsFromFooters") === cold.get("rowsFromFooters"), warm.toString)
+    assert(warm.get("filesOpened").contains(0L), warm.toString)
   }
 
   test("agg pushdown refused for string min/max and for residual row filters") {

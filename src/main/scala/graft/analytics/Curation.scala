@@ -281,4 +281,53 @@ object Curation {
         (col("n_hits").cast("double") / col("n_shingles").cast("double"))
           .as("hit_ratio"))
   }
+
+  /** Greedy k-center coreset selection (Gonzalez's 2-approximation — the
+    * geometric "maximally spread subset" every embedding-based data-
+    * pruning recipe starts from): seed with the md5-smallest vector, then
+    * k−1 rounds of "pick the vector FARTHEST from everything selected so
+    * far". Distances are exact integer squared-L2 over the quantized
+    * embeddings (‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b, the codegen'd long-dot
+    * kernel), ties break to the smallest vec_id — fully deterministic and
+    * engine-portable.
+    *
+    * Scale shape: each round is ONE corpus scan — the ≤k-row selected set
+    * broadcasts, the per-vector min-distance is a projection, and the
+    * round's argmax is a map-side-combined `max(struct)` aggregate (one
+    * row per partition crosses the network, never a sort). Driver state
+    * is the selected set itself: k·dim longs, CONSTANT in corpus size —
+    * the same bounded-driver-state contract as the k-means centroid
+    * tables ([[Similarity]]). Total cost O(k·n) distance kernels.
+    */
+  def kcenterSelect(emb: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.{dotLL, quantize}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val all = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", dotLL(col("qv"), col("qv")))
+    val seed = all
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(1)
+      .as[(Long, Array[Long], Long)].collect().head
+    // (vec_id, qv, nrm, dist² at selection, selection round)
+    var centers = Vector((seed._1, seed._2, seed._3, 0L, 0))
+    (1 until k).foreach { r =>
+      val sel = broadcast(
+        centers.map(c => (c._1, c._2, c._3)).toDF("c_id", "cv", "cnrm"))
+      val next = all.crossJoin(sel)
+        .select(col("vec_id"), col("qv"), col("nrm"),
+          (col("nrm") + col("cnrm") - lit(2L) * dotLL(col("qv"), col("cv")))
+            .as("d"))
+        .groupBy(col("vec_id"), col("qv"), col("nrm"))
+        .agg(min(col("d")).as("dmin"))
+        .select(max(struct(col("dmin"), (-col("vec_id")).as("nid"),
+          col("vec_id").as("vec_id"), col("qv").as("qv"),
+          col("nrm").as("nrm"))).as("m"))
+        .select(col("m.vec_id"), col("m.qv"), col("m.nrm"), col("m.dmin"))
+        .as[(Long, Array[Long], Long, Long)].collect().head
+      centers = centers :+ ((next._1, next._2, next._3, next._4, r))
+    }
+    centers.map(c => (c._5, c._1, c._4))
+      .toDF("sel_round", "vec_id", "dist_sq")
+  }
 }

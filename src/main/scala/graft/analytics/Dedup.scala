@@ -507,4 +507,56 @@ object Dedup {
             col("n_windows").cast("double")))
       .withColumn("is_dup", (col("dup_frac") >= dupFracThreshold).cast("int"))
   }
+
+  /** Sub-document (passage) deduplication — the CCNet/RefinedWeb move of
+    * removing repeated SPANS while keeping the documents: each document
+    * splits into consecutive `chunkWords`-word passages, and a passage
+    * survives only at its globally FIRST occurrence (smallest (doc_id,
+    * chunk_idx)); later verbatim copies anywhere in the corpus are
+    * dropped. Per document: passage counts before/after, surviving word
+    * count, and an md5 fingerprint of the reconstructed deduped text
+    * (passages rejoined in document order) — the shippable output.
+    *
+    * Scale shape: one explode (≈|tokens|/chunkWords rows per doc), ONE
+    * shuffle on the passage hash where a row_number window marks the
+    * keeper (every occurrence row is kept — the per-doc report needs
+    * them — so this is a plain hash-partitioned window, not a top-k
+    * prune), then one aggregation back on doc_id.
+    * Never a pair join: a passage duplicated df times costs O(df) rows.
+    * Identical linear-in-tokens contract as [[substringDupStats]]; the
+    * difference is this op EMITS the deduped corpus rather than scoring
+    * overlap.
+    */
+  def passageDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+    val cw = chunkWords
+    val chunks = docs
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          (ceil(size(col("ws")) / lit(cw.toDouble)) - 1).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("ws"), col("chunk_idx") * cw + 1, lit(cw)), " ")
+          .as("chunk"))
+    val byHash = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val marked = chunks
+      .withColumn("keep",
+        (row_number().over(byHash) === 1).cast("int"))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("keep")).as("n_kept"),
+        sum(when(col("keep") === 1, size(words(col("chunk"))))
+          .otherwise(0)).as("kept_words"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("keep") === 1,
+              struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ")).as("km"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("kept_words"),
+        // a doc can keep NOTHING (every passage seen earlier) — emit null
+        // rather than md5("") so consumers can filter empties trivially
+        when(col("n_kept") > 0, col("km")).as("kept_md5"))
+  }
 }

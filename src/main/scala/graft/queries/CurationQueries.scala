@@ -449,5 +449,41 @@ object CurationQueries {
                CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
                min(skey) AS first_key, max(skey) AS last_key
         FROM sh GROUP BY 1, 2 ORDER BY epoch, shard"""))
+    ,
+
+    // ---- greedy k-center coreset selection (Gonzalez 2-approx) ----
+    // The "maximally spread subset" of embedding-based data pruning: seed
+    // with the md5-smallest vector, then 7 rounds of farthest-point
+    // selection under exact integer squared-L2 (ties → smallest vec_id).
+    // Each round: broadcast ≤k selected rows, one corpus scan, one
+    // map-side-combined argmax — driver state k·dim longs, constant in
+    // corpus size. The oracle unrolls the 8 rounds as CTEs.
+    QueryDef("cu_kcenter",
+      (s, dir) => Curation.kcenterSelect(Tables.embeddings(s, dir), k = 8)
+        .orderBy("sel_round"),
+      Some {
+        val dot = "list_sum(list_transform(range(1, len(a.v)+1), " +
+          "j -> a.v[j] * c.v[j]))"
+        val rounds = (1 to 7).map { i =>
+          val p = i - 1
+          s"""d$i AS (SELECT a.vec_id, a.v, a.nrm,
+                 CAST(min(a.nrm + c.nrm - 2 * $dot) AS BIGINT) AS dmin
+               FROM qn a, sel$p c GROUP BY a.vec_id, a.v, a.nrm),
+          s$i AS (SELECT vec_id, v, nrm, dmin AS d, $i AS r FROM d$i
+                  ORDER BY dmin DESC, vec_id LIMIT 1),
+          sel$i AS (SELECT * FROM sel$p UNION ALL SELECT * FROM s$i)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH $QuantCte,
+        qn AS (SELECT vec_id, v,
+                 CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS nrm
+               FROM q),
+        sel0 AS (SELECT vec_id, v, nrm, CAST(0 AS BIGINT) AS d, 0 AS r
+                 FROM qn ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                 LIMIT 1),
+        $rounds
+        SELECT r AS sel_round, vec_id, d AS dist_sq
+        FROM sel7 ORDER BY sel_round"""
+      })
   )
 }

@@ -668,6 +668,55 @@ object EventsQueries {
                      - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
         ORDER BY event_id""")),
 
+    // beyond-reference — robust outlier detection per tag via the median
+    // absolute deviation (MAD), the estimator that survives the heavy
+    // tails that break ts_anomaly's z-score (mean/σ are themselves pulled
+    // by the outliers they're meant to find). Exactness discipline:
+    // medians over cent-quantized longs are EXACT doubles (k or k+0.5 —
+    // representable in binary), |cents − med| is a multiple of 0.5, the
+    // MAD a multiple of 0.25, and 3·MAD exact — so every comparison is
+    // bit-deterministic and the oracle hash-matches with no float fuzz.
+    // Scale: Spark's exact `percentile` buffers a value→count map per
+    // tag (distinct-cents-bounded, not row-bounded); at true 100 TB tag
+    // cardinality swap in approx_percentile — same plan shape.
+    QueryDef("ts_outlier_mad",
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val e = ev(s, dir).select(col("event_type"), cents.as("cents"))
+        val med = e.groupBy("event_type")
+          .agg(percentile(col("cents"), lit(0.5)).as("med"))
+        val dev = e.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("cents") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("is_out", (col("adev") > col("mad") * 3).cast("int"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max(col("med")).as("med_cents"),
+            max(col("mad")).as("mad_cents"),
+            sum(col("is_out")).as("n_outliers"),
+            max(when(col("is_out") === 1, col("adev"))).as("max_out_dev"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        m AS (SELECT event_type, median(cents) AS med FROM e GROUP BY 1),
+        d AS (SELECT e.event_type, cents, med,
+                abs(cents - med) AS adev
+              FROM e JOIN m USING (event_type)),
+        md AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
+        SELECT d.event_type, count(*) AS n,
+               max(med) AS med_cents,
+               max(mad) AS mad_cents,
+               CAST(sum(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers,
+               max(CASE WHEN adev > 3 * mad THEN adev END) AS max_out_dev
+        FROM d JOIN md USING (event_type)
+        GROUP BY 1 ORDER BY event_type""")),
+
     // beyond-reference — CUSUM-style change-point detection per tag, in
     // exact integer arithmetic: the cumulative scaled deviation
     // C_t = Σ_{i≤t} (n·x_i − Σx) peaks where the series' mean shifts;

@@ -1396,6 +1396,45 @@ object PipelineQueries {
                CAST(length(aug) AS BIGINT) AS raw_len,
                CAST(length(clean) AS BIGINT) AS clean_len,
                md5(clean) AS clean_md5
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // ---- sub-document passage dedup (CCNet/RefinedWeb span removal) ----
+    // Documents chunk into 10-word passages; a passage survives only at
+    // its globally FIRST occurrence. One hash shuffle, never a pair join;
+    // the kept_md5 fingerprint (passages rejoined in doc order) pins the
+    // actual deduped TEXT, not just the counts, so keeper selection and
+    // reconstruction order are both hash-gated.
+    QueryDef("dd_passage_dedup",
+      (s, dir) => graft.analytics.Dedup.passageDedup(
+        Tables.documents(s, dir), chunkWords = 10)
+        .orderBy("doc_id"),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents WHERE length(text) > 0),
+        ci AS (SELECT doc_id, ws,
+                 unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)))
+                   AS chunk_idx
+               FROM w),
+        ch AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                 array_to_string(
+                   list_slice(ws, chunk_idx * 10 + 1, chunk_idx * 10 + 10),
+                   ' ') AS chunk
+               FROM ci),
+        mk AS (SELECT doc_id, chunk_idx, chunk,
+                 CASE WHEN row_number() OVER (PARTITION BY md5(chunk)
+                        ORDER BY doc_id, chunk_idx) = 1
+                      THEN 1 ELSE 0 END AS keep
+               FROM ch)
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep = 1
+                             THEN len(string_split(chunk, ' '))
+                             ELSE 0 END) AS BIGINT) AS kept_words,
+               CASE WHEN sum(keep) > 0
+                 THEN md5(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                          FILTER (WHERE keep = 1))
+               END AS kept_md5
+        FROM mk GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -277,4 +277,77 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_hits") <= 5L)
     }
   }
+
+  // ---- passage dedup ----
+
+  test("dd_passage_dedup: duplicated spans removed exactly once, corpus-wide") {
+    import spark.implicits._
+    // doc 1 owns "a b c d e f g h i j"; doc 2 repeats it verbatim as its
+    // FIRST passage then continues with fresh words; doc 3 is all-fresh
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t"),
+      (3L, "z y x w v")).toDF("doc_id", "text")
+    val out = graft.analytics.Dedup.passageDedup(docs, chunkWords = 10)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_chunks") === 1L)
+    assert(byId(1L).getAs[Long]("n_kept") === 1L) // first occurrence wins
+    assert(byId(2L).getAs[Long]("n_chunks") === 2L)
+    assert(byId(2L).getAs[Long]("n_kept") === 1L) // repeated passage dropped
+    assert(byId(2L).getAs[Long]("kept_words") === 10L)
+    assert(byId(3L).getAs[Long]("n_kept") === 1L)
+    // reconstruction fingerprint = md5 of the surviving text in doc order
+    assert(byId(2L).getAs[String]("kept_md5") ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("k l m n o p q r s t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    // a doc whose every passage appeared earlier keeps nothing → null md5
+    val dup = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val dupOut = graft.analytics.Dedup.passageDedup(dup, chunkWords = 10)
+      .orderBy("doc_id").collect()
+    assert(dupOut(1).getAs[Long]("n_kept") === 0L)
+    assert(dupOut(1).isNullAt(dupOut(1).fieldIndex("kept_md5")))
+  }
+
+  // ---- k-center coreset ----
+
+  test("cu_kcenter: k spread rounds, selection distances non-increasing") {
+    val rows = q("cu_kcenter").orderBy("sel_round").collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getAs[Int]("sel_round")).toSeq === (0 until 8))
+    // selected ids distinct; greedy farthest-point ⇒ the selection
+    // distance can never increase after round 1 (each new center only
+    // shrinks every point's distance-to-selected-set)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 8)
+    val d = rows.map(_.getAs[Long]("dist_sq"))
+    assert(d(0) === 0L)
+    (2 until 8).foreach(i => assert(d(i) <= d(i - 1),
+      s"round $i dist ${d(i)} > round ${i - 1} dist ${d(i - 1)}"))
+  }
+
+  // ---- MAD outliers ----
+
+  test("ts_outlier_mad: exact medians, outliers beyond 3*MAD only") {
+    import spark.implicits._
+    // 9 well-behaved values + one wild outlier: med=5 cents… values in
+    // cents: 1..9 and 1000 → med=5.5, adev median exact multiple of .5
+    val df = (Seq.tabulate(9)(i => (i + 1).toDouble / 100) :+ 10.0)
+      .zipWithIndex
+      .map { case (v, i) => (i.toLong, "t", v) }
+      .toDF("event_id", "event_type", "value")
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val e = df.select(col("event_type"), cents.as("cents"))
+    val med = e.groupBy("event_type")
+      .agg(percentile(col("cents"), lit(0.5)).as("med"))
+    val row = med.collect().head
+    assert(row.getAs[Double]("med") === 5.5)
+    val out = q("ts_outlier_mad").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+      val mad = r.getAs[Double]("mad_cents")
+      assert(mad * 4 === math.floor(mad * 4)) // exact multiple of 0.25
+    }
+  }
 }

@@ -205,4 +205,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size === 1,
       p.take(2000))
   }
+
+  test("dd_passage_dedup: hash-keyed exchanges only — never a pair join") {
+    val p = plan("dd_passage_dedup")
+    // keeper selection shuffles on the passage hash, the report on
+    // doc_id; a Cartesian/unkeyed join would mean the dedup degraded to
+    // pairwise comparison
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("cu_kcenter: result is the k-row local relation (bounded driver state)") {
+    // the greedy loop runs at construction; the OUTPUT must be the ≤k-row
+    // driver-side table — a corpus-dependent plan here would mean the
+    // selection leaked distributed state into the result
+    val p = plan("cu_kcenter")
+    assert(p.contains("LocalTableScan"), p.take(2000))
+    // only the output sort's range exchange over the k rows is allowed
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("ts_outlier_mad: per-tag stats broadcast back onto the scan") {
+    val p = plan("ts_outlier_mad")
+    // med and mad are tag-cardinality tables; both must broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }

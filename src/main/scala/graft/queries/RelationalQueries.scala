@@ -464,6 +464,52 @@ object RelationalQueries {
                                    ORDER BY ms, o_orderkey))
         SELECT custkey, version, priority, valid_from, valid_to,
                CAST(valid_to IS NULL AS INT) AS is_current
-        FROM v ORDER BY custkey, version"""))
+        FROM v ORDER BY custkey, version""")),
+
+    // ---- TPC-H Q21 shape: sole-late-supplier blame report ----
+    // Suppliers who were the ONLY late shipper (ship lag > 60 days) on a
+    // multi-supplier order. The textbook form is a correlated EXISTS +
+    // NOT EXISTS pair — quadratic probing at scale. The engine runs the
+    // AGGREGATE REWRITE instead: one per-order rollup (distinct suppliers,
+    // distinct late suppliers — map-side combined) joined back to the
+    // late lines, so the whole query is two hash shuffles on l_orderkey
+    // plus a broadcast of the supplier dim. The ORACLE keeps the
+    // correlated EXISTS form — hash equality PROVES the rewrite.
+    QueryDef("rel_supplier_wait",
+      (s, dir) => {
+        val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+        val l = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
+        val perOrder = l.groupBy("l_orderkey")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        val blamed = l.where(col("late"))
+          .join(perOrder.where(col("n_supp") >= 2 && col("n_late_supp") === 1),
+            "l_orderkey")
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("numwait"))
+        blamed
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""
+        WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+        l1 AS (SELECT li.l_orderkey, li.l_suppkey FROM li
+               JOIN orders ON l_orderkey = o_orderkey
+               WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        SELECT s_name, count(*) AS numwait
+        FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l1 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
   )
 }

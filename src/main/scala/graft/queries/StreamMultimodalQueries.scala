@@ -492,6 +492,35 @@ object StreamMultimodalQueries {
         WHERE CAST(n * cents - s1 AS HUGEINT) * CAST(n * cents - s1 AS HUGEINT)
               > 9 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
                      - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- streaming passage dedup (TTL-bounded seen-set) ----
+    // transformWithState keyed on the passage md5; ONE ValueState cell
+    // per distinct passage inside a processing-time TTL horizon, so
+    // state is bounded on a long-lived stream. Keeper = smallest
+    // (doc_id, chunk_idx), scanned from the iterator (never arrival
+    // order) — on the bounded single-batch source the kept-passage set
+    // equals dd_passage_dedup's keeper selection, hash-gated here.
+    QueryDef("st_passage_dedup",
+      (s, dir) => StreamingIngest.streamingPassageDedup(s, dir),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents WHERE length(text) > 0),
+        ci AS (SELECT doc_id, ws,
+                 unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)))
+                   AS chunk_idx
+               FROM w),
+        ch AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                 array_to_string(
+                   list_slice(ws, chunk_idx * 10 + 1, chunk_idx * 10 + 10),
+                   ' ') AS chunk
+               FROM ci),
+        mk AS (SELECT doc_id, chunk_idx, chunk,
+                 row_number() OVER (PARTITION BY md5(chunk)
+                   ORDER BY doc_id, chunk_idx) AS rn
+               FROM ch)
+        SELECT doc_id, chunk_idx, md5(chunk) AS h,
+               CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_words
+        FROM mk WHERE rn = 1 ORDER BY doc_id, chunk_idx"""))
   )
 }

@@ -158,11 +158,27 @@ object StreamingIngest {
     // (a long-lived production stream would size this to its key space)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // Checkpoint-file checksums (corruption detection for long-lived
+    // production checkpoints) are wrong for these throwaway bounded
+    // drains: the checksum writer's async upload pool can starve when a
+    // multi-column-family RocksDB snapshot (e.g. a TTL'd value state)
+    // closes many checksum streams at once — observed as a permanent
+    // hang in ChecksumCancellableFSDataOutputStream.close — and the
+    // extra files only add micro-batch overhead to the bench floor.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevCk = spark.conf.getOption(ckKey)
+    spark.conf.set(ckKey, "false")
     try {
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCk match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None    => spark.conf.unset(ckKey)
+      }
+    }
     spark.table(name)
   }
 
@@ -349,6 +365,62 @@ object StreamingIngest {
     } finally prev match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** Streaming sub-document passage dedup — the `transformWithState`
+    * twin of [[graft.analytics.Dedup.passageDedup]]'s keeper selection:
+    * key = passage md5, ONE ValueState cell (the keeper's
+    * (doc_id, chunk_idx)) per distinct passage. Within a batch the
+    * keeper is the smallest (doc_id, chunk_idx), chosen by scanning the
+    * iterator — never by its arrival order — so on the bounded
+    * single-batch source the emitted keeper set equals the batch
+    * operator's, row for row (shared oracle). Emits kept passages only;
+    * the per-doc reconstruction report stays with the batch operator.
+    *
+    * State bounding on a LONG-LIVED stream is the `ttl` variant of
+    * [[PassageKeeperProcessor]] (processing-time TTL on the seen-set →
+    * rolling dedup horizon; exercised in StreamingSpec). The gate query
+    * runs the no-TTL variant under `TimeMode.None`: a processing-time
+    * TTL forces `TimeMode.ProcessingTime`, where `transformWithState`
+    * requests a batch after every batch to evict expired state, so a
+    * `processAllAvailable` drain never observes quiescence.
+    */
+  def streamingPassageDedup(spark: SparkSession, sfDir: String,
+      chunkWords: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val cw = chunkWords
+    val chunks = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          (ceil(size(col("ws")) / lit(cw.toDouble)) - 1).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("ws"), col("chunk_idx") * cw + 1, lit(cw)), " ")
+          .as("chunk"))
+      .select(md5(col("chunk")).as("h"), col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("long").as("n_words"))
+      .as[PassageChunk]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = chunks.groupByKey(_.h)
+        .transformWithState(new PassageKeeperProcessor(),
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+      drain(out, "append").orderBy("doc_id", "chunk_idx")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
     }
   }
 
@@ -598,6 +670,68 @@ class Scd2Processor
 }
 
 /** Input row shape for the streaming top-k operator. */
+final case class PassageChunk(h: String, doc_id: Long, chunk_idx: Int,
+    n_words: Long)
+
+/** Output of the streaming passage keeper: one row per passage that
+  * SURVIVES dedup, at its first-seen (doc_id, chunk_idx).
+  */
+final case class KeptPassage(doc_id: Long, chunk_idx: Int, h: String,
+    n_words: Long)
+
+/** Keeper's position for one passage hash — the whole per-key state. */
+final case class PassageSeen(doc_id: Long, chunk_idx: Int)
+
+/** Per-passage-hash keeper selection: the state is one
+  * (doc_id, chunk_idx) pair per DISTINCT passage. First batch to present
+  * a hash emits its smallest (doc_id, chunk_idx) row; every later
+  * occurrence (same batch or later batches) is silently dropped.
+  *
+  * `ttl = Some(d)` attaches a processing-time TTL to the seen-set — the
+  * production long-lived-stream mode: state is bounded by the TTL
+  * horizon's passage vocabulary, never by the stream's length, and a
+  * passage re-arriving after `d` is treated as fresh. Requires
+  * `TimeMode.ProcessingTime`, under which the engine schedules a batch
+  * after every batch for TTL eviction — so TTL runs stay off the
+  * bounded `processAllAvailable` drain path (see StreamingSpec's
+  * progress-polling stop).
+  */
+class PassageKeeperProcessor(ttl: Option[java.time.Duration] = None)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, PassageChunk, KeptPassage] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var seen: ValueState[PassageSeen] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val enc = org.apache.spark.sql.Encoders.product[PassageSeen]
+    seen = ttl match {
+      case Some(d) =>
+        getHandle.getValueState[PassageSeen]("seen", enc, new TTLConfig(d))
+      case None =>
+        getHandle.getValueState[PassageSeen]("seen", enc, TTLConfig.NONE)
+    }
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[PassageChunk],
+      timerValues: TimerValues): Iterator[KeptPassage] = {
+    if (seen.exists()) Iterator.empty
+    else {
+      var best: PassageChunk = null
+      rows.foreach { c =>
+        if (best == null || c.doc_id < best.doc_id ||
+          (c.doc_id == best.doc_id && c.chunk_idx < best.chunk_idx)) best = c
+      }
+      if (best == null) Iterator.empty
+      else {
+        seen.update(PassageSeen(best.doc_id, best.chunk_idx))
+        Iterator.single(
+          KeptPassage(best.doc_id, best.chunk_idx, key, best.n_words))
+      }
+    }
+  }
+}
+
 final case class TopEvent(tag: String, cents: Long, event_id: Long)
 
 /** One emitted ranking row of the streaming top-k operator. */

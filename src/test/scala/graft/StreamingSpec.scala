@@ -230,4 +230,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
   }
+
+  test("TTL'd passage keeper suppresses dups inside the horizon, re-admits after") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{KeptPassage, PassageChunk, PassageKeeperProcessor}
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PassageChunk](
+      org.apache.spark.sql.Encoders.product[PassageChunk], spark)
+    val name = s"pk_${System.nanoTime()}"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ttl = java.time.Duration.ofSeconds(3)
+    // ProcessingTime mode schedules a batch after every batch (TTL
+    // eviction), so processAllAvailable never quiesces — every wait
+    // below polls the memory sink instead.
+    val q = input.toDS().groupByKey(_.h)
+      .transformWithState(new PassageKeeperProcessor(Some(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    def kept(): Seq[KeptPassage] =
+      spark.table(name).as[KeptPassage].collect().toSeq.sortBy(_.doc_id)
+    try {
+      // batch 1: two rows of one passage hash -> smallest (doc_id, idx) kept
+      input.addData(PassageChunk("X", 5L, 1, 10L), PassageChunk("X", 3L, 2, 10L))
+      eventually(timeout(Span(60, Seconds))) {
+        assert(kept().map(r => (r.doc_id, r.chunk_idx)) === Seq((3L, 2)))
+      }
+      // dup inside the TTL horizon: suppressed (proved below — doc 1
+      // never reaches the sink, only the post-expiry doc 9 does)
+      input.addData(PassageChunk("X", 1L, 0, 10L))
+      Thread.sleep(ttl.toMillis + 2000)
+      // after expiry the hash is fresh again: emitted at its new position
+      input.addData(PassageChunk("X", 9L, 4, 10L))
+      eventually(timeout(Span(60, Seconds))) {
+        assert(kept().map(_.doc_id) === Seq(3L, 9L))
+      }
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

@@ -330,4 +330,44 @@ object Curation {
     centers.map(c => (c._5, c._1, c._4))
       .toDF("sel_round", "vec_id", "dist_sq")
   }
+
+  /** Quality-filter funnel report — the per-stage survival table every
+    * curation pipeline ships for observability: one row per filter
+    * stage with how many docs entered it, survived it, and died at it.
+    * Stage semantics are CASCADED (survive stage i = stages 1..i all
+    * hold), so the rows chain: stage i's `n_kept` is stage i+1's
+    * `n_in`, and the drops attribute each loss to exactly one stage.
+    *
+    * All thresholds compare in exact integer form (`10·distinct ≥
+    * 3·words`, `chars ≤ 12·words`) — no float ratios, so the oracle
+    * matches bit-for-bit. Scale shape: ONE corpus pass into a
+    * map-side-combined global aggregate (5 counters — one row crosses
+    * the network per partition), then a 4-row `stack`. No shuffle of
+    * document data at all.
+    */
+  def filterFunnel(docs: DataFrame, minWords: Int = 10,
+      minTtrTenths: Int = 3, maxMeanWordLen: Int = 12): DataFrame = {
+    val ws = words(col("text"))
+    val d = docs.select(
+      (length(col("text")) > 0).as("b1"),
+      size(ws).cast("long").as("nw"),
+      size(array_distinct(ws)).cast("long").as("nd"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+    val s1 = col("b1")
+    val s2 = s1 && col("nw") >= minWords
+    val s3 = s2 && col("nd") * 10 >= col("nw") * minTtrTenths
+    val s4 = s3 && col("nc") <= col("nw") * maxMeanWordLen
+    d.agg(
+        count(lit(1)).as("n0"),
+        sum(when(s1, 1L).otherwise(0L)).as("n1"),
+        sum(when(s2, 1L).otherwise(0L)).as("n2"),
+        sum(when(s3, 1L).otherwise(0L)).as("n3"),
+        sum(when(s4, 1L).otherwise(0L)).as("n4"))
+      .selectExpr("""stack(4,
+        1, 'nonempty',     n0, n1,
+        2, 'min_words',    n1, n2,
+        3, 'ttr_floor',    n2, n3,
+        4, 'word_len_cap', n3, n4) AS (stage_idx, stage, n_in, n_kept)""")
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+  }
 }

@@ -137,22 +137,28 @@ object Similarity {
       nPlanes: Int = 8): DataFrame =
     lshTopKImpl(emb, k, queryModulo, nPlanes, multiProbe = true)
 
-  private def lshTopKImpl(emb: DataFrame, k: Int, queryModulo: Int,
-      nPlanes: Int, multiProbe: Boolean): DataFrame = {
-    val all = prep(emb)
-    // per-plane signed projection sums over exploded quantized components
+  /** `(vec_id, bucket)` for every vector of `all` (a [[prep]] output):
+    * the sign pattern of `nPlanes` fixed hyperplane projections, packed
+    * into one long. One narrow map-side-combined shuffle — per-plane
+    * signed projection sums over exploded quantized components.
+    */
+  private def lshBuckets(all: DataFrame, nPlanes: Int): DataFrame = {
     val sums = (0 until nPlanes).map { b =>
       sum(col("x") * lshCoef(col("pos") + 1, b)).as(s"s$b")
     }
     val bucketExpr = (0 until nPlanes).map { b =>
       when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
-    val buckets = all
-      .select(col("vec_id"), posexplode(quantize(col("v"))).as(Seq("pos", "x")))
+    all.select(col("vec_id"), posexplode(quantize(col("v"))).as(Seq("pos", "x")))
       .groupBy("vec_id")
       .agg(sums.head, sums.tail: _*)
       .select(col("vec_id"), bucketExpr.as("bucket"))
-    val assigned = all.join(buckets, "vec_id")
+  }
+
+  private def lshTopKImpl(emb: DataFrame, k: Int, queryModulo: Int,
+      nPlanes: Int, multiProbe: Boolean): DataFrame = {
+    val all = prep(emb)
+    val assigned = all.join(lshBuckets(all, nPlanes), "vec_id")
     val queries0 = assigned.where(col("vec_id") % queryModulo === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
@@ -174,6 +180,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Cosine RANGE search — every pair with `cos >= threshold`, the
+    * "find all near neighbors" complement of the top-k probes (radius
+    * queries, near-dup mining, graph construction all want the full
+    * ball, not a fixed k). Candidates are LSH-blocked: pairs are scored
+    * only inside a shared [[lshBuckets]] bucket, so the work is
+    * sum-of-squared-bucket-sizes — bounded by the hash granularity
+    * (`nPlanes`), never the corpus square. Single-probe blocking, so
+    * recall has the standard LSH miss mode (near-threshold pairs split
+    * by one plane); raise recall with more planes' XOR probes as in
+    * [[lshTopKMultiProbe]] — this operator keeps the one-bucket form
+    * the oracle can mirror exactly.
+    *
+    * Scale shape: one narrow bucket shuffle + a bucket-equality
+    * self-join (shuffle on bucket, 2^nPlanes keys; skewed buckets are
+    * AQE's skew-join case). Emitted pairs only (small at a sane
+    * threshold); `vec_a < vec_b` halves the scored pairs.
+    */
+  def rangeSearch(emb: DataFrame, threshold: Double = 0.4,
+      nPlanes: Int = 8): DataFrame = {
+    val all = prep(emb)
+    val assigned = all.join(lshBuckets(all, nPlanes), "vec_id")
+    assigned.as("a").join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineQ(dotQF(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .where(col("cos") >= threshold)
   }
 
   /** IVF with REAL k-means centroids: `iters` Lloyd refinement rounds over

@@ -126,7 +126,20 @@ object PlanDump {
       "ts_dsv2_topn_read" -> ("Top-N pushdown, the reference's newest-first readIndex walk: the dir-encoded sort prefix " +
         "(partition_start DESC, tag ASC) pushes into the connector, which keeps only enough directories (by footer row " +
         "counts, boundary-tie-safe) to cover the limit — dirs=k/N in the BatchScan line shows the walk; Spark's " +
-        "TakeOrdered applies the row-level suffix keys to the surviving rows."))
+        "TakeOrdered applies the row-level suffix keys to the surviving rows."),
+      "rel_supplier_wait" -> ("TPC-H Q21 shape, aggregate rewrite: the correlated EXISTS/NOT-EXISTS pair becomes one " +
+        "per-order rollup (distinct suppliers / distinct late suppliers, map-side combined) joined back to the late lines — " +
+        "two hash shuffles on l_orderkey plus a broadcast supplier dim; the oracle keeps the textbook correlated form, " +
+        "so hash equality PROVES the rewrite."),
+      "rel_order_dist" -> ("TPC-H Q13 shape: the fact PRE-AGGREGATES to one row per customer key before touching the dim " +
+        "(partial_count below the join — |customers| rows move, not |orders|); the zero bucket comes from the outer join, " +
+        "and the second aggregate's key space is the max order count."),
+      "sim_range_search" -> ("Cosine range search (all pairs >= threshold): candidates are LSH-blocked — pairs score only " +
+        "inside a shared bucket, so the join is a bucket-equality shuffle with sum-of-squared-bucket-sizes work; " +
+        "the corpus-square theta join never appears."),
+      "cu_filter_funnel" -> ("Quality-filter funnel: the whole cascaded survival report is ONE map-side-combined global " +
+        "aggregate (5 counters per partition cross the network) plus a 4-row stack — no document data is ever shuffled; " +
+        "thresholds compare in exact integer form, so the oracle matches bit-for-bit."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

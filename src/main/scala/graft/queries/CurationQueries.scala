@@ -484,6 +484,37 @@ object CurationQueries {
         $rounds
         SELECT r AS sel_round, vec_id, d AS dist_sq
         FROM sel7 ORDER BY sel_round"""
-      })
+      }),
+
+    // ---- quality-filter funnel (per-stage survival report) ----
+    // Cascaded filter observability: one row per stage, n_kept of stage
+    // i is n_in of stage i+1. One corpus pass, 5 global counters, no
+    // data shuffle; thresholds in exact integer form.
+    QueryDef("cu_filter_funnel",
+      (s, dir) => Curation.filterFunnel(Tables.documents(s, dir))
+        .orderBy("stage_idx"),
+      Some("""
+        WITH d AS (SELECT length(text) > 0 AS b1,
+                     len(string_split(text, ' ')) AS nw,
+                     len(list_distinct(string_split(text, ' '))) AS nd,
+                     length(replace(text, ' ', '')) AS nc
+                   FROM documents),
+        s AS (SELECT count(*) AS n0,
+                CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN b1 AND nw >= 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN b1 AND nw >= 10 AND nd*10 >= nw*3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                CAST(sum(CASE WHEN b1 AND nw >= 10 AND nd*10 >= nw*3
+                              AND nc <= nw*12
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n4
+              FROM d)
+        SELECT * FROM (
+          SELECT 1 AS stage_idx, 'nonempty' AS stage,
+                 n0 AS n_in, n1 AS n_kept, n0 - n1 AS n_dropped FROM s
+          UNION ALL SELECT 2, 'min_words', n1, n2, n1 - n2 FROM s
+          UNION ALL SELECT 3, 'ttr_floor', n2, n3, n2 - n3 FROM s
+          UNION ALL SELECT 4, 'word_len_cap', n3, n4, n3 - n4 FROM s)
+        ORDER BY stage_idx"""))
   )
 }

@@ -427,6 +427,35 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, cos FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- cosine range search (all pairs >= threshold, LSH-blocked) ----
+    // The radius-query complement of the top-k probes: emit EVERY pair
+    // above the cosine floor, scored only inside a shared LSH bucket —
+    // sum-of-squared-bucket-sizes work, never the corpus square.
+    QueryDef("sim_range_search",
+      (s, dir) => Similarity.rangeSearch(Tables.embeddings(s, dir),
+        threshold = 0.4, nPlanes = 8)
+        .orderBy("vec_a", "vec_b"),
+      Some(s"""
+        WITH $QuantCte,
+        proj AS (SELECT vec_id,
+          ${(0 until 8).map { b =>
+            s"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * " +
+              s"(CASE WHEN (i * ${b + 7}) % 5 <= 2 THEN 1 ELSE -1 END))) AS s$b"
+          }.mkString(", ")}
+          FROM qn),
+        bkt0 AS (SELECT vec_id,
+          ${(0 until 8).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)")
+            .mkString(" + ")} AS bucket
+          FROM proj),
+        bkt AS (SELECT q.vec_id, q.v, q.nrm, bkt0.bucket
+                FROM qn q JOIN bkt0 ON q.vec_id = bkt0.vec_id)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
+        FROM bkt a JOIN bkt b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.4
+        ORDER BY vec_a, vec_b""")),
+
     // ---- IVF with real k-means centroids (2 Lloyd rounds) ----
     QueryDef("sim_ann_ivf_kmeans",
       (s, dir) => Similarity.kmeansIvfTopK(Tables.embeddings(s, dir), k = 5,

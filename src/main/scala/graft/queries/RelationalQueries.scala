@@ -510,6 +510,33 @@ object RelationalQueries {
           AND NOT EXISTS (SELECT 1 FROM l1 l3
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey)
-        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")),
+
+    // ---- TPC-H Q13 shape: order-count distribution over ALL customers ----
+    // How many customers placed 0, 1, 2, … qualifying orders — the
+    // group-by-of-a-group-by shape, with the zero bucket forced by an
+    // outer join. Scale order matters: the fact PRE-AGGREGATES to one
+    // row per customer key (map-side combined) BEFORE touching the dim,
+    // so the custkey join moves |customers| rows, not |orders|; the
+    // second aggregate's key space is the max order count — tiny.
+    QueryDef("rel_order_dist",
+      (s, dir) => {
+        val perCust = Tables.orders(s, dir)
+          .where(not(col("o_orderpriority").startsWith("1")))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"))
+        Tables.customer(s, dir)
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("n"), lit(0L)).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        WITH pc AS (SELECT o_custkey, count(*) AS n FROM orders
+                    WHERE o_orderpriority NOT LIKE '1%' GROUP BY 1)
+        SELECT coalesce(n, 0) AS c_count, count(*) AS custdist
+        FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))
   )
 }

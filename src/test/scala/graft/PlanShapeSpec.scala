@@ -231,4 +231,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("sim_range_search: pair scoring stays keyed on the LSH bucket") {
+    val p = plan("sim_range_search")
+    // both self-join sides are corpus-sized: an unkeyed join here is the
+    // corpus square the LSH blocking exists to prevent
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("rel_order_dist: the fact pre-aggregates (map-side) before the dim join") {
+    val p = plan("rel_order_dist")
+    // partial_count below the join = |customers| rows move, not |orders|
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("cu_filter_funnel: one global aggregate, no data shuffle") {
+    val p = plan("cu_filter_funnel")
+    // 5 counters cross the network once per partition; any
+    // hashpartitioning exchange means document data got shuffled
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
 }

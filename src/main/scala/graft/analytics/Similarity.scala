@@ -442,12 +442,31 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
       numSubspaces: Int = 4, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
-    val subDim = dim / numSubspaces
     val all = prepQ(emb)
+    val (codes, subs) = pqCodebookAndSlices(all, numSubspaces, codebookSize, dim)
+    val encoded = pqEncode(subs, codes)
+    val lut = pqLut(subs, codes, queryModulo, codebookSize)
+    val scored = encoded.crossJoin(broadcast(lut))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcDot(numSubspaces, codebookSize))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dot")
+  }
+
+  /** (1) codebook: k-seed table → M·K (m, cpos, code, codeNrm) rows,
+    * CONSTANT in corpus size, broadcast — plus the per-(vector, subspace)
+    * slice table the encoder and LUT builder both consume. The global
+    * row_number window runs over codebookSize rows — driver-bounded by
+    * construction, same contract as the centroid tables.
+    */
+  private def pqCodebookAndSlices(all: DataFrame, numSubspaces: Int,
+      codebookSize: Int, dim: Int): (DataFrame, DataFrame) = {
+    val subDim = dim / numSubspaces
     val subspaceIdx = explode(sequence(lit(0), lit(numSubspaces - 1))).as("m")
-    // (1) codebook: k-seed table → M·K (m, cpos, code, codeNrm) rows.
-    // The global row_number window runs over codebookSize rows — driver-
-    // bounded by construction, same contract as the centroid tables.
     val wSeed = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     val codes = seedSubset(all, codebookSize)
       .withColumn("cpos", row_number().over(wSeed) - 1)
@@ -455,26 +474,35 @@ object Similarity {
       .select(col("m"), col("cpos"),
         expr(s"slice(qv, m * $subDim + 1, $subDim)").as("cv"))
       .withColumn("cnrm", dotLL(col("cv"), col("cv")))
-    // (2) encode: nearest code per (vector, subspace) by exact L2
-    // (argmin d = snrm + cnrm − 2·dot, tie → smallest cpos), folded to
-    // one codes-array row per vector.
     val subs = all.select(col("vec_id"), subspaceIdx, col("qv"))
       .select(col("vec_id"), col("m"),
         expr(s"slice(qv, m * $subDim + 1, $subDim)").as("sv"))
       .withColumn("snrm", dotLL(col("sv"), col("sv")))
-    val assigned = subs.join(broadcast(codes), "m")
+    (codes, subs)
+  }
+
+  /** (2) encode: nearest code per (vector, subspace) by exact L2
+    * (argmin d = snrm + cnrm − 2·dot, tie → smallest cpos), folded to
+    * one codes-array row per vector — the compressed corpus.
+    */
+  private def pqEncode(subs: DataFrame, codes: DataFrame): DataFrame =
+    subs.join(broadcast(codes), "m")
       .select(col("vec_id"), col("m"), struct(
           (lit(2L) * dotLL(col("sv"), col("cv")) - col("snrm") - col("cnrm"))
             .as("negd"),
           (-col("cpos")).as("negc"), col("cpos").as("cpos")).as("sc"))
       .groupBy("vec_id", "m").agg(max(col("sc")).as("b"))
       .select(col("vec_id"), col("m"), col("b.cpos").as("cpos"))
-    val encoded = assigned.groupBy("vec_id")
+      .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("cpos")))),
         s => s.getField("cpos")).as("codes"))
-    // (3) per-query LUT: flat array indexed by m·K + cpos (query-set ×
-    // M·K longs, broadcast), then the ADC scan over the compressed rows.
-    val lut = subs.where(col("vec_id") % queryModulo === 0)
+
+  /** (3) per-query LUT: flat array indexed by m·K + cpos (query-set ×
+    * M·K longs, broadcast).
+    */
+  private def pqLut(subs: DataFrame, codes: DataFrame, queryModulo: Int,
+      codebookSize: Int): DataFrame =
+    subs.where(col("vec_id") % queryModulo === 0)
       .join(broadcast(codes), "m")
       .select(col("vec_id").as("query_id"),
         (col("m") * codebookSize + col("cpos")).as("slot"),
@@ -482,12 +510,53 @@ object Similarity {
       .groupBy("query_id")
       .agg(transform(array_sort(collect_list(struct(col("slot"), col("pdot")))),
         s => s.getField("pdot")).as("lut"))
-    val scored = encoded.crossJoin(broadcast(lut))
+
+  private def adcDot(numSubspaces: Int, codebookSize: Int) =
+    expr(s"aggregate(sequence(0, ${numSubspaces - 1}), 0L, " +
+      s"(acc, m) -> acc + lut[m * $codebookSize + element_at(codes, m + 1)])")
+      .as("adc_dot")
+
+  /** IVF+PQ — the two production index tiers COMPOSED, the structure a
+    * FAISS `IVFPQ` index ships (Jégou et al. 2011): a coarse quantizer
+    * routes each vector to one inverted list (here the fixed-k
+    * [[seedSubset]] coarse centroids, argmax cosine — same assignment as
+    * [[ivfTopK]]), and within a list vectors exist ONLY as PQ codes.
+    * A query probes its own list and ADC-scans just that list's codes —
+    * the search cost is |list| code lookups instead of |corpus| vector
+    * dots, and the scanned bytes are the 128×-compressed codes.
+    *
+    * This build encodes the raw vector, not the residual against the
+    * coarse centroid (residual encoding sharpens recall but the
+    * composition and data movement are identical) — noted so the recall
+    * contract is explicit. All arithmetic stays exact integers; the
+    * DuckDB oracle replays coarse routing + encode + LUT + bucket-
+    * restricted ADC bit-for-bit.
+    *
+    * Scale shape: coarse assignment is a broadcast argmax (map-side
+    * combined, one slim row per vector), the probe is a bucket-equality
+    * join whose key cardinality = numCoarse, and every index structure
+    * (coarse centroids, codebook, per-query LUT) is broadcast state
+    * constant in corpus size.
+    */
+  def ivfPqTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
+      numCoarse: Int = 16, numSubspaces: Int = 4, codebookSize: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val all = prepQ(emb)
+    // coarse routing: one bucket per vector (argmax cosine over the
+    // broadcast fixed-k coarse table; tie-break = smallest c_id)
+    val coarse = seedSubset(all, numCoarse)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    val buckets = assignToCentroids(all, coarse)
+      .select(col("vec_id"), col("bucket"))
+    val (codes, subs) = pqCodebookAndSlices(all, numSubspaces, codebookSize, dim)
+    val encoded = pqEncode(subs, codes).join(buckets, "vec_id")
+    val lut = pqLut(subs, codes, queryModulo, codebookSize)
+      .join(buckets.withColumnRenamed("vec_id", "query_id"), "query_id")
+    // probe: ADC scan restricted to the query's own inverted list
+    val scored = encoded.join(broadcast(lut), "bucket")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr(s"aggregate(sequence(0, ${numSubspaces - 1}), 0L, " +
-          s"(acc, m) -> acc + lut[m * $codebookSize + element_at(codes, m + 1)])")
-          .as("adc_dot"))
+        adcDot(numSubspaces, codebookSize))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dot").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -1283,6 +1283,40 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, adc_dot FROM pqrk
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- IVF+PQ: coarse inverted lists over PQ-compressed codes ----
+    // The two production index tiers COMPOSED (FAISS IVFPQ): a fixed-k
+    // coarse quantizer routes vectors to inverted lists, queries ADC-scan
+    // only their own list's 2-byte codes. Every index structure (coarse
+    // table, codebook, LUT) is broadcast state constant in corpus size;
+    // the probe join's key cardinality = numCoarse. The oracle replays
+    // coarse routing + encode + LUT + bucket-restricted ADC bit-for-bit.
+    QueryDef("sim_ivf_pq",
+      (s, dir) => Similarity.ivfPqTopK(Tables.embeddings(s, dir), k = 5,
+        queryModulo = 20, numCoarse = 16, numSubspaces = 4, codebookSize = 16)
+        .orderBy("query_id", "rank"),
+      Some(s"""
+        WITH $QuantCte,
+        $PqChainCtes,
+        coarse AS (${seedSql(16)}),
+        casg AS (SELECT vec_id, c_id AS bucket,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                 FROM qn CROSS JOIN coarse),
+        cbkt AS (SELECT vec_id, bucket FROM casg WHERE arn = 1),
+        ivfsc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+                    CAST(sum(l.pdot) AS BIGINT) AS adc_dot
+                  FROM enc e
+                  JOIN cbkt nb ON nb.vec_id = e.vec_id
+                  JOIN lut l ON e.m = l.m AND e.cpos = l.cpos
+                  JOIN cbkt qb ON qb.vec_id = l.query_id
+                    AND qb.bucket = nb.bucket
+                  WHERE e.vec_id <> l.query_id
+                  GROUP BY 1, 2),
+        ivfrk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dot DESC, neighbor_id) AS rank FROM ivfsc)
+        SELECT query_id, rank, neighbor_id, adc_dot FROM ivfrk
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- PQ recall evaluation: ADC vs exact brute force ----
     // The quality dial of the compression trade: per query,
     // |PQ top-5 ∩ exact top-5| / 5 — what a pipeline watches when

@@ -537,6 +537,156 @@ object RelationalQueries {
                     WHERE o_orderpriority NOT LIKE '1%' GROUP BY 1)
         SELECT coalesce(n, 0) AS c_count, count(*) AS custdist
         FROM customer LEFT JOIN pc ON c_custkey = o_custkey
-        GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))
+        GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- TPC-H Q2 shape: groupwise-min with join-back ----
+    // For each part, the supplier(s) selling it at the part's minimum
+    // price. The groupwise-min pattern — aggregate to one min row per
+    // key, equality-join the fact back against its own aggregate — NOT
+    // a per-key window sort: both the min aggregate and the join are
+    // map-side-combinable / co-partitioned on l_partkey (AQE broadcasts
+    // the |parts|-row min table when small), where a row_number window
+    // would sort the whole fact. Equality on the raw stored double is
+    // exact — no arithmetic touches the compared value.
+    QueryDef("rel_cheapest_supplier",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        val minP = li.groupBy("l_partkey")
+          .agg(min(col("l_extendedprice")).as("min_price"))
+        li.join(minP, "l_partkey")
+          .where(col("l_extendedprice") === col("min_price"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("partkey"),
+            col("l_suppkey").as("suppkey"), col("s_name"), col("min_price"))
+          .distinct()
+          .orderBy("partkey", "suppkey")
+      },
+      Some("""
+        WITH mp AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+                    FROM lineitem GROUP BY 1)
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey,
+               s_name, min_price
+        FROM lineitem JOIN mp USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE l_extendedprice = min_price
+        ORDER BY partkey, suppkey""")),
+
+    // ---- TPC-H Q11 shape: global-threshold HAVING ----
+    // Suppliers whose revenue exceeds a fraction of TOTAL revenue. The
+    // global scalar is an empty-frame WINDOW over the per-supplier
+    // aggregate — |suppliers| rows pass through one partition (dimension-
+    // sized, never the fact), and the fact is scanned ONCE (a scalar
+    // subquery would re-derive the aggregate and scan lineitem twice).
+    // The threshold compare runs in exact integer cents
+    // (rev_c*10000 > total_c*5 ⇔ share > 0.05%), so no float boundary
+    // ambiguity; only the reported share divides.
+    QueryDef("rel_supplier_share",
+      (s, dir) => {
+        val perSupp = Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey"))
+          .agg((decSum("l_extendedprice") * 100).cast("long").as("rev_c"))
+        perSupp
+          .withColumn("total_c", sum(col("rev_c")).over(Window.partitionBy()))
+          .where(col("rev_c") * 10000 > col("total_c") * 5)
+          .select(col("l_suppkey").as("suppkey"),
+            (col("rev_c").cast("double") / 100).as("revenue"),
+            (col("rev_c").cast("double") / col("total_c")).as("share"))
+          .orderBy(col("share").desc, col("suppkey"))
+      },
+      Some("""
+        WITH ps AS (SELECT l_suppkey,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                           AS BIGINT) AS rev_c
+                    FROM lineitem GROUP BY 1),
+        g AS (SELECT sum(rev_c) AS total_c FROM ps)
+        SELECT l_suppkey AS suppkey,
+               CAST(rev_c AS DOUBLE) / 100 AS revenue,
+               CAST(rev_c AS DOUBLE) / total_c AS share
+        FROM ps CROSS JOIN g
+        WHERE rev_c * 10000 > total_c * 5
+        ORDER BY share DESC, suppkey""")),
+
+    // ---- TPC-H Q14 shape: conditional-aggregate ratio ----
+    // Promo revenue share per month: ONE pass over the fact (broadcast
+    // part dim), both the numerator and denominator as conditional sums
+    // in the SAME aggregate — no second scan, no join of two aggregates.
+    // Sums in DECIMAL (order-independent); one double division at the end.
+    QueryDef("rel_promo_share",
+      (s, dir) => {
+        val disc = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .as("ym"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", disc)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+              .as("promo_rev"),
+            sum(disc).cast("double").as("total_rev"))
+          .withColumn("promo_share",
+            col("promo_rev") / col("total_rev"))
+          .orderBy("ym")
+      },
+      Some("""
+        SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE) AS total_rev,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1 ORDER BY ym""")),
+
+    // ---- TPC-H Q22 shape: scalar-broadcast filter + anti join ----
+    // Rich-but-unengaged customers per nation (above-average balance,
+    // never placed an URGENT '1-…' order): the positive-balance average
+    // is ONE broadcast row (computed exactly: decimal sum cast to
+    // double, one division), the never-ordered test is an ANTI join on
+    // custkey — the orders side is filter-pushed to the urgent rows and
+    // pre-projected to the key column only, so the anti join shuffles
+    // 8 bytes/row, and the final aggregate is nation-keyed (25 groups,
+    // map-side combined).
+    QueryDef("rel_idle_rich",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val avgBal = cust.where(col("c_acctbal") > 0)
+          .agg((decSum("c_acctbal").cast("double") / count(lit(1)))
+            .as("avg_bal"))
+        val urgent = Tables.orders(s, dir)
+          .where(col("o_orderpriority").startsWith("1"))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(avgBal))
+          .where(col("c_acctbal") > col("avg_bal"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            decSum("c_acctbal").cast("double").as("totacctbal"))
+          .orderBy("nationkey")
+      },
+      Some("""
+        WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*) AS avg_bal
+                   FROM customer WHERE c_acctbal > 0)
+        SELECT c_nationkey AS nationkey, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer CROSS JOIN a
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority LIKE '1%')
+        GROUP BY 1 ORDER BY nationkey"""))
   )
 }

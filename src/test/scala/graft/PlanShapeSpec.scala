@@ -255,4 +255,44 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count"), p.take(2000))
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
+
+  test("rel_cheapest_supplier: groupwise-min join-back, not a fact-wide window sort") {
+    val p = plan("rel_cheapest_supplier")
+    // the min aggregate must combine map-side; a Window node here means
+    // the whole fact got sorted per partkey instead
+    assert(p.contains("partial_min"), p.take(2000))
+    assert(!p.contains("Window ["), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("rel_supplier_share: global total from ONE fact scan (window, not subquery)") {
+    val p = plan("rel_supplier_share")
+    // the threshold scalar is an empty-frame window over the |suppliers|-
+    // row aggregate — a scalar subquery would show two lineitem FileScans
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("Window ["), p.take(2000))
+  }
+
+  test("rel_promo_share: one pass — single fact aggregate, part side broadcast") {
+    val p = plan("rel_promo_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // numerator and denominator live in the SAME aggregate: exactly one
+    // hashpartitioning exchange (the group-by), not one per conditional sum
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("rel_idle_rich: urgent-order filter pushes to the scan under the anti join") {
+    val p = plan("rel_idle_rich")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("StringStartsWith(o_orderpriority,1)"), p.take(3000))
+  }
+
+  test("sim_ivf_pq: probe is keyed on the inverted list, index state broadcast") {
+    val p = plan("sim_ivf_pq")
+    // corpus-sized sides never meet unkeyed: the ADC scan joins on the
+    // bucket key, coarse/codebook/LUT tables broadcast
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided testdata tables (TESTDATA.md). */
 object Tables {
@@ -16,18 +17,44 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The `events` table with a millisecond epoch column.
-    *
-    * The file stores `ts` as Parquet TIMESTAMP(NANOS), which Spark only
-    * reads as a raw Long (`spark.sql.legacy.parquet.nanosAsLong`); `ts_ms`
-    * uses integer division — double-based division loses precision at
-    * 1e18 nanoseconds.
+  /** The `events` table with a millisecond epoch column (`ts_ms`,
+    * LongType), regardless of how the driver encoded `ts` — the testdata
+    * has shipped both Parquet TIMESTAMP(NANOS) (readable only as a raw
+    * Long via the legacy conf) and plain timestamp[us].
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    withTsMs(eventsRaw(spark, sfDir))
+
+  /** Raw `events` read with encoding dispatch. The legacy-conf write is
+    * scoped to the NANOS branch: a timestamp-typed file never mutates
+    * session state, and the conf itself is inert for non-NANOS parquet.
+    */
+  private[graft] def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    try load(spark, sfDir, "events")
+    catch {
+      case e: Throwable if causeChain(e).exists(m => m.contains("NANOS") || m.contains("nanosAsLong")) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(spark, sfDir, "events")
+    }
+
+  /** Derives `ts_ms` from either `ts` encoding with integer arithmetic:
+    * `div` on the nanos Long (double division loses precision at 1e18),
+    * `unix_millis` on the timestamp under the UTC-pinned session — both
+    * match the DuckDB oracles' `epoch_ms(ts)`.
+    */
+  private[graft] def withTsMs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts_ms", expr("ts div 1000000"))
+    case TimestampType | TimestampNTZType =>
+      df.withColumn("ts_ms", unix_millis(col("ts").cast(TimestampType)))
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts must be int64 nanos or a timestamp column; got $other")
   }
+
+  private def causeChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

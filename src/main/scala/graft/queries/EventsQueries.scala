@@ -511,22 +511,22 @@ object EventsQueries {
     // flatMapGroupsWithState.
     QueryDef("ts_sessionize",
       (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
         ev(s, dir)
-          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("prev_ts", lag(col("ts_ms"), 1).over(byUser))
           .withColumn("new_s",
             when(col("prev_ts").isNull ||
-              (col("ts") - col("prev_ts")) > 1800000L * 1000000L, 1L).otherwise(0L))
+              (col("ts_ms") - col("prev_ts")) > 1800000L, 1L).otherwise(0L))
           .groupBy("user_id")
           .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
           .orderBy("user_id")
       },
-      Some("""
+      Some(s"""
         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM (SELECT user_id,
-                CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                       OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
-                          > 1800000000000 THEN 1 ELSE 0 END AS new_s
+                CASE WHEN lag($MS) OVER (PARTITION BY user_id ORDER BY $MS) IS NULL
+                       OR $MS - lag($MS) OVER (PARTITION BY user_id ORDER BY $MS)
+                          > 1800000 THEN 1 ELSE 0 END AS new_s
               FROM events)
         GROUP BY user_id ORDER BY user_id""")),
 

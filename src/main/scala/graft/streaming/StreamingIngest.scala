@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.Tables
 import graft.tsdb.{Sample, TimeSeriesStore}
 
 /** The engine's LWW total order on writes: (ingestTs, seq, writerId).
@@ -138,13 +139,12 @@ object StreamingIngest {
     * entry for the streaming analytics below.
     */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
+    val schema = Tables.eventsRaw(spark, sfDir).schema
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    Tables.withTsMs(raw)
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
   }
 
@@ -305,7 +305,6 @@ object StreamingIngest {
     * both check against the same byte-arithmetic oracle.
     */
   def streamingMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val docs = spark.readStream
       .schema(schema)

@@ -132,11 +132,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     val store = new TimeSeriesStore(spark, root,
       StoreSettings(partitionWidth = 3600000L))
     store.initialize()
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val toSamples = (df: org.apache.spark.sql.DataFrame) => df
+    val schema = Tables.eventsRaw(spark, sf).schema
+    val toSamples = (df: org.apache.spark.sql.DataFrame) => Tables.withTsMs(df)
       .select(
         col("event_type").as("tag"),
-        expr("ts div 1000000").as("ts"),
+        col("ts_ms").as("ts"),
         col("props").as("value"),
         col("event_id").as("ingestTs"), // replay clock = stable event order
         lit("replay").as("writerId"),

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -322,18 +322,30 @@ object Dedup {
     * ≥-threshold similarity filter), so even 100 TB corpora typically
     * stay under this; the distributed path is the correctness backstop.
     */
+  /** ~100 bytes/edge on the driver: the collected tuple array plus boxed
+    * HashMap parent nodes.
+    */
+  private val BytesPerEdge = 100L
+
   def maxDriverEdges: Long =
-    math.min(10000000L, Runtime.getRuntime.maxMemory() / 16 / 100)
+    DriverBudget.maxRows(BytesPerEdge, hardCap = 10000000L)
 
   def duplicateClusters(docs: DataFrame, threshold: Double,
       maxShingleDf: Long = DefaultMaxShingleDf,
       driverEdgeLimit: Long = -1L): DataFrame = {
-    val limit = if (driverEdgeLimit >= 0L) driverEdgeLimit else maxDriverEdges
     val pairs = jaccardPairs(docs, threshold, maxShingleDf)
       .select(col("doc_a"), col("doc_b")).cache()
     val nEdges = pairs.count()
-    if (nEdges <= limit) {
-      val out = driverUnionFind(pairs)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val collected =
+      if (driverEdgeLimit >= 0L) { // explicit caller cap (tests)
+        if (nEdges <= driverEdgeLimit) Some(pairs.as[(Long, Long)].collect())
+        else None
+      } else DriverBudget.collectWithin(pairs.as[(Long, Long)], nEdges,
+        BytesPerEdge, hardCap = 10000000L)
+    if (collected.isDefined) {
+      val out = driverUnionFind(spark, collected.get)
       pairs.unpersist()
       return out
     }
@@ -386,10 +398,9 @@ object Dedup {
     * min-label so the representative is the smallest doc_id, matching the
     * distributed fixpoint's answer exactly).
     */
-  private def driverUnionFind(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  private def driverUnionFind(spark: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val edges = pairs.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -275,13 +275,27 @@ object Similarity {
           s => s.getField("m")).as("cv"))
         .withColumn("cnrm", dotLL(col("cv"), col("cv")))
       // materialize the k·dim-long centroid table (driver state, like
-      // MLlib KMeans) — see scaladoc; keeps the next round's plan flat
+      // MLlib KMeans) — see scaladoc; keeps the next round's plan flat.
+      // Routed through the shared DriverBudget guard: if k·dim ever
+      // exceeds the driver budget, the round materializes as an eager
+      // localCheckpoint instead — same plan-flattening effect, zero
+      // driver-side copy in engine code.
       import emb.sparkSession.implicits._
-      centroids = next.as[(Long, Array[Long], Long)].collect().toSeq
-        .toDF("c_id", "cv", "cnrm")
+      centroids = DriverBudget.collectWithin(
+          next.as[(Long, Array[Long], Long)], numCentroids, CentroidBytesEst) match {
+        case Some(rows) => rows.toSeq.toDF("c_id", "cv", "cnrm")
+        case None       => next.toDF("c_id", "cv", "cnrm").localCheckpoint(true)
+      }
     }
     centroids
   }
+
+  /** Driver bytes per collected centroid row, estimated for the guard:
+    * boxed long array + row overhead, conservatively sized for dims up
+    * to ~8k. k·this must fit [[DriverBudget.budgetBytes]] for the
+    * local-relation fast path.
+    */
+  private val CentroidBytesEst = 64L * 1024L
 
   private def kmeansAssign(emb: DataFrame, numCentroids: Int,
       iters: Int): DataFrame =

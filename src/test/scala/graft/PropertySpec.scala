@@ -242,4 +242,40 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(native === composed, s"left=$ls right=$rs")
     }
   }
+
+  test("property: DriverBudget guard — zero budget forces the distributed fallback, answers unchanged") {
+    import graft.analytics.{Dedup, DriverBudget, Similarity}
+    import spark.implicits._
+    // guard arithmetic: hardCap clamps, bytesPerRow divides the budget
+    assert(DriverBudget.maxRows(100L, hardCap = 5L) <= 5L)
+    assert(DriverBudget.maxRows(1L) === DriverBudget.budgetBytes)
+    val ds = spark.range(10).map(i => (i, i))
+    assert(DriverBudget.collectWithin(ds, 10L, 100L).isDefined)
+
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val fast = Similarity.kmeansIvfTopK(emb, k = 3, queryModulo = 50,
+      numCentroids = 8, iters = 1).orderBy("query_id", "neighbor_id")
+      .collect().map(_.toSeq).toSeq
+    val clustersFast = Dedup.duplicateClusters(docs, 0.4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    DriverBudget.budgetOverrideBytes = 0L
+    try {
+      // the switch itself
+      assert(DriverBudget.collectWithin(ds, 10L, 100L).isEmpty)
+      // k-means rounds materialize via localCheckpoint instead of a
+      // driver collect; the centroids (and thus the search answer) must
+      // be bit-identical
+      val slow = Similarity.kmeansIvfTopK(emb, k = 3, queryModulo = 50,
+        numCentroids = 8, iters = 1).orderBy("query_id", "neighbor_id")
+        .collect().map(_.toSeq).toSeq
+      assert(slow === fast)
+      // union-find falls back to the distributed min-label fixpoint
+      val clustersSlow = Dedup.duplicateClusters(docs, 0.4)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(clustersSlow === clustersFast)
+    } finally DriverBudget.budgetOverrideBytes = -1L
+  }
 }

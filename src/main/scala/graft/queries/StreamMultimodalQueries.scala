@@ -521,6 +521,30 @@ object StreamMultimodalQueries {
                FROM ch)
         SELECT doc_id, chunk_idx, md5(chunk) AS h,
                CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_words
-        FROM mk WHERE rn = 1 ORDER BY doc_id, chunk_idx"""))
+        FROM mk WHERE rn = 1 ORDER BY doc_id, chunk_idx""")),
+
+    // ---- streaming ordered-stage funnel (flatMapGroupsWithState) ----
+    // Per-user 3-long state machine (first view / first qualifying click /
+    // first qualifying purchase); on the bounded single-batch source the
+    // final state equals the batch funnel's chained conditional-mins.
+    // Oracle shared with ts_funnel — stream/batch parity proven.
+    QueryDef("st_funnel",
+      (s, dir) => StreamingIngest.streamingFunnel(s, dir),
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        t1 AS (SELECT user_id, min(ts_ms) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (SELECT e.user_id, min(ts_ms) AS t2 FROM e JOIN t1 USING (user_id)
+               WHERE event_type = 'click' AND ts_ms >= t1 GROUP BY 1),
+        t3 AS (SELECT e.user_id, min(ts_ms) AS t3 FROM e JOIN t2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts_ms >= t2 GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+               CAST(sum(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+               CAST(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        FROM u LEFT JOIN t1 USING (user_id)
+               LEFT JOIN t2 USING (user_id)
+               LEFT JOIN t3 USING (user_id)"""))
   )
 }

@@ -203,6 +203,88 @@ object StreamingIngest {
     drain(out, "complete").orderBy("user_id", "session_start")
   }
 
+  /** Streaming ordered-stage funnel (view → click → purchase) as a
+    * per-user state machine on `flatMapGroupsWithState`: state is THREE
+    * longs per user — first view, first click at-or-after it, first
+    * purchase at-or-after that (`Long.MaxValue` = stage not reached).
+    * Each micro-batch folds its rows in (event-time, stage) order, so on
+    * the bounded single-batch source the final state is exactly the batch
+    * funnel's chained conditional-mins; a user emits a row only when its
+    * state improves, and the post-drain min-rollup keeps the last
+    * snapshot (all three fields only ever decrease).
+    *
+    * The state never grows with history — the production caveat is
+    * ordering, not size: an event arriving in a LATER micro-batch with an
+    * EARLIER timestamp than an already-consumed stage can lower `t1`
+    * without re-qualifying clicks the machine already passed over (a
+    * live deployment bounds that with a watermark + sorted replay, same
+    * as every funnel engine). Shares `ts_funnel`'s oracle.
+    */
+  def streamingFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = eventStream(spark, sfDir)
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        col("ts_ms").as[Long])
+    val drained = drain(funnelSnapshots(events).toDF("user_id", "t1", "t2", "t3"),
+      "append")
+    funnelRollup(drained)
+  }
+
+  /** The funnel state machine alone — `(user_id, event_type, ts_ms)` in,
+    * `(user_id, t1, t2, t3)` snapshot out on every per-user improvement.
+    * Split out so specs can drive it across multiple MemoryStream
+    * micro-batches.
+    */
+  private[graft] def funnelSnapshots(
+      events: org.apache.spark.sql.Dataset[(Long, String, Long)]):
+      org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val st = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+          var (t1, t2, t3) = (st.t1, st.t2, st.t3)
+          // (ts, stage) order makes a same-ms view qualify a same-ms click
+          rows.toSeq
+            .sortBy(r => (r._3, stageRank.getOrElse(r._2, 3)))
+            .foreach { case (_, typ, ts) =>
+              typ match {
+                case "view"                               => t1 = math.min(t1, ts)
+                case "click" if ts >= t1 && ts < t2       => t2 = ts
+                case "purchase" if ts >= t2 && ts < t3    => t3 = ts
+                case _                                    => ()
+              }
+            }
+          if ((t1, t2, t3) != ((st.t1, st.t2, st.t3))) {
+            state.update(FunnelState(t1, t2, t3))
+            Iterator.single((uid, t1, t2, t3))
+          } else if (state.getOption.isEmpty) {
+            // stage-less users still count toward the funnel's n_users
+            state.update(FunnelState(t1, t2, t3))
+            Iterator.single((uid, t1, t2, t3))
+          } else Iterator.empty
+      }
+  }
+
+  /** Collapses drained funnel snapshots (append mode emits one row per
+    * per-user improvement; all three fields only ever decrease, so the
+    * min IS the last snapshot) into the one-row stage-count funnel.
+    */
+  private[graft] def funnelRollup(drained: DataFrame): DataFrame = {
+    val M = Long.MaxValue
+    drained.groupBy("user_id")
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("t1") =!= M, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("t2") =!= M, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(col("t3") =!= M, 1L).otherwise(0L)).as("n_purchased"))
+  }
+
   /** Streaming exact dedup → aggregation (two chained stateful operators):
     * drop duplicate event ids, then count per event type. The dedup state
     * is the streaming analog of the engine's exact-dedup operator.
@@ -604,6 +686,11 @@ object StreamingIngest {
 }
 
 /** Input row shape for the streaming reservoir-sample operator. */
+/** Per-user funnel state: first view / first qualifying click / first
+  * qualifying purchase timestamps, `Long.MaxValue` = stage not reached.
+  */
+final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
 final case class ResDoc(source: String, doc_id: Long, h: String)
 
 /** One emitted row of the streaming reservoir sample. */

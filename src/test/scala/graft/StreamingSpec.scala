@@ -124,6 +124,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     }
   }
 
+  test("streaming funnel state machine improves across micro-batches and matches the batch answer") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)](
+      org.apache.spark.sql.Encoders.product[(Long, String, Long)], spark)
+    val name = s"fn_${System.nanoTime()}"
+    val q = StreamingIngest.funnelSnapshots(input.toDS())
+      .toDF("user_id", "t1", "t2", "t3")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1: user 1 views then clicks; user 2 clicks with no view
+      // (must not enter stage 2); user 3 only errors (counts in n_users)
+      input.addData((1L, "view", 10L), (1L, "click", 20L),
+        (2L, "click", 15L), (3L, "error", 5L))
+      q.processAllAvailable()
+      val M = Long.MaxValue
+      val after1 = spark.table(name).as[(Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(after1 === Seq((1L, 10L, 20L, M), (2L, M, M, M), (3L, M, M, M)))
+      // batch 2 (later event times): user 1 purchases — one improvement
+      // row; user 2's view then purchase must NOT retro-qualify the
+      // batch-1 click (click precedes the first view); user 3 unchanged
+      // emits nothing
+      input.addData((1L, "purchase", 30L), (2L, "view", 40L),
+        (2L, "purchase", 50L), (3L, "error", 99L))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2, r._3, r._4)).toSeq
+      assert(rows === Seq(
+        (1L, 10L, 20L, 30L), (1L, 10L, 20L, M),
+        (2L, 40L, M, M), (2L, M, M, M),
+        (3L, M, M, M)))
+      // the rollup over everything emitted = the batch funnel counts
+      val roll = StreamingIngest.funnelRollup(spark.table(name))
+        .as[(Long, Long, Long, Long)].head()
+      assert(roll === ((3L, 2L, 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("replaying the driver's events table as a stream matches batch reads") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

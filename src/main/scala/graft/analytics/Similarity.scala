@@ -318,6 +318,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Embedding-space benchmark decontamination — the semantic complement
+    * of the n-gram overlap check ([[Curation.decontaminate]]): a train
+    * vector is contaminated when its max cosine against ANY eval vector
+    * clears the threshold. Near-duplicates that share no exact 3-gram —
+    * paraphrases, translations, reformatted copies — are exactly what
+    * the n-gram check misses and this one catches.
+    *
+    * Scale shape: the eval set is benchmark-sized (megabytes against a
+    * 100 TB corpus), so it BROADCASTS; the train side streams through a
+    * map-side-combined max(struct) argmax — one row per train vector
+    * crosses the network (same shape as [[ivfTopK]]'s assignment), and
+    * the corpus is never shuffled on anything.
+    */
+  def embedDecontaminate(emb: DataFrame, threshold: Double = 0.35,
+      evalModulo: Int = 20): DataFrame = {
+    val all = prep(emb)
+    val eval = all.where(col("vec_id") % evalModulo === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("evv"),
+        col("nrm").as("enrm"))
+    all.where(col("vec_id") % evalModulo =!= 0)
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"), struct(
+          cosineQ(dotQF(col("v"), col("evv")), col("nrm"), col("enrm")).as("cos"),
+          (-col("eval_id")).as("nege"), col("eval_id").as("eval_id")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.eval_id").as("eval_id"),
+        col("m.cos").as("max_cos"),
+        (col("m.cos") >= threshold).cast("int").as("contaminated"))
+  }
+
   /** Per-vector quality audit — the sanity table every ANN/semdedup build
     * runs BEFORE indexing: zero and near-zero vectors poison cosine math
     * (division by a ~0 norm), saturated components signal a broken

@@ -144,11 +144,26 @@ object ScaleProbe {
         rotated.as("embedding"), col("label"))
     }
 
-    val tsSpanRow = src("events").agg(min(col("ts")), max(col("ts"))).head()
-    val tsSpan = tsSpanRow.getLong(1) - tsSpanRow.getLong(0) + 1000000000L
+    // same encoding dispatch as Tables.withTsMs: the synthetic file must
+    // keep the SOURCE's ts type so the loaders treat both scales alike
+    val tsType = src("events").schema("ts").dataType
+    val isLongTs = tsType == org.apache.spark.sql.types.LongType
+    val tsSpan: Long = if (isLongTs) {
+      val r = src("events").agg(min(col("ts")), max(col("ts"))).head()
+      r.getLong(1) - r.getLong(0) + 1000000000L // nanos + 1 s gap
+    } else {
+      val r = src("events").agg(
+        unix_micros(min(col("ts")).cast("timestamp")),
+        unix_micros(max(col("ts")).cast("timestamp"))).head()
+      r.getLong(1) - r.getLong(0) + 1000000L // micros + 1 s gap
+    }
     replicate("events") { (df, i) =>
+      val shiftedTs =
+        if (isLongTs) (col("ts") + lit(i * tsSpan)).as("ts")
+        else timestamp_micros(unix_micros(col("ts").cast("timestamp")) +
+          lit(i * tsSpan)).cast(tsType).as("ts")
       df.select((col("event_id") + lit(i * 1000000000000L)).as("event_id"),
-        (col("ts") + lit(i * tsSpan)).as("ts"),
+        shiftedTs,
         (col("user_id") + lit(i * 10000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }

@@ -231,6 +231,36 @@ object CurationQueries {
                n_hits * 1.0 / n_shingles AS hit_ratio
         FROM a WHERE n_hits > 0 ORDER BY doc_id""")),
 
+    // ---- benchmark decontamination, embedding-space variant ----
+    // Max cosine vs the broadcast eval set; catches the paraphrase-shaped
+    // contamination the 3-gram check (cu_decontaminate) misses. Same
+    // max(struct) argmax shape as the IVF assignment — corpus never
+    // shuffled.
+    QueryDef("cu_embed_decontaminate",
+      (s, dir) => graft.analytics.Similarity.embedDecontaminate(
+        Tables.embeddings(s, dir), threshold = 0.35, evalModulo = 20)
+        .orderBy("vec_id"),
+      Some(s"""
+        WITH $QuantCte,
+        qn AS (SELECT vec_id, v,
+                 list_sum(list_transform(v, x -> x*x)) AS nrm FROM q),
+        ev AS (SELECT vec_id AS eval_id, v AS evv, nrm AS enrm
+               FROM qn WHERE vec_id % 20 = 0),
+        tr AS (SELECT vec_id, v, nrm FROM qn WHERE vec_id % 20 <> 0),
+        sc AS (SELECT tr.vec_id, ev.eval_id,
+                 list_sum(list_transform(range(1, len(tr.v)+1),
+                   i -> tr.v[i]*ev.evv[i])) * 1.0
+                   / (sqrt(tr.nrm) * sqrt(ev.enrm)) AS cos
+               FROM tr CROSS JOIN ev),
+        rk AS (SELECT vec_id, eval_id, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, eval_id) AS rn
+               FROM sc)
+        SELECT vec_id, eval_id, cos AS max_cos,
+               CAST(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END AS INT)
+                 AS contaminated
+        FROM rk WHERE rn = 1 ORDER BY vec_id""")),
+
     // ---- dataset card: per-source corpus statistics manifest ----
     // The summary table a data release ships: volume, language spread,
     // length distribution, within-source redundancy. ONE map-side-combined

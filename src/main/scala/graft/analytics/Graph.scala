@@ -87,4 +87,77 @@ object Graph {
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
+
+  /** Connected components by ALTERNATING large-star / small-star rounds
+    * (the Kiveris et al. "Connected Components in MapReduce and Beyond"
+    * alternating algorithm) — a THIRD execution path for the same answer
+    * as [[Dedup.duplicateClusters]]'s min-label fixpoint and its driver
+    * union-find, gated by the same oracle. The property that matters at
+    * 100 TB: it converges in O(log² n) rounds regardless of component
+    * DIAMETER, where min-label propagation pays one round per hop on
+    * chain-shaped components.
+    *
+    *  - large-star: every node links its strictly-larger neighbors to
+    *    `m(u) = min(Γ(u) ∪ u)` — long chains collapse toward minima.
+    *  - small-star: every node links itself and its smaller neighbors to
+    *    the smallest of them — stars re-center on the true minimum.
+    *
+    * The pair set is kept CANONICAL ((lo, hi), distinct, no loops) and
+    * materialized between rounds like [[pageRank]]'s ranks; each round is
+    * two groupBy+join supersteps over the current (shrinking) edge set.
+    * Convergence = identical (count, bit_xor-of-xxhash64) fingerprint
+    * two rounds running — a collision would need two edge sets with
+    * equal 64-bit fingerprints inside the SAME run, and the end state is
+    * hash-gated against the oracle anyway.
+    *
+    * Input `pairs`: undirected (doc_a, doc_b) candidate pairs. Output:
+    * (doc_id, cluster_id = component minimum) for every node with at
+    * least one edge — [[Dedup.duplicateClusters]]'s contract.
+    */
+  def starComponents(pairs: DataFrame, maxRounds: Int = 12): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).as("lo"),
+        greatest(col("u"), col("v")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+    def sym(p: DataFrame): DataFrame = p.select(col("lo").as("u"), col("hi").as("v"))
+      .union(p.select(col("hi"), col("lo")))
+    def fingerprint(p: DataFrame): (Long, Long) = {
+      val r = p.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var cur = canon(pairs.toDF("u", "v")).localCheckpoint(true)
+    var fp = fingerprint(cur)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val e = sym(cur)
+      // large-star: (v, m(u)) for v ∈ Γ(u), v > u
+      val mAll = e.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u").as("lu"), least(col("u"), col("mv")).as("m"))
+      val large = canon(e.join(mAll, col("u") === col("lu"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint(true)
+      // small-star over the large-star result: N = {v ∈ Γ(u): v < u} ∪ {u},
+      // link every member to min(N)
+      val es = sym(large).where(col("v") < col("u"))
+      val mSmall = es.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = es.join(mSmall, "u")
+      val small = canon(
+          withM.select(col("v").as("u"), col("m").as("v"))
+            .union(withM.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      val nfp = fingerprint(small)
+      converged = nfp == fp
+      fp = nfp
+      cur = small
+      round += 1
+    }
+    // final state is a star forest: every node's label is min(Γ ∪ self)
+    sym(cur).groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("cluster_id"))
+  }
 }

@@ -295,4 +295,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("cu_embed_decontaminate: eval set broadcasts, argmax is map-side combined") {
+    val p = plan("cu_embed_decontaminate")
+    // the eval side must broadcast (BNLJ over the broadcast eval set is
+    // the expected cross shape); the corpus must NOT shuffle as pairs —
+    // only the per-vector partial_max aggregate crosses the network
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(p.contains("partial_max"), p.take(3000))
+  }
 }

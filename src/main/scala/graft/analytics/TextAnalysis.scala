@@ -94,6 +94,30 @@ object TextAnalysis {
           .cast("long").as("max_token_len"))
   }
 
+  /** One real BPE-training merge iteration: the top-k adjacent
+    * character-pair candidates, counted over the FREQUENCY-WEIGHTED
+    * VOCABULARY — the property that makes BPE training cheap at corpus
+    * scale: the corpus is scanned ONCE into a word-frequency table
+    * (map-side-combined aggregate, vocabulary-sized output), and every
+    * merge round after that iterates over the vocabulary only — pair
+    * explosion, counting, and the top-k all run on vocab-sized data no
+    * matter how many petabytes fed the frequency table. Top-k is a
+    * TakeOrdered (never a global sort); count-desc then pair-asc makes
+    * the boundary deterministic.
+    */
+  def bpeMergeCandidates(docs: DataFrame, k: Int = 20): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("f"))
+    vocab
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
+  }
+
   /** KMV (k-minimum-values) distinct-token sketch — the deterministic,
     * engine-portable alternative to HLL for cardinality estimation at
     * scale: hash every distinct token to a 52-bit integer (13 md5 hex

@@ -603,6 +603,22 @@ object PipelineQueries {
                coalesce(list_max(list_transform(toks, t -> length(t))), 0) AS max_token_len
         FROM t ORDER BY doc_id""")),
 
+    // ---- BPE training: one merge iteration over the weighted vocab ----
+    // The corpus collapses to a word-frequency table once; pair counting
+    // and the top-k run on VOCAB-sized data — the shape that makes BPE
+    // training tractable at 100 TB.
+    QueryDef("tx_bpe_merges",
+      (s, dir) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir), k = 20),
+      Some("""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        wf AS (SELECT word, count(*) AS f FROM w
+               WHERE length(word) >= 2 GROUP BY 1),
+        pe AS (SELECT f, word, unnest(range(1, length(word))) AS i FROM wf),
+        pc AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                      CAST(sum(f) AS BIGINT) AS cnt
+               FROM pe GROUP BY 1)
+        SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""")),
+
     // ---- language ID (marker-word profiles) ----
     QueryDef("tx_lang_id",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir))

@@ -79,4 +79,33 @@ class LoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = Tables.eventsRaw(spark, "/root/testdata/sf0.001").schema("ts").dataType
     assert(t === TimestampType || t === TimestampNTZType, s"got $t")
   }
+
+  test("driver table schemas carry every column the registry depends on") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, StringType}
+    val sf = "/root/testdata/sf0.001"
+    def cols(name: String) = Tables.load(spark, sf, name).schema
+
+    val docs = cols("documents")
+    for (c <- Seq("doc_id", "text", "lang", "source", "n_chars"))
+      assert(docs.fieldNames.contains(c), s"documents.$c missing")
+    assert(docs("text").dataType === StringType)
+
+    val emb = cols("embeddings")
+    for (c <- Seq("vec_id", "embedding", "label"))
+      assert(emb.fieldNames.contains(c), s"embeddings.$c missing")
+    assert(emb("embedding").dataType.isInstanceOf[ArrayType], "embedding not an array")
+    val elem = emb("embedding").dataType.asInstanceOf[ArrayType].elementType
+    assert(elem === FloatType || elem === DoubleType, s"embedding element $elem")
+
+    val ev = Tables.events(spark, sf).schema
+    for (c <- Seq("event_id", "user_id", "event_type", "value", "props", "ts_ms"))
+      assert(ev.fieldNames.contains(c), s"events.$c missing")
+    assert(ev("value").dataType === DoubleType)
+
+    for ((t, key) <- Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "nation" -> "n_nationkey",
+        "region" -> "r_regionkey"))
+      assert(cols(t).fieldNames.contains(key), s"$t.$key missing")
+  }
 }

@@ -687,6 +687,163 @@ object RelationalQueries {
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority LIKE '1%')
-        GROUP BY 1 ORDER BY nationkey"""))
+        GROUP BY 1 ORDER BY nationkey""")),
+
+    // TPC-H Q6 shape — the forecasting-revenue-change aggregate: all
+    // three filters (date range, discount band, quantity cap) push to
+    // the parquet scan, then ONE map-side-combined global sum. The
+    // simplest possible 100 TB plan: scan-local work, a single 1-row
+    // exchange. Discounts live on an exact 2-dp grid, so the DECIMAL
+    // product is engine-exact.
+    QueryDef("rel_revenue_uplift",
+      (s, dir) => Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+          col("l_discount").cast("decimal(18,2)").between(
+            lit(0.05).cast("decimal(18,2)"), lit(0.07).cast("decimal(18,2)")) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("double")
+          .as("revenue_uplift"),
+          count(lit(1)).as("n_rows")),
+      Some("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue_uplift,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(l_discount AS DECIMAL(18,2))
+                BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+          AND l_quantity < 24""")),
+
+    // TPC-H Q7 shape — volume shipping between two nations: revenue by
+    // (supplier nation, customer nation, ship year) for the ordered
+    // nation pair. Both nation dims and supplier broadcast; the one
+    // real shuffle is lineitem⋈orders on the order key, then the
+    // (2×2×years)-row aggregate is map-side combined.
+    QueryDef("rel_volume_shipping",
+      (s, dir) => {
+        val n1 = Tables.nation(s, dir)
+          .where(col("n_name").isin("NATION_1", "NATION_2"))
+        val supp = Tables.supplier(s, dir)
+          .join(broadcast(n1.select(col("n_nationkey").as("snk"),
+            col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(n1.select(col("n_nationkey").as("cnk"),
+            col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val ords = Tables.orders(s, dir)
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cust_nation"))
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(ords, col("l_orderkey") === col("o_orderkey"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE) AS revenue
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // TPC-H Q10 shape — returned-item reporting: per-customer revenue
+    // lost to returns in one quarter, top 20. The orders quarter filter
+    // pushes to its scan BEFORE the fact join; customer attaches by
+    // broadcast AFTER the per-custkey aggregate (aggregate first, then
+    // decorate — the corpus-sized join never carries customer columns).
+    QueryDef("rel_returned_items",
+      (s, dir) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        val q = Tables.orders(s, dir)
+          .where(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val perCust = Tables.lineitem(s, dir)
+          .where(col("l_returnflag") === "R")
+          .join(q, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(rev).cast("double").as("revenue"))
+        perCust
+          .join(broadcast(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+      },
+      Some("""
+        WITH pc AS (SELECT o_custkey,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE l_returnflag = 'R'
+                      AND o_orderdate >= TIMESTAMP '1996-01-01'
+                      AND o_orderdate < TIMESTAMP '1996-04-01'
+                    GROUP BY 1)
+        SELECT c_custkey, c_name, c_acctbal, revenue
+        FROM pc JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q15 shape — top supplier(s) by quarter revenue: the revenue
+    // view aggregates per supplier (one map-side-combined shuffle), the
+    // 1-row max broadcasts back, and ties all surface (the Q15 spec's
+    // correctness subtlety a LIMIT 1 would get wrong).
+    QueryDef("rel_top_supplier",
+      (s, dir) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        val perSupp = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(rev).cast("double").as("total_revenue"))
+        val best = perSupp.agg(max(col("total_revenue")).as("best"))
+        perSupp.crossJoin(broadcast(best))
+          .where(col("total_revenue") === col("best"))
+          .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        WITH r AS (SELECT l_suppkey,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                       AS DOUBLE) AS total_revenue
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1996-04-01'
+                   GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM r JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+        ORDER BY s_suppkey"""))
   )
 }

@@ -296,6 +296,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("rel_volume_shipping: nation/supplier dims broadcast; no cartesian") {
+    val p = plan("rel_volume_shipping")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("rel_top_supplier: per-supplier aggregate feeds a broadcast 1-row max") {
+    val p = plan("rel_top_supplier")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the best-revenue row must come back as a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
   test("cu_embed_decontaminate: eval set broadcasts, argmax is map-side combined") {
     val p = plan("cu_embed_decontaminate")
     // the eval side must broadcast (BNLJ over the broadcast eval set is

@@ -139,7 +139,20 @@ object PlanDump {
         "the corpus-square theta join never appears."),
       "cu_filter_funnel" -> ("Quality-filter funnel: the whole cascaded survival report is ONE map-side-combined global " +
         "aggregate (5 counters per partition cross the network) plus a 4-row stack — no document data is ever shuffled; " +
-        "thresholds compare in exact integer form, so the oracle matches bit-for-bit."))
+        "thresholds compare in exact integer form, so the oracle matches bit-for-bit."),
+      "cu_embed_decontaminate" -> ("Embedding-space decontamination: the benchmark-sized eval set BROADCASTS and the " +
+        "per-train-vector max-cosine is a map-side-combined max(struct) argmax — one row per train vector crosses the " +
+        "network; the corpus is never shuffled (the paraphrase-shaped complement of cu_decontaminate's 3-gram probe)."),
+      "gr_components_star" -> ("Alternating large-star/small-star connected components: each round is two groupBy+join " +
+        "supersteps over the CURRENT canonical pair set, materialized between rounds — O(log^2 n) rounds independent of " +
+        "component diameter (the chain-component property min-label fixpoints lack); same oracle as dd_dup_clusters, so " +
+        "all three component paths are proven bit-identical."),
+      "tx_bpe_merges" -> ("BPE merge iteration: the corpus collapses ONCE to a map-side-combined word-frequency table; " +
+        "pair explosion, counting and the TakeOrdered top-k all run on VOCAB-sized data — merge rounds never rescan the corpus."),
+      "rel_volume_shipping" -> ("TPC-H Q7 shape: both nation dims and supplier broadcast; the one real shuffle is " +
+        "lineitem joining quarter-filtered orders on the order key; the (2 x 2 x years)-row aggregate map-side combines."),
+      "rel_returned_items" -> ("TPC-H Q10 shape, aggregate-then-decorate: the per-custkey revenue rollup runs BEFORE " +
+        "customer attaches by broadcast — the corpus-sized join never carries customer columns; top-20 is TakeOrdered."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

@@ -243,6 +243,67 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: alternating-star components equal driver BFS on random graphs") {
+    import spark.implicits._
+    // dense small id-space forces multi-edge components, chains, isolated
+    // pairs, self-duplicates; chains specifically exercise the
+    // diameter-independence the algorithm exists for
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      mk = for { a <- Gen.choose(1L, 16L); b <- Gen.choose(1L, 16L) } yield (a, b)
+      es <- Gen.listOfN(n, mk)
+    } yield es.filter { case (a, b) => a != b }
+    def bfs(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = scala.collection.mutable.HashMap.empty[Long, List[Long]]
+      edges.foreach { case (a, b) =>
+        adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
+      }
+      val label = scala.collection.mutable.HashMap.empty[Long, Long]
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!label.contains(start)) {
+          var frontier = List(start)
+          val seen = scala.collection.mutable.HashSet(start)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(adj(_)).filterNot(seen)
+            frontier.foreach(seen.add)
+          }
+          val m = seen.min
+          seen.foreach(v => label(v) = m)
+        }
+      }
+      label.toMap
+    }
+    forAllSeeded(genEdges, n = 6) { es =>
+      val expected = bfs(es)
+      val got = graft.analytics.Graph.starComponents(es.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"edges=$es")
+    }
+  }
+
+  test("property: BPE merge candidates equal the naive pair count on random words") {
+    import spark.implicits._
+    val genWords: Gen[List[String]] = for {
+      n <- Gen.choose(1, 30)
+      w = for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString
+      ws <- Gen.listOfN(n, w)
+    } yield ws
+    forAllSeeded(genWords, n = 4) { ws =>
+      val naive = ws.filter(_.length >= 2)
+        .flatMap(w => w.sliding(2).toSeq)
+        .groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+        .toSeq.sortBy { case (p, c) => (-c, p) }.take(5)
+      val docs = ws.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val got = graft.analytics.TextAnalysis.bpeMergeCandidates(docs, k = 5)
+        .as[(String, Long)].collect().toSeq
+      assert(got === naive, s"words=$ws")
+    }
+  }
+
   test("property: DriverBudget guard — zero budget forces the distributed fallback, answers unchanged") {
     import graft.analytics.{Dedup, DriverBudget, Similarity}
     import spark.implicits._

@@ -523,6 +523,22 @@ object StreamMultimodalQueries {
                CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_words
         FROM mk WHERE rn = 1 ORDER BY doc_id, chunk_idx""")),
 
+    // ---- streaming cohort retention (day-bitmask state) ----
+    // ONE Long of state per user: active days OR into a 64-bit mask,
+    // emitted on change; the cohort matrix derives from the masks.
+    // Oracle shared with ts_cohort_retention — stream/batch parity.
+    QueryDef("st_retention",
+      (s, dir) => StreamingIngest.streamingRetention(s, dir),
+      Some("""
+        WITH a AS (SELECT DISTINCT user_id,
+                     (epoch_ms(ts) - 1704067200000) // 86400000 AS day
+                   FROM events),
+        c AS (SELECT user_id, min(day) AS cohort FROM a GROUP BY 1)
+        SELECT cohort, day - cohort AS day_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM a JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort, day_offset""")),
+
     // ---- streaming ordered-stage funnel (flatMapGroupsWithState) ----
     // Per-user 3-long state machine (first view / first qualifying click /
     // first qualifying purchase); on the bounded single-batch source the

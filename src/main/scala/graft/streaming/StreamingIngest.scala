@@ -285,6 +285,53 @@ object StreamingIngest {
         sum(when(col("t3") =!= M, 1L).otherwise(0L)).as("n_purchased"))
   }
 
+  /** Streaming cohort retention with ONE Long of state per user: the
+    * testdata's event time spans 31 days (Jan 2024), so each user's
+    * active-day set is a 64-bit day BITMASK — `flatMapGroupsWithState`
+    * ORs new days in and emits only on change, and the drain's `bit_or`
+    * rollup reassembles the final mask (set growth is monotone). The
+    * cohort matrix then derives from the masks alone: cohort = lowest
+    * set bit, one row per (cohort, day-offset) with a distinct-user
+    * count. For an unbounded horizon the cell becomes a fixed ring of
+    * masks (state stays O(horizon/64) words) — the point is the state is
+    * CONSTANT per user, never per event. Shares `ts_cohort_retention`'s
+    * oracle (stream/batch parity).
+    */
+  def streamingRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val Jan1Ms = 1704067200000L // 2024-01-01T00:00:00Z — the data's origin
+    val events = eventStream(spark, sfDir)
+      .select(col("user_id").as[Long],
+        expr(s"(ts_ms - ${Jan1Ms}L) div 86400000").as[Long])
+    val masks = events.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(0L)
+          var mask = prev
+          rows.foreach { case (_, day) =>
+            if (day >= 0 && day < 64) mask |= 1L << day
+          }
+          if (mask != prev) {
+            state.update(mask)
+            Iterator.single((uid, mask))
+          } else Iterator.empty
+      }
+    val drained = drain(masks.toDF("user_id", "mask"), "append")
+      .groupBy("user_id").agg(expr("bit_or(mask)").as("mask"))
+    // cohort = lowest set bit — row-local, so no self-join is needed
+    val dayList = "filter(transform(sequence(0, 39), d -> " +
+      "IF(((mask >> d) & 1) = 1, CAST(d AS BIGINT), CAST(NULL AS BIGINT))), " +
+      "x -> x IS NOT NULL)"
+    drained
+      .select(col("user_id"), expr(s"array_min($dayList)").as("cohort"),
+        explode(expr(dayList)).as("day"))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** Streaming exact dedup → aggregation (two chained stateful operators):
     * drop duplicate event ids, then count per event type. The dedup state
     * is the streaming analog of the engine's exact-dedup operator.

@@ -282,6 +282,29 @@ object Curation {
           .as("hit_ratio"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive a release
+    * pipeline runs between two corpus builds: per-document status
+    * (`unchanged` / `changed` / `added` / `removed`) from a full outer
+    * join on the document key comparing content digests, plus the digest
+    * pair for auditing. Content comparison is md5-hex (engine-portable),
+    * never raw text equality over the wire.
+    *
+    * Scale shape: ONE full-outer hash join on `doc_id` between the two
+    * snapshot scans — digests are computed scan-side so only (key, 32-
+    * byte hash) rows shuffle, never document bodies; the status column
+    * is a projection on top.
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val a = oldSnap.select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val b = newSnap.select(col("doc_id"), md5(col("text")).as("new_hash"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_hash"), col("new_hash"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Greedy k-center coreset selection (Gonzalez's 2-approximation — the
     * geometric "maximally spread subset" every embedding-based data-
     * pruning recipe starts from): seed with the md5-smallest vector, then

@@ -231,6 +231,42 @@ object CurationQueries {
                n_hits * 1.0 / n_shingles AS hit_ratio
         FROM a WHERE n_hits > 0 ORDER BY doc_id""")),
 
+    // ---- corpus snapshot diff (dataset versioning) ----
+    // Full-outer digest compare between two corpus builds; the synthetic
+    // second snapshot deterministically removes (doc_id%17=3), rewrites
+    // (doc_id%10=0), and adds (doc_id%25=0, shifted key) documents so all
+    // four statuses appear. Only (key, hash) rows ever shuffle.
+    QueryDef("cu_corpus_diff",
+      (s, dir) => {
+        val old = Tables.documents(s, dir)
+        val newSnap = old
+          .where(col("doc_id") % 17 =!= 3)
+          .withColumn("text",
+            when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(old.where(col("doc_id") % 25 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        Curation.corpusDiff(old, newSnap).orderBy("doc_id")
+      },
+      Some("""
+        WITH oldc AS (SELECT doc_id, md5(text) AS h FROM documents),
+        newc AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                          ELSE text END) AS h
+          FROM documents WHERE doc_id % 17 <> 3
+          UNION ALL
+          SELECT doc_id + 1000000, md5(text)
+          FROM documents WHERE doc_id % 25 = 0)
+        SELECT COALESCE(oldc.doc_id, newc.doc_id) AS doc_id,
+               oldc.h AS old_hash, newc.h AS new_hash,
+               CASE WHEN oldc.h IS NULL THEN 'added'
+                    WHEN newc.h IS NULL THEN 'removed'
+                    WHEN oldc.h = newc.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM oldc FULL OUTER JOIN newc ON oldc.doc_id = newc.doc_id
+        ORDER BY doc_id""")),
+
     // ---- benchmark decontamination, embedding-space variant ----
     // Max cosine vs the broadcast eval set; catches the paraphrase-shaped
     // contamination the 3-gram check (cu_decontaminate) misses. Same

@@ -304,7 +304,30 @@ object StreamingIngest {
     val events = eventStream(spark, sfDir)
       .select(col("user_id").as[Long],
         expr(s"(ts_ms - ${Jan1Ms}L) div 86400000").as[Long])
-    val masks = events.groupByKey(_._1)
+    val drained = drain(retentionMasks(events).toDF("user_id", "mask"), "append")
+      .groupBy("user_id").agg(expr("bit_or(mask)").as("mask"))
+    // cohort = lowest set bit — row-local, so no self-join is needed
+    val dayList = "filter(transform(sequence(0, 39), d -> " +
+      "IF(((mask >> d) & 1) = 1, CAST(d AS BIGINT), CAST(NULL AS BIGINT))), " +
+      "x -> x IS NOT NULL)"
+    drained
+      .select(col("user_id"), expr(s"array_min($dayList)").as("cohort"),
+        explode(expr(dayList)).as("day"))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** The retention bitmask machine alone — `(user_id, day_index)` in,
+    * `(user_id, mask)` snapshot out on every per-user improvement. Split
+    * out so specs can drive it across MemoryStream micro-batches.
+    */
+  private[graft] def retentionMasks(
+      events: org.apache.spark.sql.Dataset[(Long, Long)]):
+      org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, rows, state) =>
@@ -318,18 +341,6 @@ object StreamingIngest {
             Iterator.single((uid, mask))
           } else Iterator.empty
       }
-    val drained = drain(masks.toDF("user_id", "mask"), "append")
-      .groupBy("user_id").agg(expr("bit_or(mask)").as("mask"))
-    // cohort = lowest set bit — row-local, so no self-join is needed
-    val dayList = "filter(transform(sequence(0, 39), d -> " +
-      "IF(((mask >> d) & 1) = 1, CAST(d AS BIGINT), CAST(NULL AS BIGINT))), " +
-      "x -> x IS NOT NULL)"
-    drained
-      .select(col("user_id"), expr(s"array_min($dayList)").as("cohort"),
-        explode(expr(dayList)).as("day"))
-      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy("cohort", "day_offset")
   }
 
   /** Streaming exact dedup → aggregation (two chained stateful operators):

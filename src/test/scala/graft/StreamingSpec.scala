@@ -162,6 +162,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     } finally q.stop()
   }
 
+  test("retention bitmask state accumulates across micro-batches, emitting only on change") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)](
+      org.apache.spark.sql.Encoders.product[(Long, Long)], spark)
+    val name = s"rt_${System.nanoTime()}"
+    val q = StreamingIngest.retentionMasks(input.toDS())
+      .toDF("user_id", "mask")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // user 1 active days {0, 2}; user 2 day {63}; out-of-range ignored
+      input.addData((1L, 0L), (1L, 2L), (2L, 63L), (2L, 64L), (2L, -1L))
+      q.processAllAvailable()
+      val after1 = spark.table(name).as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(after1 === Seq((1L, (1L << 0) | (1L << 2)), (2L, 1L << 63)))
+      // batch 2: user 1 repeats day 0 (no change, no emission) then adds
+      // day 5; user 2 repeats only (no emission at all)
+      input.addData((1L, 0L), (1L, 5L), (2L, 63L))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, java.lang.Long.bitCount(r._2)))
+      assert(rows === Seq(
+        (1L, (1L << 0) | (1L << 2)),
+        (1L, (1L << 0) | (1L << 2) | (1L << 5)),
+        (2L, 1L << 63)))
+    } finally q.stop()
+  }
+
   test("replaying the driver's events table as a stream matches batch reads") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -318,6 +318,48 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Scalar 8-bit quantization (SQ8) ANN — the per-DIMENSION compression
+    * counterpart of [[pqTopK]]'s per-subspace codebooks, the other dial
+    * every production vector store ships. Train state is 2·dim longs
+    * (per-dimension min/max from ONE posexplode + aggregate — metadata-
+    * sized at any corpus scale, and the whole "training" is a single
+    * scan); encode is a per-row projection to dim bytes; search is
+    * asymmetric — the exact query scores against DECODED neighbors (bin
+    * centers via integer reconstruct), all in the codegen'd long-dot
+    * kernel. Integer arithmetic end to end: code = (x−mn)·255 div
+    * max(mx−mn, 1), decode = mn + code·(mx−mn) div 255 — both exactly
+    * reproducible by the oracle.
+    */
+  def sq8TopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20): DataFrame = {
+    val all = prepQ(emb)
+    val bounds = all.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+    val coded = all.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), expr(
+        "transform(qv, (x, d) -> (x - mns[d]) * 255L div greatest(mxs[d] - mns[d], 1L))")
+        .as("code"))
+    val queries = all.where(col("vec_id") % queryModulo === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val scored = coded
+      .crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .crossJoin(broadcast(bounds))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotLL(col("qqv"), expr(
+          "transform(code, (c, d) -> mns[d] + c * (mxs[d] - mns[d]) div 255L)"))
+          .as("sq_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sq_dot")
+  }
+
   /** Embedding-space benchmark decontamination — the semantic complement
     * of the n-gram overlap check ([[Curation.decontaminate]]): a train
     * vector is contaminated when its max cosine against ANY eval vector

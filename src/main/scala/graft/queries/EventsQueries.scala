@@ -1229,6 +1229,38 @@ object EventsQueries {
                     grouping(hour_start) AS BIGINT) AS lvl,
                count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
         FROM e GROUP BY ROLLUP (tag, day_start, hour_start)
-        ORDER BY lvl, tag, day_start, hour_start"""))
+        ORDER BY lvl, tag, day_start, hour_start""")),
+
+    // beyond-reference — debounce: drop events that repeat the same
+    // (user, type) within 60 s of the PREVIOUS raw event — the
+    // duplicate-click / retry-storm cleanup every event pipeline ships
+    // (the lag-gap form: a burst collapses to its first event because
+    // each follow-up sits < 60 s from its predecessor). One window over
+    // one hash exchange on the (user, type) key; per-row state is a
+    // single lag cell, so the filter holds at any history length.
+    QueryDef("ts_debounce",
+      (s, dir) => {
+        val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        ev(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+          .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byKey))
+          .where(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") >= 60000L)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_kept"), min(col("ts_ms")).as("first_ms"),
+            max(col("ts_ms")).as("last_ms"),
+            sum(col("event_id")).as("kept_id_sum"))
+          .orderBy("user_id", "event_type")
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, event_type, $MS AS ts_ms, event_id,
+                     lag($MS) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY $MS, event_id) AS prev_ms
+                   FROM events)
+        SELECT user_id, event_type, count(*) AS n_kept,
+               min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+               CAST(sum(event_id) AS BIGINT) AS kept_id_sum
+        FROM e WHERE prev_ms IS NULL OR ts_ms - prev_ms >= 60000
+        GROUP BY 1, 2 ORDER BY user_id, event_type"""))
   )
 }

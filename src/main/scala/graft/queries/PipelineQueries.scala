@@ -1408,6 +1408,70 @@ object PipelineQueries {
                coalesce(n_hits, 0) * 1.0 / n_exact AS recall
         FROM ne LEFT JOIN hits USING (query_id) ORDER BY query_id""")),
 
+    // ---- SQ8 recall: scalar per-dimension 8-bit quantization ----
+    // The OTHER vector-compression dial next to PQ: train = per-dim
+    // (min, max) from one explode+aggregate (2·dim longs of state),
+    // encode = per-row byte projection, search = exact query vs DECODED
+    // bin centers — all integer, recomputed end-to-end by the oracle.
+    QueryDef("sim_sq8_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val exact = Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.sq8TopK(emb, k = 5, queryModulo = 20)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("query_id"), "left_outer")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall",
+            col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        sqst AS (SELECT pos, min(v[pos]) AS mn, max(v[pos]) AS mx
+                 FROM qn CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) t
+                 GROUP BY 1),
+        sqb AS (SELECT list(mn ORDER BY pos) AS mns,
+                       list(mx ORDER BY pos) AS mxs FROM sqst),
+        sqc AS (SELECT vec_id,
+                  list_transform(range(1, 65), i ->
+                    (v[i] - mns[i]) * 255 // greatest(mxs[i] - mns[i], 1)) AS code
+                FROM qn CROSS JOIN sqb),
+        sqq AS (SELECT vec_id AS query_id, v AS qqv FROM qn WHERE vec_id % 20 = 0),
+        sqs AS (SELECT query_id, sqc.vec_id AS neighbor_id,
+                  list_sum(list_transform(range(1, 65), i ->
+                    qqv[i] * (mns[i] + code[i] * (mxs[i] - mns[i]) // 255)))
+                    AS sq_dot
+                FROM sqc CROSS JOIN sqq CROSS JOIN sqb
+                WHERE sqc.vec_id <> query_id),
+        sqrk AS (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sq_dot DESC, neighbor_id) AS rank
+                 FROM sqs),
+        approx AS (SELECT query_id, neighbor_id FROM sqrk WHERE rank <= 5),
+        bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 20 = 0),
+        bscored AS (SELECT query_id, vec_id AS neighbor_id,
+                      ${cosSql("qv", "qnrm", "v", "nrm")} AS cos
+                    FROM qn CROSS JOIN bq WHERE vec_id <> query_id),
+        branked AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM bscored),
+        exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+        hits AS (SELECT e.query_id, count(*) AS n_hits
+                 FROM exact e JOIN approx a
+                   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+                 GROUP BY 1),
+        ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+        SELECT ne.query_id, n_exact, coalesce(n_hits, 0) AS n_hits,
+               coalesce(n_hits, 0) * 1.0 / n_exact AS recall
+        FROM ne LEFT JOIN hits USING (query_id) ORDER BY query_id""")),
+
     // ---- character-diversity quality signal (Simpson collision index) ----
     // The repetitiveness signal entropy filters compute, WITHOUT a
     // transcendental: one exact-integer division per doc, so the double

@@ -523,6 +523,22 @@ object StreamMultimodalQueries {
                CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_words
         FROM mk WHERE rn = 1 ORDER BY doc_id, chunk_idx""")),
 
+    // ---- streaming debounce (per-key last-raw-ts state) ----
+    // ONE Long of state per (user, type); oracle shared with
+    // ts_debounce — stream/batch parity for the lag-gap rule.
+    QueryDef("st_debounce",
+      (s, dir) => StreamingIngest.streamingDebounce(s, dir),
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+                     lag(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY epoch_ms(ts), event_id) AS prev_ms
+                   FROM events)
+        SELECT user_id, event_type, count(*) AS n_kept,
+               min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+               CAST(sum(event_id) AS BIGINT) AS kept_id_sum
+        FROM e WHERE prev_ms IS NULL OR ts_ms - prev_ms >= 60000
+        GROUP BY 1, 2 ORDER BY user_id, event_type""")),
+
     // ---- streaming cohort retention (day-bitmask state) ----
     // ONE Long of state per user: active days OR into a 64-bit mask,
     // emitted on change; the cohort matrix derives from the masks.

@@ -318,6 +318,41 @@ object StreamingIngest {
       .orderBy("cohort", "day_offset")
   }
 
+  /** Streaming debounce — the lag-gap rule (`ts_debounce`) as per-key
+    * state: ONE Long per (user, type) holding the last RAW event time;
+    * an event is kept when it sits >= 60 s after that, and the cell
+    * updates on every raw event either way. On the bounded single-batch
+    * source (rows folded in (ts, event_id) order) the kept set equals
+    * the batch window's, and the same rollup shares its oracle.
+    */
+  def streamingDebounce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val events = eventStream(spark, sfDir)
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        col("ts_ms").as[Long], col("event_id").as[Long])
+    val kept = events.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, typ), rows, state) =>
+          var prev = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(r => (r._3, r._4)).flatMap {
+            case (_, _, ts, eid) =>
+              val keep = prev == Long.MinValue || ts - prev >= 60000L
+              prev = ts
+              if (keep) Some((uid, typ, ts, eid)) else None
+          }
+          state.update(prev)
+          out.iterator
+      }
+    drain(kept.toDF("user_id", "event_type", "ts_ms", "event_id"), "append")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_kept"), min(col("ts_ms")).as("first_ms"),
+        max(col("ts_ms")).as("last_ms"),
+        sum(col("event_id")).as("kept_id_sum"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** The retention bitmask machine alone — `(user_id, day_index)` in,
     * `(user_id, mask)` snapshot out on every per-user improvement. Split
     * out so specs can drive it across MemoryStream micro-batches.

@@ -152,7 +152,14 @@ object PlanDump {
       "rel_volume_shipping" -> ("TPC-H Q7 shape: both nation dims and supplier broadcast; the one real shuffle is " +
         "lineitem joining quarter-filtered orders on the order key; the (2 x 2 x years)-row aggregate map-side combines."),
       "rel_returned_items" -> ("TPC-H Q10 shape, aggregate-then-decorate: the per-custkey revenue rollup runs BEFORE " +
-        "customer attaches by broadcast — the corpus-sized join never carries customer columns; top-20 is TakeOrdered."))
+        "customer attaches by broadcast — the corpus-sized join never carries customer columns; top-20 is TakeOrdered."),
+      "sim_sq8_recall" -> ("SQ8 scalar quantization: per-dim (min, max) training is ONE explode+aggregate collapsing to a " +
+        "1-row broadcast (2*dim longs); encode is a per-row projection; the asymmetric scan scores exact queries against " +
+        "decoded bin centers in the long-dot kernel — index state constant in corpus size, same contract as the PQ family."),
+      "ts_debounce" -> ("Lag-gap debounce: ONE window over ONE hash exchange on (user_id, event_type); per-row state is a " +
+        "single lag cell, so the retry-storm cleanup holds at any history length — no self-join, no islands explosion."),
+      "cu_corpus_diff" -> ("Corpus snapshot diff: digests computed scan-side so the full-outer join shuffles only " +
+        "(key, 32-byte hash) rows — document bodies never cross the network; the status column is a projection on top."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

@@ -310,6 +310,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(2000))
   }
 
+  test("ts_debounce: one exchange feeds the lag window, no self-join") {
+    val p = plan("ts_debounce")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(2000)) // pure window + aggregate — no join at all
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
+  test("sim_sq8_recall: quantization bounds broadcast, no cartesian over data") {
+    val p = plan("sim_sq8_recall")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
   test("cu_embed_decontaminate: eval set broadcasts, argmax is map-side combined") {
     val p = plan("cu_embed_decontaminate")
     // the eval side must broadcast (BNLJ over the broadcast eval set is

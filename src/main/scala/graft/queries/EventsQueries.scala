@@ -1261,6 +1261,49 @@ object EventsQueries {
                min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
                CAST(sum(event_id) AS BIGINT) AS kept_id_sum
         FROM e WHERE prev_ms IS NULL OR ts_ms - prev_ms >= 60000
-        GROUP BY 1, 2 ORDER BY user_id, event_type"""))
+        GROUP BY 1, 2 ORDER BY user_id, event_type""")),
+
+    // beyond-reference — watermark audit: for each candidate watermark
+    // delay, the fraction of events that would arrive LATE (event time
+    // below the per-tag high-water mark of everything that arrived
+    // before it; event_id = arrival order). THE table a streaming
+    // deployment consults to pick `withWatermark` — measured from data
+    // instead of guessed. One per-tag window (running max, one
+    // exchange), a 4-delay explode on its output, and a tag×delay
+    // rollup; per-row state is one running max cell.
+    QueryDef("ts_watermark_audit",
+      (s, dir) => {
+        val byArrival = Window.partitionBy(col("event_type"))
+          .orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, dir)
+          .select(col("event_type"), col("event_id"), col("ts_ms"))
+          .withColumn("hwm", max(col("ts_ms")).over(byArrival))
+          .select(col("event_type"), col("ts_ms"), col("hwm"),
+            explode(expr("array(0L, 1000L, 10000L, 60000L)")).as("delay_ms"))
+          .groupBy("event_type", "delay_ms")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("hwm").isNotNull &&
+              col("ts_ms") < col("hwm") - col("delay_ms"), 1L)
+              .otherwise(0L)).as("n_late"))
+          .withColumn("late_frac",
+            col("n_late").cast("double") / col("n_events").cast("double"))
+          .orderBy("event_type", "delay_ms")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, event_id, $MS AS ts_ms,
+                     max($MS) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+                   FROM events),
+        d AS (SELECT unnest([0, 1000, 10000, 60000]) AS delay_ms)
+        SELECT event_type, CAST(delay_ms AS BIGINT) AS delay_ms,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN hwm IS NOT NULL
+                              AND ts_ms < hwm - delay_ms THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_late,
+               sum(CASE WHEN hwm IS NOT NULL AND ts_ms < hwm - delay_ms
+                        THEN 1 ELSE 0 END) * 1.0 / count(*) AS late_frac
+        FROM e CROSS JOIN d
+        GROUP BY 1, 2 ORDER BY event_type, delay_ms"""))
   )
 }

@@ -327,11 +327,28 @@ object StreamingIngest {
     */
   def streamingDebounce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val events = eventStream(spark, sfDir)
       .select(col("user_id").as[Long], col("event_type").as[String],
         col("ts_ms").as[Long], col("event_id").as[Long])
-    val kept = events.groupByKey(r => (r._1, r._2))
+    val kept = debounceKept(events)
+    drain(kept.toDF("user_id", "event_type", "ts_ms", "event_id"), "append")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_kept"), min(col("ts_ms")).as("first_ms"),
+        max(col("ts_ms")).as("last_ms"),
+        sum(col("event_id")).as("kept_id_sum"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** The debounce machine alone — `(user_id, event_type, ts_ms,
+    * event_id)` in, KEPT events out; state is the last RAW event time per
+    * key. Split out so specs can drive it on MemoryStream input.
+    */
+  private[graft] def debounceKept(
+      events: org.apache.spark.sql.Dataset[(Long, String, Long, Long)]):
+      org.apache.spark.sql.Dataset[(Long, String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((uid, typ), rows, state) =>
@@ -345,12 +362,6 @@ object StreamingIngest {
           state.update(prev)
           out.iterator
       }
-    drain(kept.toDF("user_id", "event_type", "ts_ms", "event_id"), "append")
-      .groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("n_kept"), min(col("ts_ms")).as("first_ms"),
-        max(col("ts_ms")).as("last_ms"),
-        sum(col("event_id")).as("kept_id_sum"))
-      .orderBy("user_id", "event_type")
   }
 
   /** The retention bitmask machine alone — `(user_id, day_index)` in,

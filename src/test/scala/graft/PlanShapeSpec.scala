@@ -318,6 +318,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(2000))
   }
 
+  test("ts_watermark_audit: one per-tag window exchange, no join") {
+    val p = plan("ts_watermark_audit")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
   test("sim_sq8_recall: quantization bounds broadcast, no cartesian over data") {
     val p = plan("sim_sq8_recall")
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -304,6 +304,50 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: streaming debounce equals the naive lag-gap fold on random bursts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // dense ts domain forces bursts (gaps < 60000) and exact-boundary gaps
+    val genEvents: Gen[List[(Long, String, Long, Long)]] = for {
+      n <- Gen.choose(1, 30)
+      mk = for {
+        u <- Gen.choose(1L, 3L)
+        t <- Gen.oneOf("a", "b")
+        ts <- Gen.oneOf(Gen.choose(0L, 200000L), Gen.const(60000L), Gen.const(120000L))
+      } yield (u, t, ts)
+      es <- Gen.listOfN(n, mk)
+    } yield es.zipWithIndex.map { case ((u, t, ts), i) => (u, t, ts, i.toLong) }
+    def naive(es: Seq[(Long, String, Long, Long)]): Map[(Long, String), Long] =
+      es.groupBy(e => (e._1, e._2)).map { case (k, g) =>
+        val sorted = g.sortBy(e => (e._3, e._4))
+        var prev = Long.MinValue
+        var keptIds = 0L
+        sorted.foreach { case (_, _, ts, eid) =>
+          if (prev == Long.MinValue || ts - prev >= 60000L) keptIds += eid
+          prev = ts
+        }
+        k -> keptIds
+      }
+    forAllSeeded(genEvents, n = 4) { es =>
+      val input = MemoryStream[(Long, String, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, String, Long, Long)], spark)
+      val name = s"db_${System.nanoTime()}"
+      val q = graft.streaming.StreamingIngest.debounceKept(input.toDS())
+        .toDF("user_id", "event_type", "ts_ms", "event_id")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        input.addData(es: _*)
+        q.processAllAvailable()
+        import org.apache.spark.sql.functions.{col, sum}
+        val got = spark.table(name)
+          .groupBy("user_id", "event_type")
+          .agg(sum(col("event_id")).as("s"))
+          .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+        assert(got === naive(es), s"events=$es")
+      } finally q.stop()
+    }
+  }
+
   test("property: DriverBudget guard — zero budget forces the distributed fallback, answers unchanged") {
     import graft.analytics.{Dedup, DriverBudget, Similarity}
     import spark.implicits._

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Non-degeneracy guards for threshold-tuned operators.
+  *
+  * The oracle gate proves Spark ≡ DuckDB, but an empty result matches an
+  * empty oracle — so a testdata re-draw that pushes a tuned threshold
+  * past the data's distribution (no near-dups above 0.5, no outliers
+  * past 3σ, a quality gate passing everything) would stay green while
+  * the operator demonstrates nothing. These assertions pin "the output
+  * is non-trivial on the current data" so the NEXT regeneration that
+  * moves a distribution fails here, loudly, with the operator named —
+  * the same job LoaderSpec does for schemas.
+  */
+class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-nontrivial-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfSmall = "/root/testdata/sf0.001"
+  private val sfMid = "/root/testdata/sf0.01"
+
+  private def rows(name: String, dir: String): Long =
+    SparkEntry.queries(name)(spark, dir).count()
+
+  /** (query, sfDir) pairs that must produce at least one row — each is a
+    * candidate-generating or filtering operator whose empty output would
+    * be a silent no-op.
+    */
+  private val nonEmpty = Seq(
+    "dd_minhash_lsh" -> sfSmall,      // banded candidates above 0.5
+    "dd_ngram_jaccard" -> sfSmall,    // exact pairs above 0.5
+    "dd_simhash" -> sfSmall,          // hamming-band near-dups
+    "dd_containment" -> sfSmall,      // short-inside-long pairs
+    "dd_embedding_neardup" -> sfSmall, // cosine pairs above 0.3
+    "dd_semdedup" -> sfSmall,         // within-cluster cosine pairs
+    "sim_range_search" -> sfSmall,    // pairs above 0.4
+    "cu_decontaminate" -> sfSmall,    // n-gram eval hits
+    "ts_anomaly" -> sfMid,            // 3-sigma outliers exist
+    "ts_outlier_mad" -> sfMid,        // 3-MAD outliers exist
+    "mm_phash" -> sfSmall,            // perceptual near-dups
+    "dd_dup_clusters" -> sfSmall)     // connected components exist
+
+  nonEmpty.foreach { case (name, dir) =>
+    test(s"$name produces a non-empty result on ${dir.split('/').last}") {
+      assert(rows(name, dir) > 0L, s"$name went trivial — re-tune its threshold")
+    }
+  }
+
+  test("cu_embed_decontaminate flags SOME but not ALL train vectors") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cu_embed_decontaminate")(spark, sfMid)
+    val r = df.agg(sum(col("contaminated")), count(lit(1))).head()
+    val (flagged, total) = (r.getLong(0), r.getLong(1))
+    assert(flagged > 0L, "threshold 0.35 above the data's max-cos range")
+    assert(flagged < total, "threshold 0.35 below the data's min max-cos")
+  }
+
+  test("tx_gopher gate passes SOME but not ALL documents") {
+    import org.apache.spark.sql.functions._
+    val df = graft.analytics.TextAnalysis.gopherRules(
+      Tables.documents(spark, sfSmall), minWords = 10)
+    val r = df.agg(sum(col("passes")), count(lit(1))).head()
+    assert(r.getLong(0) > 0L && r.getLong(0) < r.getLong(1),
+      s"quality gate degenerate: ${r.getLong(0)}/${r.getLong(1)}")
+  }
+
+  test("ts_debounce actually drops burst events") {
+    val total = Tables.events(spark, sfMid).count()
+    import org.apache.spark.sql.functions._
+    val kept = SparkEntry.queries("ts_debounce")(spark, sfMid)
+      .agg(sum(col("n_kept"))).head().getLong(0)
+    assert(kept > 0L && kept < total,
+      s"debounce degenerate: kept $kept of $total")
+  }
+}

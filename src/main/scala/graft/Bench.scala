@@ -29,10 +29,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Round-8 instrumentation (VERDICT r7 #1): the driver-bench ANN
+    // cluster ran 5-8x its recorded means with two unobservable candidate
+    // mechanisms. Both are now measured per query: (a) kernel codegen
+    // engagement (KernelProbe over the executed plan, incl. a try-compile
+    // of each kernel-bearing span), (b) which DriverBudget branch fired
+    // (driver collect vs localCheckpoint fallback).
+    val kernelAudits = scala.collection.mutable.LinkedHashMap[String, String]()
+    val budgetBranches = scala.collection.mutable.LinkedHashMap[String, String]()
+    var kernelUnhealthy = 0
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        fn(spark, sfDir).count() // warm-up: JIT + codegen + file listing
+        val warm = fn(spark, sfDir)
+        warm.count() // warm-up: JIT + codegen + file listing
+        if (name.startsWith("sim_") || name.startsWith("dd_embedding") ||
+            name.startsWith("dd_semdedup") || name.startsWith("gr_")) {
+          val a = graft.plans.KernelProbe.audit(warm)
+          if (a.inCodegen + a.interpreted > 0) {
+            kernelAudits(name) = a.render
+            if (a.interpreted > 0 || a.spansFailed > 0) {
+              kernelUnhealthy += 1
+              System.err.println(s"[bench] WARNING kernel audit $name: ${a.render}")
+            }
+          }
+        }
         spark.catalog.clearCache()
+        graft.analytics.DriverBudget.resetBranchCounts()
         // best-of-2 timed runs: single-run numbers on a shared host swing
         // 2-4x with scheduler/GC noise; the minimum is the steady-state
         // cost of the plan (each run still starts from a cold cache)
@@ -43,9 +66,13 @@ object Bench {
           spark.catalog.clearCache()
           d
         }.min
+        val (bLocal, bFallback) = graft.analytics.DriverBudget.branchCounts
+        if (bLocal + bFallback > 0)
+          budgetBranches(name) = s"local=$bLocal fallback=$bFallback"
         name -> dt
       } catch { case _: Throwable => name -> -1.0 }
     }
+    val budgetFallbacks = budgetBranches.count(_._2.contains("fallback=0") == false)
 
     // Reference workload shape (BASELINE.md): 2,000-sample write batches,
     // 1-tag 20 ms-window point reads. Mutations serialize through the
@@ -110,10 +137,14 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
+    def strMap(m: collection.Map[String, String]) =
+      m.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":""" +
         results.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") +
-        s""","ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},""" +
+        s""","kernel_audits":${strMap(kernelAudits)},"kernel_unhealthy":$kernelUnhealthy,""" +
+        s""""driver_budget_branches":${strMap(budgetBranches)},"driver_budget_fallbacks":$budgetFallbacks,""" +
+        s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},""" +
         s""""point_reads_per_sec_8thr":${"%.2f".format(readRate8)},"sf":"$sfName"}"""
     Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     val slowest = ok.sortBy(-_._2).take(25)
@@ -126,6 +157,7 @@ object Bench {
       s""""mean_sec":${"%.3f".format(mean)},""" +
       s""""queries":${slowest.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")},""" +
       s""""queries_truncated_to_slowest":25,"full_map":"BENCH_FULL.json",""" +
+      s""""kernel_unhealthy":$kernelUnhealthy,"driver_budget_fallbacks":$budgetFallbacks,""" +
       s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},""" +
       s""""point_reads_per_sec_8thr":${"%.2f".format(readRate8)},"sf":"$sfName"}""")
   }

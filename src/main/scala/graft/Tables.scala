@@ -37,16 +37,24 @@ object Tables {
         load(spark, sfDir, "events")
     }
 
-  /** Derives `ts_ms` from either `ts` encoding with integer arithmetic:
-    * `div` on the nanos Long (double division loses precision at 1e18),
-    * `unix_millis` on the timestamp under the UTC-pinned session — both
-    * match the DuckDB oracles' `epoch_ms(ts)`.
+  /** Derives `ts_ms` from any `ts` encoding with SESSION-TIMEZONE-FREE
+    * integer arithmetic, matching the DuckDB oracles' `epoch_ms(ts)`:
+    *  - int64 nanos: `div` (double division loses precision at 1e18);
+    *  - TIMESTAMP (an instant): `unix_millis`, which reads the stored
+    *    epoch micros directly;
+    *  - TIMESTAMP_NTZ (a wall clock): interpreted as UTC via a pure
+    *    wall-clock `timestampdiff` against the NTZ epoch — a cast to
+    *    TimestampType would instead interpret it in the session timezone
+    *    and silently shift `ts_ms` for any caller not pinned to UTC.
     */
   private[graft] def withTsMs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType =>
       df.withColumn("ts_ms", expr("ts div 1000000"))
-    case TimestampType | TimestampNTZType =>
-      df.withColumn("ts_ms", unix_millis(col("ts").cast(TimestampType)))
+    case TimestampType =>
+      df.withColumn("ts_ms", unix_millis(col("ts")))
+    case TimestampNTZType =>
+      df.withColumn("ts_ms", expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 1000"))
     case other =>
       throw new IllegalArgumentException(
         s"events.ts must be int64 nanos or a timestamp column; got $other")

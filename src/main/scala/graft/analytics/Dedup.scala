@@ -418,22 +418,47 @@ object Dedup {
       .toDF("doc_id", "cluster_id")
   }
 
-  /** Embedding-cosine near-dup pairs within a blocking key (label):
-    * exact quantized-integer cosine over candidate pairs from the
-    * label-equality join.
+  /** Embedding-cosine near-dup pairs within an LSH bucket (round 8
+    * default): exact quantized-integer cosine over candidate pairs from a
+    * bucket-equality self-join on the codegen'd
+    * [[graft.functions.VectorFunctions.lshBucketF]] hash — 2^nPlanes
+    * buckets whose expected size is corpus/2^nPlanes, so the sum-of-
+    * squared-block-sizes candidate work scales LINEARLY in the corpus at
+    * fixed hash granularity (and nPlanes is the dial: +1 plane halves the
+    * expected block size). Blocking trades recall for that bound exactly
+    * like the `sim_ann_lsh` family; [[embeddingNearDupsByLabel]] keeps
+    * the exact label-block form.
     *
-    * '''Scale bound (by contract)''': this operator is EXACT within its
-    * block, so its cost is Σ_labels |block|² — quadratic in block size,
-    * linear in block count (the round-6 scale probe measured 6.3× at 10×
-    * data, exactly the Σ|block|² prediction as blocks grew 10×). That is
-    * the right tool when the blocking key keeps blocks bounded (e.g. a
-    * dedup shard key); when blocks grow with the corpus, use the bounded
-    * alternatives that trade exactness inside a learned/hashed block:
+    * '''Why the default changed''' (round 8, VERDICT r7 #2): label
+    * blocks GROW with the corpus, so the exact-within-block Σ|block|²
+    * cost grew 21.8–75× at 10× data in the scale probes — a scale-killer
+    * for the graph queries built on this edge source. LSH buckets keep
+    * per-block candidate work bounded by the hash granularity instead.
+    * The other bounded alternative is
     * [[graft.analytics.Similarity.semDedupPairs]] (fixed-k k-means
-    * blocks) or the `sim_ann_lsh*` family (hash blocks) — both keep the
-    * per-block candidate set constant in corpus size.
+    * blocks — learned rather than hashed).
     */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+      nPlanes: Int = 8): DataFrame = {
+    val q = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", normSqQF(col("v")))
+      .withColumn("bucket", lshBucketF(col("v"), nPlanes))
+    q.as("a").join(q.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        cosineQ(dotQF(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Label-block variant of [[embeddingNearDups]] — EXACT within the
+    * data's label column. The right tool when the blocking key is a real
+    * shard key with bounded blocks; kept as the small-corpus /
+    * oracle-comparison mode after round 8 made LSH blocking the default
+    * (the round-6/7 scale probes measured 21.8-75x growth at 10x data for
+    * label blocks that grow with the corpus).
+    */
+  def embeddingNearDupsByLabel(emb: DataFrame, threshold: Double): DataFrame = {
     val q = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", normSqQF(col("v")))
     q.as("a").join(q.as("b"),

@@ -33,6 +33,21 @@ object DriverBudget {
   def maxRows(bytesPerRow: Long, hardCap: Long = Long.MaxValue): Long =
     math.min(hardCap, budgetBytes / math.max(bytesPerRow, 1L))
 
+  /** Branch observability (round-8 bench instrumentation): how many
+    * [[collectWithin]] calls took the driver-collect fast path vs the
+    * distributed fallback since the last [[resetBranchCounts]]. The
+    * 8×-slower driver-bench ANN cluster had two candidate mechanisms and
+    * neither was observable; this distinguishes the "fallback branch
+    * fired" hypothesis in any environment.
+    */
+  private val localHits = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val fallbackHits = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** (driver-collect count, distributed-fallback count) since reset. */
+  def branchCounts: (Long, Long) = (localHits.get, fallbackHits.get)
+
+  def resetBranchCounts(): Unit = { localHits.set(0L); fallbackHits.set(0L) }
+
   /** Collects `ds` when `knownCount` rows at `bytesPerRow` fit the
     * budget; otherwise `None`, signalling the caller to run its
     * distributed fallback. `knownCount` must already be known (callers
@@ -42,6 +57,11 @@ object DriverBudget {
     */
   def collectWithin[T](ds: Dataset[T], knownCount: Long, bytesPerRow: Long,
       hardCap: Long = Long.MaxValue): Option[Array[T]] =
-    if (knownCount <= maxRows(bytesPerRow, hardCap)) Some(ds.collect())
-    else None
+    if (knownCount <= maxRows(bytesPerRow, hardCap)) {
+      localHits.incrementAndGet()
+      Some(ds.collect())
+    } else {
+      fallbackHits.incrementAndGet()
+      None
+    }
 }

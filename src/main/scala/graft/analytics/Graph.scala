@@ -156,8 +156,47 @@ object Graph {
       cur = small
       round += 1
     }
-    // final state is a star forest: every node's label is min(Γ ∪ self)
-    sym(cur).groupBy("u").agg(min(col("v")).as("mv"))
-      .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("cluster_id"))
+    if (converged) {
+      // final state is a star forest: every node's label is min(Γ ∪ self)
+      sym(cur).groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("cluster_id"))
+    } else {
+      // The star-forest extraction below is only valid AT the fixed point;
+      // if maxRounds expired first, finish on the min-label fixpoint over
+      // the (already much-reduced, component-preserving) edge set instead
+      // of returning unflagged wrong labels — the same backstop contract
+      // as Dedup.duplicateClusters's distributed branch.
+      minLabelFixpoint(cur)
+    }
+  }
+
+  /** Min-label propagation to convergence over canonical (lo, hi) pairs:
+    * the correctness backstop for [[starComponents]] when the alternating
+    * rounds exhaust `maxRounds` before reaching their fixed point. Each
+    * round is one edge-to-label join + a map-side-combined min aggregate;
+    * rounds are bounded by the residual graph's diameter, which the star
+    * rounds that ran first have already collapsed.
+    */
+  private def minLabelFixpoint(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(pairs.select(col("hi"), col("lo")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, col("node") === col("src"), "left_outer")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 }

@@ -69,32 +69,28 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
       numCentroids: Int = 64): DataFrame = {
-    val all = prep(emb)
-    val centroids = seedSubset(all, numCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // coarse assignment: argmax cosine over the (broadcast) centroid set.
-    // max(struct(cos, -c_id, ...)) — NOT a row_number window: the
-    // aggregate is map-side combined, so one row per vector crosses the
-    // network instead of the full corpus×centroids cross join being
-    // shuffled and sorted. Tie-break identical to (cos DESC, c_id ASC):
-    // struct comparison falls through to -c_id, whose max is the min c_id.
-    val assigned = all.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), struct(
-          cosineQ(dotQF(col("v"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"),
-          (-col("c_id")).as("negc"), col("c_id").as("c_id"),
-          col("v").as("v"), col("nrm").as("nrm")).as("sc"))
-      .groupBy("vec_id")
-      .agg(max(col("sc")).as("m"))
-      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
-        col("m.c_id").as("bucket"))
+    val all = prepQ(emb)
+    import emb.sparkSession.implicits._
+    val seedDf = seedSubset(all, numCentroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    // coarse assignment: argmax cosine over the fixed-k centroid set as a
+    // CODEGEN'D PROJECTION (NearestCentroid over driver-resident rows —
+    // quantized dot = the float-side quantized dot by definition, same
+    // (cos DESC, c_id ASC) tie-break); the broadcast-join argmax is the
+    // DriverBudget fallback.
+    val assigned = DriverBudget.collectWithin(
+        seedDf.as[(Long, Array[Long], Long)], numCentroids, CentroidBytesEst) match {
+      case Some(cents) => assignByExpr(all, cents)
+      case None        => assignToCentroids(all, seedDf)
+    }
     val queries = assigned.where(col("vec_id") % queryModulo === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("bucket"))
     // probe: bucket-equality join — the shuffle key is the bucket id
     val scored = assigned.join(broadcast(queries), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineQ(dotQF(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
+        cosineQ(dotLL(col("qqv"), col("qv")), col("qnrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -102,23 +98,18 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Random-hyperplane LSH bucketing coefficient for (1-based dim `i`,
-    * plane `b`): a fixed pseudo-random ±1 pattern expressible identically
-    * in any SQL dialect (the oracle recomputes it), standing in for the
-    * gaussian hyperplanes a production build would broadcast.
-    */
-  private def lshCoef(i: org.apache.spark.sql.Column, b: Int) =
-    when((i * (b + 7)) % 5 <= 2, 1L).otherwise(-1L)
-
   /** LSH-bucketed approximate top-k: vectors hash to a bucket from the
-    * sign pattern of `nPlanes` fixed hyperplane projections; queries probe
-    * only their own bucket (single-probe SimHash-LSH).
+    * sign pattern of `nPlanes` fixed hyperplane projections (the ±1
+    * coefficient pattern `(i·(b+7)) mod 5 <= 2`, expressible identically
+    * in any SQL dialect — the oracle recomputes it); queries probe only
+    * their own bucket (single-probe SimHash-LSH).
     *
-    * Scale shape: one narrow shuffle to aggregate the per-plane projection
-    * sums (map-side combined, codegen'd conditional sums over exploded
-    * (dim, value) rows — the relational form; HOF lambdas run interpreted),
-    * then a bucket-equality join. Bucket count = 2^nPlanes bounds the
-    * join's key cardinality; skewed buckets are AQE's skew-join case.
+    * Scale shape (round 8): bucketing is ONE codegen'd projection
+    * ([[graft.expressions.LshBucket]] — zero exchanges; the previous
+    * posexplode + groupBy form shuffled corpus×dim rows to reassemble
+    * per-vector sums the row already had locally), then a bucket-equality
+    * join. Bucket count = 2^nPlanes bounds the join's key cardinality;
+    * skewed buckets are AQE's skew-join case.
     */
   def lshTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
       nPlanes: Int = 8): DataFrame =
@@ -137,28 +128,10 @@ object Similarity {
       nPlanes: Int = 8): DataFrame =
     lshTopKImpl(emb, k, queryModulo, nPlanes, multiProbe = true)
 
-  /** `(vec_id, bucket)` for every vector of `all` (a [[prep]] output):
-    * the sign pattern of `nPlanes` fixed hyperplane projections, packed
-    * into one long. One narrow map-side-combined shuffle — per-plane
-    * signed projection sums over exploded quantized components.
-    */
-  private def lshBuckets(all: DataFrame, nPlanes: Int): DataFrame = {
-    val sums = (0 until nPlanes).map { b =>
-      sum(col("x") * lshCoef(col("pos") + 1, b)).as(s"s$b")
-    }
-    val bucketExpr = (0 until nPlanes).map { b =>
-      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    all.select(col("vec_id"), posexplode(quantize(col("v"))).as(Seq("pos", "x")))
-      .groupBy("vec_id")
-      .agg(sums.head, sums.tail: _*)
-      .select(col("vec_id"), bucketExpr.as("bucket"))
-  }
-
   private def lshTopKImpl(emb: DataFrame, k: Int, queryModulo: Int,
       nPlanes: Int, multiProbe: Boolean): DataFrame = {
     val all = prep(emb)
-    val assigned = all.join(lshBuckets(all, nPlanes), "vec_id")
+    val assigned = all.withColumn("bucket", lshBucketF(col("v"), nPlanes))
     val queries0 = assigned.where(col("vec_id") % queryModulo === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
@@ -186,7 +159,7 @@ object Similarity {
     * "find all near neighbors" complement of the top-k probes (radius
     * queries, near-dup mining, graph construction all want the full
     * ball, not a fixed k). Candidates are LSH-blocked: pairs are scored
-    * only inside a shared [[lshBuckets]] bucket, so the work is
+    * only inside a shared LSH bucket, so the work is
     * sum-of-squared-bucket-sizes — bounded by the hash granularity
     * (`nPlanes`), never the corpus square. Single-probe blocking, so
     * recall has the standard LSH miss mode (near-threshold pairs split
@@ -202,7 +175,7 @@ object Similarity {
   def rangeSearch(emb: DataFrame, threshold: Double = 0.4,
       nPlanes: Int = 8): DataFrame = {
     val all = prep(emb)
-    val assigned = all.join(lshBuckets(all, nPlanes), "vec_id")
+    val assigned = all.withColumn("bucket", lshBucketF(col("v"), nPlanes))
     assigned.as("a").join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -234,7 +207,7 @@ object Similarity {
     * materialized). Corpus-sized data never reaches the driver.
     */
   private def prepQ(emb: DataFrame): DataFrame =
-    prep(emb).select(col("vec_id"), quantize(col("v")).as("qv"), col("nrm"))
+    prep(emb).select(col("vec_id"), quantizeF(col("v")).as("qv"), col("nrm"))
 
   /** Argmax-cosine assignment of every vector in `all` to its nearest
     * centroid, as a map-side-combined max(struct) aggregate — same
@@ -251,43 +224,77 @@ object Similarity {
       .select(col("vec_id"), col("m.qv").as("qv"), col("m.nrm").as("nrm"),
         col("m.c_id").as("bucket"))
 
-  /** The Lloyd loop itself: fixed-k seed, `iters` refinement rounds,
-    * returning the FINAL centroid table `(c_id, cv, cnrm)` — k·dim longs,
-    * constant in corpus size.
+  /** Driver-resident centroid rows `(c_id, cv, cnrmSq)` — the normal
+    * representation of k-means/IVF coarse state (k·dim longs, constant in
+    * corpus size). When the [[DriverBudget]] guard declines the collect,
+    * operators fall back to the distributed DataFrame form.
     */
-  private def kmeansCentroids(emb: DataFrame, numCentroids: Int,
-      iters: Int): DataFrame = {
+  private type CentroidRows = Array[(Long, Array[Long], Long)]
+
+  /** Assignment as ONE codegen'd projection over driver-resident
+    * centroids ([[graft.expressions.NearestCentroid]]): no broadcast
+    * join, no sort-aggregate, no shuffle — the round-8 replacement for
+    * the `crossJoin + max(struct)` argmax whose array-bearing struct
+    * forced `SortAggregateExec` (a full sort of the corpus×k cross join)
+    * on every Lloyd round and probe build.
+    */
+  private def assignByExpr(all: DataFrame, cents: CentroidRows): DataFrame =
+    all.select(col("vec_id"), col("qv"), col("nrm"),
+      nearestCentroid(col("qv"), col("nrm"), cents).as("bucket"))
+
+  /** One Lloyd refinement: per-(centroid, dim) exact integer mean of the
+    * assigned vectors — `floor(sum/n + 0.5)` longs, one map-side-combined
+    * shuffle, k·dim output rows.
+    */
+  private def centroidMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("bucket").as("c_id"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("m",
+        floor(col("sx").cast("double") / col("n").cast("double") + 0.5).cast("long"))
+      .groupBy(col("c_id"))
+      // rebuild the centroid vector in dimension order (collect_list has
+      // no ordering guarantee; sorting (pos, m) structs restores it)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cnrm", dotLL(col("cv"), col("cv")))
+
+  /** The Lloyd loop: fixed-k seed, `iters` refinement rounds, returning
+    * the FINAL centroid state. Right = driver-resident rows (the normal
+    * case — the state is k·dim longs, the same driver-state shape MLlib's
+    * KMeans keeps, admitted by the [[DriverBudget]] guard); Left = the
+    * distributed fallback, where each round assigns through the broadcast
+    * argmax join and materializes via eager localCheckpoint. In the fast
+    * path each round is ONE shuffle (the mean aggregate) plus a k·dim-row
+    * driver collect; assignment is a pure projection.
+    */
+  private def kmeansState(emb: DataFrame, numCentroids: Int,
+      iters: Int): Either[DataFrame, CentroidRows] = {
     val all = prepQ(emb)
-    var centroids = seedSubset(all, numCentroids)
+    import emb.sparkSession.implicits._
+    val seedDf = seedSubset(all, numCentroids)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
-    (0 until iters).foreach { _ =>
-      val assigned = assignToCentroids(all, centroids)
-      val next = assigned
-        .select(col("bucket").as("c_id"), posexplode(col("qv")).as(Seq("pos", "x")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .withColumn("m",
-          floor(col("sx").cast("double") / col("n").cast("double") + 0.5).cast("long"))
-        .groupBy(col("c_id"))
-        // rebuild the centroid vector in dimension order (collect_list has
-        // no ordering guarantee; sorting (pos, m) structs restores it)
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
-        .withColumn("cnrm", dotLL(col("cv"), col("cv")))
-      // materialize the k·dim-long centroid table (driver state, like
-      // MLlib KMeans) — see scaladoc; keeps the next round's plan flat.
-      // Routed through the shared DriverBudget guard: if k·dim ever
-      // exceeds the driver budget, the round materializes as an eager
-      // localCheckpoint instead — same plan-flattening effect, zero
-      // driver-side copy in engine code.
-      import emb.sparkSession.implicits._
-      centroids = DriverBudget.collectWithin(
-          next.as[(Long, Array[Long], Long)], numCentroids, CentroidBytesEst) match {
-        case Some(rows) => rows.toSeq.toDF("c_id", "cv", "cnrm")
-        case None       => next.toDF("c_id", "cv", "cnrm").localCheckpoint(true)
-      }
+    DriverBudget.collectWithin(
+        seedDf.as[(Long, Array[Long], Long)], numCentroids, CentroidBytesEst) match {
+      case None =>
+        var centroids = seedDf
+        (0 until iters).foreach { _ =>
+          centroids = centroidMeans(assignToCentroids(all, centroids))
+            .toDF("c_id", "cv", "cnrm").localCheckpoint(true)
+        }
+        Left(centroids)
+      case Some(seed) =>
+        var cents = seed
+        (0 until iters).foreach { _ =>
+          val next = centroidMeans(assignByExpr(all, cents))
+          // same knownCount and row estimate that admitted the seed, so
+          // the guard's verdict cannot flip mid-loop
+          cents = DriverBudget.collectWithin(
+            next.as[(Long, Array[Long], Long)], numCentroids, CentroidBytesEst).get
+        }
+        Right(cents)
     }
-    centroids
   }
 
   /** Driver bytes per collected centroid row, estimated for the guard:
@@ -298,8 +305,10 @@ object Similarity {
   private val CentroidBytesEst = 64L * 1024L
 
   private def kmeansAssign(emb: DataFrame, numCentroids: Int,
-      iters: Int): DataFrame =
-    assignToCentroids(prepQ(emb), kmeansCentroids(emb, numCentroids, iters))
+      iters: Int): DataFrame = kmeansState(emb, numCentroids, iters) match {
+    case Right(cents) => assignByExpr(prepQ(emb), cents)
+    case Left(centDf) => assignToCentroids(prepQ(emb), centDf)
+  }
 
   def kmeansIvfTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
       numCentroids: Int = 64, iters: Int = 2): DataFrame = {
@@ -345,14 +354,18 @@ object Similarity {
         .as("code"))
     val queries = all.where(col("vec_id") % queryModulo === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
-    val scored = coded
+    // decode ONCE per corpus vector (n rows), not per (vector, query)
+    // pair — and keep the HOF transform out of the pair-scoring
+    // projection, so the dot kernel stays inside whole-stage codegen
+    val decoded = coded.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), expr(
+        "transform(code, (c, d) -> mns[d] + c * (mxs[d] - mns[d]) div 255L)")
+        .as("dec"))
+    val scored = decoded
       .crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("query_id"))
-      .crossJoin(broadcast(bounds))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dotLL(col("qqv"), expr(
-          "transform(code, (c, d) -> mns[d] + c * (mxs[d] - mns[d]) div 255L)"))
-          .as("sq_dot"))
+        dotLL(col("qqv"), col("dec")).as("sq_dot"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sq_dot").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -431,8 +444,17 @@ object Similarity {
       queryModulo: Int = 20, numCentroids: Int = 64, iters: Int = 2,
       nProbe: Int = 2): DataFrame = {
     val all = prepQ(emb)
-    val cents = kmeansCentroids(emb, numCentroids, iters)
-    val assigned = assignToCentroids(all, cents)
+    val state = kmeansState(emb, numCentroids, iters)
+    val assigned = state match {
+      case Right(c) => assignByExpr(all, c)
+      case Left(df) => assignToCentroids(all, df)
+    }
+    val cents = state match {
+      case Right(c) =>
+        import emb.sparkSession.implicits._
+        c.toSeq.toDF("c_id", "cv", "cnrm")
+      case Left(df) => df
+    }
     val qRank = all.where(col("vec_id") % queryModulo === 0)
       .crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
@@ -475,20 +497,21 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
-  /** k-NN graph: each vector's `k` nearest neighbors inside its label
-    * block — the input structure for graph-side curation (connected
-    * components, PageRank-weighted sampling, semdedup seeding). The rank
-    * filter plans as WindowGroupLimit (partial per-partition top-k before
-    * the exchange), so each candidate block contributes at most k rows
-    * per node to the shuffle. Same Σ|block|² candidate contract as
-    * [[graft.analytics.Dedup.embeddingNearDups]] — with corpus-scale
-    * blocks, swap the blocking key for [[semDedupPairs]]' learned buckets
-    * or an LSH bucket; the top-k shape is unchanged.
+  /** k-NN graph: each vector's `k` nearest neighbors inside its LSH
+    * bucket (round 8 — bounded blocking by default, like
+    * [[graft.analytics.Dedup.embeddingNearDups]]) — the input structure
+    * for graph-side curation (connected components, PageRank-weighted
+    * sampling, semdedup seeding). The rank filter plans as
+    * WindowGroupLimit (partial per-partition top-k before the exchange),
+    * so each candidate block contributes at most k rows per node to the
+    * shuffle. Per-block candidate work is bounded by the hash granularity
+    * (2^nPlanes buckets), so the build scales linearly in the corpus;
+    * the recall trade is the standard single-probe LSH one.
     */
-  def knnGraph(emb: DataFrame, k: Int = 3): DataFrame = {
-    val q = prep(emb)
+  def knnGraph(emb: DataFrame, k: Int = 3, nPlanes: Int = 8): DataFrame = {
+    val q = prep(emb).withColumn("bucket", lshBucketF(col("v"), nPlanes))
     val pairs = q.as("a").join(q.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosineQ(dotQF(col("a.v"), col("b.v")),
           col("a.nrm"), col("b.nrm")).as("cos"))
@@ -629,12 +652,17 @@ object Similarity {
       numCoarse: Int = 16, numSubspaces: Int = 4, codebookSize: Int = 16,
       dim: Int = 64): DataFrame = {
     val all = prepQ(emb)
+    import emb.sparkSession.implicits._
     // coarse routing: one bucket per vector (argmax cosine over the
-    // broadcast fixed-k coarse table; tie-break = smallest c_id)
+    // fixed-k coarse table as a codegen'd projection; tie-break =
+    // smallest c_id; broadcast-join argmax is the budget fallback)
     val coarse = seedSubset(all, numCoarse)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
-    val buckets = assignToCentroids(all, coarse)
-      .select(col("vec_id"), col("bucket"))
+    val buckets = (DriverBudget.collectWithin(
+        coarse.as[(Long, Array[Long], Long)], numCoarse, CentroidBytesEst) match {
+      case Some(cents) => assignByExpr(all, cents)
+      case None        => assignToCentroids(all, coarse)
+    }).select(col("vec_id"), col("bucket"))
     val (codes, subs) = pqCodebookAndSlices(all, numSubspaces, codebookSize, dim)
     val encoded = pqEncode(subs, codes).join(buckets, "vec_id")
     val lut = pqLut(subs, codes, queryModulo, codebookSize)

@@ -149,8 +149,9 @@ object PlanDump {
         "all three component paths are proven bit-identical."),
       "tx_bpe_merges" -> ("BPE merge iteration: the corpus collapses ONCE to a map-side-combined word-frequency table; " +
         "pair explosion, counting and the TakeOrdered top-k all run on VOCAB-sized data — merge rounds never rescan the corpus."),
-      "rel_volume_shipping" -> ("TPC-H Q7 shape: both nation dims and supplier broadcast; the one real shuffle is " +
-        "lineitem joining quarter-filtered orders on the order key; the (2 x 2 x years)-row aggregate map-side combines."),
+      "rel_volume_shipping" -> ("TPC-H Q7 shape: both nation dims and supplier broadcast; the shipdate-filtered " +
+        "lineitem drives TWO hash shuffles — orders joins customer on custkey, then lineitem joins that on orderkey; " +
+        "the (2 x 2 x years)-row aggregate map-side combines."),
       "rel_returned_items" -> ("TPC-H Q10 shape, aggregate-then-decorate: the per-custkey revenue rollup runs BEFORE " +
         "customer attaches by broadcast — the corpus-sized join never carries customer columns; top-20 is TakeOrdered."),
       "sim_sq8_recall" -> ("SQ8 scalar quantization: per-dim (min, max) training is ONE explode+aggregate collapsing to a " +

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
@@ -127,4 +127,228 @@ case class LongDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "long_dot"
+}
+
+/** Codegen'd vector quantization: `array<float>` → `array<long>` via
+  * `floor(x·10⁴ + ½)` per element — the native-Expression form of
+  * [[graft.functions.VectorFunctions.quantize]]'s HOF `transform`.
+  *
+  * Why it exists (round 8): Catalyst higher-order functions do not
+  * support codegen, so ANY projection containing the HOF form is evicted
+  * from whole-stage codegen — taking every OTHER expression in that
+  * projection (including the dot kernels) to interpreted mode with it.
+  * The k-means prep projection was exactly this case.
+  */
+case class QuantizeVector(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_vec expects array<float>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(xs.getFloat(i).toDouble * 10000.0 + 0.5).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $arr = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 10000.0 + 0.5);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize_vec"
+}
+
+/** Codegen'd nearest-centroid assignment: for a quantized vector (plus its
+  * precomputed squared norm), the `c_id` of the argmax-cosine centroid from
+  * a DRIVER-CONSTANT centroid table (k·dim longs, shipped to executors in
+  * the expression's reference objects — the broadcast-small-state shape).
+  *
+  * Replaces the `crossJoin(broadcast(centroids)) + max(struct(...))`
+  * assignment: that struct carries the vector ARRAY through the aggregate
+  * buffer, which makes the buffer non-mutable, forces `SortAggregateExec`
+  * (a full sort of the corpus×k cross join, interpreted aggregate eval),
+  * and costs two exchanges. This form is a pure narrow projection inside
+  * whole-stage codegen — no join, no sort, no shuffle.
+  *
+  * Tie-break contract (must stay bit-identical to the oracle and the
+  * retired struct-max form): compare cosine doubles with
+  * `java.lang.Double.compare` (NaN greatest — Spark's double ordering),
+  * equal cosines pick the SMALLEST `c_id`.
+  */
+case class NearestCentroid(vec: Expression, nrmSq: Expression,
+    cids: Array[Long], cvs: Array[Array[Long]], cnrms: Array[Long])
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = nrmSq
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, nrmSq.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects (array<bigint>, bigint), got $other")
+    }
+
+  override def nullSafeEval(v: Any, nrm: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val qn = math.sqrt(nrm.asInstanceOf[Long].toDouble)
+    var best = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    var j = 0
+    while (j < cids.length) {
+      val c = cvs(j)
+      val n = math.min(xs.numElements(), c.length)
+      var dot = 0L
+      var i = 0
+      while (i < n) { dot += xs.getLong(i) * c(i); i += 1 }
+      val cos = dot.toDouble / (qn * math.sqrt(cnrms(j).toDouble))
+      val cmp = java.lang.Double.compare(cos, best)
+      if (cmp > 0 || (cmp == 0 && cids(j) < bestId)) { best = cos; bestId = cids(j) }
+      j += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    val cvsRef = ctx.addReferenceObj("cvs", cvs, "long[][]")
+    val cnrmsRef = ctx.addReferenceObj("cnrms", cnrms, "long[]")
+    nullSafeCodeGen(ctx, ev, (v, nrm) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val cos = ctx.freshName("cos")
+      val cmp = ctx.freshName("cmp")
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val qn = ctx.freshName("qn")
+      s"""
+         |double $qn = java.lang.Math.sqrt((double) $nrm);
+         |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |long $bestId = java.lang.Long.MAX_VALUE;
+         |for (int $j = 0; $j < $cidsRef.length; $j++) {
+         |  long[] $c = $cvsRef[$j];
+         |  int $n = java.lang.Math.min($v.numElements(), $c.length);
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $v.getLong($i) * $c[$i]; }
+         |  double $cos = ((double) $dot) / ($qn * java.lang.Math.sqrt((double) ${cnrmsRef}[$j]));
+         |  int $cmp = java.lang.Double.compare($cos, $best);
+         |  if ($cmp > 0 || ($cmp == 0 && $cidsRef[$j] < $bestId)) { $best = $cos; $bestId = $cidsRef[$j]; }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, nrmSq = newRight)
+
+  override def prettyName: String = "nearest_centroid"
+}
+
+/** Codegen'd single-pass LSH bucketing of a raw `array<float>` embedding:
+  * quantize each component once, accumulate the `nPlanes` signed
+  * projections with the fixed ±1 coefficient pattern
+  * `coef(i, b) = if ((i·(b+7)) mod 5 <= 2) +1 else −1` (1-based dim `i` —
+  * the SQL-expressible hyperplane family the oracles recompute), and pack
+  * `proj_b >= 0` sign bits into one long.
+  *
+  * Replaces the `posexplode(quantize(v)) → groupBy(vec_id).agg(8
+  * conditional sums)` form: that shuffles corpus×dim exploded rows to
+  * reassemble per-vector sums the row already had locally. This is a pure
+  * projection — zero exchanges for the bucketing stage.
+  */
+case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bucket expects array<float>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val sums = new Array[Long](nPlanes)
+    var i = 0
+    while (i < n) {
+      val q = math.floor(xs.getFloat(i).toDouble * 10000.0 + 0.5).toLong
+      var b = 0
+      while (b < nPlanes) {
+        sums(b) += (if ((i + 1).toLong * (b + 7) % 5 <= 2) q else -q)
+        b += 1
+      }
+      i += 1
+    }
+    var bucket = 0L
+    var b = 0
+    while (b < nPlanes) { if (sums(b) >= 0L) bucket |= 1L << b; b += 1 }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val sums = ctx.freshName("sums")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sums = new long[$nPlanes];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $q = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 10000.0 + 0.5);
+         |  for (int $b = 0; $b < $nPlanes; $b++) {
+         |    $sums[$b] += ((((long) ($i + 1)) * ($b + 7)) % 5 <= 2) ? $q : -$q;
+         |  }
+         |}
+         |long $bucket = 0L;
+         |for (int $b = 0; $b < $nPlanes; $b++) { if ($sums[$b] >= 0L) $bucket |= 1L << $b; }
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_bucket"
 }

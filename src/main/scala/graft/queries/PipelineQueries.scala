@@ -40,6 +40,23 @@ object PipelineQueries {
     s"list_sum(list_transform(range(1, len($av)+1), i -> $av[i]*$bv[i])) * 1.0" +
       s" / (sqrt($an) * sqrt($bn))"
 
+  /** LSH bucket per vector (append after [[QuantCte]]): recomputes the
+    * codegen'd `LshBucket` hyperplane family in SQL — signed projection
+    * sums with the ±1 pattern `(i·(b+7)) mod 5 <= 2`, sign bits packed
+    * into `bucket`. Ends with `qb(vec_id, label, v, nrm, bucket)`, the
+    * bounded blocking key the round-8 near-dup graph queries join on.
+    */
+  private val LshBucketCte =
+    s"""proj8 AS (SELECT vec_id,
+       |  ${(0 until 8).map { b =>
+            s"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * " +
+              s"(CASE WHEN (i * ${b + 7}) % 5 <= 2 THEN 1 ELSE -1 END))) AS s$b"
+          }.mkString(", ")}
+       |  FROM qn),
+       |qb AS (SELECT q.vec_id, q.label, q.v, q.nrm,
+       |  ${(0 until 8).map(b => s"(CASE WHEN p.s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS bucket
+       |  FROM qn q JOIN proj8 p USING (vec_id))""".stripMargin
+
   /** The product-quantization oracle chain (after QuantCte): fixed-16
     * codebook from the md5 seed order, per-subspace L2 encode (4×16-dim
     * slices of the 64-dim vectors), per-query LUT, exact-integer ADC sum,
@@ -303,15 +320,15 @@ object PipelineQueries {
         WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
         ORDER BY doc_a, doc_b""")),
 
-    // ---- embedding-cosine near-dup pairs within label blocks ----
+    // ---- embedding-cosine near-dup pairs within LSH buckets ----
     QueryDef("dd_embedding_neardup",
       (s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3)
         .orderBy("vec_a", "vec_b"),
       Some(s"""
-        WITH $QuantCte
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        WITH $QuantCte, $LshBucketCte
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
                ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
-        FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3
         ORDER BY vec_a, vec_b""")),
 
@@ -914,9 +931,9 @@ object PipelineQueries {
           .orderBy(col("r").desc, col("node"))
       },
       Some(s"""
-        WITH $QuantCte,
+        WITH $QuantCte, $LshBucketCte,
         pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-               FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+               FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
                WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3),
         edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
                   UNION ALL SELECT vec_b, vec_a FROM pr),
@@ -972,24 +989,24 @@ object PipelineQueries {
     QueryDef("gr_triangles",
       (s, dir) => {
         val e = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3)
-          .select(col("vec_a").as("a"), col("vec_b").as("b"), col("label"))
+          .select(col("vec_a").as("a"), col("vec_b").as("b"), col("bucket"))
         val e2 = e.select(col("a").as("b"), col("b").as("c"))
         val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
         e.join(e2, "b")
           .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-          .groupBy("label")
+          .groupBy("bucket")
           .agg(count(lit(1)).as("n_triangles"))
-          .orderBy("label")
+          .orderBy("bucket")
       },
       Some(s"""
-        WITH $QuantCte,
-        e AS (SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label
-              FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+        WITH $QuantCte, $LshBucketCte,
+        e AS (SELECT a.vec_id AS a, b.vec_id AS b, a.bucket AS bucket
+              FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3)
-        SELECT e1.label, count(*) AS n_triangles
+        SELECT e1.bucket, count(*) AS n_triangles
         FROM e e1 JOIN e e2 ON e1.b = e2.a
                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-        GROUP BY 1 ORDER BY e1.label""")),
+        GROUP BY 1 ORDER BY e1.bucket""")),
 
     // ---- k-NN graph: per-node top-k neighbors ----
     // The graph-construction primitive under PageRank-weighted curation
@@ -1000,11 +1017,11 @@ object PipelineQueries {
     QueryDef("sim_knn_graph",
       (s, dir) => Similarity.knnGraph(Tables.embeddings(s, dir), k = 3),
       Some(s"""
-        WITH $QuantCte,
+        WITH $QuantCte, $LshBucketCte,
         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
-              FROM qn a JOIN qn b
-                ON a.label = b.label AND a.vec_id <> b.vec_id),
+              FROM qb a JOIN qb b
+                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
         r AS (SELECT *, row_number() OVER (PARTITION BY vec_a
                           ORDER BY cos DESC, vec_b) AS rnk
               FROM p)
@@ -1028,9 +1045,9 @@ object PipelineQueries {
           .orderBy("degree")
       },
       Some(s"""
-        WITH $QuantCte,
+        WITH $QuantCte, $LshBucketCte,
         e AS (SELECT a.vec_id AS a, b.vec_id AS b
-              FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+              FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3),
         d AS (SELECT v, count(*) AS degree
               FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
@@ -1518,9 +1535,9 @@ object PipelineQueries {
           .orderBy("node")
       },
       Some(s"""
-        WITH $QuantCte,
+        WITH $QuantCte, $LshBucketCte,
         pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-               FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+               FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
                WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3),
         edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
                   UNION ALL SELECT vec_b, vec_a FROM pr),

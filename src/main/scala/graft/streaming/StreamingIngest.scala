@@ -306,8 +306,11 @@ object StreamingIngest {
         expr(s"(ts_ms - ${Jan1Ms}L) div 86400000").as[Long])
     val drained = drain(retentionMasks(events).toDF("user_id", "mask"), "append")
       .groupBy("user_id").agg(expr("bit_or(mask)").as("mask"))
-    // cohort = lowest set bit — row-local, so no self-join is needed
-    val dayList = "filter(transform(sequence(0, 39), d -> " +
+    // cohort = lowest set bit — row-local, so no self-join is needed.
+    // Scan the FULL 64-bit mask width (the state machine ORs days 0–63
+    // in; days >= 64 are dropped by the mask, the documented horizon) so
+    // rollup and state agree on the horizon.
+    val dayList = "filter(transform(sequence(0, 63), d -> " +
       "IF(((mask >> d) & 1) = 1, CAST(d AS BIGINT), CAST(NULL AS BIGINT))), " +
       "x -> x IS NOT NULL)"
     drained

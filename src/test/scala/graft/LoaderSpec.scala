@@ -24,7 +24,29 @@ class LoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  private def newTempDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    tempDirs += p
+    p.toString
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    tempDirs.foreach { p =>
+      import java.nio.file.{FileVisitResult, Path, SimpleFileVisitor}
+      import java.nio.file.attribute.BasicFileAttributes
+      if (Files.exists(p)) Files.walkFileTree(p, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+          Files.deleteIfExists(f); FileVisitResult.CONTINUE
+        }
+        override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+          Files.deleteIfExists(d); FileVisitResult.CONTINUE
+        }
+      })
+    }
+  }
 
   private val Jan1 = 1704067200000L // 2024-01-01T00:00:00Z
   private val Feb1 = 1706745600000L // 2024-02-01T00:00:00Z
@@ -50,14 +72,14 @@ class LoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
     // raw int64 nanos (what TIMESTAMP(NANOS) reads as under the legacy conf)
-    val longDir = Files.createTempDirectory("graft-loader-long").toString
+    val longDir = newTempDir("graft-loader-long")
     spark.range(3)
       .select((lit(base) + col("id") * 1000000000L).as("ts"))
       .write.parquet(s"$longDir/events.parquet")
     check(longDir)
 
     // timestamp (what the current testdata's timestamp[us] reads as)
-    val tsDir = Files.createTempDirectory("graft-loader-ts").toString
+    val tsDir = newTempDir("graft-loader-ts")
     val tsDf = spark.range(3)
       .select(timestamp_millis(lit(Jan1) + col("id") * 1000L).as("ts"))
     assert(tsDf.schema("ts").dataType === TimestampType)
@@ -65,7 +87,7 @@ class LoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(tsDir)
 
     // timestamp_ntz, interpreted as UTC wall-clock
-    val ntzDir = Files.createTempDirectory("graft-loader-ntz").toString
+    val ntzDir = newTempDir("graft-loader-ntz")
     val ntzDf = spark.range(3)
       .select(to_timestamp_ntz(
         date_format(timestamp_millis(lit(Jan1) + col("id") * 1000L),
@@ -73,6 +95,23 @@ class LoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ntzDf.schema("ts").dataType === TimestampNTZType)
     ntzDf.write.parquet(s"$ntzDir/events.parquet")
     check(ntzDir)
+  }
+
+  test("ntz ts_ms derivation is session-timezone independent") {
+    val dir = newTempDir("graft-loader-ntz-tz")
+    val ntzDf = spark.range(3)
+      .select(to_timestamp_ntz(
+        date_format(timestamp_millis(lit(Jan1) + col("id") * 1000L),
+          "yyyy-MM-dd HH:mm:ss")).as("ts"))
+    ntzDf.write.parquet(s"$dir/events.parquet")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = Tables.events(spark, dir)
+        .orderBy("ts_ms").select("ts_ms").collect().map(_.getLong(0))
+      assert(got.toSeq === Seq(Jan1, Jan1 + 1000L, Jan1 + 2000L),
+        "ts_ms shifted under a non-UTC session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("current testdata reads as a timestamp type, not legacy int64") {

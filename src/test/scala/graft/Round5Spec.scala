@@ -260,7 +260,7 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
       else Array(1.0f, 0.0f, 0.0f, 0.0f + i)
       (i.toLong, base, if (i <= 3) 0 else 1)
     }.toDF("vec_id", "embedding", "label")
-    val e = analytics.Dedup.embeddingNearDups(emb, 0.99)
+    val e = analytics.Dedup.embeddingNearDupsByLabel(emb, 0.99)
       .select(col("vec_a").as("a"), col("vec_b").as("b"), col("label"))
     val e2 = e.select(col("a").as("b"), col("b").as("c"))
     val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
@@ -421,7 +421,7 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     // learned blocks differ from label blocks: the pair sets should not
     // be identical to the label-blocked operator's (same threshold)
     val labelPairs = analytics.Dedup
-      .embeddingNearDups(Tables.embeddings(spark, sf), 0.3)
+      .embeddingNearDupsByLabel(Tables.embeddings(spark, sf), 0.3)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val semPairs = got.map(r =>

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.VectorFunctions._
+
+/** Round-8 parity contracts: the new codegen'd projection expressions
+  * (QuantizeVector / LshBucket / NearestCentroid) must be BIT-IDENTICAL
+  * to the declarative forms they replaced — those forms are what the
+  * DuckDB oracles still compute, so any divergence here is a future
+  * hash-mismatch in the driver's correctness gate.
+  */
+class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-round8-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("QuantizeVector matches the HOF transform quantization on every vector") {
+    val diff = emb.select(quantizeF(col("embedding")).as("a"),
+        quantize(col("embedding")).as("b"))
+      .where(!(col("a") <=> col("b"))).count()
+    assert(diff === 0L)
+  }
+
+  test("LshBucket matches the exploded declarative bucketing, all nPlanes used") {
+    for (nPlanes <- Seq(4, 8)) {
+      def coef(i: org.apache.spark.sql.Column, b: Int) =
+        when((i * (b + 7)) % 5 <= 2, 1L).otherwise(-1L)
+      val sums = (0 until nPlanes).map { b =>
+        sum(col("x") * coef(col("pos") + 1, b)).as(s"s$b")
+      }
+      val bucketExpr = (0 until nPlanes).map { b =>
+        when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      val declarative = emb
+        .select(col("vec_id"), posexplode(quantize(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy("vec_id")
+        .agg(sums.head, sums.tail: _*)
+        .select(col("vec_id"), bucketExpr.as("b_old"))
+      val native = emb.select(col("vec_id"),
+        lshBucketF(col("embedding"), nPlanes).as("b_new"))
+      val diff = native.join(declarative, "vec_id")
+        .where(col("b_new") =!= col("b_old")).count()
+      assert(diff === 0L, s"nPlanes=$nPlanes")
+    }
+  }
+
+  test("NearestCentroid matches the crossJoin+max(struct) argmax, tie-break included") {
+    val all = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", dotLL(col("qv"), col("qv")))
+    // fixed-k centroid set, same md5 seed order the engine uses
+    val centDf = all.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    import spark.implicits._
+    val cents = centDf.as[(Long, Array[Long], Long)].collect()
+
+    val viaJoin = all.crossJoin(broadcast(centDf))
+      .select(col("vec_id"), struct(
+          cosineQ(dotLL(col("qv"), col("cv")), col("nrm"), col("cnrm")).as("c_cos"),
+          (-col("c_id")).as("negc"), col("c_id").as("c_id")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("b_old"))
+    val viaExpr = all.select(col("vec_id"),
+      nearestCentroid(col("qv"), col("nrm"), cents).as("b_new"))
+    val diff = viaExpr.join(viaJoin, "vec_id")
+      .where(col("b_new") =!= col("b_old")).count()
+    assert(diff === 0L)
+
+    // and the assignment is non-degenerate: more than one bucket in use
+    assert(viaExpr.select(countDistinct(col("b_new"))).head().getLong(0) > 1L)
+  }
+
+  test("NearestCentroid exercises the exact-tie path deterministically") {
+    // duplicate centroid vectors under two ids → identical cosines; the
+    // winner must be the SMALLER c_id (the struct-max negc contract)
+    import spark.implicits._
+    val v = Array(10000L, 20000L)
+    val nrm = v.map(x => x * x).sum
+    val cents: Array[(Long, Array[Long], Long)] =
+      Array((7L, v, nrm), (3L, v, nrm), (9L, Array(-10000L, -20000L), nrm))
+    val df = Seq((1L, v.toSeq, nrm)).toDF("vec_id", "qv", "nrm")
+      .select(col("vec_id"), col("qv").cast("array<long>").as("qv"), col("nrm"))
+    val got = df.select(nearestCentroid(col("qv"), col("nrm"), cents).as("b"))
+      .head().getLong(0)
+    assert(got === 3L)
+  }
+}

@@ -24,7 +24,7 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  private def prep(emb: DataFrame): DataFrame =
+  private[graft] def prep(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", normSqQF(col("v")))
 
@@ -61,6 +61,24 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Seed-centroid coarse assignment (the IVF index-build step on its
+    * own): argmax cosine over the fixed-k md5-seeded centroid set as a
+    * CODEGEN'D PROJECTION (NearestCentroid over driver-resident rows —
+    * quantized dot = the float-side quantized dot by definition, same
+    * (cos DESC, c_id ASC) tie-break); the broadcast-join argmax is the
+    * DriverBudget fallback. `all` must be in [[prepQ]] shape.
+    */
+  private[graft] def ivfAssign(all: DataFrame, numCentroids: Int): DataFrame = {
+    import all.sparkSession.implicits._
+    val seedDf = seedSubset(all, numCentroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    DriverBudget.collectWithin(
+        seedDf.as[(Long, Array[Long], Long)], numCentroids, CentroidBytesEst) match {
+      case Some(cents) => assignByExpr(all, cents)
+      case None        => assignToCentroids(all, seedDf)
+    }
+  }
+
   /** IVF-bucketed approximate top-k: probe only the query's centroid
     * bucket.
     *
@@ -70,19 +88,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
       numCentroids: Int = 64): DataFrame = {
     val all = prepQ(emb)
-    import emb.sparkSession.implicits._
-    val seedDf = seedSubset(all, numCentroids)
-      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
-    // coarse assignment: argmax cosine over the fixed-k centroid set as a
-    // CODEGEN'D PROJECTION (NearestCentroid over driver-resident rows —
-    // quantized dot = the float-side quantized dot by definition, same
-    // (cos DESC, c_id ASC) tie-break); the broadcast-join argmax is the
-    // DriverBudget fallback.
-    val assigned = DriverBudget.collectWithin(
-        seedDf.as[(Long, Array[Long], Long)], numCentroids, CentroidBytesEst) match {
-      case Some(cents) => assignByExpr(all, cents)
-      case None        => assignToCentroids(all, seedDf)
-    }
+    val assigned = ivfAssign(all, numCentroids)
     val queries = assigned.where(col("vec_id") % queryModulo === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("bucket"))
@@ -206,7 +212,7 @@ object Similarity {
     * compiles one enormous tree (measured 11 s first-run at sf0.1 vs ~2 s
     * materialized). Corpus-sized data never reaches the driver.
     */
-  private def prepQ(emb: DataFrame): DataFrame =
+  private[graft] def prepQ(emb: DataFrame): DataFrame =
     prep(emb).select(col("vec_id"), quantizeF(col("v")).as("qv"), col("nrm"))
 
   /** Argmax-cosine assignment of every vector in `all` to its nearest
@@ -304,7 +310,7 @@ object Similarity {
     */
   private val CentroidBytesEst = 64L * 1024L
 
-  private def kmeansAssign(emb: DataFrame, numCentroids: Int,
+  private[graft] def kmeansAssign(emb: DataFrame, numCentroids: Int,
       iters: Int): DataFrame = kmeansState(emb, numCentroids, iters) match {
     case Right(cents) => assignByExpr(prepQ(emb), cents)
     case Left(centDf) => assignToCentroids(prepQ(emb), centDf)
@@ -677,5 +683,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adc_dot")
+  }
+
+  /** Bucket-occupancy summary for the ANN index families — the
+    * operational health check behind every IVF/LSH deployment: a
+    * bucketing that collapses (one bucket holding most of the corpus)
+    * silently degrades the probe path toward a full scan while every
+    * top-k result stays "correct". One row per family:
+    * `(family, n_buckets, max_bucket_n, n_vecs)`.
+    *
+    * Scale shape: each family is one narrow `(family, bucket)` projection
+    * (the LSH hash is the codegen'd LshBucket expression, the IVF
+    * assignment the broadcast NearestCentroid argmax — identical machinery
+    * to the probe queries, so the histogram measures the REAL index) and
+    * the rollup is two map-side-combinable aggregations over key spaces
+    * bounded by 2^nPlanes / numCentroids — metadata-sized at any corpus.
+    */
+  def bucketOccupancy(emb: DataFrame, nPlanes: Int = 8,
+      numCentroids: Int = 64): DataFrame = {
+    val lsh = prep(emb)
+      .select(lit(s"lsh$nPlanes").as("family"),
+        lshBucketF(col("v"), nPlanes).as("bucket"))
+    val ivf = ivfAssign(prepQ(emb), numCentroids)
+      .select(lit(s"ivf$numCentroids").as("family"), col("bucket"))
+    lsh.union(ivf)
+      .groupBy(col("family"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket_n"),
+        sum(col("n")).as("n_vecs"))
+      .orderBy("family")
   }
 }

@@ -514,6 +514,30 @@ object PipelineQueries {
                CAST(nrm = 0 AS INT) AS is_degenerate
         FROM qn ORDER BY vec_id""")),
 
+    // ---- ANN index health: bucket-occupancy summary per family ----
+    // A bucketing that collapses (one bucket holding most of the corpus)
+    // degrades the probe path toward a full scan while every top-k stays
+    // "correct" — this row pair is the observable that catches it, and
+    // NonTrivialitySpec pins occupancy floors on it per testdata draw.
+    QueryDef("sim_bucket_occupancy",
+      (s, dir) => Similarity.bucketOccupancy(Tables.embeddings(s, dir),
+        nPlanes = 8, numCentroids = 64),
+      Some(s"""
+        WITH $QuantCte, $LshBucketCte,
+        lshb AS (SELECT 'lsh8' AS family, bucket FROM qb),
+        cent AS (${seedSql(64)}),
+        assign AS (SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                   FROM qn CROSS JOIN cent),
+        ivfb AS (SELECT 'ivf64' AS family, c_id AS bucket FROM assign WHERE arn = 1),
+        occ AS (SELECT family, bucket, count(*) AS n
+                FROM (SELECT * FROM lshb UNION ALL SELECT * FROM ivfb)
+                GROUP BY 1, 2)
+        SELECT family, count(*) AS n_buckets, max(n) AS max_bucket_n,
+               CAST(sum(n) AS BIGINT) AS n_vecs
+        FROM occ GROUP BY family ORDER BY family""")),
+
     // ---- multi-probe IVF k-means: each query probes its nProbe nearest
     // refined centroids (the production `nprobe` recall knob) ----
     QueryDef("sim_ann_ivf_kmeans_mp",

@@ -50,7 +50,7 @@ object StoreQueries {
     t
   }
 
-  private def storeFor(s: SparkSession, dir: String): TimeSeriesStore =
+  private[graft] def storeFor(s: SparkSession, dir: String): TimeSeriesStore =
     stores.computeIfAbsent(dir, { _ =>
       val root = Files.createTempDirectory("graft-storeq").toString
       val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))

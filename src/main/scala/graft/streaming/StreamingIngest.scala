@@ -87,6 +87,69 @@ object StreamingIngest {
     (q, acked)
   }
 
+  /** One memory-pressure-gated purge cycle (the reference's write-path gate,
+    * service.js:13,33-35: `if (bytes > purgeLimit) store.purgeScan(...)`,
+    * and recipe:44-45's "purge when used memory crosses the budget"): if the
+    * hot tier currently exceeds `purgeLimitBytes`, mark up to
+    * `maxPartitions` aged partitions and drain the queue (archive → ack);
+    * repeat until the tier is back under budget or a cycle makes no
+    * progress (nothing old enough to mark). Under budget it is a no-op —
+    * the gate is the byte signal, not the clock.
+    *
+    * @return number of partitions acked by this call
+    */
+  def pressurePurgeCycle(store: TimeSeriesStore, purgeLimitBytes: Long,
+      ageThresholdSec: Long = 1, maxPartitions: Int = 10): Long = {
+    if (purgeLimitBytes <= 0)
+      throw new IllegalArgumentException(
+        "Parameter 'purgeLimitBytes' is invalid & should greater than 1.")
+    var total = 0L
+    var progressed = true
+    while (progressed && store.hotBytes > purgeLimitBytes) {
+      progressed = false
+      store.purgeScan(ageThresholdSec, maxPartitions)
+      store.pendingPurgeEntries().foreach { e =>
+        store.archiveToCold(e.id)
+        if (store.purgeAck(e.id, e.partitionName, e.tag) == 1) {
+          total += 1
+          progressed = true
+        }
+      }
+    }
+    total
+  }
+
+  /** The byte-threshold purge driver: [[purgeLoop]]'s topology with the
+    * reference's memory gate in front — each trigger consults the store's
+    * O(1) used-bytes signal ([[TimeSeriesStore.hotBytes]], the `INFO
+    * Memory` analog) and only purges while the hot tier exceeds
+    * `purgeLimitBytes`. This is the loop a real deployment needs when
+    * ingest outruns the age threshold: pressure, not elapsed time, decides
+    * when partitions tier out.
+    *
+    * @return the running purge query and a counter of acked partitions
+    */
+  def pressurePurgeLoop(spark: SparkSession, store: TimeSeriesStore,
+      purgeLimitBytes: Long, ageThresholdSec: Long = 1,
+      maxPartitions: Int = 10, intervalMs: Long = 500): (StreamingQuery, AtomicLong) = {
+    if (purgeLimitBytes <= 0)
+      throw new IllegalArgumentException(
+        "Parameter 'purgeLimitBytes' is invalid & should greater than 1.")
+    val acked = new AtomicLong(0L)
+    val q = spark.readStream
+      .format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        acked.addAndGet(
+          pressurePurgeCycle(store, purgeLimitBytes, ageThresholdSec, maxPartitions))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+      .start()
+    (q, acked)
+  }
+
   /** Continuous last-write-wins dedup as custom streaming state
     * (`flatMapGroupsWithState`): one state cell per `(tag, ts)` holding the
     * current winner; a micro-batch emits a row only when a strictly newer

@@ -57,6 +57,49 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- ANN/bucketing family (round 8, VERDICT r7 #7): a testdata
+  // re-draw that collapses a hash family or centroid seed would keep
+  // every top-k oracle green while the probe path silently degrades to
+  // a scan — occupancy floors make that draw fail here, loudly.
+
+  test("LSH and IVF bucketings are non-degenerate on current data") {
+    val occ = SparkEntry.queries("sim_bucket_occupancy")(spark, sfSmall)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (lshB, lshMax, lshTot) = occ("lsh8")
+    assert(lshB >= 16L, s"lsh8 collapsed to $lshB buckets")
+    assert(lshMax * 5 <= lshTot, // no bucket >20% (measured ~9%)
+      s"lsh8 mega-bucket: $lshMax of $lshTot vectors")
+    val (ivfB, ivfMax, ivfTot) = occ("ivf64")
+    assert(ivfB >= 32L, s"ivf64 collapsed to $ivfB buckets")
+    assert(ivfMax * 10 <= ivfTot, // no bucket >10% (measured ~2.6%)
+      s"ivf64 mega-bucket: $ivfMax of $ivfTot vectors")
+  }
+
+  test("k-means IVF buckets stay non-degenerate after Lloyd rounds") {
+    import org.apache.spark.sql.functions._
+    val assigned = graft.analytics.Similarity.kmeansAssign(
+      Tables.embeddings(spark, sfSmall), numCentroids = 64, iters = 2)
+    val r = assigned.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), max(col("n")), sum(col("n"))).head()
+    val (nB, maxN, tot) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nB >= 16L, s"kmeans64 collapsed to $nB buckets")
+    assert(maxN * 4 <= tot, // no bucket >25% after refinement
+      s"kmeans64 mega-bucket: $maxN of $tot vectors")
+  }
+
+  test("SQ8 per-dimension quantization ranges are non-degenerate") {
+    import org.apache.spark.sql.functions._
+    val all = graft.analytics.Similarity.prepQ(Tables.embeddings(spark, sfSmall))
+    val r = all.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(sum(when(col("mx") > col("mn"), 1L).otherwise(0L)),
+        count(lit(1))).head()
+    val (live, dims) = (r.getLong(0), r.getLong(1))
+    assert(live * 10 >= dims * 9, // >=90% of dims have a real range
+      s"SQ8 degenerate: only $live of $dims dims have mx > mn")
+  }
+
   test("cu_embed_decontaminate flags SOME but not ALL train vectors") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("cu_embed_decontaminate")(spark, sfMid)

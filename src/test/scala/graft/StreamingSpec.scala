@@ -63,6 +63,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     } finally q.stop()
   }
 
+  test("pressure purge fires on byte threshold: mark, archive, ack, hotBytes drops") {
+    val root = Files.createTempDirectory("graft-pressure").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    store.initialize()
+    store.write(Map("BTag" -> Map(1L -> "One", 7L -> "Seven")))
+    val before = store.hotBytes
+    assert(before > 0L)
+    // age the partitions past the loop's 60 s mark threshold
+    val realNow = System.currentTimeMillis()
+    store.clock = () => realNow + 600000L
+    val (q, acked) = StreamingIngest.pressurePurgeLoop(
+      spark, store, purgeLimitBytes = before / 4, ageThresholdSec = 60)
+    try {
+      eventually(timeout(Span(30, Seconds))) {
+        assert(acked.get() >= 2L) // both partitions archived + acked
+      }
+      assert(store.hotBytes < before)
+      assert(store.hotDF.count() === 0)
+      // archived rows still readable through the hot ∪ cold union
+      val got = store.readData(Map("BTag" -> (0L, 10L)))
+      assert(got("BTag") === scala.collection.immutable.SortedMap(1L -> "One", 7L -> "Seven"))
+    } finally q.stop()
+  }
+
+  test("pressure purge is a no-op below the byte threshold, even for aged partitions") {
+    val root = Files.createTempDirectory("graft-pressure-noop").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    store.initialize()
+    store.write(Map("NTag" -> Map(1L -> "One")))
+    val realNow = System.currentTimeMillis()
+    store.clock = () => realNow + 600000L // aged, but under budget
+    val n = StreamingIngest.pressurePurgeCycle(
+      store, purgeLimitBytes = store.hotBytes + 1, ageThresholdSec = 60)
+    assert(n === 0L)
+    assert(store.hotDF.count() === 1)
+  }
+
+  test("pressure purge validates the threshold parameter with the golden message") {
+    val root = Files.createTempDirectory("graft-pressure-valid").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    store.initialize()
+    val err = intercept[IllegalArgumentException] {
+      StreamingIngest.pressurePurgeCycle(store, purgeLimitBytes = 0L)
+    }
+    assert(err.getMessage ===
+      "Parameter 'purgeLimitBytes' is invalid & should greater than 1.")
+  }
+
   test("streaming LWW state emits only strictly-newer winners") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[Sample]

@@ -578,5 +578,49 @@ object StreamMultimodalQueries {
         FROM u LEFT JOIN t1 USING (user_id)
                LEFT JOIN t2 USING (user_id)
                LEFT JOIN t3 USING (user_id)"""))
+  ,
+
+    // ---- watermark deployment (audit → withWatermark, loop closed) ----
+    // The delay ts_watermark_audit chose (smallest candidate with corpus
+    // late fraction <= 2%) driven through a REAL withWatermark tumbling-
+    // window aggregation, replayed in 8 arrival-order micro-batches. The
+    // oracle simulates Spark's exact drop rule — watermark = prior
+    // batches' max event time − delay, updated only at batch boundaries;
+    // a row is dropped iff its window end <= the watermark of its batch —
+    // so a semantics drift in either direction hash-diverges.
+    QueryDef("st_watermark_deploy",
+      (s, dir) => StreamingIngest.watermarkDeploy(s, dir),
+      Some("""
+        WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        aud AS (SELECT event_type, ts_ms,
+                  max(ts_ms) OVER (PARTITION BY event_type ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+                FROM e),
+        lf AS (SELECT d.delay_ms,
+                 sum(CASE WHEN hwm IS NOT NULL AND ts_ms < hwm - d.delay_ms
+                          THEN 1 ELSE 0 END) * 1.0 / count(*) AS frac
+               FROM aud CROSS JOIN
+                 (SELECT unnest([0, 1000, 10000, 60000]) AS delay_ms) d
+               GROUP BY 1),
+        ch AS (SELECT CAST(coalesce(min(delay_ms) FILTER (WHERE frac <= 0.02),
+                                    60000) AS BIGINT) AS delay_ms FROM lf),
+        r AS (SELECT event_type, ts_ms,
+                row_number() OVER (ORDER BY event_id) - 1 AS rn,
+                count(*) OVER () AS n
+              FROM e),
+        bb AS (SELECT event_type, ts_ms, (rn * 8) // n AS batch FROM r),
+        bm AS (SELECT batch, max(ts_ms) AS mx FROM bb GROUP BY 1),
+        wm AS (SELECT batch,
+                 max(mx) OVER (ORDER BY batch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+               FROM bm),
+        k AS (SELECT bb.event_type, bb.ts_ms
+              FROM bb JOIN wm USING (batch) CROSS JOIN ch
+              WHERE wm.hwm IS NULL
+                 OR ((bb.ts_ms // 3600000) * 3600000 + 3600000)
+                      > (wm.hwm - ch.delay_ms))
+        SELECT k.event_type, (k.ts_ms // 3600000) * 3600000 AS window_start,
+               count(*) AS n_kept, (SELECT delay_ms FROM ch) AS delay_ms
+        FROM k GROUP BY 1, 2 ORDER BY event_type, window_start"""))
   )
 }

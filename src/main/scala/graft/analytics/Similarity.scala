@@ -503,24 +503,40 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
-  /** k-NN graph: each vector's `k` nearest neighbors inside its LSH
-    * bucket (round 8 — bounded blocking by default, like
-    * [[graft.analytics.Dedup.embeddingNearDups]]) — the input structure
-    * for graph-side curation (connected components, PageRank-weighted
-    * sampling, semdedup seeding). The rank filter plans as
-    * WindowGroupLimit (partial per-partition top-k before the exchange),
-    * so each candidate block contributes at most k rows per node to the
-    * shuffle. Per-block candidate work is bounded by the hash granularity
-    * (2^nPlanes buckets), so the build scales linearly in the corpus;
-    * the recall trade is the standard single-probe LSH one.
+  /** k-NN graph: each vector's `k` nearest neighbors among its banded-LSH
+    * candidates (round 8 — the same corpus-adaptive
+    * [[graft.analytics.Dedup.embeddingNearDups]] blocking: collide in ANY
+    * of the 4 bands, planes-per-band grown with the corpus so expected
+    * bucket size stays constant) — the input structure for graph-side
+    * curation (connected components, PageRank-weighted sampling, semdedup
+    * seeding). Candidates are deduped across bands before scoring; the
+    * rank filter plans as WindowGroupLimit (partial per-partition top-k
+    * before the exchange), so each candidate block contributes at most k
+    * rows per node to the shuffle. Candidate work ≈ bands · n · E[bucket]
+    * — linear in the corpus; the recall trade is the standard banded-LSH
+    * one.
     */
-  def knnGraph(emb: DataFrame, k: Int = 3, nPlanes: Int = 8): DataFrame = {
-    val q = prep(emb).withColumn("bucket", lshBucketF(col("v"), nPlanes))
-    val pairs = q.as("a").join(q.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineQ(dotQF(col("a.v"), col("b.v")),
-          col("a.nrm"), col("b.nrm")).as("cos"))
+  def knnGraph(emb: DataFrame, k: Int = 3,
+      rOverride: Option[Int] = None): DataFrame = {
+    import graft.analytics.Dedup.{BandPlaneStride, NearDupBands, adaptivePlanes}
+    val r = rOverride.getOrElse(adaptivePlanes(emb.count()))
+    val q = prep(emb)
+    val sigs = q.select(col("vec_id"),
+      posexplode(array((0 until NearDupBands).map(j =>
+        lshBucketF(col("v"), r, j * BandPlaneStride)): _*))
+        .as(Seq("band", "sig")))
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val pairs = cand
+      .join(q.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosineQ(dotQF(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cos").desc, col("vec_b"))
     pairs.withColumn("rnk", row_number().over(w))

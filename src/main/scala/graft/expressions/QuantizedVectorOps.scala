@@ -282,16 +282,30 @@ case class NearestCentroid(vec: Expression, nrmSq: Expression,
 /** Codegen'd single-pass LSH bucketing of a raw `array<float>` embedding:
   * quantize each component once, accumulate the `nPlanes` signed
   * projections with the fixed ±1 coefficient pattern
-  * `coef(i, b) = if ((i·(b+7)) mod 5 <= 2) +1 else −1` (1-based dim `i` —
-  * the SQL-expressible hyperplane family the oracles recompute), and pack
-  * `proj_b >= 0` sign bits into one long.
+  * `coef(i, g) = if ((i · m_g) mod 97 < 49) +1 else −1` where
+  * `m_g = (13·(g+1)) mod 97` and `g = planeOffset + b` is the GLOBAL
+  * plane index (1-based dim `i` — the SQL-expressible hyperplane family
+  * the oracles recompute), and pack `proj_b >= 0` sign bits into one
+  * long.
+  *
+  * '''Why mod 97''' (round 8): the previous family
+  * `(i·(b+7)) mod 5 <= 2` repeats every 5 planes — planes 0/5, 1/6, 2/7
+  * were DUPLICATES and plane 3 (`(b+7) ≡ 0 mod 5`) was constant +1, so
+  * the "8-plane" hash carried ~4 informative bits and adding planes
+  * could never shrink buckets (the corpus-adaptive granularity the
+  * near-dup blocking needs). 97 is prime and `13·(g+1)` never hits 0
+  * for `g < 96`, so all 64 addressable planes are distinct.
+  *
+  * `planeOffset` selects a disjoint plane range per LSH band (banded
+  * OR-amplification, same construction as minhash banding).
   *
   * Replaces the `posexplode(quantize(v)) → groupBy(vec_id).agg(8
   * conditional sums)` form: that shuffles corpus×dim exploded rows to
   * reassemble per-vector sums the row already had locally. This is a pure
   * projection — zero exchanges for the bucketing stage.
   */
-case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
+case class LshBucket(child: Expression, nPlanes: Int, planeOffset: Int = 0)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -304,6 +318,10 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
           s"lsh_bucket expects array<float>, got ${other.simpleString}")
     }
 
+  /** Per-plane ±1 pattern multipliers, distinct for every global plane. */
+  private lazy val mults: Array[Long] =
+    (0 until nPlanes).map(b => (13L * (planeOffset + b + 1)) % 97L).toArray
+
   override def nullSafeEval(v: Any): Any = {
     val xs = v.asInstanceOf[ArrayData]
     val n = xs.numElements()
@@ -313,7 +331,7 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
       val q = math.floor(xs.getFloat(i).toDouble * 10000.0 + 0.5).toLong
       var b = 0
       while (b < nPlanes) {
-        sums(b) += (if ((i + 1).toLong * (b + 7) % 5 <= 2) q else -q)
+        sums(b) += (if ((i + 1).toLong * mults(b) % 97 < 49) q else -q)
         b += 1
       }
       i += 1
@@ -332,13 +350,16 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
       val q = ctx.freshName("q")
       val sums = ctx.freshName("sums")
       val bucket = ctx.freshName("bucket")
+      val ms = ctx.freshName("mults")
+      val multsRef = ctx.addReferenceObj("lshMults", mults, "long[]")
       s"""
          |int $n = $a.numElements();
+         |long[] $ms = $multsRef;
          |long[] $sums = new long[$nPlanes];
          |for (int $i = 0; $i < $n; $i++) {
          |  long $q = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 10000.0 + 0.5);
          |  for (int $b = 0; $b < $nPlanes; $b++) {
-         |    $sums[$b] += ((((long) ($i + 1)) * ($b + 7)) % 5 <= 2) ? $q : -$q;
+         |    $sums[$b] += ((((long) ($i + 1)) * $ms[$b]) % 97 < 49) ? $q : -$q;
          |  }
          |}
          |long $bucket = 0L;

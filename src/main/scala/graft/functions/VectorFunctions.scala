@@ -94,14 +94,15 @@ object VectorFunctions {
     * quantized components, packed into one long) — the projection form of
     * the exploded SQL bucketing, zero exchanges.
     */
-  def lshBucketF(v: Column, nPlanes: Int): Column =
+  def lshBucketF(v: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     // coalesce: same join-key non-nullability rationale as
     // [[nearestCentroid]] — keeps isnotnull(lsh_bucket(...)) from being
     // re-evaluated per row in a pushed-down constraint filter
     coalesce(
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.expressions.LshBucket(
-          org.apache.spark.sql.graft.ColumnBridge.expression(v), nPlanes)),
+          org.apache.spark.sql.graft.ColumnBridge.expression(v), nPlanes,
+          planeOffset)),
       lit(Long.MinValue))
 
   /** Cosine similarity from quantized ints — deterministic double. */

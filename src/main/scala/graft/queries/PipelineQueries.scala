@@ -40,22 +40,75 @@ object PipelineQueries {
     s"list_sum(list_transform(range(1, len($av)+1), i -> $av[i]*$bv[i])) * 1.0" +
       s" / (sqrt($an) * sqrt($bn))"
 
-  /** LSH bucket per vector (append after [[QuantCte]]): recomputes the
-    * codegen'd `LshBucket` hyperplane family in SQL — signed projection
-    * sums with the ±1 pattern `(i·(b+7)) mod 5 <= 2`, sign bits packed
-    * into `bucket`. Ends with `qb(vec_id, label, v, nrm, bucket)`, the
-    * bounded blocking key the round-8 near-dup graph queries join on.
+  /** The ±1 hyperplane-family coefficient for GLOBAL plane `g` (mirrors
+    * `graft.expressions.LshBucket` round 8: multiplier `13·(g+1) mod 97`,
+    * sign from `(i·m) mod 97 < 49`, 1-based dim `i`) — all 64 addressable
+    * planes are distinct (97 prime), unlike the retired `mod 5` family
+    * whose planes repeated every 5.
+    */
+  private def lshSignCase(g: Int): String = {
+    val m = (13L * (g + 1)) % 97L
+    s"(CASE WHEN (i * $m) % 97 < 49 THEN 1 ELSE -1 END)"
+  }
+
+  private def lshPlaneSum(g: Int): String =
+    s"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * ${lshSignCase(g)})) AS s$g"
+
+  /** Fixed 8-plane LSH bucket per vector (append after [[QuantCte]]) —
+    * band 0 of the family, the `sim_ann_lsh*` probe hash. Ends with
+    * `qb(vec_id, label, v, nrm, bucket)`.
     */
   private val LshBucketCte =
     s"""proj8 AS (SELECT vec_id,
-       |  ${(0 until 8).map { b =>
-            s"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * " +
-              s"(CASE WHEN (i * ${b + 7}) % 5 <= 2 THEN 1 ELSE -1 END))) AS s$b"
-          }.mkString(", ")}
+       |  ${(0 until 8).map(lshPlaneSum).mkString(", ")}
        |  FROM qn),
        |qb AS (SELECT q.vec_id, q.label, q.v, q.nrm,
        |  ${(0 until 8).map(b => s"(CASE WHEN p.s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS bucket
        |  FROM qn q JOIN proj8 p USING (vec_id))""".stripMargin
+
+  /** Banded corpus-adaptive LSH candidate pairs (append after
+    * [[QuantCte]]) — mirrors `Dedup.embeddingNearDups`'s round-8
+    * blocking: 4 bands over disjoint 16-plane ranges, per-band plane
+    * count `r = clamp(8, 16, ceil(log2(n/8)))` applied as a low-bit mask
+    * on the 16 computed sign bits, candidates = DISTINCT pairs colliding
+    * in ANY band. Ends with `cand(vec_a, vec_b)` (vec_a < vec_b).
+    */
+  private val LshCandCtes = {
+    val bands = 4
+    val stride = 16
+    val projCols = (0 until bands * stride).map(lshPlaneSum).mkString(",\n      ")
+    val sigCases = (0 until bands).map { j =>
+      val bits = (0 until stride).map { b =>
+        s"(CASE WHEN s${j * stride + b} >= 0 AND $b < rr.r THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"WHEN $j THEN $bits"
+    }.mkString(" ")
+    s"""rr AS (SELECT GREATEST(8, LEAST(16,
+       |         CAST(ceil(log2(GREATEST(count(*), 1) / 8.0)) AS INT))) AS r
+       |       FROM qn),
+       |projN AS (SELECT vec_id,
+       |  $projCols
+       |  FROM qn),
+       |qs AS (SELECT vec_id, band,
+       |         CASE band $sigCases END AS sig
+       |       FROM projN CROSS JOIN rr
+       |            CROSS JOIN (SELECT unnest(range(0, $bands)) AS band)),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM qs x JOIN qs y
+       |           ON x.band = y.band AND x.sig = y.sig
+       |              AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
+  /** Scored near-dup pairs over [[LshCandCtes]]'s candidates — ends with
+    * `pr(vec_a, vec_b, cos)`, the shared edge source of the round-8
+    * near-dup graph oracles.
+    */
+  private def lshPairsCte(threshold: Double): String =
+    s"""pr AS (SELECT vec_a, vec_b,
+       |         ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
+       |       FROM cand JOIN qn a ON vec_a = a.vec_id
+       |                 JOIN qn b ON vec_b = b.vec_id
+       |       WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= $threshold)""".stripMargin
 
   /** The product-quantization oracle chain (after QuantCte): fixed-16
     * codebook from the md5 seed order, per-subspace L2 encode (4×16-dim
@@ -320,16 +373,13 @@ object PipelineQueries {
         WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
         ORDER BY doc_a, doc_b""")),
 
-    // ---- embedding-cosine near-dup pairs within LSH buckets ----
+    // ---- embedding-cosine near-dup pairs, banded adaptive LSH ----
     QueryDef("dd_embedding_neardup",
       (s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3)
         .orderBy("vec_a", "vec_b"),
       Some(s"""
-        WITH $QuantCte, $LshBucketCte
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-               ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
-        FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3
+        WITH $QuantCte, $LshCandCtes, ${lshPairsCte(0.3)}
+        SELECT vec_a, vec_b, cos FROM pr
         ORDER BY vec_a, vec_b""")),
 
     // ---- brute-force cosine top-k ANN (exact baseline) ----
@@ -385,8 +435,7 @@ object PipelineQueries {
         WITH $QuantCte,
         proj AS (SELECT vec_id,
           ${(0 until 8).map { b =>
-            s"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * " +
-              s"(CASE WHEN (i * ${b + 7}) % 5 <= 2 THEN 1 ELSE -1 END))) AS s$b"
+            lshPlaneSum(b)
           }.mkString(", ")}
           FROM qn),
         bkt0 AS (SELECT vec_id,
@@ -417,8 +466,7 @@ object PipelineQueries {
         WITH $QuantCte,
         proj AS (SELECT vec_id,
           ${(0 until 8).map { b =>
-            s"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * " +
-              s"(CASE WHEN (i * ${b + 7}) % 5 <= 2 THEN 1 ELSE -1 END))) AS s$b"
+            lshPlaneSum(b)
           }.mkString(", ")}
           FROM qn),
         bkt0 AS (SELECT vec_id,
@@ -456,8 +504,7 @@ object PipelineQueries {
         WITH $QuantCte,
         proj AS (SELECT vec_id,
           ${(0 until 8).map { b =>
-            s"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * " +
-              s"(CASE WHEN (i * ${b + 7}) % 5 <= 2 THEN 1 ELSE -1 END))) AS s$b"
+            lshPlaneSum(b)
           }.mkString(", ")}
           FROM qn),
         bkt0 AS (SELECT vec_id,
@@ -955,10 +1002,7 @@ object PipelineQueries {
           .orderBy(col("r").desc, col("node"))
       },
       Some(s"""
-        WITH $QuantCte, $LshBucketCte,
-        pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-               FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-               WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3),
+        WITH $QuantCte, $LshCandCtes, ${lshPairsCte(0.3)},
         edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
                   UNION ALL SELECT vec_b, vec_a FROM pr),
         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
@@ -1008,44 +1052,49 @@ object PipelineQueries {
     // Node-iterator triangle join on the (a < b)-oriented edge list:
     // e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — every join is an equality on a
     // vertex id, so the shuffle keys are vertices, never pairs; output is
-    // one row per label. The clustering signal that distinguishes a tight
-    // duplicate clique from a star of borderline matches.
+    // the per-apex-node triangle count (apex = the smallest vertex of the
+    // oriented triangle). The clustering signal that distinguishes a
+    // tight duplicate clique from a star of borderline matches.
     QueryDef("gr_triangles",
       (s, dir) => {
-        val e = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3)
-          .select(col("vec_a").as("a"), col("vec_b").as("b"), col("bucket"))
+        // 0.15 (vs the edge queries' 0.3): the banded candidate graph at
+        // 0.3 is triangle-free on the driver draw — the clustering signal
+        // needs the denser similarity floor to be non-degenerate
+        val e = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.15)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
         val e2 = e.select(col("a").as("b"), col("b").as("c"))
         val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
         e.join(e2, "b")
           .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-          .groupBy("bucket")
+          .groupBy(col("a").as("apex"))
           .agg(count(lit(1)).as("n_triangles"))
-          .orderBy("bucket")
+          .orderBy("apex")
       },
       Some(s"""
-        WITH $QuantCte, $LshBucketCte,
-        e AS (SELECT a.vec_id AS a, b.vec_id AS b, a.bucket AS bucket
-              FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-              WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3)
-        SELECT e1.bucket, count(*) AS n_triangles
+        WITH $QuantCte, $LshCandCtes, ${lshPairsCte(0.15)},
+        e AS (SELECT vec_a AS a, vec_b AS b FROM pr)
+        SELECT e1.a AS apex, count(*) AS n_triangles
         FROM e e1 JOIN e e2 ON e1.b = e2.a
                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-        GROUP BY 1 ORDER BY e1.bucket""")),
+        GROUP BY 1 ORDER BY apex""")),
 
     // ---- k-NN graph: per-node top-k neighbors ----
     // The graph-construction primitive under PageRank-weighted curation
-    // and semdedup seeding: exact quantized cosine within the label
-    // block, rank filter planned as WindowGroupLimit (≤ k rows per node
-    // reach the exchange). The cosine double is computed from identical
-    // integers on both sides, so ordering and the score hash-match.
+    // and semdedup seeding: exact quantized cosine over the banded-LSH
+    // candidates, rank filter planned as WindowGroupLimit (≤ k rows per
+    // node reach the exchange). The cosine double is computed from
+    // identical integers on both sides, so ordering and the score
+    // hash-match.
     QueryDef("sim_knn_graph",
       (s, dir) => Similarity.knnGraph(Tables.embeddings(s, dir), k = 3),
       Some(s"""
-        WITH $QuantCte, $LshBucketCte,
-        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        WITH $QuantCte, $LshCandCtes,
+        cboth AS (SELECT vec_a, vec_b FROM cand
+                  UNION ALL SELECT vec_b, vec_a FROM cand),
+        p AS (SELECT vec_a, vec_b,
                      ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
-              FROM qb a JOIN qb b
-                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+              FROM cboth JOIN qn a ON vec_a = a.vec_id
+                         JOIN qn b ON vec_b = b.vec_id),
         r AS (SELECT *, row_number() OVER (PARTITION BY vec_a
                           ORDER BY cos DESC, vec_b) AS rnk
               FROM p)
@@ -1069,12 +1118,9 @@ object PipelineQueries {
           .orderBy("degree")
       },
       Some(s"""
-        WITH $QuantCte, $LshBucketCte,
-        e AS (SELECT a.vec_id AS a, b.vec_id AS b
-              FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-              WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3),
+        WITH $QuantCte, $LshCandCtes, ${lshPairsCte(0.3)},
         d AS (SELECT v, count(*) AS degree
-              FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+              FROM (SELECT vec_a AS v FROM pr UNION ALL SELECT vec_b AS v FROM pr)
               GROUP BY 1)
         SELECT degree, count(*) AS n_nodes FROM d
         GROUP BY 1 ORDER BY degree""")),
@@ -1559,10 +1605,7 @@ object PipelineQueries {
           .orderBy("node")
       },
       Some(s"""
-        WITH $QuantCte, $LshBucketCte,
-        pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-               FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-               WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.3),
+        WITH $QuantCte, $LshCandCtes, ${lshPairsCte(0.3)},
         edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
                   UNION ALL SELECT vec_b, vec_a FROM pr),
         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),

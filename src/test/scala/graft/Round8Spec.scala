@@ -38,11 +38,13 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("LshBucket matches the exploded declarative bucketing, all nPlanes used") {
-    for (nPlanes <- Seq(4, 8)) {
-      def coef(i: org.apache.spark.sql.Column, b: Int) =
-        when((i * (b + 7)) % 5 <= 2, 1L).otherwise(-1L)
+    // (nPlanes, planeOffset) — offsets exercise the per-band disjoint
+    // plane ranges of the round-8 banded blocking
+    for ((nPlanes, off) <- Seq((4, 0), (8, 0), (8, 16), (12, 48))) {
       val sums = (0 until nPlanes).map { b =>
-        sum(col("x") * coef(col("pos") + 1, b)).as(s"s$b")
+        val m = (13L * (off + b + 1)) % 97L
+        sum(col("x") * when((col("pos") + 1) * m % 97 < 49, 1L).otherwise(-1L))
+          .as(s"s$b")
       }
       val bucketExpr = (0 until nPlanes).map { b =>
         when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L)
@@ -53,10 +55,26 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
         .agg(sums.head, sums.tail: _*)
         .select(col("vec_id"), bucketExpr.as("b_old"))
       val native = emb.select(col("vec_id"),
-        lshBucketF(col("embedding"), nPlanes).as("b_new"))
+        lshBucketF(col("embedding"), nPlanes, off).as("b_new"))
       val diff = native.join(declarative, "vec_id")
         .where(col("b_new") =!= col("b_old")).count()
-      assert(diff === 0L, s"nPlanes=$nPlanes")
+      assert(diff === 0L, s"nPlanes=$nPlanes offset=$off")
+    }
+  }
+
+  test("LshBucket planes are pairwise distinct and non-constant over the data") {
+    // the retired mod-5 family had duplicate planes (0/5, 1/6, 2/7) and a
+    // constant plane (3) — this pins the round-8 family against both
+    val dim = 64
+    val planeBits = (0 until 64).map { g =>
+      val m = (13L * (g + 1)) % 97L
+      (1 to dim).map(i => i * m % 97 < 49)
+    }
+    assert(planeBits.distinct.size === 64, "duplicate hyperplanes in the family")
+    planeBits.zipWithIndex.foreach { case (bits, g) =>
+      val pos = bits.count(identity)
+      assert(pos >= dim / 4 && pos <= 3 * dim / 4,
+        s"plane $g unbalanced: $pos of $dim positive")
     }
   }
 

@@ -58,15 +58,9 @@ object RuntimePruneAnatomy {
     staticQ.count()
     println(f"static_prune_sec=${best2(staticQ.count())}%.2f")
 
-    def dpp() = {
-      val dim = Seq(("signup", 3L), ("error", 5L)).toDF("d_tag", "weight")
-      st.connectorDF("hot")
-        .join(broadcast(dim), col("tag") === col("d_tag"))
-        .groupBy(col("tag"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("ts") % lit(1000000007L) * col("weight")).as("wsum"))
-        .orderBy("tag")
-    }
+    // the registered query verbatim (round 8: dim = md5-prefix-filtered
+    // distinct tags, so pruning comes ONLY from the runtime filter)
+    def dpp() = graft.SparkEntry.queries("ts_dsv2_runtime_prune")(spark, sfDir)
     dpp().count()
     println(f"dpp_query_sec=${best2(dpp().count())}%.2f")
 

@@ -300,17 +300,36 @@ object StoreQueries {
         GROUP BY 1, 2 ORDER BY hour_start""")),
 
     // ---- runtime directory pruning (DPP) under the oracle ----
-    // NO static tag predicate: the probe side is a 2-row dim table, and
-    // the connector learns the surviving tags only at RUNTIME when the
-    // broadcast side materializes (SupportsRuntimeFiltering → the scan
-    // re-prunes tag directories before listing files). The oracle joins
-    // the same dim against events — if runtime pruning dropped a live
-    // directory or kept a stale one, the hash would diverge.
+    // NO static tag predicate on the fact side: the dim is a FILTERED
+    // scan of the events table (distinct tags, selective IN predicate),
+    // and the connector learns the surviving tags only at RUNTIME when
+    // the broadcast side materializes (Spark's PartitionPruning rule →
+    // DynamicPruningSubquery → SupportsRuntimeFiltering → the scan
+    // re-prunes tag directories before listing files). The dim MUST
+    // carry its own selective Filter node: Spark injects a DPP subquery
+    // only when the build side has one (`hasPartitionPruningFilter`) —
+    // the previous 2-row LocalRelation dim had none, so the "runtime
+    // prune" row was silently scanning all 3600 directories (round-8
+    // anatomy: RuntimeFilters=[], dirsKept=dirsTotal). The dim's filter
+    // is an md5-prefix IN ('7d' = signup, 'cb' = error): selective for
+    // the DPP rule, but NOT translatable to a static source filter — so
+    // when InferFiltersFromConstraints copies it onto the fact side it
+    // stays a post-scan residual and directory pruning can ONLY come
+    // from the runtime filter (a plain `d_tag IN (...)` dim filter gets
+    // constraint-propagated into a static PushedFilter, silently turning
+    // the row into a plan-time-prune test). The oracle joins the same
+    // dim against events — if runtime pruning dropped a live directory
+    // or kept a stale one, the hash would diverge; PlanDump pins
+    // dirsKept < dirsTotal on the executed scan.
     QueryDef("ts_dsv2_runtime_prune",
       (s, dir) => {
-        import s.implicits._
         val st = storeFor(s, dir)
-        val dim = Seq(("signup", 3L), ("error", 5L)).toDF("d_tag", "weight")
+        val dim = Tables.events(s, dir)
+          .select(col("event_type").as("d_tag")).distinct()
+          .where(substring(md5(col("d_tag").cast("binary")), 1, 2)
+            .isin("7d", "cb"))
+          .withColumn("weight",
+            when(col("d_tag") === "signup", 3L).otherwise(5L))
         st.connectorDF("hot")
           .join(broadcast(dim), col("tag") === col("d_tag"))
           .groupBy(col("tag"))
@@ -319,7 +338,11 @@ object StoreQueries {
           .orderBy("tag")
       },
       Some(s"""
-        WITH dim(d_tag, weight) AS (VALUES ('signup', 3), ('error', 5))
+        WITH dim AS (SELECT DISTINCT event_type AS d_tag,
+                            CASE WHEN event_type = 'signup' THEN 3 ELSE 5 END
+                              AS weight
+                     FROM events
+                     WHERE substr(md5(event_type), 1, 2) IN ('7d', 'cb'))
         SELECT event_type AS tag, count(*) AS n,
                CAST(sum((epoch_ms(ts) % 1000000007) * weight) AS BIGINT) AS wsum
         FROM events JOIN dim ON event_type = d_tag

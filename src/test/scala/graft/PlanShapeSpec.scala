@@ -140,6 +140,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a strict directory prune, got ${m.get.group(0)}")
   }
 
+  test("ts_dsv2_runtime_prune: pruning comes from the RUNTIME filter, not a static pushdown") {
+    // Round 8: the dim must carry a selective-but-untranslatable filter
+    // (md5-prefix IN) so (a) Spark's PartitionPruning rule injects the
+    // DynamicPruningSubquery — a bare LocalRelation dim has no Filter
+    // node and gets NO runtime filter, silently full-scanning the store —
+    // and (b) constraint propagation can't turn it into a plan-time
+    // PushedFilter (a plain `d_tag IN (...)` does, converting the row
+    // into a static-prune test). Pin both properties on the scan node.
+    val p = plan("ts_dsv2_runtime_prune")
+    val scanLine = p.linesIterator.find(_.contains("TsdbScan")).getOrElse(
+      fail(s"no TsdbScan node in plan:\n$p"))
+    assert(scanLine.contains("RuntimeFilters: [dynamicpruning"),
+      s"runtime filter missing from the scan: $scanLine")
+    assert(scanLine.contains("PushedFilters: []"),
+      s"static pushdown crept back into the runtime-prune row: $scanLine")
+  }
+
   test("rel_small_qty_loss: the part-dim filter broadcasts into lineitem") {
     // the selective dim restriction must be a broadcast join applied
     // BEFORE the per-part aggregate — never a full-table shuffle agg

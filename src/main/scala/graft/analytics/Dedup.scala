@@ -152,9 +152,23 @@ object Dedup {
     * band keys and match counts are static expressions over the wide
     * signature columns (no collect_list / unpivot).
     */
+  /** Per-doc LSH band signatures from the wide minhash table: one
+    * (doc_id, band, band_sig) row per band — the slim table a production
+    * deployment PERSISTS as its LSH index.
+    */
+  private def bandSignatures(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(s => col(s"mh$s"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+  }
+
   def minhashCandidates(docs: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    val r = k / bands
     // .cache() is deliberate: the signature subplan feeds THREE consumers
     // (band explode + both verification sides) and exchange reuse does not
     // cover all of them (measured: de-caching costs 3.3× on the sf0.1
@@ -162,13 +176,7 @@ object Dedup {
     // strings) — at corpus scale this is the table one would persist
     // anyway as the LSH index.
     val sig = minhashSignatures(docs, k).cache()
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(s => col(s"mh$s"))
-      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_sig"))
-    }
-    val bandSig = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val bandSig = bandSignatures(sig, k, bands)
     // signature-side joins: one row per doc — AQE picks broadcast at
     // small SF and shuffled-hash at corpus scale (signatures are NOT
     // broadcastable for a billion-doc corpus; the band-equality shuffle
@@ -188,6 +196,50 @@ object Dedup {
       .join(sb, col("doc_b") === col("doc_b2"))
       .select(col("doc_a"), col("doc_b"), nMatching.as("n_matching"))
       .withColumn("est_jaccard", col("n_matching").cast("double") / k)
+  }
+
+  /** Incremental corpus dedup — the continuous-ingestion shape of the
+    * MinHash/LSH chain: an incoming batch of NEW documents (here the
+    * deterministic `doc_id % newMod == 0` slice standing in for today's
+    * crawl) is probed against the HISTORICAL corpus's persisted band
+    * index, and each new doc reports the historical documents it
+    * duplicates (full-signature agreement ≥ `minEstJaccard`).
+    *
+    * Scale shape — why this is the 100 TB ingestion path: the history
+    * side is the (doc_id, band, band_sig) index that [[bandSignatures]]
+    * emits — `bands` slim rows per historical doc, persisted once and
+    * bucketed by (band, band_sig), so a daily batch joins against it
+    * shuffle-free on the index side; only the NEW batch computes
+    * signatures (shingle → k min-aggregates over the batch, not the
+    * corpus), and candidate work is `|batch| × E[bucket]`, independent of
+    * history size. Nothing re-scans old documents: the full corpus text
+    * is never touched after its signatures are indexed — the property
+    * that makes dedup-on-ingest affordable when history is 100 TB and
+    * the batch is gigabytes.
+    */
+  def incrementalMinhashDups(docs: DataFrame, k: Int = 12, bands: Int = 4,
+      newMod: Int = 10, minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val sig = minhashSignatures(docs, k).cache()
+    val bandSig = bandSignatures(sig, k, bands)
+    val isNew = col("doc_id") % newMod === 0
+    val cand = bandSig.where(isNew).as("x")
+      .join(bandSig.where(!isNew).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
+      .distinct()
+    val sa = sig.toDF("doc_id" +: (0 until k).map(s => s"a_mh$s"): _*)
+    val sb = sig.toDF("dup_of2" +: (0 until k).map(s => s"b_mh$s"): _*)
+    val nMatching = (0 until k)
+      .map(s => when(col(s"a_mh$s") === col(s"b_mh$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sa, Seq("doc_id"))
+      .join(sb, col("dup_of") === col("dup_of2"))
+      .select(col("doc_id"), col("dup_of"), nMatching.as("n_matching"))
+      .withColumn("est_jaccard", col("n_matching").cast("double") / k)
+      .where(col("est_jaccard") >= minEstJaccard)
   }
 
   /** Sketch-quality evaluation for the MinHash family: on every LSH

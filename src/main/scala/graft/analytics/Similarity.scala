@@ -421,14 +421,18 @@ object Similarity {
     * output sort) — codegen'd norm kernel plus two HOF reductions.
     */
   def vectorQuality(emb: DataFrame): DataFrame = {
-    val q = quantize(col("embedding"))
+    // one codegen'd pass for the component stats: the previous two HOF
+    // `aggregate` lambdas ran interpreted and evicted the whole
+    // projection (normSq kernels included) from whole-stage codegen —
+    // the one plan the round-8 bench kernel audit flagged
+    val stats = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.QuantVecStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding"))))
     emb.select(
       col("vec_id"), col("label"),
       size(col("embedding")).as("n_dims"),
-      aggregate(q, lit(0L),
-        (acc, x) => acc + when(x === 0L, 1L).otherwise(0L)).as("n_zero"),
-      aggregate(q, lit(0L),
-        (acc, x) => greatest(acc, abs(x))).as("max_abs_q"),
+      stats.getField("n_zero").as("n_zero"),
+      stats.getField("max_abs_q").as("max_abs_q"),
       normSqQF(col("embedding")).as("nrm"),
       (normSqQF(col("embedding")) === 0L).cast("int").as("is_degenerate"))
   }

@@ -373,3 +373,74 @@ case class LshBucket(child: Expression, nPlanes: Int, planeOffset: Int = 0)
 
   override def prettyName: String = "lsh_bucket"
 }
+
+/** Codegen'd per-vector quantized-component stats — one pass over the raw
+  * `array<float>`, emitting `struct<n_zero: bigint, max_abs_q: bigint>`
+  * (count of zero quantized components, max absolute quantized value).
+  *
+  * Replaces the two `functions.aggregate` higher-order lambdas in the
+  * vector-quality audit: HOFs are non-codegen expressions, and one in a
+  * projection evicts the WHOLE projection (including the dot-product
+  * kernels sharing it) from whole-stage codegen — the bench kernel audit
+  * flagged `sim_vec_quality` as the one interpreted plan (round 8).
+  */
+case class QuantVecStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_zero", LongType, nullable = false),
+    StructField("max_abs_q", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quant_vec_stats expects array<float>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var zeros = 0L
+    var maxAbs = 0L
+    var i = 0
+    while (i < n) {
+      val q = math.floor(xs.getFloat(i).toDouble * 10000.0 + 0.5).toLong
+      if (q == 0L) zeros += 1L
+      val a = math.abs(q)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(zeros, maxAbs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val abs = ctx.freshName("abs")
+      val zeros = ctx.freshName("zeros")
+      val maxAbs = ctx.freshName("maxAbs")
+      s"""
+         |int $n = $a.numElements();
+         |long $zeros = 0L;
+         |long $maxAbs = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $q = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 10000.0 + 0.5);
+         |  if ($q == 0L) $zeros++;
+         |  long $abs = java.lang.Math.abs($q);
+         |  if ($abs > $maxAbs) $maxAbs = $abs;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { $zeros, $maxAbs });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "quant_vec_stats"
+}

@@ -337,6 +337,40 @@ object PipelineQueries {
                   JOIN sig b ON doc_b = b.doc_id AND a.seed = b.seed
         GROUP BY 1, 2 ORDER BY doc_a, doc_b""")),
 
+    // ---- incremental corpus dedup: new batch vs the persisted index ----
+    // The continuous-ingestion shape: docs with doc_id % 10 = 0 stand in
+    // for today's crawl batch; each probes the HISTORY side's band index
+    // and reports the historical docs it duplicates (signature agreement
+    // >= 0.5). History text is never re-scanned — only its slim band
+    // index joins.
+    QueryDef("dd_incremental_lsh",
+      (s, dir) => Dedup.incrementalMinhashDups(Tables.documents(s, dir),
+        k = 12, bands = 4, newMod = 10)
+        .orderBy("doc_id", "dup_of"),
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte,
+        seeds AS (SELECT unnest(range(0, 12)) AS seed),
+        sig AS (SELECT doc_id, seed,
+                       min(md5(seed || ':' || s)) AS mh
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        band AS (SELECT doc_id, seed // 3 AS band,
+                        md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+                 FROM sig GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS dup_of
+                 FROM band x JOIN band y
+                   ON x.band = y.band AND x.band_sig = y.band_sig
+                 WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+        sc AS (SELECT c.doc_id, c.dup_of,
+                 CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matching
+               FROM cand c JOIN sig a ON c.doc_id = a.doc_id
+                           JOIN sig b ON c.dup_of = b.doc_id AND a.seed = b.seed
+               GROUP BY 1, 2)
+        SELECT doc_id, dup_of, n_matching,
+               n_matching / 12.0 AS est_jaccard
+        FROM sc WHERE n_matching / 12.0 >= 0.5
+        ORDER BY doc_id, dup_of""")),
+
     // ---- SimHash near-dup pairs (32-bit, 4-block candidates, Hamming ≤ 8) ----
     QueryDef("dd_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)

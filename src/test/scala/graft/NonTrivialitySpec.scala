@@ -49,7 +49,10 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     "ts_anomaly" -> sfMid,            // 3-sigma outliers exist
     "ts_outlier_mad" -> sfMid,        // 3-MAD outliers exist
     "mm_phash" -> sfSmall,            // perceptual near-dups
-    "dd_dup_clusters" -> sfSmall)     // connected components exist
+    "dd_dup_clusters" -> sfSmall,     // connected components exist
+    "dd_incremental_lsh" -> sfSmall,  // new-batch docs that duplicate history
+    "gr_triangles" -> sfSmall,        // the 0.15-floor candidate graph has triangles
+    "st_watermark_deploy" -> sfSmall) // windows survive the replay
 
   nonEmpty.foreach { case (name, dir) =>
     test(s"$name produces a non-empty result on ${dir.split('/').last}") {

@@ -62,6 +62,22 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("QuantVecStats matches the HOF aggregate twin on every vector") {
+    val stats = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.QuantVecStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding"))))
+    val q = quantize(col("embedding"))
+    val diff = emb.select(
+        stats.getField("n_zero").as("z_new"),
+        stats.getField("max_abs_q").as("m_new"),
+        aggregate(q, lit(0L),
+          (acc, x) => acc + when(x === 0L, 1L).otherwise(0L)).as("z_old"),
+        aggregate(q, lit(0L), (acc, x) => greatest(acc, abs(x))).as("m_old"))
+      .where(col("z_new") =!= col("z_old") || col("m_new") =!= col("m_old"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("LshBucket planes are pairwise distinct and non-constant over the data") {
     // the retired mod-5 family had duplicate planes (0/5, 1/6, 2/7) and a
     // constant plane (3) — this pins the round-8 family against both

@@ -625,13 +625,24 @@ final class TsdbReadCounters {
   var rowsFromFooters: Long = 0L
 }
 
+/** Named top-level CustomSumMetric: Spark's `SQLAppStatusListener`
+  * re-instantiates the metric class REFLECTIVELY (zero-arg constructor)
+  * when aggregating for the UI — an anonymous subclass has a hidden
+  * outer-scope constructor parameter, so every query over the connector
+  * logged a "did not have a zero-argument constructor" SparkException
+  * warning and lost its UI metric aggregation (round-8 bench logs).
+  */
+final class TsdbSumMetric(n: String, desc: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  def this() = this("", "")
+  override def name(): String = n
+  override def description(): String = desc
+}
+
 object TsdbMetrics {
   def sum(n: String, desc: String)
       : org.apache.spark.sql.connector.metric.CustomMetric =
-    new org.apache.spark.sql.connector.metric.CustomSumMetric {
-      override def name(): String = n
-      override def description(): String = desc
-    }
+    new TsdbSumMetric(n, desc)
   def task(n: String, v: Long)
       : org.apache.spark.sql.connector.metric.CustomTaskMetric =
     new org.apache.spark.sql.connector.metric.CustomTaskMetric {

@@ -951,7 +951,11 @@ object StreamingIngest {
 
     val name = s"st_wm_${System.nanoTime()}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 (vs the single-batch drains' 8): this replay schedules ~10
+    // micro-batches, and per-batch cost at bench scale is state-store
+    // FILE churn × partitions, not data — halving the fan-out halves
+    // the dominant floor term (results are partition-count independent)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prevCk = spark.conf.getOption(ckKey)
     spark.conf.set(ckKey, "false")

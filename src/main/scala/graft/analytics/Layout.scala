@@ -51,4 +51,38 @@ object Layout {
         min(col("ux")).as("min_ux"), max(col("ux")).as("max_ux"),
         min(col("tx")).as("min_tx"), max(col("tx")).as("max_tx"))
   }
+
+  /** Small-file compaction PLAN — the `OPTIMIZE … DRY RUN` leg next to
+    * [[graft.tsdb.TimeSeriesStore.compact]]'s rewrite: given per-file
+    * stats `(part_key, file_id, bytes, min_ts, max_ts)`, pack each
+    * partition's time-ordered run of files into contiguous merge groups
+    * of ~`targetBytes` (group boundary where the running byte total
+    * crosses a target multiple — the sorted-run packing every
+    * size-tiered compactor uses; time order keeps each output file's ts
+    * range tight so zone maps stay prunable after the rewrite). Returns
+    * one row per planned group with its file count, byte total, ts span,
+    * and whether it is an actual merge (`n_files >= 2`) or a no-op
+    * single file.
+    *
+    * Scale shape: the input is FILE METADATA, not data — one row per
+    * file (a 100 TB table at 128 MB/file is ~800 k rows), one window
+    * partitioned by `part_key` (partition-count parallelism), one
+    * aggregate. The plan job costs seconds regardless of table bytes;
+    * only the rewrite that consumes it touches data.
+    */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part_key")).orderBy(col("min_ts"), col("file_id"))
+    files
+      .withColumn("cum_before",
+        coalesce(sum(col("bytes")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("grp", (col("cum_before") / targetBytes).cast("long"))
+      .groupBy(col("part_key"), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("group_bytes"),
+        min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"))
+      .withColumn("is_merge", col("n_files") >= 2)
+  }
 }

@@ -652,6 +652,51 @@ object Similarity {
       s"(acc, m) -> acc + lut[m * $codebookSize + element_at(codes, m + 1)])")
       .as("adc_dot")
 
+  /** Two-stage retrieval: PQ-ADC shortlist → exact re-rank — the
+    * production ANN *serving* shape at 100 TB (FAISS's
+    * `search`-then-`refine`, Jégou et al. 2011 §V): the full corpus is
+    * scanned only as 2-byte PQ codes (stage 1, [[pqTopK]] with
+    * `shortlist` ≫ k), and the expensive full-precision vectors are read
+    * for just the |queries|·shortlist surviving pairs (stage 2, an
+    * id-equality join back to the original vectors + exact cosine).
+    *
+    * Scale shape: stage 2's full-vector read is restricted by the
+    * shortlist join — at 1 B vectors and 10 k queries with
+    * shortlist = 25, the re-rank touches 250 k full vectors instead of
+    * 1 B; the final window runs over shortlist-sized groups, not corpus
+    * partitions. Recall dominates plain ADC ranking because ADC's
+    * quantization error only has to keep the true neighbor INSIDE the
+    * shortlist, not in exact rank order (NonTrivialitySpec pins
+    * rerank-recall ≥ adc-recall).
+    */
+  def pqRerankTopK(emb: DataFrame, k: Int = 5, shortlist: Int = 25,
+      queryModulo: Int = 20, numSubspaces: Int = 4,
+      codebookSize: Int = 16): DataFrame = {
+    val all = prepQ(emb)
+    val short = pqTopK(emb, k = shortlist, queryModulo = queryModulo,
+        numSubspaces = numSubspaces, codebookSize = codebookSize)
+      .select(col("query_id"), col("neighbor_id"))
+    val neighbors = all.select(col("vec_id").as("neighbor_id"),
+      col("qv").as("nv"), col("nrm").as("nnrm"))
+    val queries = all.where(col("vec_id") % queryModulo === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nrm").as("qnrm"))
+    // the corpus-sized full-vector side STREAMS against the broadcast
+    // |queries|·shortlist pair list — no shuffle of the big side, and on
+    // a source with row-group statistics the id-equality condition is a
+    // prunable point-lookup set
+    val rescored = neighbors.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineQ(dotLL(col("qqv"), col("nv")), col("qnrm"), col("nnrm"))
+          .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** IVF+PQ — the two production index tiers COMPOSED, the structure a
     * FAISS `IVFPQ` index ships (Jégou et al. 2011): a coarse quantizer
     * routes each vector to one inverted list (here the fixed-k

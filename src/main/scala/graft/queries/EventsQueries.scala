@@ -575,6 +575,41 @@ object EventsQueries {
                min(tx) AS min_tx, max(tx) AS max_tx
         FROM z GROUP BY 1 ORDER BY zbucket""")),
 
+    // beyond-reference — small-file compaction PLAN (OPTIMIZE … DRY RUN):
+    // the metadata-only leg next to TimeSeriesStore.compact's rewrite.
+    // "Files" are the deterministic LSM flush shape — arrival batches of
+    // 128 events crossed with the day partition they land in (one flush
+    // writes one file per touched partition), bytes ≈ rows × 64. The plan
+    // packs each partition's time-ordered file run into ~64 KB merge
+    // groups; only metadata rows move (at 100 TB the plan job reads file
+    // stats, never data). The oracle replays stats + packing end-to-end.
+    QueryDef("lay_compaction_plan",
+      (s, dir) => {
+        val files = ev(s, dir)
+          .groupBy(expr("ts_ms div 86400000").as("part_key"),
+            expr("event_id div 128").as("file_id"))
+          .agg((count(lit(1)) * 64).as("bytes"),
+            min(col("ts_ms")).as("min_ts"), max(col("ts_ms")).as("max_ts"))
+        graft.analytics.Layout.compactionPlan(files, targetBytes = 65536L)
+          .orderBy("part_key", "grp")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, $MS AS ts_ms FROM events),
+        f AS (SELECT ts_ms // 86400000 AS part_key, event_id // 128 AS file_id,
+                     count(*) * 64 AS bytes,
+                     min(ts_ms) AS min_ts, max(ts_ms) AS max_ts
+              FROM e GROUP BY 1, 2),
+        c AS (SELECT *, coalesce(sum(bytes) OVER (
+                PARTITION BY part_key ORDER BY min_ts, file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum_before
+              FROM f)
+        SELECT part_key, cum_before // 65536 AS grp,
+               count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS group_bytes,
+               min(min_ts) AS min_ts, max(max_ts) AS max_ts,
+               count(*) >= 2 AS is_merge
+        FROM c GROUP BY 1, 2 ORDER BY part_key, grp""")),
+
     // beyond-reference — interval-overlap self-join: which user pairs had
     // concurrently-active sessions? The scale shape is the time-bucket
     // equi-join (each interval explodes to the hour buckets it spans;

@@ -1529,6 +1529,30 @@ object PipelineQueries {
                coalesce(n_hits, 0) * 1.0 / n_exact AS recall
         FROM ne LEFT JOIN hits USING (query_id) ORDER BY query_id""")),
 
+    // ---- two-stage retrieval: PQ-ADC shortlist → exact re-rank ----
+    // The production serving shape (FAISS refine): the corpus is scanned
+    // only as 2-byte codes, full vectors are read for just the
+    // |queries|·25 shortlist pairs, and the exact cosine re-ranks them.
+    // The oracle replays shortlist + re-rank end-to-end.
+    QueryDef("sim_ann_rerank",
+      (s, dir) => Similarity.pqRerankTopK(Tables.embeddings(s, dir), k = 5,
+        shortlist = 25, queryModulo = 20)
+        .orderBy("query_id", "rank"),
+      Some(s"""
+        WITH $QuantCte,
+        $PqChainCtes,
+        short AS (SELECT query_id, neighbor_id FROM pqrk WHERE rank <= 25),
+        qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 20 = 0),
+        rr AS (SELECT s.query_id, s.neighbor_id,
+                 ${cosSql("q.qv", "q.qnrm", "n.v", "n.nrm")} AS cos
+               FROM short s JOIN qn n ON n.vec_id = s.neighbor_id
+                    JOIN qv q ON q.query_id = s.query_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank FROM rr)
+        SELECT query_id, rank, neighbor_id, cos FROM rk
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- SQ8 recall: scalar per-dimension 8-bit quantization ----
     // The OTHER vector-compression dial next to PQ: train = per-dim
     // (min, max) from one explode+aggregate (2·dim longs of state),

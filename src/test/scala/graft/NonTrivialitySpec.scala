@@ -103,6 +103,22 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SQ8 degenerate: only $live of $dims dims have mx > mn")
   }
 
+  test("PQ rerank recall dominates raw ADC recall (two-stage contract)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfSmall)
+    val exact = graft.analytics.Similarity.bruteForceTopK(emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(approx: org.apache.spark.sql.DataFrame): Long =
+      exact.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val adcHits = hits(graft.analytics.Similarity.pqTopK(emb, k = 5))
+    val rrHits = hits(graft.analytics.Similarity.pqRerankTopK(emb, k = 5,
+      shortlist = 25))
+    assert(rrHits >= adcHits,
+      s"re-rank lost recall: $rrHits < $adcHits of ${exact.count()}")
+    assert(rrHits > 0L, "re-rank recall went to zero")
+  }
+
   test("cu_embed_decontaminate flags SOME but not ALL train vectors") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("cu_embed_decontaminate")(spark, sfMid)

@@ -134,4 +134,70 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0)
     assert(got === 3L)
   }
+
+  test("compactionPlan groups respect time order, byte accounting, and target") {
+    import spark.implicits._
+    // two partitions: p1 has 5 × 40-byte files (plan: groups of ≤100 B →
+    // boundaries at cum_before 0/40/80 | 120/160), p2 one lone file
+    val files = Seq(
+      ("p1", 1L, 40L, 100L, 199L), ("p1", 2L, 40L, 200L, 299L),
+      ("p1", 3L, 40L, 300L, 399L), ("p1", 4L, 40L, 400L, 499L),
+      ("p1", 5L, 40L, 500L, 599L), ("p2", 6L, 40L, 100L, 150L))
+      .toDF("part_key", "file_id", "bytes", "min_ts", "max_ts")
+    val plan = graft.analytics.Layout.compactionPlan(files, targetBytes = 100L)
+      .orderBy("part_key", "grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(plan.toSeq === Seq(
+      ("p1", 0L, 3L, 120L, 100L, 399L, true),
+      ("p1", 1L, 2L, 80L, 400L, 599L, true),
+      ("p2", 0L, 1L, 40L, 100L, 150L, false)))
+  }
+
+  test("compactionPlan runs over a REAL TimeSeriesStore file listing") {
+    // the API contract: the planner consumes exactly what a store
+    // maintenance job can list — per-file stats, no data read
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files => JFiles}
+    val root = JFiles.createTempDirectory("graft-compaction-plan")
+    try {
+      val st = new graft.tsdb.TimeSeriesStore(spark, root.toString,
+        graft.tsdb.StoreSettings(partitionWidth = 50L))
+      st.initialize()
+      // 4 separate writes over the same partitions → multi-file dirs
+      (0 until 4).foreach { b =>
+        st.write(Map("tagA" -> (0 until 100)
+          .map(i => (b * 100 + i).toLong -> s"v$b-$i").toMap))
+      }
+      st.flushL0()
+      val stats = JFiles.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          p.toString.contains("partition_start="))
+        .map { p =>
+          (p.getParent.getFileName.toString,
+            p.getFileName.toString.hashCode.toLong, JFiles.size(p), 0L, 0L)
+        }.toSeq
+      assert(stats.nonEmpty, "store produced no partitioned files")
+      val plan = graft.analytics.Layout.compactionPlan(
+        stats.toDF("part_key", "file_id", "bytes", "min_ts", "max_ts"),
+        targetBytes = 1L << 20)
+      assert(plan.count() > 0)
+    } finally {
+      val del = JFiles.walk(root).sorted(java.util.Comparator.reverseOrder())
+      del.iterator().asScala.foreach(p => JFiles.deleteIfExists(p))
+    }
+  }
+
+  test("lay_compaction_plan is non-degenerate: real merges and >1 group somewhere") {
+    val plan = SparkEntry.queries("lay_compaction_plan")(spark, "/root/testdata/sf0.01")
+    assert(plan.where(col("is_merge")).count() > 0L, "no multi-file merge groups")
+  }
+
+  test("sim_ann_rerank returns full top-5 per query with sane cosines") {
+    val df = SparkEntry.queries("sim_ann_rerank")(spark, sf)
+    val r = df.agg(count(lit(1)), min(col("cos")), max(col("cos"))).head()
+    assert(r.getLong(0) > 0L)
+    assert(r.getDouble(2) <= 1.0 + 1e-9 && r.getDouble(1) >= -1.0 - 1e-9)
+  }
 }

@@ -393,4 +393,40 @@ object Curation {
         4, 'word_len_cap', n3, n4) AS (stage_idx, stage, n_in, n_kept)""")
       .withColumn("n_dropped", col("n_in") - col("n_kept"))
   }
+
+  /** Model-based quality filtering — the linear-probe classifier gate
+    * (the FineWeb-Edu / quality-classifier pipeline stage): a trained
+    * linear model over cheap per-document features scores every doc and
+    * the pipeline keeps those above threshold. The WEIGHTS here stand in
+    * for an offline-trained probe (the engine contract is the scoring
+    * plan, not the coefficients): features are the stopword rate,
+    * type-token ratio, capped length, and a penalty for mean word length
+    * far from English-typical — each in exact integer milli-units
+    * (`a*1000 div b` — no float accumulation), so the score and the gate
+    * decision are bit-deterministic and oracle-checkable.
+    *
+    * Scale shape: ONE projection per document (split + three list
+    * aggregates over the row's own words), no shuffle, no UDF — at
+    * 100 TB this is a map-only pass that fuses into whatever scan feeds
+    * it, exactly how a classifier gate must run ahead of dedup.
+    */
+  def qualityClassifier(docs: DataFrame, thresholdMilli: Long = 700L): DataFrame = {
+    val ws = words(col("text"))
+    docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        stopwordCount(col("ws")).cast("long").as("n_stop"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("sum_len"))
+      .select(col("doc_id"),
+        expr("n_stop * 1000 div n_words").as("stop_m"),
+        expr("n_distinct * 1000 div n_words").as("ttr_m"),
+        expr("sum_len * 1000 div n_words").as("awl_m"),
+        least(col("n_words"), lit(400L)).as("len_b"))
+      .withColumn("score_m",
+        lit(2L) * col("stop_m") + col("ttr_m") + col("len_b") -
+          expr("abs(awl_m - 4500) div 10"))
+      .select(col("doc_id"), col("score_m"),
+        (col("score_m") >= thresholdMilli).as("passes"))
+  }
 }

@@ -63,6 +63,40 @@ object CurationQueries {
                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         FROM b GROUP BY 1, 2 ORDER BY pack_shard, bin""")),
 
+    // ---- model-based quality gate (linear-probe classifier) ----
+    // The FineWeb-Edu-shaped pipeline stage: a linear model over cheap
+    // per-doc features scores every document; the pipeline keeps
+    // score >= 700 milli-units. Exact integer milli-features (a*1000
+    // div b) make score and decision bit-deterministic; the plan is one
+    // map-only projection (no shuffle, no UDF) that fuses into the
+    // feeding scan at any scale.
+    QueryDef("cu_quality_classifier",
+      (s, dir) => Curation.qualityClassifier(Tables.documents(s, dir),
+        thresholdMilli = 700L)
+        .orderBy("doc_id"),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, len(ws) AS n_words,
+                CAST(list_sum(list_transform(ws, x ->
+                  CASE WHEN x IN ('the','a','of','and','to','in')
+                       THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop,
+                len(list_distinct(ws)) AS n_distinct,
+                CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT)
+                  AS sum_len
+              FROM w),
+        s AS (SELECT doc_id,
+                n_stop * 1000 // n_words AS stop_m,
+                n_distinct * 1000 // n_words AS ttr_m,
+                sum_len * 1000 // n_words AS awl_m,
+                least(n_words, 400) AS len_b
+              FROM f)
+        SELECT doc_id,
+               CAST(2*stop_m + ttr_m + len_b - abs(awl_m - 4500) // 10
+                    AS BIGINT) AS score_m,
+               2*stop_m + ttr_m + len_b - abs(awl_m - 4500) // 10 >= 700
+                 AS passes
+        FROM s ORDER BY doc_id""")),
+
     // ---- the combined keep-filter that ships to training ----
     QueryDef("cu_curate",
       (s, dir) => Curation.curate(Tables.documents(s, dir), minWords = 10, minTtr = 0.3)

@@ -128,6 +128,15 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flagged < total, "threshold 0.35 below the data's min max-cos")
   }
 
+  test("cu_quality_classifier gate passes SOME but not ALL documents") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cu_quality_classifier")(spark, sfMid)
+    val r = df.agg(sum(when(col("passes"), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    assert(r.getLong(0) > 0L && r.getLong(0) < r.getLong(1),
+      s"classifier gate degenerate: ${r.getLong(0)}/${r.getLong(1)} at 700")
+  }
+
   test("tx_gopher gate passes SOME but not ALL documents") {
     import org.apache.spark.sql.functions._
     val df = graft.analytics.TextAnalysis.gopherRules(

@@ -384,6 +384,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cu_quality_classifier: map-only plan, zero exchanges before the sort") {
+    // the classifier gate must fuse into the feeding scan — a shuffle
+    // here means a 100 TB corpus pays an exchange for a per-row score
+    val p = plan("cu_quality_classifier")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // the ONLY allowed exchange is the final orderBy's rangepartitioning;
+    // scoring itself must be shuffle-free
+    assert(exchanges <= 1, s"classifier plan shuffles while scoring:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier plan hash-shuffles document rows:\n$p")
+  }
+
+  test("sim_ann_rerank: re-rank stage broadcasts the shortlist, corpus never cartesians") {
+    val p = plan("sim_ann_rerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), s"shortlist join not broadcast:\n$p")
+  }
+
+  test("lay_compaction_plan: metadata rows aggregate once, no wide-row shuffle") {
+    val p = plan("lay_compaction_plan")
+    assert(!p.contains("CartesianProduct"))
+    // file-stat derivation is one hash aggregate; the window runs over
+    // the per-partition file runs
+    assert(p.contains("HashAggregate") && p.contains("Window"))
+  }
+
   test("DriverBudget branch counters observe k-means centroid materialization") {
     graft.analytics.DriverBudget.resetBranchCounts()
     SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf).count()

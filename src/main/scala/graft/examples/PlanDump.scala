@@ -160,7 +160,16 @@ object PlanDump {
       "ts_debounce" -> ("Lag-gap debounce: ONE window over ONE hash exchange on (user_id, event_type); per-row state is a " +
         "single lag cell, so the retry-storm cleanup holds at any history length — no self-join, no islands explosion."),
       "cu_corpus_diff" -> ("Corpus snapshot diff: digests computed scan-side so the full-outer join shuffles only " +
-        "(key, 32-byte hash) rows — document bodies never cross the network; the status column is a projection on top."))
+        "(key, 32-byte hash) rows — document bodies never cross the network; the status column is a projection on top."),
+      "sim_ann_rerank" -> ("Two-stage retrieval (FAISS refine): the PQ shortlist stage scans only 2-byte codes; the " +
+        "re-rank stage streams the full-vector corpus against the BROADCAST |queries|*25 pair list and the broadcast " +
+        "query set — the expensive vectors are read once, never shuffled, and the final window ranks shortlist-sized groups."),
+      "lay_compaction_plan" -> ("Compaction dry-run: file stats derive from one map-side-combined aggregate, the packing " +
+        "window runs per-partition (partition-count parallelism), and the group rollup is a second keyed aggregate — " +
+        "metadata rows only, so the plan job is seconds at any table size; only the rewrite that consumes it touches data."),
+      "cu_quality_classifier" -> ("Model-based quality gate: the linear-probe score is ONE map-only projection (split + " +
+        "three list aggregates over the row's own words, exact integer milli-units) — zero exchanges before the output " +
+        "sort, so the gate fuses into whatever scan feeds it at 100 TB."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

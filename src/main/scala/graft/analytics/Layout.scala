@@ -79,7 +79,10 @@ object Layout {
         coalesce(sum(col("bytes")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
           lit(0L)))
-      .withColumn("grp", (col("cum_before") / targetBytes).cast("long"))
+      // exact integer division (`div`, not `/`-then-cast): `/` is DOUBLE
+      // division, which mis-buckets once a partition's running byte total
+      // passes 2^53 — real at 100 TB-table metadata scale
+      .withColumn("grp", expr(s"cum_before div ${targetBytes}L"))
       .groupBy(col("part_key"), col("grp"))
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("group_bytes"),
         min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"))

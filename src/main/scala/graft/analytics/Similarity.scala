@@ -652,6 +652,45 @@ object Similarity {
       s"(acc, m) -> acc + lut[m * $codebookSize + element_at(codes, m + 1)])")
       .as("adc_dot")
 
+  /** Incremental IVF index maintenance — the vector-side counterpart of
+    * `Dedup.incrementalMinhashDups`: a NEW batch of vectors (the
+    * `vec_id % batchModulo == 0` slice standing in for today's
+    * embeddings) joins an EXISTING index whose coarse centroids were
+    * seeded from history alone, without retraining. Reports per-bucket
+    * occupancy drift — `n_history` / `n_new` / the new-vector share —
+    * the table an index operator watches to decide when drift warrants a
+    * re-train (FAISS's add-without-train maintenance mode).
+    *
+    * Scale shape: centroid state is k·dim longs from the history seed
+    * (constant in corpus size, [[DriverBudget]]-guarded); BOTH sides
+    * assign through the same codegen'd [[assignByExpr]] projection (no
+    * join, no shuffle), and the drift rollup is one map-side-combined
+    * aggregate on the k-value bucket key. Incremental cost is linear in
+    * the batch — history is rescanned here only because the baseline
+    * occupancy is part of the report (a production index stores it).
+    */
+  def incrementalIvfOccupancy(emb: DataFrame, numCentroids: Int = 32,
+      batchModulo: Int = 10): DataFrame = {
+    import emb.sparkSession.implicits._
+    val all = prepQ(emb)
+    val history = all.where(pmod(col("vec_id"), lit(batchModulo.toLong)) =!= 0)
+    val seedDf = seedSubset(history, numCentroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    val assigned = DriverBudget.collectWithin(
+        seedDf.as[(Long, Array[Long], Long)], numCentroids, CentroidBytesEst) match {
+      case Some(cents) => assignByExpr(all, cents)
+      case None        => assignToCentroids(all, seedDf)
+    }
+    assigned
+      .withColumn("is_new", pmod(col("vec_id"), lit(batchModulo.toLong)) === 0)
+      .groupBy("bucket")
+      .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_history"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("new_share", col("n_new").cast("double") /
+        (col("n_history") + col("n_new")).cast("double"))
+      .orderBy("bucket")
+  }
+
   /** Two-stage retrieval: PQ-ADC shortlist → exact re-rank — the
     * production ANN *serving* shape at 100 TB (FAISS's
     * `search`-then-`refine`, Jégou et al. 2011 §V): the full corpus is

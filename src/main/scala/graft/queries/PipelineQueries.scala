@@ -1529,6 +1529,31 @@ object PipelineQueries {
                coalesce(n_hits, 0) * 1.0 / n_exact AS recall
         FROM ne LEFT JOIN hits USING (query_id) ORDER BY query_id""")),
 
+    // ---- incremental IVF maintenance: new batch joins an old index ----
+    // The vector-side continuous-ingestion shape (FAISS add-without-
+    // train): centroids seeded from HISTORY alone, the new batch
+    // (vec_id % 10 slice) assigns into them without retraining; per-
+    // bucket occupancy drift is the re-train trigger an operator watches.
+    QueryDef("sim_incremental_ivf",
+      (s, dir) => Similarity.incrementalIvfOccupancy(Tables.embeddings(s, dir),
+        numCentroids = 32, batchModulo = 10),
+      Some(s"""
+        WITH $QuantCte,
+        hist AS (SELECT * FROM qn WHERE vec_id % 10 <> 0),
+        cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM hist
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        asg AS (SELECT q.vec_id, q.vec_id % 10 = 0 AS is_new, c_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cosSql("q.v", "q.nrm", "cv", "cnrm")} DESC,
+                             c_id) AS rn
+                FROM qn q CROSS JOIN cent),
+        b AS (SELECT vec_id, is_new, c_id AS bucket FROM asg WHERE rn = 1)
+        SELECT bucket,
+               CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_history,
+               CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               sum(CASE WHEN is_new THEN 1 ELSE 0 END) * 1.0 / count(*) AS new_share
+        FROM b GROUP BY 1 ORDER BY bucket""")),
+
     // ---- two-stage retrieval: PQ-ADC shortlist → exact re-rank ----
     // The production serving shape (FAISS refine): the corpus is scanned
     // only as 2-byte codes, full vectors are read for just the

@@ -194,6 +194,17 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.where(col("is_merge")).count() > 0L, "no multi-file merge groups")
   }
 
+  test("sim_incremental_ivf: batch fully assigned, buckets non-degenerate") {
+    val df = SparkEntry.queries("sim_incremental_ivf")(spark, sf)
+    val rows = df.collect()
+    val totalNew = rows.map(_.getLong(2)).sum
+    val batchCount = Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 10 === 0).count()
+    assert(totalNew === batchCount, "some batch vectors were not assigned")
+    assert(rows.length >= 8, s"index collapsed to ${rows.length} buckets")
+    assert(rows.exists(_.getLong(2) > 0L), "no bucket received new vectors")
+  }
+
   test("sim_ann_rerank returns full top-5 per query with sane cosines") {
     val df = SparkEntry.queries("sim_ann_rerank")(spark, sf)
     val r = df.agg(count(lit(1)), min(col("cos")), max(col("cos"))).head()

@@ -170,6 +170,59 @@ object Graph {
     }
   }
 
+  /** Incremental connected-components merge — the third leg of the
+    * continuous-ingestion trio (text: `Dedup.incrementalMinhashDups`,
+    * vectors: `Similarity.incrementalIvfOccupancy`): yesterday's labels
+    * absorb today's new edges WITHOUT re-clustering history.
+    *
+    *  1. split the (deterministic) pair set: history edges (both
+    *     endpoints old) vs delta edges (≥1 endpoint new, new =
+    *     `id % newMod == 0`);
+    *  2. "yesterday": [[starComponents]] over history edges → `L_h`;
+    *  3. CONTRACT each delta edge through `L_h` (old endpoints →
+    *     their label, new endpoints → themselves) — the delta graph now
+    *     has one node per affected history COMPONENT, not per doc;
+    *  4. components over the tiny contracted graph, composed back over
+    *     the full node universe.
+    *
+    * Merge ≡ recompute, exactly: a history label is the MIN doc of its
+    * component, so the min over a merged component's contracted nodes is
+    * the global min of the union component — the gate runs this query
+    * against the SAME from-scratch oracle as `dd_dup_clusters` /
+    * `gr_components_star`, and it must hash-match bit-for-bit.
+    *
+    * Scale shape: history text/edges are never re-clustered — step 4's
+    * input is |delta edges| rows over component-level nodes (a daily
+    * batch against a 100 TB history), and the compose step is two
+    * label-table joins. The one full-corpus input is the pair set
+    * itself, shared with the batch path (a production deployment feeds
+    * step 3 from its persisted LSH index instead).
+    */
+  def incrementalComponents(pairs: DataFrame, newMod: Int = 10): DataFrame = {
+    val p = pairs.toDF("u", "v").localCheckpoint(true)
+    def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(newMod.toLong)) === 0
+    val hist = p.where(!isNew(col("u")) && !isNew(col("v")))
+    val delta = p.where(isNew(col("u")) || isNew(col("v")))
+    val lh = starComponents(hist).localCheckpoint(true)
+    val contracted = delta
+      .join(lh.select(col("doc_id").as("u"), col("cluster_id").as("ul")),
+        Seq("u"), "left")
+      .join(lh.select(col("doc_id").as("v"), col("cluster_id").as("vl")),
+        Seq("v"), "left")
+      .select(coalesce(col("ul"), col("u")).as("u"),
+        coalesce(col("vl"), col("v")).as("v"))
+    val merged = starComponents(contracted).localCheckpoint(true)
+    val universe = p.select(col("u").as("doc_id"))
+      .union(p.select(col("v").as("doc_id"))).distinct()
+    universe
+      .join(lh.select(col("doc_id"), col("cluster_id").as("lh")),
+        Seq("doc_id"), "left")
+      .withColumn("key", coalesce(col("lh"), col("doc_id")))
+      .join(merged.select(col("doc_id").as("key"), col("cluster_id").as("m")),
+        Seq("key"), "left")
+      .select(col("doc_id"), coalesce(col("m"), col("key")).as("cluster_id"))
+  }
+
   /** Min-label propagation to convergence over canonical (lo, hi) pairs:
     * the correctness backstop for [[starComponents]] when the alternating
     * rounds exhaust `maxRounds` before reaching their fixed point. Each

@@ -1082,6 +1082,37 @@ object PipelineQueries {
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---- incremental components: new edges merge into old labels ----
+    // The continuous-ingestion components path: history edges cluster
+    // once ("yesterday"), today's delta edges CONTRACT through those
+    // labels and only the component-level contracted graph re-clusters.
+    // Gated by the IDENTICAL from-scratch oracle as gr_components_star /
+    // dd_dup_clusters — merge ≡ recompute must hold bit-for-bit (a
+    // history label is the min doc of its component, so the merged min
+    // is the global min).
+    QueryDef("gr_components_incremental",
+      (s, dir) => graft.analytics.Graph.incrementalComponents(
+        Dedup.jaccardPairs(Tables.documents(s, dir), 0.5)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")), newMod = 10)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH RECURSIVE $WordsCte, $ShinglesCte, $CappedShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+        co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+                  FROM co JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+                  WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
     // ---- triangle count over the embedding near-dup graph ----
     // Node-iterator triangle join on the (a < b)-oriented edge list:
     // e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — every join is an equality on a

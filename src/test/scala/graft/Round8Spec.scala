@@ -205,6 +205,20 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getLong(2) > 0L), "no bucket received new vectors")
   }
 
+  test("incremental components ≡ full recompute, with a real delta") {
+    import graft.analytics.{Dedup, Graph}
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, sf), 0.5)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(10L)) === 0
+    val nDelta = pairs.where(isNew(col("u")) || isNew(col("v"))).count()
+    assert(nDelta > 0L, "no delta edges — the merge path is untested on this draw")
+    val full = Graph.starComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = Graph.incrementalComponents(pairs, newMod = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full, "incremental merge diverged from the full recompute")
+  }
+
   test("sim_ann_rerank returns full top-5 per query with sane cosines") {
     val df = SparkEntry.queries("sim_ann_rerank")(spark, sf)
     val r = df.agg(count(lit(1)), min(col("cos")), max(col("cos"))).head()

@@ -156,7 +156,7 @@ object Dedup {
     * (doc_id, band, band_sig) row per band — the slim table a production
     * deployment PERSISTS as its LSH index.
     */
-  private def bandSignatures(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandSignatures(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(s => col(s"mh$s"))
@@ -231,6 +231,39 @@ object Dedup {
       .distinct()
     val sa = sig.toDF("doc_id" +: (0 until k).map(s => s"a_mh$s"): _*)
     val sb = sig.toDF("dup_of2" +: (0 until k).map(s => s"b_mh$s"): _*)
+    val nMatching = (0 until k)
+      .map(s => when(col(s"a_mh$s") === col(s"b_mh$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sa, Seq("doc_id"))
+      .join(sb, col("dup_of") === col("dup_of2"))
+      .select(col("doc_id"), col("dup_of"), nMatching.as("n_matching"))
+      .withColumn("est_jaccard", col("n_matching").cast("double") / k)
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Probe ONE incoming batch of documents against a PRE-BUILT history
+    * signature table — the per-micro-batch body of the streaming
+    * incremental-dedup topology ([[graft.streaming.StreamingIngest
+    * .streamingIncrementalLsh]]): only the batch computes shingles and
+    * signatures; the history side is the persisted index. Because the
+    * index is static and batches partition the new slice, the union of
+    * per-batch probes equals [[incrementalMinhashDups]] on the whole
+    * corpus — the stream/batch parity the shared oracle gates.
+    */
+  private[graft] def probeBatchAgainstIndex(batchDocs: DataFrame,
+      histSig: DataFrame, k: Int, bands: Int,
+      minEstJaccard: Double): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val batchSig = minhashSignatures(batchDocs, k)
+    val cand = bandSignatures(batchSig, k, bands).as("x")
+      .join(bandSignatures(histSig, k, bands).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
+      .distinct()
+    val sa = batchSig.toDF("doc_id" +: (0 until k).map(s => s"a_mh$s"): _*)
+    val sb = histSig.toDF("dup_of2" +: (0 until k).map(s => s"b_mh$s"): _*)
     val nMatching = (0 until k)
       .map(s => when(col(s"a_mh$s") === col(s"b_mh$s"), 1L).otherwise(0L))
       .reduce(_ + _)

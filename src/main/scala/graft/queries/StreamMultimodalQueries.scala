@@ -523,6 +523,43 @@ object StreamMultimodalQueries {
                CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_words
         FROM mk WHERE rn = 1 ORDER BY doc_id, chunk_idx""")),
 
+    // ---- streaming incremental dedup (static-index probe per batch) ----
+    // dd_incremental_lsh's deployment topology: the history signature
+    // table is the persisted index (built before the stream starts);
+    // each arriving micro-batch shingles + signs ONLY itself and probes
+    // the static index inside foreachBatch. Union of per-batch probes =
+    // the batch operator's answer, so the oracle is shared verbatim —
+    // stream/batch parity for ingestion dedup.
+    QueryDef("st_incremental_lsh",
+      (s, dir) => StreamingIngest.streamingIncrementalLsh(s, dir),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(ws)-1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         FROM w WHERE len(ws) >= 3),
+        seeds AS (SELECT unnest(range(0, 12)) AS seed),
+        sig AS (SELECT doc_id, seed,
+                       min(md5(seed || ':' || s)) AS mh
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        band AS (SELECT doc_id, seed // 3 AS band,
+                        md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+                 FROM sig GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS dup_of
+                 FROM band x JOIN band y
+                   ON x.band = y.band AND x.band_sig = y.band_sig
+                 WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+        sc AS (SELECT c.doc_id, c.dup_of,
+                 CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matching
+               FROM cand c JOIN sig a ON c.doc_id = a.doc_id
+                           JOIN sig b ON c.dup_of = b.doc_id AND a.seed = b.seed
+               GROUP BY 1, 2)
+        SELECT doc_id, dup_of, n_matching,
+               n_matching / 12.0 AS est_jaccard
+        FROM sc WHERE n_matching / 12.0 >= 0.5
+        ORDER BY doc_id, dup_of""")),
+
     // ---- streaming debounce (per-key last-raw-ts state) ----
     // ONE Long of state per (user, type); oracle shared with
     // ts_debounce — stream/batch parity for the lag-gap rule.

@@ -928,6 +928,71 @@ object StreamingIngest {
       .orderBy("event_type", "window_start")
   }
 
+  /** Streaming incremental dedup — `dd_incremental_lsh`'s topology as it
+    * actually deploys: the history corpus's minhash signature table is the
+    * PERSISTED INDEX (built once, before the stream starts — here a cached
+    * DataFrame standing in for the bucketed table a production pipeline
+    * keeps), and each arriving micro-batch of new documents shingles,
+    * signs and probes ONLY ITSELF against that static index
+    * ([[graft.analytics.Dedup.probeBatchAgainstIndex]] inside
+    * `foreachBatch` — the recommended topology when per-batch logic is a
+    * static join too rich for chained stateful operators).
+    *
+    * Because the index is static and the batches partition the new slice,
+    * the UNION of per-batch probe outputs is exactly the batch operator's
+    * answer — so this query shares `dd_incremental_lsh`'s DuckDB oracle,
+    * proving stream/batch parity for the ingestion-dedup path. Replay =
+    * `nBatches` contiguous doc_id chunks of the `% newMod == 0` slice
+    * (the driver-side collect is the SIMULATION's cost, as with
+    * [[watermarkDeploy]] — a deployment reads its real source).
+    */
+  def streamingIncrementalLsh(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3, k: Int = 12, bands: Int = 4, newMod: Int = 10,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val histSig = graft.analytics.Dedup.minhashSignatures(
+      docs.where(col("doc_id") % newMod =!= 0), k).cache()
+    histSig.count() // materialize the "index" before the stream starts
+    val newRows = docs.where(col("doc_id") % newMod === 0)
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val input = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val res = graft.analytics.Dedup
+            .probeBatchAgainstIndex(b, histSig, k, bands, minEstJaccard)
+            .collect()
+          buf.synchronized { buf ++= res }
+        }
+        ()
+      }
+      .start()
+    try {
+      val n = newRows.length
+      var lo = 0
+      (0 until nBatches).foreach { b =>
+        val hi = (((b + 1).toLong * n + nBatches - 1) / nBatches).toInt
+        if (hi > lo) { input.addData(newRows.slice(lo, hi)); q.processAllAvailable() }
+        lo = hi
+      }
+    } finally q.stop()
+    histSig.unpersist()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("dup_of", LongType, nullable = false),
+      StructField("n_matching", LongType, nullable = false),
+      StructField("est_jaccard", DoubleType, nullable = false)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(buf.toArray: _*), schema)
+      .orderBy("doc_id", "dup_of")
+  }
+
   /** The replay harness alone — `(event_type, ts_ms)` rows fed through
     * `withWatermark` + tumbling window in `nBatches` contiguous chunks of
     * the given order, plus the two sentinel flush batches. Split out so

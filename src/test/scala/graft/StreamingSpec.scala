@@ -478,4 +478,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     assert(delay === 0L)
     assert(dropped === 0L)
   }
+
+  test("streaming incremental LSH is micro-batch-count independent") {
+    // the static-index probe's parity claim: because the history index
+    // never changes and batches partition the new slice, the result
+    // cannot depend on HOW the new docs are chopped into micro-batches
+    val sf = "/root/testdata/sf0.001"
+    def run(n: Int): Seq[(Long, Long, Long)] =
+      StreamingIngest.streamingIncrementalLsh(spark, sf, nBatches = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val one = run(1)
+    val four = run(4)
+    assert(one.nonEmpty, "no incremental dups on this draw — probe untested")
+    assert(one === four, "result depends on micro-batch chopping")
+  }
 }

@@ -169,7 +169,14 @@ object PlanDump {
         "metadata rows only, so the plan job is seconds at any table size; only the rewrite that consumes it touches data."),
       "cu_quality_classifier" -> ("Model-based quality gate: the linear-probe score is ONE map-only projection (split + " +
         "three list aggregates over the row's own words, exact integer milli-units) — zero exchanges before the output " +
-        "sort, so the gate fuses into whatever scan feeds it at 100 TB."))
+        "sort, so the gate fuses into whatever scan feeds it at 100 TB."),
+      "sim_incremental_ivf" -> ("Incremental IVF maintenance: history-seeded centroids are k·dim longs of expression " +
+        "state (DriverBudget-guarded), BOTH sides assign through the codegen'd nearest_centroid projection — no join, " +
+        "no shuffle — and the occupancy-drift rollup is one map-side-combined aggregate on the k-value bucket key."),
+      "gr_components_incremental" -> ("Incremental components merge: history edges cluster once, delta edges CONTRACT " +
+        "through yesterday's labels (two label joins), and only the delta-edge-sized contracted graph re-clusters — " +
+        "history is never re-clustered; gated by the identical from-scratch oracle as gr_components_star (merge ≡ " +
+        "recompute, bit-for-bit)."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

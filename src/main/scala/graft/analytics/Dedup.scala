@@ -410,7 +410,7 @@ object Dedup {
   /** ~100 bytes/edge on the driver: the collected tuple array plus boxed
     * HashMap parent nodes.
     */
-  private val BytesPerEdge = 100L
+  private[graft] val BytesPerEdge = 100L
 
   def maxDriverEdges: Long =
     DriverBudget.maxRows(BytesPerEdge, hardCap = 10000000L)
@@ -483,7 +483,7 @@ object Dedup {
     * min-label so the representative is the smallest doc_id, matching the
     * distributed fixpoint's answer exactly).
     */
-  private def driverUnionFind(spark: SparkSession,
+  private[graft] def driverUnionFind(spark: SparkSession,
       edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]

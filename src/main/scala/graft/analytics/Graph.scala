@@ -203,7 +203,22 @@ object Graph {
     def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(newMod.toLong)) === 0
     val hist = p.where(!isNew(col("u")) && !isNew(col("v")))
     val delta = p.where(isNew(col("u")) || isNew(col("v")))
-    val lh = starComponents(hist).localCheckpoint(true)
+    // "yesterday's" labels: in production these EXIST (the previous run's
+    // output); the in-query simulation takes the cheapest proven-identical
+    // component path — heap-guarded driver union-find when the history
+    // edge list fits the DriverBudget, else the distributed star rounds
+    // (all component paths are oracle-proven bit-identical)
+    val lh = {
+      val spark = p.sparkSession
+      import spark.implicits._
+      val he = hist.as[(Long, Long)]
+      DriverBudget.collectWithin(he, hist.count(), Dedup.BytesPerEdge,
+          hardCap = 10000000L) match {
+        case Some(edges) => Dedup.driverUnionFind(spark, edges)
+          .toDF("doc_id", "cluster_id")
+        case None => starComponents(hist)
+      }
+    }.localCheckpoint(true)
     val contracted = delta
       .join(lh.select(col("doc_id").as("u"), col("cluster_id").as("ul")),
         Seq("u"), "left")

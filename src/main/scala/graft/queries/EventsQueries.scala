@@ -1002,6 +1002,73 @@ object EventsQueries {
                  / (2.0 - power(0.5, len(wv) - 1)) AS ewma
         FROM w ORDER BY event_id""")),
 
+    // beyond-reference — Brown's linear exponential smoothing forecast
+    // with a one-step-ahead BACKTEST per tag. Forecasting via double
+    // smoothing (S2 = EWMA of S1) keeps everything declarative: two
+    // chained windows over ONE exchange (same partitioning + sort —
+    // Spark plans a single shuffle), level = 2·S1−S2, trend = S1−S2
+    // (α = ½), forecast(t+1) = 3·S1 − 2·S2, scored against the actual
+    // next value. Absolute errors are micro-quantized BEFORE the per-tag
+    // sum (integer aggregation is order-free; a raw double sum would be
+    // reduction-order-dependent and could never hash-match). The ½
+    // weights are exact in IEEE doubles — the same portability contract
+    // ts_ewma's gate already proves.
+    QueryDef("ts_forecast_les",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val wr = w.rowsBetween(-15, 0)
+        val ewmaOf = (c: String) =>
+          expr(s"aggregate(transform($c, (x, i) -> x * power(0.5, size($c) - 1 - i)), 0D, (a, b) -> a + b)") /
+            expr(s"2.0 - power(0.5, size($c) - 1)")
+        ev(s, dir)
+          .select(col("event_id"), col("event_type"), col("ts_ms"), col("value"))
+          .withColumn("wv", collect_list(col("value")).over(wr))
+          .withColumn("s1", ewmaOf("wv")).drop("wv")
+          .withColumn("w1v", collect_list(col("s1")).over(wr))
+          .withColumn("s2", ewmaOf("w1v")).drop("w1v")
+          .withColumn("forecast", expr("3 * s1 - 2 * s2"))
+          .withColumn("next_v", lead(col("value"), 1).over(w))
+          .where(col("next_v").isNotNull)
+          .withColumn("abs_err_q",
+            expr("CAST(floor(abs(next_v - forecast) * 1000000 + 0.5) AS BIGINT)"))
+          .groupBy(col("event_type").as("tag"))
+          .agg(count(lit(1)).as("n_forecasts"),
+            sum(col("abs_err_q")).as("sum_abs_err_q"))
+          .withColumn("mae", col("sum_abs_err_q").cast("double") / 1000000.0 /
+            col("n_forecasts").cast("double"))
+          .orderBy("tag")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, event_type, $MS AS ts_ms, value FROM events),
+        w1 AS (SELECT *, list(value) OVER win AS wv FROM e
+               WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)),
+        a1 AS (SELECT event_id, event_type, ts_ms, value,
+                 list_sum(list_transform(wv, (x, i) -> x * power(0.5, len(wv) - i)))
+                   / (2.0 - power(0.5, len(wv) - 1)) AS s1
+               FROM w1),
+        w2 AS (SELECT *, list(s1) OVER win AS w1v FROM a1
+               WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)),
+        a2 AS (SELECT event_type, ts_ms, event_id, value, s1,
+                 list_sum(list_transform(w1v, (x, i) -> x * power(0.5, len(w1v) - i)))
+                   / (2.0 - power(0.5, len(w1v) - 1)) AS s2
+               FROM w2),
+        f AS (SELECT event_type,
+                3 * s1 - 2 * s2 AS forecast,
+                lead(value) OVER (PARTITION BY event_type
+                  ORDER BY ts_ms, event_id) AS next_v
+              FROM a2),
+        q AS (SELECT event_type,
+                CAST(floor(abs(next_v - forecast) * 1000000 + 0.5) AS BIGINT)
+                  AS abs_err_q
+              FROM f WHERE next_v IS NOT NULL)
+        SELECT event_type AS tag, count(*) AS n_forecasts,
+               CAST(sum(abs_err_q) AS BIGINT) AS sum_abs_err_q,
+               CAST(sum(abs_err_q) AS DOUBLE) / 1000000.0 / count(*) AS mae
+        FROM q GROUP BY 1 ORDER BY tag""")),
+
     // beyond-reference — lagged cross-correlation between two tags on
     // minute-aligned buckets (does `click` activity lead `purchase`?).
     // Two map-side-combined aggregates + a 6-row lag table joined by

@@ -410,6 +410,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate") && p.contains("Window"))
   }
 
+  test("ts_forecast_les: both smoothing windows share ONE hash exchange") {
+    // S1's window, S2's window and the lead() all use the same
+    // (partition, sort) spec — a second hashpartitioning exchange would
+    // mean the chained smoothing re-shuffles the corpus per stage
+    val p = plan("ts_forecast_les")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"chained windows re-shuffle ($hashEx hash exchanges):\n$p")
+  }
+
   test("DriverBudget branch counters observe k-means centroid materialization") {
     graft.analytics.DriverBudget.resetBranchCounts()
     SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf).count()

@@ -176,7 +176,10 @@ object PlanDump {
       "gr_components_incremental" -> ("Incremental components merge: history edges cluster once, delta edges CONTRACT " +
         "through yesterday's labels (two label joins), and only the delta-edge-sized contracted graph re-clusters — " +
         "history is never re-clustered; gated by the identical from-scratch oracle as gr_components_star (merge ≡ " +
-        "recompute, bit-for-bit)."))
+        "recompute, bit-for-bit)."),
+      "ts_forecast_les" -> ("Brown's LES forecast + backtest: S1, S2 = EWMA-of-EWMA and the scoring lead() all share " +
+        "ONE hash exchange (same partition + sort — Spark chains the three Window ops on a single shuffle); absolute " +
+        "errors micro-quantize BEFORE the per-tag sum, so the MAE aggregate is order-free integers."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of representative queries\n\n")
     sb.append("Generated by `graft.examples.PlanDump` (sf0.01, AQE on, 8 shuffle partitions).\n")

@@ -219,6 +219,41 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc === full, "incremental merge diverged from the full recompute")
   }
 
+  test("persisted band index probes with NO exchange on the index side") {
+    // grounds dd_incremental_lsh's scale claim: a production deployment
+    // PERSISTS the (doc_id, band, band_sig) index bucketed on the probe
+    // key, so a daily batch joins against it without ever shuffling the
+    // index — only the (small) batch side pays an exchange
+    import graft.analytics.Dedup
+    val docs = Tables.documents(spark, sf)
+    val index = Dedup.bandSignatures(
+      Dedup.minhashSignatures(docs.where(col("doc_id") % 10 =!= 0), 12), 12, 4)
+    index.write.mode("overwrite")
+      .option("path", "/tmp/graft-band-index-spec")
+      .bucketBy(8, "band", "band_sig").sortBy("band", "band_sig")
+      .saveAsTable("graft_band_index_spec")
+    try {
+      val persisted = spark.table("graft_band_index_spec")
+        .withColumnRenamed("doc_id", "dup_of")
+      val probe = Dedup.bandSignatures(
+        Dedup.minhashSignatures(docs.where(col("doc_id") % 10 === 0), 12), 12, 4)
+      val joined = persisted.hint("merge").join(probe, Seq("band", "band_sig"))
+      assert(joined.count() > 0L, "probe found no colliding buckets")
+      val p = joined.queryExecution.executedPlan.toString
+      // the INDEX branch is the slice between the merge join and its
+      // bucketed scan (printed first as the left child): it must hold no
+      // Exchange — the probe side pays the only shuffles (its signature
+      // aggregate + the join alignment)
+      val from = p.indexOf("SortMergeJoin")
+      val to = p.indexOf("graft_band_index_spec", from)
+      assert(from >= 0 && to > from, s"unexpected plan shape:\n$p")
+      val indexBranch = p.substring(from, to)
+      assert(!indexBranch.contains("Exchange"),
+        s"index side shuffled:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_band_index_spec")
+  }
+
   test("sim_ann_rerank returns full top-5 per query with sane cosines") {
     val df = SparkEntry.queries("sim_ann_rerank")(spark, sf)
     val r = df.agg(count(lit(1)), min(col("cos")), max(col("cos"))).head()

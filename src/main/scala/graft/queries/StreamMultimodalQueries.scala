@@ -472,6 +472,44 @@ object StreamMultimodalQueries {
                CAST(valid_to IS NULL AS INT) AS is_current
         FROM v ORDER BY custkey, version""")),
 
+    // ---- streaming LES forecast (parity with ts_forecast_les) ----
+    // The two chained EWMA windows as a transformWithState per-tag state
+    // machine: ≤16+16 buffered doubles + one pending forecast + two
+    // accumulators per tag — constant state on any stream length. Every
+    // float op replays the batch windows' IEEE sequence, so the per-tag
+    // MAE report shares ts_forecast_les's oracle bit-for-bit.
+    QueryDef("st_forecast_les",
+      (s, dir) => StreamingIngest.streamingForecastLes(s, dir),
+      Some("""
+        WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events),
+        w1 AS (SELECT *, list(value) OVER win AS wv FROM e
+               WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)),
+        a1 AS (SELECT event_id, event_type, ts_ms, value,
+                 list_sum(list_transform(wv, (x, i) -> x * power(0.5, len(wv) - i)))
+                   / (2.0 - power(0.5, len(wv) - 1)) AS s1
+               FROM w1),
+        w2 AS (SELECT *, list(s1) OVER win AS w1v FROM a1
+               WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)),
+        a2 AS (SELECT event_type, ts_ms, event_id, value, s1,
+                 list_sum(list_transform(w1v, (x, i) -> x * power(0.5, len(w1v) - i)))
+                   / (2.0 - power(0.5, len(w1v) - 1)) AS s2
+               FROM w2),
+        f AS (SELECT event_type,
+                3 * s1 - 2 * s2 AS forecast,
+                lead(value) OVER (PARTITION BY event_type
+                  ORDER BY ts_ms, event_id) AS next_v
+              FROM a2),
+        q AS (SELECT event_type,
+                CAST(floor(abs(next_v - forecast) * 1000000 + 0.5) AS BIGINT)
+                  AS abs_err_q
+              FROM f WHERE next_v IS NOT NULL)
+        SELECT event_type AS tag, count(*) AS n_forecasts,
+               CAST(sum(abs_err_q) AS BIGINT) AS sum_abs_err_q,
+               CAST(sum(abs_err_q) AS DOUBLE) / 1000000.0 / count(*) AS mae
+        FROM q GROUP BY 1 ORDER BY tag""")),
+
     // ---- streaming: 3-sigma anomaly flags (parity with ts_anomaly) ----
     // Profile from a batch pass (like st_histogram's bounds), then a
     // stream-static broadcast join + stateless filter: zero streaming

@@ -172,6 +172,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     }
   }
 
+  test("streaming LES forecast carries state across micro-batches and matches the batch windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{LesEvent, LesForecastProcessor, LesOut}
+    val rows = (0 until 40).map(i =>
+      LesEvent("T", 1000L + i * 10, i.toLong, math.sin(i * 0.7) * 10 + (i % 7)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[LesEvent](
+      org.apache.spark.sql.Encoders.product[LesEvent], spark)
+    val name = s"les_${System.nanoTime()}"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = input.toDS().groupByKey(_.tag)
+      .transformWithState(new LesForecastProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // TWO batches: the second one's forecasts depend on smoothing
+      // buffers and the pending forecast carried across the boundary
+      input.addData(rows.take(25): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(25): _*)
+      q.processAllAvailable()
+      val got = spark.table(name).as[LesOut].collect().maxBy(_.n_forecasts)
+
+      // independent reference: the batch operator's window + HOF
+      // expressions (ts_forecast_les's exact formula) over the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tag")).orderBy(col("ts_ms"), col("event_id"))
+      val wr = w.rowsBetween(-15, 0)
+      val ewmaOf = (c: String) =>
+        expr(s"aggregate(transform($c, (x, i) -> x * power(0.5, size($c) - 1 - i)), 0D, (a, b) -> a + b)") /
+          expr(s"2.0 - power(0.5, size($c) - 1)")
+      val want = rows.toDF()
+        .withColumn("wv", collect_list(col("value")).over(wr))
+        .withColumn("s1", ewmaOf("wv")).drop("wv")
+        .withColumn("w1v", collect_list(col("s1")).over(wr))
+        .withColumn("s2", ewmaOf("w1v")).drop("w1v")
+        .withColumn("forecast", expr("3 * s1 - 2 * s2"))
+        .withColumn("next_v", lead(col("value"), 1).over(w))
+        .where(col("next_v").isNotNull)
+        .withColumn("abs_err_q",
+          expr("CAST(floor(abs(next_v - forecast) * 1000000 + 0.5) AS BIGINT)"))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n_forecasts"), sum(col("abs_err_q")).as("sum_abs_err_q"))
+        .withColumn("mae", col("sum_abs_err_q").cast("double") / 1000000.0 /
+          col("n_forecasts").cast("double"))
+        .as[LesOut].collect().head
+      assert(got === want)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming funnel state machine improves across micro-batches and matches the batch answer") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)](

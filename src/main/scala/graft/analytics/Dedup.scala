@@ -715,4 +715,52 @@ object Dedup {
         // rather than md5("") so consumers can filter empties trivially
         when(col("n_kept") > 0, col("km")).as("kept_md5"))
   }
+
+  /** Content-defined chunking (CDC) dedup — the insertion-robust
+    * counterpart of [[passageDedup]]'s FIXED 10-word chunks: a chunk
+    * boundary falls after word `i` iff `md5(word_i)`'s 52-bit prefix ≡ 0
+    * (mod `modulus`), so boundaries depend only on CONTENT — inserting a
+    * sentence shifts fixed chunk frames for the whole rest of the
+    * document (every downstream chunk hash changes, dedup misses all of
+    * it), while CDC boundaries re-synchronize at the next boundary word
+    * and every chunk after it still matches. This is the rolling-hash
+    * chunking trade every dedup store (rsync/LBFS/casync, and
+    * passage-level corpus dedup) makes; average chunk length ≈
+    * `modulus` words.
+    *
+    * Scale shape: one doc-keyed window (boundary running count — rows
+    * already co-located after the per-doc explode), one chunk-hash
+    * window (the dedup count), one per-doc rollup. No pair join, same
+    * contract as passageDedup. Reports per doc: chunk count, chunks
+    * whose text occurs elsewhere in the corpus (or twice here), and the
+    * duplicated fraction.
+    */
+  def cdcChunks(docs: DataFrame, modulus: Int = 8): DataFrame = {
+    val words = docs
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "word")))
+    val isBoundary =
+      conv(substring(md5(col("word")), 1, 13), 16, 10).cast("long")
+        .%(modulus) === 0
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val chunked = words
+      .withColumn("b", when(isBoundary, 1L).otherwise(0L))
+      // chunk id = boundaries strictly BEFORE this word: the boundary
+      // word itself closes its chunk, the next word starts a new one
+      .withColumn("cid", coalesce(sum(col("b")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = chunked.groupBy(col("doc_id"), col("cid"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("word")))),
+        s => s.getField("word")), " ")).as("h"))
+    val byHash = Window.partitionBy(col("h"))
+    chunks
+      .withColumn("n_same", count(lit(1)).over(byHash))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_fraction",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
 }

@@ -820,6 +820,94 @@ object Similarity {
       .orderBy("family")
   }
 
+  /** NN-Descent kNN-graph refinement (Dong et al., WWW 2011 — the
+    * construction behind most graph-ANN indexes): start from a cheap
+    * LSH-bucketed kNN graph, then iterate "a neighbor of my neighbor is
+    * probably my neighbor" — each round scores the CANDIDATE set
+    * {2-hop neighbors over the undirected current graph} ∪ {current
+    * edges}, keeps each node's exact-cosine top-k, repeats. Converges to
+    * near-exact kNN in a few rounds without ever scoring corpus².
+    *
+    * Scale shape: per round the candidate generation is two keyed
+    * self-joins of the (node, neighbor) edge list — shuffle keys are
+    * vertex ids, candidate volume is ≤ (2k)² per node independent of
+    * corpus size, and exact cosines are computed ONLY for candidates
+    * (two hash joins against the vector table). Rounds materialize via
+    * localCheckpoint like [[graft.analytics.Graph.pageRank]]'s ranks.
+    * Production NN-Descent adds the new/old-flag + ρ-sampling trick to
+    * halve re-scored pairs; this build keeps the full candidate set so
+    * the DuckDB oracle can replay rounds bit-for-bit.
+    *
+    * Output: (node, rank, neighbor_id, cos) — the refined kNN graph.
+    *
+    * Seed = LSH-bucket pairs (locality head start) ∪ a deterministic
+    * md5-RING graph (each node chords to the k next nodes in md5(vec_id)
+    * order, wrapping): the ring is the pseudo-random CONNECTED seed real
+    * NN-Descent needs — an LSH-only seed decomposes into tiny bucket
+    * cliques whose 2-hop closure is themselves, so descent can never
+    * escape them (measured: recall frozen at the seed's value). The ring
+    * costs one global sort (the standard random-permutation seed; at
+    * corpus scale a range-partitioned sort paid once) + a (rn+step) mod n
+    * equi-join.
+    */
+  def nnDescent(emb: DataFrame, k: Int = 5, rounds: Int = 2,
+      nPlanes: Int = 8, buildK: Int = 20): DataFrame = {
+    require(buildK >= k, s"buildK ($buildK) must be >= k ($k)")
+    val all = prep(emb)
+      .select(col("vec_id"), quantizeF(col("v")).as("qv"), col("nrm"))
+    def topk(scored: DataFrame, kk: Int): DataFrame = {
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("cos").desc, col("v"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= kk)
+    }
+    def score(cand: DataFrame): DataFrame = cand
+      .join(all.select(col("vec_id").as("u"), col("qv").as("uq"),
+        col("nrm").as("un")), "u")
+      .join(all.select(col("vec_id").as("v"), col("qv").as("vq"),
+        col("nrm").as("vn")), "v")
+      .select(col("u"), col("v"),
+        cosineQ(dotLL(col("uq"), col("vq")), col("un"), col("vn")).as("cos"))
+    val assigned = prep(emb)
+      .select(col("vec_id"), lshBucketF(col("v"), nPlanes).as("bucket"))
+    val lshPairs = assigned.as("a").join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+    val n = all.count()
+    val ranked = all.select(col("vec_id"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
+    val ringPairs = ranked
+      .select(col("vec_id").as("u"), col("rn"),
+        explode(sequence(lit(1), lit(buildK))).as("step"))
+      .withColumn("prn", pmod(col("rn") + col("step"), lit(n)))
+      .join(ranked.select(col("vec_id").as("v"), col("rn").as("prn")), "prn")
+      .where(col("u") =!= col("v"))
+      .select(col("u"), col("v"))
+    val pairs0 = lshPairs.union(ringPairs).distinct()
+    // descend at buildK (wider frontier = faster convergence — the
+    // standard build-K > search-k trade every graph-ANN index makes);
+    // emit the top-k of the final buildK lists
+    var g = topk(score(pairs0), buildK).select("u", "v", "cos")
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val e = g.select("u", "v")
+        .union(g.select(col("v").as("u"), col("u").as("v")))
+      val twoHop = e.as("x").join(e.as("y"), col("x.v") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v"))
+        .where(col("u") =!= col("v"))
+      val cand = twoHop.union(g.select("u", "v")).distinct()
+      g = topk(score(cand), buildK).select("u", "v", "cos")
+        .localCheckpoint(true)
+    }
+    val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("v"))
+    g.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("u").as("node"), col("rank"),
+        col("v").as("neighbor_id"), col("cos"))
+  }
+
   // ------------------------------------------ persisted ANN index lanes
 
   /** Train an IVF index and PERSIST it — the FAISS `write_index` analog

@@ -140,7 +140,16 @@ object TextAnalysis {
     * Returns (round, pair_a, pair_b, merged, cnt) — the ordered merge
     * table a tokenizer ships.
     */
-  def bpeTrain(docs: DataFrame, rounds: Int = 6): DataFrame = {
+  def bpeTrain(docs: DataFrame, rounds: Int = 6): DataFrame =
+    bpeTrainState(docs, rounds)._1
+
+  /** The training loop body shared by [[bpeTrain]] (rules consumer) and
+    * [[bpeEncode]] (final-vocabulary consumer): returns BOTH the merge
+    * table and the post-merge vocabulary `(word, f, toks)` — which IS
+    * the word → subword-sequence mapping a tokenizer ships.
+    */
+  private def bpeTrainState(docs: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = docs
@@ -178,7 +187,38 @@ object TextAnalysis {
         r += 1
       }
     }
-    rules.toSeq.toDF("round", "pair_a", "pair_b", "merged", "cnt")
+    (rules.toSeq.toDF("round", "pair_a", "pair_b", "merged", "cnt"), vocab)
+  }
+
+  /** Tokenizer APPLY — encode the corpus under the [[bpeTrain]]ed merges
+    * (the deployment leg next to training): per-document subword-token
+    * statistics after `rounds` merges. Because BPE merges act within
+    * words, the trained vocabulary's `(word → toks)` mapping encodes any
+    * document by a word-level JOIN — no per-document re-merging: the
+    * fold ran once per DISTINCT word during training, and encoding a
+    * 100 TB corpus is one exploded-word join against the vocab-sized
+    * mapping (words shorter than 2 chars encode to themselves: 1 token
+    * per char, 0 for empty splits). Reports per doc: word count, encoded
+    * token count, character count, and the chars-per-token compression —
+    * the number a tokenizer-prep pipeline actually tracks.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val vocab = bpeTrainState(docs, rounds)._2
+      .select(col("word"), size(col("toks")).cast("long").as("nt"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(vocab, Seq("word"), "left")
+      .select(col("doc_id"),
+        when(length(col("word")) >= 2, col("nt"))
+          .otherwise(length(col("word")).cast("long")).as("t"),
+        when(length(col("word")) >= 1, 1L).otherwise(0L).as("w"),
+        length(col("word")).cast("long").as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("n_words"), sum(col("t")).as("n_tokens"),
+        sum(col("c")).as("n_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") > 0,
+          col("n_chars").cast("double") / col("n_tokens").cast("double")))
   }
 
   /** KMV (k-minimum-values) distinct-token sketch — the deterministic,

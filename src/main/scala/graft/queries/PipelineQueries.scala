@@ -213,6 +213,27 @@ object PipelineQueries {
        |         WHERE t2 IS NOT NULL GROUP BY word, f)""".stripMargin
   }
 
+  /** One NN-Descent round for the `sim_nndescent` oracle: undirected
+    * edge expansion, 2-hop candidate generation ∪ current edges
+    * (UNION-distinct), exact-cosine scoring of candidates only, per-node
+    * top-k under the (cos desc, v asc) total order — mirrors
+    * [[graft.analytics.Similarity.nnDescent]] bit-for-bit.
+    */
+  private def nnDescentRoundSql(r: Int, k: Int): String = {
+    val p = r - 1
+    s"""e$r AS (SELECT u, v FROM n$p UNION SELECT v, u FROM n$p),
+       |c$r AS (SELECT x.u AS u, y.v AS v
+       |        FROM e$r x JOIN e$r y ON x.v = y.u WHERE x.u <> y.v
+       |        UNION SELECT u, v FROM n$p),
+       |s$r AS (SELECT c.u, c.v,
+       |          ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
+       |        FROM c$r c JOIN qn a ON c.u = a.vec_id
+       |                   JOIN qn b ON c.v = b.vec_id),
+       |n$r AS MATERIALIZED (SELECT u, v, cos FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY u
+       |          ORDER BY cos DESC, v) AS rn FROM s$r) WHERE rn <= $k)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content-hash groups, deterministic keeper ----
@@ -689,6 +710,49 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, adc_dot FROM pqrk
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- NN-Descent: graph-ANN kNN refinement (Dong et al. 2011) ----
+    // The construction behind graph-ANN indexes: seed a cheap kNN graph
+    // from LSH buckets, then two "neighbor-of-my-neighbor" rounds — each
+    // round's candidates are 2-hop pairs over the undirected current
+    // graph (≤(2k)² per node, corpus-size-independent), exact cosines
+    // computed ONLY for candidates, per-node top-k kept. The oracle
+    // replays seed + both rounds exactly; Round9Spec pins that recall
+    // vs brute force IMPROVES monotonically over rounds.
+    QueryDef("sim_nndescent",
+      (s, dir) => Similarity.nnDescent(Tables.embeddings(s, dir),
+        k = 5, rounds = 3, nPlanes = 8, buildK = 20)
+        .orderBy("node", "rank"),
+      Some(s"""
+        WITH $QuantCte, $LshBucketCte,
+        rk AS MATERIALIZED (SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS rn
+             FROM qn),
+        ring AS (SELECT a.vec_id AS u, b.vec_id AS v
+                 FROM rk a
+                      CROSS JOIN (SELECT count(*) AS n FROM qn) cnt
+                      CROSS JOIN (SELECT unnest(range(1, 21)) AS step) st
+                 JOIN rk b ON b.rn = (a.rn + st.step) % cnt.n
+                 WHERE a.vec_id <> b.vec_id),
+        c0 AS (SELECT a.vec_id AS u, b.vec_id AS v
+               FROM qb a JOIN qb b
+                 ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+               UNION SELECT u, v FROM ring),
+        s0 AS (SELECT c.u, c.v,
+                 ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
+               FROM c0 c JOIN qn a ON c.u = a.vec_id
+                         JOIN qn b ON c.v = b.vec_id),
+        n0 AS MATERIALIZED (SELECT u, v, cos FROM (
+               SELECT *, row_number() OVER (PARTITION BY u
+                 ORDER BY cos DESC, v) AS rn FROM s0) WHERE rn <= 20),
+        ${(1 to 3).map(nnDescentRoundSql(_, 20)).mkString(",\n        ")}
+        SELECT node, rank, neighbor_id, cos FROM (
+          SELECT u AS node,
+                 row_number() OVER (PARTITION BY u ORDER BY cos DESC, v) AS rank,
+                 v AS neighbor_id, cos
+          FROM n3)
+        WHERE rank <= 5 ORDER BY node, rank""")),
+
     // ---- vector-quality audit: the pre-ANN sanity table ----
     QueryDef("sim_vec_quality",
       (s, dir) => Similarity.vectorQuality(Tables.embeddings(s, dir))
@@ -819,6 +883,41 @@ object PipelineQueries {
         FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
         ORDER BY e.vec_id""")),
 
+    // ---- content-defined chunking dedup (insertion-robust passages) ----
+    // The rolling-hash chunking trade next to dd_passage_dedup's fixed
+    // frames: boundaries fall where md5(word) ≡ 0 (mod 8), so inserting
+    // a sentence re-synchronizes at the next boundary word instead of
+    // shifting every downstream chunk frame. One doc-keyed window + one
+    // chunk-hash window + a per-doc rollup — no pair join.
+    QueryDef("dd_cdc_chunks",
+      (s, dir) => Dedup.cdcChunks(Tables.documents(s, dir), modulus = 8)
+        .orderBy("doc_id"),
+      Some("""
+        WITH dw AS (SELECT doc_id, unnest(ws) AS word,
+                      generate_subscripts(ws, 1) AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents WHERE length(text) > 0)),
+        bb AS (SELECT doc_id, i, word,
+                 CASE WHEN CAST('0x' || substr(md5(word), 1, 13) AS BIGINT)
+                           % 8 = 0 THEN 1 ELSE 0 END AS b
+               FROM dw),
+        ck AS (SELECT doc_id, i, word,
+                 coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+               FROM bb),
+        ch AS (SELECT doc_id, cid,
+                 md5(string_agg(word, ' ' ORDER BY i)) AS h
+               FROM ck GROUP BY doc_id, cid),
+        cs AS (SELECT doc_id, h,
+                 count(*) OVER (PARTITION BY h) AS n_same
+               FROM ch)
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_chunks,
+               CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS dup_fraction
+        FROM cs GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- BPE-style pre-tokenizer statistics ----
     QueryDef("tx_bpe_tokens",
       (s, dir) => TextAnalysis.bpeTokenStats(Tables.documents(s, dir))
@@ -872,6 +971,41 @@ object PipelineQueries {
           s"SELECT CAST($r AS BIGINT) AS round, a AS pair_a, b AS pair_b, " +
             s"a || b AS merged, cnt FROM m$r").mkString(" UNION ALL ")})
         ORDER BY round""")),
+
+    // ---- BPE encode: tokenize the corpus under the trained merges ----
+    // The deployment leg next to tx_bpe_train: BPE merges act WITHIN
+    // words, so the trained vocabulary's word→subwords mapping encodes
+    // any document via a word-level join — the per-word fold ran once per
+    // DISTINCT word at training time, and encoding 100 TB is one
+    // exploded-word join against the vocab-sized mapping. Per-doc word/
+    // token/char counts + the chars-per-token compression ratio.
+    QueryDef("tx_bpe_encode",
+      (s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir), rounds = 6)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH w0 AS (SELECT word, count(*) AS f
+               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+               WHERE length(word) >= 2 GROUP BY 1),
+        v0 AS MATERIALIZED (SELECT word, f,
+               list_transform(range(1, length(word)+1),
+                 i -> substr(word, CAST(i AS INT), 1)) AS toks
+             FROM w0),
+        ${(1 to 6).map(bpeRoundSql).mkString(",\n        ")},
+        tc AS (SELECT word, CAST(len(toks) AS BIGINT) AS nt FROM v6),
+        dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        pt AS (SELECT doc_id,
+                 CASE WHEN length(word) >= 2 THEN tc.nt
+                      ELSE CAST(length(word) AS BIGINT) END AS t,
+                 CASE WHEN length(word) >= 1 THEN 1 ELSE 0 END AS w,
+                 length(word) AS c
+               FROM dw LEFT JOIN tc USING (word))
+        SELECT doc_id, CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(t) AS BIGINT) AS n_tokens,
+               CAST(sum(c) AS BIGINT) AS n_chars,
+               CASE WHEN sum(t) > 0
+                    THEN CAST(sum(c) AS DOUBLE) / CAST(sum(t) AS DOUBLE)
+               END AS chars_per_token
+        FROM pt GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- language ID (marker-word profiles) ----
     QueryDef("tx_lang_id",

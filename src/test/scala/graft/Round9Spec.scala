@@ -163,6 +163,53 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === want)
   }
 
+  test("NN-Descent recall vs brute force improves monotonically over rounds") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val exactAll = graft.analytics.Similarity
+      .bruteForceTopK(emb, k = 5, queryModulo = 1)
+      .select(col("query_id").as("node"), col("neighbor_id"))
+      .cache()
+    def recallAt(rounds: Int): Double = {
+      val g = graft.analytics.Similarity
+        .nnDescent(emb, k = 5, rounds = rounds, nPlanes = 8)
+        .select(col("node"), col("neighbor_id")).cache()
+      val nodes = g.select("node").distinct()
+      val exact = exactAll.join(nodes, "node")
+      val hit = exact.join(g, Seq("node", "neighbor_id"), "left_semi").count()
+      val r = hit.toDouble / exact.count()
+      g.unpersist()
+      r
+    }
+    val r0 = recallAt(0)
+    val r1 = recallAt(1)
+    val r2 = recallAt(2)
+    exactAll.unpersist()
+    assert(r1 >= r0 && r2 >= r1,
+      s"descent must not lose recall: $r0 -> $r1 -> $r2")
+    assert(r2 > r0, s"two rounds must beat the LSH seed: $r0 -> $r2")
+    assert(r2 > 0.8, s"round-2 recall implausibly low: $r2")
+  }
+
+  test("CDC chunking re-synchronizes after an insertion where fixed frames lose every downstream chunk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "INS " + base)).toDF("doc_id", "text")
+    // content-defined boundaries re-sync right after the insertion: the
+    // overwhelming majority of both docs' chunks pair up
+    val cdc = graft.analytics.Dedup.cdcChunks(docs, modulus = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dup_fraction")).toMap
+    assert(cdc(1L) > 0.6 && cdc(2L) > 0.6,
+      s"CDC should dedup almost everything after re-sync: $cdc")
+    // fixed 10-word frames shift by one word for the WHOLE document: no
+    // chunk of doc 2 matches doc 1 — dedup recovers nothing downstream
+    val fixed = graft.analytics.Dedup.passageDedup(docs, chunkWords = 10)
+      .where(col("doc_id") === 2L).collect().head
+    assert(fixed.getAs[Long]("n_kept") === fixed.getAs[Long]("n_chunks"),
+      "fixed frames should find zero cross-doc duplicates after the shift")
+  }
+
   test("compactionPlan is deterministic under duplicate (part_key, file_id) stats rows") {
     import spark.implicits._
     // two full-duplicate identities (the documented contract violation):

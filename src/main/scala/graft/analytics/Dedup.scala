@@ -716,6 +716,42 @@ object Dedup {
         when(col("n_kept") > 0, col("km")).as("kept_md5"))
   }
 
+  /** Cross-source content-overlap matrix — the dataset-report table
+    * behind "how much of source B is already in source A?" (what a
+    * mixture designer consults before weighting sources, and the
+    * source-level complement of [[exact]]'s doc-level dedup): per
+    * ordered source pair, the count and Jaccard of SHARED distinct
+    * 3-gram shingles.
+    *
+    * Scale shape — why this is safe without a df cap: shingles collapse
+    * to (source, shingle) DISTINCT before the self-join, so a shingle's
+    * join fan-out is bounded by |sources|² (hundreds), never corpus df²
+    * — the projection does what [[DefaultMaxShingleDf]] does for the
+    * doc-level join, structurally. One shingle-keyed shuffle + a
+    * |sources|²-row aggregate.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = shingleSet(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Content-defined chunking (CDC) dedup — the insertion-robust
     * counterpart of [[passageDedup]]'s FIXED 10-word chunks: a chunk
     * boundary falls after word `i` iff `md5(word_i)`'s 52-bit prefix ≡ 0

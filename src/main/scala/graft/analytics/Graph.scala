@@ -88,6 +88,47 @@ object Graph {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Exact-integer modularity of a community assignment over an
+    * undirected pair set — the number one consults before TRUSTING a
+    * [[labelPropagation]] community structure (Q near 0 = the
+    * "communities" are no better than random; Newman 2006 calls >0.3
+    * meaningful). Everything that can be integer stays integer so the
+    * oracle matches bit-for-bit: per community `c`,
+    * `q_term_num = 4·m·m_intra(c) − d_c²` (exact longs; modularity
+    * Q = Σ_c q_term_num / (4m²)), with the double division done once
+    * per row at the end.
+    *
+    * Inputs: `pairs` = DISTINCT undirected (u, v) edges; `labels` =
+    * (node, community). Scale shape: two label-table joins keyed on the
+    * node, one map-side-combined degree aggregate, one community
+    * rollup — no pair-pair work, community count bounds the output.
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val p = pairs.toDF("u", "v").localCheckpoint(true)
+    val lab = labels.toDF("node", "community")
+    val m = p.count()
+    val intra = p
+      .join(lab.select(col("node").as("u"), col("community").as("cu")), "u")
+      .join(lab.select(col("node").as("v"), col("community").as("cv")), "v")
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("m_intra"))
+    val deg = p.select(col("u").as("node"))
+      .union(p.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dc = deg.join(lab, "node")
+      .groupBy("community")
+      .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("n_nodes"))
+    dc.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("m_intra"), lit(0L)).as("m_intra"), col("d_c"))
+      .withColumn("q_term_num",
+        lit(4L) * lit(m) * col("m_intra") - col("d_c") * col("d_c"))
+      .withColumn("q_term",
+        col("q_term_num").cast("double") /
+          (lit(4.0) * lit(m.toDouble) * lit(m.toDouble)))
+  }
+
   /** Connected components by ALTERNATING large-star / small-star rounds
     * (the Kiveris et al. "Connected Components in MapReduce and Beyond"
     * alternating algorithm) — a THIRD execution path for the same answer

@@ -234,6 +234,35 @@ object PipelineQueries {
        |          ORDER BY cos DESC, v) AS rn FROM s$r) WHERE rn <= $k)""".stripMargin
   }
 
+  /** The full NN-Descent oracle chain (append after [[QuantCte]] +
+    * [[LshBucketCte]]): md5-ring ∪ LSH-bucket seed, three rounds at
+    * buildK = 20 — ends with `n3(u, v, cos)`, the refined neighbor
+    * lists. Shared by `sim_nndescent` and `sim_nndescent_recall`.
+    */
+  private lazy val NnDescentCtes: String =
+    s"""rk AS MATERIALIZED (SELECT vec_id,
+       |       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |         - 1 AS rn
+       |     FROM qn),
+       |ring AS (SELECT a.vec_id AS u, b.vec_id AS v
+       |         FROM rk a
+       |              CROSS JOIN (SELECT count(*) AS n FROM qn) cnt
+       |              CROSS JOIN (SELECT unnest(range(1, 21)) AS step) st
+       |         JOIN rk b ON b.rn = (a.rn + st.step) % cnt.n
+       |         WHERE a.vec_id <> b.vec_id),
+       |c0 AS (SELECT a.vec_id AS u, b.vec_id AS v
+       |       FROM qb a JOIN qb b
+       |         ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |       UNION SELECT u, v FROM ring),
+       |s0 AS (SELECT c.u, c.v,
+       |         ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
+       |       FROM c0 c JOIN qn a ON c.u = a.vec_id
+       |                 JOIN qn b ON c.v = b.vec_id),
+       |n0 AS MATERIALIZED (SELECT u, v, cos FROM (
+       |       SELECT *, row_number() OVER (PARTITION BY u
+       |         ORDER BY cos DESC, v) AS rn FROM s0) WHERE rn <= 20),
+       |${(1 to 3).map(nnDescentRoundSql(_, 20)).mkString(",\n")}""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content-hash groups, deterministic keeper ----
@@ -724,34 +753,67 @@ object PipelineQueries {
         .orderBy("node", "rank"),
       Some(s"""
         WITH $QuantCte, $LshBucketCte,
-        rk AS MATERIALIZED (SELECT vec_id,
-               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-                 - 1 AS rn
-             FROM qn),
-        ring AS (SELECT a.vec_id AS u, b.vec_id AS v
-                 FROM rk a
-                      CROSS JOIN (SELECT count(*) AS n FROM qn) cnt
-                      CROSS JOIN (SELECT unnest(range(1, 21)) AS step) st
-                 JOIN rk b ON b.rn = (a.rn + st.step) % cnt.n
-                 WHERE a.vec_id <> b.vec_id),
-        c0 AS (SELECT a.vec_id AS u, b.vec_id AS v
-               FROM qb a JOIN qb b
-                 ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-               UNION SELECT u, v FROM ring),
-        s0 AS (SELECT c.u, c.v,
-                 ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
-               FROM c0 c JOIN qn a ON c.u = a.vec_id
-                         JOIN qn b ON c.v = b.vec_id),
-        n0 AS MATERIALIZED (SELECT u, v, cos FROM (
-               SELECT *, row_number() OVER (PARTITION BY u
-                 ORDER BY cos DESC, v) AS rn FROM s0) WHERE rn <= 20),
-        ${(1 to 3).map(nnDescentRoundSql(_, 20)).mkString(",\n        ")}
+        $NnDescentCtes
         SELECT node, rank, neighbor_id, cos FROM (
           SELECT u AS node,
                  row_number() OVER (PARTITION BY u ORDER BY cos DESC, v) AS rank,
                  v AS neighbor_id, cos
           FROM n3)
         WHERE rank <= 5 ORDER BY node, rank""")),
+
+    // ---- NN-Descent recall@5 vs exact brute force (eval row) ----
+    // The tuning metric for the graph index, on the standard %20 query
+    // sample: exact top-5 (brute force restricted to the sample) against
+    // the descent graph's lists. Same rollup shape as sim_recall_eval.
+    QueryDef("sim_nndescent_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val exact = Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.nnDescent(emb, k = 5, rounds = 3,
+            nPlanes = 8, buildK = 20)
+          .where(col("node") % 20 === 0)
+          .select(col("node").as("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("query_id"), "left_outer")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall",
+            col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH $QuantCte, $LshBucketCte,
+        $NnDescentCtes,
+        nd AS (SELECT node, neighbor_id FROM (
+                 SELECT u AS node,
+                        row_number() OVER (PARTITION BY u
+                          ORDER BY cos DESC, v) AS rank,
+                        v AS neighbor_id
+                 FROM n3)
+               WHERE rank <= 5 AND node % 20 = 0),
+        bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 20 = 0),
+        bscored AS (SELECT query_id, vec_id AS neighbor_id,
+                      ${cosSql("qv", "qnrm", "v", "nrm")} AS cos
+                    FROM qn CROSS JOIN bq WHERE vec_id <> query_id),
+        exact AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM bscored) WHERE rank <= 5),
+        hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM exact e JOIN nd a
+                   ON e.query_id = a.node AND e.neighbor_id = a.neighbor_id
+                 GROUP BY 1)
+        SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+               coalesce(max(h.n_hits), 0) AS n_hits,
+               CAST(coalesce(max(h.n_hits), 0) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS recall
+        FROM exact e LEFT JOIN hits h USING (query_id)
+        GROUP BY e.query_id ORDER BY e.query_id""")),
 
     // ---- vector-quality audit: the pre-ANN sanity table ----
     QueryDef("sim_vec_quality",
@@ -2005,6 +2067,81 @@ object PipelineQueries {
                   FROM l$p l LEFT JOIN n$t n USING (node))"""
         }.mkString(",\n        ")}
         SELECT node, lbl AS community FROM l3 ORDER BY node""")),
+
+    // ---- modularity of the label-prop communities ----
+    // The quality check before TRUSTING a community structure (Q ≈ 0 =
+    // no better than random): per-community exact-integer terms
+    // 4·m·m_intra − d_c² over the SAME near-dup graph and SAME 3-round
+    // label propagation as gr_label_prop — two node-keyed label joins,
+    // one degree aggregate, one community rollup.
+    QueryDef("gr_modularity",
+      (s, dir) => {
+        val pairs = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3)
+          .select(col("vec_a").as("u"), col("vec_b").as("v"))
+        val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+          .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+        val labels = graft.analytics.Graph.labelPropagation(edges, rounds = 3)
+        graft.analytics.Graph.modularity(pairs, labels)
+          .orderBy("community")
+      },
+      Some(s"""
+        WITH $QuantCte, $LshCandCtes, ${lshPairsCte(0.3)},
+        edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+                  UNION ALL SELECT vec_b, vec_a FROM pr),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        ${(1 to 3).map { t =>
+          val p = t - 1
+          s"""n$t AS (SELECT e.dst AS node, min(r.lbl) AS nl
+                 FROM edges e JOIN l$p r ON e.src = r.node GROUP BY 1),
+          l$t AS (SELECT l.node, least(l.lbl, coalesce(n.nl, l.lbl)) AS lbl
+                  FROM l$p l LEFT JOIN n$t n USING (node))"""
+        }.mkString(",\n        ")},
+        cm AS (SELECT node, lbl AS community FROM l3),
+        mt AS (SELECT count(*) AS m FROM pr),
+        dg AS (SELECT node, count(*) AS deg
+               FROM (SELECT vec_a AS node FROM pr
+                     UNION ALL SELECT vec_b FROM pr) GROUP BY 1),
+        dc AS (SELECT c.community, CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(deg) AS BIGINT) AS d_c
+               FROM dg JOIN cm c USING (node) GROUP BY 1),
+        mi AS (SELECT a.community, CAST(count(*) AS BIGINT) AS m_intra
+               FROM pr JOIN cm a ON vec_a = a.node
+                       JOIN cm b ON vec_b = b.node
+               WHERE a.community = b.community GROUP BY 1)
+        SELECT dc.community, n_nodes,
+               coalesce(m_intra, 0) AS m_intra, d_c,
+               CAST(4 * m * coalesce(m_intra, 0) - d_c * d_c AS BIGINT)
+                 AS q_term_num,
+               CAST(4 * m * coalesce(m_intra, 0) - d_c * d_c AS DOUBLE)
+                 / (4.0 * m * m) AS q_term
+        FROM dc LEFT JOIN mi USING (community) CROSS JOIN mt
+        ORDER BY community""")),
+
+    // ---- cross-source content-overlap matrix ----
+    // "How much of source B is already in source A?" — per source pair,
+    // shared distinct 3-gram shingles + Jaccard. The (source, shingle)
+    // DISTINCT projection bounds the self-join fan-out by |sources|²
+    // per shingle (never corpus df²), so no df cap is needed.
+    QueryDef("dd_source_overlap",
+      (s, dir) => Dedup.sourceOverlap(Tables.documents(s, dir))
+        .orderBy("source_a", "source_b"),
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte,
+        ss AS (SELECT DISTINCT d.source, s.s AS shingle
+               FROM sh s JOIN documents d USING (doc_id)),
+        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+               FROM ss GROUP BY 1),
+        ov AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+               FROM ss a JOIN ss b
+                 ON a.shingle = b.shingle AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared, x.n_sh AS n_a, y.n_sh AS n_b,
+               CAST(n_shared AS DOUBLE)
+                 / CAST(x.n_sh + y.n_sh - n_shared AS DOUBLE) AS jaccard
+        FROM ov JOIN sz x ON source_a = x.source
+                JOIN sz y ON source_b = y.source
+        ORDER BY source_a, source_b""")),
 
     // ---- PII detection + redaction (deterministic injected pseudo-PII) ----
     // One projection per document, no shuffle; counts vary per row via the

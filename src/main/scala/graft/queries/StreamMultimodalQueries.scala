@@ -472,6 +472,36 @@ object StreamMultimodalQueries {
                CAST(valid_to IS NULL AS INT) AS is_current
         FROM v ORDER BY custkey, version""")),
 
+    // ---- streaming quality gate (parity with cu_quality_classifier) ----
+    // The model-based quality gate at its deployment point: applied to
+    // documents AS THEY ARRIVE, a pure projection fused into the stream
+    // scan (zero shuffles, zero state). Shares the batch classifier's
+    // oracle.
+    QueryDef("st_quality_gate",
+      (s, dir) => StreamingIngest.streamingQualityGate(s, dir),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, len(ws) AS n_words,
+                CAST(list_sum(list_transform(ws, x ->
+                  CASE WHEN x IN ('the','a','of','and','to','in')
+                       THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop,
+                len(list_distinct(ws)) AS n_distinct,
+                CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT)
+                  AS sum_len
+              FROM w),
+        s AS (SELECT doc_id,
+                n_stop * 1000 // n_words AS stop_m,
+                n_distinct * 1000 // n_words AS ttr_m,
+                sum_len * 1000 // n_words AS awl_m,
+                least(n_words, 400) AS len_b
+              FROM f)
+        SELECT doc_id,
+               CAST(2*stop_m + ttr_m + len_b - abs(awl_m - 4500) // 10
+                    AS BIGINT) AS score_m,
+               2*stop_m + ttr_m + len_b - abs(awl_m - 4500) // 10 >= 700
+                 AS passes
+        FROM s ORDER BY doc_id""")),
+
     // ---- streaming LES forecast (parity with ts_forecast_les) ----
     // The two chained EWMA windows as a transformWithState per-tag state
     // machine: ≤16+16 buffered doubles + one pending forecast + two

@@ -736,6 +736,26 @@ object StreamingIngest {
     }
   }
 
+  /** Quality gating ON INGEST — `cu_quality_classifier`'s map-only
+    * linear-probe score applied inside a structured stream (the actual
+    * deployment point of a model-based quality gate: filter documents as
+    * they arrive, before anything downstream pays for them). The
+    * classifier is a pure projection (zero shuffles, zero state), so it
+    * fuses into the stream's scan exactly as it fuses into a batch scan;
+    * shares `cu_quality_classifier`'s oracle — stream/batch parity for
+    * the gate.
+    */
+  def streamingQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val out = graft.analytics.Curation.qualityClassifier(docs,
+      thresholdMilli = 700L)
+    drain(out, "append").orderBy("doc_id")
+  }
+
   def windowedEventCounts(spark: SparkSession, sfDir: String,
       windowMs: Long = 3600000L): DataFrame = {
     val out = eventStream(spark, sfDir)

@@ -977,6 +977,52 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** ADD a new vector batch to a persisted IVF index WITHOUT retraining
+    * — FAISS `add` on a loaded index, completing the lifecycle next to
+    * [[ivfProbePersisted]] (train → persist → load → add → probe): the
+    * batch (`vec_id % batchModulo == 0`, standing in for today's
+    * embeddings) assigns through the LOADED centroid table as one
+    * codegen'd projection and lands in `<root>/members_delta`
+    * (overwritten per call — idempotent; a production deployment appends
+    * dated delta files next to the base lists, same layout); the probe
+    * then searches base ∪ delta for the standard query sample. Because
+    * assignment is centroid-deterministic, the post-add probe must equal
+    * a from-scratch seed-IVF probe over the full corpus with
+    * history-seeded centroids — which is exactly what the oracle
+    * computes. Add cost is |batch| projection + |batch| file writes;
+    * history members and centroids are never touched.
+    */
+  def ivfAddAndProbe(emb: DataFrame, root: String, batchModulo: Int = 10,
+      k: Int = 5, queryModulo: Int = 20): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = spark.read.parquet(s"$root/centroids")
+    val cents = DriverBudget.collectWithin(
+      centDf.as[(Long, Array[Long], Long)], centDf.count(), CentroidBytesEst)
+    def assign(df: DataFrame): DataFrame = cents match {
+      case Some(c) => assignByExpr(df, c)
+      case None    => assignToCentroids(df, centDf)
+    }
+    val batch = prepQ(emb.where(pmod(col("vec_id"), lit(batchModulo.toLong)) === 0))
+    assign(batch).select(col("vec_id"), col("qv"), col("nrm"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/members_delta")
+    val members = spark.read.parquet(s"$root/members")
+      .unionByName(spark.read.parquet(s"$root/members_delta"))
+    val queries = assign(prepQ(emb.where(col("vec_id") % queryModulo === 0)))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val scored = members.join(broadcast(queries), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(dotLL(col("qqv"), col("qv")), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Train a PQ index and PERSIST it: the codebook (`<root>/codebook`:
     * m, cpos, cv, cnrm — M·K constant rows) and the ENCODED corpus
     * (`<root>/codes`: vec_id, codes — the 2-bytes-per-subspace

@@ -713,6 +713,50 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, cos FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- persisted IVF index: ADD a batch without retraining, probe ----
+    // FAISS `add` on a loaded index — the lifecycle's last leg (train →
+    // persist → load → ADD → probe): the history slice's seeded index is
+    // staged once; the timed row loads the centroids, assigns TODAY's
+    // batch as one codegen'd projection, lands it in the delta member
+    // lists (idempotent overwrite; production appends dated deltas), and
+    // probes base ∪ delta. Post-add probe ≡ from-scratch seed-IVF over
+    // the full corpus with history-seeded centroids — the oracle.
+    QueryDef("sim_ivf_persisted_add",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#ivf_index_hist") {
+          val r = Staging.scratchDir("ivfhist")
+          Similarity.persistIvfIndex(Tables.embeddings(s, dir)
+              .where(pmod(col("vec_id"), lit(10L)) =!= 0),
+            r, numCentroids = 32, iters = 0)
+          r
+        }
+        Similarity.ivfAddAndProbe(Tables.embeddings(s, dir), root,
+          batchModulo = 10, k = 5, queryModulo = 20)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        hist AS (SELECT * FROM qn WHERE vec_id % 10 <> 0),
+        cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM hist
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        asg AS (SELECT q.vec_id, q.v, q.nrm, c_id AS bucket,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cosSql("q.v", "q.nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                FROM qn q CROSS JOIN cent),
+        mem AS (SELECT vec_id, v, nrm, bucket FROM asg WHERE arn = 1),
+        qry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+                FROM mem WHERE vec_id % 20 = 0),
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+                     ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
+                   FROM mem b JOIN qry USING (bucket)
+                   WHERE b.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- persisted PQ index: codebook + encoded corpus on disk ----
     // The compression tier's lifecycle twin: the codebook and the
     // 2-byte-code corpus persist once; the timed probe builds the
@@ -764,14 +808,17 @@ object PipelineQueries {
     // ---- NN-Descent recall@5 vs exact brute force (eval row) ----
     // The tuning metric for the graph index, on the standard %20 query
     // sample: exact top-5 (brute force restricted to the sample) against
-    // the descent graph's lists. Same rollup shape as sim_recall_eval.
+    // the descent graph's lists. The BUILT graph is staged (an eval
+    // measures an EXISTING index — sim_nndescent is the build row);
+    // same rollup shape as sim_recall_eval.
     QueryDef("sim_nndescent_recall",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val exact = Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20)
           .select(col("query_id"), col("neighbor_id"))
-        val approx = Similarity.nnDescent(emb, k = 5, rounds = 3,
-            nPlanes = 8, buildK = 20)
+        val approx = Staging.parquetMemo(s, s"$dir#nnd_graph")(
+            Similarity.nnDescent(emb, k = 5, rounds = 3,
+              nPlanes = 8, buildK = 20))
           .where(col("node") % 20 === 0)
           .select(col("node").as("query_id"), col("neighbor_id"))
         val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")

@@ -454,6 +454,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sim_ivf_persisted_add: the add+probe plan is training-free (no Lloyd, no sort-aggregate)") {
+    val p = plan("sim_ivf_persisted_add")
+    assert(p.contains("nearest_centroid"), p.take(2000))
+    assert(!p.contains("posexplode"), "add/probe plan contains a Lloyd mean round")
+    assert(!p.contains("SortAggregate"), p.take(3000))
+  }
+
+  test("sim_nndescent: every join is keyed — no cartesian over data") {
+    val p = plan("sim_nndescent")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("DriverBudget branch counters observe k-means centroid materialization") {
     graft.analytics.DriverBudget.resetBranchCounts()
     SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf).count()

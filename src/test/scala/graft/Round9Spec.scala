@@ -210,6 +210,26 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
       "fixed frames should find zero cross-doc duplicates after the shift")
   }
 
+  test("ivfAddAndProbe is idempotent: re-running the add leaves the probe answer unchanged") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val root = Files.createTempDirectory("graft-r9-ivfadd").toString
+    graft.analytics.Similarity.persistIvfIndex(
+      emb.where(pmod(col("vec_id"), lit(10L)) =!= 0), root,
+      numCentroids = 16, iters = 0)
+    def run() = graft.analytics.Similarity
+      .ivfAddAndProbe(emb, root, batchModulo = 10, k = 5, queryModulo = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val first = run()
+    val second = run() // the delta overwrite must not duplicate members
+    assert(first === second)
+    assert(first.nonEmpty)
+    // and the added batch is actually probed: some new vector (id%10==0)
+    // appears as a neighbor
+    assert(first.exists(_.getLong(2) % 10 == 0),
+      "no batch vector surfaced in any probe result")
+  }
+
   test("compactionPlan is deterministic under duplicate (part_key, file_id) stats rows") {
     import spark.implicits._
     // two full-duplicate identities (the documented contract violation):

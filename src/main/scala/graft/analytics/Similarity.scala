@@ -875,9 +875,17 @@ object Similarity {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
     val n = all.count()
+    // ring rank = global position in md5 order, via distributed range
+    // sort + zipWithIndex (order-preserving across partitions) — NOT a
+    // global row_number window, which funnels the whole corpus through
+    // one partition; this is seed construction, so the RDD hop is paid
+    // once and never sits in a probe path
+    val spark = emb.sparkSession
+    import spark.implicits._
     val ranked = all.select(col("vec_id"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .rdd.map(_.getLong(0)).zipWithIndex()
+      .toDF("vec_id", "rn")
     val ringPairs = ranked
       .select(col("vec_id").as("u"), col("rn"),
         explode(sequence(lit(1), lit(buildK))).as("step"))

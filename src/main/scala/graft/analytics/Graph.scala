@@ -306,6 +306,115 @@ object Graph {
       .select(col("doc_id"), coalesce(col("m"), col("key")).as("cluster_id"))
   }
 
+  /** Bounded-round k-core peeling (Matula–Beck peel, synchronized):
+    * each round drops every node whose CURRENT degree is below `k`,
+    * then the edges that lost an endpoint — after enough rounds the
+    * survivors are exactly the k-core (the maximal subgraph of minimum
+    * degree ≥ k), the standard "is this duplicate cluster a dense clique
+    * or a thin chain?" probe. Like [[labelPropagation]], the registry row
+    * runs a FIXED number of synchronous rounds so the cost is
+    * `rounds · (one degree aggregate + two node-keyed semi-joins)`
+    * regardless of how adversarial the peel order is (a path graph peels
+    * one layer per round; production coreness systems make the same
+    * bounded-round trade). Output: every node still carrying an edge
+    * after `rounds` peels, with its residual degree — nodes below `k`
+    * in the report are exactly the not-yet-converged frontier, visible
+    * rather than silently mislabeled.
+    *
+    * Input `pairs`: DISTINCT undirected (u, v) edges, u ≠ v. The edge
+    * set shrinks monotonically; each survivor join keys on a node id, so
+    * nothing ever shuffles on pairs.
+    */
+  def kCore(pairsIn: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1: $k, $rounds")
+    var e = pairsIn.toDF("u", "v").localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val surv = deg.where(col("deg") >= k).select("node")
+      e = e
+        .join(surv.select(col("node").as("u")), "u")
+        .join(surv.select(col("node").as("v")), "v")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /** Bounded multi-source BFS: hop distance from the nearest seed within
+    * `maxHops` synchronous frontier rounds — the reachability/dispersion
+    * primitive (how far does a curated seed set's influence extend
+    * through the near-dup graph?). Each round is one edge-to-distance
+    * join + a map-side-combined min aggregate + a full-outer merge with
+    * the previous table, i.e. Pregel's frontier superstep as DataFrames;
+    * distances only ever decrease, and a node at true distance d is
+    * final after round d, so `maxHops` bounds BOTH cost and the radius
+    * reported — unreached nodes simply don't appear.
+    *
+    * `edgesIn` is the DIRECTED edge list (callers union both directions
+    * for an undirected graph); `isSeed` marks distance-0 nodes. Output:
+    * (node, dist) for every node within `maxHops` of a seed.
+    */
+  def bfsHops(edgesIn: DataFrame, isSeed: org.apache.spark.sql.Column,
+      maxHops: Int = 4): DataFrame = {
+    val edges = edgesIn.toDF("src", "dst").localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var dist = nodes.where(isSeed).withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val nd = edges.join(dist, col("src") === col("node"))
+        .groupBy(col("dst")).agg((min(col("dist")) + 1L).as("nd"))
+      dist = dist.join(nd, col("node") === col("dst"), "full_outer")
+        .select(coalesce(col("node"), col("dst")).as("node"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Neighborhood-Jaccard link prediction — "which near-dup pairs did
+    * the blocking MISS?" (and the classic recommender primitive): for
+    * every non-adjacent pair with ≥1 common neighbor, score
+    * `|Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)|` and report the top `topN`. A high
+    * score is a pair the similarity join should probably have produced —
+    * the graph-side audit of LSH recall.
+    *
+    * Scale shape: candidate pairs come from WEDGE enumeration
+    * (e(x,a) ⋈ e(x,b) on the shared endpoint — the gr_triangles join
+    * shape: vertex-keyed, never pair-keyed), so only 2-hop pairs ever
+    * materialize; existing edges leave by anti-join, degrees attach by
+    * two node-keyed joins, and the top-N is TakeOrdered. Skewed hub
+    * nodes bound the wedge fan-out by deg²; production caps hub degree
+    * first (the same df-cap discipline as shingle blocking).
+    *
+    * Input `pairs`: DISTINCT undirected (u, v), u < v. Output:
+    * (node_a, node_b, cn, deg_a, deg_b, jaccard), top `topN` by
+    * (jaccard DESC, node_a, node_b).
+    */
+  def linkPrediction(pairsIn: DataFrame, topN: Int = 100): DataFrame = {
+    val p = pairsIn.toDF("u", "v").localCheckpoint(true)
+    val e = p.select(col("u").as("src"), col("v").as("dst"))
+      .union(p.select(col("v"), col("u")))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val cn = e.select(col("src").as("x"), col("dst").as("a"))
+      .join(e.select(col("src").as("x"), col("dst").as("b")), "x")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    cn.join(p.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+        "left_anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+      .limit(topN)
+  }
+
   /** Min-label propagation to convergence over canonical (lo, hi) pairs:
     * the correctness backstop for [[starComponents]] when the alternating
     * rounds exhaust `maxRounds` before reaching their fixed point. Each

@@ -77,6 +77,55 @@ object Layout {
     * any rows that remain tied after all four keys are full duplicates,
     * interchangeable in the running sum.
     */
+  /** Zone-map file-skipping audit — the measurement that justifies (or
+    * indicts) a layout: given per-file stats
+    * `(part_key, file_id, bytes, min_ts, max_ts)` — the same metadata
+    * rows [[compactionPlan]] consumes — split the global time span into
+    * `nProbes` equal probe windows and report, per window, how many
+    * files (and bytes) a min/max-pruned scan would actually touch.
+    * `hit_fraction` near `1/nProbes` means the layout is time-clustered
+    * and zone maps prune almost everything; near 1.0 means every file
+    * straddles every window and the layout needs a [[compactionPlan]] /
+    * Z-order rewrite. This is the dry-run a table service runs BEFORE
+    * paying for a rewrite — and it prices the rewrite's benefit in
+    * bytes-not-scanned.
+    *
+    * A file hits window `[w_start, w_end)` iff `min_ts < w_end AND
+    * max_ts >= w_start` — all integer arithmetic (`div` span slicing;
+    * the last window's end is the exclusive `tmax + 1` so the global max
+    * row lands in window `nProbes − 1`, not a phantom window).
+    *
+    * Scale shape: metadata only — one 1-row global-bounds aggregate
+    * broadcast onto the file-stats rows, an `nProbes`-way explode of
+    * those rows (still metadata-scale), one aggregate keyed on the probe
+    * id. Seconds at 100 TB, like the plan job.
+    */
+  def skippingAudit(files: DataFrame, nProbes: Int = 4): DataFrame = {
+    require(nProbes >= 1, s"nProbes must be positive: $nProbes")
+    val bounds = files.agg(min(col("min_ts")).as("tmin"),
+      (max(col("max_ts")) + 1L).as("tend"))
+    val totals = files.agg(count(lit(1)).as("total_files"),
+      sum(col("bytes")).as("total_bytes"))
+    files.crossJoin(broadcast(bounds)).crossJoin(broadcast(totals))
+      .select(col("*"),
+        explode(sequence(lit(0L), lit(nProbes - 1L))).as("probe"))
+      .withColumn("w_start",
+        col("tmin") + col("probe") * expr(s"(tend - tmin) div $nProbes"))
+      .withColumn("w_end",
+        when(col("probe") === nProbes - 1, col("tend"))
+          .otherwise(col("tmin") +
+            (col("probe") + 1) * expr(s"(tend - tmin) div $nProbes")))
+      .where(col("min_ts") < col("w_end") && col("max_ts") >= col("w_start"))
+      .groupBy(col("probe"), col("w_start"), col("w_end"),
+        col("total_files"), col("total_bytes"))
+      .agg(count(lit(1)).as("files_hit"), sum(col("bytes")).as("bytes_hit"))
+      .select(col("probe"), col("w_start"), col("w_end"),
+        col("total_files"), col("files_hit"),
+        col("total_bytes"), col("bytes_hit"),
+        (col("files_hit").cast("double") / col("total_files").cast("double"))
+          .as("hit_fraction"))
+  }
+
   def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val w = org.apache.spark.sql.expressions.Window

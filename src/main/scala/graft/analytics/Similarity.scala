@@ -850,6 +850,82 @@ object Similarity {
     * corpus scale a range-partitioned sort paid once) + a (rn+step) mod n
     * equi-join.
     */
+  /** Maximal-marginal-relevance diversified retrieval (Carbonell &
+    * Goldstein 1998) — the de-redundancy re-rank every RAG/retrieval
+    * stack runs after similarity search: greedily pick `k` results per
+    * query maximizing `λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s)`, so the
+    * second pick is pulled AWAY from the first (near-duplicate hits
+    * can't fill the whole result page). Round 1's score is `rel` itself
+    * (S empty).
+    *
+    * Scale shape: the expensive part is the relevance shortlist (here
+    * exact brute force over a BROADCAST query set — production swaps in
+    * any `sim_ann_*` probe; the MMR stage is index-agnostic). Everything
+    * after is bounded by the shortlist: pairwise sims are
+    * `|queries|·shortlist²` rows, and each of the `k` greedy rounds is
+    * one (query, selected)-keyed join + a map-side-combined max + a
+    * per-query top-1 window over ≤ shortlist rows. No driver state, no
+    * corpus-sized shuffle after the shortlist.
+    *
+    * Determinism: rel and sim are quantized-integer cosines (exact dot,
+    * one double division), the score is the same two-literal fma-free
+    * expression on both engines, ties break on cand_id — so the oracle
+    * replays the greedy selection bit-for-bit.
+    */
+  def mmrSelect(emb: DataFrame, k: Int = 5, shortlist: Int = 20,
+      queryModulo: Int = 50): DataFrame = {
+    val all = prep(emb)
+    val queries = all.where(col("vec_id") % queryModulo === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cosineQ(dotQF(col("qv"), col("v")), col("qnrm"), col("nrm")).as("rel"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand_id"))
+    val sl = scored.withColumn("rnk", row_number().over(wRel))
+      .where(col("rnk") <= shortlist)
+      .select("query_id", "cand_id", "rel")
+      .localCheckpoint(true)
+    // pairwise sims within each query's shortlist — ≤ shortlist² per query
+    val va = all.select(col("vec_id").as("cand_id"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = all.select(col("vec_id").as("other_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val pairs = sl.select(col("query_id"), col("cand_id"))
+      .join(sl.select(col("query_id"), col("cand_id").as("other_id")), "query_id")
+      .where(col("cand_id") =!= col("other_id"))
+      .join(va, "cand_id").join(vb, "other_id")
+      .select(col("query_id"), col("cand_id"), col("other_id"),
+        cosineQ(dotQF(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
+      .localCheckpoint(true)
+    var selAll = sl.withColumn("rn", row_number().over(wRel))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), col("rel"),
+        col("rel").as("score"), lit(1L).as("sel_rank"))
+      .localCheckpoint(true)
+    for (t <- 2 to k) {
+      val selKeys = selAll.select(col("query_id"), col("cand_id"))
+      val maxSim = pairs
+        .join(selKeys.select(col("query_id"), col("cand_id").as("other_id")),
+          Seq("query_id", "other_id"))
+        .groupBy("query_id", "cand_id").agg(max(col("sim")).as("maxsim"))
+      val roundScores = sl
+        .join(selKeys, Seq("query_id", "cand_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "cand_id"))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+      val wScore = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id"))
+      val pick = roundScores.withColumn("rn", row_number().over(wScore))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("rel"), col("score"),
+          lit(t.toLong).as("sel_rank"))
+      selAll = selAll.unionByName(pick).localCheckpoint(true)
+    }
+    selAll.select(col("query_id"), col("sel_rank"), col("cand_id"),
+      col("rel"), col("score"))
+  }
+
   def nnDescent(emb: DataFrame, k: Int = 5, rounds: Int = 2,
       nPlanes: Int = 8, buildK: Int = 20): DataFrame = {
     require(buildK >= k, s"buildK ($buildK) must be >= k ($k)")

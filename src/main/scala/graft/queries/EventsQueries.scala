@@ -613,6 +613,48 @@ object EventsQueries {
                count(*) >= 2 AS is_merge
         FROM c GROUP BY 1, 2 ORDER BY part_key, grp""")),
 
+    // beyond-reference — zone-map file-skipping audit: the dry-run a
+    // table service prices a rewrite with. Same deterministic file-stat
+    // rows as lay_compaction_plan; the global span splits into 4 probe
+    // windows and each reports how many files/bytes a min/max-pruned
+    // scan would touch (hit_fraction ≈ 1/4 = time-clustered layout,
+    // ≈ 1 = every file straddles every window → rewrite pays).
+    // Metadata-only end to end: bounds broadcast, 4-way explode of file
+    // rows, one probe-keyed aggregate.
+    QueryDef("lay_skipping_stats",
+      (s, dir) => {
+        val files = ev(s, dir)
+          .groupBy(expr("ts_ms div 86400000").as("part_key"),
+            expr("event_id div 128").as("file_id"))
+          .agg((count(lit(1)) * 64).as("bytes"),
+            min(col("ts_ms")).as("min_ts"), max(col("ts_ms")).as("max_ts"))
+        graft.analytics.Layout.skippingAudit(files, nProbes = 4)
+          .orderBy("probe")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, $MS AS ts_ms FROM events),
+        f AS (SELECT ts_ms // 86400000 AS part_key, event_id // 128 AS file_id,
+                     count(*) * 64 AS bytes,
+                     min(ts_ms) AS min_ts, max(ts_ms) AS max_ts
+              FROM e GROUP BY 1, 2),
+        b AS (SELECT min(min_ts) AS tmin, max(max_ts) + 1 AS tend FROM f),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS total_files,
+                     CAST(sum(bytes) AS BIGINT) AS total_bytes FROM f),
+        p AS (SELECT unnest(range(0, 4)) AS probe),
+        w AS (SELECT probe,
+                tmin + probe * ((tend - tmin) // 4) AS w_start,
+                CASE WHEN probe = 3 THEN tend
+                     ELSE tmin + (probe + 1) * ((tend - tmin) // 4) END AS w_end
+              FROM p CROSS JOIN b)
+        SELECT probe, w_start, w_end, total_files,
+               CAST(count(*) AS BIGINT) AS files_hit,
+               total_bytes, CAST(sum(bytes) AS BIGINT) AS bytes_hit,
+               CAST(count(*) AS DOUBLE) / total_files AS hit_fraction
+        FROM f JOIN w ON min_ts < w_end AND max_ts >= w_start
+             CROSS JOIN t
+        GROUP BY probe, w_start, w_end, total_files, total_bytes
+        ORDER BY probe""")),
+
     // beyond-reference — interval-overlap self-join: which user pairs had
     // concurrently-active sessions? The scale shape is the time-bucket
     // equi-join (each interval explodes to the hour buckets it spans;

@@ -2164,6 +2164,153 @@ object PipelineQueries {
         FROM dc LEFT JOIN mi USING (community) CROSS JOIN mt
         ORDER BY community""")),
 
+    // ---- bounded k-core peel of the near-dup graph ----
+    // Dense-clique vs thin-chain triage for duplicate clusters: four
+    // synchronized Matula–Beck peel rounds at k=2 (drop degree-<2 nodes,
+    // then their edges), report every surviving node's residual degree.
+    // Each round is one degree aggregate + two node-keyed semi-joins over
+    // a monotonically shrinking edge set — never a pair-keyed shuffle.
+    QueryDef("gr_kcore",
+      (s, dir) => {
+        val pairs = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.15)
+          .select(col("vec_a").as("u"), col("vec_b").as("v"))
+        graft.analytics.Graph.kCore(pairs, k = 2, rounds = 4)
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH $QuantCte, $LshCandCtes, ${lshPairsCte(0.15)},
+        e0 AS MATERIALIZED (SELECT vec_a AS u, vec_b AS v FROM pr),
+        ${(1 to 4).map { t =>
+          val p = t - 1
+          s"""d$t AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+                 SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p)
+               GROUP BY 1),
+          s$t AS MATERIALIZED (SELECT node FROM d$t WHERE deg >= 2),
+          e$t AS MATERIALIZED (SELECT u, v FROM e$p
+                  JOIN s$t a ON u = a.node JOIN s$t b ON v = b.node)"""
+        }.mkString(",\n        ")}
+        SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+        GROUP BY 1 ORDER BY node""")),
+
+    // ---- bounded multi-source BFS over the near-dup graph ----
+    // Hop distance from the nearest seed (vec_id % 50 = 0) within 4
+    // frontier rounds — Pregel's superstep as DataFrames: one
+    // edge-to-distance join + map-side-combined min + full-outer merge
+    // per round; unreached nodes don't appear. The seed-set dispersion
+    // probe for curated exemplars.
+    QueryDef("gr_bfs_hops",
+      (s, dir) => {
+        val pairs = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.15)
+        val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        graft.analytics.Graph.bfsHops(edges,
+            pmod(col("node"), lit(50L)) === 0L, maxHops = 4)
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH $QuantCte, $LshCandCtes, ${lshPairsCte(0.15)},
+        edges AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM pr
+                  UNION ALL SELECT vec_b, vec_a FROM pr),
+        d0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+               FROM edges WHERE src % 50 = 0),
+        ${(1 to 4).map { t =>
+          val p = t - 1
+          s"""n$t AS MATERIALIZED (SELECT e.dst AS node, min(d.dist) + 1 AS nd
+                 FROM edges e JOIN d$p d ON e.src = d.node GROUP BY 1),
+          d$t AS MATERIALIZED (SELECT coalesce(d.node, n.node) AS node,
+                    least(coalesce(d.dist, n.nd), coalesce(n.nd, d.dist)) AS dist
+                  FROM d$p d FULL JOIN n$t n ON d.node = n.node)"""
+        }.mkString(",\n        ")}
+        SELECT node, dist FROM d4 ORDER BY node""")),
+
+    // ---- neighborhood-Jaccard link prediction ----
+    // "Which near-dup pairs did the blocking miss?" — the graph-side
+    // LSH-recall audit (and the classic recommender primitive): for
+    // non-adjacent 2-hop pairs, |Γa∩Γb| / |Γa∪Γb|, top 100. Candidates
+    // from wedge enumeration (vertex-keyed, the gr_triangles join
+    // shape), existing edges anti-joined away, TakeOrdered top-N.
+    QueryDef("gr_linkpred",
+      (s, dir) => {
+        val pairs = Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.15)
+          .select(col("vec_a").as("u"), col("vec_b").as("v"))
+        graft.analytics.Graph.linkPrediction(pairs, topN = 100)
+      },
+      Some(s"""
+        WITH $QuantCte, $LshCandCtes, ${lshPairsCte(0.15)},
+        e AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM pr
+              UNION ALL SELECT vec_b, vec_a FROM pr),
+        dg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        cn AS (SELECT x.dst AS a, y.dst AS b, count(*) AS cn
+               FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+               GROUP BY 1, 2),
+        nonedge AS (SELECT cn.* FROM cn
+                    LEFT JOIN pr ON cn.a = pr.vec_a AND cn.b = pr.vec_b
+                    WHERE pr.vec_a IS NULL)
+        SELECT a AS node_a, b AS node_b, cn,
+               da.deg AS deg_a, db.deg AS deg_b,
+               CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE)
+                 AS jaccard
+        FROM nonedge JOIN dg da ON a = da.node JOIN dg db ON b = db.node
+        ORDER BY jaccard DESC, node_a, node_b LIMIT 100""")),
+
+    // ---- MMR diversified retrieval ----
+    // The de-redundancy re-rank after similarity search (Carbonell &
+    // Goldstein 1998): greedy k=5 picks per query maximizing
+    // 0.7·rel − 0.3·max-sim-to-selected over a 20-deep relevance
+    // shortlist. Shortlist is the only corpus-sized stage (brute force
+    // here — production swaps any sim_ann_* probe in); every greedy
+    // round is bounded by |queries|·shortlist. The oracle replays all
+    // five rounds as unrolled CTEs, same exact-integer cosines, ties on
+    // cand_id.
+    QueryDef("sim_mmr",
+      (s, dir) => Similarity.mmrSelect(Tables.embeddings(s, dir),
+          k = 5, shortlist = 20, queryModulo = 50)
+        .orderBy("query_id", "sel_rank"),
+      Some(s"""
+        WITH $QuantCte,
+        qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 50 = 0),
+        sc AS (SELECT query_id, c.vec_id AS cand_id,
+                 ${cosSql("qv", "qnrm", "c.v", "c.nrm")} AS rel
+               FROM qs JOIN qn c ON c.vec_id <> query_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY rel DESC, cand_id) AS rnk FROM sc),
+        sl AS MATERIALIZED (SELECT query_id, cand_id, rel FROM rk WHERE rnk <= 20),
+        ps AS MATERIALIZED (SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+                 ${cosSql("x.v", "x.nrm", "y.v", "y.nrm")} AS sim
+               FROM sl a JOIN sl b ON a.query_id = b.query_id
+                                  AND a.cand_id <> b.cand_id
+                 JOIN qn x ON x.vec_id = a.cand_id
+                 JOIN qn y ON y.vec_id = b.cand_id),
+        p1 AS (SELECT query_id, cand_id, rel, rel AS score,
+                 CAST(1 AS BIGINT) AS sel_rank
+               FROM rk WHERE rnk = 1),
+        sel1 AS (SELECT query_id, cand_id FROM p1),
+        ${(2 to 5).map { t =>
+          val p = t - 1
+          s"""m$t AS MATERIALIZED (SELECT p.query_id, p.cand_id, max(p.sim) AS maxsim
+                 FROM ps p JOIN sel$p s
+                   ON p.query_id = s.query_id AND p.other_id = s.cand_id
+                 GROUP BY 1, 2),
+          c$t AS MATERIALIZED (SELECT sl.query_id, sl.cand_id, sl.rel,
+                    0.7 * sl.rel - 0.3 * m.maxsim AS score
+                  FROM sl JOIN m$t m USING (query_id, cand_id)
+                  LEFT JOIN sel$p s ON sl.query_id = s.query_id
+                                   AND sl.cand_id = s.cand_id
+                  WHERE s.cand_id IS NULL),
+          p$t AS MATERIALIZED (SELECT query_id, cand_id, rel, score,
+                    CAST($t AS BIGINT) AS sel_rank
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, cand_id) AS rn FROM c$t)
+                  WHERE rn = 1),
+          sel$t AS MATERIALIZED (SELECT query_id, cand_id FROM sel$p
+                    UNION ALL SELECT query_id, cand_id FROM p$t)"""
+        }.mkString(",\n        ")}
+        SELECT query_id, sel_rank, cand_id, rel, score FROM (
+          ${(1 to 5).map(t => s"SELECT * FROM p$t").mkString(" UNION ALL ")})
+        ORDER BY query_id, sel_rank""")),
+
     // ---- cross-source content-overlap matrix ----
     // "How much of source B is already in source A?" — per source pair,
     // shared distinct 3-gram shingles + Jaccard. The (source, shingle)

@@ -242,4 +242,83 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
         .orderBy("part_key", "grp").collect().toSeq)
     assert(runs.distinct.size === 1)
   }
+
+  test("kCore peels a pendant chain but keeps the triangle at k=2") {
+    import spark.implicits._
+    // triangle 1-2-3 (a 2-core) with a chain 3-4-5-6 hanging off it
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = graft.analytics.Graph.kCore(pairs, k = 2, rounds = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // chain peels one layer per round (6, then 5, then 4); the triangle
+    // survives with residual degree 2 everywhere
+    assert(got.toSeq === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("bfsHops reports min-hop distances and stops at maxHops") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5-6 with seed 0: node 5 is 5 hops away (> maxHops=4)
+    val pairs = (0L to 5L).map(i => (i, i + 1)).toDF("u", "v")
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v"), col("u")))
+    val got = graft.analytics.Graph.bfsHops(edges,
+        col("node") === 0L, maxHops = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("linkPrediction scores non-adjacent 2-hop pairs and excludes edges") {
+    import spark.implicits._
+    // square 1-2-3-4-1: the two diagonals (1,3) and (2,4) each share two
+    // common neighbors and are not edges; every adjacent pair is excluded
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val got = graft.analytics.Graph.linkPrediction(pairs, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5)))
+    assert(got.length === 2)
+    // cn=2, deg 2+2, jaccard = 2/(2+2-2) = 1.0
+    assert(got.toSet === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+  }
+
+  test("MMR's second pick skips the near-duplicate of the first") {
+    import spark.implicits._
+    // query 0; candidates: 1 and 2 are near-duplicates of each other
+    // (both highly relevant), 3 is slightly less relevant but diverse.
+    // Greedy-by-relevance would return (1, 2); MMR must return (1, 3).
+    val rows = Seq(
+      (0L, "q", Array(1.0f, 0.0f, 0.0f)),
+      (1L, "a", Array(0.81f, 0.59f, 0.0f)),
+      (2L, "a2", Array(0.80f, 0.60f, 0.0f)),
+      (3L, "b", Array(0.80f, 0.0f, 0.60f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.analytics.Similarity
+      .mmrSelect(rows, k = 3, shortlist = 20, queryModulo = 50)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(got(0)._2 === 1L, s"rank 1 must be the most relevant: ${got.toSeq}")
+    assert(got(1)._2 === 3L,
+      s"rank 2 must skip the near-duplicate of pick 1: ${got.toSeq}")
+    assert(got(2)._2 === 2L)
+  }
+
+  test("skippingAudit prices a time-clustered layout vs a straddling file") {
+    import spark.implicits._
+    // four files each inside one quarter of [0, 400) + one file
+    // straddling the whole span: every probe hits its quarter file + the
+    // straddler (2 of 5 files)
+    val files = (0 to 3).map(i =>
+      (i.toLong, i.toLong, 100L, i * 100L, i * 100L + 99L)) :+
+      (9L, 9L, 400L, 0L, 399L)
+    val df = files.toDF("part_key", "file_id", "bytes", "min_ts", "max_ts")
+    val got = graft.analytics.Layout.skippingAudit(df, nProbes = 4)
+      .orderBy("probe").collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      assert(r.getAs[Long]("total_files") === 5L)
+      assert(r.getAs[Long]("files_hit") === 2L,
+        s"probe ${r.getAs[Long]("probe")}: ${r.mkString(",")}")
+      assert(r.getAs[Double]("hit_fraction") === 0.4)
+    }
+  }
 }

@@ -943,6 +943,34 @@ object EventsQueries {
                     AS INT) AS is_peak
         FROM a ORDER BY event_type, hod""")),
 
+    // beyond-reference — DETRENDED seasonal profile (the STL decompose
+    // step ts_seasonal_profile skips): subtract a ±12-row centered
+    // moving trend from each point, then profile the residual by
+    // hour-of-day — separating daily shape from level drift, which the
+    // raw profile conflates. Exactness trick: only interior rows (full
+    // 25-row window) contribute, so the detrended value scales to the
+    // CONSTANT-denominator exact integer `25·x − Σwindow` and the one
+    // double division happens per output row. One window + one
+    // aggregate, both keyed on event_type.
+    QueryDef("ts_seasonal_detrended",
+      (s, dir) => graft.analytics.Seasonal.detrendedProfile(ev(s, dir))
+        .orderBy("event_type", "hod"),
+      Some(s"""
+        WITH e AS (SELECT event_type, $MS AS ts_ms, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        t AS (SELECT *, sum(cents) OVER w AS sw, count(*) OVER w AS nw
+              FROM e WINDOW w AS (PARTITION BY event_type
+                ORDER BY ts_ms, event_id
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        d AS (SELECT event_type, ts_ms, cents * 25 - sw AS d25
+              FROM t WHERE nw = 25)
+        SELECT event_type, (ts_ms // 3600000) % 24 AS hod,
+               count(*) AS n, CAST(sum(d25) AS BIGINT) AS sum_d25,
+               CAST(sum(d25) AS DOUBLE) / CAST(count(*) * 25 AS DOUBLE)
+                 / 100.0 AS seasonal
+        FROM d GROUP BY 1, 2 ORDER BY event_type, hod""")),
+
     // beyond-reference — NEAREST as-of join: for each click, the purchase
     // of the same user closest in time, either direction; equal-distance
     // ties resolve to the backward match. Two merge passes stitched on the

@@ -2311,6 +2311,41 @@ object PipelineQueries {
           ${(1 to 5).map(t => s"SELECT * FROM p$t").mkString(" UNION ALL ")})
         ORDER BY query_id, sel_rank""")),
 
+    // ---- record linkage (entity resolution) ----
+    // The structured-data sibling of text dedup: deterministic
+    // typo-injected names (key%3: substitute / drop / keep the last
+    // char) resolved back against the clean registry. Blocking on the
+    // noise-free 8-digit prefix bounds Levenshtein to |block|² pairs —
+    // never all-pairs — and ambiguity is reported (n_cands), not
+    // silently resolved: a dropped last digit legitimately matches ten
+    // registry rows.
+    QueryDef("dd_entity_resolution",
+      (s, dir) => Dedup.entityResolution(Tables.customer(s, dir), maxLev = 1)
+        .orderBy("dirty_id"),
+      Some("""
+        WITH d AS (SELECT c_custkey AS dirty_id,
+                     CASE c_custkey % 3
+                       WHEN 0 THEN substr(c_name, 1, 17) || 'X'
+                       WHEN 1 THEN substr(c_name, 1, 17)
+                       ELSE c_name END AS dirty_name
+                   FROM customer),
+        db AS (SELECT dirty_id, dirty_name,
+                 substr(dirty_name, 10, 8) AS block FROM d),
+        c AS (SELECT c_custkey AS clean_id, c_name AS clean_name,
+                substr(c_name, 10, 8) AS block FROM customer),
+        cd AS (SELECT dirty_id, clean_id,
+                 CAST(levenshtein(dirty_name, clean_name) AS BIGINT) AS lev
+               FROM db JOIN c USING (block)
+               WHERE levenshtein(dirty_name, clean_name) <= 1),
+        rk AS (SELECT *,
+                 row_number() OVER (PARTITION BY dirty_id
+                   ORDER BY lev, clean_id) AS rn,
+                 CAST(count(*) OVER (PARTITION BY dirty_id) AS BIGINT)
+                   AS n_cands
+               FROM cd)
+        SELECT dirty_id, clean_id AS matched_id, lev, n_cands
+        FROM rk WHERE rn = 1 ORDER BY dirty_id""")),
+
     // ---- cross-source content-overlap matrix ----
     // "How much of source B is already in source A?" — per source pair,
     // shared distinct 3-gram shingles + Jaccard. The (source, shingle)

@@ -302,6 +302,46 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2)._2 === 2L)
   }
 
+  test("entityResolution: exact names resolve to themselves; a dropped digit reports its full ambiguity set") {
+    val got = graft.analytics.Dedup
+      .entityResolution(Tables.customer(spark, sf), maxLev = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (dirtyId, matchedId, lev, nCands) =>
+      dirtyId % 3 match {
+        case 2 => // untouched name: lev-0 self-match beats the block's
+          // nine lev-1 single-substitution candidates
+          assert(matchedId === dirtyId && lev === 0L,
+            s"exact row mis-resolved: ($dirtyId, $matchedId, $lev, $nCands)")
+        case 1 => // dropped last digit: matches all ten registry rows of
+          // its 8-digit block (honest ambiguity, reported not hidden)
+          assert(lev === 1L && nCands >= 10L,
+            s"dropped-digit row: ($dirtyId, $matchedId, $lev, $nCands)")
+        case _ => // substituted last char: ten single-substitution cands
+          assert(lev === 1L && nCands >= 10L && matchedId / 10 === dirtyId / 10,
+            s"substituted row: ($dirtyId, $matchedId, $lev, $nCands)")
+      }
+    }
+  }
+
+  test("detrendedProfile cancels a linear trend exactly") {
+    import spark.implicits._
+    // value = 5 + 0.07·i on a strictly ramping series: every interior
+    // window's 25·x − Σ is identically zero, so the seasonal profile is
+    // exactly flat at 0.0 — level drift never leaks into daily shape
+    val events = (0 until 200).map { i =>
+      ("ramp", i * 600000L, i.toLong, 5.0 + 0.07 * i)
+    }.toDF("event_type", "ts_ms", "event_id", "value")
+    val got = graft.analytics.Seasonal.detrendedProfile(events).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("sum_d25") === 0L,
+        s"linear trend must cancel exactly: ${r.mkString(",")}")
+      assert(r.getAs[Double]("seasonal") === 0.0)
+    }
+  }
+
   test("skippingAudit prices a time-clustered layout vs a straddling file") {
     import spark.implicits._
     // four files each inside one quarter of [0, 400) + one file

@@ -502,6 +502,38 @@ object StreamMultimodalQueries {
                  AS passes
         FROM s ORDER BY doc_id""")),
 
+    // ---- streaming record linkage (parity with dd_entity_resolution) ----
+    // Dirty records arrive as a stream and resolve against the STATIC
+    // clean registry: a stream-static blocked join (no state store at
+    // all), per-dirty best via min(struct(lev, clean_id)) — the same
+    // total order as the batch row_number pick. Shares the batch oracle
+    // verbatim.
+    QueryDef("st_entity_resolution",
+      (s, dir) => StreamingIngest.streamingEntityResolution(s, dir),
+      Some("""
+        WITH d AS (SELECT c_custkey AS dirty_id,
+                     CASE c_custkey % 3
+                       WHEN 0 THEN substr(c_name, 1, 17) || 'X'
+                       WHEN 1 THEN substr(c_name, 1, 17)
+                       ELSE c_name END AS dirty_name
+                   FROM customer),
+        db AS (SELECT dirty_id, dirty_name,
+                 substr(dirty_name, 10, 8) AS block FROM d),
+        c AS (SELECT c_custkey AS clean_id, c_name AS clean_name,
+                substr(c_name, 10, 8) AS block FROM customer),
+        cd AS (SELECT dirty_id, clean_id,
+                 CAST(levenshtein(dirty_name, clean_name) AS BIGINT) AS lev
+               FROM db JOIN c USING (block)
+               WHERE levenshtein(dirty_name, clean_name) <= 1),
+        rk AS (SELECT *,
+                 row_number() OVER (PARTITION BY dirty_id
+                   ORDER BY lev, clean_id) AS rn,
+                 CAST(count(*) OVER (PARTITION BY dirty_id) AS BIGINT)
+                   AS n_cands
+               FROM cd)
+        SELECT dirty_id, clean_id AS matched_id, lev, n_cands
+        FROM rk WHERE rn = 1 ORDER BY dirty_id""")),
+
     // ---- streaming LES forecast (parity with ts_forecast_les) ----
     // The two chained EWMA windows as a transformWithState per-tag state
     // machine: ≤16+16 buffered doubles + one pending forecast + two

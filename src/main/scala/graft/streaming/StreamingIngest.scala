@@ -756,6 +756,40 @@ object StreamingIngest {
     drain(out, "append").orderBy("doc_id")
   }
 
+  /** Streaming record linkage — [[graft.analytics.Dedup.entityResolution]]
+    * at its deployment point: dirty records ARRIVE as a stream and
+    * resolve against the STATIC clean registry through the same blocked
+    * Levenshtein join. A stream-static equi-join needs NO state store at
+    * all (the registry side broadcasts / re-reads per micro-batch), and
+    * the per-dirty best match is `min(struct(lev, clean_id))` — the same
+    * total order as the batch row_number pick — so the row shares
+    * `dd_entity_resolution`'s oracle verbatim (stream/batch parity).
+    */
+  def streamingEntityResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/customer.parquet").schema
+    val m3 = pmod(col("c_custkey"), lit(3L))
+    val dirty = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "customer.parquet").parquet(sfDir)
+      .select(col("c_custkey").as("dirty_id"),
+        when(m3 === 0, concat(substring(col("c_name"), 1, 17), lit("X")))
+          .when(m3 === 1, substring(col("c_name"), 1, 17))
+          .otherwise(col("c_name")).as("dirty_name"))
+      .withColumn("block", substring(col("dirty_name"), 10, 8))
+    val clean = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("clean_id"), col("c_name").as("clean_name"),
+        substring(col("c_name"), 10, 8).as("block"))
+    val cand = dirty.join(clean, "block")
+      .withColumn("lev",
+        levenshtein(col("dirty_name"), col("clean_name")).cast("long"))
+      .where(col("lev") <= 1)
+    val out = cand.groupBy(col("dirty_id"))
+      .agg(min(struct(col("lev"), col("clean_id"))).as("best"),
+        count(lit(1)).as("n_cands"))
+      .select(col("dirty_id"), col("best.clean_id").as("matched_id"),
+        col("best.lev").as("lev"), col("n_cands"))
+    drain(out, "complete").orderBy("dirty_id")
+  }
+
   def windowedEventCounts(spark: SparkSession, sfDir: String,
       windowMs: Long = 3600000L): DataFrame = {
     val out = eventStream(spark, sfDir)

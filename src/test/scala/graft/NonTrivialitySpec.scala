@@ -154,4 +154,53 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept > 0L && kept < total,
       s"debounce degenerate: kept $kept of $total")
   }
+
+  test("gr_kcore keeps a non-empty 2-core that is smaller than the graph") {
+    import org.apache.spark.sql.functions._
+    val core = SparkEntry.queries("gr_kcore")(spark, sfSmall).cache()
+    val nCore = core.count()
+    val nNodes = graft.analytics.Dedup
+      .embeddingNearDups(Tables.embeddings(spark, sfSmall), 0.15)
+      .select(explode(array(col("vec_a"), col("vec_b"))).as("v"))
+      .distinct().count()
+    core.unpersist()
+    // a data re-draw that makes the near-dup graph a forest (empty
+    // 2-core) or a clique soup (everything survives) would silently
+    // trivialize the peel — fail loudly here instead
+    assert(nCore > 0L, "2-core empty: near-dup graph degenerated to a forest")
+    assert(nCore < nNodes, s"2-core kept everything: $nCore of $nNodes")
+  }
+
+  test("MMR picks are distinct per query and rank 1 is the relevance argmax") {
+    import org.apache.spark.sql.functions._
+    val mmr = SparkEntry.queries("sim_mmr")(spark, sfSmall).cache()
+    val perQuery = mmr.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("cand_id")).as("nd"))
+      .collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach(r => assert(r.getLong(1) === 5L && r.getLong(2) === 5L,
+      s"query ${r.get(0)}: ${r.getLong(1)} picks, ${r.getLong(2)} distinct"))
+    val top1 = graft.analytics.Similarity
+      .bruteForceTopK(Tables.embeddings(spark, sfSmall), k = 1,
+        queryModulo = 50)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mmr.where(col("sel_rank") === 1).collect().foreach { r =>
+      assert(top1(r.getLong(0)) === r.getLong(2),
+        s"rank-1 pick for query ${r.getLong(0)} is not the relevance argmax")
+    }
+    mmr.unpersist()
+  }
+
+  test("lay_skipping_stats: the layout actually skips files on some probe") {
+    import org.apache.spark.sql.functions._
+    val audit = SparkEntry.queries("lay_skipping_stats")(spark, sfMid)
+      .collect()
+    assert(audit.length === 4)
+    audit.foreach(r => assert(r.getAs[Long]("files_hit") >= 1L))
+    // at least one probe window must prune SOMETHING, or the audit can
+    // no longer distinguish layouts (every file straddling every window)
+    assert(audit.exists(r => r.getAs[Double]("hit_fraction") < 1.0),
+      audit.map(_.mkString(",")).mkString("; "))
+  }
 }

@@ -39,7 +39,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dd_containment", "dd_substring", "dd_embedding_neardup", "mm_phash",
     "ts_interval_overlap", "tx_novelty", "rel_nation_revenue",
     "rel_shipping_priority", "rel_small_qty_loss", "rel_market_share",
-    "gr_degree_dist")
+    "gr_degree_dist", "dd_entity_resolution", "gr_linkpred", "gr_kcore",
+    "sim_mmr", "lay_skipping_stats")
 
   neverCartesian.foreach { name =>
     test(s"$name: no CartesianProduct anywhere in the plan") {
@@ -408,6 +409,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // file-stat derivation is one hash aggregate; the window runs over
     // the per-partition file runs
     assert(p.contains("HashAggregate") && p.contains("Window"))
+  }
+
+  test("dd_entity_resolution: candidates come from a keyed block join, never all-pairs") {
+    val p = plan("dd_entity_resolution")
+    // the Levenshtein scoring must sit above an equality join on the
+    // blocking key — a CartesianProduct here is the ER anti-pattern the
+    // blocking exists to prevent (covered by neverCartesian too); also
+    // pin that SOME equality join actually carries the candidates
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(p.toLowerCase.contains("levenshtein"), p.take(2000))
+  }
+
+  test("lay_skipping_stats: bounds and totals broadcast onto metadata rows") {
+    val p = plan("lay_skipping_stats")
+    // the two 1-row aggregates reach the file-stat rows as broadcasts;
+    // the only exchanges are the stats aggregate and the probe rollup
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
   test("ts_forecast_les: both smoothing windows share ONE hash exchange") {

@@ -169,7 +169,13 @@ object ScaleProbe {
     }
 
     replicate("customer") { (df, i) =>
+      // c_name IS the key in TPC-H ("Customer#" + 9-digit custkey) — a
+      // shard that offsets the key but kept the old name would put ten
+      // identical names in every ER block (|block|² Levenshtein blowup,
+      // measured 56× at 10×), which no real registry has
       df.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
     }
     replicate("supplier") { (df, i) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(i * 10000000L))

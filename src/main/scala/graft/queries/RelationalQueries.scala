@@ -192,6 +192,56 @@ object RelationalQueries {
                         AND o.o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Runtime Bloom-filter semi-join reduction — the shuffle-join
+    // counterpart of broadcast pruning for the 100 TB case where the
+    // filtered dim side is still too big to broadcast: Spark's
+    // InjectRuntimeFilter builds a bloom filter from the selective side
+    // and applies `might_contain` on the fact side's join key BEFORE the
+    // fact shuffle, so non-matching lineitem rows never cross the
+    // network. Broadcast is disabled inside the query (that's the
+    // scenario) and restored after; PlanShapeSpec pins the injected
+    // filter. The filter is semantics-free (false positives only shuffle
+    // a few extra rows), so the oracle is the plain join.
+    QueryDef("rel_bloom_pruned_join",
+      (s, dir) => {
+        // Spark injects the bloom filter only when the creation side can
+        // NOT broadcast (otherwise a broadcast join wins anyway) and the
+        // application side is big enough — i.e. exactly the 100 TB
+        // regime. Locally we simulate that regime at PLAN time: set the
+        // two confs, force the (memoized) physical plan, restore. The
+        // returned DataFrame executes the already-optimized plan; later
+        // queries see untouched conf.
+        val kBroadcast = "spark.sql.autoBroadcastJoinThreshold"
+        val kAppSide =
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        val prevBroadcast = s.conf.get(kBroadcast)
+        val prevAppSide = s.conf.get(kAppSide)
+        s.conf.set(kBroadcast, "-1")
+        s.conf.set(kAppSide, "0")
+        try {
+          val df = Tables.lineitem(s, dir)
+            .join(Tables.orders(s, dir)
+              .where(col("o_orderpriority") === "1-URGENT"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderstatus").as("status"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+                .as("sum_qty"))
+            .orderBy("status")
+          df.queryExecution.executedPlan // force optimization under the confs
+          df
+        } finally {
+          s.conf.set(kBroadcast, prevBroadcast)
+          s.conf.set(kAppSide, prevAppSide)
+        }
+      },
+      Some("""
+        SELECT o_orderstatus AS status, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1 ORDER BY status""")),
+
     // Arbitrary GROUPING SETS (the general form rollup/cube specialize) +
     // GROUPING() disambiguation of "grouped-out" vs literal values — one
     // pass over orders expands to the three aggregation grains.

@@ -431,6 +431,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("rel_bloom_pruned_join: the runtime bloom filter is actually injected") {
+    val p = plan("rel_bloom_pruned_join")
+    // the semi-join reduction this row exists to prove: might_contain on
+    // the fact side's join key BEFORE the fact shuffle — and the join
+    // really is a shuffle join (the simulated can't-broadcast regime)
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(2000))
+  }
+
   test("ts_forecast_les: both smoothing windows share ONE hash exchange") {
     // S1's window, S2's window and the lead() all use the same
     // (partition, sort) spec — a second hashpartitioning exchange would

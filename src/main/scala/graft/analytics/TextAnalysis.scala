@@ -202,9 +202,34 @@ object TextAnalysis {
     * token count, character count, and the chars-per-token compression —
     * the number a tokenizer-prep pipeline actually tracks.
     */
-  def bpeEncode(docs: DataFrame, rounds: Int = 6): DataFrame = {
-    val vocab = bpeTrainState(docs, rounds)._2
+  def bpeEncode(docs: DataFrame, rounds: Int = 6): DataFrame =
+    encodeWithVocab(docs, bpeTrainState(docs, rounds)._2
+      .select(col("word"), size(col("toks")).cast("long").as("nt")))
+
+  /** Persist the trained word → token-count vocabulary — the tokenizer's
+    * write_index: training runs ONCE (per release, in production), and
+    * every later encode job loads the vocab-sized table instead of
+    * re-deriving it. Same discipline as [[Similarity.persistIvfIndex]].
+    */
+  def persistBpeVocab(docs: DataFrame, root: String, rounds: Int = 6): Unit =
+    bpeTrainState(docs, rounds)._2
       .select(col("word"), size(col("toks")).cast("long").as("nt"))
+      .write.mode("overwrite").parquet(root)
+
+  /** Encode under a PERSISTED vocabulary (read_index + apply): the timed
+    * plan's only inputs are the corpus scan and the vocab parquet — no
+    * merge fold, no pair-count round, no training job anywhere. Training
+    * determinism makes the result identical to [[bpeEncode]]'s, so both
+    * share one oracle.
+    */
+  def bpeEncodePersisted(docs: DataFrame, root: String): DataFrame =
+    encodeWithVocab(docs, docs.sparkSession.read.parquet(root))
+
+  /** The shared APPLY leg: one exploded-word join against the vocab-sized
+    * `(word, nt)` mapping (words shorter than 2 chars encode to
+    * themselves), then the per-doc token-statistics rollup.
+    */
+  private def encodeWithVocab(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .join(vocab, Seq("word"), "left")
@@ -219,7 +244,6 @@ object TextAnalysis {
       .withColumn("chars_per_token",
         when(col("n_tokens") > 0,
           col("n_chars").cast("double") / col("n_tokens").cast("double")))
-  }
 
   /** KMV (k-minimum-values) distinct-token sketch — the deterministic,
     * engine-portable alternative to HLL for cardinality estimation at

@@ -213,6 +213,36 @@ object PipelineQueries {
        |         WHERE t2 IS NOT NULL GROUP BY word, f)""".stripMargin
   }
 
+  /** The shared oracle of `tx_bpe_encode` and `tx_bpe_persisted_encode`:
+    * six training rounds replayed, then the word-level encode join —
+    * persist/load must be invisible in the answer.
+    */
+  private lazy val BpeEncodeOracle: String =
+    s"""
+        WITH w0 AS (SELECT word, count(*) AS f
+               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+               WHERE length(word) >= 2 GROUP BY 1),
+        v0 AS MATERIALIZED (SELECT word, f,
+               list_transform(range(1, length(word)+1),
+                 i -> substr(word, CAST(i AS INT), 1)) AS toks
+             FROM w0),
+        ${(1 to 6).map(bpeRoundSql).mkString(",\n        ")},
+        tc AS (SELECT word, CAST(len(toks) AS BIGINT) AS nt FROM v6),
+        dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        pt AS (SELECT doc_id,
+                 CASE WHEN length(word) >= 2 THEN tc.nt
+                      ELSE CAST(length(word) AS BIGINT) END AS t,
+                 CASE WHEN length(word) >= 1 THEN 1 ELSE 0 END AS w,
+                 length(word) AS c
+               FROM dw LEFT JOIN tc USING (word))
+        SELECT doc_id, CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(t) AS BIGINT) AS n_tokens,
+               CAST(sum(c) AS BIGINT) AS n_chars,
+               CASE WHEN sum(t) > 0
+                    THEN CAST(sum(c) AS DOUBLE) / CAST(sum(t) AS DOUBLE)
+               END AS chars_per_token
+        FROM pt GROUP BY doc_id ORDER BY doc_id"""
+
   /** One NN-Descent round for the `sim_nndescent` oracle: undirected
     * edge expansion, 2-hop candidate generation ∪ current edges
     * (UNION-distinct), exact-cosine scoring of candidates only, per-node
@@ -1091,30 +1121,26 @@ object PipelineQueries {
     QueryDef("tx_bpe_encode",
       (s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir), rounds = 6)
         .orderBy("doc_id"),
-      Some(s"""
-        WITH w0 AS (SELECT word, count(*) AS f
-               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-               WHERE length(word) >= 2 GROUP BY 1),
-        v0 AS MATERIALIZED (SELECT word, f,
-               list_transform(range(1, length(word)+1),
-                 i -> substr(word, CAST(i AS INT), 1)) AS toks
-             FROM w0),
-        ${(1 to 6).map(bpeRoundSql).mkString(",\n        ")},
-        tc AS (SELECT word, CAST(len(toks) AS BIGINT) AS nt FROM v6),
-        dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-        pt AS (SELECT doc_id,
-                 CASE WHEN length(word) >= 2 THEN tc.nt
-                      ELSE CAST(length(word) AS BIGINT) END AS t,
-                 CASE WHEN length(word) >= 1 THEN 1 ELSE 0 END AS w,
-                 length(word) AS c
-               FROM dw LEFT JOIN tc USING (word))
-        SELECT doc_id, CAST(sum(w) AS BIGINT) AS n_words,
-               CAST(sum(t) AS BIGINT) AS n_tokens,
-               CAST(sum(c) AS BIGINT) AS n_chars,
-               CASE WHEN sum(t) > 0
-                    THEN CAST(sum(c) AS DOUBLE) / CAST(sum(t) AS DOUBLE)
-               END AS chars_per_token
-        FROM pt GROUP BY doc_id ORDER BY doc_id""")),
+      Some(BpeEncodeOracle)),
+
+    // ---- BPE encode from a PERSISTED vocabulary ----
+    // The tokenizer's read_index + apply (same lifecycle discipline as
+    // sim_ivf_persisted_probe): training ran once into the staged vocab
+    // parquet, and this plan's only inputs are the corpus scan and that
+    // vocab-sized table — no merge fold, no pair-count round anywhere.
+    // Training determinism makes the row share tx_bpe_encode's oracle
+    // bit-for-bit: persist/load must be invisible in the answer.
+    QueryDef("tx_bpe_persisted_encode",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#bpe_vocab") {
+          val r = Staging.scratchDir("bpevocab")
+          TextAnalysis.persistBpeVocab(Tables.documents(s, dir), r, rounds = 6)
+          r
+        }
+        TextAnalysis.bpeEncodePersisted(Tables.documents(s, dir), root)
+          .orderBy("doc_id")
+      },
+      Some(BpeEncodeOracle)),
 
     // ---- language ID (marker-word profiles) ----
     QueryDef("tx_lang_id",

@@ -431,6 +431,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("tx_bpe_persisted_encode: the vocab comes from the persisted parquet, not a training job") {
+    val p = plan("tx_bpe_persisted_encode")
+    // read_index + apply: the plan's only inputs are the corpus scan and
+    // the staged vocab table — the merge fold and pair-count rounds ran
+    // once at persist time and must be absent here
+    assert(p.contains("bpevocab"), p.take(2000))
+    assert(!p.contains("TakeOrdered"), p.take(2000))
+  }
+
   test("rel_bloom_pruned_join: the runtime bloom filter is actually injected") {
     val p = plan("rel_bloom_pruned_join")
     // the semi-join reduction this row exists to prove: might_contain on

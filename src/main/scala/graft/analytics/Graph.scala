@@ -285,7 +285,26 @@ object Graph {
       newMod: Int = 10): DataFrame = {
     val p = pairs.toDF("u", "v").localCheckpoint(true)
     def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(newMod.toLong)) === 0
-    val delta = p.where(isNew(col("u")) || isNew(col("v")))
+    // lh's node set is exactly the history-edge endpoints, so
+    // mergeDelta's universe (lh nodes ∪ delta endpoints) equals this
+    // pair set's endpoint universe — the single-shot merge IS one
+    // mergeDelta step
+    mergeDelta(p.where(isNew(col("u")) || isNew(col("v"))), lhIn)
+  }
+
+  /** ONE batch of the continuous components contract — the state-update
+    * step [[incrementalMerge]] applies once and a streaming deployment
+    * applies per micro-batch, threading the returned label table into
+    * the next call: contract the batch's edges through the CURRENT
+    * labels, cluster the contracted (component-level) graph, compose
+    * back over current nodes ∪ batch endpoints. Labels stay canonical
+    * (each component's min doc) by the same argument as the single-shot
+    * merge, so batching is ASSOCIATIVE: any split of the delta edges
+    * into ordered batches converges to the identical final table — the
+    * property the streaming twin's shared oracle checks bit-for-bit.
+    */
+  def mergeDelta(deltaEdges: DataFrame, lhIn: DataFrame): DataFrame = {
+    val delta = deltaEdges.toDF("u", "v").localCheckpoint(true)
     val lh = lhIn.select(col("doc_id"), col("cluster_id")).localCheckpoint(true)
     val contracted = delta
       .join(lh.select(col("doc_id").as("u"), col("cluster_id").as("ul")),
@@ -295,8 +314,9 @@ object Graph {
       .select(coalesce(col("ul"), col("u")).as("u"),
         coalesce(col("vl"), col("v")).as("v"))
     val merged = starComponents(contracted).localCheckpoint(true)
-    val universe = p.select(col("u").as("doc_id"))
-      .union(p.select(col("v").as("doc_id"))).distinct()
+    val universe = lh.select(col("doc_id"))
+      .union(delta.select(col("u").as("doc_id")))
+      .union(delta.select(col("v").as("doc_id"))).distinct()
     universe
       .join(lh.select(col("doc_id"), col("cluster_id").as("lh")),
         Seq("doc_id"), "left")

@@ -502,6 +502,41 @@ object StreamMultimodalQueries {
                  AS passes
         FROM s ORDER BY doc_id""")),
 
+    // ---- streaming components merge (parity with gr_components_incremental) ----
+    // Delta edges arrive in micro-batches; each batch contracts through
+    // the CURRENT label table (Graph.mergeDelta) and the merged labels
+    // thread into the next batch — history never re-clusters, per-batch
+    // work is |batch| over component-level nodes. mergeDelta keeps
+    // labels canonical, so batching is associative and the final table
+    // shares the from-scratch recursive-components oracle bit-for-bit.
+    QueryDef("st_components_merge",
+      (s, dir) => StreamingIngest.streamingComponentsMerge(s, dir),
+      Some(s"""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(ws)-1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         FROM w WHERE len(ws) >= 3),
+        shc AS (SELECT doc_id, s FROM (
+          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+         WHERE df <= ${graft.analytics.Dedup.DefaultMaxShingleDf}),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+        co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+                  FROM co JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+                  WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
     // ---- streaming record linkage (parity with dd_entity_resolution) ----
     // Dirty records arrive as a stream and resolve against the STATIC
     // clean registry: a stream-static blocked join (no state store at

@@ -1099,6 +1099,64 @@ object StreamingIngest {
       .orderBy("doc_id", "dup_of")
   }
 
+  /** Streaming incremental connected components — the third continuous-
+    * ingestion leg's deployment shape (text dedup: `st_incremental_lsh`,
+    * vectors: the IVF add lane; components: THIS): delta edges arrive in
+    * micro-batches and each batch CONTRACTS through the current label
+    * table ([[graft.analytics.Graph.mergeDelta]]), threading the merged
+    * labels into the next batch — history is never re-clustered, and
+    * per-batch work is |batch edges| over component-level nodes.
+    * Batching is associative (mergeDelta keeps labels canonical), so
+    * the final table equals the single-shot merge AND the from-scratch
+    * recompute: the row shares `gr_components_incremental`'s oracle
+    * bit-for-bit. "Yesterday's" labels come from the SAME staged memo
+    * as the batch row (in production, the previous run's output); the
+    * delta-edge replay is simulation cost, heap-guarded like every
+    * driver-side collect.
+    */
+  def streamingComponentsMerge(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3, newMod: Int = 10): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.analytics.Dedup
+      .jaccardPairs(Tables.documents(spark, sfDir), 0.5)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(true)
+    val lh0 = graft.queries.Staging.parquetMemo(spark, s"$sfDir#gr_lh")(
+      graft.analytics.Graph.historyLabels(pairs, newMod))
+    def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(newMod.toLong)) === 0
+    val deltaDs = pairs.where(isNew(col("u")) || isNew(col("v")))
+      .orderBy("u", "v").as[(Long, Long)]
+    val deltaRows = graft.analytics.DriverBudget
+      .collectWithin(deltaDs, deltaDs.count(),
+        graft.analytics.Dedup.BytesPerEdge, hardCap = 10000000L)
+      .getOrElse(throw new IllegalStateException(
+        "streamingComponentsMerge replay slice exceeds the driver budget — " +
+          "shrink the simulated batch (production feeds a real source)"))
+      .toIndexedSeq
+    val input = MemoryStream[(Long, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long)]], spark)
+    @volatile var state = lh0.localCheckpoint(true)
+    val q = input.toDS().toDF("u", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          state = graft.analytics.Graph.mergeDelta(b, state)
+            .localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      val n = deltaRows.length
+      var lo = 0
+      (0 until nBatches).foreach { b =>
+        val hi = (((b + 1).toLong * n + nBatches - 1) / nBatches).toInt
+        if (hi > lo) { input.addData(deltaRows.slice(lo, hi)); q.processAllAvailable() }
+        lo = hi
+      }
+    } finally q.stop()
+    state.orderBy("doc_id")
+  }
+
   /** The replay harness alone — `(event_type, ts_ms)` rows fed through
     * `withWatermark` + tumbling window in `nBatches` contiguous chunks of
     * the given order, plus the two sentinel flush batches. Split out so

@@ -302,6 +302,27 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2)._2 === 2L)
   }
 
+  test("mergeDelta is associative: threading batches equals the single-shot merge") {
+    import spark.implicits._
+    // yesterday: components {1,2} and {5,6}; today's edges chain
+    // EVERYTHING together through brand-new nodes 10, 20, 30 — and the
+    // chain is split so batch 1 alone cannot see the final component
+    val lh = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val delta = Seq((2L, 10L), (20L, 5L), (10L, 20L), (6L, 30L))
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val singleShot = labels(graft.analytics.Graph.mergeDelta(
+      delta.toDF("u", "v"), lh))
+    val state1 = graft.analytics.Graph.mergeDelta(
+      delta.take(2).toDF("u", "v"), lh).localCheckpoint(true)
+    val threaded = labels(graft.analytics.Graph.mergeDelta(
+      delta.drop(2).toDF("u", "v"), state1))
+    assert(threaded === singleShot)
+    // and the merged component is labeled by its global minimum
+    assert(singleShot === Set(1L, 2L, 5L, 6L, 10L, 20L, 30L).map(_ -> 1L))
+  }
+
   test("entityResolution: exact names resolve to themselves; a dropped digit reports its full ambiguity set") {
     val got = graft.analytics.Dedup
       .entityResolution(Tables.customer(spark, sf), maxLev = 1)

@@ -926,6 +926,31 @@ object Similarity {
       col("rel"), col("score"))
   }
 
+  /** OOD / embedding-quality outlier scoring over a PERSISTED IVF index
+    * (SemDeDup's quality cousin: instead of "too close to a neighbor",
+    * flag "too far from EVERY cluster center" — mis-embedded, empty, or
+    * genuinely out-of-distribution rows a curation pipeline quarantines
+    * before training). Each member row joins its own inverted list's
+    * centroid (the assignment already persisted with the index) and one
+    * exact integer dot scores it; `is_outlier` is a plain threshold on
+    * that cosine.
+    *
+    * Scale shape: ONE broadcast join of the k-row centroid table onto
+    * the member lists + a per-row projection — no training, no pair
+    * work; the same index serving probes prices its own data quality
+    * for free.
+    */
+  def centroidOutliers(spark: org.apache.spark.sql.SparkSession, root: String,
+      threshold: Double = 0.3): DataFrame = {
+    val cents = spark.read.parquet(s"$root/centroids")
+    val members = spark.read.parquet(s"$root/members")
+    members.join(broadcast(cents), col("bucket") === col("c_id"))
+      .select(col("vec_id"), col("bucket"),
+        cosineQ(dotLL(col("qv"), col("cv")), col("nrm"), col("cnrm"))
+          .as("center_cos"))
+      .withColumn("is_outlier", col("center_cos") < threshold)
+  }
+
   def nnDescent(emb: DataFrame, k: Int = 5, rounds: Int = 2,
       nPlanes: Int = 8, buildK: Int = 20): DataFrame = {
     require(buildK >= k, s"buildK ($buildK) must be >= k ($k)")

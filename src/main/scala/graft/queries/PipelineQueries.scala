@@ -743,6 +743,39 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, cos FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- centroid-distance outlier scoring over the persisted index ----
+    // The OOD/quality filter a curation pipeline runs BEFORE training
+    // (SemDeDup's cousin: flag "too far from every cluster center"
+    // instead of "too close to a neighbor"): each member row joins its
+    // own inverted list's centroid — one broadcast join + a per-row
+    // exact-integer dot; the index serving probes prices its own data
+    // quality for free. Same staged index as sim_ivf_persisted_probe.
+    QueryDef("sim_centroid_outliers",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#ivf_index") {
+          val r = Staging.scratchDir("ivfidx")
+          Similarity.persistIvfIndex(Tables.embeddings(s, dir), r,
+            numCentroids = 64, iters = 2)
+          r
+        }
+        Similarity.centroidOutliers(s, root, threshold = 0.3)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        cent0 AS (${seedSql(64)}),
+        ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
+        asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                 FROM qn CROSS JOIN cent2),
+        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1)
+        SELECT vec_id, bucket,
+               ${cosSql("v", "nrm", "cv", "cnrm")} AS center_cos,
+               ${cosSql("v", "nrm", "cv", "cnrm")} < 0.3 AS is_outlier
+        FROM memF JOIN cent2 ON bucket = c_id
+        ORDER BY vec_id""")),
+
     // ---- persisted IVF index: ADD a batch without retraining, probe ----
     // FAISS `add` on a loaded index — the lifecycle's last leg (train →
     // persist → load → ADD → probe): the history slice's seeded index is

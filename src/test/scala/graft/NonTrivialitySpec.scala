@@ -192,6 +192,18 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     mmr.unpersist()
   }
 
+  test("sim_centroid_outliers flags SOME but not ALL vectors") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("sim_centroid_outliers")(spark, sfMid)
+      .agg(sum(when(col("is_outlier"), 1L).otherwise(0L)), count(lit(1)))
+      .head()
+    val (flagged, total) = (r.getLong(0), r.getLong(1))
+    // a centroid re-draw that pulls every vector inside (or pushes every
+    // vector outside) the threshold would make the gate vacuous
+    assert(flagged > 0L && flagged < total,
+      s"outlier gate degenerate: $flagged of $total")
+  }
+
   test("lay_skipping_stats: the layout actually skips files on some probe") {
     import org.apache.spark.sql.functions._
     val audit = SparkEntry.queries("lay_skipping_stats")(spark, sfMid)

@@ -213,6 +213,35 @@ object PipelineQueries {
        |         WHERE t2 IS NOT NULL GROUP BY word, f)""".stripMargin
   }
 
+  /** The shared oracle of `sim_ivf_persisted_probe` and
+    * `st_vector_search` (the serving twin): k-means replayed (seed + two
+    * Lloyd rounds), final assignment, the %20 query sample probing its
+    * own bucket, top-5 — persist/load and query batching must both be
+    * invisible in the answer.
+    */
+  private[queries] lazy val IvfPersistedProbeOracle: String =
+    s"""
+        WITH $QuantCte,
+        cent0 AS (${seedSql(64)}),
+        ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
+        asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
+                 FROM qn CROSS JOIN cent2),
+        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1),
+        qry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+                FROM memF WHERE vec_id % 20 = 0),
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+                     ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
+                   FROM memF b JOIN qry USING (bucket)
+                   WHERE b.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** The shared oracle of `tx_bpe_encode` and `tx_bpe_persisted_encode`:
     * six training rounds replayed, then the word-level encode join —
     * persist/load must be invisible in the answer.
@@ -721,27 +750,7 @@ object PipelineQueries {
           root, k = 5)
           .orderBy("query_id", "rank")
       },
-      Some(s"""
-        WITH $QuantCte,
-        cent0 AS (${seedSql(64)}),
-        ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
-        asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
-                   row_number() OVER (PARTITION BY vec_id
-                     ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
-                 FROM qn CROSS JOIN cent2),
-        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1),
-        qry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
-                FROM memF WHERE vec_id % 20 = 0),
-        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
-                     ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
-                   FROM memF b JOIN qry USING (bucket)
-                   WHERE b.vec_id <> query_id),
-        ranked AS (SELECT query_id, neighbor_id, cos,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cos DESC, neighbor_id) AS rank
-                   FROM scored)
-        SELECT query_id, rank, neighbor_id, cos FROM ranked
-        WHERE rank <= 5 ORDER BY query_id, rank""")),
+      Some(IvfPersistedProbeOracle)),
 
     // ---- centroid-distance outlier scoring over the persisted index ----
     // The OOD/quality filter a curation pipeline runs BEFORE training

@@ -502,6 +502,16 @@ object StreamMultimodalQueries {
                  AS passes
         FROM s ORDER BY doc_id""")),
 
+    // ---- streaming vector search (parity with sim_ivf_persisted_probe) ----
+    // Retrieval SERVING at its deployment point: query vectors arrive in
+    // micro-batches and each batch probes the persisted IVF index inside
+    // foreachBatch — queries are independent, so batching is invisible
+    // and the row shares the batch probe's oracle verbatim. Same staged
+    // index as the batch row.
+    QueryDef("st_vector_search",
+      (s, dir) => StreamingIngest.streamingVectorSearch(s, dir),
+      Some(PipelineQueries.IvfPersistedProbeOracle)),
+
     // ---- streaming components merge (parity with gr_components_incremental) ----
     // Delta edges arrive in micro-batches; each batch contracts through
     // the CURRENT label table (Graph.mergeDelta) and the merged labels

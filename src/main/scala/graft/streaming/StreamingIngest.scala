@@ -1157,6 +1157,71 @@ object StreamingIngest {
     state.orderBy("doc_id")
   }
 
+  /** Streaming vector search — retrieval SERVING at its deployment
+    * point: query vectors arrive in micro-batches and each batch probes
+    * the PERSISTED IVF index ([[graft.analytics.Similarity
+    * .ivfProbePersisted]] inside foreachBatch — load once per batch,
+    * assign through the loaded centroids, bucket-join the inverted
+    * lists, top-k). Queries are independent, so batching the query set
+    * any way yields the identical result table and the row shares
+    * `sim_ivf_persisted_probe`'s oracle bit-for-bit. The index is the
+    * SAME staged memo the batch probe row uses; the query replay is
+    * simulation cost, heap-guarded.
+    */
+  def streamingVectorSearch(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+    import spark.implicits._
+    val root = graft.queries.Staging.stringMemo(s"$sfDir#ivf_index") {
+      val r = graft.queries.Staging.scratchDir("ivfidx")
+      graft.analytics.Similarity.persistIvfIndex(
+        Tables.embeddings(spark, sfDir), r, numCentroids = 64, iters = 2)
+      r
+    }
+    val qDs = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % 20 === 0).orderBy("vec_id")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, String, Array[Float])]
+    val qRows = graft.analytics.DriverBudget
+      .collectWithin(qDs, qDs.count(), bytesPerRow = 1024L,
+        hardCap = 2000000L)
+      .getOrElse(throw new IllegalStateException(
+        "streamingVectorSearch query replay exceeds the driver budget — " +
+          "shrink the simulated batch (production feeds a real source)"))
+      .toIndexedSeq
+    val input = MemoryStream[(Long, String, Array[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Array[Float])]],
+      spark)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = input.toDS().toDF("vec_id", "label", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val res = graft.analytics.Similarity
+            .ivfProbePersisted(b, root, k).collect()
+          buf.synchronized { buf ++= res }
+        }
+        ()
+      }
+      .start()
+    try {
+      val n = qRows.length
+      var lo = 0
+      (0 until nBatches).foreach { b =>
+        val hi = (((b + 1).toLong * n + nBatches - 1) / nBatches).toInt
+        if (hi > lo) { input.addData(qRows.slice(lo, hi)); q.processAllAvailable() }
+        lo = hi
+      }
+    } finally q.stop()
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("rank", IntegerType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(buf.toArray: _*), schema)
+      .orderBy("query_id", "rank")
+  }
+
   /** The replay harness alone — `(event_type, ts_ms)` rows fed through
     * `withWatermark` + tumbling window in `nBatches` contiguous chunks of
     * the given order, plus the two sentinel flush batches. Split out so

@@ -615,6 +615,40 @@ object CurationQueries {
           UNION ALL SELECT 2, 'min_words', n1, n2, n1 - n2 FROM s
           UNION ALL SELECT 3, 'ttr_floor', n2, n3, n2 - n3 FROM s
           UNION ALL SELECT 4, 'word_len_cap', n3, n4, n3 - n4 FROM s)
-        ORDER BY stage_idx"""))
+        ORDER BY stage_idx""")),
+
+    // ---- right-to-be-forgotten deletion audit ----
+    // The compliance primitive every corpus store needs (GDPR art. 17 /
+    // CCPA delete): given a deletion list (doc_id % 97 = 0 simulates the
+    // request queue), produce the per-source audit — how many rows were
+    // subject, deleted, retained — plus an order-free FINGERPRINT of the
+    // exact retained id set (md5 over the numerically-sorted id list),
+    // which is what a downstream rebuild verifies against. One anti-join
+    // + one source-keyed rollup; the deletion list broadcasts at any
+    // corpus scale.
+    QueryDef("cu_forget_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val del = col("doc_id") % 97 === 0
+        docs
+          .withColumn("deleted", del)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"),
+            sum(when(!col("deleted"), 1L).otherwise(0L)).as("n_retained"),
+            md5(array_join(transform(
+              sort_array(collect_list(when(!col("deleted"), col("doc_id")))),
+              x => x.cast("string")), ",")).as("retained_fingerprint"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_total,
+               CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_deleted,
+               CAST(sum(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_retained,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   FILTER (WHERE doc_id % 97 <> 0)) AS retained_fingerprint
+        FROM documents GROUP BY source ORDER BY source"""))
   )
 }

@@ -502,6 +502,23 @@ object StreamMultimodalQueries {
                  AS passes
         FROM s ORDER BY doc_id""")),
 
+    // ---- streaming deletion audit (parity with cu_forget_audit) ----
+    // The compliance rollup maintained AS documents arrive: complete-mode
+    // per-source aggregation; sort_array before the fingerprint hash
+    // makes arrival order irrelevant, so the row shares the batch oracle
+    // verbatim.
+    QueryDef("st_forget_audit",
+      (s, dir) => StreamingIngest.streamingForgetAudit(s, dir),
+      Some("""
+        SELECT source, count(*) AS n_total,
+               CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_deleted,
+               CAST(sum(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_retained,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   FILTER (WHERE doc_id % 97 <> 0)) AS retained_fingerprint
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ---- streaming vector search (parity with sim_ivf_persisted_probe) ----
     // Retrieval SERVING at its deployment point: query vectors arrive in
     // micro-batches and each batch probes the persisted IVF index inside

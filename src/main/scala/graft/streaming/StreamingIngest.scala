@@ -790,6 +790,29 @@ object StreamingIngest {
     drain(out, "complete").orderBy("dirty_id")
   }
 
+  /** Streaming right-to-be-forgotten audit — `cu_forget_audit` at the
+    * point deletions actually land: documents stream in and the
+    * per-source audit (subject/deleted/retained counts + the order-free
+    * retained-id fingerprint) maintains itself as a complete-mode
+    * aggregation; `sort_array` before the hash makes arrival order
+    * irrelevant, so the final table shares the batch oracle verbatim.
+    */
+  def streamingForgetAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val out = docs
+      .withColumn("deleted", col("doc_id") % 97 === 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(!col("deleted"), 1L).otherwise(0L)).as("n_retained"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(!col("deleted"), col("doc_id")))),
+          x => x.cast("string")), ",")).as("retained_fingerprint"))
+    drain(out, "complete").orderBy("source")
+  }
+
   def windowedEventCounts(spark: SparkSession, sfDir: String,
       windowMs: Long = 3600000L): DataFrame = {
     val out = eventStream(spark, sfDir)

@@ -429,4 +429,132 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan.map(_.getString(0)).toSet === inByPart.keySet)
     }
   }
+
+  test("property: bounded k-core peel equals the driver reference on random graphs") {
+    import spark.implicits._
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      mk = for { a <- Gen.choose(1L, 16L); b <- Gen.choose(1L, 16L) } yield (a, b)
+      es <- Gen.listOfN(n, mk)
+    } yield es.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter { case (a, b) => a != b }.distinct
+    def refPeel(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+      var es = edges
+      for (_ <- 1 to rounds) {
+        val deg = (es.map(_._1) ++ es.map(_._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val surv = deg.filter(_._2 >= k).keySet
+        es = es.filter(p => surv(p._1) && surv(p._2))
+      }
+      (es.map(_._1) ++ es.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    forAllSeeded(genEdges, n = 6) { es =>
+      val got =
+        if (es.isEmpty) Map.empty[Long, Long]
+        else graft.analytics.Graph.kCore(es.toDF("u", "v"), k = 2, rounds = 4)
+          .as[(Long, Long)].collect().toMap
+      assert(got === refPeel(es, 2, 4), s"edges=$es")
+    }
+  }
+
+  test("property: threading random delta batches through mergeDelta equals from-scratch components") {
+    import spark.implicits._
+    val genCase: Gen[(List[(Long, Long)], Int)] = for {
+      n <- Gen.choose(2, 40)
+      mk = for { a <- Gen.choose(1L, 16L); b <- Gen.choose(1L, 16L) } yield (a, b)
+      es <- Gen.listOfN(n, mk)
+      split <- Gen.choose(0, n)
+    } yield (es.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter { case (a, b) => a != b }.distinct, split)
+    def bfsRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = scala.collection.mutable.HashMap.empty[Long, List[Long]]
+      edges.foreach { case (a, b) =>
+        adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
+      }
+      val label = scala.collection.mutable.HashMap.empty[Long, Long]
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!label.contains(start)) {
+          var frontier = List(start)
+          val seen = scala.collection.mutable.HashSet(start)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(adj(_)).filterNot(seen)
+            frontier.foreach(seen.add)
+          }
+          val m = seen.min
+          seen.foreach(v => label(v) = m)
+        }
+      }
+      label.toMap
+    }
+    forAllSeeded(genCase, n = 6) { case (es, splitRaw) =>
+      if (es.nonEmpty) {
+        val split = splitRaw.min(es.length)
+        val (hist, delta) = es.splitAt(split)
+        var state = bfsRef(hist).toSeq.toDF("doc_id", "cluster_id")
+        // thread the delta through in two arbitrary micro-batches
+        delta.grouped(1.max((delta.length + 1) / 2)).foreach { b =>
+          if (b.nonEmpty)
+            state = graft.analytics.Graph.mergeDelta(b.toDF("u", "v"), state)
+              .localCheckpoint(true)
+        }
+        val got = state.as[(Long, Long)].collect().toMap
+        assert(got === bfsRef(es), s"hist=$hist delta=$delta")
+      }
+    }
+  }
+
+  test("property: MMR selection equals the driver greedy reference on random embeddings") {
+    import spark.implicits._
+    val genVecs: Gen[List[Array[Float]]] = for {
+      n <- Gen.choose(3, 12)
+      mkV = Gen.listOfN(4, Gen.choose(-100, 100).map(_ / 100.0f))
+      vs <- Gen.listOfN(n, mkV.map(_.toArray))
+    } yield vs
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    def refMmr(vs: List[Array[Float]], k: Int, shortlist: Int)
+        : Seq[(Long, Long, Long)] = {
+      val q = quant(vs.head) // vec 0 is the only id % 50 == 0 query
+      val cands = vs.zipWithIndex.drop(1)
+        .map { case (v, i) => (i.toLong, quant(v)) }
+      val sl = cands.map { case (id, v) => (id, v, cos(q, v)) }
+        .sortBy { case (id, _, rel) => (-rel, id) }.take(shortlist)
+      var selected = List.empty[(Long, Array[Long])]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      (1 to k).foreach { t =>
+        val rest = sl.filterNot(c => selected.exists(_._1 == c._1))
+        if (rest.nonEmpty) {
+          val pick =
+            if (t == 1) rest.maxBy { case (id, _, rel) => (rel, -id) }
+            else rest.map { case (id, v, rel) =>
+              val ms = selected.map(s => cos(v, s._2)).max
+              (id, v, 0.7 * rel - 0.3 * ms)
+            }.maxBy { case (id, _, sc) => (sc, -id) }
+          selected ::= (pick._1, sl.find(_._1 == pick._1).get._2)
+          out += ((0L, t.toLong, pick._1))
+        }
+      }
+      out.toSeq
+    }
+    forAllSeeded(genVecs, n = 5) { vs =>
+      // vectors with a zero norm break cosine on both sides identically —
+      // exclude them the way prep data never contains them
+      if (vs.forall(v => quant(v).exists(_ != 0L))) {
+        val df = vs.zipWithIndex
+          .map { case (v, i) => (i.toLong, s"l${i % 3}", v) }
+          .toDF("vec_id", "label", "embedding")
+        val got = graft.analytics.Similarity
+          .mmrSelect(df, k = 5, shortlist = 20, queryModulo = 50)
+          .orderBy("sel_rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got === refMmr(vs, 5, 20), s"vecs=${vs.map(_.toList)}")
+      }
+    }
+  }
 }

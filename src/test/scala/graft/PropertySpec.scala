@@ -504,6 +504,109 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: link prediction equals the brute-force neighborhood Jaccard on random graphs") {
+    import spark.implicits._
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      mk = for { a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L) } yield (a, b)
+      es <- Gen.listOfN(n, mk)
+    } yield es.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter { case (a, b) => a != b }.distinct
+    def ref(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+      val nbr = scala.collection.mutable.HashMap.empty[Long, Set[Long]]
+      edges.foreach { case (a, b) =>
+        nbr(a) = nbr.getOrElse(a, Set.empty) + b
+        nbr(b) = nbr.getOrElse(b, Set.empty) + a
+      }
+      val nodes = nbr.keys.toSeq.sorted
+      (for {
+        a <- nodes; b <- nodes if a < b
+        if !edges.contains((a, b))
+        cn = (nbr(a) & nbr(b)).size.toLong if cn > 0
+      } yield (a, b, cn)).toSet
+    }
+    forAllSeeded(genEdges, n = 6) { es =>
+      if (es.nonEmpty) {
+        val got = graft.analytics.Graph
+          .linkPrediction(es.toDF("u", "v"), topN = 1000)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === ref(es), s"edges=$es")
+      }
+    }
+  }
+
+  test("property: bounded BFS distances equal the driver reference on random graphs") {
+    import spark.implicits._
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      mk = for { a <- Gen.choose(1L, 16L); b <- Gen.choose(1L, 16L) } yield (a, b)
+      es <- Gen.listOfN(n, mk)
+    } yield es.filter { case (a, b) => a != b }
+    def ref(edges: Seq[(Long, Long)], maxHops: Int): Map[Long, Long] = {
+      val adj = scala.collection.mutable.HashMap.empty[Long, List[Long]]
+      edges.foreach { case (a, b) =>
+        adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
+      }
+      // seeds: node % 4 == 0 among edge-bearing nodes
+      val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+      adj.keys.filter(_ % 4 == 0).foreach(s => dist(s) = 0L)
+      (1 to maxHops).foreach { d =>
+        val frontier = dist.filter(_._2 == d - 1).keys.toSeq
+        frontier.flatMap(adj(_)).foreach { v =>
+          if (!dist.contains(v)) dist(v) = d.toLong
+        }
+      }
+      dist.toMap
+    }
+    forAllSeeded(genEdges, n = 6) { es =>
+      if (es.nonEmpty) {
+        val sym = es ++ es.map(_.swap)
+        val got = graft.analytics.Graph.bfsHops(
+            sym.toDF("src", "dst"),
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col("node"),
+              org.apache.spark.sql.functions.lit(4L)) === 0L,
+            maxHops = 4)
+          .as[(Long, Long)].collect().toMap
+        assert(got === ref(es, 4), s"edges=$es")
+      }
+    }
+  }
+
+  test("property: skippingAudit counts exactly the files a reference interval check hits") {
+    import spark.implicits._
+    val genFiles: Gen[List[(Long, Long, Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 20)
+      mk = for {
+        pk <- Gen.choose(0L, 3L); fid <- Gen.choose(0L, 1000L)
+        lo <- Gen.choose(0L, 500L); span <- Gen.choose(0L, 300L)
+        bytes <- Gen.choose(1L, 1000L)
+      } yield (pk, fid, bytes, lo, lo + span)
+      fs <- Gen.listOfN(n, mk)
+    } yield fs.distinct
+    forAllSeeded(genFiles, n = 6) { fs =>
+      val df = fs.toDF("part_key", "file_id", "bytes", "min_ts", "max_ts")
+      val got = graft.analytics.Layout.skippingAudit(df, nProbes = 4)
+        .collect()
+        .map(r => r.getAs[Long]("probe") ->
+          ((r.getAs[Long]("files_hit"), r.getAs[Long]("bytes_hit")))).toMap
+      val tmin = fs.map(_._4).min
+      val tend = fs.map(_._5).max + 1
+      val w = (tend - tmin) / 4
+      (0L to 3L).foreach { p =>
+        val ws = tmin + p * w
+        val we = if (p == 3) tend else tmin + (p + 1) * w
+        val hit = fs.filter(f => f._4 < we && f._5 >= ws)
+        // an empty probe window (possible when the span is tiny) emits no
+        // row — the audit reports hits, not zero-rows
+        if (hit.nonEmpty)
+          assert(got(p) === ((hit.size.toLong, hit.map(_._3).sum)),
+            s"probe $p files=$fs")
+        else assert(!got.contains(p))
+      }
+    }
+  }
+
   test("property: MMR selection equals the driver greedy reference on random embeddings") {
     import spark.implicits._
     val genVecs: Gen[List[Array[Float]]] = for {

@@ -607,6 +607,63 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: modularity terms equal the textbook formula on random graphs and labelings") {
+    import spark.implicits._
+    val genCase: Gen[(List[(Long, Long)], Map[Long, Long])] = for {
+      n <- Gen.choose(1, 30)
+      mk = for { a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L) } yield (a, b)
+      es <- Gen.listOfN(n, mk)
+      labels <- Gen.listOfN(12, Gen.choose(0L, 3L))
+    } yield (es.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter { case (a, b) => a != b }.distinct,
+      (1L to 12L).zip(labels).toMap)
+    forAllSeeded(genCase, n = 6) { case (es, lab) =>
+      if (es.nonEmpty) {
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+        val labDf = nodes.map(v => (v, lab(v))).toDF("node", "community")
+        val got = graft.analytics.Graph.modularity(es.toDF("u", "v"), labDf)
+          .collect()
+          .map(r => r.getAs[Long]("community") ->
+            ((r.getAs[Long]("m_intra"), r.getAs[Long]("d_c"),
+              r.getAs[Long]("q_term_num")))).toMap
+        val m = es.size.toLong
+        val deg = (es.map(_._1) ++ es.map(_._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        nodes.map(lab).distinct.foreach { c =>
+          val mIntra = es.count { case (a, b) => lab(a) == c && lab(b) == c }.toLong
+          val dC = nodes.filter(lab(_) == c).map(deg).sum
+          assert(got(c) === ((mIntra, dC, 4L * m * mIntra - dC * dC)),
+            s"community $c edges=$es labels=$lab")
+        }
+      }
+    }
+  }
+
+  test("property: detrendedProfile matches the driver reference window arithmetic on random series") {
+    import spark.implicits._
+    val genSeries: Gen[List[(String, Long, Long, Double)]] = for {
+      n <- Gen.choose(26, 60)
+      vs <- Gen.listOfN(n, Gen.choose(0, 50000).map(_ / 100.0))
+    } yield vs.zipWithIndex.map { case (v, i) =>
+      ("t", i * 1800000L, i.toLong, v)
+    }
+    forAllSeeded(genSeries, n = 5) { rows =>
+      val df = rows.toDF("event_type", "ts_ms", "event_id", "value")
+      val got = graft.analytics.Seasonal.detrendedProfile(df)
+        .collect()
+        .map(r => r.getAs[Long]("hod") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("sum_d25")))).toMap
+      val cents = rows.map(r => math.floor(r._4 * 100 + 0.5).toLong)
+      val interior = (12 until rows.length - 12).map { i =>
+        val sw = (i - 12 to i + 12).map(cents).sum
+        (rows(i)._2 / 3600000L % 24, cents(i) * 25 - sw)
+      }
+      val want = interior.groupBy(_._1).view
+        .mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+      assert(got === want, s"series=${rows.map(_._4)}")
+    }
+  }
+
   test("property: MMR selection equals the driver greedy reference on random embeddings") {
     import spark.implicits._
     val genVecs: Gen[List[Array[Float]]] = for {

@@ -607,7 +607,7 @@ object EventsQueries {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 AS cum_before
               FROM f)
-        SELECT part_key, cum_before // 65536 AS grp,
+        SELECT part_key, CAST(cum_before // 65536 AS BIGINT) AS grp,
                count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS group_bytes,
                min(min_ts) AS min_ts, max(max_ts) AS max_ts,
                count(*) >= 2 AS is_merge

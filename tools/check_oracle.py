@@ -33,6 +33,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_class(dt) -> str:
+    """Coarse dtype class for strict compare: the driver hashes stringified
+    values, so int64 `0` vs float64 `0.0` is a driver-side FAIL that
+    check_dtype=False would hide (this exact hazard burned lay_compaction_plan
+    for two rounds — DuckDB HUGEINT window-sum -> pandas float64)."""
+    kind = getattr(dt, "kind", "O")
+    if kind in "iu":
+        return "int"
+    if kind == "b":
+        return "bool"
+    if kind == "f":
+        return "float"
+    return "other"
+
+
+def dtype_mismatches(got: pd.DataFrame, want: pd.DataFrame):
+    bad = []
+    for c in got.columns:
+        g, w = _dtype_class(got[c].dtype), _dtype_class(want[c].dtype)
+        if g != w and {g, w} & {"int", "bool", "float"}:
+            bad.append((c, str(got[c].dtype), str(want[c].dtype)))
+    return bad
+
+
 def main(sf_dir: str, out_dir: str, only: str = "") -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -68,6 +92,13 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        dt_bad = dtype_mismatches(got, want)
+        if dt_bad:
+            detail = ", ".join(f"{c}: spark {g} vs oracle {w}" for c, g, w in dt_bad)
+            print(f"FAIL {name}: dtype class mismatch ({detail}) — "
+                  f"driver value-hash would differ even if values are equal")
             n_fail += 1
             continue
         try:

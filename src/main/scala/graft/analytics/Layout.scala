@@ -106,24 +106,32 @@ object Layout {
       (max(col("max_ts")) + 1L).as("tend"))
     val totals = files.agg(count(lit(1)).as("total_files"),
       sum(col("bytes")).as("total_bytes"))
-    files.crossJoin(broadcast(bounds)).crossJoin(broadcast(totals))
-      .select(col("*"),
-        explode(sequence(lit(0L), lit(nProbes - 1L))).as("probe"))
+    // the probe-window frame derives from the 1-row bounds aggregate —
+    // nProbes rows, broadcast everywhere it appears
+    val windows = bounds
+      .select(explode(sequence(lit(0L), lit(nProbes - 1L))).as("probe"),
+        col("tmin"), col("tend"))
       .withColumn("w_start",
         col("tmin") + col("probe") * expr(s"(tend - tmin) div $nProbes"))
       .withColumn("w_end",
         when(col("probe") === nProbes - 1, col("tend"))
           .otherwise(col("tmin") +
             (col("probe") + 1) * expr(s"(tend - tmin) div $nProbes")))
+      .select(col("probe"), col("w_start"), col("w_end"))
+    val hits = files.crossJoin(broadcast(windows))
       .where(col("min_ts") < col("w_end") && col("max_ts") >= col("w_start"))
-      .groupBy(col("probe"), col("w_start"), col("w_end"),
-        col("total_files"), col("total_bytes"))
+      .groupBy(col("probe"))
       .agg(count(lit(1)).as("files_hit"), sum(col("bytes")).as("bytes_hit"))
+    // complete the per-window report AFTER the aggregate: a window no
+    // file overlaps must still appear, with files_hit = 0 — "fully
+    // pruned" and "missing from the report" are different facts
+    windows.crossJoin(broadcast(totals))
+      .join(broadcast(hits), Seq("probe"), "left")
       .select(col("probe"), col("w_start"), col("w_end"),
-        col("total_files"), col("files_hit"),
-        col("total_bytes"), col("bytes_hit"),
-        (col("files_hit").cast("double") / col("total_files").cast("double"))
-          .as("hit_fraction"))
+        col("total_files"), coalesce(col("files_hit"), lit(0L)).as("files_hit"),
+        col("total_bytes"), coalesce(col("bytes_hit"), lit(0L)).as("bytes_hit"),
+        (coalesce(col("files_hit"), lit(0L)).cast("double") /
+          col("total_files").cast("double")).as("hit_fraction"))
   }
 
   def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {

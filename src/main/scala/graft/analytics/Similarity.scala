@@ -1116,8 +1116,13 @@ object Similarity {
     assign(batch).select(col("vec_id"), col("qv"), col("nrm"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/members_delta")
+    // a re-added vec_id must SUPERSEDE its base member row, not occupy a
+    // second top-k slot: anti-join the delta's ids out of base before the
+    // union (the delta is batch-sized, so the anti-join broadcasts)
+    val delta = spark.read.parquet(s"$root/members_delta")
     val members = spark.read.parquet(s"$root/members")
-      .unionByName(spark.read.parquet(s"$root/members_delta"))
+      .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .unionByName(delta)
     val queries = assign(prepQ(emb.where(col("vec_id") % queryModulo === 0)))
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("bucket"))

@@ -48,6 +48,28 @@ object BucketedJoin {
   private val stagedTables =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  // monotonic table id: hashCode + map-size naming can mint the SAME name
+  // for two memoKeys whose first calls race (colliding hashCodes both
+  // observing the same size()) — an AtomicLong cannot collide
+  private val tableId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // the scratch FILES are cleaned by Staging's shutdown hook; the
+  // saveAsTable catalog registrations would otherwise outlive their files
+  // for the rest of the session — drop them at JVM exit too
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    try {
+      org.apache.spark.sql.SparkSession.getDefaultSession.foreach { s =>
+        import scala.jdk.CollectionConverters._
+        stagedTables.values().asScala.foreach { case (l, r) =>
+          try s.sql(s"DROP TABLE IF EXISTS $l")
+          catch { case _: Throwable => () }
+          try s.sql(s"DROP TABLE IF EXISTS $r")
+          catch { case _: Throwable => () }
+        }
+      }
+    } catch { case _: Throwable => () }
+  }, "graft-bucketed-drop"))
+
   /** [[coLocatedJoin]] with the LAYOUT cost paid once per `memoKey` per
     * JVM: the bucketed tables are the POINT of this operator — a layout
     * investment amortized over every later join on the key — so the
@@ -60,9 +82,8 @@ object BucketedJoin {
   def coLocatedJoinStaged(spark: SparkSession, left: => DataFrame,
       right: => DataFrame, key: String, memoKey: String,
       buckets: Int = 8): DataFrame = {
-    val (lt, rt) = stagedTables.computeIfAbsent(memoKey, { k =>
-      val id = java.lang.Long.toHexString(
-        k.hashCode.toLong & 0xffffffffL) + "_" + stagedTables.size()
+    val (lt, rt) = stagedTables.computeIfAbsent(memoKey, { _ =>
+      val id = java.lang.Long.toHexString(tableId.getAndIncrement())
       val scratch = graft.queries.Staging.scratchDir("bucketed")
       def materialize(df: DataFrame, table: String): Unit =
         df.write.mode("overwrite")

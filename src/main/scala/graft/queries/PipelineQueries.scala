@@ -322,6 +322,52 @@ object PipelineQueries {
        |         ORDER BY cos DESC, v) AS rn FROM s0) WHERE rn <= 20),
        |${(1 to 3).map(nnDescentRoundSql(_, 20)).mkString(",\n")}""".stripMargin
 
+  /** One beam-search hop `h` for the `sim_graph_search` oracle: frontier
+    * out-edges through the k=5 adjacency lists (DISTINCT — several beam
+    * nodes may share a neighbor), never-visited filter, exact-cosine
+    * scoring of fresh candidates only, visited-set union, next beam =
+    * per-query top-`beam` of this hop's fresh scores — mirrors
+    * [[graft.analytics.Similarity.graphSearch]] bit-for-bit.
+    */
+  private def graphHopSql(h: Int, beam: Int): String = {
+    val p = h - 1
+    s"""gex$h AS (SELECT DISTINCT f.query_id, g.v AS cand_id
+       |          FROM gfr$p f JOIN gadj g ON f.cand_id = g.u),
+       |gnw$h AS (SELECT e.query_id, e.cand_id FROM gex$h e
+       |          LEFT JOIN gvis$p x ON e.query_id = x.query_id
+       |                            AND e.cand_id = x.cand_id
+       |          WHERE x.cand_id IS NULL),
+       |gsc$h AS MATERIALIZED (SELECT n.query_id, n.cand_id,
+       |           ${cosSql("q.qv", "q.qnrm", "c.v", "c.nrm")} AS cos
+       |         FROM gnw$h n JOIN gq q USING (query_id)
+       |                      JOIN qn c ON c.vec_id = n.cand_id),
+       |gvis$h AS MATERIALIZED (SELECT * FROM gvis$p
+       |          UNION ALL SELECT * FROM gsc$h),
+       |gfr$h AS (SELECT query_id, cand_id FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, cand_id) AS rn FROM gsc$h)
+       |          WHERE rn <= $beam)""".stripMargin
+  }
+
+  /** The `sim_graph_search` walk chain (append after [[NnDescentCtes]]):
+    * k=5 adjacency lists off n3, four md5-seeded entry nodes, entry
+    * scoring, three unrolled hops — ends with `gvis3(query_id, cand_id,
+    * cos)`, everything the walk visited.
+    */
+  private lazy val GraphSearchCtes: String =
+    s"""gadj AS MATERIALIZED (SELECT u, v FROM (
+       |         SELECT u, v, row_number() OVER (PARTITION BY u
+       |           ORDER BY cos DESC, v) AS rn FROM n3) WHERE rn <= 5),
+       |gent AS (SELECT u FROM (SELECT DISTINCT u FROM gadj)
+       |         ORDER BY md5(CAST(u AS VARCHAR)), u LIMIT 4),
+       |gq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+       |       FROM qn WHERE vec_id % 20 = 0),
+       |gvis0 AS MATERIALIZED (SELECT query_id, gent.u AS cand_id,
+       |         ${cosSql("gq.qv", "gq.qnrm", "c.v", "c.nrm")} AS cos
+       |       FROM gq CROSS JOIN gent JOIN qn c ON c.vec_id = gent.u),
+       |gfr0 AS (SELECT query_id, cand_id FROM gvis0),
+       |${(1 to 3).map(graphHopSql(_, 8)).mkString(",\n")}""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content-hash groups, deterministic keeper ----
@@ -933,6 +979,37 @@ object PipelineQueries {
                  / CAST(count(*) AS DOUBLE) AS recall
         FROM exact e LEFT JOIN hits h USING (query_id)
         GROUP BY e.query_id ORDER BY e.query_id""")),
+
+    // ---- graph-index SERVING: beam search over the NN-Descent graph ----
+    // The missing leg that made the graph index construction-only
+    // (VERDICT r9 next #3): the built graph is staged (same memo as
+    // sim_nndescent_recall — an index is trained once, served many), and
+    // the timed row walks it: 4 md5-seeded entry nodes, 3 hops of
+    // expand-through-adjacency → score-fresh → keep-beam-8, answer =
+    // top-5 of everything visited. Per-hop work is bounded by
+    // |queries|·beam·degree — the corpus never rescans; no Lloyd, no
+    // global window, no cartesian (PlanShapeSpec), and recall ≥ the IVF
+    // probe's on the same query set (NonTrivialitySpec).
+    QueryDef("sim_graph_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val graph = Staging.parquetMemo(s, s"$dir#nnd_graph")(
+          Similarity.nnDescent(emb, k = 5, rounds = 3,
+            nPlanes = 8, buildK = 20))
+        Similarity.graphSearch(emb.where(col("vec_id") % 20 === 0),
+          graph, emb, k = 5, beam = 8, hops = 3, nEntries = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $QuantCte, $LshBucketCte,
+        $NnDescentCtes,
+        $GraphSearchCtes
+        SELECT query_id, rank, neighbor_id, cos FROM (
+          SELECT query_id, cand_id AS neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, cand_id) AS rank
+          FROM gvis3 WHERE cand_id <> query_id)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // ---- vector-quality audit: the pre-ANN sanity table ----
     QueryDef("sim_vec_quality",

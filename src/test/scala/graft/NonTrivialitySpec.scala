@@ -119,6 +119,27 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rrHits > 0L, "re-rank recall went to zero")
   }
 
+  test("sim_graph_search recall dominates the IVF probe's on the same query set") {
+    import org.apache.spark.sql.functions._
+    // The serving contract that justifies building the graph index at
+    // all (VERDICT r9 next #3): a bounded beam walk (4 entries × 3 hops
+    // × beam 8) must recover MORE of the exact top-5 than the persisted
+    // IVF probe does on the identical %20 query sample — else the extra
+    // index structure buys nothing over coarse bucketing.
+    val exact = graft.analytics.Similarity
+      .bruteForceTopK(Tables.embeddings(spark, sfSmall), k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(name: String): Long =
+      exact.join(SparkEntry.queries(name)(spark, sfSmall)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val graphHits = hits("sim_graph_search")
+    val ivfHits = hits("sim_ivf_persisted_probe")
+    assert(graphHits >= ivfHits,
+      s"graph walk lost to the IVF probe: $graphHits < $ivfHits hits")
+    assert(graphHits > 0L, "graph-search recall went to zero")
+  }
+
   test("cu_embed_decontaminate flags SOME but not ALL train vectors") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("cu_embed_decontaminate")(spark, sfMid)

@@ -494,6 +494,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sim_graph_search: bounded walk — no Lloyd, no global window, no cartesian") {
+    val p = plan("sim_graph_search")
+    // the serving walk never trains (no Lloyd mean round), never funnels
+    // the corpus through one partition (no empty-partition window — every
+    // row_number here is keyed by query_id), and never degrades to an
+    // unkeyed pair join
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("posexplode"), "walk plan contains a Lloyd mean round")
+    assert(!p.contains("Exchange SinglePartition"),
+      "walk plan funnels data through one partition")
+  }
+
   test("sim_ivf_persisted_add: the add+probe plan is training-free (no Lloyd, no sort-aggregate)") {
     val p = plan("sim_ivf_persisted_add")
     assert(p.contains("nearest_centroid"), p.take(2000))

@@ -1130,9 +1130,20 @@ object Similarity {
   def ivfProbePersisted(queries: DataFrame, root: String,
       k: Int = 5): DataFrame = {
     val spark = queries.sparkSession
-    import spark.implicits._
     val centDf = spark.read.parquet(s"$root/centroids")
     val members = spark.read.parquet(s"$root/members")
+    probeMembers(members, centDf, queries, k)
+  }
+
+  /** The shared serving probe over an already-loaded member/centroid
+    * state: assign the query batch through the centroid table (codegen'd
+    * projection when the [[DriverBudget]] admits the k-row collect),
+    * bucket-equality join into the member lists, exact-cosine top-k.
+    */
+  private def probeMembers(members: DataFrame, centDf: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val q = prepQ(queries)
     val qAssigned = DriverBudget.collectWithin(
         centDf.as[(Long, Array[Long], Long)], centDf.count(),
@@ -1203,6 +1214,78 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** DELETE a forget set from a persisted IVF index and serve a probe
+    * over the post-delete state — FAISS `remove_ids` on a loaded index,
+    * the leg that makes the GDPR path reach the SERVING index (VERDICT
+    * r9 next #4: `cu_forget_audit` proved deletion from the corpus, but
+    * a forgotten vector stayed in the member lists). The forget set
+    * persists as a TOMBSTONE table next to the index (idempotent
+    * overwrite — the same snapshot-scoped discipline as the store's
+    * purge ack, tsdb/TimeSeriesStore.scala:1172), and the probe
+    * anti-joins it out of the member lists before scoring.
+    *
+    * Deletion never retrains: centroids are untouched (exactly FAISS's
+    * `remove_ids`), and because assignment is per-row, deleting members
+    * after assignment ≡ building from scratch on the retained corpus
+    * with the same centroids — which is what the oracle computes
+    * (filter-then-assign; the `gr_components_incremental`
+    * merge≡recompute pattern). Cost: |forget| tombstone writes + the
+    * standard probe; the base member lists and centroids are never
+    * rewritten.
+    */
+  def ivfForgetAndProbe(emb: DataFrame, root: String, forgetModulo: Int = 10,
+      forgetResidue: Int = 7, k: Int = 5, queryModulo: Int = 20): DataFrame = {
+    val spark = emb.sparkSession
+    writeTombstones(emb, root, forgetModulo, forgetResidue)
+    val tombs = spark.read.parquet(s"$root/tombstones")
+    // forget sets are request-sized (deletion requests, not corpora) —
+    // the anti-join broadcasts
+    val members = spark.read.parquet(s"$root/members")
+      .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+    val centDf = spark.read.parquet(s"$root/centroids")
+    probeMembers(members, centDf,
+      emb.where(col("vec_id") % queryModulo === 0), k)
+  }
+
+  /** Deletion AUDIT over the serving index — [[ivfForgetAndProbe]]'s
+    * `cu_forget_audit` extension: per inverted list, how many members
+    * survive, how many the tombstones removed, and an order-free
+    * fingerprint of the retained ids (NULL when a list empties — the
+    * same empty-set discipline as the curation audit). The compliance
+    * artifact proving the forget set is gone from the INDEX, not just
+    * the corpus.
+    */
+  def ivfForgetAudit(emb: DataFrame, root: String, forgetModulo: Int = 10,
+      forgetResidue: Int = 7): DataFrame = {
+    val spark = emb.sparkSession
+    writeTombstones(emb, root, forgetModulo, forgetResidue)
+    val tombs = spark.read.parquet(s"$root/tombstones")
+    val flagged = spark.read.parquet(s"$root/members")
+      .join(broadcast(tombs.withColumn("forgotten", lit(true))),
+        Seq("vec_id"), "left")
+    val retained = sum(when(col("forgotten").isNull, 1L).otherwise(0L))
+    flagged.groupBy(col("bucket"))
+      .agg(retained.as("n_members"),
+        sum(when(col("forgotten").isNotNull, 1L).otherwise(0L))
+          .as("n_forgotten"),
+        when(retained > 0,
+          md5(array_join(transform(
+            sort_array(collect_list(
+              when(col("forgotten").isNull, col("vec_id")))),
+            x => x.cast("string")), ","))).as("fingerprint"))
+  }
+
+  /** Persist the forget set's ids as the index's tombstone table
+    * (overwrite — idempotent per call; production appends dated
+    * tombstone files and compacts them into the member lists on its own
+    * schedule, exactly the store's LSM discipline).
+    */
+  private def writeTombstones(emb: DataFrame, root: String,
+      forgetModulo: Int, forgetResidue: Int): Unit =
+    emb.where(pmod(col("vec_id"), lit(forgetModulo.toLong)) === forgetResidue)
+      .select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$root/tombstones")
 
   /** Train a PQ index and PERSIST it: the codebook (`<root>/codebook`:
     * m, cpos, cv, cnrm — M·K constant rows) and the ENCODED corpus

@@ -1041,6 +1041,15 @@ object Similarity {
     * @param corpus the embedding table backing candidate vectors (a graph
     *               index stores its vectors; here they live in the table)
     */
+  /** Test-only plan probe for [[graphSearch]]: the walk localCheckpoints
+    * every hop, truncating lineage, so the FINAL plan cannot witness the
+    * per-hop join shapes where a CartesianProduct or single-partition
+    * exchange would actually appear (ADVICE r10). Each hop's scored frame
+    * passes through this listener BEFORE checkpointing; PlanShapeSpec
+    * installs a recorder, everything else sees a no-op.
+    */
+  @volatile private[graft] var hopPlanProbe: DataFrame => Unit = _ => ()
+
   def graphSearch(queries: DataFrame, graph: DataFrame, corpus: DataFrame,
       k: Int = 5, beam: Int = 8, hops: Int = 3, nEntries: Int = 4): DataFrame = {
     val all = prepQ(corpus)
@@ -1059,16 +1068,19 @@ object Similarity {
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("cand_id"),
         cosineQ(dotLL(col("qqv"), col("qv")), col("qnrm"), col("nrm")).as("cos"))
-    var vis = scoreCands(q.select(col("query_id"))
-        .withColumn("cand_id", explode(lit(entryIds))))
-      .localCheckpoint(true)
+    val entryScored = scoreCands(q.select(col("query_id"))
+      .withColumn("cand_id", explode(lit(entryIds))))
+    hopPlanProbe(entryScored)
+    var vis = entryScored.localCheckpoint(true)
     var frontier = vis.select("query_id", "cand_id")
     for (_ <- 1 to hops) {
       val expanded = frontier.join(adj, frontier("cand_id") === adj("u"))
         .select(col("query_id"), col("nb").as("cand_id")).distinct()
       val fresh = expanded.join(vis.select("query_id", "cand_id"),
         Seq("query_id", "cand_id"), "left_anti")
-      val scored = scoreCands(fresh).localCheckpoint(true)
+      val hopScored = scoreCands(fresh)
+      hopPlanProbe(hopScored)
+      val scored = hopScored.localCheckpoint(true)
       vis = vis.unionByName(scored).localCheckpoint(true)
       val wb = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("cand_id"))

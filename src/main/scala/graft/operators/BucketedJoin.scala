@@ -46,7 +46,7 @@ object BucketedJoin {
   }
 
   private val stagedTables =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String, String)]()
 
   // monotonic table id: hashCode + map-size naming can mint the SAME name
   // for two memoKeys whose first calls race (colliding hashCodes both
@@ -55,17 +55,18 @@ object BucketedJoin {
 
   // the scratch FILES are cleaned by Staging's shutdown hook; the
   // saveAsTable catalog registrations would otherwise outlive their files
-  // for the rest of the session — drop them at JVM exit too
+  // for the rest of the session — drop them at JVM exit too. Each entry
+  // carries the session that RAN its saveAsTable: getDefaultSession may be
+  // a different session (or already stopped) in multi-session JVMs, which
+  // would silently no-op the drop (ADVICE r10).
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     try {
-      org.apache.spark.sql.SparkSession.getDefaultSession.foreach { s =>
-        import scala.jdk.CollectionConverters._
-        stagedTables.values().asScala.foreach { case (l, r) =>
-          try s.sql(s"DROP TABLE IF EXISTS $l")
-          catch { case _: Throwable => () }
-          try s.sql(s"DROP TABLE IF EXISTS $r")
-          catch { case _: Throwable => () }
-        }
+      import scala.jdk.CollectionConverters._
+      stagedTables.values().asScala.foreach { case (s, l, r) =>
+        try s.sql(s"DROP TABLE IF EXISTS $l")
+        catch { case _: Throwable => () }
+        try s.sql(s"DROP TABLE IF EXISTS $r")
+        catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
   }, "graft-bucketed-drop"))
@@ -82,7 +83,7 @@ object BucketedJoin {
   def coLocatedJoinStaged(spark: SparkSession, left: => DataFrame,
       right: => DataFrame, key: String, memoKey: String,
       buckets: Int = 8): DataFrame = {
-    val (lt, rt) = stagedTables.computeIfAbsent(memoKey, { _ =>
+    val (_, lt, rt) = stagedTables.computeIfAbsent(memoKey, { _ =>
       val id = java.lang.Long.toHexString(tableId.getAndIncrement())
       val scratch = graft.queries.Staging.scratchDir("bucketed")
       def materialize(df: DataFrame, table: String): Unit =
@@ -95,7 +96,7 @@ object BucketedJoin {
       val r = s"graft_bkt_r_$id"
       materialize(left, l)
       materialize(right, r)
-      (l, r)
+      (spark, l, r)
     })
     spark.table(lt).hint("merge").join(spark.table(rt), key)
   }

@@ -213,27 +213,35 @@ object PipelineQueries {
        |         WHERE t2 IS NOT NULL GROUP BY word, f)""".stripMargin
   }
 
-  /** The shared oracle of `sim_ivf_persisted_probe` and
-    * `st_vector_search` (the serving twin): k-means replayed (seed + two
-    * Lloyd rounds), final assignment, the %20 query sample probing its
-    * own bucket, top-5 — persist/load and query batching must both be
-    * invisible in the answer.
+  /** The trained-IVF state shared by every persisted-index oracle:
+    * k-means replayed (seed + two Lloyd rounds) and the final full-corpus
+    * assignment — ends with `memF(vec_id, v, nrm, bucket)`.
     */
-  private[queries] lazy val IvfPersistedProbeOracle: String =
-    s"""
-        WITH $QuantCte,
+  private def ivfTrainedCtes: String =
+    s"""$QuantCte,
         cent0 AS (${seedSql(64)}),
         ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
         asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
                    row_number() OVER (PARTITION BY vec_id
                      ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
                  FROM qn CROSS JOIN cent2),
-        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1),
+        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1)"""
+
+  /** Probe oracle over the trained index with the member lists filtered
+    * by `memberFilter` — `TRUE` is the plain persisted probe; the forget
+    * lane passes the tombstone complement (deleting members AFTER
+    * assignment ≡ building from scratch on the retained corpus with the
+    * same centroids, because assignment is per-row).
+    */
+  private def ivfProbeOracle(memberFilter: String): String =
+    s"""
+        WITH $ivfTrainedCtes,
         qry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
                 FROM memF WHERE vec_id % 20 = 0),
         scored AS (SELECT query_id, b.vec_id AS neighbor_id,
                      ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
-                   FROM memF b JOIN qry USING (bucket)
+                   FROM (SELECT * FROM memF WHERE $memberFilter) b
+                        JOIN qry USING (bucket)
                    WHERE b.vec_id <> query_id),
         ranked AS (SELECT query_id, neighbor_id, cos,
                      row_number() OVER (PARTITION BY query_id
@@ -241,6 +249,15 @@ object PipelineQueries {
                    FROM scored)
         SELECT query_id, rank, neighbor_id, cos FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** The shared oracle of `sim_ivf_persisted_probe` and
+    * `st_vector_search` (the serving twin): k-means replayed (seed + two
+    * Lloyd rounds), final assignment, the %20 query sample probing its
+    * own bucket, top-5 — persist/load and query batching must both be
+    * invisible in the answer.
+    */
+  private[queries] lazy val IvfPersistedProbeOracle: String =
+    ivfProbeOracle("TRUE")
 
   /** The shared oracle of `tx_bpe_encode` and `tx_bpe_persisted_encode`:
     * six training rounds replayed, then the word-level encode join —
@@ -874,6 +891,60 @@ object PipelineQueries {
                    FROM scored)
         SELECT query_id, rank, neighbor_id, cos FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- persisted IVF index: DELETE a forget set, probe post-delete ----
+    // FAISS `remove_ids` on a loaded index — the leg that makes the GDPR
+    // path reach the SERVING index (VERDICT r9 next #4; ADVICE r10 medium:
+    // the lane existed but was dead code). The forget set persists as a
+    // tombstone table next to the staged index (idempotent overwrite, the
+    // store's snapshot-scoped ack discipline) and the probe anti-joins it
+    // out of the member lists before scoring. Centroids are untouched and
+    // assignment is per-row, so probe-after-delete ≡ from-scratch index on
+    // the retained corpus with the same centroids — the oracle filters the
+    // assigned members (filter-then-probe, the merge≡recompute pattern).
+    QueryDef("sim_ivf_forget_probe",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#ivf_index") {
+          val r = Staging.scratchDir("ivfidx")
+          Similarity.persistIvfIndex(Tables.embeddings(s, dir), r,
+            numCentroids = 64, iters = 2)
+          r
+        }
+        Similarity.ivfForgetAndProbe(Tables.embeddings(s, dir), root,
+          forgetModulo = 10, forgetResidue = 7, k = 5, queryModulo = 20)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfProbeOracle("vec_id % 10 <> 7"))),
+
+    // ---- deletion AUDIT over the serving index ----
+    // cu_forget_audit proved deletion from the CORPUS; this is the same
+    // compliance artifact over the INDEX: per inverted list, retained and
+    // tombstoned member counts plus an order-free fingerprint of the
+    // retained ids (NULL when a list empties). A from-scratch index on the
+    // retained corpus must fingerprint identically — which is what the
+    // oracle computes from the assigned members.
+    QueryDef("sim_ivf_forget_audit",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#ivf_index") {
+          val r = Staging.scratchDir("ivfidx")
+          Similarity.persistIvfIndex(Tables.embeddings(s, dir), r,
+            numCentroids = 64, iters = 2)
+          r
+        }
+        Similarity.ivfForgetAudit(Tables.embeddings(s, dir), root,
+          forgetModulo = 10, forgetResidue = 7)
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH $ivfTrainedCtes
+        SELECT bucket,
+               CAST(count(*) FILTER (WHERE vec_id % 10 <> 7) AS BIGINT)
+                 AS n_members,
+               CAST(count(*) FILTER (WHERE vec_id % 10 = 7) AS BIGINT)
+                 AS n_forgotten,
+               md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id)
+                   FILTER (WHERE vec_id % 10 <> 7)) AS fingerprint
+        FROM memF GROUP BY bucket ORDER BY bucket""")),
 
     // ---- persisted PQ index: codebook + encoded corpus on disk ----
     // The compression tier's lifecycle twin: the codebook and the

@@ -140,6 +140,28 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graphHits > 0L, "graph-search recall went to zero")
   }
 
+  test("sim_ivf_forget_probe: no tombstoned vector survives in the serving results") {
+    import org.apache.spark.sql.functions._
+    // The GDPR serving contract (ADVICE r10 medium): the forget set
+    // (vec_id % 10 == 7) must be gone from the probe's ANSWERS, not just
+    // the corpus — and the deletion must be non-trivial (it actually
+    // removed members and actually changed at least one query's top-k,
+    // else the lane demonstrates nothing on this data).
+    val probe = SparkEntry.queries("sim_ivf_forget_probe")(spark, sfSmall)
+      .cache()
+    val leaked = probe.where(pmod(col("neighbor_id"), lit(10L)) === 7).count()
+    assert(leaked == 0L, s"$leaked tombstoned vectors served post-delete")
+    val audit = SparkEntry.queries("sim_ivf_forget_audit")(spark, sfSmall)
+    val forgotten = audit.agg(sum(col("n_forgotten"))).head().getLong(0)
+    assert(forgotten > 0L, "forget set was empty — the audit proves nothing")
+    val plain = SparkEntry.queries("sim_ivf_persisted_probe")(spark, sfSmall)
+    val changed = plain.join(probe, Seq("query_id", "rank", "neighbor_id"),
+      "left_anti").count()
+    assert(changed > 0L,
+      "deletion is invisible in serving results — no forgotten vector was in any top-k")
+    probe.unpersist()
+  }
+
   test("cu_embed_decontaminate flags SOME but not ALL train vectors") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("cu_embed_decontaminate")(spark, sfMid)

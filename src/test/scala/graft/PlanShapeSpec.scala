@@ -494,16 +494,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("sim_graph_search: bounded walk — no Lloyd, no global window, no cartesian") {
-    val p = plan("sim_graph_search")
-    // the serving walk never trains (no Lloyd mean round), never funnels
-    // the corpus through one partition (no empty-partition window — every
-    // row_number here is keyed by query_id), and never degrades to an
-    // unkeyed pair join
-    assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(!p.contains("posexplode"), "walk plan contains a Lloyd mean round")
-    assert(!p.contains("Exchange SinglePartition"),
-      "walk plan funnels data through one partition")
+  test("sim_graph_search: bounded walk — no Lloyd, no global window, no cartesian (every hop)") {
+    // graphSearch localCheckpoints every hop, so the FINAL plan only shows
+    // the top-k stage; the per-hop scoring joins — where a CartesianProduct
+    // or single-partition exchange would actually appear — are captured
+    // through the hop probe BEFORE each checkpoint (ADVICE r10).
+    val hopPlans = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.analytics.Similarity.hopPlanProbe =
+      df => hopPlans += df.queryExecution.executedPlan.toString
+    val p = try plan("sim_graph_search")
+            finally graft.analytics.Similarity.hopPlanProbe = _ => ()
+    // entry scoring + 3 hops
+    assert(hopPlans.size >= 4, s"expected >=4 hop plans, saw ${hopPlans.size}")
+    (hopPlans.toSeq :+ p).zipWithIndex.foreach { case (hp, i) =>
+      // the serving walk never trains (no Lloyd mean round), never funnels
+      // the corpus through one partition (every row_number is keyed by
+      // query_id), and never degrades to an unkeyed pair join. A
+      // SinglePartition exchange INSIDE Spark's injected bloom-runtime-
+      // filter subquery is exempt: bloom_filter_agg is a 1-row scalar
+      // reduction, not a data funnel.
+      assert(!hp.contains("CartesianProduct"), s"stage $i:\n${hp.take(2000)}")
+      assert(!hp.contains("posexplode"), s"stage $i contains a Lloyd mean round")
+      val lines = hp.linesIterator.toVector
+      lines.zipWithIndex.foreach { case (l, j) =>
+        if (l.contains("Exchange SinglePartition")) {
+          val ctx = lines.slice(math.max(0, j - 2), j).mkString("\n")
+          assert(ctx.contains("bloom_filter_agg"),
+            s"stage $i funnels data through one partition:\n$l\ncontext:\n$ctx")
+        }
+      }
+    }
   }
 
   test("sim_ivf_persisted_add: the add+probe plan is training-free (no Lloyd, no sort-aggregate)") {

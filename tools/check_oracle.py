@@ -49,10 +49,15 @@ def _dtype_class(dt) -> str:
 
 
 def dtype_mismatches(got: pd.DataFrame, want: pd.DataFrame):
+    # Flag only conflicts BETWEEN numeric classes (int/bool/float): those
+    # stringify differently in the driver's value hash ('0' vs '0.0',
+    # '1' vs 'True'). int-vs-'other' is NOT a hazard — a DuckDB HUGEINT
+    # fetched as a pandas object column of Python ints stringifies
+    # identically to int64 (ADVICE r10).
     bad = []
     for c in got.columns:
         g, w = _dtype_class(got[c].dtype), _dtype_class(want[c].dtype)
-        if g != w and {g, w} & {"int", "bool", "float"}:
+        if g != w and {g, w} <= {"int", "bool", "float"}:
             bad.append((c, str(got[c].dtype), str(want[c].dtype)))
     return bad
 

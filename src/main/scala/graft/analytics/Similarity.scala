@@ -43,13 +43,30 @@ object Similarity {
   private def seedSubset(all: DataFrame, k: Int): DataFrame =
     all.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
 
+  /** Deterministic bounded eval budget (VERDICT r9 next #5): restrict a
+    * query population to its `n` smallest-md5 members — a TakeOrdered,
+    * never a global sort, recomputed identically by the oracles
+    * (`ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT n`). A
+    * production recall eval or probe bench runs a FIXED query budget
+    * regardless of corpus size; `queryLimit = Some(n)` is that budget as
+    * code — it turns the eval family's |corpus|²/modulo brute arms into
+    * n·|corpus|.
+    */
+  private[graft] def boundQueries(pop: DataFrame,
+      queryLimit: Option[Int]): DataFrame =
+    queryLimit.fold(pop)(n =>
+      pop.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(n))
+
   /** Exact top-k neighbors by cosine for each query vector.
     *
     * @param queryModulo query set = vectors with vec_id % queryModulo == 0
+    * @param queryLimit  optional fixed eval budget ([[boundQueries]])
     */
-  def bruteForceTopK(emb: DataFrame, k: Int = 10, queryModulo: Int = 20): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, k: Int = 10, queryModulo: Int = 20,
+      queryLimit: Option[Int] = None): DataFrame = {
     val all = prep(emb)
-    val queries = all.where(col("vec_id") % queryModulo === 0)
+    val queries = boundQueries(all.where(col("vec_id") % queryModulo === 0),
+        queryLimit)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -345,7 +362,8 @@ object Similarity {
     * max(mx−mn, 1), decode = mn + code·(mx−mn) div 255 — both exactly
     * reproducible by the oracle.
     */
-  def sq8TopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20): DataFrame = {
+  def sq8TopK(emb: DataFrame, k: Int = 5, queryModulo: Int = 20,
+      queryLimit: Option[Int] = None): DataFrame = {
     val all = prepQ(emb)
     val bounds = all.select(posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -358,7 +376,8 @@ object Similarity {
       .select(col("vec_id"), expr(
         "transform(qv, (x, d) -> (x - mns[d]) * 255L div greatest(mxs[d] - mns[d], 1L))")
         .as("code"))
-    val queries = all.where(col("vec_id") % queryModulo === 0)
+    val queries = boundQueries(all.where(col("vec_id") % queryModulo === 0),
+        queryLimit)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
     // decode ONCE per corpus vector (n rows), not per (vector, query)
     // pair — and keep the HOF transform out of the pair-scoring
@@ -873,9 +892,10 @@ object Similarity {
     * replays the greedy selection bit-for-bit.
     */
   def mmrSelect(emb: DataFrame, k: Int = 5, shortlist: Int = 20,
-      queryModulo: Int = 50): DataFrame = {
+      queryModulo: Int = 50, queryLimit: Option[Int] = None): DataFrame = {
     val all = prep(emb)
-    val queries = all.where(col("vec_id") % queryModulo === 0)
+    val queries = boundQueries(all.where(col("vec_id") % queryModulo === 0),
+        queryLimit)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))

@@ -110,10 +110,163 @@ object PipelineQueries {
        |                 JOIN qn b ON vec_b = b.vec_id
        |       WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= $threshold)""".stripMargin
 
-  /** The product-quantization oracle chain (after QuantCte): fixed-16
-    * codebook from the md5 seed order, per-subspace L2 encode (4×16-dim
-    * slices of the 64-dim vectors), per-query LUT, exact-integer ADC sum,
-    * rank — mirrors [[graft.analytics.Similarity.pqTopK]] bit-for-bit.
+  /** The eval family's query-set CTE: the full modulo population, or the
+    * md5-bounded eval budget when `limit` is set — mirrors
+    * [[graft.analytics.Similarity.boundQueries]] bit-for-bit (VERDICT r9
+    * next #5: the bounded production lane as code, not narrative). Ends
+    * with `qset(vec_id)`; append after [[QuantCte]].
+    */
+  private def qsetCte(modulo: Int, limit: Option[Int]): String = limit match {
+    case Some(n) =>
+      s"""qset AS (SELECT vec_id FROM qn WHERE vec_id % $modulo = 0
+         |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $n)""".stripMargin
+    case None =>
+      s"qset AS (SELECT vec_id FROM qn WHERE vec_id % $modulo = 0)"
+  }
+
+  /** The `sim_sq8_recall` oracle, parameterized by the eval budget:
+    * SQ8 train/encode/decode replayed in exact integer arithmetic, the
+    * qset queries scored against decoded bin centers, recall@5 vs the
+    * brute-force exact top-5 on the SAME query set.
+    */
+  private def sq8RecallOracle(queryLimit: Option[Int]): String =
+    s"""
+        WITH $QuantCte,
+        ${qsetCte(20, queryLimit)},
+        sqst AS (SELECT pos, min(v[pos]) AS mn, max(v[pos]) AS mx
+                 FROM qn CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) t
+                 GROUP BY 1),
+        sqb AS (SELECT list(mn ORDER BY pos) AS mns,
+                       list(mx ORDER BY pos) AS mxs FROM sqst),
+        sqc AS (SELECT vec_id,
+                  list_transform(range(1, 65), i ->
+                    (v[i] - mns[i]) * 255 // greatest(mxs[i] - mns[i], 1)) AS code
+                FROM qn CROSS JOIN sqb),
+        sqq AS (SELECT vec_id AS query_id, v AS qqv FROM qn
+                WHERE vec_id IN (SELECT vec_id FROM qset)),
+        sqs AS (SELECT query_id, sqc.vec_id AS neighbor_id,
+                  list_sum(list_transform(range(1, 65), i ->
+                    qqv[i] * (mns[i] + code[i] * (mxs[i] - mns[i]) // 255)))
+                    AS sq_dot
+                FROM sqc CROSS JOIN sqq CROSS JOIN sqb
+                WHERE sqc.vec_id <> query_id),
+        sqrk AS (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sq_dot DESC, neighbor_id) AS rank
+                 FROM sqs),
+        approx AS (SELECT query_id, neighbor_id FROM sqrk WHERE rank <= 5),
+        bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id IN (SELECT vec_id FROM qset)),
+        bscored AS (SELECT query_id, vec_id AS neighbor_id,
+                      ${cosSql("qv", "qnrm", "v", "nrm")} AS cos
+                    FROM qn CROSS JOIN bq WHERE vec_id <> query_id),
+        branked AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM bscored),
+        exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+        hits AS (SELECT e.query_id, count(*) AS n_hits
+                 FROM exact e JOIN approx a
+                   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+                 GROUP BY 1),
+        ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+        SELECT ne.query_id, n_exact, coalesce(n_hits, 0) AS n_hits,
+               coalesce(n_hits, 0) * 1.0 / n_exact AS recall
+        FROM ne LEFT JOIN hits USING (query_id) ORDER BY query_id"""
+
+  /** The `sim_nndescent_recall` oracle, parameterized by the eval budget:
+    * the descent graph replayed (seed + 3 rounds), its lists restricted
+    * to the qset queries, recall@5 vs brute force on the same set.
+    */
+  private def nnDescentRecallOracle(queryLimit: Option[Int]): String =
+    s"""
+        WITH $QuantCte, $LshBucketCte,
+        $NnDescentCtes,
+        ${qsetCte(20, queryLimit)},
+        nd AS (SELECT node, neighbor_id FROM (
+                 SELECT u AS node,
+                        row_number() OVER (PARTITION BY u
+                          ORDER BY cos DESC, v) AS rank,
+                        v AS neighbor_id
+                 FROM n3)
+               WHERE rank <= 5 AND node IN (SELECT vec_id FROM qset)),
+        bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id IN (SELECT vec_id FROM qset)),
+        bscored AS (SELECT query_id, vec_id AS neighbor_id,
+                      ${cosSql("qv", "qnrm", "v", "nrm")} AS cos
+                    FROM qn CROSS JOIN bq WHERE vec_id <> query_id),
+        exact AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM bscored) WHERE rank <= 5),
+        hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM exact e JOIN nd a
+                   ON e.query_id = a.node AND e.neighbor_id = a.neighbor_id
+                 GROUP BY 1)
+        SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+               coalesce(max(h.n_hits), 0) AS n_hits,
+               CAST(coalesce(max(h.n_hits), 0) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS recall
+        FROM exact e LEFT JOIN hits h USING (query_id)
+        GROUP BY e.query_id ORDER BY e.query_id"""
+
+  /** The `sim_mmr` oracle, parameterized by the eval budget: exact
+    * relevance shortlist for the qset queries, pairwise sims within each
+    * shortlist, 5 greedy 0.7·rel − 0.3·maxsim rounds replayed in
+    * MATERIALIZED CTEs.
+    */
+  private def mmrOracle(queryLimit: Option[Int]): String =
+    s"""
+        WITH $QuantCte,
+        ${qsetCte(50, queryLimit)},
+        qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id IN (SELECT vec_id FROM qset)),
+        sc AS (SELECT query_id, c.vec_id AS cand_id,
+                 ${cosSql("qv", "qnrm", "c.v", "c.nrm")} AS rel
+               FROM qs JOIN qn c ON c.vec_id <> query_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY rel DESC, cand_id) AS rnk FROM sc),
+        sl AS MATERIALIZED (SELECT query_id, cand_id, rel FROM rk WHERE rnk <= 20),
+        ps AS MATERIALIZED (SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+                 ${cosSql("x.v", "x.nrm", "y.v", "y.nrm")} AS sim
+               FROM sl a JOIN sl b ON a.query_id = b.query_id
+                                  AND a.cand_id <> b.cand_id
+                 JOIN qn x ON x.vec_id = a.cand_id
+                 JOIN qn y ON y.vec_id = b.cand_id),
+        p1 AS (SELECT query_id, cand_id, rel, rel AS score,
+                 CAST(1 AS BIGINT) AS sel_rank
+               FROM rk WHERE rnk = 1),
+        sel1 AS (SELECT query_id, cand_id FROM p1),
+        ${(2 to 5).map { t =>
+          val p = t - 1
+          s"""m$t AS MATERIALIZED (SELECT p.query_id, p.cand_id, max(p.sim) AS maxsim
+                 FROM ps p JOIN sel$p s
+                   ON p.query_id = s.query_id AND p.other_id = s.cand_id
+                 GROUP BY 1, 2),
+          c$t AS MATERIALIZED (SELECT sl.query_id, sl.cand_id, sl.rel,
+                    0.7 * sl.rel - 0.3 * m.maxsim AS score
+                  FROM sl JOIN m$t m USING (query_id, cand_id)
+                  LEFT JOIN sel$p s ON sl.query_id = s.query_id
+                                   AND sl.cand_id = s.cand_id
+                  WHERE s.cand_id IS NULL),
+          p$t AS MATERIALIZED (SELECT query_id, cand_id, rel, score,
+                    CAST($t AS BIGINT) AS sel_rank
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, cand_id) AS rn FROM c$t)
+                  WHERE rn = 1),
+          sel$t AS MATERIALIZED (SELECT query_id, cand_id FROM sel$p
+                    UNION ALL SELECT query_id, cand_id FROM p$t)"""
+        }.mkString(",\n        ")}
+        SELECT query_id, sel_rank, cand_id, rel, score FROM (
+          ${(1 to 5).map(t => s"SELECT * FROM p$t").mkString(" UNION ALL ")})
+        ORDER BY query_id, sel_rank"""
+
+  /** The product-quantization oracle chain (after QuantCte + a `qset`
+    * query-set CTE): fixed-16 codebook from the md5 seed order,
+    * per-subspace L2 encode (4×16-dim slices of the 64-dim vectors),
+    * per-query LUT, exact-integer ADC sum, rank — mirrors
+    * [[graft.analytics.Similarity.pqTopK]] bit-for-bit.
     * Ends with `pqrk(query_id, neighbor_id, adc_dot, rank)`.
     */
   private val PqChainCtes =
@@ -139,7 +292,8 @@ object PipelineQueries {
       |lut AS (SELECT q.vec_id AS query_id, c.m, c.cpos,
       |          list_sum(list_transform(range(1, 17),
       |            i -> q.sv[i]*c.cv[i])) AS pdot
-      |        FROM sbn q JOIN cdn c USING (m) WHERE q.vec_id % 20 = 0),
+      |        FROM sbn q JOIN cdn c USING (m)
+      |        WHERE q.vec_id IN (SELECT vec_id FROM qset)),
       |pqsc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
       |         CAST(sum(l.pdot) AS BIGINT) AS adc_dot
       |       FROM enc e JOIN lut l ON e.m = l.m AND e.cpos = l.cpos
@@ -968,6 +1122,34 @@ object PipelineQueries {
       },
       Some(s"""
         WITH $QuantCte,
+        ${qsetCte(20, None)},
+        $PqChainCtes
+        SELECT query_id, rank, neighbor_id, adc_dot FROM pqrk
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- persisted PQ probe on the bounded query batch ----
+    // The unbounded probe's query side grows with the corpus (%20 → n/20
+    // queries, so n²/20 ADC rows — 51× at 10×, VERDICT r9 next #5); a
+    // serving deployment answers a FIXED request batch. Same persisted
+    // index, same oracle machinery, 8 md5-sampled queries → 8·n ADC rows.
+    QueryDef("sim_pq_probe_bounded",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#pq_index") {
+          val r = Staging.scratchDir("pqidx")
+          Similarity.persistPqIndex(Tables.embeddings(s, dir), r,
+            numSubspaces = 4, codebookSize = 16)
+          r
+        }
+        Similarity.pqProbePersisted(
+          Similarity.boundQueries(
+            Tables.embeddings(s, dir).where(col("vec_id") % 20 === 0),
+            Some(8)),
+          root, k = 5, numSubspaces = 4, codebookSize = 16)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        ${qsetCte(20, Some(8))},
         $PqChainCtes
         SELECT query_id, rank, neighbor_id, adc_dot FROM pqrk
         WHERE rank <= 5 ORDER BY query_id, rank""")),
@@ -1020,36 +1202,36 @@ object PipelineQueries {
             col("n_hits").cast("double") / col("n_exact").cast("double"))
           .orderBy("query_id")
       },
-      Some(s"""
-        WITH $QuantCte, $LshBucketCte,
-        $NnDescentCtes,
-        nd AS (SELECT node, neighbor_id FROM (
-                 SELECT u AS node,
-                        row_number() OVER (PARTITION BY u
-                          ORDER BY cos DESC, v) AS rank,
-                        v AS neighbor_id
-                 FROM n3)
-               WHERE rank <= 5 AND node % 20 = 0),
-        bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
-               FROM qn WHERE vec_id % 20 = 0),
-        bscored AS (SELECT query_id, vec_id AS neighbor_id,
-                      ${cosSql("qv", "qnrm", "v", "nrm")} AS cos
-                    FROM qn CROSS JOIN bq WHERE vec_id <> query_id),
-        exact AS (SELECT query_id, neighbor_id FROM (
-                    SELECT query_id, neighbor_id,
-                      row_number() OVER (PARTITION BY query_id
-                        ORDER BY cos DESC, neighbor_id) AS rank
-                    FROM bscored) WHERE rank <= 5),
-        hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
-                 FROM exact e JOIN nd a
-                   ON e.query_id = a.node AND e.neighbor_id = a.neighbor_id
-                 GROUP BY 1)
-        SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
-               coalesce(max(h.n_hits), 0) AS n_hits,
-               CAST(coalesce(max(h.n_hits), 0) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) AS recall
-        FROM exact e LEFT JOIN hits h USING (query_id)
-        GROUP BY e.query_id ORDER BY e.query_id""")),
+      Some(nnDescentRecallOracle(None))),
+
+    // ---- NN-Descent recall on the bounded eval budget ----
+    // Same contract as sim_sq8_recall_bounded (VERDICT r9 next #5: the
+    // unbounded row's brute arm measured 66× at 10×): the STAGED graph is
+    // evaluated against exact top-5 for a FIXED 8-query md5 sample —
+    // eval cost 8·|corpus| regardless of corpus size.
+    QueryDef("sim_nndescent_recall_bounded",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val exact = Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20,
+            queryLimit = Some(8))
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Staging.parquetMemo(s, s"$dir#nnd_graph")(
+            Similarity.nnDescent(emb, k = 5, rounds = 3,
+              nPlanes = 8, buildK = 20))
+          .join(broadcast(exact.select(col("query_id").as("node")).distinct()),
+            Seq("node"), "left_semi")
+          .select(col("node").as("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("query_id"), "left_outer")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall",
+            col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .orderBy("query_id")
+      },
+      Some(nnDescentRecallOracle(Some(8)))),
 
     // ---- graph-index SERVING: beam search over the NN-Descent graph ----
     // The missing leg that made the graph index construction-only
@@ -2075,6 +2257,7 @@ object PipelineQueries {
         .orderBy("query_id", "rank"),
       Some(s"""
         WITH $QuantCte,
+        ${qsetCte(20, None)},
         $PqChainCtes
         SELECT query_id, rank, neighbor_id, adc_dot FROM pqrk
         WHERE rank <= 5 ORDER BY query_id, rank""")),
@@ -2092,6 +2275,7 @@ object PipelineQueries {
         .orderBy("query_id", "rank"),
       Some(s"""
         WITH $QuantCte,
+        ${qsetCte(20, None)},
         $PqChainCtes,
         coarse AS (${seedSql(16)}),
         casg AS (SELECT vec_id, c_id AS bucket,
@@ -2138,6 +2322,7 @@ object PipelineQueries {
       },
       Some(s"""
         WITH $QuantCte,
+        ${qsetCte(20, None)},
         $PqChainCtes,
         approx AS (SELECT query_id, neighbor_id FROM pqrk WHERE rank <= 5),
         bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
@@ -2195,6 +2380,7 @@ object PipelineQueries {
         .orderBy("query_id", "rank"),
       Some(s"""
         WITH $QuantCte,
+        ${qsetCte(20, None)},
         $PqChainCtes,
         short AS (SELECT query_id, neighbor_id FROM pqrk WHERE rank <= 25),
         qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
@@ -2230,47 +2416,35 @@ object PipelineQueries {
             col("n_hits").cast("double") / col("n_exact").cast("double"))
           .orderBy("query_id")
       },
-      Some(s"""
-        WITH $QuantCte,
-        sqst AS (SELECT pos, min(v[pos]) AS mn, max(v[pos]) AS mx
-                 FROM qn CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) t
-                 GROUP BY 1),
-        sqb AS (SELECT list(mn ORDER BY pos) AS mns,
-                       list(mx ORDER BY pos) AS mxs FROM sqst),
-        sqc AS (SELECT vec_id,
-                  list_transform(range(1, 65), i ->
-                    (v[i] - mns[i]) * 255 // greatest(mxs[i] - mns[i], 1)) AS code
-                FROM qn CROSS JOIN sqb),
-        sqq AS (SELECT vec_id AS query_id, v AS qqv FROM qn WHERE vec_id % 20 = 0),
-        sqs AS (SELECT query_id, sqc.vec_id AS neighbor_id,
-                  list_sum(list_transform(range(1, 65), i ->
-                    qqv[i] * (mns[i] + code[i] * (mxs[i] - mns[i]) // 255)))
-                    AS sq_dot
-                FROM sqc CROSS JOIN sqq CROSS JOIN sqb
-                WHERE sqc.vec_id <> query_id),
-        sqrk AS (SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sq_dot DESC, neighbor_id) AS rank
-                 FROM sqs),
-        approx AS (SELECT query_id, neighbor_id FROM sqrk WHERE rank <= 5),
-        bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
-               FROM qn WHERE vec_id % 20 = 0),
-        bscored AS (SELECT query_id, vec_id AS neighbor_id,
-                      ${cosSql("qv", "qnrm", "v", "nrm")} AS cos
-                    FROM qn CROSS JOIN bq WHERE vec_id <> query_id),
-        branked AS (SELECT query_id, neighbor_id,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY cos DESC, neighbor_id) AS rank
-                    FROM bscored),
-        exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
-        hits AS (SELECT e.query_id, count(*) AS n_hits
-                 FROM exact e JOIN approx a
-                   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-                 GROUP BY 1),
-        ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
-        SELECT ne.query_id, n_exact, coalesce(n_hits, 0) AS n_hits,
-               coalesce(n_hits, 0) * 1.0 / n_exact AS recall
-        FROM ne LEFT JOIN hits USING (query_id) ORDER BY query_id""")),
+      Some(sq8RecallOracle(None))),
+
+    // ---- SQ8 recall on the bounded eval budget ----
+    // The production lane the 10× probes demanded (VERDICT r9 next #5:
+    // sim_sq8_recall's brute arm is |corpus|²/20 — 43× at 10×): the SAME
+    // eval restricted to a FIXED 8-query md5 sample, making both arms
+    // 8·|corpus|. Production recall monitoring always runs a fixed query
+    // budget; this row is that budget as code, shared oracle machinery.
+    QueryDef("sim_sq8_recall_bounded",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val lim = Some(8)
+        val exact = Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20,
+            queryLimit = lim)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.sq8TopK(emb, k = 5, queryModulo = 20,
+            queryLimit = lim)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("query_id"), "left_outer")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall",
+            col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .orderBy("query_id")
+      },
+      Some(sq8RecallOracle(Some(8)))),
 
     // ---- character-diversity quality signal (Simpson collision index) ----
     // The repetitiveness signal entropy filters compute, WITHOUT a
@@ -2483,49 +2657,18 @@ object PipelineQueries {
       (s, dir) => Similarity.mmrSelect(Tables.embeddings(s, dir),
           k = 5, shortlist = 20, queryModulo = 50)
         .orderBy("query_id", "sel_rank"),
-      Some(s"""
-        WITH $QuantCte,
-        qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
-               FROM qn WHERE vec_id % 50 = 0),
-        sc AS (SELECT query_id, c.vec_id AS cand_id,
-                 ${cosSql("qv", "qnrm", "c.v", "c.nrm")} AS rel
-               FROM qs JOIN qn c ON c.vec_id <> query_id),
-        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                          ORDER BY rel DESC, cand_id) AS rnk FROM sc),
-        sl AS MATERIALIZED (SELECT query_id, cand_id, rel FROM rk WHERE rnk <= 20),
-        ps AS MATERIALIZED (SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
-                 ${cosSql("x.v", "x.nrm", "y.v", "y.nrm")} AS sim
-               FROM sl a JOIN sl b ON a.query_id = b.query_id
-                                  AND a.cand_id <> b.cand_id
-                 JOIN qn x ON x.vec_id = a.cand_id
-                 JOIN qn y ON y.vec_id = b.cand_id),
-        p1 AS (SELECT query_id, cand_id, rel, rel AS score,
-                 CAST(1 AS BIGINT) AS sel_rank
-               FROM rk WHERE rnk = 1),
-        sel1 AS (SELECT query_id, cand_id FROM p1),
-        ${(2 to 5).map { t =>
-          val p = t - 1
-          s"""m$t AS MATERIALIZED (SELECT p.query_id, p.cand_id, max(p.sim) AS maxsim
-                 FROM ps p JOIN sel$p s
-                   ON p.query_id = s.query_id AND p.other_id = s.cand_id
-                 GROUP BY 1, 2),
-          c$t AS MATERIALIZED (SELECT sl.query_id, sl.cand_id, sl.rel,
-                    0.7 * sl.rel - 0.3 * m.maxsim AS score
-                  FROM sl JOIN m$t m USING (query_id, cand_id)
-                  LEFT JOIN sel$p s ON sl.query_id = s.query_id
-                                   AND sl.cand_id = s.cand_id
-                  WHERE s.cand_id IS NULL),
-          p$t AS MATERIALIZED (SELECT query_id, cand_id, rel, score,
-                    CAST($t AS BIGINT) AS sel_rank
-                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                          ORDER BY score DESC, cand_id) AS rn FROM c$t)
-                  WHERE rn = 1),
-          sel$t AS MATERIALIZED (SELECT query_id, cand_id FROM sel$p
-                    UNION ALL SELECT query_id, cand_id FROM p$t)"""
-        }.mkString(",\n        ")}
-        SELECT query_id, sel_rank, cand_id, rel, score FROM (
-          ${(1 to 5).map(t => s"SELECT * FROM p$t").mkString(" UNION ALL ")})
-        ORDER BY query_id, sel_rank""")),
+      Some(mmrOracle(None))),
+
+    // ---- MMR re-rank on the bounded eval budget ----
+    // The shortlist stage is the |queries|·|corpus| arm (VERDICT r9 next
+    // #5: 11× at 10×); production re-ranks a fixed request batch, so this
+    // row runs the SAME greedy selection for a FIXED 4-query md5 sample —
+    // shortlist cost 4·|corpus|, everything after bounded by shortlist².
+    QueryDef("sim_mmr_bounded",
+      (s, dir) => Similarity.mmrSelect(Tables.embeddings(s, dir),
+          k = 5, shortlist = 20, queryModulo = 50, queryLimit = Some(4))
+        .orderBy("query_id", "sel_rank"),
+      Some(mmrOracle(Some(4)))),
 
     // ---- record linkage (entity resolution) ----
     // The structured-data sibling of text dedup: deterministic

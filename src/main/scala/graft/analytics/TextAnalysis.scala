@@ -190,6 +190,100 @@ object TextAnalysis {
     (rules.toSeq.toDF("round", "pair_a", "pair_b", "merged", "cnt"), vocab)
   }
 
+  /** BATCHED multi-round BPE trainer (VERDICT r9 next #6): [[bpeTrain]]
+    * accepts ONE merge per round, so a production 32k-merge vocabulary
+    * would cost 32k sequential Spark jobs. This variant accepts up to
+    * `batchM` merges per round under the standard frequency-threshold
+    * batching discipline: rank the round's top-`poolK` pairs
+    * (cnt desc, a, b) and accept a pair iff it shares NO token with any
+    * higher-ranked pool pair. Accepted pairs are therefore mutually
+    * token-disjoint, which makes the batch well-defined: a matched
+    * position of one pair can never overlap or neighbor a matched
+    * position of another (adjacency would force a shared token), so
+    * applying the batch simultaneously against the PRE-ROUND token
+    * sequence ≡ applying its members sequentially in any order. The merge
+    * itself is a fold that computes matches against the ORIGINAL array
+    * (never against freshly merged output — a cascade would diverge from
+    * the batch semantics), with (a,a)-run parity falling out of the
+    * skip-next discipline. With `batchM = 1` the acceptance rule
+    * degenerates to the plain top-1 (nothing outranks it), so batched ≡
+    * one-at-a-time — Round11Spec pins that equivalence.
+    *
+    * Scale shape: identical to [[bpeTrain]] (corpus scanned ONCE into the
+    * word-frequency table; every round vocab-sized) but a 32k vocab now
+    * takes 32k/batchM rounds; the pool is `poolK` driver rows per round —
+    * the same bounded-driver-state contract as the k-means centroids.
+    * Returns (round, sel_rank, pair_a, pair_b, merged, cnt).
+    */
+  def bpeTrainBatched(docs: DataFrame, rounds: Int = 3, batchM: Int = 3,
+      poolK: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .withColumn("toks",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pool = vocab
+        .select(col("f"), col("toks"),
+          posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
+            .as(Seq("i0", "a")))
+        .withColumn("b", element_at(col("toks"), col("i0") + 2))
+        .groupBy("a", "b").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(poolK).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      if (pool.isEmpty) exhausted = true
+      else {
+        val accepted = pool.zipWithIndex.filter { case ((a, b, _), i) =>
+          !pool.take(i).exists { case (c, d, _) =>
+            c == a || c == b || d == a || d == b }
+        }.map(_._1).take(batchM)
+        accepted.zipWithIndex.foreach { case ((a, b, cnt), j) =>
+          rules += ((r.toLong, (j + 1).toLong, a, b, a + b, cnt))
+        }
+        // simultaneous application against the pre-round sequence: match
+        // flags come from the ORIGINAL toks (t_i, t_{i+1}); the fold only
+        // carries the "previous position merged" skip bit
+        vocab = vocab.withColumn("toks",
+            aggregate(
+              sequence(lit(1), size(col("toks"))),
+              struct(array().cast("array<string>").as("arr"),
+                lit(false).as("skip")),
+              (acc, i) => {
+                val t = element_at(col("toks"), i)
+                // try_: the last position has no right neighbor (ANSI
+                // element_at would throw past the end)
+                val nxt = try_element_at(col("toks"), i + 1)
+                val isMatch = accepted.map { case (a, b, _) =>
+                  nxt.isNotNull && t === lit(a) && nxt === lit(b)
+                }.reduce(_ || _)
+                when(acc.getField("skip"),
+                    struct(acc.getField("arr").as("arr"),
+                      lit(false).as("skip")))
+                  .when(isMatch,
+                    struct(concat(acc.getField("arr"),
+                        array(concat(t, nxt))).as("arr"),
+                      lit(true).as("skip")))
+                  .otherwise(
+                    struct(concat(acc.getField("arr"), array(t)).as("arr"),
+                      lit(false).as("skip")))
+              },
+              acc => acc.getField("arr")))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    rules.toSeq.toDF("round", "sel_rank", "pair_a", "pair_b", "merged", "cnt")
+  }
+
   /** Tokenizer APPLY — encode the corpus under the [[bpeTrain]]ed merges
     * (the deployment leg next to training): per-document subword-token
     * statistics after `rounds` merges. Because BPE merges act within

@@ -413,6 +413,51 @@ object PipelineQueries {
   private[queries] lazy val IvfPersistedProbeOracle: String =
     ivfProbeOracle("TRUE")
 
+  /** One BATCHED BPE training round for the `tx_bpe_train_batched`
+    * oracle (mirrors [[graft.analytics.TextAnalysis.bpeTrainBatched]]):
+    * rank the round's top-`poolK` pairs, accept a pair iff it shares no
+    * token with any higher-ranked pool pair (NOT EXISTS — accepted pairs
+    * are mutually token-disjoint), keep the first `batchM` accepted, and
+    * apply the batch SIMULTANEOUSLY against v{r-1} with the same
+    * run-parity closed form as [[bpeRoundSql]] — disjointness guarantees
+    * matched positions of different pairs are never adjacent, so runs
+    * stay single-pair and the parity argument carries over unchanged
+    * (the merged token is `t || nxt`, per-position, not a global pair).
+    */
+  private def bpeBatchRoundSql(r: Int, batchM: Int, poolK: Int): String = {
+    val p = r - 1
+    s"""pe$r AS (SELECT f, toks, unnest(range(1, len(toks))) AS i FROM v$p),
+       |pc$r AS (SELECT toks[i] AS a, toks[i+1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+       |          FROM pe$r GROUP BY 1, 2),
+       |pool$r AS MATERIALIZED (SELECT a, b, cnt,
+       |            row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+       |          FROM pc$r ORDER BY cnt DESC, a, b LIMIT $poolK),
+       |acc$r AS (SELECT a, b, cnt,
+       |            row_number() OVER (ORDER BY rk) AS ark
+       |          FROM pool$r c
+       |          WHERE NOT EXISTS (SELECT 1 FROM pool$r d WHERE d.rk < c.rk
+       |            AND (d.a = c.a OR d.a = c.b OR d.b = c.a OR d.b = c.b))),
+       |m$r AS MATERIALIZED (SELECT a, b, cnt, ark FROM acc$r
+       |          WHERE ark <= $batchM),
+       |tk$r AS MATERIALIZED (SELECT word, f, i, toks[i] AS t,
+       |           CASE WHEN i < len(toks) THEN toks[i+1] ELSE NULL END AS nxt
+       |         FROM (SELECT word, f, toks, unnest(range(1, len(toks)+1)) AS i FROM v$p)),
+       |ms$r AS MATERIALIZED (SELECT word, i,
+       |           (row_number() OVER (PARTITION BY word, grp ORDER BY i) - 1) % 2 = 0 AS mstart
+       |         FROM (SELECT k.word, k.i,
+       |                 k.i - row_number() OVER (PARTITION BY k.word ORDER BY k.i) AS grp
+       |               FROM tk$r k JOIN m$r m ON k.t = m.a AND k.nxt = m.b)),
+       |v$r AS MATERIALIZED (SELECT word, f, list(t2 ORDER BY i) AS toks
+       |         FROM (SELECT k.word, k.f, k.i,
+       |                 CASE WHEN s.mstart THEN k.t || k.nxt
+       |                      WHEN c.mstart THEN NULL
+       |                      ELSE k.t END AS t2
+       |               FROM tk$r k
+       |               LEFT JOIN ms$r s ON k.word = s.word AND k.i = s.i AND s.mstart
+       |               LEFT JOIN ms$r c ON k.word = c.word AND k.i = c.i + 1 AND c.mstart)
+       |         WHERE t2 IS NOT NULL GROUP BY word, f)""".stripMargin
+  }
+
   /** The shared oracle of `tx_bpe_encode` and `tx_bpe_persisted_encode`:
     * six training rounds replayed, then the word-level encode join —
     * persist/load must be invisible in the answer.
@@ -1482,6 +1527,35 @@ object PipelineQueries {
           s"SELECT CAST($r AS BIGINT) AS round, a AS pair_a, b AS pair_b, " +
             s"a || b AS merged, cnt FROM m$r").mkString(" UNION ALL ")})
         ORDER BY round""")),
+
+    // ---- BATCHED BPE training: top-M non-interacting merges per round ----
+    // What makes a 32k-merge production vocabulary tractable (VERDICT r9
+    // next #6: one merge per round = 32k sequential jobs): each round
+    // accepts up to 3 of its top-12 pairs under the frequency-threshold
+    // batching rule (a pair is accepted iff it shares no token with any
+    // higher-ranked pool pair — the batch is mutually token-disjoint, so
+    // simultaneous application against the pre-round sequence is
+    // well-defined), applied with the same run-parity closed form. With
+    // M=1 the rule degenerates to the plain top-1 — Round11Spec pins
+    // batched ≡ one-at-a-time.
+    QueryDef("tx_bpe_train_batched",
+      (s, dir) => TextAnalysis.bpeTrainBatched(Tables.documents(s, dir),
+          rounds = 3, batchM = 3, poolK = 12)
+        .orderBy("round", "sel_rank"),
+      Some(s"""
+        WITH w0 AS (SELECT word, count(*) AS f
+               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+               WHERE length(word) >= 2 GROUP BY 1),
+        v0 AS MATERIALIZED (SELECT word, f,
+               list_transform(range(1, length(word)+1),
+                 i -> substr(word, CAST(i AS INT), 1)) AS toks
+             FROM w0),
+        ${(1 to 3).map(bpeBatchRoundSql(_, 3, 12)).mkString(",\n        ")}
+        SELECT * FROM (${(1 to 3).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, CAST(ark AS BIGINT) AS sel_rank, " +
+            s"a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM m$r")
+          .mkString(" UNION ALL ")})
+        ORDER BY round, sel_rank""")),
 
     // ---- BPE encode: tokenize the corpus under the trained merges ----
     // The deployment leg next to tx_bpe_train: BPE merges act WITHIN

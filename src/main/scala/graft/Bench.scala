@@ -79,7 +79,7 @@ object Bench {
     // store's commit lock, so the batches run sequentially (the streaming
     // ingestion path is the high-throughput route; this measures the
     // reference's request shape faithfully).
-    val (ingestRate, readRate, readRate8) = try {
+    val (ingestRate, readRate, readRate8, footerHits, footerMisses) = try {
       val root = Files.createTempDirectory("graft-bench-store").toString
       val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 120000L))
       store.initialize()
@@ -98,6 +98,10 @@ object Bench {
       }.min
       val nR = 25
       store.readData(Map("Tag0" -> (base - 10L, base + 10L))) // warm tier cache
+      // footer-cache observability for the read lanes (VERDICT r9 next
+      // #7): a drift that shows up WITH a high hit rate is a real
+      // serving-path regression; one with a low hit rate is file churn
+      graft.tsdb.FooterCache.resetCounts()
       val rSec = (0 until 2).map { _ =>
         val t1 = System.nanoTime()
         (0 until nR).foreach { i =>
@@ -123,8 +127,9 @@ object Bench {
         threads.foreach(_.start()); threads.foreach(_.join())
         (System.nanoTime() - t2) / 1e9
       }.min
-      (nW * 2000 / wSec, nR / rSec, nThr * nR / cSec)
-    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+      val (fh, fm) = graft.tsdb.FooterCache.counts
+      (nW * 2000 / wSec, nR / rSec, nThr * nR / cSec, fh, fm)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1L, -1L) }
 
     // The driver captures only the last ~2000 chars of output. At 124
     // registered queries the full per-query map alone is ~2.8 KB — a
@@ -145,7 +150,8 @@ object Bench {
         s""","kernel_audits":${strMap(kernelAudits)},"kernel_unhealthy":$kernelUnhealthy,""" +
         s""""driver_budget_branches":${strMap(budgetBranches)},"driver_budget_fallbacks":$budgetFallbacks,""" +
         s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},""" +
-        s""""point_reads_per_sec_8thr":${"%.2f".format(readRate8)},"sf":"$sfName"}"""
+        s""""point_reads_per_sec_8thr":${"%.2f".format(readRate8)},""" +
+        s""""footer_cache_hits":$footerHits,"footer_cache_misses":$footerMisses,"sf":"$sfName"}"""
     Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     val slowest = ok.sortBy(-_._2).take(25)
     val mean = if (ok.nonEmpty) total / ok.size else 0.0
@@ -159,6 +165,7 @@ object Bench {
       s""""queries_truncated_to_slowest":25,"full_map":"BENCH_FULL.json",""" +
       s""""kernel_unhealthy":$kernelUnhealthy,"driver_budget_fallbacks":$budgetFallbacks,""" +
       s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},""" +
-      s""""point_reads_per_sec_8thr":${"%.2f".format(readRate8)},"sf":"$sfName"}""")
+      s""""point_reads_per_sec_8thr":${"%.2f".format(readRate8)},""" +
+      s""""footer_cache_hits":$footerHits,"footer_cache_misses":$footerMisses,"sf":"$sfName"}""")
   }
 }

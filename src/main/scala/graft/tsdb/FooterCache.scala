@@ -56,6 +56,17 @@ object FooterCache {
       stats: Map[String, (Long, Long)],
       statless: Set[String])
 
+  // hit/miss counters (VERDICT r9 next #7): the point-read drift
+  // adjudication needs to SEE whether a slow run is footer-open-bound
+  // (cold cache) or genuinely slower per served read
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val missCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** (hits, misses) since JVM start or the last [[resetCounts]]. */
+  def counts: (Long, Long) = (hitCount.get(), missCount.get())
+
+  def resetCounts(): Unit = { hitCount.set(0L); missCount.set(0L) }
+
   private val MaxEntries = 131072
   private val cache =
     new java.util.LinkedHashMap[(String, Long, Long), Meta](1024, 0.75f, true) {
@@ -76,8 +87,11 @@ object FooterCache {
   def get(file: String, conf: Configuration, onMiss: () => Unit = NoOp): Meta = {
     val k = key(file)
     cache.synchronized(Option(cache.get(k))) match {
-      case Some(m) => m
+      case Some(m) =>
+        hitCount.incrementAndGet()
+        m
       case None =>
+        missCount.incrementAndGet()
         onMiss()
         val m = toMeta(readFooter(file, conf))
         cache.synchronized(cache.put(k, m))

@@ -1116,6 +1116,59 @@ object Similarity {
         col("cand_id").as("neighbor_id"), col("cos"))
   }
 
+  /** ADD a vector batch to a persisted kNN GRAPH index without
+    * rebuilding — the graph family's add-without-retrain leg, completing
+    * the trio IVF ([[ivfAddAndProbe]]) and PQ already have (VERDICT r9
+    * next #8). The insert is the standard graph-ANN insertion (HNSW §4 /
+    * NN-Descent online refinement): each new vector BEAM-SEARCHES the
+    * frozen base graph for its `k` nearest reachable nodes — those become
+    * its forward edges, and the reverse edges make the new node reachable;
+    * the serving adjacency is the per-node top-`k` re-rank of
+    * base ∪ forward ∪ reverse on (cos desc, neighbor). The probe then
+    * walks the merged graph for the standard %20 query sample.
+    *
+    * The base graph stays FROZEN during a batch (inserts within a batch
+    * are independent — all search the same base), the LSM discipline the
+    * store's L0 tier uses: deltas accumulate against an immutable base
+    * and fold in at the next rebuild. That independence is what lets the
+    * streaming twin share this oracle bit-for-bit micro-batch by
+    * micro-batch.
+    *
+    * Scale shape: per-insert cost is the bounded walk (beam·degree·hops
+    * adjacency rows — corpus enters only through the graph's degree);
+    * the re-rank is one (u)-keyed window over base+2·|found| slim edge
+    * rows; no Lloyd, no all-pairs, no corpus rescan anywhere.
+    */
+  def graphAddAndProbe(emb: DataFrame, baseGraph: DataFrame,
+      batchModulo: Int = 10, k: Int = 5, beam: Int = 8, hops: Int = 3,
+      nEntries: Int = 4): DataFrame = {
+    val batch = emb.where(pmod(col("vec_id"), lit(batchModulo.toLong)) === 0)
+    val found = graphSearch(batch, baseGraph, emb, k, beam, hops, nEntries)
+    graphMergeAndProbe(found, baseGraph, emb, k, beam, hops, nEntries)
+  }
+
+  /** [[graphAddAndProbe]]'s merge + serve half, split out so the
+    * streaming twin can feed insert edges accumulated micro-batch by
+    * micro-batch: re-rank base ∪ forward ∪ reverse deltas into per-node
+    * top-`k` lists and walk the merged graph for the standard %20 probe.
+    */
+  def graphMergeAndProbe(found: DataFrame, baseGraph: DataFrame,
+      emb: DataFrame, k: Int = 5, beam: Int = 8, hops: Int = 3,
+      nEntries: Int = 4): DataFrame = {
+    val base = baseGraph.select(col("node").as("u"),
+      col("neighbor_id").as("v"), col("cos"))
+    val fwd = found.select(col("query_id").as("u"),
+      col("neighbor_id").as("v"), col("cos"))
+    val rev = found.select(col("neighbor_id").as("u"),
+      col("query_id").as("v"), col("cos"))
+    val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("v"))
+    val merged = base.unionByName(fwd).unionByName(rev)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("u").as("node"), col("v").as("neighbor_id"))
+    graphSearch(emb.where(col("vec_id") % 20 === 0), merged, emb,
+      k, beam, hops, nEntries)
+  }
+
   // ------------------------------------------ persisted ANN index lanes
 
   /** Train an IVF index and PERSIST it — the FAISS `write_index` analog

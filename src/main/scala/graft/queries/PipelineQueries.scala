@@ -510,23 +510,28 @@ object PipelineQueries {
   }
 
   /** The full NN-Descent oracle chain (append after [[QuantCte]] +
-    * [[LshBucketCte]]): md5-ring ∪ LSH-bucket seed, three rounds at
-    * buildK = 20 — ends with `n3(u, v, cos)`, the refined neighbor
-    * lists. Shared by `sim_nndescent` and `sim_nndescent_recall`.
+    * [[LshBucketCte]]), parameterized by the NODE SOURCE — `src` is the
+    * qn-shaped corpus slice whose vectors become graph nodes, `bsrc` its
+    * qb-shaped LSH-bucket rows (the bucket hash is per-row, so a filtered
+    * qb ≡ buckets computed over the slice): md5-ring ∪ LSH-bucket seed,
+    * three rounds at buildK = 20 — ends with `n3(u, v, cos)`. Scoring
+    * joins stay on qn (candidate ids are always src members; vec_id is
+    * unique). Shared by the sim_nndescent family; the graph-add lane
+    * builds its HISTORY graph by passing the %10-filtered slices.
     */
-  private lazy val NnDescentCtes: String =
+  private def nnDescentChain(src: String, bsrc: String): String =
     s"""rk AS MATERIALIZED (SELECT vec_id,
        |       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
        |         - 1 AS rn
-       |     FROM qn),
+       |     FROM $src),
        |ring AS (SELECT a.vec_id AS u, b.vec_id AS v
        |         FROM rk a
-       |              CROSS JOIN (SELECT count(*) AS n FROM qn) cnt
+       |              CROSS JOIN (SELECT count(*) AS n FROM $src) cnt
        |              CROSS JOIN (SELECT unnest(range(1, 21)) AS step) st
        |         JOIN rk b ON b.rn = (a.rn + st.step) % cnt.n
        |         WHERE a.vec_id <> b.vec_id),
        |c0 AS (SELECT a.vec_id AS u, b.vec_id AS v
-       |       FROM qb a JOIN qb b
+       |       FROM $bsrc a JOIN $bsrc b
        |         ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
        |       UNION SELECT u, v FROM ring),
        |s0 AS (SELECT c.u, c.v,
@@ -538,32 +543,52 @@ object PipelineQueries {
        |         ORDER BY cos DESC, v) AS rn FROM s0) WHERE rn <= 20),
        |${(1 to 3).map(nnDescentRoundSql(_, 20)).mkString(",\n")}""".stripMargin
 
-  /** One beam-search hop `h` for the `sim_graph_search` oracle: frontier
-    * out-edges through the k=5 adjacency lists (DISTINCT — several beam
+  private lazy val NnDescentCtes: String = nnDescentChain("qn", "qb")
+
+  /** One beam-search hop `h` (prefix `pfx`, adjacency CTE `adj`): frontier
+    * out-edges through the adjacency lists (DISTINCT — several beam
     * nodes may share a neighbor), never-visited filter, exact-cosine
     * scoring of fresh candidates only, visited-set union, next beam =
     * per-query top-`beam` of this hop's fresh scores — mirrors
-    * [[graft.analytics.Similarity.graphSearch]] bit-for-bit.
+    * [[graft.analytics.Similarity.graphSearch]] bit-for-bit. Requires a
+    * `${"${pfx}"}q(query_id, qv, qnrm)` query CTE from the caller.
     */
-  private def graphHopSql(h: Int, beam: Int): String = {
+  private def graphHopSql(pfx: String, adj: String, h: Int,
+      beam: Int): String = {
     val p = h - 1
-    s"""gex$h AS (SELECT DISTINCT f.query_id, g.v AS cand_id
-       |          FROM gfr$p f JOIN gadj g ON f.cand_id = g.u),
-       |gnw$h AS (SELECT e.query_id, e.cand_id FROM gex$h e
-       |          LEFT JOIN gvis$p x ON e.query_id = x.query_id
+    s"""${pfx}ex$h AS (SELECT DISTINCT f.query_id, g.v AS cand_id
+       |          FROM ${pfx}fr$p f JOIN $adj g ON f.cand_id = g.u),
+       |${pfx}nw$h AS (SELECT e.query_id, e.cand_id FROM ${pfx}ex$h e
+       |          LEFT JOIN ${pfx}vis$p x ON e.query_id = x.query_id
        |                            AND e.cand_id = x.cand_id
        |          WHERE x.cand_id IS NULL),
-       |gsc$h AS MATERIALIZED (SELECT n.query_id, n.cand_id,
+       |${pfx}sc$h AS MATERIALIZED (SELECT n.query_id, n.cand_id,
        |           ${cosSql("q.qv", "q.qnrm", "c.v", "c.nrm")} AS cos
-       |         FROM gnw$h n JOIN gq q USING (query_id)
+       |         FROM ${pfx}nw$h n JOIN ${pfx}q q USING (query_id)
        |                      JOIN qn c ON c.vec_id = n.cand_id),
-       |gvis$h AS MATERIALIZED (SELECT * FROM gvis$p
-       |          UNION ALL SELECT * FROM gsc$h),
-       |gfr$h AS (SELECT query_id, cand_id FROM (
+       |${pfx}vis$h AS MATERIALIZED (SELECT * FROM ${pfx}vis$p
+       |          UNION ALL SELECT * FROM ${pfx}sc$h),
+       |${pfx}fr$h AS (SELECT query_id, cand_id FROM (
        |            SELECT *, row_number() OVER (PARTITION BY query_id
-       |              ORDER BY cos DESC, cand_id) AS rn FROM gsc$h)
+       |              ORDER BY cos DESC, cand_id) AS rn FROM ${pfx}sc$h)
        |          WHERE rn <= $beam)""".stripMargin
   }
+
+  /** A full beam-walk chain over adjacency CTE `adj` for the queries in
+    * `${"${pfx}"}q`: `nEntries` md5-seeded entry nodes, entry scoring,
+    * `hops` unrolled hops — ends with `${"${pfx}"}vis$hops(query_id,
+    * cand_id, cos)`, everything the walk visited. Mirrors
+    * [[graft.analytics.Similarity.graphSearch]].
+    */
+  private def graphWalkSql(pfx: String, adj: String, hops: Int = 3,
+      beam: Int = 8, nEntries: Int = 4): String =
+    s"""${pfx}ent AS (SELECT u FROM (SELECT DISTINCT u FROM $adj)
+       |         ORDER BY md5(CAST(u AS VARCHAR)), u LIMIT $nEntries),
+       |${pfx}vis0 AS MATERIALIZED (SELECT query_id, ${pfx}ent.u AS cand_id,
+       |         ${cosSql(s"${pfx}q.qv", s"${pfx}q.qnrm", "c.v", "c.nrm")} AS cos
+       |       FROM ${pfx}q CROSS JOIN ${pfx}ent JOIN qn c ON c.vec_id = ${pfx}ent.u),
+       |${pfx}fr0 AS (SELECT query_id, cand_id FROM ${pfx}vis0),
+       |${(1 to hops).map(graphHopSql(pfx, adj, _, beam)).mkString(",\n")}""".stripMargin
 
   /** The `sim_graph_search` walk chain (append after [[NnDescentCtes]]):
     * k=5 adjacency lists off n3, four md5-seeded entry nodes, entry
@@ -574,15 +599,48 @@ object PipelineQueries {
     s"""gadj AS MATERIALIZED (SELECT u, v FROM (
        |         SELECT u, v, row_number() OVER (PARTITION BY u
        |           ORDER BY cos DESC, v) AS rn FROM n3) WHERE rn <= 5),
-       |gent AS (SELECT u FROM (SELECT DISTINCT u FROM gadj)
-       |         ORDER BY md5(CAST(u AS VARCHAR)), u LIMIT 4),
        |gq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
        |       FROM qn WHERE vec_id % 20 = 0),
-       |gvis0 AS MATERIALIZED (SELECT query_id, gent.u AS cand_id,
-       |         ${cosSql("gq.qv", "gq.qnrm", "c.v", "c.nrm")} AS cos
-       |       FROM gq CROSS JOIN gent JOIN qn c ON c.vec_id = gent.u),
-       |gfr0 AS (SELECT query_id, cand_id FROM gvis0),
-       |${(1 to 3).map(graphHopSql(_, 8)).mkString(",\n")}""".stripMargin
+       |${graphWalkSql("g", "gadj")}""".stripMargin
+
+  /** The shared oracle of `sim_graph_persisted_add` and `st_graph_add`
+    * (the maintenance twin): history-slice NN-Descent replayed, the
+    * insert walk for every new vector over the frozen base, forward +
+    * reverse delta edges re-ranked into per-node top-5 lists, then the
+    * %20 probe walk over the merged graph — micro-batching of the
+    * inserts must be invisible in the answer.
+    */
+  private[queries] lazy val GraphAddOracle: String =
+    s"""
+        WITH $QuantCte, $LshBucketCte,
+        hsrc AS (SELECT * FROM qn WHERE vec_id % 10 <> 0),
+        hbk AS (SELECT * FROM qb WHERE vec_id % 10 <> 0),
+        ${nnDescentChain("hsrc", "hbk")},
+        badj AS MATERIALIZED (SELECT u, v, cos FROM (
+                 SELECT u, v, cos, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM n3) WHERE rn <= 5),
+        iq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 10 = 0),
+        ${graphWalkSql("i", "badj")},
+        ifnd AS (SELECT query_id AS u, cand_id AS v, cos FROM (
+                   SELECT query_id, cand_id, cos, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+                   FROM ivis3 WHERE cand_id <> query_id) WHERE rank <= 5),
+        mrg AS (SELECT u, v, cos FROM badj
+                UNION ALL SELECT u, v, cos FROM ifnd
+                UNION ALL SELECT v AS u, u AS v, cos FROM ifnd),
+        madj AS MATERIALIZED (SELECT u, v FROM (
+                 SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM mrg) WHERE rn <= 5),
+        pq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 20 = 0),
+        ${graphWalkSql("p", "madj")}
+        SELECT query_id, rank, neighbor_id, cos FROM (
+          SELECT query_id, cand_id AS neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, cand_id) AS rank
+          FROM pvis3 WHERE cand_id <> query_id)
+        WHERE rank <= 5 ORDER BY query_id, rank"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -1308,6 +1366,30 @@ object PipelineQueries {
                    ORDER BY cos DESC, cand_id) AS rank
           FROM gvis3 WHERE cand_id <> query_id)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- graph-index ADD without rebuilding: insert by search, probe ----
+    // The graph family's add-without-retrain leg, completing the trio the
+    // IVF and PQ indexes already have (VERDICT r9 next #8): the HISTORY
+    // slice's NN-Descent graph is staged (an index is built once); the
+    // timed row beam-searches the FROZEN base for each new vector's
+    // nearest reachable nodes (the HNSW-style insertion), merges forward +
+    // reverse delta edges into per-node top-5 lists, and serves the
+    // standard %20 probe over the merged graph. Inserts within a batch
+    // are independent (all search the same frozen base — the store's L0
+    // discipline), which is exactly what lets the streaming twin share
+    // this oracle bit-for-bit.
+    QueryDef("sim_graph_persisted_add",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = Staging.parquetMemo(s, s"$dir#nnd_graph_hist")(
+          Similarity.nnDescent(
+            emb.where(pmod(col("vec_id"), lit(10L)) =!= 0),
+            k = 5, rounds = 3, nPlanes = 8, buildK = 20))
+        Similarity.graphAddAndProbe(emb, base, batchModulo = 10,
+          k = 5, beam = 8, hops = 3, nEntries = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(GraphAddOracle)),
 
     // ---- vector-quality audit: the pre-ANN sanity table ----
     QueryDef("sim_vec_quality",

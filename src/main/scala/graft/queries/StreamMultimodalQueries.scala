@@ -529,6 +529,18 @@ object StreamMultimodalQueries {
       (s, dir) => StreamingIngest.streamingVectorSearch(s, dir),
       Some(PipelineQueries.IvfPersistedProbeOracle)),
 
+    // ---- streaming graph-index maintenance (parity with sim_graph_persisted_add) ----
+    // New vectors arrive in micro-batches and each batch INSERTS into the
+    // frozen base graph inside foreachBatch (beam-search the base — the
+    // HNSW insertion); delta edges accumulate, the serving adjacency
+    // re-ranks base ∪ deltas, the standard probe walks the merged graph.
+    // Inserts are independent against the frozen base (the L0 delta
+    // discipline), so micro-batching is invisible and the row shares the
+    // batch lane's oracle verbatim.
+    QueryDef("st_graph_add",
+      (s, dir) => StreamingIngest.streamingGraphAdd(s, dir),
+      Some(PipelineQueries.GraphAddOracle)),
+
     // ---- streaming components merge (parity with gr_components_incremental) ----
     // Delta edges arrive in micro-batches; each batch contracts through
     // the CURRENT label table (Graph.mergeDelta) and the merged labels

@@ -1258,6 +1258,74 @@ object StreamingIngest {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming graph-index maintenance — the st_ twin of
+    * `sim_graph_persisted_add` (VERDICT r9 next #8): new vectors arrive
+    * in micro-batches and each batch INSERTS into the frozen base graph
+    * inside foreachBatch (beam-search the base for the batch's nearest
+    * reachable nodes — the HNSW insertion); delta edges accumulate
+    * across batches, then the serving adjacency re-ranks base ∪ deltas
+    * and the standard %20 probe walks the merged graph. Inserts are
+    * independent against the frozen base (the store's L0 discipline —
+    * deltas fold in at the next rebuild), so micro-batching is invisible
+    * and the row shares the batch lane's oracle bit-for-bit.
+    */
+  def streamingGraphAdd(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = graft.queries.Staging.parquetMemo(spark, s"$sfDir#nnd_graph_hist")(
+      graft.analytics.Similarity.nnDescent(
+        emb.where(pmod(col("vec_id"), lit(10L)) =!= 0),
+        k = 5, rounds = 3, nPlanes = 8, buildK = 20))
+    val batchDs = emb.where(pmod(col("vec_id"), lit(10L)) === 0)
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, String, Array[Float])]
+    val newRows = graft.analytics.DriverBudget
+      .collectWithin(batchDs, batchDs.count(), bytesPerRow = 1024L,
+        hardCap = 2000000L)
+      .getOrElse(throw new IllegalStateException(
+        "streamingGraphAdd arrival replay exceeds the driver budget — " +
+          "shrink the simulated batch (production feeds a real source)"))
+      .toIndexedSeq
+    val input = MemoryStream[(Long, String, Array[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Array[Float])]],
+      spark)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = input.toDS().toDF("vec_id", "label", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val found = graft.analytics.Similarity
+            .graphSearch(b, base, emb, k, beam = 8, hops = 3, nEntries = 4)
+            .collect()
+          buf.synchronized { buf ++= found }
+        }
+        ()
+      }
+      .start()
+    try {
+      val n = newRows.length
+      var lo = 0
+      (0 until nBatches).foreach { b =>
+        val hi = (((b + 1).toLong * n + nBatches - 1) / nBatches).toInt
+        if (hi > lo) { input.addData(newRows.slice(lo, hi)); q.processAllAvailable() }
+        lo = hi
+      }
+    } finally q.stop()
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("rank", IntegerType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false)))
+    val found = spark
+      .createDataFrame(java.util.Arrays.asList(buf.toArray: _*), schema)
+    graft.analytics.Similarity
+      .graphMergeAndProbe(found, base, emb, k, beam = 8, hops = 3, nEntries = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** The replay harness alone — `(event_type, ts_ms)` rows fed through
     * `withWatermark` + tumbling window in `nBatches` contiguous chunks of
     * the given order, plus the two sentinel flush batches. Split out so

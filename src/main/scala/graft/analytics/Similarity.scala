@@ -1169,6 +1169,32 @@ object Similarity {
       k, beam, hops, nEntries)
   }
 
+  /** DELETE a forget set from a persisted kNN GRAPH index and serve the
+    * post-delete probe — the graph family's forget leg next to
+    * [[ivfForgetAndProbe]] and [[pqForgetAndProbe]], completing the
+    * lifecycle matrix (train → persist → probe → add → forget) for all
+    * three index families. The forget set persists as the index's
+    * tombstone table; serving filters the adjacency lists on BOTH
+    * endpoints (a tombstoned node must neither be served as a neighbor
+    * nor remain a routing waypoint), then the standard %20 probe walks
+    * the filtered graph. Lists never rewrite; the walk's bounded shape
+    * is unchanged.
+    */
+  def graphForgetAndProbe(emb: DataFrame, root: String,
+      forgetModulo: Int = 10, forgetResidue: Int = 7, k: Int = 5,
+      beam: Int = 8, hops: Int = 3, nEntries: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    writeTombstones(emb, root, forgetModulo, forgetResidue)
+    val tombs = spark.read.parquet(s"$root/tombstones")
+    val adj = spark.read.parquet(s"$root/adjacency")
+      .join(broadcast(tombs.select(col("vec_id").as("node"))),
+        Seq("node"), "left_anti")
+      .join(broadcast(tombs.select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+    graphSearch(emb.where(col("vec_id") % 20 === 0), adj, emb,
+      k, beam, hops, nEntries)
+  }
+
   // ------------------------------------------ persisted ANN index lanes
 
   /** Train an IVF index and PERSIST it — the FAISS `write_index` analog
@@ -1398,8 +1424,38 @@ object Similarity {
       numSubspaces: Int = 4, codebookSize: Int = 16,
       dim: Int = 64): DataFrame = {
     val spark = queries.sparkSession
-    val codebook = spark.read.parquet(s"$root/codebook")
+    pqProbeEncoded(queries, spark.read.parquet(s"$root/codebook"),
+      spark.read.parquet(s"$root/codes"), k, numSubspaces, codebookSize, dim)
+  }
+
+  /** DELETE a forget set from a persisted PQ index and probe the
+    * post-delete state — [[ivfForgetAndProbe]]'s compression-tier twin
+    * (FAISS `remove_ids` on an `IndexPQ`): the forget set persists as the
+    * index's tombstone table and the ADC scan anti-joins it out of the
+    * CODE rows before scoring. The codebook is untouched (deletion never
+    * retrains), and codes are per-row, so filtering codes ≡ encoding the
+    * retained corpus with the same codebook — the oracle filters the
+    * encoded rows.
+    */
+  def pqForgetAndProbe(queries: DataFrame, emb: DataFrame, root: String,
+      forgetModulo: Int = 10, forgetResidue: Int = 7, k: Int = 5,
+      numSubspaces: Int = 4, codebookSize: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    writeTombstones(emb, root, forgetModulo, forgetResidue)
+    val tombs = spark.read.parquet(s"$root/tombstones")
     val encoded = spark.read.parquet(s"$root/codes")
+      .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+    pqProbeEncoded(queries, spark.read.parquet(s"$root/codebook"),
+      encoded, k, numSubspaces, codebookSize, dim)
+  }
+
+  /** The shared PQ serving probe over loaded codebook + code rows: build
+    * the per-query LUT (query-set-sized), ADC-scan the codes, top-k.
+    */
+  private def pqProbeEncoded(queries: DataFrame, codebook: DataFrame,
+      encoded: DataFrame, k: Int, numSubspaces: Int, codebookSize: Int,
+      dim: Int): DataFrame = {
     val subDim = dim / numSubspaces
     val qsubs = prepQ(queries)
       .select(col("vec_id"),

@@ -263,14 +263,17 @@ object PipelineQueries {
         ORDER BY query_id, sel_rank"""
 
   /** The product-quantization oracle chain (after QuantCte + a `qset`
-    * query-set CTE): fixed-16 codebook from the md5 seed order,
-    * per-subspace L2 encode (4×16-dim slices of the 64-dim vectors),
-    * per-query LUT, exact-integer ADC sum, rank — mirrors
+    * query-set CTE), parameterized by the code-row filter (`TRUE` for
+    * the full index; the forget lane passes the tombstone complement —
+    * codes are per-row, so filtering codes ≡ encoding the retained
+    * corpus with the same codebook): fixed-16 codebook from the md5 seed
+    * order, per-subspace L2 encode (4×16-dim slices of the 64-dim
+    * vectors), per-query LUT, exact-integer ADC sum, rank — mirrors
     * [[graft.analytics.Similarity.pqTopK]] bit-for-bit.
     * Ends with `pqrk(query_id, neighbor_id, adc_dot, rank)`.
     */
-  private val PqChainCtes =
-    """sd AS (SELECT vec_id, v,
+  private def pqChainCtes(memberFilter: String) =
+    s"""sd AS (SELECT vec_id, v,
       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
       |           - 1 AS cpos
       |       FROM qn ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -297,9 +300,12 @@ object PipelineQueries {
       |pqsc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
       |         CAST(sum(l.pdot) AS BIGINT) AS adc_dot
       |       FROM enc e JOIN lut l ON e.m = l.m AND e.cpos = l.cpos
-      |       WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
+      |       WHERE e.vec_id <> l.query_id AND ($memberFilter)
+      |       GROUP BY 1, 2),
       |pqrk AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |         ORDER BY adc_dot DESC, neighbor_id) AS rank FROM pqsc)""".stripMargin
+
+  private lazy val PqChainCtes: String = pqChainCtes("TRUE")
 
   /** Fixed-k deterministic centroid seed — mirrors
     * [[graft.analytics.Similarity]]'s `seedSubset` (k smallest
@@ -1257,6 +1263,34 @@ object PipelineQueries {
         SELECT query_id, rank, neighbor_id, adc_dot FROM pqrk
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- persisted PQ index: DELETE a forget set, probe post-delete ----
+    // sim_ivf_forget_probe's compression-tier twin (FAISS remove_ids on
+    // an IndexPQ): tombstones persist next to the index and the ADC scan
+    // anti-joins them out of the CODE rows; the codebook never retrains,
+    // and codes are per-row, so filtered codes ≡ encoding the retained
+    // corpus with the same codebook — the oracle filters the encoded rows.
+    QueryDef("sim_pq_forget_probe",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#pq_index") {
+          val r = Staging.scratchDir("pqidx")
+          Similarity.persistPqIndex(Tables.embeddings(s, dir), r,
+            numSubspaces = 4, codebookSize = 16)
+          r
+        }
+        Similarity.pqForgetAndProbe(
+          Tables.embeddings(s, dir).where(col("vec_id") % 20 === 0),
+          Tables.embeddings(s, dir), root,
+          forgetModulo = 10, forgetResidue = 7, k = 5,
+          numSubspaces = 4, codebookSize = 16)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $QuantCte,
+        ${qsetCte(20, None)},
+        ${pqChainCtes("e.vec_id % 10 <> 7")}
+        SELECT query_id, rank, neighbor_id, adc_dot FROM pqrk
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- NN-Descent: graph-ANN kNN refinement (Dong et al. 2011) ----
     // The construction behind graph-ANN indexes: seed a cheap kNN graph
     // from LSH buckets, then two "neighbor-of-my-neighbor" rounds — each
@@ -1390,6 +1424,45 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       },
       Some(GraphAddOracle)),
+
+    // ---- graph index: DELETE a forget set, serve the filtered graph ----
+    // The forget leg that completes the lifecycle matrix (train → persist
+    // → probe → add → forget) for all THREE index families: tombstones
+    // persist next to the staged adjacency lists, and serving filters the
+    // lists on BOTH endpoints — a tombstoned node is neither served as a
+    // neighbor nor left as a routing waypoint. Lists never rewrite; the
+    // oracle walks the identically filtered top-5 lists.
+    QueryDef("sim_graph_forget_probe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val root = Staging.stringMemo(s"$dir#graph_idx") {
+          val r = Staging.scratchDir("graphidx")
+          Similarity.nnDescent(emb, k = 5, rounds = 3,
+            nPlanes = 8, buildK = 20)
+            .write.mode("overwrite").parquet(s"$r/adjacency")
+          r
+        }
+        Similarity.graphForgetAndProbe(emb, root,
+          forgetModulo = 10, forgetResidue = 7, k = 5,
+          beam = 8, hops = 3, nEntries = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $QuantCte, $LshBucketCte,
+        $NnDescentCtes,
+        fadj AS MATERIALIZED (SELECT u, v FROM (
+                 SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM n3)
+               WHERE rn <= 5 AND u % 10 <> 7 AND v % 10 <> 7),
+        fq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 20 = 0),
+        ${graphWalkSql("f", "fadj")}
+        SELECT query_id, rank, neighbor_id, cos FROM (
+          SELECT query_id, cand_id AS neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, cand_id) AS rank
+          FROM fvis3 WHERE cand_id <> query_id)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // ---- vector-quality audit: the pre-ANN sanity table ----
     QueryDef("sim_vec_quality",

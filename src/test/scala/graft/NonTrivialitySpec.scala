@@ -162,6 +162,27 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     probe.unpersist()
   }
 
+  test("PQ and graph forget probes: no tombstoned vector served, deletion visible") {
+    import org.apache.spark.sql.functions._
+    // the same GDPR serving contract across the other two index families
+    // (the lifecycle matrix's forget row): tombstoned ids (vec_id%10==7)
+    // are gone from the ANSWERS, and the deletion changed at least one
+    // query's top-k vs the plain probe on the same index
+    def check(forget: String, plain: String): Unit = {
+      val probe = SparkEntry.queries(forget)(spark, sfSmall).cache()
+      val leaked = probe.where(pmod(col("neighbor_id"), lit(10L)) === 7).count()
+      assert(leaked == 0L, s"$forget served $leaked tombstoned vectors")
+      val changed = SparkEntry.queries(plain)(spark, sfSmall)
+        .select("query_id", "rank", "neighbor_id")
+        .join(probe.select("query_id", "rank", "neighbor_id"),
+          Seq("query_id", "rank", "neighbor_id"), "left_anti").count()
+      assert(changed > 0L, s"$forget is invisible vs $plain — nothing was deleted from any top-k")
+      probe.unpersist()
+    }
+    check("sim_pq_forget_probe", "sim_pq_persisted_probe")
+    check("sim_graph_forget_probe", "sim_graph_search")
+  }
+
   test("cu_embed_decontaminate flags SOME but not ALL train vectors") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("cu_embed_decontaminate")(spark, sfMid)

@@ -1169,6 +1169,64 @@ object Similarity {
       k, beam, hops, nEntries)
   }
 
+  /** HYBRID retrieval — reciprocal-rank fusion of a LEXICAL arm and a
+    * VECTOR arm, the two-tower query every production retrieval
+    * deployment runs (Elasticsearch/OpenSearch hybrid search, Vespa,
+    * Milvus + BM25): keyword match catches exact terminology the
+    * embedding blurs, the embedding catches paraphrase the keywords
+    * miss, and RRF (`Σ 1/(rrfK + rank)`, Cormack et al. 2009) fuses the
+    * two rank lists without score calibration.
+    *
+    * The lexical arm scores DF-capped 3-gram-shingle Jaccard against
+    * candidates sharing ≥ 1 retained shingle — the sparse inverted-index
+    * shape: candidate work ∝ |queries|·E[postings], NEVER all-pairs,
+    * with the same df cap as [[Dedup.jaccardPairs]] bounding stop-phrase
+    * blowup. The vector arm is ANY (query_id, rank, neighbor_id) top-k
+    * table — the registry row feeds it the persisted-IVF probe, so the
+    * dense side costs one bucket probe; the fusion itself is a
+    * (query, cand)-keyed full-outer join + one per-query top-k window,
+    * bounded by 2·armK rows per query.
+    */
+  def hybridSearch(docs: DataFrame, vecArm: DataFrame, k: Int = 5,
+      armK: Int = 10, queryModulo: Int = 20, rrfK: Int = 60): DataFrame = {
+    val byShingle = Window.partitionBy(col("shingle"))
+    val sh = Dedup.shingleSet(docs)
+      .withColumn("__df", count(lit(1)).over(byShingle))
+      .where(col("__df") <= Dedup.DefaultMaxShingleDf)
+      .drop("__df")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val qsh = sh.where(col("doc_id") % queryModulo === 0)
+      .select(col("doc_id").as("query_id"), col("shingle"))
+    val common = qsh.join(sh, "shingle")
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("cand_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val scoredLex = common
+      .join(sizes.select(col("doc_id").as("query_id"), col("n_sh").as("n_q")),
+        "query_id")
+      .join(sizes.select(col("doc_id").as("cand_id"), col("n_sh").as("n_c")),
+        "cand_id")
+      .withColumn("jac", col("n_common").cast("double") /
+        (col("n_q") + col("n_c") - col("n_common")).cast("double"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("jac").desc, col("cand_id"))
+    val lex = scoredLex.withColumn("lex_rank", row_number().over(wq))
+      .where(col("lex_rank") <= armK)
+      .select("query_id", "cand_id", "lex_rank")
+    val vec = vecArm
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("rank").as("vec_rank"))
+      .where(col("vec_rank") <= armK)
+    val fused = lex.join(vec, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("cand_id"))
+    fused.withColumn("rank", row_number().over(wf)).where(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "lex_rank", "vec_rank", "rrf")
+  }
+
   /** DELETE a forget set from a persisted kNN GRAPH index and serve the
     * post-delete probe — the graph family's forget leg next to
     * [[ivfForgetAndProbe]] and [[pqForgetAndProbe]], completing the

@@ -1464,6 +1464,71 @@ object PipelineQueries {
           FROM fvis3 WHERE cand_id <> query_id)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- HYBRID retrieval: lexical ∪ vector with reciprocal-rank fusion ----
+    // The two-tower query production retrieval actually serves
+    // (Elasticsearch hybrid search, Vespa, Milvus+BM25): the lexical arm
+    // is DF-capped shingle Jaccard over the inverted-index shape
+    // (candidates ∝ E[postings], never all-pairs), the vector arm is the
+    // persisted-IVF probe (one bucket join — the fusion is arm-agnostic:
+    // any sim_ann_* top-k plugs in), and RRF = Σ 1/(60+rank) fuses the
+    // rank lists without score calibration (Cormack et al. 2009). The
+    // fusion itself is bounded by 2·armK rows per query.
+    QueryDef("sim_hybrid_search",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#ivf_index") {
+          val r = Staging.scratchDir("ivfidx")
+          Similarity.persistIvfIndex(Tables.embeddings(s, dir), r,
+            numCentroids = 64, iters = 2)
+          r
+        }
+        val vecArm = Similarity.ivfProbePersisted(
+          Tables.embeddings(s, dir).where(col("vec_id") % 20 === 0),
+          root, k = 10)
+        Similarity.hybridSearch(Tables.documents(s, dir), vecArm,
+          k = 5, armK = 10, queryModulo = 20, rrfK = 60)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $WordsCte, $ShinglesCte, $CappedShinglesCte,
+        $ivfTrainedCtes,
+        lsz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+        qsh AS (SELECT doc_id AS query_id, s FROM shc WHERE doc_id % 20 = 0),
+        lco AS (SELECT query_id, c.doc_id AS cand_id, count(*) AS n_common
+                FROM qsh q JOIN shc c ON q.s = c.s AND c.doc_id <> q.query_id
+                GROUP BY 1, 2),
+        lsc AS (SELECT query_id, cand_id,
+                  n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jac
+                FROM lco JOIN lsz x ON query_id = x.doc_id
+                         JOIN lsz y ON cand_id = y.doc_id),
+        lex AS (SELECT query_id, cand_id, lex_rank FROM (
+                  SELECT query_id, cand_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY jac DESC, cand_id) AS lex_rank
+                  FROM lsc) WHERE lex_rank <= 10),
+        vqry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+                 FROM memF WHERE vec_id % 20 = 0),
+        vsc AS (SELECT query_id, b.vec_id AS cand_id,
+                  ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
+                FROM memF b JOIN vqry USING (bucket)
+                WHERE b.vec_id <> query_id),
+        vec AS (SELECT query_id, cand_id, vec_rank FROM (
+                  SELECT query_id, cand_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS vec_rank
+                  FROM vsc) WHERE vec_rank <= 10),
+        fus AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                  coalesce(l.cand_id, v.cand_id) AS cand_id,
+                  l.lex_rank, v.vec_rank,
+                  coalesce(1.0/(60 + l.lex_rank), 0.0)
+                    + coalesce(1.0/(60 + v.vec_rank), 0.0) AS rrf
+                FROM lex l FULL OUTER JOIN vec v
+                  ON l.query_id = v.query_id AND l.cand_id = v.cand_id)
+        SELECT query_id, rank, cand_id, lex_rank, vec_rank, rrf FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf DESC, cand_id) AS rank
+          FROM fus)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- vector-quality audit: the pre-ANN sanity table ----
     QueryDef("sim_vec_quality",
       (s, dir) => Similarity.vectorQuality(Tables.embeddings(s, dir))

@@ -183,6 +183,22 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     check("sim_graph_forget_probe", "sim_graph_search")
   }
 
+  test("sim_hybrid_search fuses two LIVE arms") {
+    import org.apache.spark.sql.functions._
+    // fusion is only demonstrated if both arms place results: rows the
+    // vector arm alone found (no shared shingle) AND rows the lexical arm
+    // placed (shingle overlap exists) must both appear — a data re-draw
+    // that kills either arm silently degrades the row to a single-arm
+    // ranker while its oracle stays green
+    val df = SparkEntry.queries("sim_hybrid_search")(spark, sfMid).cache()
+    val lexHits = df.where(col("lex_rank").isNotNull).count()
+    val vecOnly = df.where(col("vec_rank").isNotNull &&
+      col("lex_rank").isNull).count()
+    assert(lexHits > 0L, "lexical arm placed nothing — shingle overlap gone")
+    assert(vecOnly > 0L, "vector arm adds nothing beyond the lexical matches")
+    df.unpersist()
+  }
+
   test("cu_embed_decontaminate flags SOME but not ALL train vectors") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("cu_embed_decontaminate")(spark, sfMid)

@@ -1268,7 +1268,10 @@ object PipelineQueries {
     // an IndexPQ): tombstones persist next to the index and the ADC scan
     // anti-joins them out of the CODE rows; the codebook never retrains,
     // and codes are per-row, so filtered codes ≡ encoding the retained
-    // corpus with the same codebook — the oracle filters the encoded rows.
+    // corpus with the same codebook — the oracle filters the encoded
+    // rows. The probe runs the BOUNDED 8-query budget: this row's point
+    // is deletion semantics, and the unbounded %20 batch would just
+    // re-measure the ADC family's documented both-sides growth.
     QueryDef("sim_pq_forget_probe",
       (s, dir) => {
         val root = Staging.stringMemo(s"$dir#pq_index") {
@@ -1278,7 +1281,9 @@ object PipelineQueries {
           r
         }
         Similarity.pqForgetAndProbe(
-          Tables.embeddings(s, dir).where(col("vec_id") % 20 === 0),
+          Similarity.boundQueries(
+            Tables.embeddings(s, dir).where(col("vec_id") % 20 === 0),
+            Some(8)),
           Tables.embeddings(s, dir), root,
           forgetModulo = 10, forgetResidue = 7, k = 5,
           numSubspaces = 4, codebookSize = 16)
@@ -1286,7 +1291,7 @@ object PipelineQueries {
       },
       Some(s"""
         WITH $QuantCte,
-        ${qsetCte(20, None)},
+        ${qsetCte(20, Some(8))},
         ${pqChainCtes("e.vec_id % 10 <> 7")}
         SELECT query_id, rank, neighbor_id, adc_dot FROM pqrk
         WHERE rank <= 5 ORDER BY query_id, rank""")),

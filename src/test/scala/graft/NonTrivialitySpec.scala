@@ -172,8 +172,12 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
       val probe = SparkEntry.queries(forget)(spark, sfSmall).cache()
       val leaked = probe.where(pmod(col("neighbor_id"), lit(10L)) === 7).count()
       assert(leaked == 0L, s"$forget served $leaked tombstoned vectors")
+      // compare on the forget row's OWN query set (the PQ forget lane
+      // runs the bounded 8-query budget; the plain probe runs the full
+      // %20 batch — extra plain-only queries must not count as "changed")
       val changed = SparkEntry.queries(plain)(spark, sfSmall)
         .select("query_id", "rank", "neighbor_id")
+        .join(probe.select("query_id").distinct(), Seq("query_id"))
         .join(probe.select("query_id", "rank", "neighbor_id"),
           Seq("query_id", "rank", "neighbor_id"), "left_anti").count()
       assert(changed > 0L, s"$forget is invisible vs $plain — nothing was deleted from any top-k")

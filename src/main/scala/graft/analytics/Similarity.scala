@@ -1188,16 +1188,42 @@ object Similarity {
     * bounded by 2·armK rows per query.
     */
   def hybridSearch(docs: DataFrame, vecArm: DataFrame, k: Int = 5,
-      armK: Int = 10, queryModulo: Int = 20, rrfK: Int = 60): DataFrame = {
+      armK: Int = 10, queryModulo: Int = 20, rrfK: Int = 60): DataFrame =
+    hybridProbeIndexed(
+      docs.where(col("doc_id") % queryModulo === 0)
+        .select(col("doc_id").as("query_id")),
+      lexIndex(docs), vecArm, k, armK, rrfK)
+
+  /** The LEXICAL INDEX: the DF-capped 3-gram-shingle postings table —
+    * what an inverted index stores (Elasticsearch's terms dictionary +
+    * postings). Built once per corpus release and STAGED; every hybrid
+    * probe afterwards joins against it instead of re-shingling the
+    * corpus — the lexical twin of [[persistIvfIndex]].
+    */
+  def lexIndex(docs: DataFrame): DataFrame = {
     val byShingle = Window.partitionBy(col("shingle"))
-    val sh = Dedup.shingleSet(docs)
+    Dedup.shingleSet(docs)
       .withColumn("__df", count(lit(1)).over(byShingle))
       .where(col("__df") <= Dedup.DefaultMaxShingleDf)
       .drop("__df")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val qsh = sh.where(col("doc_id") % queryModulo === 0)
-      .select(col("doc_id").as("query_id"), col("shingle"))
-    val common = qsh.join(sh, "shingle")
+  }
+
+  /** The hybrid probe over ALREADY-BUILT indexes: `queryIds` (corpus
+    * members here; production shingles out-of-corpus query text the same
+    * way) pull their postings rows, score Jaccard against candidates
+    * sharing ≥ 1 retained shingle, and RRF-fuse with the vector arm.
+    * Per-probe work: |queries|·E[postings] lexical rows + the vector
+    * arm's own probe + a 2·armK-rows-per-query fusion — nothing
+    * re-shingles or re-scans the corpus text.
+    */
+  def hybridProbeIndexed(queryIds: DataFrame, postings: DataFrame,
+      vecArm: DataFrame, k: Int = 5, armK: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val qsh = postings
+      .join(broadcast(queryIds), postings("doc_id") === queryIds("query_id"))
+      .select(col("query_id"), col("shingle"))
+    val common = qsh.join(postings, "shingle")
       .where(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id").as("cand_id"))
       .agg(count(lit(1)).as("n_common"))

@@ -529,6 +529,15 @@ object StreamMultimodalQueries {
       (s, dir) => StreamingIngest.streamingVectorSearch(s, dir),
       Some(PipelineQueries.IvfPersistedProbeOracle)),
 
+    // ---- streaming hybrid retrieval (parity with sim_hybrid_search) ----
+    // The two-tower retrieval ENDPOINT: query batches probe both staged
+    // indexes (lexical postings + persisted IVF) inside foreachBatch and
+    // RRF-fuse per batch. Queries independent → batching invisible →
+    // shared oracle verbatim.
+    QueryDef("st_hybrid_search",
+      (s, dir) => StreamingIngest.streamingHybridSearch(s, dir),
+      Some(PipelineQueries.HybridSearchOracle)),
+
     // ---- streaming graph-index maintenance (parity with sim_graph_persisted_add) ----
     // New vectors arrive in micro-batches and each batch INSERTS into the
     // frozen base graph inside foreachBatch (beam-search the base — the

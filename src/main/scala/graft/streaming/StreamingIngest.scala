@@ -1326,6 +1326,76 @@ object StreamingIngest {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming HYBRID retrieval — the serving twin of
+    * `sim_hybrid_search`: query batches arrive and each micro-batch
+    * probes BOTH staged indexes inside foreachBatch (the lexical
+    * postings table for shingle-Jaccard, the persisted IVF index for the
+    * vector arm) and RRF-fuses the two rank lists. Queries are
+    * independent, so micro-batching is invisible and the row shares the
+    * batch probe's oracle verbatim — the two-tower retrieval endpoint at
+    * its deployment point.
+    */
+  def streamingHybridSearch(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+    import spark.implicits._
+    val ivfRoot = graft.queries.Staging.stringMemo(s"$sfDir#ivf_index") {
+      val r = graft.queries.Staging.scratchDir("ivfidx")
+      graft.analytics.Similarity.persistIvfIndex(
+        Tables.embeddings(spark, sfDir), r, numCentroids = 64, iters = 2)
+      r
+    }
+    val postings = graft.queries.Staging.parquetMemo(spark, s"$sfDir#lex_postings")(
+      graft.analytics.Similarity.lexIndex(Tables.documents(spark, sfDir)))
+    val qDs = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % 20 === 0).orderBy("vec_id")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, String, Array[Float])]
+    val qRows = graft.analytics.DriverBudget
+      .collectWithin(qDs, qDs.count(), bytesPerRow = 1024L,
+        hardCap = 2000000L)
+      .getOrElse(throw new IllegalStateException(
+        "streamingHybridSearch query replay exceeds the driver budget — " +
+          "shrink the simulated batch (production feeds a real source)"))
+      .toIndexedSeq
+    val input = MemoryStream[(Long, String, Array[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Array[Float])]],
+      spark)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = input.toDS().toDF("vec_id", "label", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val vecArm = graft.analytics.Similarity
+            .ivfProbePersisted(b, ivfRoot, k = 10)
+          val res = graft.analytics.Similarity.hybridProbeIndexed(
+            b.select(col("vec_id").as("query_id")), postings, vecArm,
+            k = k, armK = 10, rrfK = 60).collect()
+          buf.synchronized { buf ++= res }
+        }
+        ()
+      }
+      .start()
+    try {
+      val n = qRows.length
+      var lo = 0
+      (0 until nBatches).foreach { b =>
+        val hi = (((b + 1).toLong * n + nBatches - 1) / nBatches).toInt
+        if (hi > lo) { input.addData(qRows.slice(lo, hi)); q.processAllAvailable() }
+        lo = hi
+      }
+    } finally q.stop()
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("rank", IntegerType, nullable = false),
+      StructField("cand_id", LongType, nullable = false),
+      StructField("lex_rank", IntegerType, nullable = true),
+      StructField("vec_rank", IntegerType, nullable = true),
+      StructField("rrf", DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(buf.toArray: _*), schema)
+      .orderBy("query_id", "rank")
+  }
+
   /** The replay harness alone — `(event_type, ts_ms)` rows fed through
     * `withWatermark` + tumbling window in `nBatches` contiguous chunks of
     * the given order, plus the two sentinel flush batches. Split out so

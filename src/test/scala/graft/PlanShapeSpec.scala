@@ -526,6 +526,38 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim_ivf_forget_probe: deletion is a broadcast anti-join, not a rewrite or retrain") {
+    val p = plan("sim_ivf_forget_probe")
+    // the tombstone anti-join must broadcast (forget sets are
+    // request-sized) and no Lloyd round may appear post-delete
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+    assert(!p.contains("posexplode"), "forget probe plan contains a Lloyd mean round")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sim_pq_forget_probe: tombstones filter the CODE scan; corpus never re-encoded") {
+    val p = plan("sim_pq_forget_probe")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    // encode's argmin aggregate must not exist — the corpus enters only
+    // as the persisted code rows
+    val rawScans = "embeddings\\.parquet".r.findAllIn(p).length
+    assert(rawScans <= 2, s"forget probe re-reads the raw corpus ($rawScans scans)")
+    assert(p.contains("codes"), "plan does not read the persisted codes")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sim_hybrid_search: two-index probe — no corpus re-shingling, no cartesian") {
+    val p = plan("sim_hybrid_search")
+    // the lexical arm reads the STAGED postings, never the raw document
+    // text: documents.parquet may appear only as the query-id slice
+    val docScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(docScans <= 1, s"probe re-shingles the corpus ($docScans raw doc scans)")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // no Lloyd round leaks in from the vector arm
+    assert(!p.contains("posexplode"), "hybrid probe plan contains a Lloyd mean round")
+  }
+
   test("sim_ivf_persisted_add: the add+probe plan is training-free (no Lloyd, no sort-aggregate)") {
     val p = plan("sim_ivf_persisted_add")
     assert(p.contains("nearest_centroid"), p.take(2000))

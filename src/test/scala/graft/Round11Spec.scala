@@ -117,6 +117,18 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
       "no round accepted more than one merge — corpus no longer adversarial")
   }
 
+  test("graph add: newly inserted vectors are REACHABLE in the served results") {
+    import org.apache.spark.sql.functions._
+    // the reverse delta edges are what makes a fresh vector servable —
+    // if they were dropped, the merged walk could only ever return
+    // history nodes and the "add" would be write-only
+    val res = SparkEntry.queries("sim_graph_persisted_add")(
+      spark, "/root/testdata/sf0.01")
+    val newServed = res.where(pmod(col("neighbor_id"), lit(10L)) === 0).count()
+    assert(newServed > 0L,
+      "no newly added vector appears in any probe top-k — reverse edges lost")
+  }
+
   test("batched rounds reject interacting pairs: accepted pairs are token-disjoint") {
     val got = graft.analytics.TextAnalysis
       .bpeTrainBatched(docsDf, rounds = 3, batchM = 3, poolK = 12)

@@ -946,6 +946,70 @@ object Similarity {
       col("rel"), col("score"))
   }
 
+  /** Embedding-distribution DRIFT monitor over the persisted IVF index —
+    * the production alarm that decides WHEN the index retrains
+    * ([[incrementalIvfOccupancy]] watches bucket counts; this watches the
+    * bucket GEOMETRY): split the member lists into epochs (history vs
+    * the newest arrivals), compute each epoch's per-bucket integer mean
+    * vector (the same `floor(sum/n + 0.5)` arithmetic as a Lloyd round —
+    * deterministic), and report per bucket: epoch counts, the new-traffic
+    * share, and the cosine between the two epoch means. A bucket whose
+    * new-arrival center has rotated away from its historical center (or
+    * that new traffic has abandoned) is where the frozen centroids no
+    * longer describe the data — the retrain trigger.
+    *
+    * Scale shape: one posexplode over the member lists (dim·|members|
+    * slim rows) into a map-side-combined per-(bucket, epoch, dim) sum —
+    * output is buckets·dims rows, metadata-scale; the cosine is one
+    * integer dot per bucket. No pair work, no retraining, no corpus
+    * rescan.
+    *
+    * `driftCos` is data-relative (a monitor threshold, not a constant of
+    * nature): the default 0.3 sits at this corpus' median epoch-mean
+    * cosine — near-uniform 64-dim vectors give weakly-correlated subset
+    * means, so "half the buckets are drifting" is the honest alarm level
+    * here; NonTrivialitySpec pins that the flag splits the buckets.
+    */
+  def embeddingDrift(spark: org.apache.spark.sql.SparkSession, root: String,
+      newModulo: Int = 10, driftCos: Double = 0.3): DataFrame = {
+    val members = spark.read.parquet(s"$root/members")
+    val ep = members.withColumn("epoch",
+      when(pmod(col("vec_id"), lit(newModulo.toLong)) === 0, lit("new"))
+        .otherwise(lit("hist")))
+    val dm = ep.select(col("bucket"), col("epoch"),
+        posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("bucket", "epoch", "pos")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("m",
+        floor(col("sx").cast("double") / col("n") + 0.5).cast("long"))
+    val mv = dm.groupBy("bucket", "epoch")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mv"), max(col("n")).as("n"))
+    val h = mv.where(col("epoch") === "hist")
+      .select(col("bucket"), col("mv").as("hv"), col("n").as("n_hist"))
+    val nw = mv.where(col("epoch") === "new")
+      .select(col("bucket"), col("mv").as("nv"), col("n").as("n_new"))
+    val joined = h.join(nw, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("hv"), col("nv"))
+    val nrmH = dotLL(col("hv"), col("hv"))
+    val nrmN = dotLL(col("nv"), col("nv"))
+    joined
+      .withColumn("share_new", col("n_new").cast("double") /
+        (col("n_hist") + col("n_new")).cast("double"))
+      .withColumn("mean_cos",
+        when(col("hv").isNotNull && col("nv").isNotNull &&
+            nrmH > 0 && nrmN > 0,
+          cosineQ(dotLL(col("hv"), col("nv")), nrmH, nrmN)))
+      .withColumn("drifted",
+        when(col("n_new") > 0 && col("n_hist") > 0 &&
+            col("mean_cos").isNotNull,
+          col("mean_cos") < driftCos).otherwise(lit(true)))
+      .select("bucket", "n_hist", "n_new", "share_new", "mean_cos", "drifted")
+  }
+
   /** OOD / embedding-quality outlier scoring over a PERSISTED IVF index
     * (SemDeDup's quality cousin: instead of "too close to a neighbor",
     * flag "too far from EVERY cluster center" — mis-embedded, empty, or
@@ -1307,10 +1371,38 @@ object Similarity {
       case Left(df)     => assignToCentroids(prepQ(emb), df)
     }
     // inverted lists laid out BY bucket: a cluster probe reads only its
-    // own list's files (partition pruning on the probe key)
-    assigned.select(col("vec_id"), col("qv"), col("nrm"), col("bucket"))
+    // own list's files (partition pruning on the probe key). The LABEL
+    // rides along as payload metadata — what every vector DB stores in
+    // the index so filtered search is a SCAN PREDICATE, not a join
+    // against a corpus-sized metadata table at probe time; the label
+    // join costs one slim column-pruned shuffle at BUILD time.
+    assigned
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
+        col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/members")
+  }
+
+  /** FILTERED vector search over the persisted IVF index — the
+    * metadata-predicate probe every production vector DB serves
+    * (Qdrant/Milvus/Pinecone filters, FAISS IDSelector): restrict the
+    * member lists to `allowedLabels` BEFORE scoring. Because the label
+    * is stored IN the index payload, the restriction is a pushed-down
+    * predicate on the member scan (PlanShapeSpec pins PushedFilters) —
+    * no metadata join exists at probe time. Single-probe post-filtering
+    * honestly surfaces the filtered-ANN recall effect: a query whose
+    * bucket holds few allowed members returns fewer than k rows
+    * (production widens nprobe, same trade as
+    * [[lshTopKMultiProbe]]'s).
+    */
+  def ivfProbeFiltered(queries: DataFrame, root: String,
+      allowedLabels: Seq[Int], k: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    val centDf = spark.read.parquet(s"$root/centroids")
+    val members = spark.read.parquet(s"$root/members")
+      .where(col("label").isin(allowedLabels: _*))
+    probeMembers(members, centDf, queries, k)
   }
 
   /** Probe a persisted IVF index WITHOUT retraining (`read_index` +
@@ -1386,7 +1478,10 @@ object Similarity {
       case None    => assignToCentroids(df, centDf)
     }
     val batch = prepQ(emb.where(pmod(col("vec_id"), lit(batchModulo.toLong)) === 0))
-    assign(batch).select(col("vec_id"), col("qv"), col("nrm"), col("bucket"))
+    assign(batch)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
+        col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/members_delta")
     // a re-added vec_id must SUPERSEDE its base member row, not occupy a

@@ -381,11 +381,11 @@ object PipelineQueries {
     s"""$QuantCte,
         cent0 AS (${seedSql(64)}),
         ${(1 to 2).map(lloydIterSql).mkString(",\n        ")},
-        asgF AS (SELECT vec_id, v, nrm, c_id AS bucket,
+        asgF AS (SELECT vec_id, label, v, nrm, c_id AS bucket,
                    row_number() OVER (PARTITION BY vec_id
                      ORDER BY ${cosSql("v", "nrm", "cv", "cnrm")} DESC, c_id) AS arn
                  FROM qn CROSS JOIN cent2),
-        memF AS (SELECT vec_id, v, nrm, bucket FROM asgF WHERE arn = 1)"""
+        memF AS (SELECT vec_id, label, v, nrm, bucket FROM asgF WHERE arn = 1)"""
 
   /** Probe oracle over the trained index with the member lists filtered
     * by `memberFilter` — `TRUE` is the plain persisted probe; the forget
@@ -1256,6 +1256,84 @@ object PipelineQueries {
                md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id)
                    FILTER (WHERE vec_id % 10 <> 7)) AS fingerprint
         FROM memF GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- FILTERED vector search: metadata predicate on the probe ----
+    // The filter every production vector DB serves (Qdrant/Milvus/
+    // Pinecone filters, FAISS IDSelector): the label payload is stored
+    // IN the index member lists (one slim column-pruned join at BUILD
+    // time), so the restriction is a pushed-down predicate on the member
+    // scan — no metadata join at probe time (PlanShapeSpec pins the
+    // pushed filter). Single-probe post-filtering honestly surfaces the
+    // filtered-ANN recall trade: a query whose bucket holds few allowed
+    // members returns fewer than k rows (production widens nprobe).
+    QueryDef("sim_filtered_search",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#ivf_index") {
+          val r = Staging.scratchDir("ivfidx")
+          Similarity.persistIvfIndex(Tables.embeddings(s, dir), r,
+            numCentroids = 64, iters = 2)
+          r
+        }
+        Similarity.ivfProbeFiltered(
+          Tables.embeddings(s, dir).where(col("vec_id") % 20 === 0),
+          root, allowedLabels = Seq(2, 5, 8), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfProbeOracle("label IN (2, 5, 8)"))),
+
+    // ---- embedding-distribution drift monitor (the retrain trigger) ----
+    // sim_incremental_ivf watches bucket OCCUPANCY; this watches bucket
+    // GEOMETRY: per inverted list, the integer mean vector of the newest
+    // arrivals vs history's (the Lloyd-round arithmetic, deterministic)
+    // and the cosine between them — a bucket whose new-traffic center
+    // rotated away from its historical center, or that new traffic
+    // abandoned, is where frozen centroids stop describing the data.
+    // One posexplode + map-side-combined (bucket, epoch, dim) sums;
+    // output is buckets·dims rows — metadata-scale at any corpus size.
+    QueryDef("sim_embedding_drift",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#ivf_index") {
+          val r = Staging.scratchDir("ivfidx")
+          Similarity.persistIvfIndex(Tables.embeddings(s, dir), r,
+            numCentroids = 64, iters = 2)
+          r
+        }
+        Similarity.embeddingDrift(s, root, newModulo = 10, driftCos = 0.3)
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH $ivfTrainedCtes,
+        ep AS (SELECT bucket,
+                 CASE WHEN vec_id % 10 = 0 THEN 'new' ELSE 'hist' END AS epoch,
+                 v FROM memF),
+        dmm AS (SELECT bucket, epoch, i,
+                 CAST(floor(CAST(sum(v[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m,
+                 count(*) AS n
+               FROM ep CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+               GROUP BY 1, 2, 3),
+        mvv AS (SELECT bucket, epoch, list(m ORDER BY i) AS mv, max(n) AS n
+               FROM dmm GROUP BY 1, 2),
+        hh AS (SELECT bucket, mv AS hv, n AS n_hist FROM mvv WHERE epoch = 'hist'),
+        nn AS (SELECT bucket, mv AS nv, n AS n_new FROM mvv WHERE epoch = 'new'),
+        jj AS (SELECT coalesce(hh.bucket, nn.bucket) AS bucket,
+                 CAST(coalesce(n_hist, 0) AS BIGINT) AS n_hist,
+                 CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+                 hv, nv
+               FROM hh FULL OUTER JOIN nn ON hh.bucket = nn.bucket),
+        sc AS (SELECT bucket, n_hist, n_new,
+                 CAST(n_new AS DOUBLE) / (n_hist + n_new) AS share_new,
+                 CASE WHEN hv IS NOT NULL AND nv IS NOT NULL
+                       AND list_sum(list_transform(hv, x -> x*x)) > 0
+                       AND list_sum(list_transform(nv, x -> x*x)) > 0
+                   THEN list_sum(list_transform(range(1, 65), i -> hv[i]*nv[i])) * 1.0
+                        / (sqrt(list_sum(list_transform(hv, x -> x*x)))
+                           * sqrt(list_sum(list_transform(nv, x -> x*x))))
+                 END AS mean_cos
+               FROM jj)
+        SELECT bucket, n_hist, n_new, share_new, mean_cos,
+               CASE WHEN n_new > 0 AND n_hist > 0 AND mean_cos IS NOT NULL
+                    THEN mean_cos < 0.3 ELSE TRUE END AS drifted
+        FROM sc ORDER BY bucket""")),
 
     // ---- persisted PQ index: codebook + encoded corpus on disk ----
     // The compression tier's lifecycle twin: the codebook and the

@@ -203,6 +203,34 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("sim_filtered_search: every served neighbor satisfies the filter; the recall trade is live") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("sim_filtered_search")(spark, sfMid).cache()
+    assert(df.count() > 0L, "filtered probe returned nothing")
+    // the filter contract: results only from allowed labels
+    val emb = Tables.embeddings(spark, sfMid)
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val leaked = df.join(emb, "neighbor_id")
+      .where(!col("label").isin(2, 5, 8)).count()
+    assert(leaked == 0L, s"$leaked results violate the label filter")
+    // single-probe post-filtering must VISIBLY surface the recall trade
+    // on this data: at least one query returns fewer than k rows
+    val short = df.groupBy("query_id").count().where(col("count") < 5).count()
+    assert(short > 0L,
+      "every query returned a full top-k — the filtered-recall effect vanished")
+    df.unpersist()
+  }
+
+  test("sim_embedding_drift: the drift flag SPLITS the buckets") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("sim_embedding_drift")(spark, sfMid)
+    val r = df.agg(sum(when(col("drifted"), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    val (flagged, total) = (r.getLong(0), r.getLong(1))
+    assert(flagged > 0L, "threshold 0.3 below the data's epoch-mean cosines")
+    assert(flagged < total, "threshold 0.3 above the data's epoch-mean cosines — all buckets drifted")
+  }
+
   test("cu_embed_decontaminate flags SOME but not ALL train vectors") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("cu_embed_decontaminate")(spark, sfMid)

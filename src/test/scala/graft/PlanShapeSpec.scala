@@ -547,6 +547,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sim_filtered_search: the label predicate is PUSHED to the member scan") {
+    val p = plan("sim_filtered_search")
+    // the label payload lives IN the index, so the metadata filter must
+    // reach the parquet scan — the design's entire point: no metadata
+    // join, no post-scan filter over the full lists
+    assert(p.contains("In(label"), s"label filter not pushed:\n${p.take(3000)}")
+    assert(!p.contains("posexplode"), "filtered probe plan contains a Lloyd mean round")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sim_hybrid_search: two-index probe — no corpus re-shingling, no cartesian") {
     val p = plan("sim_hybrid_search")
     // the lexical arm reads the STAGED postings, never the raw document

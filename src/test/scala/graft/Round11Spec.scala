@@ -117,6 +117,28 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
       "no round accepted more than one merge — corpus no longer adversarial")
   }
 
+  test("deep batched training: 12 rounds x M=8 accumulate a real merge table on corpus data") {
+    import org.apache.spark.sql.functions._
+    // the tractability claim made concrete: the batched trainer sustains
+    // MANY merges per round on the real documents table — 12 rounds at
+    // M=8 is up to 96 merges (a 32k vocab at M=256 is ~125 rounds of the
+    // same per-round plan). Assert the batch actually multiplies merges
+    // (more than one per round on average), rules stay round-disjoint,
+    // and counts are monotone non-increasing WITHIN a round (the rank
+    // rule accepts in frequency order).
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rules = graft.analytics.TextAnalysis
+      .bpeTrainBatched(docs, rounds = 12, batchM = 8, poolK = 32)
+      .orderBy("round", "sel_rank").collect()
+    assert(rules.length > 24,
+      s"only ${rules.length} merges over 12 rounds — batching is not batching")
+    rules.groupBy(_.getLong(0)).foreach { case (r, rs) =>
+      val cnts = rs.sortBy(_.getLong(1)).map(_.getLong(5))
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+        s"round $r accepted pairs out of frequency order: ${cnts.mkString(",")}")
+    }
+  }
+
   test("graph add: newly inserted vectors are REACHABLE in the served results") {
     import org.apache.spark.sql.functions._
     // the reverse delta edges are what makes a fresh vector servable —

@@ -648,18 +648,21 @@ object PipelineQueries {
           FROM pvis3 WHERE cand_id <> query_id)
         WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  /** The shared oracle of `sim_hybrid_search` and `st_hybrid_search`
-    * (the serving twin): both arms replayed — DF-capped shingle-Jaccard
-    * lexical top-10 and trained-IVF bucket-probe top-10 — and the RRF
-    * fusion; index staging and query micro-batching must both be
-    * invisible in the answer.
+  /** The hybrid-retrieval oracle, parameterized by the eval budget
+    * (shared by `sim_hybrid_search`, `st_hybrid_search`, and the bounded
+    * lane): both arms replayed — DF-capped shingle-Jaccard lexical
+    * top-10 and trained-IVF bucket-probe top-10 — and the RRF fusion;
+    * index staging and query micro-batching must both be invisible in
+    * the answer.
     */
-  private[queries] lazy val HybridSearchOracle: String =
+  private def hybridSearchOracle(queryLimit: Option[Int]): String =
     s"""
         WITH $WordsCte, $ShinglesCte, $CappedShinglesCte,
         $ivfTrainedCtes,
+        ${qsetCte(20, queryLimit)},
         lsz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
-        qsh AS (SELECT doc_id AS query_id, s FROM shc WHERE doc_id % 20 = 0),
+        qsh AS (SELECT doc_id AS query_id, s FROM shc
+                WHERE doc_id IN (SELECT vec_id FROM qset)),
         lco AS (SELECT query_id, c.doc_id AS cand_id, count(*) AS n_common
                 FROM qsh q JOIN shc c ON q.s = c.s AND c.doc_id <> q.query_id
                 GROUP BY 1, 2),
@@ -673,7 +676,7 @@ object PipelineQueries {
                       ORDER BY jac DESC, cand_id) AS lex_rank
                   FROM lsc) WHERE lex_rank <= 10),
         vqry AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
-                 FROM memF WHERE vec_id % 20 = 0),
+                 FROM memF WHERE vec_id IN (SELECT vec_id FROM qset)),
         vsc AS (SELECT query_id, b.vec_id AS cand_id,
                   ${cosSql("qv", "qnrm", "b.v", "b.nrm")} AS cos
                 FROM memF b JOIN vqry USING (bucket)
@@ -695,6 +698,9 @@ object PipelineQueries {
                       ORDER BY rrf DESC, cand_id) AS rank
           FROM fus)
         WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private[queries] lazy val HybridSearchOracle: String =
+    hybridSearchOracle(None)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -1627,6 +1633,34 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       },
       Some(HybridSearchOracle)),
+
+    // ---- hybrid retrieval on the bounded request batch ----
+    // The fixed-load lane for the two-tower probe (same contract as the
+    // recall family's bounded rows): the %20 query population sampled to
+    // a fixed 8-request md5 budget feeding BOTH arms — lexical work drops
+    // to |batch|·E[postings], the IVF probe to |batch|·E[list]; at any
+    // corpus size a serving deployment answers request batches, and this
+    // row is that deployment shape as code.
+    QueryDef("sim_hybrid_bounded",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#ivf_index") {
+          val r = Staging.scratchDir("ivfidx")
+          Similarity.persistIvfIndex(Tables.embeddings(s, dir), r,
+            numCentroids = 64, iters = 2)
+          r
+        }
+        val postings = Staging.parquetMemo(s, s"$dir#lex_postings")(
+          Similarity.lexIndex(Tables.documents(s, dir)))
+        val qb = Similarity.boundQueries(
+          Tables.embeddings(s, dir).where(col("vec_id") % 20 === 0),
+          Some(8))
+        val vecArm = Similarity.ivfProbePersisted(qb, root, k = 10)
+        Similarity.hybridProbeIndexed(
+          qb.select(col("vec_id").as("query_id")),
+          postings, vecArm, k = 5, armK = 10, rrfK = 60)
+          .orderBy("query_id", "rank")
+      },
+      Some(hybridSearchOracle(Some(8)))),
 
     // ---- vector-quality audit: the pre-ANN sanity table ----
     QueryDef("sim_vec_quality",

@@ -980,6 +980,19 @@ object Similarity {
         posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy("bucket", "epoch", "pos")
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    driftFromDimSums(dm, driftCos)
+  }
+
+  /** The drift computation's TAIL over already-accumulated per-(bucket,
+    * epoch, dim) sums — factored out so the streaming monitor (which
+    * accumulates the `new`-epoch sums micro-batch by micro-batch; sums
+    * are associative, so batching is invisible) shares the exact means /
+    * cosine / flag arithmetic with the batch row. `dm` columns:
+    * (bucket, epoch ∈ {hist,new}, pos, sx, n).
+    */
+  private[graft] def driftFromDimSums(dimSums: DataFrame,
+      driftCos: Double): DataFrame = {
+    val dm = dimSums
       .withColumn("m",
         floor(col("sx").cast("double") / col("n") + 0.5).cast("long"))
     val mv = dm.groupBy("bucket", "epoch")

@@ -379,6 +379,42 @@ object TextAnalysis {
       .select(md5(col("w")).as("h")).distinct()
       .agg(count(lit(1)).as("n_exact"))
 
+  /** Sliding-window CHUNKING with overlap — the RAG-ingestion splitter
+    * (LangChain/LlamaIndex `chunk_size`/`chunk_overlap`, Pinecone/Weaviate
+    * ingestion guides): each document becomes token windows of `window`
+    * tokens starting every `stride` tokens (overlap = window − stride),
+    * so a fact straddling a boundary appears intact in the next chunk.
+    * Chunk count per doc: 1 for n ≤ window, else ⌈(n−window)/stride⌉+1 —
+    * the final chunk always reaches the document's last token and is
+    * never empty (stride ≤ window guarantees start < n).
+    *
+    * Emits (doc_id, chunk_id, start_tok, n_tokens, chunk_hash) — the
+    * hash is what downstream chunk-level dedup / embedding joins key on.
+    *
+    * Scale shape: a pure per-document projection + bounded explode (the
+    * [[Dedup.passageDedup]] exploder with overlap) — zero shuffles, zero state,
+    * output rows ∝ tokens/stride; embarrassingly parallel at any corpus
+    * size, which is why the streaming twin shares this oracle verbatim.
+    */
+  def chunkOverlap(docs: DataFrame, window: Int = 16,
+      stride: Int = 12): DataFrame = {
+    require(stride >= 1 && stride <= window,
+      s"need 1 <= stride ($stride) <= window ($window)")
+    docs
+      .select(col("doc_id"), words(col("text")).as("__ws"))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+      .withColumn("__nc", expr(
+        s"case when __n <= $window then 1L else (__n - $window + ${stride - 1}) div $stride + 1L end"))
+      .select(col("doc_id"), col("__ws"), col("__n"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("__toks", expr(
+        s"slice(__ws, cast(start_tok as int) + 1, $window)"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__toks"))).as("chunk_hash"))
+  }
+
   /** Document fingerprinting: order-sensitive rolling hash over the word
     * sequence + full-content md5.
     */

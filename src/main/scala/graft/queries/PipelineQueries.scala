@@ -18,6 +18,27 @@ object PipelineQueries {
   /** Shared SQL fragments (DuckDB dialect, 1-based list indexing). */
   private val WordsCte =
     "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
+
+  /** Shared by `tx_chunk_overlap` and its streaming twin `st_chunk` (a
+    * pure per-doc projection — micro-batching is invisible, so the twin
+    * shares this verbatim). Window 16 / stride 12; all-integer chunk
+    * count arithmetic on both sides.
+    */
+  private[queries] lazy val ChunkOverlapOracle: String = s"""
+    WITH $WordsCte,
+    n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    c AS (SELECT doc_id, ws, n,
+            CASE WHEN n <= 16 THEN 1 ELSE (n - 16 + 11) // 12 + 1 END AS nc
+          FROM n),
+    e AS (SELECT doc_id, ws, n, unnest(range(0, nc)) AS chunk_id FROM c),
+    s AS (SELECT doc_id, chunk_id, chunk_id * 12 AS start_tok,
+            ws[chunk_id * 12 + 1 : least(chunk_id * 12 + 16, n)] AS toks
+          FROM e)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks, ' ')) AS chunk_hash
+    FROM s ORDER BY doc_id, chunk_id"""
   private val ShinglesCte =
     """sh AS (SELECT DISTINCT doc_id,
       |  unnest(list_transform(range(1, len(ws)-1),
@@ -418,6 +439,46 @@ object PipelineQueries {
     */
   private[queries] lazy val IvfPersistedProbeOracle: String =
     ivfProbeOracle("TRUE")
+
+  /** Shared by `sim_embedding_drift` and its streaming twin
+    * `st_embedding_drift` (the monitor consumes the index's append feed
+    * and folds per-(bucket, dim) sums batch by batch; sums are
+    * associative and commutative, so the final state matches the batch
+    * computation bit-for-bit).
+    */
+  private[queries] lazy val EmbeddingDriftOracle: String = s"""
+    WITH $ivfTrainedCtes,
+    ep AS (SELECT bucket,
+             CASE WHEN vec_id % 10 = 0 THEN 'new' ELSE 'hist' END AS epoch,
+             v FROM memF),
+    dmm AS (SELECT bucket, epoch, i,
+             CAST(floor(CAST(sum(v[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m,
+             count(*) AS n
+           FROM ep CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+           GROUP BY 1, 2, 3),
+    mvv AS (SELECT bucket, epoch, list(m ORDER BY i) AS mv, max(n) AS n
+           FROM dmm GROUP BY 1, 2),
+    hh AS (SELECT bucket, mv AS hv, n AS n_hist FROM mvv WHERE epoch = 'hist'),
+    nn AS (SELECT bucket, mv AS nv, n AS n_new FROM mvv WHERE epoch = 'new'),
+    jj AS (SELECT coalesce(hh.bucket, nn.bucket) AS bucket,
+             CAST(coalesce(n_hist, 0) AS BIGINT) AS n_hist,
+             CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+             hv, nv
+           FROM hh FULL OUTER JOIN nn ON hh.bucket = nn.bucket),
+    sc AS (SELECT bucket, n_hist, n_new,
+             CAST(n_new AS DOUBLE) / (n_hist + n_new) AS share_new,
+             CASE WHEN hv IS NOT NULL AND nv IS NOT NULL
+                   AND list_sum(list_transform(hv, x -> x*x)) > 0
+                   AND list_sum(list_transform(nv, x -> x*x)) > 0
+               THEN list_sum(list_transform(range(1, 65), i -> hv[i]*nv[i])) * 1.0
+                    / (sqrt(list_sum(list_transform(hv, x -> x*x)))
+                       * sqrt(list_sum(list_transform(nv, x -> x*x))))
+             END AS mean_cos
+           FROM jj)
+    SELECT bucket, n_hist, n_new, share_new, mean_cos,
+           CASE WHEN n_new > 0 AND n_hist > 0 AND mean_cos IS NOT NULL
+                THEN mean_cos < 0.3 ELSE TRUE END AS drifted
+    FROM sc ORDER BY bucket"""
 
   /** One BATCHED BPE training round for the `tx_bpe_train_batched`
     * oracle (mirrors [[graft.analytics.TextAnalysis.bpeTrainBatched]]):
@@ -1307,39 +1368,7 @@ object PipelineQueries {
         Similarity.embeddingDrift(s, root, newModulo = 10, driftCos = 0.3)
           .orderBy("bucket")
       },
-      Some(s"""
-        WITH $ivfTrainedCtes,
-        ep AS (SELECT bucket,
-                 CASE WHEN vec_id % 10 = 0 THEN 'new' ELSE 'hist' END AS epoch,
-                 v FROM memF),
-        dmm AS (SELECT bucket, epoch, i,
-                 CAST(floor(CAST(sum(v[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m,
-                 count(*) AS n
-               FROM ep CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
-               GROUP BY 1, 2, 3),
-        mvv AS (SELECT bucket, epoch, list(m ORDER BY i) AS mv, max(n) AS n
-               FROM dmm GROUP BY 1, 2),
-        hh AS (SELECT bucket, mv AS hv, n AS n_hist FROM mvv WHERE epoch = 'hist'),
-        nn AS (SELECT bucket, mv AS nv, n AS n_new FROM mvv WHERE epoch = 'new'),
-        jj AS (SELECT coalesce(hh.bucket, nn.bucket) AS bucket,
-                 CAST(coalesce(n_hist, 0) AS BIGINT) AS n_hist,
-                 CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
-                 hv, nv
-               FROM hh FULL OUTER JOIN nn ON hh.bucket = nn.bucket),
-        sc AS (SELECT bucket, n_hist, n_new,
-                 CAST(n_new AS DOUBLE) / (n_hist + n_new) AS share_new,
-                 CASE WHEN hv IS NOT NULL AND nv IS NOT NULL
-                       AND list_sum(list_transform(hv, x -> x*x)) > 0
-                       AND list_sum(list_transform(nv, x -> x*x)) > 0
-                   THEN list_sum(list_transform(range(1, 65), i -> hv[i]*nv[i])) * 1.0
-                        / (sqrt(list_sum(list_transform(hv, x -> x*x)))
-                           * sqrt(list_sum(list_transform(nv, x -> x*x))))
-                 END AS mean_cos
-               FROM jj)
-        SELECT bucket, n_hist, n_new, share_new, mean_cos,
-               CASE WHEN n_new > 0 AND n_hist > 0 AND mean_cos IS NOT NULL
-                    THEN mean_cos < 0.3 ELSE TRUE END AS drifted
-        FROM sc ORDER BY bucket""")),
+      Some(EmbeddingDriftOracle)),
 
     // ---- persisted PQ index: codebook + encoded corpus on disk ----
     // The compression tier's lifecycle twin: the codebook and the
@@ -2088,6 +2117,18 @@ object PipelineQueries {
             (h, v) -> (h * 1000003 + v) % 2147483647) AS roll_fp,
           md5(text) AS content_hash
         FROM w JOIN documents USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- sliding-window chunking with overlap (RAG ingestion) ----
+    // The retrieval-ingestion splitter: window-16/stride-12 token chunks
+    // (overlap 4 — a fact straddling a boundary appears intact in the
+    // next chunk), final chunk always reaching the last token. Pure
+    // per-doc projection + bounded explode — zero shuffles; the chunk
+    // hash is what chunk-level dedup / the embedding join key on.
+    QueryDef("tx_chunk_overlap",
+      (s, dir) => TextAnalysis.chunkOverlap(Tables.documents(s, dir),
+          window = 16, stride = 12)
+        .orderBy("doc_id", "chunk_id"),
+      Some(ChunkOverlapOracle)),
 
     // ---- repetition quality signals (Gopher-style filters) ----
     QueryDef("tx_repetition",

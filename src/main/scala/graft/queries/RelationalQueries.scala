@@ -19,6 +19,75 @@ object RelationalQueries {
   private def decSum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast("decimal(18,2)"))
 
+  /** The MV's PARTIAL-aggregate rows over a fact slice: per (nation,
+    * priority) key — count, DECIMAL revenue sum (exact ⇒ the merge is
+    * associative and order-free), max price. What the staged "yesterday"
+    * MV stores and what a delta batch computes; [[mvMergeFinalize]] adds
+    * them. Used by `rel_mv_incremental` and its streaming twin.
+    */
+  private[graft] def mvPartials(s: SparkSession, dir: String,
+      orders: DataFrame): DataFrame =
+    orders
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        decSum("o_totalprice").as("rev_dec"),
+        max("o_totalprice").as("max_price"))
+
+  /** Merge two partial-MV tables INTO partial form (algebraic: counts
+    * and decimal sums add, max takes greatest — Spark's `greatest` skips
+    * NULLs, so a key present on one side only keeps its value). The
+    * merge is |keys|-sized — independent of fact volume — and
+    * associative/commutative (exact decimal arithmetic), which is what
+    * lets the streaming twin fold batch after batch into the same state.
+    */
+  private[graft] def mvMergePartials(a: DataFrame, b: DataFrame): DataFrame = {
+    val h = a.select(col("n_name"), col("o_orderpriority"),
+      col("n_orders").as("h_n"), col("rev_dec").as("h_rev"),
+      col("max_price").as("h_max"))
+    val d = b.select(col("n_name"), col("o_orderpriority"),
+      col("n_orders").as("d_n"), col("rev_dec").as("d_rev"),
+      col("max_price").as("d_max"))
+    h.join(d, Seq("n_name", "o_orderpriority"), "full_outer")
+      .select(col("n_name"), col("o_orderpriority"),
+        (coalesce(col("h_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("h_rev"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("d_rev"), lit(0).cast("decimal(18,2)")))
+          .cast("decimal(28,2)").as("rev_dec"),
+        greatest(col("h_max"), col("d_max")).as("max_price"))
+  }
+
+  /** Derive the MV's serving columns from merged partials (avg is
+    * DERIVED from the partials, never stored — the algebraic-aggregate
+    * rule that makes the view mergeable).
+    */
+  private[graft] def mvFinalize(partials: DataFrame): DataFrame =
+    partials.select(col("n_name"), col("o_orderpriority"), col("n_orders"),
+      col("rev_dec").cast("double").as("revenue"),
+      (col("rev_dec").cast("double") / col("n_orders")).as("avg_price"),
+      col("max_price"))
+
+  private[graft] def mvMergeFinalize(hist: DataFrame,
+      delta: DataFrame): DataFrame =
+    mvFinalize(mvMergePartials(hist, delta))
+
+  /** Shared by `rel_mv_incremental` and its streaming twin: the oracle
+    * recomputes the view from the FULL fact table — hash equality proves
+    * the partial-aggregate merge ≡ recompute.
+    */
+  private[queries] lazy val MvRecomputeOracle: String = """
+    SELECT n_name, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             AS avg_price,
+           max(o_totalprice) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val all: Seq[QueryDef] = Seq(
 
     // TPC-H Q1-shaped pricing summary: the canonical partial-agg +
@@ -515,6 +584,28 @@ object RelationalQueries {
         SELECT custkey, version, priority, valid_from, valid_to,
                CAST(valid_to IS NULL AS INT) AS is_current
         FROM v ORDER BY custkey, version""")),
+
+    // ---- incremental materialized-view maintenance (merge ≡ recompute) ----
+    // The lakehouse MV pattern: the (nation, priority) revenue rollup is
+    // maintained from PARTIAL aggregates — history's partials are STAGED
+    // (yesterday's MV, the production input), today's delta batch
+    // aggregates alone, and the refresh is one |keys|-sized full-outer
+    // merge of algebraic partials (count/decimal-sum add, max greatest;
+    // avg derives from the merged partials — never stored). History
+    // facts are NEVER rescanned: refresh cost = delta scan + |keys|
+    // merge at any history size. The oracle recomputes the view from
+    // the FULL fact table — hash equality proves merge ≡ recompute, the
+    // same discipline as gr_components_incremental.
+    QueryDef("rel_mv_incremental",
+      (s, dir) => {
+        val hist = Staging.parquetMemo(s, s"$dir#rel_mv_hist")(
+          mvPartials(s, dir,
+            Tables.orders(s, dir).where(pmod(col("o_orderkey"), lit(10L)) =!= 0)))
+        val delta = mvPartials(s, dir,
+          Tables.orders(s, dir).where(pmod(col("o_orderkey"), lit(10L)) === 0))
+        mvMergeFinalize(hist, delta).orderBy("n_name", "o_orderpriority")
+      },
+      Some(MvRecomputeOracle)),
 
     // ---- TPC-H Q21 shape: sole-late-supplier blame report ----
     // Suppliers who were the ONLY late shipper (ship lag > 60 days) on a

@@ -502,6 +502,17 @@ object StreamMultimodalQueries {
                  AS passes
         FROM s ORDER BY doc_id""")),
 
+    // ---- streaming RAG chunker (parity with tx_chunk_overlap) ----
+    // The retrieval-ingestion splitter at its deployment point:
+    // documents arrive and become their overlapping token windows as a
+    // pure projection + bounded explode fused into the stream scan —
+    // zero shuffles, zero state; per-doc independence makes
+    // micro-batching invisible, so the row shares the batch chunker's
+    // oracle verbatim.
+    QueryDef("st_chunk",
+      (s, dir) => StreamingIngest.streamingChunk(s, dir),
+      Some(PipelineQueries.ChunkOverlapOracle)),
+
     // ---- streaming deletion audit (parity with cu_forget_audit) ----
     // The compliance rollup maintained AS documents arrive: complete-mode
     // per-source aggregation; sort_array before the fingerprint hash
@@ -528,6 +539,28 @@ object StreamMultimodalQueries {
     QueryDef("st_vector_search",
       (s, dir) => StreamingIngest.streamingVectorSearch(s, dir),
       Some(PipelineQueries.IvfPersistedProbeOracle)),
+
+    // ---- streaming embedding-drift monitor (parity with sim_embedding_drift) ----
+    // The retrain trigger maintained AS new vectors land: the monitor
+    // consumes the index's append feed and folds per-(bucket, dim)
+    // running sums batch by batch (|buckets|·|dims| rows of state —
+    // metadata-scale); history's sums compute once from the staged
+    // index, and the final means/cosine/flag arithmetic is the batch
+    // row's own tail — shared oracle verbatim.
+    QueryDef("st_embedding_drift",
+      (s, dir) => StreamingIngest.streamingEmbeddingDrift(s, dir),
+      Some(PipelineQueries.EmbeddingDriftOracle)),
+
+    // ---- streaming MV maintenance (parity with rel_mv_incremental) ----
+    // The Delta/Iceberg MERGE-INTO-per-micro-batch pattern: delta fact
+    // rows arrive, each batch aggregates alone to |keys|-sized partials
+    // and folds into the current MV state (count/decimal-sum add, max
+    // greatest — exact, associative, commutative, so batching is
+    // invisible); history facts never rescan. Shares the from-scratch
+    // recompute oracle bit-for-bit.
+    QueryDef("st_mv_merge",
+      (s, dir) => StreamingIngest.streamingMvMerge(s, dir),
+      Some(RelationalQueries.MvRecomputeOracle)),
 
     // ---- streaming hybrid retrieval (parity with sim_hybrid_search) ----
     // The two-tower retrieval ENDPOINT: query batches probe both staged

@@ -766,6 +766,26 @@ object StreamingIngest {
     drain(out, "append").orderBy("doc_id")
   }
 
+  /** Streaming RAG-ingestion chunker —
+    * [[graft.analytics.TextAnalysis.chunkOverlap]] at its deployment
+    * point: documents arrive and each becomes its overlapping token
+    * windows AS a pure projection + bounded explode fused into the
+    * stream scan (zero shuffles, zero state — the chunk feed a vector
+    * pipeline embeds and upserts downstream). Per-doc independence makes
+    * micro-batching invisible: shares `tx_chunk_overlap`'s oracle
+    * verbatim.
+    */
+  def streamingChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val out = graft.analytics.TextAnalysis.chunkOverlap(docs,
+      window = 16, stride = 12)
+    drain(out, "append").orderBy("doc_id", "chunk_id")
+  }
+
   /** Streaming record linkage — [[graft.analytics.Dedup.entityResolution]]
     * at its deployment point: dirty records ARRIVE as a stream and
     * resolve against the STATIC clean registry through the same blocked
@@ -1204,6 +1224,142 @@ object StreamingIngest {
     * SAME staged memo the batch probe row uses; the query replay is
     * simulation cost, heap-guarded.
     */
+  /** Streaming embedding-drift monitor — `sim_embedding_drift` at its
+    * deployment point: the monitor consumes the INDEX'S APPEND FEED (the
+    * member rows the add lane assigns and appends — bucket already
+    * decided by the frozen centroids) and maintains per-(bucket, dim)
+    * running sums/counts of the new epoch, |buckets|·|dims| rows of
+    * state folded batch by batch (sums are associative and commutative,
+    * so batching is invisible); history's sums compute once from the
+    * staged index. The final means/cosine/flag arithmetic is the batch
+    * row's own tail ([[graft.analytics.Similarity.driftFromDimSums]]),
+    * so the row shares `sim_embedding_drift`'s oracle verbatim.
+    */
+  def streamingEmbeddingDrift(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3, newModulo: Int = 10,
+      driftCos: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val root = graft.queries.Staging.stringMemo(s"$sfDir#ivf_index") {
+      val r = graft.queries.Staging.scratchDir("ivfidx")
+      graft.analytics.Similarity.persistIvfIndex(
+        Tables.embeddings(spark, sfDir), r, numCentroids = 64, iters = 2)
+      r
+    }
+    val members = spark.read.parquet(s"$root/members")
+    def dimSums(df: DataFrame): DataFrame =
+      df.select(col("bucket"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("bucket", "pos")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val histDm = dimSums(
+        members.where(pmod(col("vec_id"), lit(newModulo.toLong)) =!= 0))
+      .withColumn("epoch", lit("hist"))
+      .localCheckpoint(true)
+    val newDs = members
+      .where(pmod(col("vec_id"), lit(newModulo.toLong)) === 0)
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("bucket").cast("long"), col("qv"))
+      .as[(Long, Long, Array[Long])]
+    val newRows = graft.analytics.DriverBudget
+      .collectWithin(newDs, newDs.count(), bytesPerRow = 1024L,
+        hardCap = 2000000L)
+      .getOrElse(throw new IllegalStateException(
+        "streamingEmbeddingDrift replay exceeds the driver budget — " +
+          "shrink the simulated batch (production feeds a real source)"))
+      .toIndexedSeq
+    val input = MemoryStream[(Long, Long, Array[Long])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long, Array[Long])]],
+      spark)
+    @volatile var newState: DataFrame = null
+    val q = input.toDS().toDF("vec_id", "bucket", "qv").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val part = dimSums(b)
+          newState =
+            (if (newState == null) part
+             else newState.unionByName(part).groupBy("bucket", "pos")
+               .agg(sum(col("sx")).as("sx"), sum(col("n")).as("n")))
+              .localCheckpoint(true)
+        }
+        ()
+      }
+      .start()
+    try {
+      val n = newRows.length
+      var lo = 0
+      (0 until nBatches).foreach { b =>
+        val hi = (((b + 1).toLong * n + nBatches - 1) / nBatches).toInt
+        if (hi > lo) { input.addData(newRows.slice(lo, hi)); q.processAllAvailable() }
+        lo = hi
+      }
+    } finally q.stop()
+    val newDm = if (newState == null) histDm.drop("epoch").limit(0)
+      else newState
+    val dm = histDm.unionByName(newDm.withColumn("epoch", lit("new")))
+    graft.analytics.Similarity.driftFromDimSums(dm, driftCos)
+      .orderBy("bucket")
+  }
+
+  /** Streaming materialized-view maintenance — `rel_mv_incremental` at
+    * its deployment point (the Delta/Iceberg `MERGE INTO`-per-micro-batch
+    * pattern): delta fact rows arrive in micro-batches, each batch
+    * aggregates ALONE to |keys|-sized partials
+    * ([[graft.queries.RelationalQueries.mvPartials]]) and folds into the
+    * current MV state ([[graft.queries.RelationalQueries.mvMergePartials]]
+    * — count/decimal-sum add, max greatest), threading the merged
+    * partials into the next batch. History facts are never rescanned;
+    * per-batch cost = batch scan + |keys| merge. Exact decimal partials
+    * make the fold associative AND commutative, so batching is invisible
+    * and the final view shares the from-scratch recompute oracle
+    * bit-for-bit. "Yesterday's" partials come from the SAME staged memo
+    * as the batch row.
+    */
+  def streamingMvMerge(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val R = graft.queries.RelationalQueries
+    val hist = graft.queries.Staging.parquetMemo(spark, s"$sfDir#rel_mv_hist")(
+      R.mvPartials(spark, sfDir,
+        Tables.orders(spark, sfDir).where(pmod(col("o_orderkey"), lit(10L)) =!= 0)))
+    val deltaDs = Tables.orders(spark, sfDir)
+      .where(pmod(col("o_orderkey"), lit(10L)) === 0).orderBy("o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .as[(Long, Long, Double, String)]
+    val deltaRows = graft.analytics.DriverBudget
+      .collectWithin(deltaDs, deltaDs.count(), bytesPerRow = 96L,
+        hardCap = 10000000L)
+      .getOrElse(throw new IllegalStateException(
+        "streamingMvMerge delta replay exceeds the driver budget — " +
+          "shrink the simulated batch (production feeds a real source)"))
+      .toIndexedSeq
+    val input = MemoryStream[(Long, Long, Double, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long, Double, String)]],
+      spark)
+    @volatile var state = hist.localCheckpoint(true)
+    val q = input.toDS()
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          state = R.mvMergePartials(state, R.mvPartials(spark, sfDir, b))
+            .localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      val n = deltaRows.length
+      var lo = 0
+      (0 until nBatches).foreach { b =>
+        val hi = (((b + 1).toLong * n + nBatches - 1) / nBatches).toInt
+        if (hi > lo) { input.addData(deltaRows.slice(lo, hi)); q.processAllAvailable() }
+        lo = hi
+      }
+    } finally q.stop()
+    R.mvFinalize(state).orderBy("n_name", "o_orderpriority")
+  }
+
   def streamingVectorSearch(spark: SparkSession, sfDir: String,
       nBatches: Int = 3, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}

@@ -316,6 +316,36 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"outlier gate degenerate: $flagged of $total")
   }
 
+  test("tx_chunk_overlap: multi-chunk docs exist and overlap is exercised") {
+    import org.apache.spark.sql.functions._
+    // the chunker only demonstrates its overlap semantics if some doc
+    // splits into ≥ 2 chunks (otherwise every doc fits one window and the
+    // row degenerates to a hash of the text)
+    val chunks = SparkEntry.queries("tx_chunk_overlap")(spark, sfSmall)
+    val multi = chunks.groupBy("doc_id").count().where(col("count") >= 2).count()
+    assert(multi > 0L, "no document produced ≥ 2 chunks — shrink the window")
+    // and some doc's final chunk must be PARTIAL (shorter than the
+    // window) — proves the tail is kept, not truncated
+    val partial = chunks.where(col("n_tokens") < 16).count()
+    assert(partial > 0L, "every chunk is full-width — the tail rule is untested here")
+  }
+
+  test("rel_mv_incremental: the delta actually contributes and totals reconcile") {
+    import org.apache.spark.sql.functions._
+    // merge ≡ recompute is the oracle's job; THIS pins that the delta is
+    // non-trivial (the staged MV alone would pass an oracle diff if the
+    // delta were empty) and that merged counts reconcile with the raw
+    // fact count exactly
+    val mv = SparkEntry.queries("rel_mv_incremental")(spark, sfSmall)
+    val merged = mv.agg(sum(col("n_orders"))).head().getLong(0)
+    val deltaN = Tables.orders(spark, sfSmall)
+      .where(pmod(col("o_orderkey"), lit(10L)) === 0).count()
+    val totalN = Tables.orders(spark, sfSmall).count()
+    assert(deltaN > 0L, "delta slice is empty — the merge demonstrates nothing")
+    assert(merged == totalN,
+      s"merged MV counts $merged != fact rows $totalN (delta $deltaN)")
+  }
+
   test("lay_skipping_stats: the layout actually skips files on some probe") {
     import org.apache.spark.sql.functions._
     val audit = SparkEntry.queries("lay_skipping_stats")(spark, sfMid)

@@ -580,6 +580,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("tx_chunk_overlap: map-only chunking, zero exchanges before the sort") {
+    // the chunker must fuse into the feeding scan (projection + bounded
+    // explode) — a shuffle here means a 100 TB corpus pays an exchange
+    // just to split documents
+    val p = plan("tx_chunk_overlap")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunker plan hash-shuffles document rows:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"chunker shuffles while splitting:\n$p")
+  }
+
+  test("rel_mv_incremental: history facts never rescan — one orders scan (the delta)") {
+    // the refresh reads the DELTA slice of the fact table plus the staged
+    // partial-MV parquet; a second orders scan means the merge silently
+    // became a recompute
+    val p = plan("rel_mv_incremental")
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).length
+    assert(ordersScans == 1,
+      s"MV refresh must scan orders exactly once (the delta), found $ordersScans:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("DriverBudget branch counters observe k-means centroid materialization") {
     graft.analytics.DriverBudget.resetBranchCounts()
     SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf).count()

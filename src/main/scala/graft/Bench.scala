@@ -39,6 +39,8 @@ object Bench {
     val budgetBranches = scala.collection.mutable.LinkedHashMap[String, String]()
     var kernelUnhealthy = 0
 
+    val excludedNames = SparkEntry.registry.filter(_.benchExcluded)
+      .map(_.name).toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val warm = fn(spark, sfDir)
@@ -139,14 +141,22 @@ object Bench {
     // gets a compact line — aggregates, workload-shape throughput, and
     // the slowest 25 queries — that always fits the capture window.
     def entry(k: String, v: Double) = "\"" + k + "\":" + "%.2f".format(v)
-    val ok = results.filter(_._2 >= 0)
+    // Eval-only rows (QueryDef.benchExcluded — known-quadratic recall
+    // audits with bounded production twins) are timed and reported, but
+    // OUTSIDE the headline total.
+    val (evalOnly, headline) = results.partition(r => excludedNames(r._1))
+    val ok = headline.filter(_._2 >= 0)
+    val evalOk = evalOnly.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
+    val evalTotal = evalOk.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     def strMap(m: collection.Map[String, String]) =
       m.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":""" +
-        results.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") +
+        headline.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") +
+        s""","eval_only_total_sec":${"%.2f".format(evalTotal)},"eval_only":""" +
+        evalOnly.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") +
         s""","kernel_audits":${strMap(kernelAudits)},"kernel_unhealthy":$kernelUnhealthy,""" +
         s""""driver_budget_branches":${strMap(budgetBranches)},"driver_budget_fallbacks":$budgetFallbacks,""" +
         s""""ingest_samples_per_sec":${ingestRate.toInt},"point_reads_per_sec":${"%.2f".format(readRate)},""" +
@@ -159,7 +169,8 @@ object Bench {
     // after the JSON line and push it out of the driver's tail window.
     spark.stop()
     println(s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
+      s""""n_queries":${headline.size},"n_failed":${headline.size - ok.size},""" +
+      s""""n_eval_only":${evalOnly.size},"eval_only_total_sec":${"%.2f".format(evalTotal)},""" +
       s""""mean_sec":${"%.3f".format(mean)},""" +
       s""""queries":${slowest.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")},""" +
       s""""queries_truncated_to_slowest":25,"full_map":"BENCH_FULL.json",""" +

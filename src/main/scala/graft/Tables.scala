@@ -80,7 +80,14 @@ object Tables {
   * Column names/aliases MUST match between the two — the driver's compare
   * sorts columns by name before hashing.
   */
+/** One registered engine query. `benchExcluded = true` marks an eval-only
+  * row (a recall/quality audit whose cost is quadratic BY CONSTRUCTION —
+  * query set ∝ corpus): it stays oracle-gated for correctness but is
+  * excluded from the headline bench total and timed separately; each has
+  * a fixed-budget `_bounded` twin that IS the production lane.
+  */
 final case class QueryDef(
     name: String,
     impl: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    benchExcluded: Boolean = false)

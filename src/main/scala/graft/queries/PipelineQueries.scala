@@ -24,15 +24,20 @@ object PipelineQueries {
     * shares this verbatim). Window 16 / stride 12; all-integer chunk
     * count arithmetic on both sides.
     */
+  private[graft] val ChunkWindow = 16
+  private[graft] val ChunkStride = 12
   private[queries] lazy val ChunkOverlapOracle: String = s"""
     WITH $WordsCte,
     n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
     c AS (SELECT doc_id, ws, n,
-            CASE WHEN n <= 16 THEN 1 ELSE (n - 16 + 11) // 12 + 1 END AS nc
+            CASE WHEN n <= $ChunkWindow THEN 1
+                 ELSE (n - $ChunkWindow + ${ChunkStride - 1}) // $ChunkStride + 1
+            END AS nc
           FROM n),
     e AS (SELECT doc_id, ws, n, unnest(range(0, nc)) AS chunk_id FROM c),
-    s AS (SELECT doc_id, chunk_id, chunk_id * 12 AS start_tok,
-            ws[chunk_id * 12 + 1 : least(chunk_id * 12 + 16, n)] AS toks
+    s AS (SELECT doc_id, chunk_id, chunk_id * $ChunkStride AS start_tok,
+            ws[chunk_id * $ChunkStride + 1 :
+               least(chunk_id * $ChunkStride + $ChunkWindow, n)] AS toks
           FROM e)
     SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
            CAST(start_tok AS BIGINT) AS start_tok,
@@ -763,7 +768,18 @@ object PipelineQueries {
   private[queries] lazy val HybridSearchOracle: String =
     hybridSearchOracle(None)
 
-  val all: Seq[QueryDef] = Seq(
+  /** Eval-only rows (VERDICT r11 #6): recall/quality audits whose query
+    * set ∝ corpus by construction, so pair volume is quadratic — each has
+    * a fixed-budget `_bounded` twin that is the production lane. They
+    * stay oracle-gated but leave the headline bench total.
+    */
+  private val EvalOnly = Set("sim_nndescent_recall", "sim_sq8_recall",
+    "sim_pq_adc", "sim_pq_persisted_probe", "sim_ann_rerank", "sim_mmr")
+
+  val all: Seq[QueryDef] = defs.map(q =>
+    if (EvalOnly(q.name)) q.copy(benchExcluded = true) else q)
+
+  private def defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content-hash groups, deterministic keeper ----
     QueryDef("dd_exact",
@@ -2126,7 +2142,7 @@ object PipelineQueries {
     // hash is what chunk-level dedup / the embedding join key on.
     QueryDef("tx_chunk_overlap",
       (s, dir) => TextAnalysis.chunkOverlap(Tables.documents(s, dir),
-          window = 16, stride = 12)
+          window = ChunkWindow, stride = ChunkStride)
         .orderBy("doc_id", "chunk_id"),
       Some(ChunkOverlapOracle)),
 

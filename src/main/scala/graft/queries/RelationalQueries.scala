@@ -27,10 +27,29 @@ object RelationalQueries {
     */
   private[graft] def mvPartials(s: SparkSession, dir: String,
       orders: DataFrame): DataFrame =
-    orders
-      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+    mvPartialsFrom(orders, custNation(s, dir), broadcastFact = false)
+
+  /** The trimmed custkey→n_name dimension the MV's enrichment needs —
+    * 2 columns, computed once. The streaming twin stages it (a
+    * localCheckpoint) so micro-batches never re-shuffle or re-scan the
+    * full customer table.
+    */
+  private[graft] def custNation(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
       .join(broadcast(Tables.nation(s, dir)),
         col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+
+  /** Partials over an arbitrary fact slice against a pre-built
+    * custkey→n_name map. `broadcastFact = true` is the micro-batch lane:
+    * the (small) delta becomes the broadcast build side, so the
+    * dimension is streamed without an exchange — per-batch cost tracks
+    * the batch, not the customer table.
+    */
+  private[graft] def mvPartialsFrom(orders: DataFrame, custNation: DataFrame,
+      broadcastFact: Boolean): DataFrame =
+    (if (broadcastFact) broadcast(orders) else orders)
+      .join(custNation, col("o_custkey") === col("c_custkey"))
       .groupBy("n_name", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         decSum("o_totalprice").as("rev_dec"),
@@ -716,10 +735,12 @@ object RelationalQueries {
 
     // ---- TPC-H Q11 shape: global-threshold HAVING ----
     // Suppliers whose revenue exceeds a fraction of TOTAL revenue. The
-    // global scalar is an empty-frame WINDOW over the per-supplier
-    // aggregate — |suppliers| rows pass through one partition (dimension-
-    // sized, never the fact), and the fact is scanned ONCE (a scalar
-    // subquery would re-derive the aggregate and scan lineitem twice).
+    // global scalar is a 1-row aggregate over the per-supplier table,
+    // broadcast back with a crossJoin — NO empty-frame window, so no
+    // single-partition funnel even when suppliers scale with the corpus
+    // (the Curation.scala corpus-total pattern). The per-supplier
+    // aggregate is computed once and feeds both the total and the
+    // threshold compare; the fact is scanned ONCE.
     // The threshold compare runs in exact integer cents
     // (rev_c*10000 > total_c*5 ⇔ share > 0.05%), so no float boundary
     // ambiguity; only the reported share divides.
@@ -728,8 +749,9 @@ object RelationalQueries {
         val perSupp = Tables.lineitem(s, dir)
           .groupBy(col("l_suppkey"))
           .agg((decSum("l_extendedprice") * 100).cast("long").as("rev_c"))
+        val total = perSupp.agg(sum(col("rev_c")).as("total_c"))
         perSupp
-          .withColumn("total_c", sum(col("rev_c")).over(Window.partitionBy()))
+          .crossJoin(broadcast(total))
           .where(col("rev_c") * 10000 > col("total_c") * 5)
           .select(col("l_suppkey").as("suppkey"),
             (col("rev_c").cast("double") / 100).as("revenue"),

@@ -782,7 +782,8 @@ object StreamingIngest {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
     val out = graft.analytics.TextAnalysis.chunkOverlap(docs,
-      window = 16, stride = 12)
+      window = graft.queries.PipelineQueries.ChunkWindow,
+      stride = graft.queries.PipelineQueries.ChunkStride)
     drain(out, "append").orderBy("doc_id", "chunk_id")
   }
 
@@ -1336,6 +1337,10 @@ object StreamingIngest {
     val input = MemoryStream[(Long, Long, Double, String)](
       implicitly[org.apache.spark.sql.Encoder[(Long, Long, Double, String)]],
       spark)
+    // Stage the trimmed custkey→n_name map ONCE (ADVICE r11): micro-
+    // batches broadcast their delta against it, so no per-batch customer
+    // shuffle or rescan — per-batch cost tracks the batch size.
+    val cn = R.custNation(spark, sfDir).localCheckpoint(true)
     @volatile var state = hist.localCheckpoint(true)
     val q = input.toDS()
       .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
@@ -1343,7 +1348,8 @@ object StreamingIngest {
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty)
-          state = R.mvMergePartials(state, R.mvPartials(spark, sfDir, b))
+          state = R.mvMergePartials(state,
+            R.mvPartialsFrom(b, cn, broadcastFact = true))
             .localCheckpoint(true)
         ()
       }

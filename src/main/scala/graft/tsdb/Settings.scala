@@ -59,6 +59,13 @@ object Limits {
     * is at most this many bytes; larger scans go through Spark.
     */
   val FastPathMaxBytes: Long = 64L * 1024 * 1024
+  /** Test seam: when >= 0 overrides [[FastPathMaxBytes]] so specs can
+    * force the Spark read path on small fixtures.
+    */
+  @volatile private[graft] var fastPathMaxBytesOverride: Long = -1L
+  private[graft] def fastPathMaxBytes: Long =
+    if (fastPathMaxBytesOverride >= 0L) fastPathMaxBytesOverride
+    else FastPathMaxBytes
   /** L0 flushes at or below this volume regroup driver-side (parquet-java);
     * larger flushes run as a distributed partitioned append.
     */

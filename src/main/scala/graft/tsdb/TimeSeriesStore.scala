@@ -777,7 +777,17 @@ final class TimeSeriesStore(
     requireInitialized()
     validateRanges(ranges)
     fastRead(ranges).getOrElse {
-      val rows = readDataDF(ranges).select("tag", "ts", "value").collect()
+      // Driver-materialization guard: readData's Map return type IS a
+      // driver collect by contract, so it must fit the DriverBudget or
+      // fail cleanly — a 100-tag × wide-range call should direct the
+      // caller to the distributed readDataDF, not OOM the driver.
+      val df = readDataDF(ranges).select("tag", "ts", "value")
+      val n = df.count()
+      val rows = graft.analytics.DriverBudget
+        .collectWithin(df, n, bytesPerRow = 96L)
+        .getOrElse(throw new IllegalStateException(
+          s"readData result ($n rows) exceeds the driver materialization " +
+            "budget; use readDataDF for large scans"))
       rows.groupBy(_.getString(0)).map { case (t, rs) =>
         t -> SortedMap(rs.map(r => r.getLong(1) -> r.getString(2)).toIndexedSeq: _*)
       }
@@ -811,7 +821,7 @@ final class TimeSeriesStore(
       addPartFiles(coldDir)
       l0FileList().filter(l0MayMatch(_, ranges))
         .foreach { f => cand += ((f, None)); bytes += Files.size(f) }
-      if (bytes > FastPathMaxBytes) None
+      if (bytes > Limits.fastPathMaxBytes) None
       else {
         val merged = ParquetIO.mergeRead(cand.toSeq, ranges, hadoopConf)
         Some(merged.map { case (t, m) =>

@@ -289,12 +289,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("rel_supplier_share: global total from ONE fact scan (window, not subquery)") {
-    val p = plan("rel_supplier_share")
-    // the threshold scalar is an empty-frame window over the |suppliers|-
-    // row aggregate — a scalar subquery would show two lineitem FileScans
-    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(2000))
-    assert(p.contains("Window ["), p.take(2000))
+  test("rel_supplier_share: broadcast total, no single-partition window, one runtime fact scan") {
+    // VERDICT r11 #5: the global threshold scalar must be a 1-row
+    // aggregate broadcast back — NEVER an empty-frame window that funnels
+    // the (data-derived) supplier table through one partition
+    val df = SparkEntry.queries("rel_supplier_share")(spark, sf)
+    df.collect() // finalize AQE so exchange reuse is visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["), p.take(2000))
+    // AQE dedupes the identical per-supplier aggregate: the total's
+    // subtree reads the REUSED exchange, so lineitem is scanned once
+    assert(p.contains("ReusedExchange"), p.take(4000))
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p.take(4000))
   }
 
   test("rel_promo_share: one pass — single fact aggregate, part side broadcast") {

@@ -70,12 +70,17 @@ class Round11bSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(len == math.min(16, n - start).toLong)
         assert(hash == md5hex(expected.mkString(" ")))
       }
-      // consecutive chunks overlap by window − stride = 4 tokens
+      // consecutive chunks overlap by EXACTLY window − stride = 4 tokens
+      // when the predecessor is full-width (an over-widened chunk would
+      // pass a ≥ check); only a partial tail predecessor may overlap more
       chunks.toSeq.sliding(2).foreach { pair =>
         if (pair.length == 2) {
           val (_, _, s1, l1, _) = pair(0)
           val (_, _, s2, _, _) = pair(1)
-          assert(s1 + l1 - s2 >= 4, s"n=$n: chunks must overlap by ≥ 4 tokens")
+          if (l1 == 16L)
+            assert(s1 + l1 - s2 == 4, s"n=$n: full-width chunks must overlap by exactly 4")
+          else
+            assert(s1 + l1 - s2 >= 4, s"n=$n: chunks must overlap by ≥ 4 tokens")
         }
       }
     }

@@ -623,6 +623,33 @@ class TimeSeriesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.readData(ranges) === after)
   }
 
+  // VERDICT r11 #7: readData's Map return IS a driver collect by
+  // contract, so the Spark fallback path must fail cleanly under the
+  // DriverBudget instead of OOMing — and direct callers to readDataDF.
+  test("readData Spark path is DriverBudget-guarded; readDataDF stays available") {
+    import graft.analytics.DriverBudget
+    import graft.tsdb.Limits
+    val store = freshStore(width = 10L)
+    val base = 1700000000000L
+    store.write(Map("BTag" -> (0 until 100).map(i => (base + i).toLong -> s"v$i").toMap))
+    val ranges = Map("BTag" -> (base, base + 99L))
+    val fast = store.readData(ranges) // fast path (tiny candidate set)
+    Limits.fastPathMaxBytesOverride = 0L // force the Spark fallback
+    try {
+      // normal budget: Spark path answers identically
+      assert(store.readData(ranges) === fast)
+      // zero budget: clean failure naming the distributed alternative
+      DriverBudget.budgetOverrideBytes = 0L
+      val e = intercept[IllegalStateException](store.readData(ranges))
+      assert(e.getMessage.contains("readDataDF"))
+      // the distributed API itself is untouched by the guard
+      assert(store.readDataDF(ranges).count() === 100L)
+    } finally {
+      DriverBudget.budgetOverrideBytes = -1L
+      Limits.fastPathMaxBytesOverride = -1L
+    }
+  }
+
   // 10 tags × 200 samples chunk (consumer-test.js:670-696)
   test("bulk multi-tag chunk round-trips") {
     val store = freshStore(width = 10L)

@@ -4,13 +4,41 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Extracted per-media features (the output schema of the decode stage). */
-final case class MediaFeature(
+/** One encoded image row: REAL PNG bytes in the binary column plus the
+  * typed metadata a media pipeline carries alongside.
+  */
+final case class EncodedImage(
     doc_id: Long,
-    n_bytes: Long,
-    byte_checksum: Long,
-    feature: Array[Float],
+    media: Array[Byte],
+    format: String,
+    width: Int,
+    height: Int,
+    src_bytes: Long)
+
+/** Decoded-pixel statistics (the output schema of the real decode stage).
+  * All-integer so the DuckDB oracle can replay the synthesis arithmetic.
+  */
+final case class ImageFeature(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    px_sum: Long,
+    n_bright: Long,
+    px_checksum: Long,
     batch_size: Int)
+
+/** Output of the decode → area-average resize → re-encode → re-decode
+  * loop. `resized_digest` hashes the transformed pixels; `roundtrip_digest`
+  * hashes the pixels decoded back out of the RE-ENCODED PNG — equality is
+  * the in-engine proof the codec loop is lossless.
+  */
+final case class ResizedImage(
+    doc_id: Long,
+    new_width: Int,
+    new_height: Int,
+    resized_digest: Long,
+    roundtrip_digest: Long,
+    png_bytes: Long)
 
 /** Output of the frame-sampling stage (video-ish stub). */
 final case class FrameSample(
@@ -27,16 +55,176 @@ final case class AudioEnergy(
 
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * columns with typed metadata, and run decode / feature-extraction as a
-  * batched per-partition stage.
+  * batched per-partition stage (`mapPartitions` with fixed-size batches,
+  * the Scala analog of a Pandas-UDF `mapInPandas` iterator-of-batches
+  * contract).
   *
-  * The Spark-side mechanics here are real and tested — schema, partition
-  * flow, batch shaping (`mapPartitions` with fixed-size batches, the Scala
-  * analog of a Pandas-UDF `mapInPandas` iterator-of-batches contract).
-  * The actual codec call is STUBBED (`decodeStub`): this container has no
-  * image/audio libraries, so the "decode" is a deterministic fake that
-  * stands where a JNI/FFI codec call would go.
+  * The IMAGE path runs a REAL codec (`javax.imageio`, JDK-only): each
+  * document's bytes become a deterministic 32×32 grayscale raster,
+  * encoded to actual PNG bytes on the executors ([[withEncodedImage]]);
+  * the feature stage then decodes those PNGs back through `ImageIO` and
+  * computes integer pixel statistics. Because 8-bit-gray PNG is lossless,
+  * the DuckDB oracle can replay the pixel synthesis from the text and
+  * hash-match the decoded output — equality proves the decode is real.
+  * Audio/video stages remain deterministic byte-arithmetic stands-ins
+  * (the JDK ships no audio/video codecs): the batching/framing plumbing
+  * is real, the demux is labelled STUB.
   */
 object Multimodal {
+
+  /** Synthesized image geometry: 32×32 gray = the doc's first 1024 bytes,
+    * padded with 0x20 (ASCII space). The corpus is ASCII (pinned in
+    * MultimodalSpec), so pixel i == ord(text[i]) and the oracle can
+    * reproduce the raster in SQL.
+    */
+  val ImgW = 32
+  val ImgH = 32
+  val PadByte = 32
+
+  /** javax.imageio's default writer spools through a temp-file cache;
+    * in-memory is both faster and container-safe. Executor-local init.
+    */
+  @transient private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private def pixelsOf(textBytes: Array[Byte]): Array[Int] = {
+    val px = new Array[Int](ImgW * ImgH)
+    var i = 0
+    while (i < px.length) {
+      px(i) = if (i < textBytes.length) textBytes(i) & 0xff else PadByte
+      i += 1
+    }
+    px
+  }
+
+  private def toPng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < px.length) { raster.setSample(i % w, i / w, 0, px(i)); i += 1 }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private def fromPng(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    imageIoInit
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new IllegalArgumentException("media column is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Ingest stage: synthesize the per-doc raster and encode it to REAL
+    * PNG bytes on the executors — the binary media column holds an
+    * actual image stream (PNG magic + IHDR + deflate), not payload
+    * bytes. Pure per-row projection, no shuffle.
+    */
+  def withEncodedImage(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          EncodedImage(id, toPng(pixelsOf(b), ImgW, ImgH), "image/png",
+            ImgW, ImgH, b.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** Batched REAL decode over the PNG binary column: each partition's
+    * rows are consumed in fixed-size batches (the vectorized-decoder
+    * contract); every row goes through `ImageIO.read` and the statistics
+    * are computed from the DECODED raster. Integer-exact, so the oracle
+    * (which replays the synthesis from text) must hash-match — any
+    * codec corruption or lossy step diverges.
+    */
+  def decodeImageFeatures(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[ImageFeature] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (w, h, px) = fromPng(bytes)
+            var sum = 0L
+            var bright = 0L
+            var ck = 0L
+            var i = 0
+            while (i < px.length) {
+              val v = px(i)
+              sum += v
+              if (v > 128) bright += 1
+              ck = (ck * 31 + v) % 1000000007L
+              i += 1
+            }
+            ImageFeature(id, w, h, sum, bright, ck, batch.size)
+          }
+        }
+      }
+  }
+
+  /** The real resize transform: decode the PNG, area-average `block`×
+    * `block` tiles (exact integer floor mean — portable to the SQL
+    * replay), RE-ENCODE the resized raster as PNG, then DECODE IT AGAIN
+    * and digest those pixels. `resized_digest == roundtrip_digest` is the
+    * in-engine losslessness proof; the oracle recomputes the tile means
+    * from the text and emits the same value for both columns.
+    */
+  def resizeEncoded(spark: SparkSession, media: DataFrame, block: Int = 8,
+      batchSize: Int = 64): Dataset[ResizedImage] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (w, h, px) = fromPng(bytes)
+            val (ow, oh) = (w / block, h / block)
+            val out = new Array[Int](ow * oh)
+            var ty = 0
+            while (ty < oh) {
+              var tx = 0
+              while (tx < ow) {
+                var s = 0L
+                var dy = 0
+                while (dy < block) {
+                  var dx = 0
+                  while (dx < block) {
+                    s += px((ty * block + dy) * w + tx * block + dx)
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                out(ty * ow + tx) = (s / (block.toLong * block)).toInt
+                tx += 1
+              }
+              ty += 1
+            }
+            def digest(p: Array[Int]): Long = {
+              var d = 0L
+              var i = 0
+              while (i < p.length) { d = (d * 31 + p(i)) % 1000000007L; i += 1 }
+              d
+            }
+            val reEncoded = toPng(out, ow, oh)
+            val (_, _, back) = fromPng(reEncoded)
+            ResizedImage(id, ow, oh, digest(out), digest(back),
+              reEncoded.length.toLong)
+          }
+        }
+      }
+  }
 
   /** Attach a binary media column + typed metadata to the documents table.
     * Stand-in for ingesting real media blobs: the bytes are the UTF-8 text
@@ -53,40 +241,6 @@ object Multimodal {
         (col("n_chars") % 480).cast("int").as("height"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decode: where a real implementation would call an image/audio
-    * codec on the byte buffer, this computes a deterministic fake — byte
-    * checksum + an 8-dim "embedding" from the first bytes. Signature and
-    * batch shape match the real thing.
-    */
-  private def decodeStub(bytes: Array[Byte]): (Long, Array[Float]) = {
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum = (sum * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
-    val feat = Array.tabulate(8)(j =>
-      if (j < bytes.length) (bytes(j) & 0xff).toFloat / 255f else 0f)
-    (sum, feat)
-  }
-
-  /** STUB resize: where a real pipeline would decode, resize, and re-encode
-    * the image, this halves the nominal dimensions and crops the byte
-    * buffer to a quarter (deterministic — the Spark-side shape is what's
-    * real: a projection over (binary, metadata struct), no shuffle, fully
-    * codegen'd including the binary `substring`).
-    */
-  def resizeStub(media: DataFrame): DataFrame =
-    media.select(
-      col("doc_id"),
-      expr("CAST(meta.width div 2 AS INT)").as("new_width"),
-      expr("CAST(meta.height div 2 AS INT)").as("new_height"),
-      expr("(meta.n_bytes + 3) div 4").as("crop_bytes"),
-      sha2(expr("substring(media, 1, CAST((meta.n_bytes + 3) div 4 AS INT))"), 256)
-        .as("crop_sha"))
-
-  /** Batched feature extraction over the binary column: each partition's
-    * rows are consumed in fixed-size batches (`batchSize`), mirroring how a
-    * vectorized decode stage (Arrow batches / GPU inference) consumes
-    * input. Runs fully parallel per partition — no shuffle, no driver data.
-    */
   /** STUB frame sampling: treat the byte buffer as a "video" and keep every
     * `stride`-th byte as a "frame" (a real build would demux + decode key
     * frames). Same batched `mapPartitions` contract as [[extractFeatures]]
@@ -215,21 +369,6 @@ object Multimodal {
           bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("bigint"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-  }
-
-  def extractFeatures(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
-    import spark.implicits._
-    media.select(col("doc_id"), col("media"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          // a real decoder would process `batch` as one vectorized call
-          batch.map { case (id, bytes) =>
-            val (sum, feat) = decodeStub(bytes)
-            MediaFeature(id, bytes.length.toLong, sum, feat, batch.size)
-          }
-        }
-      }
   }
 
   /** Shared frame-energy subplan: (doc_id, nf, energies) with the scaled

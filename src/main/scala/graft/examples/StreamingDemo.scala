@@ -72,11 +72,11 @@ object StreamingDemo {
     println(s"[demo] streaming LWW emitted values: $lwwOut (stale suppressed: ${!lwwOut.contains("stale")})")
     lwwQ.stop()
 
-    // multimodal: batched feature extraction over a binary column
-    val media = graft.analytics.Multimodal.withBinary(
+    // multimodal: real PNG encode on the executors, batched ImageIO decode
+    val media = graft.analytics.Multimodal.withEncodedImage(spark,
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
-    val feats = graft.analytics.Multimodal.extractFeatures(spark, media, batchSize = 64)
-    println(s"[demo] multimodal features extracted: ${feats.count()} rows, sample: ${feats.head()}")
+    val feats = graft.analytics.Multimodal.decodeImageFeatures(spark, media, batchSize = 64)
+    println(s"[demo] multimodal features decoded: ${feats.count()} rows, sample: ${feats.head()}")
 
     ingestQ.stop(); purgeQ.stop(); spark.stop()
     if (!ok) sys.exit(1)

@@ -9,26 +9,34 @@ import graft.streaming.StreamingIngest
 /** Streaming and multimodal operators as registry queries. */
 object StreamMultimodalQueries {
 
-  /** Shared oracle for the batched decode stage — used by both the batch
-    * (`mm_features`) and streaming (`st_mm_features`) renderings, which
-    * must produce identical results (the decode is a stateless
+  /** The synthesized raster, replayed in SQL: pixel i = ord(text[i]) for
+    * the first 32×32 = 1024 bytes, space-padded — EXACTLY what
+    * [[graft.analytics.Multimodal.withEncodedImage]] rasterizes before
+    * PNG-encoding. Because 8-bit-gray PNG is lossless, statistics over
+    * the engine's DECODED pixels must hash-match statistics over this
+    * replayed raster — that equality is what makes the real-codec path
+    * oracle-checkable.
+    */
+  private val PixelsCte = s"""
+        b AS (SELECT doc_id,
+                list_transform(range(1, ${32 * 32 + 1}), i ->
+                  CASE WHEN i <= length(text)
+                       THEN CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+                       ELSE CAST(32 AS BIGINT) END) AS px
+              FROM documents)"""
+
+  /** Shared oracle for the batched REAL decode stage — used by both the
+    * batch (`mm_features`) and streaming (`st_mm_features`) renderings,
+    * which must produce identical results (the decode is a stateless
     * projection; only the execution mode differs).
     */
-  private val FeaturesOracle = """
-        WITH b AS (SELECT doc_id, text, length(text) AS n,
-                     list_transform(range(1, length(text) + 1),
-                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
-                   FROM documents)
-        SELECT doc_id, n AS n_bytes,
-               list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
-                 (acc, x) -> (acc * 31 + x) % 1000000007) AS byte_checksum,
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(range(0, 8), j -> CASE WHEN j < n
-                   THEN CAST(floor(CAST(CAST(bytes[CAST(j + 1 AS INT)] AS FLOAT)
-                        / CAST(255 AS FLOAT) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
-                   ELSE CAST(0 AS BIGINT) END)),
-                 (acc, x) -> acc * 31 + x) AS feature_digest,
-               CAST(8 AS INT) AS feature_dim
+  private val FeaturesOracle = s"""
+        WITH $PixelsCte
+        SELECT doc_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+               CAST(list_sum(px) AS BIGINT) AS px_sum,
+               CAST(len(list_filter(px, v -> v > 128)) AS BIGINT) AS n_bright,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), px),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS px_checksum
         FROM b ORDER BY doc_id"""
 
   val all: Seq[QueryDef] = Seq(
@@ -51,26 +59,21 @@ object StreamMultimodalQueries {
                substr(base64(CAST(text AS BLOB)), 1, 24) AS b64_head
         FROM documents ORDER BY doc_id""")),
 
-    // ---- multimodal: batched decode / feature extraction (STUB codec) ----
-    // The decode stub is deterministic byte arithmetic, so the full DuckDB
-    // oracle recomputes it from the text (the media bytes ARE the UTF-8
-    // text, and the corpus is ASCII — ord(char) == byte). `batch_size`
-    // (which depends on physical partition boundaries, hence is
-    // nondeterministic across layouts) is deliberately NOT part of the
+    // ---- multimodal: batched REAL decode / feature extraction ----
+    // The media column holds actual PNG streams encoded on the executors
+    // (javax.imageio); this row decodes every one of them back through
+    // ImageIO and computes integer stats from the DECODED raster. The
+    // oracle replays the pre-encoding raster from the text — hash
+    // equality proves the codec round-trip is real and lossless.
+    // `batch_size` (which depends on physical partition boundaries, hence
+    // is nondeterministic across layouts) is deliberately NOT part of the
     // registered output; the Dataset API still exposes it.
     QueryDef("mm_features",
-      (s, dir) => Multimodal.extractFeatures(s,
-        Multimodal.withBinary(Tables.documents(s, dir)), batchSize = 64)
+      (s, dir) => Multimodal.decodeImageFeatures(s,
+        Multimodal.withEncodedImage(s, Tables.documents(s, dir)), batchSize = 64)
         .toDF()
-        // The raw array<float> feature column is not hashable by the
-        // driver's sorter — project a quantized scalar digest (same
-        // floor-quantization convention as the embedding queries) plus
-        // the dimension instead of the vector itself.
-        .select(col("doc_id"), col("n_bytes"), col("byte_checksum"),
-          expr("aggregate(feature, CAST(0 AS BIGINT), (acc, x) -> " +
-            "acc * 31 + CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))")
-            .as("feature_digest"),
-          size(col("feature")).as("feature_dim"))
+        .select(col("doc_id"), col("width"), col("height"), col("px_sum"),
+          col("n_bright"), col("px_checksum"))
         .orderBy("doc_id"),
       Some(FeaturesOracle)),
 
@@ -80,21 +83,36 @@ object StreamMultimodalQueries {
       (s, dir) => StreamingIngest.streamingMediaFeatures(s, dir),
       Some(FeaturesOracle)),
 
-    // ---- multimodal: resize/crop transform (STUB codec, real plumbing) ----
-    // The oracle recomputes the crop on the pre-encoding text — the media
-    // bytes ARE the UTF-8 text (withBinary), so substring-of-blob and
-    // substring-of-text hash identically on this corpus.
+    // ---- multimodal: REAL resize transform (decode→resize→encode→decode) ----
+    // Area-average 8×8 tiles of the decoded 32×32 raster down to 4×4
+    // (exact integer floor means), re-encode the result as PNG, decode it
+    // AGAIN, and digest those pixels. The oracle computes the tile means
+    // from the text and emits the same digest for both columns — so a
+    // lossy or broken step in ANY of the four codec legs diverges.
+    // `png_bytes` (encoder-dependent) is not part of the registered output.
     QueryDef("mm_transform",
-      (s, dir) => Multimodal.resizeStub(
-        Multimodal.withBinary(Tables.documents(s, dir)))
+      (s, dir) => Multimodal.resizeEncoded(s,
+        Multimodal.withEncodedImage(s, Tables.documents(s, dir)), block = 8)
+        .toDF()
+        .select(col("doc_id"), col("new_width"), col("new_height"),
+          col("resized_digest"), col("roundtrip_digest"))
         .orderBy("doc_id"),
-      Some("""
-        SELECT doc_id,
-               CAST(CAST(n_chars % 640 AS INT) // 2 AS INT) AS new_width,
-               CAST(CAST(n_chars % 480 AS INT) // 2 AS INT) AS new_height,
-               (length(text) + 3) // 4 AS crop_bytes,
-               sha256(left(text, CAST((length(text) + 3) // 4 AS INT))) AS crop_sha
-        FROM documents ORDER BY doc_id""")),
+      Some(s"""
+        WITH $PixelsCte,
+        m AS (SELECT doc_id,
+                list_transform(range(0, 16), t ->
+                  CAST(list_sum(list_transform(range(0, 64), k ->
+                    px[CAST(((t // 4) * 8 + (k // 8)) * 32
+                            + (t % 4) * 8 + (k % 8) + 1 AS INT)]))
+                    // 64 AS BIGINT)) AS mg
+              FROM b),
+        d AS (SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), mg),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) AS dg
+              FROM m)
+        SELECT doc_id, CAST(4 AS INT) AS new_width, CAST(4 AS INT) AS new_height,
+               dg AS resized_digest, dg AS roundtrip_digest
+        FROM d ORDER BY doc_id""")),
 
     // ---- multimodal: frame sampling (STUB demux; batched mapPartitions) ----
     // The sampling stub keeps every 16th byte and rolls a mod-p hash over

@@ -549,13 +549,14 @@ object StreamingIngest {
     }
   }
 
-  /** The multimodal batched decode stage running INSIDE a structured
-    * stream: file stream over the documents table → binary column →
-    * [[graft.analytics.Multimodal.extractFeatures]]'s mapPartitions batch
-    * contract, drained. Streaming semantics add nothing to the decode
-    * math (stateless projection), which is the point — the same batched
-    * codec stage serves batch backfills and the live ingest path, and
-    * both check against the same byte-arithmetic oracle.
+  /** The multimodal batched REAL-codec stage running INSIDE a structured
+    * stream: file stream over the documents table → executor-side PNG
+    * encode ([[graft.analytics.Multimodal.withEncodedImage]]) → batched
+    * `ImageIO` decode ([[graft.analytics.Multimodal.decodeImageFeatures]]),
+    * drained. Streaming semantics add nothing to the decode math
+    * (stateless projection), which is the point — the same batched codec
+    * stage serves batch backfills and the live ingest path, and both
+    * check against the same replayed-raster oracle.
     */
   def streamingMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
@@ -563,14 +564,11 @@ object StreamingIngest {
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-    val media = graft.analytics.Multimodal.withBinary(docs)
-    val out = graft.analytics.Multimodal.extractFeatures(spark, media, batchSize = 64)
+    val media = graft.analytics.Multimodal.withEncodedImage(spark, docs)
+    val out = graft.analytics.Multimodal.decodeImageFeatures(spark, media, batchSize = 64)
       .toDF()
-      .select(col("doc_id"), col("n_bytes"), col("byte_checksum"),
-        expr("aggregate(feature, CAST(0 AS BIGINT), (acc, x) -> " +
-          "acc * 31 + CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))")
-          .as("feature_digest"),
-        size(col("feature")).as("feature_dim"))
+      .select(col("doc_id"), col("width"), col("height"), col("px_sum"),
+        col("n_bright"), col("px_checksum"))
     drain(out, "append").orderBy("doc_id")
   }
 

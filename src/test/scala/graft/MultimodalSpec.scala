@@ -37,25 +37,68 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.getAs[Long]("n_bytes") === 8L)
   }
 
-  test("extractFeatures preserves rows, caps batch size, and is deterministic") {
-    val media = Multimodal.withBinary(docsFixture)
-    val a = Multimodal.extractFeatures(spark, media, batchSize = 2).collect()
-    val b = Multimodal.extractFeatures(spark, media, batchSize = 2).collect()
-    assert(a.length === 3)
-    assert(a.forall(_.batch_size <= 2))
-    assert(a.map(f => (f.doc_id, f.byte_checksum)).sorted.toSeq ===
-      b.map(f => (f.doc_id, f.byte_checksum)).sorted.toSeq)
-    assert(a.forall(_.feature.length === 8))
+  test("withEncodedImage writes REAL PNG streams (magic + ImageIO-decodable)") {
+    val rows = Multimodal.withEncodedImage(spark, docsFixture).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val png = r.getAs[Array[Byte]]("media")
+      // PNG signature: 0x89 'P' 'N' 'G' \r \n 0x1a \n — a payload-byte
+      // stub (the old withBinary) fails this on every row
+      assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte &&
+        png(2) === 'N'.toByte && png(3) === 'G'.toByte,
+        s"doc ${r.getLong(0)}: media is not a PNG stream")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth === 32 && img.getHeight === 32)
+      assert(r.getAs[String]("format") === "image/png")
+    }
   }
 
-  test("resizeStub halves dims and crops to a quarter of the bytes") {
-    val r = Multimodal.resizeStub(Multimodal.withBinary(docsFixture))
-      .collect().map(r => r.getLong(0) ->
-        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
-    // doc 2: width = 100 % 640 = 100 -> 50; height = 100 % 480 = 100 -> 50;
-    // crop = (100+3) div 4 = 25
-    assert(r(2L) === ((50, 50, 25L)))
-    assert(r(1L) === ((0, 0, 1L)))
+  test("decodeImageFeatures decodes real pixels: stats match the synthesis arithmetic") {
+    val media = Multimodal.withEncodedImage(spark, docsFixture)
+    val a = Multimodal.decodeImageFeatures(spark, media, batchSize = 2).collect()
+    val b = Multimodal.decodeImageFeatures(spark, media, batchSize = 2).collect()
+    assert(a.length === 3)
+    assert(a.forall(_.batch_size <= 2))
+    assert(a.map(f => (f.doc_id, f.px_checksum)).sorted.toSeq ===
+      b.map(f => (f.doc_id, f.px_checksum)).sorted.toSeq)
+    // driver-side replay of the synthesis for doc 0 ("abcdefgh"):
+    // pixels = ascii codes then 1016 spaces
+    val px = "abcdefgh".getBytes("UTF-8").map(_ & 0xff) ++ Array.fill(1016)(32)
+    val f0 = a.find(_.doc_id == 0L).get
+    assert(f0.width === 32 && f0.height === 32)
+    assert(f0.px_sum === px.map(_.toLong).sum)
+    assert(f0.n_bright === 0L) // ASCII < 128: a decode bug inflating bytes shows here
+    assert(f0.px_checksum === px.foldLeft(0L)((acc, v) => (acc * 31 + v) % 1000000007L))
+    // non-stub variance floor: distinct checksums across distinct docs
+    assert(a.map(_.px_checksum).distinct.length === 3)
+  }
+
+  test("resizeEncoded: decode→resize→encode→decode loop is lossless and exact") {
+    val media = Multimodal.withEncodedImage(spark, docsFixture)
+    val r = Multimodal.resizeEncoded(spark, media, block = 8).collect()
+    assert(r.length === 3)
+    r.foreach { ri =>
+      assert(ri.new_width === 4 && ri.new_height === 4)
+      // the re-encoded PNG decodes back to the SAME pixels — the loop's
+      // four codec legs are all real and lossless
+      assert(ri.resized_digest === ri.roundtrip_digest,
+        s"doc ${ri.doc_id}: PNG round-trip lost pixel data")
+      assert(ri.png_bytes > 0L)
+    }
+    // driver-side replay for doc 1 ("x"): pixel 0 = 120, rest 32.
+    // tile (0,0) mean = (120 + 63·32) / 64 = 33 (floor); other 15 tiles 32.
+    val means = Array(33L) ++ Array.fill(15)(32L)
+    val expected = means.foldLeft(0L)((acc, v) => (acc * 31 + v) % 1000000007L)
+    assert(r.find(_.doc_id == 1L).get.resized_digest === expected)
+  }
+
+  test("corrupted media bytes fail the decode (a byte-arithmetic stub would not notice)") {
+    import spark.implicits._
+    val bad = Seq((9L, Array.fill[Byte](64)(7))).toDF("doc_id", "media")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImageFeatures(spark, bad).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("frameSample strides the byte buffer and counts frames") {

@@ -65,6 +65,38 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
   // every top-k oracle green while the probe path silently degrades to
   // a scan — occupancy floors make that draw fail here, loudly.
 
+  // ---- real multimodal decode (round 12, VERDICT r11 #2): the mm rows
+  // must be computing over pixels that came OUT of a real codec, not
+  // payload-byte arithmetic wearing a codec's name.
+  test("mm decode is a real codec on the real corpus: PNG magic, variance, losslessness") {
+    import org.apache.spark.sql.functions._
+    val media = graft.analytics.Multimodal.withEncodedImage(
+      spark, Tables.documents(spark, sfSmall))
+    // every media value is an actual PNG stream (the byte-payload stub
+    // fails on row one), and no two equal-text docs are conflated away
+    val n = media.count()
+    val pngOk = media.where(
+      expr("substring(media, 1, 8) = X'89504E470D0A1A0A'")).count()
+    assert(n > 0L && pngOk === n, s"only $pngOk of $n media rows carry PNG magic")
+    val feats = graft.analytics.Multimodal
+      .decodeImageFeatures(spark, media).toDF().cache()
+    try {
+      val stats = feats.agg(
+        countDistinct(col("px_checksum")), count(lit(1)),
+        min(col("px_sum")), max(col("px_sum"))).head()
+      // variance floor: >90% distinct checksums, and the pixel sums span
+      // a real range (a constant-output stub collapses both)
+      assert(stats.getLong(0) * 10 >= stats.getLong(1) * 9,
+        s"decoded checksums collapsed: ${stats.getLong(0)} distinct of ${stats.getLong(1)}")
+      assert(stats.getLong(3) > stats.getLong(2), "pixel sums are constant")
+    } finally feats.unpersist()
+    // the 4-leg codec loop (decode→resize→encode→decode) is lossless
+    // corpus-wide, not just on the unit fixture
+    val broken = graft.analytics.Multimodal.resizeEncoded(spark, media)
+      .where(col("resized_digest") =!= col("roundtrip_digest")).count()
+    assert(broken === 0L, s"$broken docs lost pixels in the PNG round-trip")
+  }
+
   test("LSH and IVF bucketings are non-degenerate on current data") {
     val occ = SparkEntry.queries("sim_bucket_occupancy")(spark, sfSmall)
       .collect().map(r => r.getString(0) ->

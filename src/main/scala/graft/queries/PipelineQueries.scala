@@ -1955,6 +1955,24 @@ object PipelineQueries {
           .mkString(" UNION ALL ")})
         ORDER BY round, sel_rank""")),
 
+    // ---- BPE training at production depth (VERDICT r11 #3) ----
+    // The batched loop driven to a 256-RULE merge table (batchM = 8 →
+    // ~32 driver-sequential rounds) — the "does the loop sustain
+    // hundreds of merges" leg the 3-round row can't show. Round cost
+    // stays vocab-sized as merges accumulate (the pair explode is
+    // ≤ Σ|toks| and SHRINKS — PLANS.md round-12 cost table); driver
+    // state is the poolK rows per round + the rule list, both
+    // vocab-bounded. A 256-round unrolled MATERIALIZED-CTE oracle is
+    // past DuckDB's practical planning depth, so this row is gated by
+    // the Round12Spec driver-reference cross-check (every rule of all
+    // ~32 rounds replayed in driver Scala, the Round9Spec discipline)
+    // and records the weaker rows-only driver check.
+    QueryDef("tx_bpe_train_scaled",
+      (s, dir) => TextAnalysis.bpeTrainScaled(Tables.documents(s, dir),
+          targetMerges = 256, batchM = 8, poolK = 48)
+        .orderBy("round", "sel_rank"),
+      None),
+
     // ---- BPE encode: tokenize the corpus under the trained merges ----
     // The deployment leg next to tx_bpe_train: BPE merges act WITHIN
     // words, so the trained vocabulary's word→subwords mapping encodes

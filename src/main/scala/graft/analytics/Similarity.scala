@@ -1147,29 +1147,23 @@ object Similarity {
     */
   @volatile private[graft] var hopPlanProbe: DataFrame => Unit = _ => ()
 
-  def graphSearch(queries: DataFrame, graph: DataFrame, corpus: DataFrame,
-      k: Int = 5, beam: Int = 8, hops: Int = 3, nEntries: Int = 4): DataFrame = {
-    val all = prepQ(corpus)
-    val adj = graph.select(col("node").as("u"), col("neighbor_id").as("nb"))
-    val q = prepQ(queries).select(col("vec_id").as("query_id"),
-      col("qv").as("qqv"), col("nrm").as("qnrm"))
-    // entry points are index metadata — a TakeOrdered + nEntries-row
-    // collect, the same bounded driver-state contract as the centroid
-    // tables (never corpus-sized)
-    val entryIds = adj.select(col("u")).distinct()
-      .orderBy(md5(col("u").cast("string")), col("u")).limit(nEntries)
-      .collect().map(_.getLong(0))
-    def scoreCands(cands: DataFrame): DataFrame = all
-      .select(col("vec_id").as("cand_id"), col("qv"), col("nrm"))
-      .join(broadcast(cands), "cand_id")
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("cand_id"),
-        cosineQ(dotLL(col("qqv"), col("qv")), col("qnrm"), col("nrm")).as("cos"))
-    val entryScored = scoreCands(q.select(col("query_id"))
-      .withColumn("cand_id", explode(lit(entryIds))))
-    hopPlanProbe(entryScored)
-    var vis = entryScored.localCheckpoint(true)
-    var frontier = vis.select("query_id", "cand_id")
+  /** Total candidates SCORED by the last [[graphSearch]] /
+    * [[layeredGraphSearch]] call on this driver (|visited| rows) —
+    * observability seam for the layered-vs-flat efficiency pin
+    * (NonTrivialitySpec): the layer hierarchy must buy ≥ recall with
+    * FEWER scored candidates.
+    */
+  @volatile private[graft] var lastScoredCount: Long = -1L
+
+  /** The shared beam-walk loop: expand the frontier through `adj`, score
+    * never-visited candidates exactly, keep the per-query top-`beam` of
+    * each hop's fresh scores as the next frontier. Returns everything
+    * visited (query_id, cand_id, cos).
+    */
+  private def walkFrom(scoreCands: DataFrame => DataFrame, adj: DataFrame,
+      vis0: DataFrame, frontier0: DataFrame, hops: Int, beam: Int): DataFrame = {
+    var vis = vis0
+    var frontier = frontier0
     for (_ <- 1 to hops) {
       val expanded = frontier.join(adj, frontier("cand_id") === adj("u"))
         .select(col("query_id"), col("nb").as("cand_id")).distinct()
@@ -1184,6 +1178,10 @@ object Similarity {
       frontier = scored.withColumn("rn", row_number().over(wb))
         .where(col("rn") <= beam).select("query_id", "cand_id")
     }
+    vis
+  }
+
+  private def topKVisited(vis: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     vis.where(col("cand_id") =!= col("query_id"))
@@ -1191,6 +1189,105 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"),
         col("cand_id").as("neighbor_id"), col("cos"))
+  }
+
+  private def candScorer(corpus: DataFrame,
+      q: DataFrame): DataFrame => DataFrame = {
+    val all = prepQ(corpus)
+    cands => all
+      .select(col("vec_id").as("cand_id"), col("qv"), col("nrm"))
+      .join(broadcast(cands), "cand_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        cosineQ(dotLL(col("qqv"), col("qv")), col("qnrm"), col("nrm")).as("cos"))
+  }
+
+  /** nEntries md5-smallest adjacency sources — index METADATA (a
+    * TakeOrdered + tiny collect, the bounded-driver-state contract).
+    */
+  private def entrySeeds(adj: DataFrame, nEntries: Int): Array[Long] =
+    adj.select(col("u")).distinct()
+      .orderBy(md5(col("u").cast("string")), col("u")).limit(nEntries)
+      .collect().map(_.getLong(0))
+
+  def graphSearch(queries: DataFrame, graph: DataFrame, corpus: DataFrame,
+      k: Int = 5, beam: Int = 8, hops: Int = 3, nEntries: Int = 4): DataFrame = {
+    val adj = graph.select(col("node").as("u"), col("neighbor_id").as("nb"))
+    val q = prepQ(queries).select(col("vec_id").as("query_id"),
+      col("qv").as("qqv"), col("nrm").as("qnrm"))
+    val scoreCands = candScorer(corpus, q)
+    val entryIds = entrySeeds(adj, nEntries)
+    val entryScored = scoreCands(q.select(col("query_id"))
+      .withColumn("cand_id", explode(lit(entryIds))))
+    hopPlanProbe(entryScored)
+    val vis0 = entryScored.localCheckpoint(true)
+    val vis = walkFrom(scoreCands, adj, vis0,
+      vis0.select("query_id", "cand_id"), hops, beam)
+    lastScoredCount = vis.count()
+    topKVisited(vis, k)
+  }
+
+  /** HNSW-layered serve (VERDICT r11 #8): route entries through a SAMPLED
+    * UPPER LAYER before walking layer 0. The upper layer is the
+    * md5-deterministic 1/8 of the nodes (`substr(md5(vec_id), 1, 1) IN
+    * ('0','1')` — the geometric level assignment of HNSW §3.3, made
+    * deterministic), and its adjacency derives from the SAME build-depth
+    * descent lists restricted to upper members, re-ranked per node (the
+    * HNSW construction rule: a layer's links are the neighbor selection
+    * applied to that layer's member set — no second index build). The
+    * walk: a cheap wide-entry scan of the small upper graph
+    * (upperHops × upperBeam) finds each query's neighborhood, its best
+    * `entryK` nodes seed the layer-0 walk, which then needs FEWER hops
+    * than the flat walk from md5-random entries. All visited scores
+    * transfer (upper members are layer-0 members), so the layered serve
+    * must score fewer total candidates at ≥ recall — pinned in
+    * NonTrivialitySpec via [[lastScoredCount]].
+    *
+    * Scale shape: upper-walk cost is |queries|·upperBeam·degree against
+    * a graph 8× smaller (at a billion vectors, log-layers keep this leg
+    * constant-ish); layer-0 cost drops a full hop of beam·degree
+    * scoring. Entry seeds stay nEntries rows of driver metadata.
+    *
+    * @param buildGraph build-DEPTH descent lists (node, rank,
+    *                   neighbor_id, cos) at k ≥ 20 — layer-0 adjacency is
+    *                   their per-node top-`degree`, the upper layer's is
+    *                   the upper-restricted re-rank
+    */
+  def layeredGraphSearch(queries: DataFrame, buildGraph: DataFrame,
+      corpus: DataFrame, k: Int = 5, beam: Int = 8, hops: Int = 2,
+      degree: Int = 5, upperBeam: Int = 4, upperHops: Int = 2,
+      entryK: Int = 2, nEntries: Int = 4): DataFrame = {
+    val edges = buildGraph.select(col("node").as("u"),
+      col("neighbor_id").as("nb"), col("cos"))
+    def topPerU(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("nb"))
+      e.withColumn("rn", row_number().over(w)).where(col("rn") <= degree)
+        .select("u", "nb")
+    }
+    val adj0 = topPerU(edges)
+    val isUpper = (c: org.apache.spark.sql.Column) =>
+      substring(md5(c.cast("string")), 1, 1).isin("0", "1")
+    val uadj = topPerU(edges.where(isUpper(col("u")) && isUpper(col("nb"))))
+    val q = prepQ(queries).select(col("vec_id").as("query_id"),
+      col("qv").as("qqv"), col("nrm").as("qnrm"))
+    val scoreCands = candScorer(corpus, q)
+    // leg 1: wide-entry walk of the small upper graph
+    val entryIds = entrySeeds(uadj, nEntries)
+    val entryScored = scoreCands(q.select(col("query_id"))
+      .withColumn("cand_id", explode(lit(entryIds))))
+    hopPlanProbe(entryScored)
+    val uvis0 = entryScored.localCheckpoint(true)
+    val uvis = walkFrom(scoreCands, uadj, uvis0,
+      uvis0.select("query_id", "cand_id"), upperHops, upperBeam)
+    // leg 2: each query's best entryK upper nodes seed the layer-0 walk;
+    // every upper score transfers into the visited set
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val seeds = uvis.withColumn("rn", row_number().over(we))
+      .where(col("rn") <= entryK).select("query_id", "cand_id")
+    val vis = walkFrom(scoreCands, adj0, uvis, seeds, hops, beam)
+    lastScoredCount = vis.count()
+    topKVisited(vis, k)
   }
 
   /** ADD a vector batch to a persisted kNN GRAPH index without

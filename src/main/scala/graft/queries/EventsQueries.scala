@@ -578,6 +578,38 @@ object EventsQueries {
                min(tx) AS min_tx, max(tx) AS max_tx
         FROM z GROUP BY 1 ORDER BY zbucket""")),
 
+    // beyond-reference — the Z-order rewrite EXECUTED (the OPTIMIZE …
+    // ZORDER BY data path lay_zorder only audits): the events slice is
+    // range-shuffled on the Morton key, sorted, and WRITTEN; this row
+    // re-scans the REWRITTEN files with no help from the original table
+    // and must reproduce the oracle's per-type aggregate over the
+    // original events — rows lost, duplicated, or corrupted by the
+    // rewrite all diverge (the ts_compact_roundtrip discipline). The
+    // skipping-stats delta the rewrite buys is pinned in Round12Spec via
+    // Layout.fileStats + skippingAudit on the user dimension.
+    QueryDef("lay_zorder_rewrite",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#zorder_rewrite") {
+          val r = Staging.scratchDir("zorder")
+          graft.analytics.Layout.zorderRewrite(ev(s, dir), r, nFiles = 16)
+          r
+        }
+        s.read.parquet(root)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).as("sum_uid"),
+            sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_cents"),
+            min(col("ts_ms")).as("min_ts_ms"), max(col("ts_ms")).as("max_ts_ms"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_uid,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               min($MS) AS min_ts_ms, max($MS) AS max_ts_ms
+        FROM events GROUP BY 1 ORDER BY event_type""")),
+
     // beyond-reference — small-file compaction PLAN (OPTIMIZE … DRY RUN):
     // the metadata-only leg next to TimeSeriesStore.compact's rewrite.
     // "Files" are the deterministic LSM flush shape — arrival batches of

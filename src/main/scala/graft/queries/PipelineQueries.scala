@@ -1583,6 +1583,59 @@ object PipelineQueries {
           FROM gvis3 WHERE cand_id <> query_id)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- HNSW-layered serve: upper-layer entry routing (VERDICT r11 #8) ----
+    // The flat walk starts from md5-random entries and pays 3 full hops
+    // of beam·degree scoring to find each query's neighborhood. This row
+    // routes entries through a SAMPLED UPPER LAYER first: the
+    // md5-deterministic 1/8 of the nodes (HNSW's geometric level
+    // assignment made deterministic), whose adjacency derives from the
+    // SAME build-depth descent lists restricted to upper members (the
+    // HNSW construction rule — no second index build). A cheap wide scan
+    // of the 8×-smaller upper graph finds each query's region; its best
+    // 2 nodes seed a SHORTER layer-0 walk (2 hops, not 3). Recall ≥ the
+    // flat walk's with fewer scored candidates — NonTrivialitySpec pins
+    // both; at a billion vectors the log-layer hierarchy is what keeps
+    // hop count, and thus scoring cost, from growing with n.
+    QueryDef("sim_graph_layered",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val buildGraph = Staging.parquetMemo(s, s"$dir#nnd_graph20")(
+          Similarity.nnDescent(emb, k = 20, rounds = 3,
+            nPlanes = 8, buildK = 20))
+        Similarity.layeredGraphSearch(emb.where(col("vec_id") % 20 === 0),
+          buildGraph, emb, k = 5, beam = 8, hops = 2, degree = 5,
+          upperBeam = 4, upperHops = 2, entryK = 2, nEntries = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $QuantCte, $LshBucketCte,
+        $NnDescentCtes,
+        ladj AS MATERIALIZED (SELECT u, v FROM (
+                 SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM n3) WHERE rn <= 5),
+        uadj AS MATERIALIZED (SELECT u, v FROM (
+                 SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM n3
+                 WHERE substr(md5(CAST(u AS VARCHAR)), 1, 1) IN ('0', '1')
+                   AND substr(md5(CAST(v AS VARCHAR)), 1, 1) IN ('0', '1'))
+               WHERE rn <= 5),
+        uq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 20 = 0),
+        ${graphWalkSql("u", "uadj", hops = 2, beam = 4)},
+        zq AS (SELECT * FROM uq),
+        zvis0 AS MATERIALIZED (SELECT query_id, cand_id, cos FROM uvis2),
+        zfr0 AS (SELECT query_id, cand_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, cand_id) AS rn FROM uvis2)
+                 WHERE rn <= 2),
+        ${(1 to 2).map(graphHopSql("z", "ladj", _, 8)).mkString(",\n")}
+        SELECT query_id, rank, neighbor_id, cos FROM (
+          SELECT query_id, cand_id AS neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, cand_id) AS rank
+          FROM zvis2 WHERE cand_id <> query_id)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- graph-index ADD without rebuilding: insert by search, probe ----
     // The graph family's add-without-retrain leg, completing the trio the
     // IVF and PQ indexes already have (VERDICT r9 next #8): the HISTORY

@@ -60,6 +60,45 @@ object StreamingIngest {
     (input, q)
   }
 
+  /** Continuous ingestion from a FILE-DROP source (VERDICT r11 #4 — the
+    * first ingest topology where data enters from OUTSIDE the JVM heap):
+    * an external producer drops newline-JSON sample files into `dropDir`,
+    * Structured Streaming's file source discovers them (`maxFilesPerTrigger`
+    * bounds source-side batch size — the backpressure knob a Kafka
+    * `maxOffsetsPerTrigger` maps to), and each micro-batch appends into
+    * the store through the SAME foreachBatch sink as [[sampleStream]].
+    * Swapping this source for `format("kafka")` changes nothing
+    * downstream — the SURVEY §2.2 "Kafka-shaped" topology with the one
+    * source this container can actually run.
+    *
+    * @return the running ingest query
+    */
+  def fileSampleStream(spark: SparkSession, store: TimeSeriesStore,
+      dropDir: String, maxFilesPerTrigger: Int = 4): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[Sample].schema
+    val input = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dropDir)
+      .as[Sample]
+    input.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sample], _: Long) =>
+        val cached = batch.persist()
+        try {
+          if (cached.count() > graft.tsdb.Limits.DistributedWriteRows)
+            store.writeSamplesDistributed(cached.toDF())
+          else {
+            val rows = cached.collect()
+            if (rows.nonEmpty) store.writeSamples(rows.toIndexedSeq)
+          }
+        } finally { cached.unpersist(); () }
+      }
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+  }
+
   /** The periodic purge driver + consumer (service.js:123-134): every
     * trigger, mark aged partitions, then archive + ack each queue entry.
     * Runs as a rate-source stream so it lives inside the Structured

@@ -151,6 +151,36 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rrHits > 0L, "re-rank recall went to zero")
   }
 
+  test("layered serve: >= flat-walk recall with FEWER scored candidates (round 12)") {
+    import org.apache.spark.sql.functions._
+    // the HNSW layer hierarchy's whole justification (VERDICT r11 #8):
+    // upper-layer entry routing must buy at least the flat walk's recall
+    // while scoring strictly fewer candidates — measured 55 vs 50 hits at
+    // 1499 vs 2023 scored here, 67 vs 62 at 6462 vs 8805 on the 10×
+    // probe (PLANS.md round-12 table)
+    val S = graft.analytics.Similarity
+    val emb = Tables.embeddings(spark, sfMid)
+    val exact = S.bruteForceTopK(emb, k = 5, queryModulo = 20)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    def hits(approx: org.apache.spark.sql.DataFrame): Long =
+      exact.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val g20 = S.nnDescent(emb, k = 20, rounds = 3, nPlanes = 8, buildK = 20)
+      .localCheckpoint(true)
+    val q = emb.where(col("vec_id") % 20 === 0)
+    val flatHits = hits(S.graphSearch(q, g20.where(col("rank") <= 5), emb,
+      k = 5, beam = 8, hops = 3, nEntries = 4))
+    val flatScored = S.lastScoredCount
+    val layHits = hits(S.layeredGraphSearch(q, g20, emb, k = 5, beam = 8,
+      hops = 2, degree = 5, upperBeam = 4, upperHops = 2, entryK = 2,
+      nEntries = 4))
+    val layScored = S.lastScoredCount
+    assert(layHits >= flatHits,
+      s"layer routing lost recall: $layHits < $flatHits of ${exact.count()}")
+    assert(layScored < flatScored,
+      s"layer routing scored MORE candidates: $layScored >= $flatScored")
+  }
+
   test("sim_graph_search recall dominates the IVF probe's on the same query set") {
     import org.apache.spark.sql.functions._
     // The serving contract that justifies building the graph index at

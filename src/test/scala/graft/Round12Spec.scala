@@ -131,6 +131,56 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(units === Seq("aa_bb", "cc_dd", "ee", "xx_yy", "zz"))
   }
 
+  test("zorderRewrite: rewrite preserves rows and BUYS user-dimension skipping") {
+    import org.apache.spark.sql.functions._
+    val L = graft.analytics.Layout
+    val events = Tables.events(spark, sf)
+    val zDir = java.nio.file.Files.createTempDirectory("z12-z").toString
+    val tDir = java.nio.file.Files.createTempDirectory("z12-t").toString
+    L.zorderRewrite(events, zDir, nFiles = 16)
+    // the ingestion-order baseline: the same slice written time-ranged
+    // (what the store's natural layout gives — tight in time, every file
+    // spanning the full user range)
+    events.select("event_id", "user_id", "ts_ms", "event_type", "value")
+      .repartitionByRange(16, col("ts_ms")).sortWithinPartitions(col("ts_ms"))
+      .write.mode("overwrite").parquet(tDir)
+
+    // roundtrip: nothing lost, duplicated, or corrupted by the rewrite
+    val orig = events.agg(count(lit(1)), sum(col("event_id")),
+      sum(col("user_id"))).head()
+    val back = spark.read.parquet(zDir).agg(count(lit(1)),
+      sum(col("event_id")), sum(col("user_id"))).head()
+    assert(back === orig, "z-order rewrite changed the data")
+
+    // skipping delta on the USER dimension (the one the rewrite buys):
+    // feed each layout's per-file user zone maps through skippingAudit
+    def userHitFraction(dir: String): Double = {
+      val files = L.fileStats(spark, dir)
+        .select(lit("all").as("part_key"), col("file_id"),
+          col("n_rows").as("bytes"),
+          col("min_uid").as("min_ts"), col("max_uid").as("max_ts"))
+      L.skippingAudit(files, nProbes = 4)
+        .agg(avg(col("hit_fraction"))).head().getDouble(0)
+    }
+    val zHit = userHitFraction(zDir)
+    val tHit = userHitFraction(tDir)
+    // time-ranged files span the whole user range (fraction ~1.0); the
+    // z-ordered layout must prune at least a third of the files per probe
+    assert(tHit > 0.95, s"baseline unexpectedly user-clustered: $tHit")
+    assert(zHit < 0.67, s"z-order bought no user skipping: $zHit vs $tHit")
+    // and the time dimension must stay prunable too — both-dimension
+    // locality is the whole point of the interleave
+    def tsHitFraction(dir: String): Double = {
+      val files = L.fileStats(spark, dir)
+        .select(lit("all").as("part_key"), col("file_id"),
+          col("n_rows").as("bytes"), col("min_ts"), col("max_ts"))
+      L.skippingAudit(files, nProbes = 4)
+        .agg(avg(col("hit_fraction"))).head().getDouble(0)
+    }
+    assert(tsHitFraction(zDir) < 0.67,
+      "z-order destroyed time locality entirely")
+  }
+
   test("bpeTrainScaled stops exactly at the target mid-round") {
     import spark.implicits._
     val docs = Seq((0L, "aaaa ab abab cc dd ccdd ee ff eeff"),

@@ -268,14 +268,92 @@ object Multimodal {
       }
   }
 
-  /** STUB audio analysis: treat the byte buffer as 8-bit PCM, frame it
-    * into fixed windows, and compute per-frame RMS energy (scaled to an
-    * integer — `floor(sqrt(ssq/frame)·1000 + 0.5)`; sqrt is exactly
-    * rounded in IEEE 754 so the value is bit-portable to the SQL oracle,
-    * unlike a libm `log`). A real build would decode the container and
-    * window PCM samples — the batched `mapPartitions` contract, framing,
-    * and aggregate outputs (frame count, peak, order-sensitive digest)
-    * are the real Spark-side plumbing.
+  /** The shared per-sample energy fold: frame unsigned-8-bit PCM samples
+    * into fixed windows, per-frame RMS scaled to an integer
+    * (`floor(sqrt(ssq/frame)·1000 + 0.5)` — IEEE sqrt is exactly
+    * rounded, so the value is bit-portable to the SQL oracle).
+    */
+  private def energyOf(samples: Array[Byte], frame: Int): (Long, Long, Long) = {
+    val nFrames = samples.length / frame // full frames only
+    var digest = 0L
+    var maxE = 0L
+    var k = 0
+    while (k < nFrames) {
+      var ssq = 0L
+      var j = 0
+      while (j < frame) {
+        val c = (samples(k * frame + j) & 0xff) - 128
+        ssq += c.toLong * c
+        j += 1
+      }
+      val e = math.floor(math.sqrt(ssq.toDouble / frame) * 1000 + 0.5).toLong
+      if (e > maxE) maxE = e
+      digest = (digest * 31 + e) % 1000000007L
+      k += 1
+    }
+    (nFrames.toLong, maxE, digest)
+  }
+
+  /** Ingest stage for the audio lane: wrap each doc's bytes as REAL
+    * unsigned-8-bit PCM mono WAV streams (RIFF/WAVE container written by
+    * `javax.sound.sampled.AudioSystem` on the executors) — the media
+    * column holds an actual audio file a player would accept, not naked
+    * payload bytes. 8-bit WAV PCM is stored unsigned and uncompressed,
+    * so decode returns the exact samples — the audio analog of the PNG
+    * lane's losslessness argument.
+    */
+  def withEncodedAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val pcm = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            8000f, 8, 1, 1, 8000f, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          (id, baos.toByteArray, "audio/wav", pcm.length.toLong)
+        }
+      }.toDF("doc_id", "media", "format", "n_samples")
+  }
+
+  /** Batched REAL audio decode: every WAV stream goes back through
+    * `AudioSystem.getAudioInputStream` — container parsed, format
+    * validated (unsigned 8-bit mono PCM), sample frames drained — and
+    * the per-frame RMS energies are computed from the DECODED samples.
+    * Shares the byte-arithmetic oracle because 8-bit WAV PCM decodes to
+    * exactly the encoded samples; a corrupt container or lossy step
+    * diverges (or throws — pinned in MultimodalSpec).
+    */
+  def decodeAudioEnergy(spark: SparkSession, media: DataFrame,
+      frame: Int = 64, batchSize: Int = 64): Dataset[AudioEnergy] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+              s"unexpected audio format: $fmt")
+            val samples = ais.readAllBytes()
+            val (nf, maxE, digest) = energyOf(samples, frame)
+            AudioEnergy(id, nf, maxE, digest)
+          }
+        }
+      }
+  }
+
+  /** Byte-arithmetic energy stage over the raw binary column (the
+    * pre-round-12 form, kept as the framing fold the relational
+    * silence/scene stages mirror and for payloads that are already bare
+    * PCM).
     */
   def audioEnergy(spark: SparkSession, media: DataFrame, frame: Int = 64,
       batchSize: Int = 64): Dataset[AudioEnergy] = {
@@ -285,24 +363,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
-            val nFrames = bytes.length / frame // full frames only
-            var digest = 0L
-            var maxE = 0L
-            var k = 0
-            while (k < nFrames) {
-              var ssq = 0L
-              var j = 0
-              while (j < frame) {
-                val c = (bytes(k * frame + j) & 0xff) - 128
-                ssq += c.toLong * c
-                j += 1
-              }
-              val e = math.floor(math.sqrt(ssq.toDouble / frame) * 1000 + 0.5).toLong
-              if (e > maxE) maxE = e
-              digest = (digest * 31 + e) % 1000000007L
-              k += 1
-            }
-            AudioEnergy(id, nFrames.toLong, maxE, digest)
+            val (nf, maxE, digest) = energyOf(bytes, frame)
+            AudioEnergy(id, nf, maxE, digest)
           }
         }
       }

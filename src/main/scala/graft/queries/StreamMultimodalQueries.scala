@@ -133,13 +133,18 @@ object StreamMultimodalQueries {
                  (acc, x) -> (acc * 131 + x) % 1000000007) AS frame_checksum
         FROM f ORDER BY doc_id""")),
 
-    // ---- multimodal: audio frame-energy (STUB codec, real plumbing) ----
-    // 8-bit-PCM framing + per-frame RMS energy; sqrt is exactly rounded
-    // in IEEE 754, so the scaled-integer energies are bit-portable and
-    // the whole stage oracle-checks like the other mm stubs.
+    // ---- multimodal: audio frame-energy through a REAL codec ----
+    // The media column holds actual RIFF/WAVE containers written by
+    // javax.sound.sampled on the executors (unsigned-8-bit mono PCM);
+    // this row parses every container back through AudioSystem, drains
+    // the decoded sample frames, and computes per-frame RMS from THEM.
+    // 8-bit WAV PCM is uncompressed and unsigned, so decoded samples ==
+    // encoded samples — the audio analog of the PNG lane's losslessness
+    // argument, which is what lets the byte-arithmetic oracle stand
+    // unchanged while the engine-side path exercises a real codec.
     QueryDef("mm_audio_energy",
-      (s, dir) => Multimodal.audioEnergy(s,
-        Multimodal.withBinary(Tables.documents(s, dir)), frame = 64)
+      (s, dir) => Multimodal.decodeAudioEnergy(s,
+        Multimodal.withEncodedAudio(s, Tables.documents(s, dir)), frame = 64)
         .toDF()
         .orderBy("doc_id"),
       Some("""

@@ -40,12 +40,6 @@ final case class ResizedImage(
     roundtrip_digest: Long,
     png_bytes: Long)
 
-/** Output of the frame-sampling stage (video-ish stub). */
-final case class FrameSample(
-    doc_id: Long,
-    n_frames: Int,
-    frame_checksum: Long)
-
 /** Output of the audio frame-energy stage (audio-ish stub). */
 final case class AudioEnergy(
     doc_id: Long,
@@ -59,16 +53,21 @@ final case class AudioEnergy(
   * the Scala analog of a Pandas-UDF `mapInPandas` iterator-of-batches
   * contract).
   *
-  * The IMAGE path runs a REAL codec (`javax.imageio`, JDK-only): each
-  * document's bytes become a deterministic 32×32 grayscale raster,
-  * encoded to actual PNG bytes on the executors ([[withEncodedImage]]);
-  * the feature stage then decodes those PNGs back through `ImageIO` and
-  * computes integer pixel statistics. Because 8-bit-gray PNG is lossless,
-  * the DuckDB oracle can replay the pixel synthesis from the text and
-  * hash-match the decoded output — equality proves the decode is real.
-  * Audio/video stages remain deterministic byte-arithmetic stands-ins
-  * (the JDK ships no audio/video codecs): the batching/framing plumbing
-  * is real, the demux is labelled STUB.
+  * ALL THREE modalities run REAL JDK codecs (round 12):
+  *  - image — 32×32 gray rasters encoded to actual PNG on the executors
+  *    ([[withEncodedImage]]), decoded back through `ImageIO`
+  *    ([[decodeImageFeatures]], [[resizeEncoded]]);
+  *  - audio — unsigned-8-bit mono PCM wrapped in real RIFF/WAVE
+  *    containers via `javax.sound.sampled` ([[withEncodedAudio]]),
+  *    parsed and drained by `AudioSystem` ([[decodeAudioEnergy]]);
+  *  - video — multi-frame animated GIF over an identity 256-gray
+  *    palette ([[withEncodedVideo]]), demuxed frame by frame with an
+  *    `ImageReader` ([[decodeFrameSample]]).
+  * Each container format is bit-lossless for its payload (8-bit gray
+  * PNG; uncompressed 8-bit WAV PCM; GIF LZW over palette indices), so
+  * the DuckDB oracles replay the pre-encoding synthesis from the text
+  * and hash-match the DECODED output — equality proves the codec legs
+  * are real, not byte arithmetic wearing a codec's name.
   */
 object Multimodal {
 
@@ -241,31 +240,117 @@ object Multimodal {
         (col("n_chars") % 480).cast("int").as("height"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB frame sampling: treat the byte buffer as a "video" and keep every
-    * `stride`-th byte as a "frame" (a real build would demux + decode key
-    * frames). Same batched `mapPartitions` contract as [[extractFeatures]]
-    * — the iterator-of-batches shape a vectorized decoder consumes.
+  /** Video-lane frame geometry: 8×8 gray frames, up to 16 per doc — frame
+    * f's pixels are the doc's bytes [64f, 64f+64), space-padded.
     */
-  def frameSample(spark: SparkSession, media: DataFrame, stride: Int = 16,
-      batchSize: Int = 64): Dataset[FrameSample] = {
+  val FrameW = 8
+  val FrameH = 8
+  val MaxFrames = 16
+
+  /** Identity 256-gray palette: GIF is LZW over PALETTE INDICES, so with
+    * an explicit index == gray palette the container round-trip is
+    * bit-lossless — the video analog of the PNG/WAV losslessness
+    * arguments.
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Ingest stage for the video lane: each doc becomes a REAL multi-frame
+    * animated GIF written by `javax.imageio` on the executors (8×8 gray
+    * frames over the identity palette). The media column holds an actual
+    * video-ish container with a frame sequence a demuxer must walk.
+    */
+  def withEncodedVideo(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        imageIoInit
+        rows.map { case (id, text) =>
+          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val perFrame = FrameW * FrameH
+          val nFrames = math.max(1,
+            math.min(MaxFrames, (b.length + perFrame - 1) / perFrame))
+          val icm = grayPalette
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nFrames) {
+              val img = new java.awt.image.BufferedImage(FrameW, FrameH,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+              val raster = img.getRaster
+              var i = 0
+              while (i < perFrame) {
+                val pos = f * perFrame + i
+                val v = if (pos < b.length) b(pos) & 0xff else PadByte
+                raster.setSample(i % FrameW, i / FrameW, 0, v)
+                i += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          (id, baos.toByteArray, "image/gif", nFrames)
+        }
+      }.toDF("doc_id", "media", "format", "n_frames_encoded")
+  }
+
+  /** Batched REAL frame demux + sample: open each GIF container with an
+    * `ImageReader`, count its frames, decode every `stride`-th frame,
+    * and fold the DECODED pixels into the rolling digest. The keyframe-
+    * sampling pattern of a video pipeline, against a container the JDK
+    * can actually parse; the oracle replays the frame synthesis from the
+    * text — identity-palette GIF is lossless, so equality proves the
+    * demux walked and decoded the real frame sequence.
+    */
+  def decodeFrameSample(spark: SparkSession, media: DataFrame,
+      stride: Int = 2, batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        imageIoInit
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
-            var sum = 0L
-            var n = 0
-            var i = 0
-            while (i < bytes.length) {
-              sum = (sum * 131 + (bytes(i) & 0xff)) % 1000000007L
-              n += 1
-              i += stride
-            }
-            FrameSample(id, n, sum)
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val reader = javax.imageio.ImageIO
+              .getImageReadersByFormatName("gif").next()
+            try {
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              require(n >= 1, "media column is not a decodable GIF container")
+              var digest = 0L
+              var sampled = 0
+              var f = 0
+              while (f < n) {
+                val img = reader.read(f)
+                val raster = img.getRaster
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    digest = (digest * 131 + raster.getSample(x, y, 0)) % 1000000007L
+                    x += 1
+                  }
+                  y += 1
+                }
+                sampled += 1
+                f += stride
+              }
+              (id, n.toLong, sampled.toLong, digest)
+            } finally { reader.dispose(); iis.close() }
           }
         }
-      }
+      }.toDF("doc_id", "n_frames", "n_sampled", "frame_digest")
   }
 
   /** The shared per-sample energy fold: frame unsigned-8-bit PCM samples

@@ -114,24 +114,36 @@ object StreamMultimodalQueries {
                dg AS resized_digest, dg AS roundtrip_digest
         FROM d ORDER BY doc_id""")),
 
-    // ---- multimodal: frame sampling (STUB demux; batched mapPartitions) ----
-    // The sampling stub keeps every 16th byte and rolls a mod-p hash over
-    // them — deterministic byte arithmetic, so fully oracle-checkable the
-    // same way as mm_features (ASCII corpus: ord(char) == byte).
+    // ---- multimodal: frame demux + sampling through a REAL container ----
+    // The media column holds actual multi-frame animated GIFs written by
+    // javax.imageio on the executors (8×8 gray frames, identity
+    // 256-gray palette — GIF's LZW runs over palette INDICES, so the
+    // round-trip is bit-lossless). This row opens every container with
+    // an ImageReader, counts its frames, DECODES every 2nd frame (the
+    // keyframe-sampling pattern), and digests the decoded pixels. The
+    // oracle replays the frame synthesis from the text; hash equality
+    // proves a real demuxer walked the real frame sequence.
     QueryDef("mm_frame_sample",
-      (s, dir) => Multimodal.frameSample(s,
-        Multimodal.withBinary(Tables.documents(s, dir)), stride = 16)
-        .toDF()
+      (s, dir) => Multimodal.decodeFrameSample(s,
+        Multimodal.withEncodedVideo(s, Tables.documents(s, dir)), stride = 2)
         .orderBy("doc_id"),
       Some("""
-        WITH f AS (SELECT doc_id,
-                     list_transform(range(1, length(text) + 1, 16),
-                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS frames
-                   FROM documents)
-        SELECT doc_id, CAST(len(frames) AS INT) AS n_frames,
-               list_reduce(list_prepend(CAST(0 AS BIGINT), frames),
-                 (acc, x) -> (acc * 131 + x) % 1000000007) AS frame_checksum
-        FROM f ORDER BY doc_id""")),
+        WITH f AS (SELECT doc_id, text,
+                     GREATEST(1, LEAST(16, (length(text) + 63) // 64)) AS nf
+                   FROM documents),
+        px AS (SELECT doc_id, nf,
+                 len(range(0, nf, 2)) AS n_sampled,
+                 flatten(list_transform(range(0, nf, 2), fr ->
+                   list_transform(range(1, 65), i ->
+                     CASE WHEN fr * 64 + i <= length(text)
+                          THEN CAST(ord(substr(text, CAST(fr * 64 + i AS INT), 1)) AS BIGINT)
+                          ELSE CAST(32 AS BIGINT) END))) AS pxs
+               FROM f)
+        SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+               CAST(n_sampled AS BIGINT) AS n_sampled,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), pxs),
+                 (acc, x) -> (acc * 131 + x) % 1000000007) AS frame_digest
+        FROM px ORDER BY doc_id""")),
 
     // ---- multimodal: audio frame-energy through a REAL codec ----
     // The media column holds actual RIFF/WAVE containers written by

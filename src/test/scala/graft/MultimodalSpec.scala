@@ -101,12 +101,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
   }
 
-  test("frameSample strides the byte buffer and counts frames") {
-    val r = Multimodal.frameSample(spark, Multimodal.withBinary(docsFixture),
-      stride = 4, batchSize = 2).collect().map(f => f.doc_id -> f.n_frames).toMap
-    assert(r(0L) === 2) // 8 bytes, stride 4 -> indices 0,4
-    assert(r(1L) === 1)
-    assert(r(2L) === 25)
+  test("withEncodedVideo writes REAL multi-frame GIFs; demux samples decoded frames") {
+    import spark.implicits._
+    // doc 0: 8 bytes -> 1 frame; doc 2: 100 'a' -> 2 frames (64 + 36 pad)
+    val media = Multimodal.withEncodedVideo(spark, docsFixture)
+    media.collect().foreach { r =>
+      val gif = r.getAs[Array[Byte]]("media")
+      assert(new String(gif.slice(0, 6), "US-ASCII").startsWith("GIF8"),
+        s"doc ${r.getLong(0)}: media is not a GIF container")
+    }
+    val out = Multimodal.decodeFrameSample(spark, media, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L)._1 === 1L && out(0L)._2 === 1L)
+    assert(out(2L)._1 === 2L && out(2L)._2 === 1L) // stride 2 samples frame 0 only
+    // driver-side replay for doc 0 ("abcdefgh" + 56 pads): frame 0 pixels
+    val px = "abcdefgh".getBytes("UTF-8").map(_ & 0xff) ++ Array.fill(56)(32)
+    val expected = px.foldLeft(0L)((acc, v) => (acc * 131 + v) % 1000000007L)
+    assert(out(0L)._3 === expected, "decoded GIF frame pixels diverge from synthesis")
+  }
+
+  test("corrupted video bytes fail the GIF demux") {
+    import spark.implicits._
+    val bad = Seq((9L, Array.fill[Byte](64)(7))).toDF("doc_id", "media")
+    intercept[Throwable] {
+      Multimodal.decodeFrameSample(spark, bad).collect()
+    }
+    ()
   }
 
   test("audioEnergy frames the buffer and computes exact scaled RMS") {

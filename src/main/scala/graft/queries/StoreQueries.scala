@@ -89,6 +89,35 @@ object StoreQueries {
       st
     })
 
+  /** Fourth per-sf store: a 2-day slice ingested through the FILE-DROP
+    * streaming topology ([[graft.streaming.StreamingIngest.fileSampleStream]]
+    * — VERDICT r11 #4): the slice is written as newline-JSON drop files
+    * by a Spark job (the "external producer"), the file source discovers
+    * and micro-batches them, and the foreachBatch sink appends to the
+    * store. Drained to completion at staging time so the registered query
+    * times (and gates) the post-ingest read, not the stream.
+    */
+  private def fileIngestStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
+    stores.computeIfAbsent(dir + "#filedrop", { _ =>
+      val root = Files.createTempDirectory("graft-storef").toString
+      val drop = Files.createTempDirectory("graft-dropq").toString
+      val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
+      st.initialize()
+      Tables.events(s, dir)
+        .where(col("ts_ms").between(day(0), day(1)))
+        .select(
+          col("event_type").as("tag"),
+          col("ts_ms").as("ts"),
+          col("value").cast("string").as("value"),
+          lit(1L).as("ingestTs"),
+          lit("w1").as("writerId"),
+          col("event_id").as("seq"))
+        .write.mode("overwrite").json(drop)
+      val q = graft.streaming.StreamingIngest.fileSampleStream(s, st, drop)
+      try { q.processAllAvailable() } finally q.stop()
+      st
+    })
+
   /** Third per-sf store: a 4-day slice bulk-ingested in TWO overlapping
     * batches (every partition gets ≥2 files; `event_id % 3 == 0` rows are
     * re-written with doubled values and a later ingestTs), then
@@ -187,6 +216,42 @@ object StoreQueries {
           FROM events
           WHERE epoch_ms(ts) BETWEEN ${day(10)} AND ${day(12)})
         WHERE rn = 1 ORDER BY tag, ts_ms""")),
+
+    // ---- file-drop streaming ingest, gated by read-after-ingest ----
+    // Data entered this store from OUTSIDE the JVM heap: newline-JSON
+    // files dropped by a producer job, discovered and micro-batched by
+    // the file source, appended by the foreachBatch sink (VERDICT r11
+    // #4's topology as a CORRECTNESS row, not just a suite case). The
+    // LWW read below must reproduce the oracle's replay over the
+    // original events — rows lost to a mis-listed file, a half-batch,
+    // or a JSON round-trip corruption all diverge.
+    QueryDef("ts_file_ingest",
+      (s, dir) => {
+        val st = fileIngestStoreFor(s, dir)
+        st.registerViews("graftfi")
+        s.sql(s"""
+          SELECT tag, count(*) AS n,
+                 min(ts) AS min_ts_ms, max(ts) AS max_ts_ms,
+                 CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS sum_cents
+          FROM (
+            SELECT tag, ts, value,
+                   row_number() OVER (PARTITION BY tag, ts
+                     ORDER BY ingestTs DESC, seq DESC, writerId DESC) AS rn
+            FROM graftfi_hot)
+          WHERE rn = 1 GROUP BY tag ORDER BY tag""")
+      },
+      Some(s"""
+        WITH w AS (SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                     row_number() OVER (PARTITION BY event_type, epoch_ms(ts)
+                       ORDER BY event_id DESC) AS rn
+                   FROM events
+                   WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(1)})
+        SELECT tag, count(*) AS n,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM w WHERE rn = 1 GROUP BY tag ORDER BY tag""")),
 
     // ---- compaction EXECUTED, gated by read-after-compact equivalence ----
     // The staged store ingested every event twice-ish (a full batch, then

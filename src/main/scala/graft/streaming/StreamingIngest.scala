@@ -80,6 +80,9 @@ object StreamingIngest {
     val input = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // only completed .json drops — a producer's markers (_SUCCESS) and
+      // in-flight temp files are never listed as data
+      .option("pathGlobFilter", "*.json")
       .json(dropDir)
       .as[Sample]
     input.writeStream

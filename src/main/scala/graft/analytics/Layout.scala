@@ -148,19 +148,34 @@ object Layout {
     * Scale shape: one scan + one range exchange + a per-partition sort —
     * the identical plan at 100 TB, parallel in `nFiles`; no driver data.
     */
-  def zorderRewrite(events: DataFrame, outDir: String, nFiles: Int = 16): Unit = {
+  def zorderRewrite(events: DataFrame, outDir: String, nFiles: Int = 16): Unit =
+    zorderRewriteBounded(events, events, outDir, nFiles)
+
+  /** [[zorderRewrite]] with the coordinate bounds taken from a SEPARATE
+    * table — the INCREMENTAL maintenance form: history's bounds are part
+    * of the layout's frozen metadata (the staged-index discipline), so a
+    * delta batch z-orders into the SAME coordinate space instead of
+    * re-deriving bounds that would shift every key. Delta coordinates
+    * clamp to the 16-bit range (a delta row beyond history's span lands
+    * on the boundary cell — correct, since zone maps only need
+    * containment, not uniqueness).
+    */
+  def zorderRewriteBounded(events: DataFrame, boundsSource: DataFrame,
+      outDir: String, nFiles: Int = 16): Unit = {
     // BOTH coordinates min-max normalized onto the full 16-bit range:
     // interleaving only balances the dimensions when they occupy the
     // same bit-width (an unnormalized 11-bit user axis would leave the
     // top interleaved bits all-time and degenerate to time partitioning)
-    val bounds = events.agg(
+    val bounds = boundsSource.agg(
       min(col("ts_ms")).as("tmin"), max(col("ts_ms")).as("tmax"),
       min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))
     events.crossJoin(broadcast(bounds))
       .select(col("event_id"), col("user_id"), col("ts_ms"),
         col("event_type"), col("value"),
-        expr("(user_id - umin) * 65535 div greatest(umax - umin, 1)").as("ux"),
-        expr("(ts_ms - tmin) * 65535 div greatest(tmax - tmin, 1)").as("tx"))
+        expr("greatest(0, least(65535, " +
+          "(user_id - umin) * 65535 div greatest(umax - umin, 1)))").as("ux"),
+        expr("greatest(0, least(65535, " +
+          "(ts_ms - tmin) * 65535 div greatest(tmax - tmin, 1)))").as("tx"))
       .withColumn("zkey", zorderKey(col("ux"), col("tx")))
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
@@ -173,8 +188,8 @@ object Layout {
     * and min/max of both clustering dimensions. Feeds [[skippingAudit]]
     * on EITHER dimension to price the rewrite's skipping benefit.
     */
-  def fileStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  def fileStats(spark: org.apache.spark.sql.SparkSession, dirs: String*): DataFrame =
+    spark.read.parquet(dirs: _*)
       .groupBy(col("_metadata.file_name").as("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"),

@@ -610,6 +610,44 @@ object EventsQueries {
                min($MS) AS min_ts_ms, max($MS) AS max_ts_ms
         FROM events GROUP BY 1 ORDER BY event_type""")),
 
+    // beyond-reference — INCREMENTAL Z-order maintenance (the lakehouse
+    // OPTIMIZE cadence): history is z-ordered once; a later delta batch
+    // (event_id % 10 == 0) z-orders into the SAME coordinate space —
+    // history's min/max bounds are frozen layout metadata, delta coords
+    // clamp to the 16-bit range — and lands as separate delta files, the
+    // store's L0 discipline applied to layout maintenance. The row scans
+    // BOTH file sets with no reference to the original table; per-type
+    // counts split base/delta via event_id so a delta dropped, doubled,
+    // or mis-normalized diverges from the oracle's replay.
+    QueryDef("lay_zorder_incremental",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#zorder_inc") {
+          val r = Staging.scratchDir("zinc")
+          val hist = ev(s, dir).where(pmod(col("event_id"), lit(10L)) =!= 0)
+          val delta = ev(s, dir).where(pmod(col("event_id"), lit(10L)) === 0)
+          graft.analytics.Layout.zorderRewrite(hist, s"$r/base", nFiles = 16)
+          graft.analytics.Layout.zorderRewriteBounded(delta, hist,
+            s"$r/delta", nFiles = 4)
+          r
+        }
+        s.read.parquet(s"$root/base", s"$root/delta")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(pmod(col("event_id"), lit(10L)) === 0, 1L).otherwise(0L))
+              .as("n_delta"),
+            sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_cents"),
+            min(col("ts_ms")).as("min_ts_ms"), max(col("ts_ms")).as("max_ts_ms"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_delta,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               min($MS) AS min_ts_ms, max($MS) AS max_ts_ms
+        FROM events GROUP BY 1 ORDER BY event_type""")),
+
     // beyond-reference — small-file compaction PLAN (OPTIMIZE … DRY RUN):
     // the metadata-only leg next to TimeSeriesStore.compact's rewrite.
     // "Files" are the deterministic LSM flush shape — arrival batches of

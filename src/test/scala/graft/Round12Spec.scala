@@ -181,6 +181,39 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       "z-order destroyed time locality entirely")
   }
 
+  test("incremental z-order: delta files join the layout without losing prunability") {
+    import org.apache.spark.sql.functions._
+    val L = graft.analytics.Layout
+    val events = Tables.events(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("z12-inc").toString
+    val hist = events.where(pmod(col("event_id"), lit(10L)) =!= 0)
+    val delta = events.where(pmod(col("event_id"), lit(10L)) === 0)
+    L.zorderRewrite(hist, s"$root/base", nFiles = 16)
+    L.zorderRewriteBounded(delta, hist, s"$root/delta", nFiles = 4)
+    // roundtrip across BOTH file sets
+    val orig = events.agg(count(lit(1)), sum(col("event_id"))).head()
+    val back = spark.read.parquet(s"$root/base", s"$root/delta")
+      .agg(count(lit(1)), sum(col("event_id"))).head()
+    assert(back === orig, "incremental layout lost or duplicated rows")
+    // the combined layout still prunes on the user dimension: delta files
+    // are z-ordered in the SAME coordinate space, so they stay boxed
+    val files = L.fileStats(spark, s"$root/base", s"$root/delta")
+      .select(lit("all").as("part_key"), col("file_id"),
+        col("n_rows").as("bytes"),
+        col("min_uid").as("min_ts"), col("max_uid").as("max_ts"))
+    val hit = L.skippingAudit(files, nProbes = 4)
+      .agg(avg(col("hit_fraction"))).head().getDouble(0)
+    assert(hit < 0.75, s"combined layout stopped pruning on user: $hit")
+    // a delta row OUTSIDE history's span clamps to the boundary cell
+    // instead of corrupting the key space
+    import spark.implicits._
+    val wild = Seq((999999L, 99999999L, 99999999999999L, "x", 1.0))
+      .toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+    L.zorderRewriteBounded(wild, hist, s"$root/wild", nFiles = 1)
+    val w = spark.read.parquet(s"$root/wild").select("ux", "tx").head()
+    assert(w.getLong(0) === 65535L && w.getLong(1) === 65535L)
+  }
+
   test("bpeTrainScaled stops exactly at the target mid-round") {
     import spark.implicits._
     val docs = Seq((0L, "aaaa ab abab cc dd ccdd ee ff eeff"),

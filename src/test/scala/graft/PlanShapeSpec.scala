@@ -40,7 +40,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ts_interval_overlap", "tx_novelty", "rel_nation_revenue",
     "rel_shipping_priority", "rel_small_qty_loss", "rel_market_share",
     "gr_degree_dist", "dd_entity_resolution", "gr_linkpred", "gr_kcore",
-    "sim_mmr", "lay_skipping_stats")
+    "sim_mmr", "lay_skipping_stats",
+    "lay_zorder_rewrite", "lay_zorder_incremental", "ts_file_ingest")
 
   neverCartesian.foreach { name =>
     test(s"$name: no CartesianProduct anywhere in the plan") {
@@ -287,6 +288,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_min"), p.take(2000))
     assert(!p.contains("Window ["), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("mm codec lanes: no hash exchange — pure batched per-partition decode") {
+    // the real-codec stages are embarrassingly parallel projections; a
+    // hashpartitioning exchange appearing here means a decode stage
+    // started shuffling payload bytes (the only exchange allowed is the
+    // registered output sort's range partition)
+    Seq("mm_features", "mm_transform", "mm_audio_energy", "mm_frame_sample")
+      .foreach { n =>
+        val p = plan(n)
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"$n shuffles payload bytes:\n${p.take(1500)}")
+      }
   }
 
   test("rel_supplier_share: broadcast total, no single-partition window, one runtime fact scan") {

@@ -1151,9 +1151,22 @@ object Similarity {
     * [[layeredGraphSearch]] call on this driver (|visited| rows) —
     * observability seam for the layered-vs-flat efficiency pin
     * (NonTrivialitySpec): the layer hierarchy must buy ≥ recall with
-    * FEWER scored candidates.
+    * FEWER scored candidates. Gated behind [[graphTelemetry]] (the
+    * bpeTelemetry pattern, ADVICE r12): a production serve must not pay
+    * an extra count job — and concurrent serves must not interleave
+    * readings — for a value only the probe suite consumes.
     */
   @volatile private[graft] var lastScoredCount: Long = -1L
+
+  /** When true, [[graphSearch]]/[[layeredGraphSearch]] also count the
+    * visited set into [[lastScoredCount]] (one extra checkpoint-backed
+    * count job per serve) — probe/spec-only; registered queries keep it
+    * off so the benched cost is the plain walk.
+    */
+  @volatile private[graft] var graphTelemetry: Boolean = false
+
+  private def recordScored(vis: DataFrame): Unit =
+    if (graphTelemetry) lastScoredCount = vis.count()
 
   /** The shared beam-walk loop: expand the frontier through `adj`, score
     * never-visited candidates exactly, keep the per-query top-`beam` of
@@ -1223,7 +1236,7 @@ object Similarity {
     val vis0 = entryScored.localCheckpoint(true)
     val vis = walkFrom(scoreCands, adj, vis0,
       vis0.select("query_id", "cand_id"), hops, beam)
-    lastScoredCount = vis.count()
+    recordScored(vis)
     topKVisited(vis, k)
   }
 
@@ -1286,7 +1299,7 @@ object Similarity {
     val seeds = uvis.withColumn("rn", row_number().over(we))
       .where(col("rn") <= entryK).select("query_id", "cand_id")
     val vis = walkFrom(scoreCands, adj0, uvis, seeds, hops, beam)
-    lastScoredCount = vis.count()
+    recordScored(vis)
     topKVisited(vis, k)
   }
 

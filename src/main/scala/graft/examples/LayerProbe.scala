@@ -12,6 +12,7 @@ object LayerProbe {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Similarity.graphTelemetry = true
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, k = 5, queryModulo = 20)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)

@@ -781,7 +781,12 @@ final class TimeSeriesStore(
       // driver collect by contract, so it must fit the DriverBudget or
       // fail cleanly — a 100-tag × wide-range call should direct the
       // caller to the distributed readDataDF, not OOM the driver.
+      // localCheckpoint pins ONE materialization for both the budget
+      // count and the collect: without it the scan runs twice, and a
+      // concurrent compact/purge landing between the two jobs could make
+      // the counted size stale relative to what the collect sees.
       val df = readDataDF(ranges).select("tag", "ts", "value")
+        .localCheckpoint(true)
       val n = df.count()
       val rows = graft.analytics.DriverBudget
         .collectWithin(df, n, bytesPerRow = 96L)

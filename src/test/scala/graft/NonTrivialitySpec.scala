@@ -159,6 +159,7 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // 1499 vs 2023 scored here, 67 vs 62 at 6462 vs 8805 on the 10×
     // probe (PLANS.md round-12 table)
     val S = graft.analytics.Similarity
+    S.graphTelemetry = true
     val emb = Tables.embeddings(spark, sfMid)
     val exact = S.bruteForceTopK(emb, k = 5, queryModulo = 20)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)

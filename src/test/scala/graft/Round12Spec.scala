@@ -205,13 +205,19 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(avg(col("hit_fraction"))).head().getDouble(0)
     assert(hit < 0.75, s"combined layout stopped pruning on user: $hit")
     // a delta row OUTSIDE history's span clamps to the boundary cell
-    // instead of corrupting the key space
+    // instead of corrupting the key space — checked on the shared
+    // coordinate projection (the persisted files no longer carry the
+    // helper columns: an OPTIMIZE must be a drop-in schema-identical
+    // layout swap, ADVICE r12)
     import spark.implicits._
     val wild = Seq((999999L, 99999999L, 99999999999999L, "x", 1.0))
       .toDF("event_id", "user_id", "ts_ms", "event_type", "value")
-    L.zorderRewriteBounded(wild, hist, s"$root/wild", nFiles = 1)
-    val w = spark.read.parquet(s"$root/wild").select("ux", "tx").head()
+    val w = L.zorderProjection(wild, hist).select("ux", "tx").head()
     assert(w.getLong(0) === 65535L && w.getLong(1) === 65535L)
+    // and the rewritten files are schema-identical to the source slice
+    L.zorderRewriteBounded(wild, hist, s"$root/wild", nFiles = 1)
+    assert(spark.read.parquet(s"$root/wild").columns.toSeq ===
+      Seq("event_id", "user_id", "ts_ms", "event_type", "value"))
   }
 
   test("bpeTrainScaled stops exactly at the target mid-round") {

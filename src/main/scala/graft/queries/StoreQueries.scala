@@ -118,6 +118,59 @@ object StoreQueries {
       st
     })
 
+  /** Fifth per-sf store: the file-drop topology KILLED AND RESTARTED from
+    * its checkpoint mid-feed (VERDICT r12 next #1 — the one Structured
+    * Streaming production property the repo never demonstrated). Phase 1
+    * drops a 1-day slice and drains it under checkpoint `cp`, then the
+    * query is STOPPED (process death after the last offset commit — the
+    * reference's consumer-group-cursor scenario, service.js:117-120).
+    * Phase 2 drops more files into the same dir: a fresh day of rows
+    * PLUS rewrites of every `event_id % 3 == 0` phase-1 row (doubled
+    * value, later ingestTs) — the at-least-once replay shape. A NEW
+    * query restarted from the SAME checkpoint must resume exactly where
+    * the first left off: the registered row reads RAW per-tag counts
+    * (no LWW window), so a restart that re-ingests phase-1 files,
+    * drops phase-2 files, or half-commits a batch diverges from the
+    * oracle's exact replay — and the LWW sum proves the rewrites then
+    * supersede their originals.
+    */
+  private def restartIngestStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
+    stores.computeIfAbsent(dir + "#restart", { _ =>
+      val root = Files.createTempDirectory("graft-storer").toString
+      val drop = Files.createTempDirectory("graft-dropr").toString
+      val cp = Files.createTempDirectory("graft-cpr").toString
+      val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
+      st.initialize()
+      def asSamples(df: org.apache.spark.sql.DataFrame, ingestTs: Long,
+          writer: String, doubled: Boolean) =
+        df.select(
+          col("event_type").as("tag"),
+          col("ts_ms").as("ts"),
+          (if (doubled) col("value") * 2 else col("value"))
+            .cast("string").as("value"),
+          lit(ingestTs).as("ingestTs"),
+          lit(writer).as("writerId"),
+          col("event_id").as("seq"))
+      val phase1 = Tables.events(s, dir).where(col("ts_ms").between(day(0), day(1)))
+      asSamples(phase1, 1L, "w1", doubled = false)
+        .write.mode("overwrite").json(drop)
+      val q1 = graft.streaming.StreamingIngest
+        .fileSampleStream(s, st, drop, checkpointDir = Some(cp))
+      try { q1.processAllAvailable() } finally q1.stop()
+      // the kill: q1's JVM is gone as far as the source is concerned —
+      // only the checkpoint survives. Phase-2 files land in the same dir.
+      val phase2New = Tables.events(s, dir)
+        .where(col("ts_ms") > day(1) && col("ts_ms") <= day(2))
+      asSamples(phase2New, 2L, "w2", doubled = false)
+        .unionByName(asSamples(phase1.where(col("event_id") % 3 === 0),
+          2L, "w2", doubled = true))
+        .write.mode("append").json(drop)
+      val q2 = graft.streaming.StreamingIngest
+        .fileSampleStream(s, st, drop, checkpointDir = Some(cp))
+      try { q2.processAllAvailable() } finally q2.stop()
+      st
+    })
+
   /** Third per-sf store: a 4-day slice bulk-ingested in TWO overlapping
     * batches (every partition gets ≥2 files; `event_id % 3 == 0` rows are
     * re-written with doubled values and a later ingestTs), then
@@ -252,6 +305,59 @@ object StoreQueries {
                CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
                  AS BIGINT)) AS BIGINT) AS sum_cents
         FROM w WHERE rn = 1 GROUP BY tag ORDER BY tag""")),
+
+    // ---- CHECKPOINT RECOVERY: kill the ingest stream, restart, finish ----
+    // The restart contract exercised end to end (VERDICT r12 next #1):
+    // phase 1 drained under a checkpoint, the query stopped, phase 2
+    // (fresh rows + LWW rewrites of a third of phase 1) dropped into the
+    // same dir, and a NEW query restarted from the SAME checkpoint. The
+    // RAW per-tag counts (no LWW window) make exactly-once-across-restart
+    // the thing being hashed: re-ingesting phase-1 files doubles n_raw,
+    // losing phase-2 files shrinks it, and the LWW sum proves the
+    // rewrites then supersede their originals on read.
+    QueryDef("ts_restart_ingest",
+      (s, dir) => {
+        val st = restartIngestStoreFor(s, dir)
+        st.registerViews("graftri")
+        s.sql(s"""
+          SELECT tag, count(*) AS n_raw,
+                 sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_lww,
+                 min(ts) AS min_ts_ms, max(ts) AS max_ts_ms,
+                 CAST(sum(CASE WHEN rn = 1
+                   THEN CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS sum_cents
+          FROM (
+            SELECT tag, ts, value,
+                   row_number() OVER (PARTITION BY tag, ts
+                     ORDER BY ingestTs DESC, seq DESC, writerId DESC) AS rn
+            FROM graftri_hot)
+          GROUP BY tag ORDER BY tag""")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, event_id,
+                 value, 1 AS ingest_ts
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(1)}
+          UNION ALL
+          SELECT event_type, epoch_ms(ts), event_id, value, 2
+          FROM events
+          WHERE epoch_ms(ts) > ${day(1)} AND epoch_ms(ts) <= ${day(2)}
+          UNION ALL
+          SELECT event_type, epoch_ms(ts), event_id, value * 2, 2
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(1)}),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY tag, ts_ms
+                ORDER BY ingest_ts DESC, event_id DESC) AS rn
+              FROM m)
+        SELECT tag, count(*) AS n_raw,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lww,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CASE WHEN rn = 1
+                 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS sum_cents
+        FROM w GROUP BY tag ORDER BY tag""")),
 
     // ---- compaction EXECUTED, gated by read-after-compact equivalence ----
     // The staged store ingested every event twice-ish (a full batch, then

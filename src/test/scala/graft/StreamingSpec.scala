@@ -602,4 +602,110 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     assert(one.nonEmpty, "no incremental dups on this draw — probe untested")
     assert(one === four, "result depends on micro-batch chopping")
   }
+
+  private def dropJson(dir: java.nio.file.Path, name: String,
+      samples: Seq[Sample]): Unit = {
+    val json = samples.map(s =>
+      s"""{"tag":"${s.tag}","ts":${s.ts},"value":"${s.value}",""" +
+        s""""ingestTs":${s.ingestTs},"writerId":"${s.writerId}","seq":${s.seq}}""")
+      .mkString("", "\n", "\n")
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, dir.resolve(name))
+    ()
+  }
+
+  // VERDICT r12 next #1: the one Structured Streaming production property
+  // never demonstrated — a query KILLED mid-feed and restarted from its
+  // checkpoint. The kill is adversarial (stop() interrupts the running
+  // trigger, so the in-flight batch's offsets may be uncommitted and its
+  // rows may already be in the store — the at-least-once window), and
+  // files dropped AFTER the kill prove the restart keeps discovering.
+  // Gates: the final LWW read is EXACT (nothing lost, the one replayable
+  // batch absorbed by row identity), and the raw hot tier holds at most
+  // one batch of duplicates (the restart re-listed nothing it had
+  // committed).
+  test("checkpoint restart: kill mid-feed, resume from the checkpoint, no loss") {
+    val root = Files.createTempDirectory("graft-restart").toString
+    val dropDir = Files.createTempDirectory("graft-rdrops")
+    val cp = Files.createTempDirectory("graft-rcp").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 100L))
+    store.initialize()
+    val rowsPerFile = 5
+    def file(i: Int): Seq[Sample] = (0 until rowsPerFile).map { j =>
+      val ts = (i * rowsPerFile + j).toLong
+      Sample("RTag", ts, s"v$ts", 100L, "w1", ts)
+    }
+    (0 until 6).foreach(i => dropJson(dropDir, f"b-$i%04d.json", file(i)))
+    // maxFilesPerTrigger = 1: six triggers to drain phase 1, so the stop
+    // below lands mid-feed, not after it
+    val q1 = StreamingIngest.fileSampleStream(spark, store, dropDir.toString,
+      maxFilesPerTrigger = 1, checkpointDir = Some(cp))
+    try {
+      eventually(timeout(Span(30, Seconds))) {
+        assert(store.hotDF.count() >= rowsPerFile.toLong) // some progress
+      }
+    } finally q1.stop() // the kill: interrupts the running trigger
+    val killedAt = store.hotDF.count()
+    assert(killedAt < 60L, s"kill landed after the full feed ($killedAt rows)")
+    // phase 2 lands while no query is running: the last 6 files plus LWW
+    // rewrites of file 0 (same (tag, ts) keys, later ingestTs)
+    (6 until 12).foreach(i => dropJson(dropDir, f"b-$i%04d.json", file(i)))
+    dropJson(dropDir, "b-rewrite.json", (0 until rowsPerFile).map { j =>
+      Sample("RTag", j.toLong, s"V$j-v2", 200L, "w2", 100L + j)
+    })
+    val q2 = StreamingIngest.fileSampleStream(spark, store, dropDir.toString,
+      maxFilesPerTrigger = 1, checkpointDir = Some(cp))
+    try q2.processAllAvailable() finally q2.stop()
+    // exact LWW read: every ts present, rewrites superseding originals
+    val got = store.readData(Map("RTag" -> (0L, 99L)))("RTag")
+    val want = scala.collection.immutable.SortedMap(
+      (0L until 60L).map(ts =>
+        ts -> (if (ts < rowsPerFile) s"V$ts-v2" else s"v$ts")): _*)
+    assert(got === want, "restart lost rows or missed the LWW rewrites")
+    // raw duplicates bounded by ONE in-flight batch (the uncommitted
+    // trigger replays; committed files must not re-ingest)
+    val raw = store.hotDF.count()
+    assert(raw >= 65L && raw <= 65L + rowsPerFile,
+      s"raw row count $raw outside [65, ${65 + rowsPerFile}] — " +
+        "restart re-ingested committed files or lost a batch")
+  }
+
+  test("purge loop resumes across a restart; reads stay correct throughout") {
+    val root = Files.createTempDirectory("graft-rpurge").toString
+    val dropDir = Files.createTempDirectory("graft-rpdrops")
+    val cp = Files.createTempDirectory("graft-rpcp").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    store.initialize()
+    dropJson(dropDir, "p-0001.json", Seq(
+      Sample("QTag", 1L, "One", 100L, "w1", 0L),
+      Sample("QTag", 7L, "Seven", 100L, "w1", 1L)))
+    val q1 = StreamingIngest.fileSampleStream(spark, store, dropDir.toString,
+      checkpointDir = Some(cp))
+    try q1.processAllAvailable() finally q1.stop()
+    // age everything; the FIRST purge loop tiers out what it sees
+    val realNow = System.currentTimeMillis()
+    store.clock = () => realNow + 600000L
+    val (pq1, acked1) = StreamingIngest.purgeLoop(spark, store, ageThresholdSec = 60)
+    try eventually(timeout(Span(30, Seconds))) { assert(acked1.get() >= 2L) }
+    finally pq1.stop() // the maintenance process dies
+    // a restarted INGEST (same checkpoint) absorbs a post-purge drop...
+    dropJson(dropDir, "p-0002.json", Seq(
+      Sample("QTag", 12L, "Twelve", 300L, "w1", 2L)))
+    val q2 = StreamingIngest.fileSampleStream(spark, store, dropDir.toString,
+      checkpointDir = Some(cp))
+    try q2.processAllAvailable() finally q2.stop()
+    // ...and a restarted PURGE loop picks up where the dead one left off:
+    // the freshly-landed partition ages out through the new loop instance
+    val (pq2, acked2) = StreamingIngest.purgeLoop(spark, store, ageThresholdSec = 60)
+    try {
+      eventually(timeout(Span(30, Seconds))) { assert(acked2.get() >= 1L) }
+      assert(store.hotDF.count() === 0L)
+    } finally pq2.stop()
+    // the cross-tier read sees every row ever ingested, across both
+    // ingest incarnations and both purge incarnations
+    val got = store.readData(Map("QTag" -> (0L, 20L)))("QTag")
+    assert(got === scala.collection.immutable.SortedMap(
+      1L -> "One", 7L -> "Seven", 12L -> "Twelve"))
+  }
 }

@@ -1269,7 +1269,40 @@ object Similarity {
   def layeredGraphSearch(queries: DataFrame, buildGraph: DataFrame,
       corpus: DataFrame, k: Int = 5, beam: Int = 8, hops: Int = 2,
       degree: Int = 5, upperBeam: Int = 4, upperHops: Int = 2,
-      entryK: Int = 2, nEntries: Int = 4): DataFrame = {
+      entryK: Int = 2, nEntries: Int = 4): DataFrame =
+    multilevelGraphSearch(queries, buildGraph, corpus, levels = 2,
+      k = k, beam = beam, hops = hops, degree = degree,
+      upperBeam = upperBeam, topHops = upperHops, midHops = 1,
+      entryK = entryK, nEntries = nEntries)
+
+  /** [[layeredGraphSearch]] generalized to an L-LEVEL hierarchy (VERDICT
+    * r12 next #3 — billion-vector serving wants ~log n levels, not one):
+    * level ℓ ≥ 1 membership is the NESTED md5 rule — the first ℓ hex
+    * chars of `md5(vec_id)` each in {'0','1'} — so each level is a
+    * deterministic 1/8 sample of the one below (levels are nested by
+    * construction, HNSW §3.3's geometric assignment made exact), and
+    * every level's adjacency derives from the SAME build-depth descent
+    * lists restricted to its members (no second build, ever). The walk
+    * descends greedily: a wide `topHops`-hop scan of the TINY top graph
+    * locates each query's region; each intermediate level refines it
+    * with a single `midHops`-hop guided walk (entries are inherited, not
+    * md5-random — one hop suffices where the 2-layer serve paid two);
+    * layer 0 finishes with the full `hops`×`beam` walk. All visited
+    * scores transfer downward (level-ℓ members are members of every
+    * lower level), so recall can only accumulate while the scored-
+    * candidate count drops — NonTrivialitySpec pins 3-level ≥ 2-level
+    * recall at strictly fewer scored candidates.
+    *
+    * Scale shape: the top level is n/8^(L-1) nodes — at 10⁹ vectors and
+    * L = log₈ n ≈ 10 the entry scan is constant-sized; each level's leg
+    * costs |queries|·upperBeam·degree against a graph 8× smaller than
+    * the last, the geometric series that makes HNSW serve O(log n).
+    */
+  def multilevelGraphSearch(queries: DataFrame, buildGraph: DataFrame,
+      corpus: DataFrame, levels: Int = 3, k: Int = 5, beam: Int = 8,
+      hops: Int = 2, degree: Int = 5, upperBeam: Int = 4, topHops: Int = 2,
+      midHops: Int = 1, entryK: Int = 2, nEntries: Int = 4): DataFrame = {
+    require(levels >= 2, s"a hierarchy needs >= 2 levels: $levels")
     val edges = buildGraph.select(col("node").as("u"),
       col("neighbor_id").as("nb"), col("cos"))
     def topPerU(e: DataFrame): DataFrame = {
@@ -1277,28 +1310,70 @@ object Similarity {
       e.withColumn("rn", row_number().over(w)).where(col("rn") <= degree)
         .select("u", "nb")
     }
-    val adj0 = topPerU(edges)
-    val isUpper = (c: org.apache.spark.sql.Column) =>
-      substring(md5(c.cast("string")), 1, 1).isin("0", "1")
-    val uadj = topPerU(edges.where(isUpper(col("u")) && isUpper(col("nb"))))
+    // nested level-ℓ membership: first ℓ md5 hex chars all in {'0','1'}
+    def inLevel(c: org.apache.spark.sql.Column, lvl: Int) =
+      (1 to lvl).map(i => substring(md5(c.cast("string")), i, 1)
+        .isin("0", "1")).reduce(_ && _)
+    // Levels ≥ 2 are too sparse for derived edges alone (an 8^ℓ-sampled
+    // member pair rarely co-occurs in a build-depth top-20 list), so they
+    // get a deterministic md5-RING backbone: each member exactly-scores
+    // its next `degree` members in md5 order (symmetrized), and the
+    // level's adjacency is the per-node top-`degree` re-rank of
+    // restricted-build ∪ ring — the connectivity guarantee HNSW gets
+    // from per-level link construction. Build-time maintenance on a
+    // member set that shrinks 8× per level (the global rank is over
+    // n/8^ℓ rows — at a billion vectors a production build would derive
+    // level links during construction; the serve-time walk below never
+    // touches it).
+    def ringEdges(lvl: Int): DataFrame = {
+      val members = prepQ(corpus).where(inLevel(col("vec_id"), lvl))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
+        .localCheckpoint(true)
+      val n = members.count()
+      val a = members.select(col("vec_id").as("u"), col("qv").as("av"),
+        col("nrm").as("anrm"), col("rn"))
+      val b = members.select(col("vec_id").as("nb"), col("qv").as("bv"),
+        col("nrm").as("bnrm"), col("rn").as("brn"))
+      val fwd = a.select(col("*"), explode(lit((1 to degree).toArray)).as("step"))
+        .join(b, col("brn") === pmod(col("rn") + col("step"), lit(n)))
+        .where(col("u") =!= col("nb"))
+        .select(col("u"), col("nb"),
+          cosineQ(dotLL(col("av"), col("bv")), col("anrm"), col("bnrm")).as("cos"))
+      fwd.unionByName(fwd.select(col("nb").as("u"), col("u").as("nb"), col("cos")))
+    }
+    def levelAdj(lvl: Int): DataFrame = {
+      if (lvl == 0) topPerU(edges)
+      else {
+        val restricted = edges
+          .where(inLevel(col("u"), lvl) && inLevel(col("nb"), lvl))
+        if (lvl == 1) topPerU(restricted)
+        else topPerU(restricted.unionByName(ringEdges(lvl)))
+      }
+    }
     val q = prepQ(queries).select(col("vec_id").as("query_id"),
       col("qv").as("qqv"), col("nrm").as("qnrm"))
     val scoreCands = candScorer(corpus, q)
-    // leg 1: wide-entry walk of the small upper graph
-    val entryIds = entrySeeds(uadj, nEntries)
+    // top level: md5-seeded wide-entry walk of the smallest graph
+    val topAdj = levelAdj(levels - 1)
+    val entryIds = entrySeeds(topAdj, nEntries)
     val entryScored = scoreCands(q.select(col("query_id"))
       .withColumn("cand_id", explode(lit(entryIds))))
     hopPlanProbe(entryScored)
-    val uvis0 = entryScored.localCheckpoint(true)
-    val uvis = walkFrom(scoreCands, uadj, uvis0,
-      uvis0.select("query_id", "cand_id"), upperHops, upperBeam)
-    // leg 2: each query's best entryK upper nodes seed the layer-0 walk;
-    // every upper score transfers into the visited set
+    val vis0 = entryScored.localCheckpoint(true)
+    var vis = walkFrom(scoreCands, topAdj, vis0,
+      vis0.select("query_id", "cand_id"), topHops, upperBeam)
+    // greedy descent: each level seeds the next from its best entryK;
+    // every score transfers (membership is nested)
     val we = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    val seeds = uvis.withColumn("rn", row_number().over(we))
-      .where(col("rn") <= entryK).select("query_id", "cand_id")
-    val vis = walkFrom(scoreCands, adj0, uvis, seeds, hops, beam)
+    def seedsOf(v: DataFrame): DataFrame =
+      v.withColumn("rn", row_number().over(we))
+        .where(col("rn") <= entryK).select("query_id", "cand_id")
+    for (lvl <- (levels - 2) to 1 by -1)
+      vis = walkFrom(scoreCands, levelAdj(lvl), vis, seedsOf(vis),
+        midHops, upperBeam)
+    vis = walkFrom(scoreCands, levelAdj(0), vis, seedsOf(vis), hops, beam)
     recordScored(vis)
     topKVisited(vis, k)
   }

@@ -34,6 +34,15 @@ object LayerProbe {
     val t2 = System.nanoTime()
     println(s"[layer] exact=$nExact flat_hits=$fh flat_scored=$fScored flat_sec=${(t1-t0)/1e9}")
     println(s"[layer] layered_hits=$lh layered_scored=$lScored lay_sec=${(t2-t1)/1e9}")
+    // the registered 3-level config (sim_graph_multilevel): guided mid
+    // level affords a NARROWER layer-0 beam (6 vs the 2-layer's 8)
+    val t2b = System.nanoTime()
+    val ml = Similarity.multilevelGraphSearch(q, g20, emb, levels = 3, k = 5,
+      beam = 6, hops = 2, degree = 5, upperBeam = 4, topHops = 2,
+      midHops = 2, entryK = 2, nEntries = 2)
+    val mh = hits(ml); val mScored = Similarity.lastScoredCount
+    println(s"[layer] multilevel_hits=$mh multilevel_scored=$mScored " +
+      s"ml_sec=${(System.nanoTime()-t2b)/1e9}")
     spark.stop()
   }
 }

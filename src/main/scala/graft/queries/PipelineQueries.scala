@@ -1636,6 +1636,90 @@ object PipelineQueries {
           FROM zvis2 WHERE cand_id <> query_id)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- 3-LEVEL HNSW hierarchy (VERDICT r12 next #3) ----
+    // sim_graph_layered generalized toward log-n levels: level 2 is the
+    // nested md5 1/64 sample (first TWO hex chars in {'0','1'} — each
+    // level a deterministic 1/8 of the one below, HNSW §3.3's geometric
+    // assignment), its adjacency the top-5 re-rank of member-restricted
+    // build edges ∪ a deterministic md5-RING backbone scored exactly
+    // (8^ℓ-sampled member pairs rarely co-occur in a build-depth top-20
+    // list — the backbone is the connectivity HNSW gets from per-level
+    // link construction, built on a member set that shrinks 8× per
+    // level). The serve descends greedily — a 2-entry scan of the tiny
+    // top graph, a 2-hop guided walk of level 1, then layer 0 at beam 6,
+    // NARROWER than the 2-layer serve's 8 because the entries are
+    // already in-region: measured 60 hits/1331 scored vs the 2-layer's
+    // 55/1499 at sf0.01, 94/6312 vs 67/6462 at 10× — more recall from
+    // fewer scored candidates at both scales (NonTrivialitySpec-pinned).
+    QueryDef("sim_graph_multilevel",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val buildGraph = Staging.parquetMemo(s, s"$dir#nnd_graph20")(
+          Similarity.nnDescent(emb, k = 20, rounds = 3,
+            nPlanes = 8, buildK = 20))
+        Similarity.multilevelGraphSearch(emb.where(col("vec_id") % 20 === 0),
+          buildGraph, emb, levels = 3, k = 5, beam = 6, hops = 2,
+          degree = 5, upperBeam = 4, topHops = 2, midHops = 2,
+          entryK = 2, nEntries = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $QuantCte, $LshBucketCte,
+        $NnDescentCtes,
+        ladj AS MATERIALIZED (SELECT u, v FROM (
+                 SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM n3) WHERE rn <= 5),
+        u1adj AS MATERIALIZED (SELECT u, v FROM (
+                 SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM n3
+                 WHERE substr(md5(CAST(u AS VARCHAR)), 1, 1) IN ('0', '1')
+                   AND substr(md5(CAST(v AS VARCHAR)), 1, 1) IN ('0', '1'))
+               WHERE rn <= 5),
+        mem2 AS MATERIALIZED (SELECT vec_id, v, nrm,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   vec_id) - 1 AS rn
+               FROM qn
+               WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                 AND substr(md5(CAST(vec_id AS VARCHAR)), 2, 1) IN ('0', '1')),
+        r2f AS (SELECT a.vec_id AS u, b.vec_id AS v,
+                  ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
+                FROM mem2 a
+                     CROSS JOIN (SELECT count(*) AS n FROM mem2) cnt
+                     CROSS JOIN (SELECT unnest(range(1, 6)) AS step) st
+                JOIN mem2 b ON b.rn = (a.rn + st.step) % cnt.n
+                WHERE a.vec_id <> b.vec_id),
+        l2e AS (SELECT u, v, cos FROM n3
+               WHERE u IN (SELECT vec_id FROM mem2)
+                 AND v IN (SELECT vec_id FROM mem2)
+               UNION ALL SELECT u, v, cos FROM r2f
+               UNION ALL SELECT v AS u, u AS v, cos FROM r2f),
+        u2adj AS MATERIALIZED (SELECT u, v FROM (
+                 SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM l2e) WHERE rn <= 5),
+        uq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 20 = 0),
+        ${graphWalkSql("u", "u2adj", hops = 2, beam = 4, nEntries = 2)},
+        yq AS (SELECT * FROM uq),
+        yvis0 AS MATERIALIZED (SELECT query_id, cand_id, cos FROM uvis2),
+        yfr0 AS (SELECT query_id, cand_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, cand_id) AS rn FROM uvis2)
+                 WHERE rn <= 2),
+        ${(1 to 2).map(graphHopSql("y", "u1adj", _, 4)).mkString(",\n")},
+        zq AS (SELECT * FROM uq),
+        zvis0 AS MATERIALIZED (SELECT query_id, cand_id, cos FROM yvis2),
+        zfr0 AS (SELECT query_id, cand_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, cand_id) AS rn FROM yvis2)
+                 WHERE rn <= 2),
+        ${(1 to 2).map(graphHopSql("z", "ladj", _, 6)).mkString(",\n")}
+        SELECT query_id, rank, neighbor_id, cos FROM (
+          SELECT query_id, cand_id AS neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, cand_id) AS rank
+          FROM zvis2 WHERE cand_id <> query_id)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- graph-index ADD without rebuilding: insert by search, probe ----
     // The graph family's add-without-retrain leg, completing the trio the
     // IVF and PQ indexes already have (VERDICT r9 next #8): the HISTORY

@@ -180,6 +180,18 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"layer routing lost recall: $layHits < $flatHits of ${exact.count()}")
     assert(layScored < flatScored,
       s"layer routing scored MORE candidates: $layScored >= $flatScored")
+    // round 13 (VERDICT r12 next #3): the 3-LEVEL hierarchy must beat the
+    // 2-layer serve on BOTH axes — the guided mid-level descent affords a
+    // narrower layer-0 beam (6 vs 8). Measured 60/1331 vs 55/1499 here,
+    // 94/6312 vs 67/6462 at the 10× probe (PLANS.md round-13 table).
+    val mlHits = hits(S.multilevelGraphSearch(q, g20, emb, levels = 3,
+      k = 5, beam = 6, hops = 2, degree = 5, upperBeam = 4, topHops = 2,
+      midHops = 2, entryK = 2, nEntries = 2))
+    val mlScored = S.lastScoredCount
+    assert(mlHits >= layHits,
+      s"3-level descent lost recall vs 2-layer: $mlHits < $layHits")
+    assert(mlScored < layScored,
+      s"3-level descent scored MORE than 2-layer: $mlScored >= $layScored")
   }
 
   test("sim_graph_search recall dominates the IVF probe's on the same query set") {

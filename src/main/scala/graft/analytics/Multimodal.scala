@@ -40,6 +40,31 @@ final case class ResizedImage(
     roundtrip_digest: Long,
     png_bytes: Long)
 
+/** One LOSSY-encoded image row: real JPEG bytes plus the source text the
+  * drift audit replays the pre-encoding raster from (a real pipeline
+  * carries the original asset reference the same way).
+  */
+final case class LossyImage(
+    doc_id: Long,
+    media: Array[Byte],
+    format: String,
+    src_text: String)
+
+/** Output of the lossy-decode INVARIANT audit — the oracle design real
+  * (JPEG/MP3/H.264) corpora force: exact pixel replay is impossible, so
+  * the gate is dims + double-decode determinism + a bounded mean-pixel
+  * drift against the pre-encoding raster (integer milli-gray-levels).
+  */
+final case class LossyFeature(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    n_px: Long,
+    jpeg_magic: Boolean,
+    decode_agree: Boolean,
+    drift_ok: Boolean,
+    drift_milli: Long)
+
 /** Output of the audio frame-energy stage (audio-ish stub). */
 final case class AudioEnergy(
     doc_id: Long,
@@ -223,6 +248,88 @@ object Multimodal {
           }
         }
       }
+  }
+
+  private def toJpeg(px: Array[Int], w: Int, h: Int, quality: Float): Array[Byte] = {
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < px.length) { raster.setSample(i % w, i / w, 0, px(i)); i += 1 }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Ingest stage for the LOSSY lane (VERDICT r12 next #4): the same
+    * per-doc raster synthesis as [[withEncodedImage]], but encoded to
+    * REAL JPEG streams (`javax.imageio`'s JFIF writer at an explicit
+    * quality factor) — the codec family real corpora are dominated by,
+    * where decode is approximate and byte-exact oracles are impossible.
+    */
+  def withEncodedJpeg(spark: SparkSession, docs: DataFrame,
+      quality: Float = 0.7f): Dataset[LossyImage] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          LossyImage(id, toJpeg(pixelsOf(b), ImgW, ImgH, quality),
+            "image/jpeg", text)
+        }
+      }
+  }
+
+  /** The lossy-decode INVARIANT audit: decode every JPEG stream TWICE
+    * through ImageIO and measure it against the pre-encoding raster.
+    * Byte equality is gone (DCT quantization), so the gates are the ones
+    * a production media pipeline actually checks:
+    *  - container magic (JFIF SOI `FF D8`) and exact dims survive;
+    *  - double-decode agreement — decoding is a pure function of the
+    *    stream (catches torn/nondeterministic decoder states);
+    *  - bounded mean-pixel drift vs the original raster, in integer
+    *    MILLI-gray-levels (sum |decoded − original| · 1000 / n_px) —
+    *    quantization noise passes, corruption (which shifts whole DCT
+    *    blocks) blows the band. MultimodalSpec proves the band catches
+    *    a corrupted stream and that the lane is genuinely lossy.
+    * All reported facts are invariants with oracle-predictable values;
+    * `drift_milli` itself is encoder-dependent, so the REGISTERED row
+    * projects it away (the spec consumes it).
+    */
+  def decodeLossyFeatures(spark: SparkSession, media: Dataset[LossyImage],
+      toleranceMilli: Long, batchSize: Int = 64): Dataset[LossyFeature] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { li =>
+          val magic = li.media.length > 2 &&
+            (li.media(0) & 0xff) == 0xff && (li.media(1) & 0xff) == 0xd8
+          val (w1, h1, px1) = fromPng(li.media) // ImageIO dispatches on magic
+          val (w2, h2, px2) = fromPng(li.media)
+          val agree = w1 == w2 && h1 == h2 && java.util.Arrays.equals(px1, px2)
+          val orig = pixelsOf(li.src_text
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var absSum = 0L
+          var i = 0
+          while (i < px1.length) {
+            absSum += math.abs(px1(i) - orig(i))
+            i += 1
+          }
+          val driftMilli = absSum * 1000L / px1.length
+          LossyFeature(li.doc_id, w1, h1, px1.length.toLong, magic, agree,
+            driftMilli <= toleranceMilli, driftMilli)
+        }
+      }
+    }
   }
 
   /** Attach a binary media column + typed metadata to the documents table.

@@ -114,6 +114,34 @@ object StreamMultimodalQueries {
                dg AS resized_digest, dg AS roundtrip_digest
         FROM d ORDER BY doc_id""")),
 
+    // ---- multimodal: LOSSY codec lane (VERDICT r12 next #4) ----
+    // Real corpora are JPEG/MP3/H.264-dominated — decode is approximate,
+    // so the exact-pixel oracle discipline of the PNG/WAV/GIF lanes
+    // cannot apply. This row runs the lane production pipelines actually
+    // need: encode every raster to a REAL JPEG stream (javax.imageio
+    // JFIF writer, explicit q=0.7), decode each stream TWICE through
+    // ImageIO, and gate on INVARIANTS with oracle-predictable values —
+    // container magic + exact dims survive, double-decode agrees
+    // bit-for-bit (decode is a pure function of the stream), and the
+    // mean-pixel drift vs the pre-encoding raster stays inside a 12
+    // gray-level band (observed q=0.7 drift: 1.7–6.1 levels; corruption
+    // shifts whole DCT blocks and blows the band — MultimodalSpec proves
+    // both directions). The encoder-dependent drift_milli itself is
+    // projected away; the booleans are the oracle-checkable facts.
+    QueryDef("mm_lossy_features",
+      (s, dir) => Multimodal.decodeLossyFeatures(s,
+        Multimodal.withEncodedJpeg(s, Tables.documents(s, dir), quality = 0.7f),
+        toleranceMilli = 12000L)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("jpeg_magic"), col("decode_agree"), col("drift_ok"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+               CAST(1024 AS BIGINT) AS n_px,
+               TRUE AS jpeg_magic, TRUE AS decode_agree, TRUE AS drift_ok
+        FROM documents ORDER BY doc_id""")),
+
     // ---- multimodal: frame demux + sampling through a REAL container ----
     // The media column holds actual multi-frame animated GIFs written by
     // javax.imageio on the executors (8×8 gray frames, identity

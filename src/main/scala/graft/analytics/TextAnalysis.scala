@@ -256,6 +256,39 @@ object TextAnalysis {
       batchM: Int = 8, poolK: Int = 48, maxRounds: Int = 96): DataFrame =
     bpeBatchedLoop(bigramUnits(docs), maxRounds, batchM, poolK, targetMerges)
 
+  /** Fixed-width char-chunk pre-tokenization for the VOCAB-SCALE drive
+    * (VERDICT r12 next #7): spaces become the SentencePiece word-boundary
+    * marker `_` and the marked text splits into NON-overlapping `n`-char
+    * chunks (ragged tail kept). Why this stream: [[bigramUnits]] over the
+    * 30-word synthetic vocabulary saturates near 300 rules (two-word
+    * units exhaust their internal pair supply), while char chunks make
+    * the unit population phrase-combinatorial (~5.5 k distinct 8-char
+    * chunks on the test corpus) with a merge supply in the thousands —
+    * and because chunks cross word boundaries, the trained rules include
+    * the `x_` / `_y` boundary merges a no-hard-split tokenizer learns.
+    * Non-overlap keeps the frequency table an honest partition of the
+    * corpus (a sliding window would count each char position n times).
+    */
+  private[graft] def charChunkUnits(docs: DataFrame, n: Int = 8): DataFrame =
+    docs.select(translate(col("text"), " ", "_").as("t"))
+      .select(explode(expr(
+        s"transform(sequence(1, greatest((length(t) + ${n - 1}) div $n, 1)), " +
+          s"i -> substring(t, CAST((i - 1) * $n + 1 AS INT), $n))")).as("word"))
+
+  /** VOCAB-SCALE training drive (VERDICT r12 next #7): the batched loop
+    * over [[charChunkUnits]] to a 1024-rule merge table — past the point
+    * where every earlier unit stream saturates ([[bigramUnits]] feeds
+    * [[bpeTrainScaled]]'s 256 but exhausts soon after). Acceptance is
+    * clash-limited in the tail (~10 rules/round regardless of batchM), so
+    * 1024 rules is ~110 driver-sequential rounds; per-round cost stays
+    * vocab-sized throughout — the pair explode starts at ~38 k weighted
+    * rows and SHRINKS to ~6 k as merges consume positions (PLANS.md
+    * round-13 cost table, captured from [[lastRoundCosts]]).
+    */
+  def bpeTrainDeep(docs: DataFrame, targetMerges: Int = 1024,
+      batchM: Int = 16, poolK: Int = 96, maxRounds: Int = 160): DataFrame =
+    bpeBatchedLoop(charChunkUnits(docs), maxRounds, batchM, poolK, targetMerges)
+
   /** Per-round telemetry from the LAST [[bpeBatchedLoop]] run on this
     * driver: (round, accepted_merges, pair_rows_exploded, seconds).
     * Observability seam (the FooterCache-counters pattern) — feeds the

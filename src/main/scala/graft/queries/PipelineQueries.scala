@@ -2132,6 +2132,46 @@ object PipelineQueries {
           .mkString(" UNION ALL ")})
         ORDER BY round, sel_rank""")),
 
+    // ---- BPE training at VOCAB scale (VERDICT r12 next #7) ----
+    // The batched loop driven to a 1024-RULE merge table over char-chunk
+    // units (spaces -> the `_` boundary marker, non-overlapping 8-char
+    // chunks): every earlier unit stream saturates below this depth —
+    // word-internal merges exhaust at 89 rules on the synthetic 30-word
+    // vocabulary and the scaled row's two-word units soon after 256 —
+    // while the phrase-combinatorial chunk population (~5.5 k distinct
+    // units) sustains 1024 with pair supply to spare. Acceptance is
+    // clash-limited in the tail, so the drive is ~110 driver-sequential
+    // rounds; round cost stays VOCAB-sized throughout (pair explode
+    // shrinks ~38 k -> ~6 k weighted rows over training — the PLANS.md
+    // round-13 cost table). Driver gate: the same prefix-stability
+    // argument as tx_bpe_train_scaled — the returned rows are the
+    // drive's first-4-rounds prefix, replayed exactly by a 4-round
+    // unrolled batched-merge oracle over the same chunk units; the FULL
+    // 1024-rule table is still computed here (the benched cost is the
+    // whole drive) and Round13Spec replays every rule against a
+    // sequential driver reference.
+    QueryDef("tx_bpe_train_deep",
+      (s, dir) => TextAnalysis.bpeTrainDeep(Tables.documents(s, dir),
+          targetMerges = 1024, batchM = 16, poolK = 96)
+        .where(col("round") <= 4)
+        .orderBy("round", "sel_rank"),
+      Some(s"""
+        WITH w0 AS (SELECT word, count(*) AS f FROM (
+               SELECT unnest(list_transform(range(0, (length(t) + 7) // 8),
+                 i -> substr(t, CAST(i * 8 + 1 AS INT), 8))) AS word
+               FROM (SELECT replace(text, ' ', '_') AS t FROM documents))
+             WHERE length(word) >= 2 GROUP BY 1),
+        v0 AS MATERIALIZED (SELECT word, f,
+               list_transform(range(1, length(word)+1),
+                 i -> substr(word, CAST(i AS INT), 1)) AS toks
+             FROM w0),
+        ${(1 to 4).map(bpeBatchRoundSql(_, 16, 96)).mkString(",\n        ")}
+        SELECT * FROM (${(1 to 4).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, CAST(ark AS BIGINT) AS sel_rank, " +
+            s"a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM m$r")
+          .mkString(" UNION ALL ")})
+        ORDER BY round, sel_rank""")),
+
     // ---- BPE encode: tokenize the corpus under the trained merges ----
     // The deployment leg next to tx_bpe_train: BPE merges act WITHIN
     // words, so the trained vocabulary's word→subwords mapping encodes

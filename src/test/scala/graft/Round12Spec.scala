@@ -114,12 +114,18 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairVols.forall(_ > 0L))
     assert(pairVols.last <= pairVols.head,
       s"pair volume grew over training: ${pairVols.head} -> ${pairVols.last}")
-    // and no round may cost an order of magnitude more than the median —
-    // the "where does per-round cost go" question answered with a bound
-    val secs = costs.map(_._4).sorted
-    val median = secs(secs.size / 2)
-    assert(secs.last <= median * 10 + 1.0,
-      s"a round spiked to ${secs.last}s vs median ${median}s")
+    // and LATE rounds may not cost more than EARLY rounds — the "does
+    // per-round cost grow with the rule table" question. Medians of the
+    // first/last 10 post-warmup rounds, not a per-round max: a single
+    // round's wall clock absorbs GC pauses and host contention (observed
+    // 18× one-round spikes with identical code), while a genuine
+    // per-round cost growth shifts the whole tail.
+    val secs = costs.drop(1).map(_._4)
+    def med(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
+    val head = med(secs.take(10))
+    val tail = med(secs.takeRight(10))
+    assert(tail <= head * 3 + 1.0,
+      s"late rounds cost ${tail}s vs early ${head}s — round cost grew with training")
   }
 
   test("bigramUnits pairs consecutive words and keeps an odd tail alone") {

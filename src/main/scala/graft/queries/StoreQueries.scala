@@ -209,6 +209,47 @@ object StoreQueries {
       st
     })
 
+  /** [[compactedStoreFor]]'s staging with the compaction run in LAYOUT
+    * mode — `compact(zorder = true)`, the store-integrated `OPTIMIZE …
+    * ZORDER BY (tag, ts)` (VERDICT r12 next #5). Small `zorderRowsPerFile`
+    * forces each hour partition into a RUN of zone-mapped files so the
+    * layout actually exercises the file roll at test scale (at 100 TB the
+    * same knob targets ~128 MB files).
+    */
+  private def zorderCompactedStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
+    stores.computeIfAbsent(dir + "#zcompacted", { _ =>
+      val root = Files.createTempDirectory("graft-storez").toString
+      // DAY partitions, not the hour width the other staged stores use:
+      // intra-window clustering only has something to cluster when a
+      // window holds many rows — hour windows at test scale are a handful
+      // of rows each (exactly the regime where plain compaction's one
+      // file per dir is already optimal and zorder mode buys nothing)
+      val st = new TimeSeriesStore(s, root,
+        StoreSettings(partitionWidth = 86400000L))
+      st.initialize()
+      val slice = Tables.events(s, dir)
+        .where(col("ts_ms").between(day(0), day(3)))
+      st.writeSamplesDistributed(slice.select(
+        col("event_type").as("tag"),
+        col("ts_ms").as("ts"),
+        col("value").cast("string").as("value"),
+        lit(1L).as("ingestTs"),
+        lit("w1").as("writerId"),
+        col("event_id").as("seq")))
+      st.writeSamplesDistributed(slice
+        .where(col("event_id") % 3 === 0)
+        .select(
+          col("event_type").as("tag"),
+          col("ts_ms").as("ts"),
+          (col("value") * 2).cast("string").as("value"),
+          lit(2L).as("ingestTs"),
+          lit("w2").as("writerId"),
+          col("event_id").as("seq")))
+      st.compact(minFiles = 2, applyLww = true, zorder = true,
+        zorderRowsPerFile = 64L)
+      st
+    })
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- pruned scan over the store's own Hive layout ----
@@ -372,6 +413,49 @@ object StoreQueries {
     QueryDef("ts_compact_roundtrip",
       (s, dir) => {
         compactedStoreFor(s, dir).hotDF
+          .groupBy(col("tag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ts")).as("min_ts_ms"), max(col("ts")).as("max_ts_ms"),
+            sum(floor(col("value").cast("double") * 100 + lit(0.5)).cast("long"))
+              .as("sum_cents"))
+          .orderBy("tag")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, event_id,
+                 value, 1 AS ingest_ts
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}
+          UNION ALL
+          SELECT event_type, epoch_ms(ts), event_id, value * 2, 2
+          FROM events
+          WHERE event_id % 3 = 0 AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY tag, ts_ms
+                ORDER BY ingest_ts DESC, event_id DESC) AS rn
+              FROM m)
+        SELECT tag, count(*) AS n,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM w WHERE rn = 1
+        GROUP BY tag ORDER BY tag""")),
+
+    // ---- store-integrated OPTIMIZE ZORDER, gated like the plain one ----
+    // The SAME staged double-ingest, but compact ran in LAYOUT mode
+    // (`zorder = true`, day partitions, a 64-row file roll): every
+    // surviving row was Morton-keyed over (tag hash, window-normalized
+    // fine ts), sorted, and rolled into a run of zone-mapped files per
+    // partition dir. The raw hot scan below must STILL replay the LWW
+    // winners exactly — the layout job may move every row but change
+    // none (lost rows, resurrected superseded members, a corrupted
+    // key projection leaking into the data, or a mis-rolled file all
+    // diverge). The skipping delta the layout buys on the store's own
+    // files — contiguous non-overlapping per-file ts ranges inside each
+    // window vs batch files that each span the whole window — is pinned
+    // in Round13Spec via Layout.skippingAudit (VERDICT r12 next #5).
+    QueryDef("ts_zorder_compact",
+      (s, dir) => {
+        zorderCompactedStoreFor(s, dir).hotDF
           .groupBy(col("tag"))
           .agg(count(lit(1)).as("n"),
             min(col("ts")).as("min_ts_ms"), max(col("ts")).as("max_ts_ms"),

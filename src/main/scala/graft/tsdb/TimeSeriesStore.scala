@@ -88,7 +88,20 @@ final class TimeSeriesStore(
       * and contention wait — see [[MaintenanceLease]]; test-overridable.
       */
     val leaseTtlMs: Long = 60000L,
-    val leaseWaitMs: Long = 30000L) {
+    val leaseWaitMs: Long = 30000L,
+    /** Obsolete-file grace window for SHARED-ROOT deployments (VERDICT
+      * r12 next #9): partition rewrites and L0 flushes PUBLISH their new
+      * files first and only retire the superseded ones after this many
+      * ms, via a GC ledger any process may sweep — so a concurrent
+      * READER process whose resolved file listing is up to `grace` ms
+      * stale never hits a vanished file, and every intermediate state
+      * (old, old∪new, new) is LWW-read-equivalent. This is the LSM /
+      * table-format obsolete-file discipline (Iceberg's
+      * expire-snapshots); `0` (the single-process default) retires
+      * immediately — still publish-then-retire, so even then no reader
+      * ever observes an ABSENT partition mid-rewrite.
+      */
+    val obsoleteGraceMs: Long = 0L) {
 
   import Limits._
 
@@ -103,6 +116,19 @@ final class TimeSeriesStore(
   private val activityDir: Path = nsRoot.resolve("activity")
   private val queueDir: Path = nsRoot.resolve("queue")
   private val tmpDir: Path = nsRoot.resolve("tmp")
+  /** GC ledger for deferred obsolete-file retirement (one `.list` file
+    * per retiring mutation, named `<clock>-<seq>-<writerId>.list`, each
+    * line an absolute path). Swept under the maintenance lease by ANY
+    * process once older than [[obsoleteGraceMs]].
+    */
+  private val gcDir: Path = nsRoot.resolve("gc")
+  /** Cross-PROCESS change stamp: rewritten on every mutation by the
+    * mutating process; readers key their cached tier DataFrames on it, so
+    * a foreign process's flush/compact/ack invalidates this process's
+    * resolved file listings at the next read (the in-memory
+    * [[storeVersion]] can only see our own mutations).
+    */
+  private val stampFile: Path = nsRoot.resolve("version")
 
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
 
@@ -119,6 +145,8 @@ final class TimeSeriesStore(
     */
   private val storeVersion = new AtomicLong(0L)
   @volatile private var cachedTiers: Option[(Long, DataFrame, DataFrame, DataFrame)] = None
+  /** Disk stamp the cached tiers were resolved under (see [[stampFile]]). */
+  @volatile private var cachedStamp: String = ""
 
   /** Injectable clock (tests need controllable ingest/purge times). */
   @volatile var clock: () => Long = () => System.currentTimeMillis()
@@ -162,11 +190,45 @@ final class TimeSeriesStore(
 
   /** `Files.walk`/`Files.list` streams hold directory handles until closed —
     * every traversal goes through these so no descriptor leaks.
+    *
+    * Walks use `walkFileTree` with `visitFileFailed → CONTINUE` instead of
+    * `Files.walk`: on a SHARED root, another process's post-grace GC sweep
+    * may legitimately delete a file between this walk listing it and
+    * statting it, and `Files.walk`'s stream then dies mid-iteration with
+    * an `UncheckedIOException` (observed from a foreign writer's
+    * `hotBytes` rebuild). A vanished entry is always safe to skip here:
+    * deletion only ever happens to files whose rows are already live in
+    * their replacements.
     */
   private def withWalk[A](dir: Path, maxDepth: Int = Int.MaxValue)(f: Iterator[Path] => A): A = {
-    val s = Files.walk(dir, maxDepth)
-    try f(s.iterator().asScala) finally s.close()
+    import java.nio.file.{FileVisitResult, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Path]
+    if (Files.exists(dir)) {
+      Files.walkFileTree(dir,
+        java.util.EnumSet.noneOf(classOf[java.nio.file.FileVisitOption]),
+        maxDepth, new SimpleFileVisitor[Path] {
+          override def preVisitDirectory(d: Path, a: BasicFileAttributes): FileVisitResult = {
+            acc += d; FileVisitResult.CONTINUE
+          }
+          override def visitFile(p: Path, a: BasicFileAttributes): FileVisitResult = {
+            acc += p; FileVisitResult.CONTINUE
+          }
+          override def visitFileFailed(p: Path, e: java.io.IOException): FileVisitResult =
+            FileVisitResult.CONTINUE // vanished mid-walk (foreign GC sweep)
+          override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult =
+            FileVisitResult.CONTINUE
+        })
+    }
+    f(acc.iterator)
   }
+
+  /** `Files.size` tolerant of a file vanishing to a foreign process's GC
+    * sweep between listing and stat — 0 for a vanished file (its bytes
+    * live on in its replacement; every caller uses sizes advisorily).
+    */
+  private def sizeOrZero(p: Path): Long =
+    try Files.size(p) catch { case _: java.io.IOException => 0L }
 
   private def withList[A](dir: Path)(f: Iterator[Path] => A): A = {
     val s = Files.list(dir)
@@ -212,6 +274,7 @@ final class TimeSeriesStore(
     Files.createDirectories(activityDir)
     Files.createDirectories(queueDir)
     Files.createDirectories(tmpDir)
+    Files.createDirectories(gcDir)
     val settingsFile = nsRoot.resolve("settings.json")
     if (!Files.exists(settingsFile)) {
       try Files.write(settingsFile, settings.canonicalJson.getBytes(StandardCharsets.UTF_8))
@@ -330,7 +393,14 @@ final class TimeSeriesStore(
     requireInitialized()
     if (samples.isEmpty) return // no zero-row L0 files, no min-of-empty throw
     val file = l0Dir.resolve(s"l0-${clock()}-${seqCounter.get()}-$writerId.parquet")
-    val bytes = ParquetIO.writeSamples(file, samples, partitionStartOf, hadoopConf)
+    // write-then-rename: another PROCESS's flush may list this directory
+    // at any instant, and parquet-java writes the footer last — a direct
+    // write would expose a torn file (observed: a foreign maintainer
+    // crashed on a 0-length L0 batch mid-write). The `.tmp` suffix keeps
+    // it out of every `.parquet` listing until the atomic move.
+    val tmp = l0Dir.resolve(file.getFileName.toString + ".tmp")
+    val bytes = ParquetIO.writeSamples(tmp, samples, partitionStartOf, hadoopConf)
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE)
     l0Meta(file.getFileName.toString) =
       L0Meta(samples.iterator.map(_.ts).min, samples.iterator.map(_.ts).max,
         samples.iterator.map(_.tag).toSet)
@@ -417,7 +487,22 @@ final class TimeSeriesStore(
 
   private def l0FileList(): Seq[Path] =
     if (!Files.exists(l0Dir)) Seq.empty
-    else withList(l0Dir)(_.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    else {
+      // ledger-pending files are already flushed (their rows live in the
+      // partitioned tier) — re-listing them would re-flush their rows
+      val pending = pendingObsolete()
+      withList(l0Dir)(_.filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !pending.contains(p.toAbsolutePath.normalize)).toSeq)
+    }
+
+  /** The dir's data files minus any awaiting GC retirement — what every
+    * maintenance operation must treat as the partition's live content.
+    */
+  private def liveParquetFiles(dir: Path): Seq[Path] = {
+    val pending = pendingObsolete()
+    withList(dir)(_.filter(p => p.getFileName.toString.endsWith(".parquet") &&
+      !pending.contains(p.toAbsolutePath.normalize)).toSeq)
+  }
 
   /** In-memory L0 manifest: file name → (minTs, maxTs, tags). Known at
     * write time for our own files; lets the point-read fast path skip L0
@@ -447,6 +532,7 @@ final class TimeSeriesStore(
   def flushL0(): Int = mutationLock.synchronized {
     requireInitialized()
     maintenanceLease.withLease {
+    gcSweep() // retire grace-expired files (any process's ledger entries)
     val files = l0FileList()
     if (files.isEmpty) return 0
     val totalBytes = files.map(Files.size(_)).sum
@@ -474,9 +560,12 @@ final class TimeSeriesStore(
             override def run(): Unit = {
               val dir = hotDir.resolve(tagDirName(tag)).resolve(s"partition_start=$pStart")
               Files.createDirectories(dir)
-              ParquetIO.writePartFile(
-                dir.resolve(s"part-$stamp-$writerId.parquet"),
-                rows.toSeq, hadoopConf)
+              // write-then-rename into the LIVE dir (see writeSamples):
+              // foreign readers/maintainers list it concurrently
+              val name = s"part-$stamp-$writerId.parquet"
+              val tmp = dir.resolve(name + ".tmp")
+              ParquetIO.writePartFile(tmp, rows.toSeq, hadoopConf)
+              Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
             }
           })
         }
@@ -494,10 +583,12 @@ final class TimeSeriesStore(
         .write.mode("append").partitionBy("tag", "partition_start")
         .parquet(hotDir.toString)
     }
-    files.foreach { f =>
-      Files.deleteIfExists(f)
-      l0Meta.remove(f.getFileName.toString)
-    }
+    // publish-then-retire: the partitioned copies are live above; the L0
+    // originals retire through the grace ledger so a foreign reader's
+    // stale listing never hits a vanished file (transient double-count is
+    // LWW-identical — same member, same provenance)
+    retireFiles(files)
+    files.foreach(f => l0Meta.remove(f.getFileName.toString))
     partSizesFresh = false // L1 grew by an unknown per-partition split
     bumpVersion()
     files.size
@@ -524,7 +615,7 @@ final class TimeSeriesStore(
     val dir = hotDir.resolve(tagDirName(tag)).resolve(s"partition_start=$pStart")
     if (!Files.exists(dir)) partSizes.remove(partSizeKey(tag, pStart))
     else partSizes(partSizeKey(tag, pStart)) =
-      withWalk(dir)(_.filter(Files.isRegularFile(_)).map(Files.size).sum)
+      withWalk(dir)(_.filter(Files.isRegularFile(_)).map(sizeOrZero).sum)
   }
 
   /** Hot-store physical size in bytes (the memory/backpressure signal,
@@ -541,10 +632,10 @@ final class TimeSeriesStore(
           // files under tag=T/partition_start=P/ accrue to that partition;
           // root-level commit markers (_SUCCESS) under a catch-all key
           val key = if (rel.getNameCount >= 3) rel.subpath(0, 2).toString else "__root__"
-          partSizes(key) = partSizes.getOrElse(key, 0L) + Files.size(p)
+          partSizes(key) = partSizes.getOrElse(key, 0L) + sizeOrZero(p)
         }
       }
-      l0Bytes = l0FileList().map(Files.size(_)).sum
+      l0Bytes = l0FileList().map(sizeOrZero).sum
       partSizesFresh = true
     }
     partSizes.valuesIterator.sum + l0Bytes
@@ -584,12 +675,114 @@ final class TimeSeriesStore(
     }
   }
 
-  /** Every mutation lands here: bump the tier-cache key and refresh any
+  /** Every mutation lands here: bump the tier-cache key, advertise the
+    * change to OTHER processes via the disk stamp, and refresh any
     * registered SQL views so they keep reflecting the live store.
     */
   private def bumpVersion(): Unit = {
     storeVersion.incrementAndGet()
+    writeStamp()
     refreshViews()
+  }
+
+  /** Write the cross-process change stamp. Unique content per mutation
+    * (writer, wall clock, local version); a plain overwrite — a torn
+    * concurrent read just mismatches the cached value and triggers a
+    * harmless refresh.
+    */
+  private def writeStamp(): Unit =
+    try Files.write(stampFile,
+      s"$writerId-${clock()}-${storeVersion.get()}"
+        .getBytes(StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
+
+  private def diskStamp(): String =
+    try new String(Files.readAllBytes(stampFile), StandardCharsets.UTF_8)
+    catch { case _: java.io.IOException => "" }
+
+  // --------------------------------------------- obsolete-file retirement
+
+  /** Retire superseded files: immediately when [[obsoleteGraceMs]] is 0
+    * (single-process mode — but always AFTER the replacement files are
+    * live, so no reader observes an absent partition), else via a GC
+    * ledger entry that [[gcSweep]] honors once the grace has passed.
+    */
+  private def retireFiles(paths: Seq[Path]): Unit =
+    if (paths.nonEmpty) {
+      if (obsoleteGraceMs <= 0L) paths.foreach(deleteAndPruneDirs)
+      else {
+        Files.createDirectories(gcDir)
+        val entry = gcDir.resolve(
+          s"${clock()}-${seqCounter.incrementAndGet()}-$writerId.list")
+        Files.write(entry,
+          paths.map(_.toAbsolutePath.normalize.toString).mkString("\n")
+            .getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+  /** Absolute paths awaiting retirement (any process's ledger entries) —
+    * excluded from compaction inputs, purge snapshots, and the L0 flush
+    * so a superseded file is never re-processed during its grace.
+    */
+  private def pendingObsolete(): Set[Path] =
+    if (!Files.exists(gcDir)) Set.empty
+    else withList(gcDir)(_.filter(_.getFileName.toString.endsWith(".list")).toSeq)
+      .flatMap { e =>
+        try new String(Files.readAllBytes(e), StandardCharsets.UTF_8)
+          .split('\n').toSeq.filter(_.nonEmpty)
+          .map(s => Paths.get(s).toAbsolutePath.normalize)
+        catch { case _: java.io.IOException => Seq.empty }
+      }.toSet
+
+  /** Delete a retired file and prune its now-empty partition/tag dirs
+    * (the index cleanup ack-purge.lua:21-23 does; racing cleanups and
+    * already-deleted files are ignorable — retirement is idempotent).
+    */
+  private def deleteAndPruneDirs(p: Path): Unit = {
+    try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+    val stops = Set(hotDir, coldDir, l0Dir).map(_.toAbsolutePath.normalize)
+    var d = p.getParent
+    // prune at most partition dir + tag dir; never the tier root
+    var depth = 0
+    while (d != null && depth < 2 && !stops.contains(d.toAbsolutePath.normalize) &&
+        (try Files.exists(d) && withList(d)(!_.hasNext) catch { case _: java.io.IOException => false })) {
+      try Files.delete(d) catch { case _: java.io.IOException => () }
+      d = d.getParent
+      depth += 1
+    }
+  }
+
+  /** Sweep the GC ledger: delete the files of every entry older than
+    * [[obsoleteGraceMs]] (all entries when `force`), then the entries.
+    * Runs at every maintenance entry point under the lease; also public
+    * so a shared-root operator (or a staging harness that is about to
+    * run a RAW file-level scan) can retire eagerly.
+    *
+    * @return number of ledger entries swept
+    */
+  def gcSweep(force: Boolean = false): Int = mutationLock.synchronized {
+    if (!Files.exists(gcDir)) return 0
+    maintenanceLease.withLease {
+      val now = clock()
+      val entries = withList(gcDir)(_
+        .filter(_.getFileName.toString.endsWith(".list")).toSeq)
+        .filter { e =>
+          force || {
+            val ts = e.getFileName.toString.takeWhile(_ != '-')
+            try now - ts.toLong >= obsoleteGraceMs
+            catch { case _: NumberFormatException => true }
+          }
+        }
+      entries.foreach { e =>
+        try new String(Files.readAllBytes(e), StandardCharsets.UTF_8)
+          .split('\n').toSeq.filter(_.nonEmpty)
+          .foreach(s => deleteAndPruneDirs(Paths.get(s)))
+        catch { case _: java.io.IOException => () }
+        Files.deleteIfExists(e)
+      }
+      if (entries.nonEmpty) bumpVersion()
+      entries.size
+    }
   }
 
   /** Namespace root (`rootDir/settingsHash`) — the `path` option of the
@@ -651,11 +844,27 @@ final class TimeSeriesStore(
     */
   private def tiers: (Long, DataFrame, DataFrame, DataFrame) = {
     val v = storeVersion.get()
+    // the disk stamp extends cache validity across PROCESSES: a foreign
+    // writer's flush/compact/ack rewrites the stamp, so our resolved file
+    // listings refresh at the next read instead of serving stale paths
+    val ds = diskStamp()
     cachedTiers match {
-      case Some(t) if t._1 == v => t
+      case Some(t) if t._1 == v && cachedStamp == ds => t
       case _ =>
-        val h1 = nonEmptyTier(hotDir)
+        cachedStamp = ds
+        // UPSTREAM-FIRST resolution (L0 → hot → cold, the data-flow
+        // order): rows migrate downstream (flush: L0→hot; archive+ack:
+        // hot→cold) and every migration PUBLISHES downstream before it
+        // retires upstream — so a listing that resolves the upstream
+        // tier first can only ever see a migrating row twice (collapsed
+        // by read-side LWW identity), never zero times. The reverse
+        // order had a cross-tier hole: a foreign flush landing between
+        // the hot resolve and the L0 resolve published into hot (not yet
+        // listed here) and retired L0 (now ledger-excluded) — the whole
+        // backlog visible in NEITHER listing (caught by Round13Spec's
+        // cross-JVM monotonic-read gate).
         val l0 = l0TierDF()
+        val h1 = nonEmptyTier(hotDir)
         val h = (h1, l0) match {
           case (Some(a), Some(b)) => Some(a.unionByName(b))
           case (a, b)             => a.orElse(b)
@@ -694,14 +903,38 @@ final class TimeSeriesStore(
 
   private def nonEmptyTier(dir: Path): Option[DataFrame] = {
     if (!Files.exists(dir)) return None
-    val hasData = withWalk(dir)(_.exists(p =>
-      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")))
-    if (!hasData) None
-    else Some {
-      spark.read
-        .option("basePath", dir.toString)
-        .schema(sampleSchema.add("partition_start", LongType))
-        .parquet(dir.toString)
+    // Ledger-pending files must be excluded from FRESH listings, not just
+    // maintenance inputs: a pending file's retirement can be imminent
+    // (its grace started when it was superseded), so a plan that lists it
+    // now may find it gone mid-job. The grace window protects exactly the
+    // plans resolved BEFORE the file went pending — readers that filter
+    // pending at resolve time are safe for `obsoleteGraceMs` afterwards.
+    val pending = pendingObsolete()
+    if (pending.isEmpty) {
+      val hasData = withWalk(dir)(_.exists(p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")))
+      if (!hasData) None
+      else Some {
+        spark.read
+          .option("basePath", dir.toString)
+          .schema(sampleSchema.add("partition_start", LongType))
+          .parquet(dir.toString)
+      }
+    } else {
+      val live = withWalk(dir)(_.filter(p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+          // mirror Spark's hidden-path rule: a concurrent distributed
+          // append from another process stages under `_temporary`
+          !dir.relativize(p).iterator().asScala.exists(s =>
+            s.toString.startsWith("_") || s.toString.startsWith(".")) &&
+          !pending.contains(p.toAbsolutePath.normalize)).toSeq)
+      if (live.isEmpty) None
+      else Some {
+        spark.read
+          .option("basePath", dir.toString)
+          .schema(sampleSchema.add("partition_start", LongType))
+          .parquet(live.map(_.toString): _*)
+      }
     }
   }
 
@@ -773,6 +1006,34 @@ final class TimeSeriesStore(
     * the declarative Spark plan ([[readDataDF]]). Partition pruning is the
     * same in both paths: directory names ARE the partition index.
     */
+  /** A distributed read aborted because a file its (grace-protected)
+    * listing resolved was GC-swept before the job reached it — the
+    * shared-root STALE-SNAPSHOT failure mode every obsolete-file-retiring
+    * table format has (Iceberg reads past expire-snapshots retention fail
+    * the same way). Only possible when a read's resolve→execute span
+    * exceeds [[obsoleteGraceMs]]; the remedy is always a fresh listing.
+    */
+  private def isStaleSnapshot(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        (t.getMessage != null && t.getMessage.contains("FILE_NOT_EXIST"))
+    }
+
+  /** Run a serving-path job; on a stale-snapshot abort, drop the cached
+    * tier listings and re-run ONCE against a fresh resolve (the data a
+    * swept file held lives on in its published replacements). One retry
+    * is the contract: a second failure means reads are persistently
+    * outliving the grace — a deployment misconfiguration (size
+    * `obsoleteGraceMs` above the slowest read, as a table format sizes
+    * snapshot retention) that must surface, not loop.
+    */
+  private def withFreshRetry[A](job: => A): A =
+    try job catch {
+      case e: Exception if isStaleSnapshot(e) =>
+        cachedTiers = None
+        job
+    }
+
   def readData(ranges: Map[String, (Long, Long)]): Map[String, SortedMap[Long, String]] = {
     requireInitialized()
     validateRanges(ranges)
@@ -785,8 +1046,12 @@ final class TimeSeriesStore(
       // count and the collect: without it the scan runs twice, and a
       // concurrent compact/purge landing between the two jobs could make
       // the counted size stale relative to what the collect sees.
-      val df = readDataDF(ranges).select("tag", "ts", "value")
-        .localCheckpoint(true)
+      // withFreshRetry: the eager localCheckpoint is the job that can hit
+      // a stale snapshot on a shared root; one re-resolve heals it
+      val df = withFreshRetry {
+        readDataDF(ranges).select("tag", "ts", "value")
+          .localCheckpoint(true)
+      }
       val n = df.count()
       val rows = graft.analytics.DriverBudget
         .collectWithin(df, n, bytesPerRow = 96L)
@@ -816,16 +1081,19 @@ final class TimeSeriesStore(
             if (p >= partitionStartOf(s) && p <= partitionStartOf(e))
               withList(pd)(_.foreach { f =>
                 if (f.getFileName.toString.endsWith(".parquet")) {
-                  cand += ((f, Some(tag))); bytes += Files.size(f)
+                  cand += ((f, Some(tag))); bytes += sizeOrZero(f)
                 }
               })
           }
         })
       }
+      // upstream-first (L0 → hot → cold), same reasoning as `tiers`: a
+      // concurrent foreign flush/ack can only DOUBLE a migrating row's
+      // candidacy (mergeRead's LWW pick collapses it), never hide it
+      l0FileList().filter(l0MayMatch(_, ranges))
+        .foreach { f => cand += ((f, None)); bytes += sizeOrZero(f) }
       addPartFiles(hotDir)
       addPartFiles(coldDir)
-      l0FileList().filter(l0MayMatch(_, ranges))
-        .foreach { f => cand += ((f, None)); bytes += Files.size(f) }
       if (bytes > Limits.fastPathMaxBytes) None
       else {
         val merged = ParquetIO.mergeRead(cand.toSeq, ranges, hadoopConf)
@@ -1030,8 +1298,9 @@ final class TimeSeriesStore(
       var nRows = 0L
       var maxSeq = -1L
       var maxIngest = -1L
-      if (Files.exists(partDir)) withList(partDir)(_
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+      // live files only: a ledger-pending file's members are duplicated
+      // in its replacement — snapshotting both would double the set
+      if (Files.exists(partDir)) liveParquetFiles(partDir)
         .foreach { f =>
           Files.copy(f, snapDir.resolve(f.getFileName.toString))
           ParquetIO.foreachSample(f, Some(tag), hadoopConf) { (_, _, _, ingestTs, _, seq) =>
@@ -1039,7 +1308,7 @@ final class TimeSeriesStore(
             if (seq > maxSeq) maxSeq = seq
             if (ingestTs > maxIngest) maxIngest = ingestTs
           }
-        })
+        }
       val meta =
         s"""{"id":"$id","partitionName":"$pName","tag":"$tag","partitionStart":$pStart,""" +
           s""""maxSeq":$maxSeq,"maxIngestTs":$maxIngest,"rows":$nRows}"""
@@ -1123,7 +1392,12 @@ final class TimeSeriesStore(
     withList(entryDir.resolve("snapshot"))(_
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .foreach { f =>
-        Files.copy(f, dst.resolve(s"arch-$id-${f.getFileName.toString}"),
+        // copy-then-rename: coldDF in any process may list this dir
+        // mid-copy; the `.tmp` name keeps the torn copy invisible
+        val name = s"arch-$id-${f.getFileName.toString}"
+        val tmp = dst.resolve(name + ".tmp")
+        Files.copy(f, tmp, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, dst.resolve(name), StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
       })
     bumpVersion()
@@ -1193,6 +1467,7 @@ final class TimeSeriesStore(
     if (partitionKey == null || partitionKey.isEmpty)
       throw new IllegalArgumentException("Invalid parameter 'partitionKey'.")
     maintenanceLease.withLease {
+    gcSweep() // retire grace-expired files before re-listing the partition
     val entryDir = queueDir.resolve(purgeId)
     if (!Files.exists(entryDir.resolve("meta.json")) || Files.exists(entryDir.resolve("acked")))
       return 0
@@ -1206,8 +1481,7 @@ final class TimeSeriesStore(
       // Partitions are partition-sized by design, so the default path is a
       // driver-side set-difference + atomic rewrite; an oversized hot spot
       // falls back to the distributed anti-join.
-      val partFiles = withList(partDir)(_
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+      val partFiles = liveParquetFiles(partDir)
       val partBytes = partFiles.map(Files.size(_)).sum
       if (partBytes <= directFlushMaxBytes) {
         val snapped = scala.collection.mutable.HashSet.empty[(String, Long)]
@@ -1226,35 +1500,36 @@ final class TimeSeriesStore(
           }
         }
         if (remaining.isEmpty) {
-          deleteRecursively(partDir)
-          val tagDir = partDir.getParent
-          if (Files.exists(tagDir) && withList(tagDir)(!_.hasNext))
-            Files.delete(tagDir) // index cleanup (ack-purge.lua:21-23)
+          // everything acked: retire the files (grace=0 prunes the dir
+          // now — the ack-purge.lua:21-23 index cleanup — else the sweep
+          // prunes it when the grace passes)
+          retireFiles(partFiles)
         } else {
+          // publish-then-retire: the survivors' file lands NEXT TO the
+          // old members (purgeId-unique name), then the old files retire
+          // through the grace ledger — a concurrent reader never sees an
+          // absent partition, and old∪new is LWW-read-equivalent
           val rewrite = tmpDir.resolve(s"rewrite-$purgeId")
           Files.createDirectories(rewrite)
-          ParquetIO.writePartFile(
-            rewrite.resolve(s"part-ack-$purgeId.parquet"), remaining.toSeq, hadoopConf)
-          val backup = tmpDir.resolve(s"old-$purgeId")
-          Files.move(partDir, backup, StandardCopyOption.ATOMIC_MOVE)
-          Files.move(rewrite, partDir, StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursively(backup)
+          val ackFile = rewrite.resolve(s"part-ack-$purgeId.parquet")
+          ParquetIO.writePartFile(ackFile, remaining.toSeq, hadoopConf)
+          Files.move(ackFile, partDir.resolve(ackFile.getFileName.toString),
+            StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(rewrite)
+          retireFiles(partFiles)
         }
       } else {
         val snap = spark.read.schema(dataFileSchema)
           .parquet(entryDir.resolve("snapshot").toString)
           .select(col("writerId").as("s_writerId"), col("seq").as("s_seq"))
         val current = spark.read.schema(dataFileSchema)
-          .parquet(partDir.toString)
+          .parquet(partFiles.map(_.toString): _*) // live files only
         val remaining = current.join(broadcast(snap),
           current("writerId") === col("s_writerId") && current("seq") === col("s_seq"),
           "left_anti")
         val n = remaining.count()
         if (n == 0) {
-          deleteRecursively(partDir)
-          val tagDir = partDir.getParent
-          if (Files.exists(tagDir) && withList(tagDir)(!_.hasNext))
-            Files.delete(tagDir)
+          retireFiles(partFiles)
         } else {
           val rewrite = tmpDir.resolve(s"rewrite-$purgeId")
           // this branch fires precisely when the partition is OVERSIZED
@@ -1263,10 +1538,15 @@ final class TimeSeriesStore(
           // dir; compact() merges later). coalesce(1) here would funnel
           // the one partition that is too big through one task.
           remaining.write.mode("overwrite").parquet(rewrite.toString)
-          val backup = tmpDir.resolve(s"old-$purgeId")
-          Files.move(partDir, backup, StandardCopyOption.ATOMIC_MOVE)
-          Files.move(rewrite, partDir, StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursively(backup)
+          // publish-then-retire (Spark part names are write-unique)
+          withList(Paths.get(rewrite.toString))(_
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+            .foreach { f =>
+              Files.move(f, partDir.resolve(f.getFileName.toString),
+                StandardCopyOption.ATOMIC_MOVE)
+            }
+          deleteRecursively(rewrite)
+          retireFiles(partFiles)
         }
       }
     }
@@ -1291,13 +1571,46 @@ final class TimeSeriesStore(
     * members, exactly what an LSM level-merge does). Reads are unchanged
     * either way because read-side LWW dedup is idempotent.
     *
+    * With `zorder = true` the rewrite is additionally a LAYOUT job — the
+    * store-integrated `OPTIMIZE … ZORDER BY (tag, ts)` (VERDICT r12 next
+    * #5): each surviving row gets the [[graft.analytics.Layout.zorderKey]]
+    * Morton key over (16-bit tag hash, fine `ts` min-max normalized onto
+    * its partition window), rows sort on it within the rewrite shuffle,
+    * and `zorderRowsPerFile` rolls the writer so every output file owns a
+    * CONTIGUOUS key range. The coordinate bounds are the store's own
+    * frozen layout metadata — the partition window `[partition_start,
+    * partition_start + width)` — so incremental compactions land in the
+    * same key space by construction (the discipline
+    * `Layout.zorderRewriteBounded` needs a bounds table for, the store
+    * gets for free). Inside a single-tag partition directory the tag bits
+    * are constant and the key degenerates to fine-ts clustering — exactly
+    * the right layout there: each file's footer min/max ts becomes a
+    * tight zone map, so `readData`'s residual ts bounds (and the DSv2
+    * connector's footer-stats paths) skip whole files inside a window
+    * instead of scanning all of it. The tag bits earn their place
+    * wherever tags share files (the consolidated cold tier, multi-tag
+    * scans of the rewrite output before the partitioned write splits
+    * them). The helper columns are dropped before the write — compaction
+    * must stay a drop-in, schema-identical layout swap (ADVICE r12).
+    *
+    * Scale shape: identical to the plain rewrite — one shuffle keyed on
+    * the layout plus a per-task sort; the file roll adds no pass. At
+    * 100 TB this is the Delta/Iceberg OPTIMIZE data path run tier-wide.
+    *
     * @param minFiles only partitions with at least this many data files
     * @param applyLww merge superseded members away (true = real LSM merge)
+    * @param zorder   also z-cluster the rewritten rows (layout mode)
+    * @param zorderRowsPerFile max rows per rewritten file in zorder mode —
+    *   the knob that turns "one opaque file per partition" into a run of
+    *   zone-mapped files (size it to ~128 MB of encoded rows at scale)
     * @return number of partitions compacted
     */
-  def compact(minFiles: Int = 2, applyLww: Boolean = true): Int = mutationLock.synchronized {
+  def compact(minFiles: Int = 2, applyLww: Boolean = true,
+      zorder: Boolean = false,
+      zorderRowsPerFile: Long = 1L << 20): Int = mutationLock.synchronized {
     requireInitialized()
     maintenanceLease.withLease {
+    gcSweep() // retire grace-expired files before re-listing partitions
     flushL0() // compaction operates on the partitioned tier
     if (!Files.exists(hotDir)) return 0
     val partDirs = withWalk(hotDir, 2)(_
@@ -1307,20 +1620,20 @@ final class TimeSeriesStore(
     // Eligibility is a metadata listing (O(partitions), driver-side); the
     // DATA rewrite below is ONE Spark job over every eligible partition —
     // not a driver loop of per-directory jobs, which would cost
-    // O(partitions) scheduling rounds at scale.
-    val eligible = partDirs.filter { dir =>
-      withList(dir)(_
-        .count(f => f.getFileName.toString.endsWith(".parquet")) >= minFiles)
-    }
+    // O(partitions) scheduling rounds at scale. Only LIVE files count and
+    // are read — a ledger-pending file's rows are already in its
+    // partition's replacement files.
+    val eligible = partDirs.map(d => d -> liveParquetFiles(d))
+      .filter(_._2.size >= minFiles)
     if (eligible.isEmpty) return 0
     val withPartCols = dataFileSchema
       .add(StructField("tag", StringType, nullable = false))
       .add(StructField("partition_start", LongType, nullable = false))
-    // basePath keeps the Hive partition columns when reading a subset of
-    // partition directories.
+    // basePath keeps the Hive partition columns when reading an explicit
+    // subset of partition files.
     val raw = spark.read.option("basePath", hotDir.toString)
       .schema(withPartCols)
-      .parquet(eligible.map(_.toString): _*)
+      .parquet(eligible.flatMap(_._2).map(_.toString): _*)
     val merged =
       if (!applyLww) raw
       else {
@@ -1333,27 +1646,48 @@ final class TimeSeriesStore(
       }
     val rewriteRoot = tmpDir.resolve(s"compact-${clock()}-${seqCounter.incrementAndGet()}")
     // One shuffle keyed on the layout → each partition written by one task,
-    // one output file per partition dir (the point of compaction).
-    merged.repartition(col("tag"), col("partition_start"))
+    // one output file per partition dir (the point of compaction) — or, in
+    // zorder mode, a run of zone-mapped files each owning a contiguous
+    // Morton-key range (sort + file roll inside the same task).
+    val clustered = merged.repartition(col("tag"), col("partition_start"))
+    val writer =
+      if (!zorder) clustered
+      else clustered
+        .withColumn("__zkey", graft.analytics.Layout.zorderKey(
+          pmod(xxhash64(col("tag")), lit(65536L)),
+          least(lit(65535L), expr("(ts - partition_start) * 65535 div " +
+            s"greatest(${settings.partitionWidth}L - 1, 1)"))))
+        .sortWithinPartitions(col("tag"), col("partition_start"), col("__zkey"))
+        // the key exists only to place rows; the rewritten files must be
+        // schema-identical to the originals (projection preserves order)
+        .drop("__zkey")
+    writer
       .write.mode("overwrite").partitionBy("tag", "partition_start")
+      .option("maxRecordsPerFile",
+        if (zorder) zorderRowsPerFile else 0L)
       .parquet(rewriteRoot.toString)
-    // Swap each rewritten partition into place. Atomic per partition (same
-    // guarantee as before — readers never observe a half-written dir); the
-    // moves are metadata renames, not data work. LWW can never empty a
-    // partition (≥1 member per ts survives), so every eligible dir has a
-    // rewritten counterpart.
+    // Publish-then-retire, per partition: each rewritten file MOVES into
+    // the live dir (atomic rename; Spark part names are write-unique), and
+    // only then do the superseded files retire through the grace ledger.
+    // A concurrent reader in ANY process therefore sees old → old∪new →
+    // new, every state LWW-read-equivalent — never an absent partition
+    // (the old dir-swap had a two-rename window with no dir at all, which
+    // a foreign reader could observe; VERDICT r12 next #9). LWW can never
+    // empty a partition (≥1 member per ts survives), so every eligible
+    // dir has a rewritten counterpart.
     var n = 0
-    eligible.foreach { dir =>
+    eligible.foreach { case (dir, oldFiles) =>
       val rel = rewriteRoot
         .resolve(dir.getParent.getFileName.toString)
         .resolve(dir.getFileName.toString)
       if (Files.exists(rel)) {
-        val id = s"${dir.getParent.getFileName}-${dir.getFileName}"
-          .replaceAll("[^A-Za-z0-9_=.-]", "_")
-        val backup = tmpDir.resolve(s"old-$id")
-        Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(rel, dir, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(backup)
+        withList(rel)(_
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+          .foreach { f =>
+            Files.move(f, dir.resolve(f.getFileName.toString),
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+        retireFiles(oldFiles)
         n += 1
       }
     }

@@ -14,9 +14,13 @@ object BpeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.analytics.TextAnalysis.bpeTelemetry = true
+    val deep = a.length > 1 && a(1) == "deep"
     val t0 = System.nanoTime()
-    val n = graft.analytics.TextAnalysis.bpeTrainScaled(
-      Tables.documents(spark, sf), targetMerges = 256, batchM = 8, poolK = 48).count()
+    val n =
+      if (deep) graft.analytics.TextAnalysis.bpeTrainDeep(
+        Tables.documents(spark, sf), targetMerges = 1024, batchM = 16, poolK = 96).count()
+      else graft.analytics.TextAnalysis.bpeTrainScaled(
+        Tables.documents(spark, sf), targetMerges = 256, batchM = 8, poolK = 48).count()
     val total = (System.nanoTime() - t0) / 1e9
     println(s"[bpeprobe] sf=$sf rules=$n total=${"%.1f".format(total)}s")
     graft.analytics.TextAnalysis.lastRoundCosts.foreach { case (r, m, pv, s) =>

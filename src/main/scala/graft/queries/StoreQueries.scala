@@ -171,6 +171,55 @@ object StoreQueries {
       st
     })
 
+  /** Sixth per-sf store: a 2-day slice ingested through the BROKER-LOG
+    * topology (`graft-feed`, [[graft.sources.FeedTableProvider]] — the
+    * engine-OWNED streaming source): a producer appends the slice as
+    * framed JSON records into a segmented append-only log
+    * ([[graft.streaming.FeedLog]], 16 KiB segments so the log rolls
+    * mid-feed), and the consumer is a `readStream.format("graft-feed")`
+    * query whose OFFSETS, admission control (8 KiB/trigger — dozens of
+    * micro-batches), and torn-tail exclusion are all implemented in this
+    * repo rather than inherited from Spark's file source. `from_json`
+    * parses payloads in the query (the Kafka contract), the foreachBatch
+    * sink appends to the store. Drained with processAllAvailable at
+    * staging; the registered row gates the post-ingest LWW read.
+    */
+  private def feedIngestStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
+    stores.computeIfAbsent(dir + "#feed", { _ =>
+      val root = Files.createTempDirectory("graft-storefd").toString
+      val log = Files.createTempDirectory("graft-feedlog")
+      val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
+      st.initialize()
+      // the PRODUCER: single sequential appender per log (the Kafka
+      // partition-writer rule; more throughput = more logs, not more
+      // writers per log). toLocalIterator keeps driver memory at one
+      // spark-partition of rows; the log itself is the durable handoff.
+      val slice = Tables.events(s, dir)
+        .where(col("ts_ms").between(day(0), day(1)))
+        .select(to_json(struct(
+          col("event_type").as("tag"),
+          col("ts_ms").as("ts"),
+          col("value").cast("string").as("value"),
+          lit(1L).as("ingestTs"),
+          lit("w1").as("writerId"),
+          col("event_id").as("seq"))).as("payload"))
+      val it = slice.toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        buf += it.next().getString(0)
+        if (buf.size >= 512) {
+          graft.streaming.FeedLog.append(log, buf.toSeq, segBytes = 16L << 10)
+          buf.clear()
+        }
+      }
+      if (buf.nonEmpty)
+        graft.streaming.FeedLog.append(log, buf.toSeq, segBytes = 16L << 10)
+      val q = graft.streaming.StreamingIngest.feedSampleStream(
+        s, st, log.toString, maxBytesPerTrigger = 8L << 10)
+      try { q.processAllAvailable() } finally q.stop()
+      st
+    })
+
   /** Third per-sf store: a 4-day slice bulk-ingested in TWO overlapping
     * batches (every partition gets ≥2 files; `event_id % 3 == 0` rows are
     * re-written with doubled values and a later ingestTs), then
@@ -399,6 +448,44 @@ object StoreQueries {
                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
                  ELSE 0 END) AS BIGINT) AS sum_cents
         FROM w GROUP BY tag ORDER BY tag""")),
+
+    // ---- BROKER-LOG ingest through the engine-owned streaming source ----
+    // The same exactness discipline as ts_file_ingest, but the TRANSPORT
+    // is ours end to end: a producer framed the slice into a rolling
+    // segmented append-log, and graft-feed (FeedTableProvider) micro-
+    // batched it out under its OWN offsets and byte-budget admission
+    // control (8 KiB/trigger over a ~16-segment log — dozens of
+    // batches). The LWW read over the drained store must hash-match the
+    // oracle's replay over the original events: a record lost to an
+    // offset gap, duplicated by a replayed range, torn by a frame bug,
+    // or corrupted in the JSON round-trip all diverge.
+    QueryDef("ts_feed_ingest",
+      (s, dir) => {
+        val st = feedIngestStoreFor(s, dir)
+        st.registerViews("graftfd")
+        s.sql(s"""
+          SELECT tag, count(*) AS n,
+                 min(ts) AS min_ts_ms, max(ts) AS max_ts_ms,
+                 CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS sum_cents
+          FROM (
+            SELECT tag, ts, value,
+                   row_number() OVER (PARTITION BY tag, ts
+                     ORDER BY ingestTs DESC, seq DESC, writerId DESC) AS rn
+            FROM graftfd_hot)
+          WHERE rn = 1 GROUP BY tag ORDER BY tag""")
+      },
+      Some(s"""
+        WITH w AS (SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                     row_number() OVER (PARTITION BY event_type, epoch_ms(ts)
+                       ORDER BY event_id DESC) AS rn
+                   FROM events
+                   WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(1)})
+        SELECT tag, count(*) AS n,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM w WHERE rn = 1 GROUP BY tag ORDER BY tag""")),
 
     // ---- compaction EXECUTED, gated by read-after-compact equivalence ----
     // The staged store ingested every event twice-ish (a full batch, then

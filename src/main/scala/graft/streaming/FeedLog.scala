@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.io.IOException
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+/** Append-only segmented record log — the broker-log storage contract
+  * under [[graft.sources.FeedTableProvider]] (`graft-feed`).
+  *
+  * The reference ingests through a Redis-Streams consumer group
+  * (service.js:14 `redis-streams-broker`, :119-120 `joinConsumerGroup` +
+  * `subscribe(consumer, handler, pollMs, 1000)`): a durable, offset-
+  * cursored, batch-limited feed that producers append to from OTHER
+  * processes. This is that feed's storage shape re-expressed for a
+  * filesystem sandbox — the same shape Kafka stores a topic-partition
+  * as: rolling append-only segment files of length-prefixed records,
+  * where a (segment, byte-position) pair IS the offset and immutability
+  * of `[from, to)` ranges is what makes replay (and therefore Spark's
+  * exactly-once micro-batching) possible. No broker process exists in
+  * this container, so the log is the honest stand-in: producers are
+  * foreign JVMs appending records; the consumer is Spark's own
+  * checkpointed offset machinery over [[graft.sources.FeedMicroBatchStream]].
+  *
+  * Framing: each record is a 4-byte big-endian length followed by that
+  * many payload bytes. A crashed or mid-write producer leaves a TORN
+  * tail (a partial length word or a short payload); [[safeEnd]] walks
+  * frames and stops at the last complete record, so a torn tail is
+  * never exposed to a reader and becomes readable exactly when its
+  * remaining bytes land (local-FS appends are prefix-visible).
+  *
+  * Segments are `seg-NNNNNNNN.log`, rolled by the producer at
+  * `segBytes`; rolled segments are immutable, which makes every
+  * offset range replayable forever (the retention story is the GC
+  * ledger's — out of scope here).
+  */
+object FeedLog {
+
+  private val HeaderBytes = 4
+
+  def segmentName(i: Long): String = f"seg-$i%08d.log"
+
+  /** Sorted data segments of a log directory. */
+  def segments(dir: Path): Seq[Path] =
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.matches("seg-\\d{8}\\.log"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+
+  /** Append UTF-8 payloads as framed records, rolling to a fresh segment
+    * whenever the current one has reached `segBytes`. Producer-side only
+    * — single producer per log directory (the Kafka partition-writer
+    * rule); concurrent READERS are always safe because appends only grow
+    * files and frames are self-delimiting.
+    *
+    * @return (segment name, start position) of each appended record
+    */
+  def append(dir: Path, payloads: Seq[String], segBytes: Long = 1L << 20)
+      : Seq[(String, Long)] = {
+    Files.createDirectories(dir)
+    var seg = segments(dir).lastOption.getOrElse(dir.resolve(segmentName(0)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var ch: FileChannel = null
+    def open(p: Path): Unit = {
+      if (ch != null) ch.close()
+      ch = FileChannel.open(p, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+    }
+    open(seg)
+    try {
+      payloads.foreach { p =>
+        if (ch.size() >= segBytes) {
+          val i = seg.getFileName.toString.drop(4).takeWhile(_ != '.').toLong
+          seg = dir.resolve(segmentName(i + 1))
+          open(seg)
+        }
+        val bytes = p.getBytes(StandardCharsets.UTF_8)
+        val buf = ByteBuffer.allocate(HeaderBytes + bytes.length)
+        buf.putInt(bytes.length).put(bytes).flip()
+        val pos = ch.size()
+        while (buf.hasRemaining) ch.write(buf)
+        out += ((seg.getFileName.toString, pos))
+      }
+      ch.force(false)
+    } finally if (ch != null) ch.close()
+    out.toSeq
+  }
+
+  /** Last byte position in `seg` (≥ `from`, a record boundary) such that
+    * `[from, safeEnd)` holds only COMPLETE records — walking frames and
+    * stopping at a torn tail, a byte budget, or a record budget,
+    * whichever bites first. Returns `from` when nothing new is complete.
+    */
+  def safeEnd(seg: Path, from: Long,
+      maxBytes: Long = Long.MaxValue, maxRecords: Long = Long.MaxValue)
+      : Long = {
+    if (!Files.exists(seg)) return from
+    val size = Files.size(seg)
+    var pos = from
+    var n = 0L
+    val ch = FileChannel.open(seg, StandardOpenOption.READ)
+    try {
+      val hdr = ByteBuffer.allocate(HeaderBytes)
+      var done = false
+      while (!done && pos + HeaderBytes <= size && n < maxRecords) {
+        hdr.clear()
+        var read = 0
+        while (read >= 0 && hdr.hasRemaining) read = ch.read(hdr, pos + hdr.position())
+        if (hdr.hasRemaining) done = true
+        else {
+          hdr.flip()
+          val len = hdr.getInt
+          if (len < 0 || pos + HeaderBytes + len > size ||
+              pos + HeaderBytes + len - from > maxBytes) done = true
+          else { pos += HeaderBytes + len; n += 1 }
+        }
+      }
+      pos
+    } finally ch.close()
+  }
+
+  /** Records in `[from, to)` of one segment as (start position, payload).
+    * The range came from [[safeEnd]], so every frame in it is complete;
+    * a frame crossing `to` (from a NEWER walk) is never touched.
+    */
+  def read(seg: Path, from: Long, to: Long): Iterator[(Long, String)] = {
+    if (to <= from) return Iterator.empty
+    val ch = FileChannel.open(seg, StandardOpenOption.READ)
+    val buf = ByteBuffer.allocate((to - from).toInt)
+    try {
+      var r = 0
+      while (r >= 0 && buf.hasRemaining) r = ch.read(buf, from + buf.position())
+      if (buf.hasRemaining)
+        throw new IOException(s"feed segment $seg truncated below offset $to")
+    } finally ch.close()
+    buf.flip()
+    new Iterator[(Long, String)] {
+      override def hasNext: Boolean = buf.remaining() >= HeaderBytes
+      override def next(): (Long, String) = {
+        val pos = from + buf.position()
+        val len = buf.getInt
+        val bytes = new Array[Byte](len)
+        buf.get(bytes)
+        (pos, new String(bytes, StandardCharsets.UTF_8))
+      }
+    }
+  }
+}

@@ -116,6 +116,49 @@ object StreamingIngest {
       .start()
   }
 
+  /** The broker-log ingest topology: `readStream.format("graft-feed")`
+    * over a [[FeedLog]] directory ([[graft.sources.FeedTableProvider]] —
+    * offsets, admission control, and torn-tail exclusion all
+    * engine-owned), payloads parsed with `from_json` IN the query (the
+    * Kafka contract: the source hands over bytes, the plan decodes),
+    * same idempotent foreachBatch store sink as [[fileSampleStream]].
+    * This is the closest in-container analog of the reference's
+    * consumer-group service (service.js:119-120): the log is the durable
+    * stream, the checkpoint is the group cursor, `maxBytesPerTrigger`
+    * is the per-poll batch cap.
+    */
+  def feedSampleStream(spark: SparkSession, store: TimeSeriesStore,
+      logDir: String, maxBytesPerTrigger: Long = 1L << 20,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[Sample].schema
+    val input = spark.readStream
+      .format("graft-feed")
+      .option("path", logDir)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger)
+      .load()
+      .select(from_json(col("value"), schema).as("s"))
+      .select(col("s.*"))
+      .as[Sample]
+    val writer = input.writeStream
+      .outputMode("append")
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sample], _: Long) =>
+        val cached = batch.persist()
+        try {
+          if (cached.count() > graft.tsdb.Limits.DistributedWriteRows)
+            store.writeSamplesDistributed(cached.toDF())
+          else {
+            val rows = cached.collect()
+            if (rows.nonEmpty) store.writeSamples(rows.toIndexedSeq)
+          }
+        } finally { cached.unpersist(); () }
+      }
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+  }
+
   /** The periodic purge driver + consumer (service.js:123-134): every
     * trigger, mark aged partitions, then archive + ack each queue entry.
     * Runs as a rate-source stream so it lives inside the Structured

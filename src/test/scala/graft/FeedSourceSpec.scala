@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.{FeedLog, StreamingIngest}
+import graft.tsdb.{StoreSettings, TimeSeriesStore}
+
+/** The engine-owned broker-log streaming source (`graft-feed`,
+  * [[graft.sources.FeedTableProvider]]): offset semantics, admission
+  * control, torn-tail exclusion, checkpoint restart, and the cross-JVM
+  * producer topology — the consumer contract the reference gets from its
+  * Redis-Streams consumer group (service.js:119-120), proven here piece
+  * by piece on the machinery THIS repo implements.
+  */
+class FeedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-feed-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def payload(tag: String, ts: Long, value: String,
+      ingestTs: Long = 1L, writer: String = "w1", seq: Long = 0L): String =
+    s"""{"tag":"$tag","ts":$ts,"value":"$value","ingestTs":$ingestTs,""" +
+      s""""writerId":"$writer","seq":$seq}"""
+
+  test("FeedLog framing round-trips; segments roll at segBytes; offsets are boundaries") {
+    val dir = Files.createTempDirectory("feedlog-rt")
+    val recs = (0 until 100).map(i => payload("a", i.toLong, s"v$i", seq = i.toLong))
+    val placed = FeedLog.append(dir, recs, segBytes = 512L)
+    assert(placed.size === 100)
+    val segs = FeedLog.segments(dir)
+    assert(segs.size > 1, s"expected a roll under 512-byte segments, got ${segs.size}")
+    // every record reads back, in order, from its own (segment, pos)
+    val back = segs.flatMap { s =>
+      FeedLog.read(s, 0L, FeedLog.safeEnd(s, 0L)).map(_._2).toSeq
+    }
+    assert(back === recs)
+    // safeEnd with a byte budget lands on a record boundary: reading the
+    // budgeted range yields whole records only
+    val first = segs.head
+    val budgeted = FeedLog.safeEnd(first, 0L, maxBytes = 200L)
+    val some = FeedLog.read(first, 0L, budgeted).map(_._2).toSeq
+    assert(some.nonEmpty && some === recs.take(some.size))
+  }
+
+  test("a torn tail is never exposed and becomes readable when completed") {
+    val dir = Files.createTempDirectory("feedlog-torn")
+    FeedLog.append(dir, Seq(payload("a", 1L, "one"), payload("a", 2L, "two")))
+    val seg = FeedLog.segments(dir).head
+    val goodEnd = FeedLog.safeEnd(seg, 0L)
+    // a producer dies mid-record: full length word, half the payload
+    val bytes = payload("a", 3L, "three").getBytes(StandardCharsets.UTF_8)
+    val ch = FileChannel.open(seg, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+    try {
+      val buf = ByteBuffer.allocate(4 + bytes.length / 2)
+      buf.putInt(bytes.length).put(bytes, 0, bytes.length / 2).flip()
+      while (buf.hasRemaining) ch.write(buf)
+    } finally ch.close()
+    assert(FeedLog.safeEnd(seg, 0L) === goodEnd,
+      "safe frontier advanced into a torn record")
+    // the batch audit path sees exactly the complete records
+    val df = spark.read.format("graft-feed").option("path", dir.toString).load()
+    assert(df.count() === 2L)
+    // the missing bytes land (a restarted producer re-appends from its
+    // own journal; here: complete the frame) -> the record appears
+    val ch2 = FileChannel.open(seg, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+    try {
+      val rest = ByteBuffer.wrap(bytes, bytes.length / 2, bytes.length - bytes.length / 2)
+      while (rest.hasRemaining) ch2.write(rest)
+    } finally ch2.close()
+    assert(FeedLog.safeEnd(seg, 0L) > goodEnd)
+    val healed = FeedLog.read(seg, goodEnd, FeedLog.safeEnd(seg, 0L)).map(_._2).toSeq
+    assert(healed === Seq(payload("a", 3L, "three")))
+  }
+
+  test("admission control: a backlog drains in byte-budgeted micro-batches, exactly once") {
+    val dir = Files.createTempDirectory("feedlog-adm")
+    val recs = (0 until 400).map(i => payload("t" + i % 2, i.toLong, s"v$i", seq = i.toLong))
+    FeedLog.append(dir, recs, segBytes = 4096L)
+    val batches = new AtomicLong(0L)
+    val rows = new AtomicLong(0L)
+    val q = spark.readStream
+      .format("graft-feed")
+      .option("path", dir.toString)
+      .option("maxBytesPerTrigger", 2048L)
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count()
+        if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n) }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows.get() === 400L, "admission control lost or duplicated records")
+    // ~34 KB of records under a 2 KiB budget: the backlog CANNOT fit in
+    // one trigger; the exact count depends on frame sizes, the floor does not
+    assert(batches.get() >= 8L,
+      s"expected a byte-budgeted drain (>=8 batches), got ${batches.get()}")
+  }
+
+  test("checkpoint restart: the feed consumer resumes its offsets exactly once") {
+    val dir = Files.createTempDirectory("feedlog-cp")
+    val cp = Files.createTempDirectory("feedlog-cp-chk").toString
+    val root = Files.createTempDirectory("feedlog-store").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 100L))
+    store.initialize()
+    // phase 1
+    FeedLog.append(dir, (0 until 50).map(i =>
+      payload("a", i.toLong, s"p1-$i", ingestTs = 1L, seq = i.toLong)))
+    val q1 = StreamingIngest.feedSampleStream(spark, store, dir.toString,
+      maxBytesPerTrigger = 1024L, checkpointDir = Some(cp))
+    try q1.processAllAvailable() finally q1.stop()
+    // the process is gone; only the checkpoint and the log survive.
+    // phase 2: fresh records plus LWW rewrites of the first 10 keys
+    FeedLog.append(dir, (50 until 80).map(i =>
+      payload("a", i.toLong, s"p2-$i", ingestTs = 2L, seq = i.toLong)) ++
+      (0 until 10).map(i =>
+        payload("a", i.toLong, s"p2r-$i", ingestTs = 2L, writer = "w2", seq = 100L + i)))
+    val q2 = StreamingIngest.feedSampleStream(spark, store, dir.toString,
+      maxBytesPerTrigger = 1024L, checkpointDir = Some(cp))
+    try q2.processAllAvailable() finally q2.stop()
+    // RAW row count proves exactly-once across the restart (a replayed
+    // phase-1 range would inflate it; LWW identity would hide that)
+    assert(store.hotDF.count() === 90L)
+    val got = store.readData(Map("a" -> (0L, 100L)))("a")
+    assert(got.size === 80)
+    (0 until 10).foreach(i => assert(got(i.toLong) === s"p2r-$i"))
+    (10 until 50).foreach(i => assert(got(i.toLong) === s"p1-$i"))
+    (50 until 80).foreach(i => assert(got(i.toLong) === s"p2-$i"))
+  }
+
+  test("pure DSv2 pipeline: graft-feed source -> graft-tsdb sink, no foreachBatch") {
+    // Both ends engine-owned and wired DIRECTLY: the source's offset
+    // ranges feed the sink's per-epoch two-phase commit — Structured
+    // Streaming's native exactly-once composition, no driver-side
+    // foreachBatch glue anywhere in the topology.
+    val dir = Files.createTempDirectory("feedlog-dsv2")
+    val root = Files.createTempDirectory("feedlog-dsv2-store").toString
+    val st = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))
+    st.initialize()
+    FeedLog.append(dir, (0 until 30).map(i =>
+      payload("d" + i % 2, i.toLong, s"v$i", seq = i.toLong)))
+    val schema = org.apache.spark.sql.Encoders.product[graft.tsdb.Sample].schema
+    val q = spark.readStream
+      .format("graft-feed")
+      .option("path", dir.toString)
+      .option("maxBytesPerTrigger", 512L)
+      .load()
+      .select(from_json(col("value"), schema).as("s"))
+      .select(col("s.*"))
+      .withColumn("partition_start", col("ts") - (col("ts") % lit(5L)))
+      .writeStream.format("graft-tsdb")
+      .option("path", st.namespaceRoot)
+      .option("tier", "hot")
+      .option("partitionWidth", "5")
+      .option("checkpointLocation",
+        Files.createTempDirectory("feedlog-dsv2-ckpt").toString)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = st.connectorDF("hot").count()
+    assert(got === 30L)
+    val vals = st.readData(Map("d0" -> (0L, 100L)))("d0")
+    assert(vals.size === 15 && vals(0L) === "v0" && vals(28L) === "v28")
+  }
+
+  test("cross-JVM producer: records appended by a foreign process drain exactly") {
+    val dir = Files.createTempDirectory("feedlog-xjvm")
+    val scratch = Files.createTempDirectory("feedlog-xjvm-io")
+    val done = scratch.resolve("producer.done")
+    val root = Files.createTempDirectory("feedlog-xstore").toString
+    val store = new TimeSeriesStore(spark, root,
+      StoreSettings(partitionWidth = 60000L))
+    store.initialize()
+    val baseTs = 1704067200000L
+    val rounds = 40
+    val rpr = 25
+    val cmd = Seq("java", "-cp", System.getProperty("java.class.path"),
+      "graft.examples.FeedProducer", dir.toString, "8192",
+      rounds.toString, rpr.toString, "40", baseTs.toString, done.toString)
+    val producer = new ProcessBuilder(cmd: _*)
+      .redirectOutput(scratch.resolve("producer.out").toFile)
+      .redirectErrorStream(true).start()
+    val q = StreamingIngest.feedSampleStream(spark, store, dir.toString,
+      maxBytesPerTrigger = 8192L)
+    try {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!Files.exists(done) && System.currentTimeMillis() < deadline) {
+        assert(producer.isAlive || Files.exists(done), "producer JVM died")
+        Thread.sleep(200)
+      }
+      assert(Files.exists(done), "producer never finished")
+      q.processAllAvailable()
+      val total = rounds * rpr
+      val fin = store.lwwDedup(store.allDF)
+        .agg(count(lit(1)), countDistinct(col("value"))).head()
+      assert(fin.getLong(0) === total.toLong)
+      assert(fin.getLong(1) === total.toLong)
+      // the log rolled while the consumer ran: offset map spans segments
+      assert(FeedLog.segments(dir).size > 1)
+    } finally {
+      q.stop(); producer.destroyForcibly(); ()
+    }
+  }
+}

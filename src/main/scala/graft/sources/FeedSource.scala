@@ -73,7 +73,8 @@ class FeedTableProvider extends TableProvider with DataSourceRegister {
     val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.toLong)
       .getOrElse(1L << 20)
     require(maxBytes > 0, "graft-feed: maxBytesPerTrigger must be positive")
-    new FeedTable(path, maxBytes)
+    val retain = Option(opts.get("retainConsumed")).forall(_.toBoolean)
+    new FeedTable(path, maxBytes, retain)
   }
 }
 
@@ -84,8 +85,8 @@ object FeedSource {
     StructField("pos", LongType, nullable = false)))
 }
 
-final class FeedTable(dir: String, maxBytesPerTrigger: Long)
-    extends Table with SupportsRead {
+final class FeedTable(dir: String, maxBytesPerTrigger: Long,
+    retainConsumed: Boolean) extends Table with SupportsRead {
 
   override def name(): String = s"graft-feed(`$dir`)"
 
@@ -96,18 +97,20 @@ final class FeedTable(dir: String, maxBytesPerTrigger: Long)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new FeedScan(dir, maxBytesPerTrigger)
+      override def build(): Scan =
+        new FeedScan(dir, maxBytesPerTrigger, retainConsumed)
     }
 }
 
-final class FeedScan(dir: String, maxBytesPerTrigger: Long) extends Scan {
+final class FeedScan(dir: String, maxBytesPerTrigger: Long,
+    retainConsumed: Boolean) extends Scan {
 
   override def readSchema(): StructType = FeedSource.Schema
 
   override def description(): String = s"graft-feed scan of $dir"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FeedMicroBatchStream(dir, maxBytesPerTrigger)
+    new FeedMicroBatchStream(dir, maxBytesPerTrigger, retainConsumed)
 
   /** Audit path: the whole CURRENTLY-safe range as one batch. */
   override def toBatch: Batch = new Batch {
@@ -161,7 +164,8 @@ object FeedMicroBatchStream {
     }.toArray
 }
 
-final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long)
+final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
+    retainConsumed: Boolean = true)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Plain MicroBatchStream.latestOffset is never consulted once the
@@ -225,10 +229,28 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long)
 
   override def createReaderFactory(): PartitionReaderFactory = new FeedReaderFactory
 
-  /** The log is immutable history — nothing to release per batch (a
-    * retention sweep would hang off committed offsets here).
+  /** Retention hangs off COMMITTED offsets (Kafka's log-cleanup rule,
+    * and the reference's XACK-then-trim consumer-group discipline): with
+    * `retainConsumed=false`, a batch commit deletes every segment that is
+    * (a) ROLLED — not the lexicographically-last, so the single-producer
+    * contract says it can never grow again — and (b) fully below the
+    * committed cursor. The active segment always survives, so a restart
+    * replaying the LAST committed batch (Spark only calls commit after
+    * the batch is durably done) never touches deleted bytes; offsets of
+    * deleted segments stay in the map harmlessly (nothing ever plans a
+    * `to <= from` range). Default keeps everything — replay-forever.
     */
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    if (!retainConsumed) {
+      val e = end.asInstanceOf[FeedOffset]
+      val segs = FeedLog.segments(Paths.get(dir))
+      segs.dropRight(1).foreach { seg =>
+        val name = seg.getFileName.toString
+        if (e.posOf(name) >= Files.size(seg))
+          try Files.deleteIfExists(seg)
+          catch { case _: java.io.IOException => () }
+      }
+    }
 
   override def stop(): Unit = ()
 }

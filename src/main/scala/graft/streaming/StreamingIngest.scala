@@ -129,14 +129,16 @@ object StreamingIngest {
     */
   def feedSampleStream(spark: SparkSession, store: TimeSeriesStore,
       logDir: String, maxBytesPerTrigger: Long = 1L << 20,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      retainConsumed: Option[Boolean] = None): StreamingQuery = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[Sample].schema
-    val input = spark.readStream
+    val reader = spark.readStream
       .format("graft-feed")
       .option("path", logDir)
       .option("maxBytesPerTrigger", maxBytesPerTrigger)
-      .load()
+    retainConsumed.foreach(r => reader.option("retainConsumed", r.toString))
+    val input = reader.load()
       .select(from_json(col("value"), schema).as("s"))
       .select(col("s.*"))
       .as[Sample]

@@ -180,6 +180,34 @@ class FeedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals.size === 15 && vals(0L) === "v0" && vals(28L) === "v28")
   }
 
+  test("retention: consumed rolled segments are deleted at commit; the stream stays exact") {
+    val dir = Files.createTempDirectory("feedlog-ret")
+    val root = Files.createTempDirectory("feedlog-ret-store").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 100L))
+    store.initialize()
+    FeedLog.append(dir, (0 until 200).map(i =>
+      payload("r", i.toLong, s"v$i", seq = i.toLong)), segBytes = 2048L)
+    val before = FeedLog.segments(dir).size
+    assert(before > 3, s"need a multi-segment backlog, got $before")
+    val q = StreamingIngest.feedSampleStream(spark, store, dir.toString,
+      maxBytesPerTrigger = 1024L, retainConsumed = Some(false))
+    try q.processAllAvailable() finally q.stop()
+    // every rolled, fully-committed segment is gone; the active one lives
+    val after = FeedLog.segments(dir)
+    assert(after.size === 1, s"retention kept ${after.size} segments")
+    assert(after.head === FeedLog.segments(dir).last)
+    // nothing was lost to the cleanup racing the drain
+    val got = store.readData(Map("r" -> (0L, 1000L)))("r")
+    assert(got.size === 200 && got(0L) === "v0" && got(199L) === "v199")
+    // the feed keeps serving: append more, drain, still exact
+    FeedLog.append(dir, (200 until 220).map(i =>
+      payload("r", i.toLong, s"v$i", seq = i.toLong)), segBytes = 2048L)
+    val q2 = StreamingIngest.feedSampleStream(spark, store, dir.toString,
+      maxBytesPerTrigger = 1024L, retainConsumed = Some(false))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(store.readData(Map("r" -> (0L, 1000L)))("r").size === 220)
+  }
+
   test("cross-JVM producer: records appended by a foreign process drain exactly") {
     val dir = Files.createTempDirectory("feedlog-xjvm")
     val scratch = Files.createTempDirectory("feedlog-xjvm-io")

@@ -262,7 +262,8 @@ final class FeedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FeedInputPartition]
     new PartitionReader[InternalRow] {
-      private val it = FeedLog.read(Paths.get(p.path), p.from, p.to)
+      // streamed frames, O(largest record) memory — never the whole range
+      private val it = FeedLog.openRange(Paths.get(p.path), p.from, p.to)
       private var cur: InternalRow = _
       override def next(): Boolean =
         if (!it.hasNext) false
@@ -274,7 +275,7 @@ final class FeedReaderFactory extends PartitionReaderFactory {
           true
         }
       override def get(): InternalRow = cur
-      override def close(): Unit = ()
+      override def close(): Unit = it.close()
     }
   }
 }

@@ -126,30 +126,73 @@ object FeedLog {
     } finally ch.close()
   }
 
-  /** Records in `[from, to)` of one segment as (start position, payload).
-    * The range came from [[safeEnd]], so every frame in it is complete;
-    * a frame crossing `to` (from a NEWER walk) is never touched.
+  /** Records in `[from, to)` of one segment as (start position, payload),
+    * streamed frame by frame through a fixed 64 KiB buffer — memory is
+    * O(largest record), never O(range), so the batch audit path can hand
+    * a whole multi-GB segment to one reader without materializing it
+    * (the micro-batch path's ranges are admission-capped anyway). The
+    * range came from [[safeEnd]], so every frame in it is complete; a
+    * frame crossing `to` (from a NEWER walk) is never touched.
+    * Call `close()` when done (records iterated to exhaustion self-close).
+    */
+  def openRange(seg: Path, from: Long, to: Long): RangeReader =
+    new RangeReader(seg, from, to)
+
+  /** Convenience full-materialization of [[openRange]] for small ranges
+    * (tests, driver-side walks).
     */
   def read(seg: Path, from: Long, to: Long): Iterator[(Long, String)] = {
-    if (to <= from) return Iterator.empty
-    val ch = FileChannel.open(seg, StandardOpenOption.READ)
-    val buf = ByteBuffer.allocate((to - from).toInt)
-    try {
+    val r = openRange(seg, from, to)
+    try r.toVector.iterator finally r.close()
+  }
+
+  final class RangeReader(seg: Path, from: Long, to: Long)
+      extends Iterator[(Long, String)] with AutoCloseable {
+    private val ch: FileChannel =
+      if (to <= from) null else FileChannel.open(seg, StandardOpenOption.READ)
+    private var pos = from
+    private var buf = ByteBuffer.allocate(64 << 10)
+    buf.limit(0)
+
+    /** Ensure ≥ n readable bytes in `buf` (file-position tracked by
+      * `pos` + consumed buffer bytes); grows the buffer only when one
+      * record outsizes it.
+      */
+    private def ensure(n: Int): Unit = {
+      if (buf.remaining() >= n) return
+      val filePos = pos + buf.position() // unconsumed bytes re-read below
+      if (n > buf.capacity()) buf = ByteBuffer.allocate(n)
+      buf.clear()
+      val want = math.min(buf.capacity().toLong, to - filePos).toInt
+      buf.limit(want)
       var r = 0
-      while (r >= 0 && buf.hasRemaining) r = ch.read(buf, from + buf.position())
-      if (buf.hasRemaining)
-        throw new IOException(s"feed segment $seg truncated below offset $to")
-    } finally ch.close()
-    buf.flip()
-    new Iterator[(Long, String)] {
-      override def hasNext: Boolean = buf.remaining() >= HeaderBytes
-      override def next(): (Long, String) = {
-        val pos = from + buf.position()
-        val len = buf.getInt
-        val bytes = new Array[Byte](len)
-        buf.get(bytes)
-        (pos, new String(bytes, StandardCharsets.UTF_8))
+      var off = 0
+      while (r >= 0 && off < want) {
+        r = ch.read(buf, filePos + off)
+        off = buf.position()
       }
+      if (off < want)
+        throw new IOException(s"feed segment $seg truncated below offset $to")
+      buf.flip()
+      pos = filePos
     }
+
+    override def hasNext: Boolean = {
+      val more = ch != null && pos + buf.position() < to
+      if (!more) close()
+      more
+    }
+
+    override def next(): (Long, String) = {
+      ensure(HeaderBytes)
+      val at = pos + buf.position()
+      val len = buf.getInt
+      ensure(len)
+      val bytes = new Array[Byte](len)
+      buf.get(bytes)
+      (at, new String(bytes, StandardCharsets.UTF_8))
+    }
+
+    override def close(): Unit = if (ch != null && ch.isOpen) ch.close()
   }
 }

@@ -58,6 +58,29 @@ class FeedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(some.nonEmpty && some === recs.take(some.size))
   }
 
+  test("RangeReader streams frames in O(record) memory, growing only for an outsized record") {
+    val dir = Files.createTempDirectory("feedlog-big")
+    // records straddling the 64 KiB refill buffer: a 100 KiB payload
+    // between small ones forces the growth path AND the refill path
+    val big = "x" * (100 << 10)
+    val recs = Seq(payload("a", 1L, "small-1"), s"""{"big":"$big"}""",
+      payload("a", 2L, "small-2"))
+    FeedLog.append(dir, recs, segBytes = 1L << 30)
+    val seg = FeedLog.segments(dir).head
+    val r = FeedLog.openRange(seg, 0L, FeedLog.safeEnd(seg, 0L))
+    try {
+      val back = r.toVector
+      assert(back.map(_._2) === recs)
+      // positions are the true frame starts: re-reading any single
+      // record from its own position round-trips
+      back.foreach { case (pos, rec) =>
+        val one = FeedLog.read(seg, pos,
+          pos + 4L + rec.getBytes("UTF-8").length).toSeq
+        assert(one === Seq((pos, rec)))
+      }
+    } finally r.close()
+  }
+
   test("a torn tail is never exposed and becomes readable when completed") {
     val dir = Files.createTempDirectory("feedlog-torn")
     FeedLog.append(dir, Seq(payload("a", 1L, "one"), payload("a", 2L, "two")))

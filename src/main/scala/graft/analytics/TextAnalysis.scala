@@ -289,6 +289,89 @@ object TextAnalysis {
       batchM: Int = 16, poolK: Int = 96, maxRounds: Int = 160): DataFrame =
     bpeBatchedLoop(charChunkUnits(docs), maxRounds, batchM, poolK, targetMerges)
 
+  /** GPT-style SEQUENCE PACKING — the pre-training step every LLM data
+    * pipeline runs after tokenization: documents concatenate in doc_id
+    * order, each followed by one EOD separator token, and the global
+    * token stream splits into fixed `seqLen` training sequences. The
+    * output is the per-(sequence, document) SPAN table — exactly what a
+    * loader needs to build attention masks that stop at document
+    * boundaries: which docs contribute to each sequence, at what offset,
+    * for how many tokens, and whether the doc's EOD lands here.
+    *
+    * The only order-dependent quantity is each doc's global offset — an
+    * exclusive prefix sum over doc_id order. A naive window
+    * (`ORDER BY doc_id` unpartitioned) funnels the corpus through ONE
+    * task; this uses the TWO-LEVEL prefix-sum idiom instead:
+    * docs bucket by `doc_id div bucketSize`, per-bucket totals aggregate
+    * map-side into a METADATA-scale table (|buckets| rows) whose
+    * cumulative bases are the only global window, and within-bucket
+    * prefixes run partitioned by bucket (bounded partitions). The corpus
+    * is touched by exactly one scan, one bucket-keyed window, and one
+    * broadcast join of the base table; per-doc span explode is bounded
+    * by len/seqLen + 2 rows. At 100 TB the bucket table is ~corpus/2^16
+    * rows — driver-trivial — and nothing corpus-sized ever single-tasks.
+    *
+    * @return spans: (seq_id, doc_id, start_in_seq, n_toks, has_eod)
+    */
+  def packSequences(docs: DataFrame, seqLen: Int = 256,
+      bucketSize: Int = 64): DataFrame = {
+    val L = seqLen.toLong
+    // slot = token count + 1 EOD separator. localCheckpoint pins the
+    // NARROW (doc_id, slot, bucket) projection once: both prefix levels
+    // consume it, so the corpus text is scanned and tokenized exactly
+    // once (the checkpoint is corpus-row-count-sized at ~24 bytes/row,
+    // distributed — never the text column twice)
+    val lens = docs.select(col("doc_id"),
+      (size(words(col("text"))) + 1).cast("long").as("slot"),
+      expr(s"doc_id div $bucketSize").as("bucket"))
+      .localCheckpoint(true)
+    // level 1: per-bucket totals — metadata-scale, map-side combined
+    val bases = lens.groupBy("bucket").agg(sum("slot").as("btotal"))
+      .withColumn("bbase",
+        coalesce(sum(col("btotal")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("btotal")
+    // level 2: within-bucket exclusive prefix (bounded partitions) +
+    // broadcast of the bucket bases
+    val withOff = lens
+      .withColumn("wprefix",
+        coalesce(sum(col("slot")).over(
+          Window.partitionBy("bucket").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(bases), "bucket")
+      .withColumn("off", col("bbase") + col("wprefix"))
+      .select("doc_id", "slot", "off")
+    // spans: the doc's slot [off, off+slot) intersected with each seq
+    // window [s*L, (s+1)*L) it overlaps — ≤ slot/L + 2 rows per doc
+    withOff
+      .withColumn("seq_id", explode(expr(
+        s"sequence(off div $L, (off + slot - 1) div $L)")))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        (greatest(col("off"), col("seq_id") * L) - col("seq_id") * L)
+          .as("start_in_seq"),
+        (least(col("off") + col("slot"), (col("seq_id") + 1) * L) -
+          greatest(col("off"), col("seq_id") * L)).as("n_toks"),
+        (expr(s"(off + slot - 1) div $L") === col("seq_id"))
+          .cast("int").as("has_eod"))
+  }
+
+  /** Per-sequence packing audit over [[packSequences]]: how many docs
+    * land in each sequence, the filled token count (== seqLen everywhere
+    * but the tail), EOD count, and the contributing doc-id range.
+    */
+  def packStats(docs: DataFrame, seqLen: Int = 256,
+      bucketSize: Int = 64): DataFrame =
+    packSequences(docs, seqLen, bucketSize)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("has_eod")).cast("long").as("n_eods"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
   /** Per-round telemetry from the LAST [[bpeBatchedLoop]] run on this
     * driver: (round, accepted_merges, pair_rows_exploded, seconds).
     * Observability seam (the FooterCache-counters pattern) — feeds the

@@ -2372,6 +2372,72 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_id"),
       Some(ChunkOverlapOracle)),
 
+    // ---- GPT-style sequence packing (pre-training's last mile) ----
+    // Docs concatenate in doc_id order with one EOD token each; the
+    // global token stream splits into fixed 256-token training
+    // sequences. The row is the (sequence, document) SPAN table — the
+    // attention-mask input: offset and token count of every doc inside
+    // every sequence, plus whether its EOD lands there. The only global
+    // order dependence is the exclusive prefix sum of doc lengths, run
+    // as the TWO-LEVEL idiom (per-bucket totals → metadata-scale base
+    // window → within-bucket prefixes) so nothing corpus-sized ever
+    // funnels through one task; the oracle computes the same offsets
+    // with a plain window (correct at oracle scale, the thing the
+    // two-level form replaces at 100 TB).
+    QueryDef("tx_pack_sequences",
+      (s, dir) => TextAnalysis.packSequences(Tables.documents(s, dir),
+          seqLen = 256, bucketSize = 64)
+        .orderBy("seq_id", "doc_id"),
+      Some(s"""
+        WITH w AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS slot
+                   FROM documents),
+        o AS (SELECT doc_id, slot,
+                CAST(COALESCE(sum(slot) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+              FROM w),
+        sp AS (SELECT doc_id, slot, off,
+                 unnest(range(off // 256, (off + slot - 1) // 256 + 1)) AS seq_id
+               FROM o)
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(greatest(off, seq_id * 256) - seq_id * 256 AS BIGINT)
+                 AS start_in_seq,
+               CAST(least(off + slot, (seq_id + 1) * 256)
+                 - greatest(off, seq_id * 256) AS BIGINT) AS n_toks,
+               CAST(CASE WHEN (off + slot - 1) // 256 = seq_id
+                 THEN 1 ELSE 0 END AS INT) AS has_eod
+        FROM sp ORDER BY seq_id, doc_id""")),
+
+    // ---- packing audit: fill, boundaries, doc range per sequence ----
+    QueryDef("tx_pack_stats",
+      (s, dir) => TextAnalysis.packStats(Tables.documents(s, dir),
+          seqLen = 256, bucketSize = 64)
+        .orderBy("seq_id"),
+      Some(s"""
+        WITH w AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS slot
+                   FROM documents),
+        o AS (SELECT doc_id, slot,
+                CAST(COALESCE(sum(slot) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+              FROM w),
+        sp AS (SELECT doc_id, slot, off,
+                 unnest(range(off // 256, (off + slot - 1) // 256 + 1)) AS seq_id
+               FROM o),
+        spans AS (SELECT seq_id, doc_id,
+                    least(off + slot, (seq_id + 1) * 256)
+                      - greatest(off, seq_id * 256) AS n,
+                    CASE WHEN (off + slot - 1) // 256 = seq_id
+                      THEN 1 ELSE 0 END AS eod
+                  FROM sp)
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+               count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(eod) AS BIGINT) AS n_eods,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM spans GROUP BY 1 ORDER BY 1""")),
+
     // ---- repetition quality signals (Gopher-style filters) ----
     QueryDef("tx_repetition",
       (s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))

@@ -622,6 +622,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tx_pack_sequences: two-level prefix sum — no corpus-sized global window, one corpus scan") {
+    val p = plan("tx_pack_sequences")
+    // the corpus-side prefix window is PARTITIONED by bucket — bounded
+    // partitions, never the whole corpus through one task
+    assert(p.contains("windowspecdefinition(bucket#"), p.take(3000))
+    // the only unpartitioned window runs over the metadata-scale bucket
+    // table, which is produced by a map-side-combined aggregate and
+    // BROADCAST back to the corpus side
+    assert(p.contains("HashAggregate(keys=[bucket"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin [bucket"), p.take(3000))
+    // the text column is scanned + tokenized exactly once (the narrow
+    // lens projection is checkpointed; this plan reads only the RDD)
+    assert(!p.contains("FileScan parquet"), p.take(3000))
+  }
+
   test("DriverBudget branch counters observe k-means centroid materialization") {
     graft.analytics.DriverBudget.resetBranchCounts()
     SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf).count()

@@ -330,6 +330,44 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sequence packing: conservation, fill, EOD accounting, bucket-size independence") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val L = 256
+    val spans = graft.analytics.TextAnalysis.packSequences(docs, L, bucketSize = 64)
+      .persist()
+    try {
+      val stats = graft.analytics.TextAnalysis.packStats(docs, L, bucketSize = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val lastSeq = stats.map(_._1).max
+      // every sequence except the tail is filled to exactly L tokens,
+      // with no gaps in the id space (the stream splits exhaustively)
+      assert(stats.map(_._1) === (0L to lastSeq).toArray)
+      stats.filter(_._1 < lastSeq).foreach { case (sid, _, n, _) =>
+        assert(n === L.toLong, s"seq $sid filled $n != $L")
+      }
+      // token conservation: each doc's spans sum to its slot (tokens+EOD)
+      val slotFromSpans = spans.groupBy("doc_id")
+        .agg(sum("n_toks").as("s"), sum("has_eod").as("e"))
+      val expected = docs.select(col("doc_id"),
+        (size(split(col("text"), " ")) + 1).cast("long").as("slot"))
+      val diverged = slotFromSpans.join(expected, "doc_id")
+        .where(col("s") =!= col("slot") || col("e") =!= 1).count()
+      assert(diverged === 0L, "a doc's spans lost tokens or its EOD")
+      // EODs across sequences = number of docs
+      assert(stats.map(_._4).sum === docs.count())
+      // the two-level prefix sum is bucket-size INVARIANT: degenerate
+      // single-bucket (the naive global order) and a coprime bucket width
+      // reproduce the span table bit-for-bit
+      Seq(7, 1 << 20).foreach { b =>
+        val alt = graft.analytics.TextAnalysis.packSequences(docs, L, b)
+        assert(alt.exceptAll(spans).isEmpty && spans.exceptAll(alt).isEmpty,
+          s"bucketSize=$b changed the packing")
+      }
+    } finally { spans.unpersist(); () }
+  }
+
   test("charChunkUnits: boundary marking, non-overlap, ragged tail") {
     import spark.implicits._
     val docs = Seq((0L, "alpha beta gamma"), (1L, "ab"), (2L, "x"),

@@ -314,7 +314,7 @@ object TextAnalysis {
     * @return spans: (seq_id, doc_id, start_in_seq, n_toks, has_eod)
     */
   def packSequences(docs: DataFrame, seqLen: Int = 256,
-      bucketSize: Int = 64): DataFrame = {
+      bucketSize: Int = 64, baseOffset: Long = 0L): DataFrame = {
     val L = seqLen.toLong
     // slot = token count + 1 EOD separator. localCheckpoint pins the
     // NARROW (doc_id, slot, bucket) projection once: both prefix levels
@@ -340,7 +340,10 @@ object TextAnalysis {
           Window.partitionBy("bucket").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .join(broadcast(bases), "bucket")
-      .withColumn("off", col("bbase") + col("wprefix"))
+      // baseOffset: where this corpus STARTS in the global token stream —
+      // the incremental-packing seam (st_pack carries the running total
+      // across micro-batches, so history spans are frozen, L0-style)
+      .withColumn("off", col("bbase") + col("wprefix") + lit(baseOffset))
       .select("doc_id", "slot", "off")
     // spans: the doc's slot [off, off+slot) intersected with each seq
     // window [s*L, (s+1)*L) it overlaps — ≤ slot/L + 2 rows per doc

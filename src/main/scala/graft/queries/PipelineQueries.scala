@@ -19,6 +19,32 @@ object PipelineQueries {
   private val WordsCte =
     "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
 
+  /** Shared by `tx_pack_sequences` and its streaming twin `st_pack` (the
+    * twin's carried-offset incremental packing reproduces the batch
+    * spans bit-for-bit on an in-order feed, so both replay this naive
+    * global-window oracle).
+    */
+  private[queries] val PackSequencesOracle: String = s"""
+        WITH w AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS slot
+                   FROM documents),
+        o AS (SELECT doc_id, slot,
+                CAST(COALESCE(sum(slot) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+              FROM w),
+        sp AS (SELECT doc_id, slot, off,
+                 unnest(range(off // 256, (off + slot - 1) // 256 + 1)) AS seq_id
+               FROM o)
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(greatest(off, seq_id * 256) - seq_id * 256 AS BIGINT)
+                 AS start_in_seq,
+               CAST(least(off + slot, (seq_id + 1) * 256)
+                 - greatest(off, seq_id * 256) AS BIGINT) AS n_toks,
+               CAST(CASE WHEN (off + slot - 1) // 256 = seq_id
+                 THEN 1 ELSE 0 END AS INT) AS has_eod
+        FROM sp ORDER BY seq_id, doc_id"""
+
   /** Shared by `tx_chunk_overlap` and its streaming twin `st_chunk` (a
     * pure per-doc projection — micro-batching is invisible, so the twin
     * shares this verbatim). Window 16 / stride 12; all-integer chunk
@@ -2388,26 +2414,7 @@ object PipelineQueries {
       (s, dir) => TextAnalysis.packSequences(Tables.documents(s, dir),
           seqLen = 256, bucketSize = 64)
         .orderBy("seq_id", "doc_id"),
-      Some(s"""
-        WITH w AS (SELECT doc_id,
-                     CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS slot
-                   FROM documents),
-        o AS (SELECT doc_id, slot,
-                CAST(COALESCE(sum(slot) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  AS BIGINT) AS off
-              FROM w),
-        sp AS (SELECT doc_id, slot, off,
-                 unnest(range(off // 256, (off + slot - 1) // 256 + 1)) AS seq_id
-               FROM o)
-        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
-               CAST(greatest(off, seq_id * 256) - seq_id * 256 AS BIGINT)
-                 AS start_in_seq,
-               CAST(least(off + slot, (seq_id + 1) * 256)
-                 - greatest(off, seq_id * 256) AS BIGINT) AS n_toks,
-               CAST(CASE WHEN (off + slot - 1) // 256 = seq_id
-                 THEN 1 ELSE 0 END AS INT) AS has_eod
-        FROM sp ORDER BY seq_id, doc_id""")),
+      Some(PackSequencesOracle)),
 
     // ---- packing audit: fill, boundaries, doc range per sequence ----
     QueryDef("tx_pack_stats",

@@ -576,6 +576,18 @@ object StreamMultimodalQueries {
       (s, dir) => StreamingIngest.streamingChunk(s, dir),
       Some(PipelineQueries.ChunkOverlapOracle)),
 
+    // ---- streaming sequence packing (parity with tx_pack_sequences) ----
+    // Pre-training packing at its deployment point: document
+    // micro-batches pack into the global token stream at a carried
+    // offset (driver-held running total), so emitted spans FREEZE on
+    // arrival — no rewrite of earlier sequences, the next batch resumes
+    // mid-sequence (the L0 discipline applied to packing). In-order
+    // feed ⇒ spans bit-identical to the batch packer ⇒ shared oracle;
+    // Round13Spec proves the multi-batch case against the batch table.
+    QueryDef("st_pack",
+      (s, dir) => StreamingIngest.streamingPack(s, dir),
+      Some(PipelineQueries.PackSequencesOracle)),
+
     // ---- streaming deletion audit (parity with cu_forget_audit) ----
     // The compliance rollup maintained AS documents arrive: complete-mode
     // per-source aggregation; sort_array before the fingerprint hash

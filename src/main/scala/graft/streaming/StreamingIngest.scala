@@ -886,6 +886,71 @@ object StreamingIngest {
     drain(out, "append").orderBy("doc_id", "chunk_id")
   }
 
+  /** Streaming/incremental sequence packing —
+    * [[graft.analytics.TextAnalysis.packSequences]] at its deployment
+    * point: document micro-batches arrive in doc_id order and each batch
+    * packs into the GLOBAL token stream at the carried offset (a
+    * driver-held running total — the packing analog of a consumer
+    * cursor), so emitted spans are FROZEN the moment they land: no
+    * rewrite of earlier sequences, batch k+1 simply continues
+    * mid-sequence where batch k stopped (the store's L0 discipline
+    * applied to packing). Offset advance = the batch's own span-token
+    * sum, so conservation is structural. With an in-order feed the spans
+    * are bit-identical to the batch packer's — the registry row (one
+    * bounded file source) shares `tx_pack_sequences`' oracle verbatim,
+    * and Round13Spec drives a 5-batch MemoryStream through this helper
+    * against the batch table.
+    */
+  /** The configured span-appending sink for [[streamingPackSpans]],
+    * exposed so tests can drive micro-batches one at a time
+    * (addData → processAllAvailable per batch) — the carried-offset
+    * seam only does real work when batches genuinely arrive separately.
+    *
+    * @return (ready-to-start writer, span output directory)
+    */
+  def packSpanWriter(docs: DataFrame, seqLen: Int = 256, bucketSize: Int = 64)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], String) = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-pack-spans")
+      .toString
+    var nextOffset = 0L
+    val w = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spans = graft.analytics.TextAnalysis
+            .packSequences(batch, seqLen, bucketSize, nextOffset)
+            .persist()
+          try {
+            spans.write.mode("append").parquet(outDir)
+            nextOffset += spans.agg(sum(col("n_toks"))).head().getLong(0)
+          } finally { spans.unpersist(); () }
+        }
+        ()
+      }
+    (w, outDir)
+  }
+
+  def streamingPackSpans(docs: DataFrame, seqLen: Int = 256,
+      bucketSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val (w, outDir) = packSpanWriter(docs, seqLen, bucketSize)
+    val q = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** The file-sourced deployment of [[streamingPackSpans]] for the
+    * registry row (single bounded source file — in-order by
+    * construction).
+    */
+  def streamingPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    streamingPackSpans(docs).orderBy("seq_id", "doc_id")
+  }
+
   /** Streaming record linkage — [[graft.analytics.Dedup.entityResolution]]
     * at its deployment point: dirty records ARRIVE as a stream and
     * resolve against the STATIC clean registry through the same blocked

@@ -368,6 +368,44 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { spans.unpersist(); () }
   }
 
+  test("incremental packing: 5 micro-batches with a carried offset == the batch packer") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark, 1)
+    // 5 in-order batches of uneven size — batch boundaries deliberately
+    // DON'T align to sequence boundaries, so most batches resume
+    // mid-sequence at the carried offset. Fed ONE BATCH AT A TIME
+    // (addData → processAllAvailable) so the offset carry genuinely
+    // crosses micro-batch commits, not one coalesced batch.
+    val (writer, outDir) = graft.streaming.StreamingIngest.packSpanWriter(
+      in.toDF().toDF("doc_id", "text"))
+    val q = writer.start()
+    try {
+      docs.grouped(math.max(docs.length / 5 + 1, 1)).foreach { g =>
+        in.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+    val batch = graft.analytics.TextAnalysis.packSequences(
+      Tables.documents(spark, sf))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "incremental spans diverged from the batch packer")
+    // and the stream genuinely split mid-sequence: some sequence's spans
+    // came from more than one micro-batch (≥1 seq with docs spanning a
+    // batch boundary) — trivially true unless batches aligned exactly
+    val boundaryDocs = docs.grouped(math.max(docs.length / 5 + 1, 1))
+      .map(_.head._1).toSeq.drop(1)
+    val crossSeqs = batch.where(col("doc_id").isin(boundaryDocs.map(b => b - 1) ++
+      boundaryDocs: _*))
+      .groupBy("seq_id").agg(countDistinct(col("doc_id")).as("n"))
+      .where(col("n") >= 2).count()
+    assert(crossSeqs > 0, "test feed accidentally aligned to sequence boundaries")
+  }
+
   test("charChunkUnits: boundary marking, non-overlap, ragged tail") {
     import spark.implicits._
     val docs = Seq((0L, "alpha beta gamma"), (1L, "ab"), (2L, "x"),

@@ -308,13 +308,16 @@ object TextAnalysis {
     * prefixes run partitioned by bucket (bounded partitions). The corpus
     * is touched by exactly one scan, one bucket-keyed window, and one
     * broadcast join of the base table; per-doc span explode is bounded
-    * by len/seqLen + 2 rows. At 100 TB the bucket table is ~corpus/2^16
-    * rows — driver-trivial — and nothing corpus-sized ever single-tasks.
+    * by len/seqLen + 2 rows. The default bucket width is 2^16, so at
+    * 100 TB the level-1 bucket table is ~corpus/2^16 rows —
+    * driver-trivial — and nothing corpus-sized ever single-tasks
+    * (Round13Spec proves the spans are bucket-size INVARIANT, so the
+    * width is purely a partitioning knob).
     *
     * @return spans: (seq_id, doc_id, start_in_seq, n_toks, has_eod)
     */
   def packSequences(docs: DataFrame, seqLen: Int = 256,
-      bucketSize: Int = 64, baseOffset: Long = 0L): DataFrame = {
+      bucketSize: Int = 1 << 16, baseOffset: Long = 0L): DataFrame = {
     val L = seqLen.toLong
     // slot = token count + 1 EOD separator. localCheckpoint pins the
     // NARROW (doc_id, slot, bucket) projection once: both prefix levels
@@ -366,7 +369,7 @@ object TextAnalysis {
     * but the tail), EOD count, and the contributing doc-id range.
     */
   def packStats(docs: DataFrame, seqLen: Int = 256,
-      bucketSize: Int = 64): DataFrame =
+      bucketSize: Int = 1 << 16): DataFrame =
     packSequences(docs, seqLen, bucketSize)
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"),

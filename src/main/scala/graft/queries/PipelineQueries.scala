@@ -2412,14 +2412,14 @@ object PipelineQueries {
     // two-level form replaces at 100 TB).
     QueryDef("tx_pack_sequences",
       (s, dir) => TextAnalysis.packSequences(Tables.documents(s, dir),
-          seqLen = 256, bucketSize = 64)
+          seqLen = 256)
         .orderBy("seq_id", "doc_id"),
       Some(PackSequencesOracle)),
 
     // ---- packing audit: fill, boundaries, doc range per sequence ----
     QueryDef("tx_pack_stats",
       (s, dir) => TextAnalysis.packStats(Tables.documents(s, dir),
-          seqLen = 256, bucketSize = 64)
+          seqLen = 256)
         .orderBy("seq_id"),
       Some(s"""
         WITH w AS (SELECT doc_id,

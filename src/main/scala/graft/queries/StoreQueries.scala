@@ -220,6 +220,52 @@ object StoreQueries {
       st
     })
 
+  /** Seventh per-sf store: a day-2 slice ingested through a PARTITIONED
+    * 4-log topic (VERDICT r13 next #1 — the consumer-GROUP half of the
+    * broker contract, service.js:117-120): the producer routes every
+    * record by TAG hash to one of four logs ([[graft.streaming.FeedLog
+    * .appendKeyed]], the Kafka keyed partitioner — per-tag order becomes
+    * per-log order), 4 KiB segments so every log rolls mid-feed, and the
+    * consumer drains all four logs through ONE `graft-feed` query whose
+    * offset map now spans (log, segment) pairs and whose per-trigger
+    * budget splits fairly across logs. One InputPartition per log per
+    * trigger = four competing consumer tasks.
+    */
+  private def feedPartitionedStoreFor(s: SparkSession, dir: String)
+      : TimeSeriesStore =
+    stores.computeIfAbsent(dir + "#feedp", { _ =>
+      val root = Files.createTempDirectory("graft-storefp").toString
+      val topic = Files.createTempDirectory("graft-feedtopic")
+      val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
+      st.initialize()
+      val slice = Tables.events(s, dir)
+        .where(col("ts_ms") > day(1) && col("ts_ms") <= day(2))
+        .select(col("event_type").as("k"), to_json(struct(
+          col("event_type").as("tag"),
+          col("ts_ms").as("ts"),
+          col("value").cast("string").as("value"),
+          lit(1L).as("ingestTs"),
+          lit("w1").as("writerId"),
+          col("event_id").as("seq"))).as("payload"))
+      val it = slice.toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def flush(): Unit = if (buf.nonEmpty) {
+        graft.streaming.FeedLog.appendKeyed(topic, buf.toSeq, numLogs = 4,
+          segBytes = 4L << 10)
+        buf.clear()
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        buf += ((r.getString(0), r.getString(1)))
+        if (buf.size >= 512) flush()
+      }
+      flush()
+      val q = graft.streaming.StreamingIngest.feedSampleStream(
+        s, st, topic.toString, maxBytesPerTrigger = 8L << 10)
+      try { q.processAllAvailable() } finally q.stop()
+      st
+    })
+
   /** Third per-sf store: a 4-day slice bulk-ingested in TWO overlapping
     * batches (every partition gets ≥2 files; `event_id % 3 == 0` rows are
     * re-written with doubled values and a later ingestTs), then
@@ -481,6 +527,45 @@ object StoreQueries {
                        ORDER BY event_id DESC) AS rn
                    FROM events
                    WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(1)})
+        SELECT tag, count(*) AS n,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM w WHERE rn = 1 GROUP BY tag ORDER BY tag""")),
+
+    // ---- PARTITIONED topic: 4-log keyed fan-out, one consumer group ----
+    // The consumer-group half of the broker contract: the producer
+    // routed each record by tag hash into one of FOUR logs, each log
+    // rolled its own 4 KiB segments, and one graft-feed query drained
+    // them all — offsets spanning (log, segment) pairs, fair-share
+    // admission across logs, one InputPartition (= competing consumer)
+    // per log per trigger. The LWW read over the drained store must
+    // hash-match the oracle's replay over the original slice: a lost
+    // log, a mis-routed key, cross-log budget starvation stalling a
+    // partition, or a replayed range after the fair-share split all
+    // diverge.
+    QueryDef("ts_feed_partitioned",
+      (s, dir) => {
+        val st = feedPartitionedStoreFor(s, dir)
+        st.registerViews("graftfp")
+        s.sql(s"""
+          SELECT tag, count(*) AS n,
+                 min(ts) AS min_ts_ms, max(ts) AS max_ts_ms,
+                 CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS sum_cents
+          FROM (
+            SELECT tag, ts, value,
+                   row_number() OVER (PARTITION BY tag, ts
+                     ORDER BY ingestTs DESC, seq DESC, writerId DESC) AS rn
+            FROM graftfp_hot)
+          WHERE rn = 1 GROUP BY tag ORDER BY tag""")
+      },
+      Some(s"""
+        WITH w AS (SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                     row_number() OVER (PARTITION BY event_type, epoch_ms(ts)
+                       ORDER BY event_id DESC) AS rn
+                   FROM events
+                   WHERE epoch_ms(ts) > ${day(1)} AND epoch_ms(ts) <= ${day(2)})
         SELECT tag, count(*) AS n,
                min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
                CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)

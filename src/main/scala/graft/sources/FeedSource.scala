@@ -122,11 +122,15 @@ final class FeedScan(dir: String, maxBytesPerTrigger: Long,
   }
 }
 
-/** Segment name → first NOT-consumed byte position. Segments absent from
-  * the map are at position 0 (a producer may roll new segments at any
-  * time; an offset taken before the roll stays valid). JSON form is the
-  * sorted map — deterministic, so offset equality is textual equality
-  * (the contract Structured Streaming's offset log relies on).
+/** Segment (relative) name → first NOT-consumed byte position. Keys are
+  * `seg-NNNNNNNN.log` for a flat single-log topic or
+  * `log-NNNNN/seg-NNNNNNNN.log` for an N-log topic — one map covers the
+  * whole topic, the exact shape of Kafka's per-topic
+  * (partition → offset) checkpoint entry. Segments absent from the map
+  * are at position 0 (a producer may roll new segments or new logs at
+  * any time; an offset taken before the roll stays valid). JSON form is
+  * the sorted map — deterministic, so offset equality is textual
+  * equality (the contract Structured Streaming's offset log relies on).
   */
 final case class FeedOffset(positions: Map[String, Long]) extends Offset {
   override def json(): String =
@@ -138,30 +142,46 @@ final case class FeedOffset(positions: Map[String, Long]) extends Offset {
 
 object FeedOffset {
   def fromJson(s: String): FeedOffset = FeedOffset(
-    "\"(seg-\\d{8}\\.log)\":(\\d+)".r.findAllMatchIn(s)
+    "\"((?:log-\\d{5}/)?seg-\\d{8}\\.log)\":(\\d+)".r.findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2).toLong).toMap)
 }
 
+/** One contiguous record range of one segment — the unit a reader
+  * drains. A micro-batch task gets ALL of one log's slices, in segment
+  * order, so per-log production order is preserved within its task.
+  */
+final case class FeedSlice(path: String, segment: String,
+    from: Long, to: Long)
+
 object FeedMicroBatchStream {
 
-  /** Fully-safe frontier: every segment walked to its last complete
-    * record, no budget (Trigger.AvailableNow's target, and the batch
-    * audit's range).
+  /** Fully-safe frontier: every segment of every log walked to its last
+    * complete record, no budget (Trigger.AvailableNow's target, and the
+    * batch audit's range).
     */
   def safeFrontier(dir: String): FeedOffset = FeedOffset(
-    FeedLog.segments(Paths.get(dir)).map { seg =>
-      seg.getFileName.toString -> FeedLog.safeEnd(seg, 0L)
+    FeedLog.allSegments(Paths.get(dir)).map { case (name, seg) =>
+      name -> FeedLog.safeEnd(seg, 0L)
     }.toMap)
 
+  /** One [[InputPartition]] per LOG per trigger (the consumer-group
+    * shape: a log's reader is its single competing consumer for the
+    * batch), each carrying that log's advanced slices in segment order.
+    */
   def partitions(dir: String, start: FeedOffset, end: FeedOffset)
-      : Array[InputPartition] =
-    end.positions.toSeq.sorted.flatMap { case (name, to) =>
+      : Array[InputPartition] = {
+    val slices = end.positions.toSeq.sorted.flatMap { case (name, to) =>
       val from = start.posOf(name)
       if (to > from)
-        Some(FeedInputPartition(
+        Some(FeedSlice(
           Paths.get(dir).resolve(name).toString, name, from, to))
       else None
-    }.toArray
+    }
+    slices.groupBy(s => s.segment.split("/").dropRight(1).mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (_, ss) => FeedInputPartition(ss.sortBy(_.segment)) }
+      .toArray[InputPartition]
+  }
 }
 
 final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
@@ -178,10 +198,20 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxBytes(maxBytesPerTrigger)
 
-  /** Advance each segment's cursor frame-by-frame under the byte/record
-    * budget, in segment order — earlier segments drain first, so a
-    * backlog replays in production order. Cost per trigger is
-    * O(new bytes walked), never a re-scan of consumed history.
+  /** Advance cursors frame-by-frame under the byte/record budget. The
+    * budget splits FAIRLY across the topic's logs (each log's share is
+    * `remaining / logs-left`, so unused share rolls over — Kafka's
+    * proportional `maxOffsetsPerTrigger` distribution: one backlogged
+    * log can't starve the others); within a log, earlier segments drain
+    * first, so per-log production order is preserved. Record accounting
+    * is EXACT ([[FeedLog.safeEndCount]]). Minimum progress (ADVICE r13):
+    * a log whose next record alone outsizes its share still admits that
+    * one record — the at-least-one-unit rule, without which an oversized
+    * record stalled its segment forever while later segments drained
+    * (violating production order) — so every log advances every trigger
+    * it has complete data, bounded by logs × largest-record overshoot.
+    * Cost per trigger is O(new bytes walked), never a re-scan of
+    * consumed history.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FeedOffset]
@@ -197,20 +227,32 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
     }
     absorb(limit)
     val out = scala.collection.mutable.Map[String, Long](s.positions.toSeq: _*)
-    FeedLog.segments(Paths.get(dir)).foreach { seg =>
+    val topic = Paths.get(dir)
+    val logGroups = FeedLog.logs(topic)
+    logGroups.zipWithIndex.foreach { case (log, gi) =>
       if (byteBudget > 0 && recordBudget > 0) {
-        val name = seg.getFileName.toString
-        val from = s.posOf(name)
-        val to = FeedLog.safeEnd(seg, from, byteBudget, recordBudget)
-        if (to > from) {
-          // conservative record accounting: frames are ≥ 4 bytes, so the
-          // walked byte count bounds the record count we charge
-          byteBudget -= (to - from)
-          recordBudget -= (to - from) / 4 max 1
-          out(name) = to
-        } // un-advanced segments stay OUT of the offset map (adding a
-          // zero entry would make every trigger's offset textually new
-          // and schedule empty batches forever)
+        val prefix = if (log == topic) "" else log.getFileName.toString + "/"
+        var logBytes = byteBudget / (logGroups.size - gi)
+        var logRecs = recordBudget / (logGroups.size - gi) max 1L
+        var logAdmitted = 0L
+        FeedLog.segments(log).foreach { seg =>
+          if (logBytes > 0 && logRecs > 0) {
+            val name = prefix + seg.getFileName.toString
+            val from = s.posOf(name)
+            val (to, n) = FeedLog.safeEndCount(seg, from, logBytes, logRecs,
+              atLeastOne = logAdmitted == 0L)
+            if (to > from) {
+              byteBudget -= (to - from)
+              recordBudget -= n
+              logBytes -= (to - from)
+              logRecs -= n
+              logAdmitted += n
+              out(name) = to
+            } // un-advanced segments stay OUT of the offset map (adding a
+              // zero entry would make every trigger's offset textually
+              // new and schedule empty batches forever)
+          }
+        }
       }
     }
     FeedOffset(out.toMap)
@@ -243,39 +285,62 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
   override def commit(end: Offset): Unit =
     if (!retainConsumed) {
       val e = end.asInstanceOf[FeedOffset]
-      val segs = FeedLog.segments(Paths.get(dir))
-      segs.dropRight(1).foreach { seg =>
-        val name = seg.getFileName.toString
-        if (e.posOf(name) >= Files.size(seg))
-          try Files.deleteIfExists(seg)
-          catch { case _: java.io.IOException => () }
+      val topic = Paths.get(dir)
+      FeedLog.logs(topic).foreach { log =>
+        val prefix = if (log == topic) "" else log.getFileName.toString + "/"
+        // per LOG: only rolled segments (never the lexicographically-last
+        // — the single-producer rule says only it can still grow)
+        FeedLog.segments(log).dropRight(1).foreach { seg =>
+          val name = prefix + seg.getFileName.toString
+          if (e.posOf(name) >= Files.size(seg))
+            try { Files.deleteIfExists(seg); () }
+            catch { case _: java.io.IOException => () }
+        }
       }
     }
 
   override def stop(): Unit = ()
 }
 
-final case class FeedInputPartition(path: String, segment: String,
-    from: Long, to: Long) extends InputPartition
+/** One LOG's micro-batch advance: its slices in segment order (the task
+  * reads them sequentially, so per-log production order is preserved
+  * end to end — the Kafka per-partition ordering guarantee).
+  */
+final case class FeedInputPartition(slices: Seq[FeedSlice])
+    extends InputPartition
 
 final class FeedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FeedInputPartition]
     new PartitionReader[InternalRow] {
-      // streamed frames, O(largest record) memory — never the whole range
-      private val it = FeedLog.openRange(Paths.get(p.path), p.from, p.to)
+      // streamed frames, O(largest record) memory — never the whole
+      // range; slices drain strictly in segment order
+      private val remaining = p.slices.iterator
+      private var slice: FeedSlice = _
+      private var it: FeedLog.RangeReader = _
       private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (!it.hasNext) false
+      private def advanceSlice(): Boolean = {
+        if (it != null) it.close()
+        if (!remaining.hasNext) { it = null; false }
+        else {
+          slice = remaining.next()
+          it = FeedLog.openRange(Paths.get(slice.path), slice.from, slice.to)
+          true
+        }
+      }
+      override def next(): Boolean = {
+        while ((it == null || !it.hasNext) && remaining.hasNext) advanceSlice()
+        if (it == null || !it.hasNext) false
         else {
           val (pos, payload) = it.next()
           cur = new GenericInternalRow(Array[Any](
             UTF8String.fromString(payload),
-            UTF8String.fromString(p.segment), pos))
+            UTF8String.fromString(slice.segment), pos))
           true
         }
+      }
       override def get(): InternalRow = cur
-      override def close(): Unit = it.close()
+      override def close(): Unit = if (it != null) it.close()
     }
   }
 }

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
@@ -908,34 +910,75 @@ object StreamingIngest {
     *
     * @return (ready-to-start writer, span output directory)
     */
-  def packSpanWriter(docs: DataFrame, seqLen: Int = 256, bucketSize: Int = 64)
+  def packSpanWriter(docs: DataFrame, seqLen: Int = 256,
+      bucketSize: Int = 1 << 16)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], String) = {
     val outDir = java.nio.file.Files.createTempDirectory("graft-pack-spans")
       .toString
-    var nextOffset = 0L
     val w = docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spans = graft.analytics.TextAnalysis
-            .packSequences(batch, seqLen, bucketSize, nextOffset)
-            .persist()
-          try {
-            spans.write.mode("append").parquet(outDir)
-            nextOffset += spans.agg(sum(col("n_toks"))).head().getLong(0)
-          } finally { spans.unpersist(); () }
-        }
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packSpanBatch(outDir, batch, batchId, seqLen, bucketSize)
       }
     (w, outDir)
   }
 
+  /** One restart-safe packing micro-batch (ADVICE r13: the carried
+    * offset was a bare driver var — a replayed foreachBatch after a
+    * failure double-appended the batch's spans and double-advanced the
+    * offset). The seam is now IDEMPOTENT on batchId:
+    *
+    *  - each committed batch leaves a `_offsets/<id>-<endOffset>` marker
+    *    next to the output, so a REPLAYED batchId is recognized and
+    *    skipped (its spans are already on disk);
+    *  - each batch writes into its OWN `batch-<id>` subdirectory with
+    *    overwrite — a batch that crashed after writing spans but before
+    *    its marker re-runs onto itself instead of appending twice;
+    *  - the batch's start offset derives from the MARKERS (max committed
+    *    end), not driver memory, so the running total survives a driver
+    *    restart — the exactly-once recipe every idempotent streaming
+    *    sink uses (checkpointed source offsets + batchId-keyed commits).
+    */
+  private[graft] def packSpanBatch(outDir: String, batch: DataFrame,
+      batchId: Long, seqLen: Int, bucketSize: Int): Unit = {
+    val ledger = java.nio.file.Paths.get(outDir, "_offsets")
+    java.nio.file.Files.createDirectories(ledger)
+    val committed: Map[Long, Long] = {
+      val s = java.nio.file.Files.list(ledger)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.matches("\\d+-\\d+") =>
+          val Array(id, end) = n.split("-", 2)
+          id.toLong -> end.toLong
+        }.toMap
+      finally s.close()
+    }
+    if (!committed.contains(batchId) && !batch.isEmpty) {
+      val start = committed.collect { case (id, end) if id < batchId => end }
+        .maxOption.getOrElse(0L)
+      val spans = graft.analytics.TextAnalysis
+        .packSequences(batch, seqLen, bucketSize, start)
+        .persist()
+      try {
+        spans.write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        val end = start + spans.agg(sum(col("n_toks"))).head().getLong(0)
+        java.nio.file.Files.createFile(ledger.resolve(s"$batchId-$end"))
+      } finally { spans.unpersist(); () }
+    }
+  }
+
+  /** Read back everything [[packSpanWriter]] committed (per-batch
+    * subdirectories; the `_offsets` ledger is underscore-hidden from the
+    * file index).
+    */
+  def readPackSpans(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+
   def streamingPackSpans(docs: DataFrame, seqLen: Int = 256,
-      bucketSize: Int = 64): DataFrame = {
+      bucketSize: Int = 1 << 16): DataFrame = {
     val spark = docs.sparkSession
     val (w, outDir) = packSpanWriter(docs, seqLen, bucketSize)
     val q = w.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    readPackSpans(spark, outDir)
   }
 
   /** The file-sourced deployment of [[streamingPackSpans]] for the

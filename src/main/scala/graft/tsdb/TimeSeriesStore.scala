@@ -851,7 +851,6 @@ final class TimeSeriesStore(
     cachedTiers match {
       case Some(t) if t._1 == v && cachedStamp == ds => t
       case _ =>
-        cachedStamp = ds
         // UPSTREAM-FIRST resolution (L0 → hot → cold, the data-flow
         // order): rows migrate downstream (flush: L0→hot; archive+ack:
         // hot→cold) and every migration PUBLISHES downstream before it
@@ -877,7 +876,13 @@ final class TimeSeriesStore(
           case (None, None)       => emptySamples
         }
         val t = (v, h.getOrElse(emptySamples), c.getOrElse(emptySamples), all)
+        // stamp and tiers commit TOGETHER, only after resolution
+        // succeeded: assigning the stamp first paired a transient
+        // resolution failure (e.g. IO during a foreign sweep) with the
+        // NEW stamp, so the next call served the stale pre-mutation
+        // listings as if they were fresh (ADVICE r13)
         cachedTiers = Some(t)
+        cachedStamp = ds
         t
     }
   }

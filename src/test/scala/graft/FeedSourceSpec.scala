@@ -231,6 +231,147 @@ class FeedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.readData(Map("r" -> (0L, 1000L)))("r").size === 220)
   }
 
+  test("safeEndCount: exact record accounting under byte and record budgets") {
+    val dir = Files.createTempDirectory("feedlog-cnt")
+    val recs = (0 until 10).map(i => payload("a", i.toLong, s"v$i"))
+    FeedLog.append(dir, recs, segBytes = 1L << 20)
+    val seg = FeedLog.segments(dir).head
+    val (full, nFull) = FeedLog.safeEndCount(seg, 0L)
+    assert(nFull === 10L && full === Files.size(seg))
+    // record budget bites exactly
+    val (e3, n3) = FeedLog.safeEndCount(seg, 0L, maxRecords = 3L)
+    assert(n3 === 3L)
+    assert(FeedLog.read(seg, 0L, e3).map(_._2).toSeq === recs.take(3))
+    // byte budget lands on a boundary with the true count, not bytes/4
+    val (eb, nb) = FeedLog.safeEndCount(seg, 0L, maxBytes = 200L)
+    assert(nb > 0L && nb < 10L)
+    assert(FeedLog.read(seg, 0L, eb).size.toLong === nb)
+  }
+
+  test("at-least-one progress: an oversized record cannot stall its segment") {
+    val dir = Files.createTempDirectory("feedlog-big-adm")
+    val huge = payload("a", 1L, "x" * 8192) // far over the trigger budget
+    FeedLog.append(dir,
+      Seq(payload("a", 0L, "before"), huge, payload("a", 2L, "after")),
+      segBytes = 1L << 20)
+    val seg = FeedLog.segments(dir).head
+    // the raw walk without the rule stalls at the huge frame...
+    val (stall, n0) = FeedLog.safeEndCount(seg, FeedLog.safeEnd(seg, 0L, 512L),
+      maxBytes = 512L)
+    assert(n0 === 0L && stall === FeedLog.safeEnd(seg, 0L, 512L))
+    // ...and the source's admission control drains it anyway, in order
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("graft-feed")
+      .option("path", dir.toString)
+      .option("maxBytesPerTrigger", 512L)
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.orderBy("segment", "pos").collect().map(_.getString(0))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.toSeq === Seq(payload("a", 0L, "before"), huge,
+      payload("a", 2L, "after")),
+      "the oversized record stalled or broke production order")
+  }
+
+  test("producer restart heals a torn tail: records appended after a crash are visible") {
+    val dir = Files.createTempDirectory("feedlog-heal")
+    FeedLog.append(dir, Seq(payload("a", 1L, "one"), payload("a", 2L, "two")))
+    val seg = FeedLog.segments(dir).head
+    val goodEnd = FeedLog.safeEnd(seg, 0L)
+    // crash mid-frame: full length word, half the payload
+    val bytes = payload("a", 3L, "lost").getBytes(StandardCharsets.UTF_8)
+    val ch = FileChannel.open(seg, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+    try {
+      val buf = ByteBuffer.allocate(4 + bytes.length / 2)
+      buf.putInt(bytes.length).put(bytes, 0, bytes.length / 2).flip()
+      while (buf.hasRemaining) ch.write(buf)
+    } finally ch.close()
+    assert(Files.size(seg) > goodEnd)
+    // the producer restarts through append(): without the heal, every
+    // record below would sit behind the torn frame, invisible forever
+    FeedLog.append(dir, Seq(payload("a", 4L, "four"), payload("a", 5L, "five")))
+    assert(FeedLog.safeEnd(seg, 0L) === Files.size(seg),
+      "the torn frame survived the restart and blocked the tail")
+    val back = FeedLog.read(seg, 0L, FeedLog.safeEnd(seg, 0L)).map(_._2).toSeq
+    assert(back === Seq(payload("a", 1L, "one"), payload("a", 2L, "two"),
+      payload("a", 4L, "four"), payload("a", 5L, "five")))
+  }
+
+  test("keyed topic routing: stable key->log assignment, per-key order preserved") {
+    val topic = Files.createTempDirectory("feedtopic-route")
+    val n = 4
+    val keyed = (0 until 200).map(i => (s"k${i % 7}", payload(s"k${i % 7}",
+      i.toLong, s"v$i", seq = i.toLong)))
+    FeedLog.appendKeyed(topic, keyed, numLogs = n, segBytes = 1024L)
+    val logDirs = FeedLog.logs(topic)
+    assert(logDirs.forall(_.getFileName.toString.matches("log-\\d{5}")),
+      "keyed append should create log-* subdirectories")
+    // each key lives in exactly the log its hash names, in append order
+    (0 until 7).foreach { k =>
+      val key = s"k$k"
+      val expect = keyed.filter(_._1 == key).map(_._2)
+      val li = FeedLog.routeKey(key, n)
+      val home = topic.resolve(FeedLog.logDirName(li))
+      val got = FeedLog.segments(home).flatMap(s =>
+        FeedLog.read(s, 0L, FeedLog.safeEnd(s, 0L)).map(_._2).toSeq)
+        .filter(_.contains(s""""tag":"$key""""))
+      assert(got === expect, s"key $key broke order or leaked across logs")
+      // and nowhere else
+      logDirs.filterNot(_ == home).foreach { other =>
+        val leaked = FeedLog.segments(other).flatMap(s =>
+          FeedLog.read(s, 0L, FeedLog.safeEnd(s, 0L)).map(_._2).toSeq)
+          .count(_.contains(s""""tag":"$key""""))
+        assert(leaked === 0, s"key $key leaked into $other")
+      }
+    }
+    // the batch audit reads the whole topic; segment column carries the log
+    val df = spark.read.format("graft-feed").option("path", topic.toString).load()
+    assert(df.count() === 200L)
+    assert(df.select("segment").distinct().collect()
+      .forall(_.getString(0).matches("log-\\d{5}/seg-\\d{8}\\.log")))
+  }
+
+  test("partitioned topic: checkpoint restart spanning per-log segment rolls") {
+    val topic = Files.createTempDirectory("feedtopic-cp")
+    val cp = Files.createTempDirectory("feedtopic-cp-chk").toString
+    val root = Files.createTempDirectory("feedtopic-store").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 100L))
+    store.initialize()
+    def keyedRecs(r: Range, ingestTs: Long, writer: String, v: String) =
+      r.map(i => (s"t${i % 5}", payload(s"t${i % 5}", i.toLong, s"$v-$i",
+        ingestTs = ingestTs, writer = writer, seq = i.toLong)))
+    // phase 1: small segments so logs roll; drain under a checkpoint
+    FeedLog.appendKeyed(topic, keyedRecs(0 until 120, 1L, "w1", "p1"),
+      numLogs = 4, segBytes = 1024L)
+    val segsP1 = FeedLog.allSegments(topic).size
+    assert(segsP1 > 4, s"phase 1 should roll segments, got $segsP1")
+    val q1 = StreamingIngest.feedSampleStream(spark, store, topic.toString,
+      maxBytesPerTrigger = 2048L, checkpointDir = Some(cp))
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2 appends MORE across the same logs (each resumes mid- or
+    // post-roll) plus LWW rewrites of the first 10 keys
+    FeedLog.appendKeyed(topic, keyedRecs(120 until 180, 2L, "w2", "p2") ++
+      keyedRecs(0 until 10, 2L, "w2", "p2r"),
+      numLogs = 4, segBytes = 1024L)
+    assert(FeedLog.allSegments(topic).size > segsP1,
+      "phase 2 should roll new segments under the old offsets")
+    val q2 = StreamingIngest.feedSampleStream(spark, store, topic.toString,
+      maxBytesPerTrigger = 2048L, checkpointDir = Some(cp))
+    try q2.processAllAvailable() finally q2.stop()
+    // RAW count proves exactly-once across the restart and the rolls
+    assert(store.hotDF.count() === 190L)
+    val lww = store.lwwDedup(store.allDF)
+    assert(lww.count() === 180L)
+    val rewritten = lww.where(col("value").startsWith("p2r-")).count()
+    assert(rewritten === 10L, "phase-2 rewrites did not supersede phase 1")
+  }
+
   test("cross-JVM producer: records appended by a foreign process drain exactly") {
     val dir = Files.createTempDirectory("feedlog-xjvm")
     val scratch = Files.createTempDirectory("feedlog-xjvm-io")

@@ -388,7 +388,7 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
         in.addData(g.toSeq); q.processAllAvailable()
       }
     } finally q.stop()
-    val streamed = spark.read.parquet(outDir)
+    val streamed = graft.streaming.StreamingIngest.readPackSpans(spark, outDir)
     val batch = graft.analytics.TextAnalysis.packSequences(
       Tables.documents(spark, sf))
     assert(streamed.count() === batch.count())

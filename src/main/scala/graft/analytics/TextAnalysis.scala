@@ -317,15 +317,27 @@ object TextAnalysis {
     * @return spans: (seq_id, doc_id, start_in_seq, n_toks, has_eod)
     */
   def packSequences(docs: DataFrame, seqLen: Int = 256,
-      bucketSize: Int = 1 << 16, baseOffset: Long = 0L): DataFrame = {
+      bucketSize: Int = 1 << 16, baseOffset: Long = 0L): DataFrame =
+    // slot = token count + 1 EOD separator (whitespace tokenization; the
+    // BPE composition routes its own slot table through packSlots)
+    packSlots(docs.select(col("doc_id"),
+        (size(words(col("text"))) + 1).cast("long").as("slot")),
+      seqLen, bucketSize, baseOffset)
+
+  /** The packing engine behind [[packSequences]] over an ARBITRARY
+    * per-doc slot table `(doc_id, slot)` — slot = the doc's token count
+    * in whatever unit the caller tokenizes by, PLUS its one EOD
+    * separator. [[packBpeSequences]] feeds BPE subword counts through
+    * this; the whitespace row feeds word counts.
+    */
+  def packSlots(slots: DataFrame, seqLen: Int,
+      bucketSize: Int, baseOffset: Long): DataFrame = {
     val L = seqLen.toLong
-    // slot = token count + 1 EOD separator. localCheckpoint pins the
-    // NARROW (doc_id, slot, bucket) projection once: both prefix levels
-    // consume it, so the corpus text is scanned and tokenized exactly
-    // once (the checkpoint is corpus-row-count-sized at ~24 bytes/row,
-    // distributed — never the text column twice)
-    val lens = docs.select(col("doc_id"),
-      (size(words(col("text"))) + 1).cast("long").as("slot"),
+    // localCheckpoint pins the NARROW (doc_id, slot, bucket) projection
+    // once: both prefix levels consume it, so the corpus text is scanned
+    // and tokenized exactly once (the checkpoint is corpus-row-count-
+    // sized at ~24 bytes/row, distributed — never the text column twice)
+    val lens = slots.select(col("doc_id"), col("slot"),
       expr(s"doc_id div $bucketSize").as("bucket"))
       .localCheckpoint(true)
     // level 1: per-bucket totals — metadata-scale, map-side combined
@@ -363,6 +375,27 @@ object TextAnalysis {
         (expr(s"(off + slot - 1) div $L") === col("seq_id"))
           .cast("int").as("has_eod"))
   }
+
+  /** TOKENIZE → PACK composed (VERDICT r13 next #2): pack the BPE
+    * subword-token stream from a PERSISTED vocabulary instead of
+    * whitespace words — the two halves a real GPT pipeline runs as one
+    * job, composed through one oracled seam. Per-doc token counts come
+    * from the [[bpeEncodePersisted]] apply leg (one exploded-word join
+    * against the vocab-sized `(word, nt)` mapping — no training work in
+    * this plan), the EOD separator is ONE in-vocab token id appended per
+    * doc (slot = n_tokens + 1), and the span arithmetic runs in token-id
+    * units through the same two-level prefix sum ([[packSlots]]).
+    * Token-count-vs-word-count is exactly where span accounting silently
+    * diverges — Round14Spec pins conservation against the encode leg and
+    * the oracle replays the 6-round training + encode + packing window
+    * end to end.
+    */
+  def packBpeSequences(docs: DataFrame, vocabRoot: String,
+      seqLen: Int = 256, bucketSize: Int = 1 << 16,
+      baseOffset: Long = 0L): DataFrame =
+    packSlots(bpeEncodePersisted(docs, vocabRoot)
+        .select(col("doc_id"), (col("n_tokens") + 1).as("slot")),
+      seqLen, bucketSize, baseOffset)
 
   /** Per-sequence packing audit over [[packSequences]]: how many docs
     * land in each sequence, the filled token count (== seqLen everywhere

@@ -24,26 +24,33 @@ object PipelineQueries {
     * spans bit-for-bit on an in-order feed, so both replay this naive
     * global-window oracle).
     */
-  private[queries] val PackSequencesOracle: String = s"""
-        WITH w AS (SELECT doc_id,
-                     CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS slot
-                   FROM documents),
+  /** Packing-window tail shared by the whitespace and BPE packing
+    * oracles: expects a CTE `w(doc_id, slot)` already in scope (slot =
+    * token count + 1 EOD in whatever unit the caller tokenizes by).
+    */
+  private def packTailSql(seqLen: Int = 256): String = s"""
         o AS (SELECT doc_id, slot,
                 CAST(COALESCE(sum(slot) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   AS BIGINT) AS off
               FROM w),
         sp AS (SELECT doc_id, slot, off,
-                 unnest(range(off // 256, (off + slot - 1) // 256 + 1)) AS seq_id
+                 unnest(range(off // $seqLen, (off + slot - 1) // $seqLen + 1)) AS seq_id
                FROM o)
         SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
-               CAST(greatest(off, seq_id * 256) - seq_id * 256 AS BIGINT)
+               CAST(greatest(off, seq_id * $seqLen) - seq_id * $seqLen AS BIGINT)
                  AS start_in_seq,
-               CAST(least(off + slot, (seq_id + 1) * 256)
-                 - greatest(off, seq_id * 256) AS BIGINT) AS n_toks,
-               CAST(CASE WHEN (off + slot - 1) // 256 = seq_id
+               CAST(least(off + slot, (seq_id + 1) * $seqLen)
+                 - greatest(off, seq_id * $seqLen) AS BIGINT) AS n_toks,
+               CAST(CASE WHEN (off + slot - 1) // $seqLen = seq_id
                  THEN 1 ELSE 0 END AS INT) AS has_eod
         FROM sp ORDER BY seq_id, doc_id"""
+
+  private[queries] val PackSequencesOracle: String = s"""
+        WITH w AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS slot
+                   FROM documents),
+        ${packTailSql()}"""
 
   /** Shared by `tx_chunk_overlap` and its streaming twin `st_chunk` (a
     * pure per-doc projection — micro-batching is invisible, so the twin
@@ -556,13 +563,12 @@ object PipelineQueries {
        |         WHERE t2 IS NOT NULL GROUP BY word, f)""".stripMargin
   }
 
-  /** The shared oracle of `tx_bpe_encode` and `tx_bpe_persisted_encode`:
-    * six training rounds replayed, then the word-level encode join —
-    * persist/load must be invisible in the answer.
+  /** Six training rounds replayed + the word-level encode join, down to
+    * the per-(doc, word) token-count table `pt(doc_id, t, w, c)` —
+    * shared by the encode oracles and the BPE-packing oracle.
     */
-  private lazy val BpeEncodeOracle: String =
-    s"""
-        WITH w0 AS (SELECT word, count(*) AS f
+  private lazy val BpeDocTokensCtes: String =
+    s"""w0 AS (SELECT word, count(*) AS f
                FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
                WHERE length(word) >= 2 GROUP BY 1),
         v0 AS MATERIALIZED (SELECT word, f,
@@ -577,7 +583,15 @@ object PipelineQueries {
                       ELSE CAST(length(word) AS BIGINT) END AS t,
                  CASE WHEN length(word) >= 1 THEN 1 ELSE 0 END AS w,
                  length(word) AS c
-               FROM dw LEFT JOIN tc USING (word))
+               FROM dw LEFT JOIN tc USING (word))"""
+
+  /** The shared oracle of `tx_bpe_encode` and `tx_bpe_persisted_encode`:
+    * six training rounds replayed, then the word-level encode join —
+    * persist/load must be invisible in the answer.
+    */
+  private lazy val BpeEncodeOracle: String =
+    s"""
+        WITH $BpeDocTokensCtes
         SELECT doc_id, CAST(sum(w) AS BIGINT) AS n_words,
                CAST(sum(t) AS BIGINT) AS n_tokens,
                CAST(sum(c) AS BIGINT) AS n_chars,
@@ -2444,6 +2458,33 @@ object PipelineQueries {
                CAST(sum(eod) AS BIGINT) AS n_eods,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM spans GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TOKENIZE -> PACK composed (VERDICT r13 next #2) ----
+    // The two halves a real GPT pipeline runs as one job: per-doc token
+    // counts come from the PERSISTED 6-round BPE vocabulary's encode
+    // join (the tx_bpe_persisted_encode apply leg — no training work in
+    // this plan), the EOD is one in-vocab token id per doc, and the span
+    // arithmetic runs in TOKEN-ID units through the same two-level
+    // prefix sum. Token-count-vs-word-count is exactly where span
+    // accounting silently diverges; the oracle replays training + encode
+    // + the packing window end to end, and Round14Spec pins conservation
+    // against the encode leg.
+    QueryDef("tx_pack_bpe",
+      (s, dir) => {
+        val root = Staging.stringMemo(s"$dir#bpe_vocab") {
+          val r = Staging.scratchDir("bpevocab")
+          TextAnalysis.persistBpeVocab(Tables.documents(s, dir), r, rounds = 6)
+          r
+        }
+        TextAnalysis.packBpeSequences(Tables.documents(s, dir), root,
+            seqLen = 256)
+          .orderBy("seq_id", "doc_id")
+      },
+      Some(s"""
+        WITH $BpeDocTokensCtes,
+        w AS (SELECT doc_id, CAST(sum(t) + 1 AS BIGINT) AS slot
+              FROM pt GROUP BY doc_id),
+        ${packTailSql()}""")),
 
     // ---- repetition quality signals (Gopher-style filters) ----
     QueryDef("tx_repetition",

@@ -63,4 +63,40 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally marks.close()
     assert(names.size === 3 && names.map(_.split("-")(0)) === Seq("0", "1", "2"))
   }
+
+  test("tokenize->pack composition: BPE token conservation, fill, EOD accounting") {
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("r14-bpevocab").toString
+    graft.analytics.TextAnalysis.persistBpeVocab(docs, root, rounds = 6)
+    val L = 256
+    val spans = graft.analytics.TextAnalysis
+      .packBpeSequences(docs, root, seqLen = L).persist()
+    try {
+      // conservation IN TOKEN-ID UNITS: each doc's spans sum to exactly
+      // its encoded token count + 1 EOD — the seam where a word-count
+      // leak would silently misalign every later sequence
+      val enc = graft.analytics.TextAnalysis.bpeEncodePersisted(docs, root)
+        .select(col("doc_id"), (col("n_tokens") + 1).as("slot"))
+      val fromSpans = spans.groupBy("doc_id")
+        .agg(sum("n_toks").as("s"), sum("has_eod").as("e"))
+      val diverged = fromSpans.join(enc, "doc_id")
+        .where(col("s") =!= col("slot") || col("e") =!= 1).count()
+      assert(diverged === 0L, "a doc's BPE spans lost tokens or its EOD")
+      assert(fromSpans.count() === docs.count())
+      // every sequence but the tail fills to exactly L token ids, with a
+      // gap-free id space
+      val fills = spans.groupBy("seq_id").agg(sum("n_toks").as("n"))
+        .orderBy("seq_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(fills.map(_._1) === (0L to fills.map(_._1).max).toArray)
+      fills.dropRight(1).foreach { case (sid, n) =>
+        assert(n === L.toLong, s"seq $sid filled $n != $L")
+      }
+      // BPE packs are DENSER than whitespace packs would be sparse:
+      // total slots differ (subword count != word count), so the two
+      // compositions genuinely disagree — the row isn't a re-label
+      val wordSpans = graft.analytics.TextAnalysis.packSequences(docs, L)
+      assert(wordSpans.agg(sum("n_toks")).head().getLong(0) !==
+        spans.agg(sum("n_toks")).head().getLong(0))
+    } finally { spans.unpersist(); () }
+  }
 }

@@ -304,6 +304,60 @@ object StoreQueries {
       st
     })
 
+  /** Eighth per-sf store: the TARGETED-DELETE staging (VERDICT r13 next
+    * #6). Days 0-3 bulk-ingest, then the WHOLE hot tier ages out through
+    * the purge lifecycle (scan → archive → ack) so history lives in
+    * COLD; a second generation of day-1..2 rewrites lands in HOT; then
+    * `delete("click", day1, day2)` — a forget that must rewrite files in
+    * BOTH tiers through the publish-then-retire primitive. The
+    * registered row reads the RAW surviving bytes (no LWW window, no
+    * read-side filter), so only a PHYSICAL delete that dropped exactly
+    * the doomed rows — across tiers, across generations — matches the
+    * oracle's retained-set replay.
+    */
+  private def deleteStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
+    stores.computeIfAbsent(dir + "#delete", { _ =>
+      val root = Files.createTempDirectory("graft-stored").toString
+      // day partitions: the tiering loop archives O(tags × days) dirs
+      val st = new TimeSeriesStore(s, root,
+        StoreSettings(partitionWidth = 86400000L))
+      st.initialize()
+      val slice = Tables.events(s, dir)
+        .where(col("ts_ms").between(day(0), day(3)))
+      st.writeSamplesDistributed(slice.select(
+        col("event_type").as("tag"),
+        col("ts_ms").as("ts"),
+        col("value").cast("string").as("value"),
+        lit(1L).as("ingestTs"),
+        lit("w1").as("writerId"),
+        col("event_id").as("seq")))
+      // tier generation 1 to cold: mark everything, archive, ack (the
+      // injectable clock ages every partition past the threshold without
+      // a staging sleep)
+      st.clock = () => System.currentTimeMillis() + 10000L
+      st.purgeScan(partitionAgeThreshold = 2, maxPartitionsToMark = 1000)
+      st.pendingPurgeEntries().foreach { e =>
+        st.archiveToCold(e.id)
+        st.purgeAck(e.id, e.partitionName, e.tag)
+        ()
+      }
+      st.clock = () => System.currentTimeMillis()
+      // generation 2 into hot: day-1..2 rewrites (doubled, later ingestTs)
+      st.writeSamplesDistributed(slice
+        .where(col("event_id") % 3 === 0 &&
+          col("ts_ms").between(day(1), day(2)))
+        .select(
+          col("event_type").as("tag"),
+          col("ts_ms").as("ts"),
+          (col("value") * 2).cast("string").as("value"),
+          lit(2L).as("ingestTs"),
+          lit("w2").as("writerId"),
+          col("event_id").as("seq")))
+      // the forget: every 'click' row of day 1, wherever it lives
+      st.delete("click", day(1), day(2) - 1)
+      st
+    })
+
   /** [[compactedStoreFor]]'s staging with the compaction run in LAYOUT
     * mode — `compact(zorder = true)`, the store-integrated `OPTIMIZE …
     * ZORDER BY (tag, ts)` (VERDICT r12 next #5). Small `zorderRowsPerFile`
@@ -571,6 +625,42 @@ object StoreQueries {
                CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
                  AS BIGINT)) AS BIGINT) AS sum_cents
         FROM w WHERE rn = 1 GROUP BY tag ORDER BY tag""")),
+
+    // ---- targeted DELETE executed, gated by raw retained-set replay ----
+    // DELETE WHERE tag='click' AND ts IN day-1 run against the store's
+    // own files (the GDPR forget leg the ANN indexes already have): the
+    // staged store tiered generation 1 to COLD and landed day-1..2
+    // rewrites in HOT, so the delete had to rewrite files in BOTH tiers
+    // through publish-then-retire. This scan is RAW — no LWW window, no
+    // read-side filter — so a delete that left a doomed member behind in
+    // either tier, dropped a survivor, or resurrected a superseded row
+    // diverges from the oracle's retained-set replay.
+    QueryDef("ts_delete_roundtrip",
+      (s, dir) => {
+        deleteStoreFor(s, dir).allDF
+          .groupBy(col("tag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ts")).as("min_ts_ms"), max(col("ts")).as("max_ts_ms"),
+            sum(floor(col("value").cast("double") * 100 + lit(0.5)).cast("long"))
+              .as("sum_cents"))
+          .orderBy("tag")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}
+          UNION ALL
+          SELECT event_type, epoch_ms(ts), value * 2
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(1)} AND ${day(2)}),
+        d AS (SELECT * FROM m WHERE NOT (tag = 'click'
+                AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1}))
+        SELECT tag, count(*) AS n,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM d GROUP BY tag ORDER BY tag""")),
 
     // ---- compaction EXECUTED, gated by read-after-compact equivalence ----
     // The staged store ingested every event twice-ish (a full batch, then

@@ -741,12 +741,23 @@ final class TimeSeriesStore(
   private def deleteAndPruneDirs(p: Path): Unit = {
     try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
     val stops = Set(hotDir, coldDir, l0Dir).map(_.toAbsolutePath.normalize)
+    // a dir holding only Hadoop checksum siblings (`.name.crc` — incl.
+    // the orphaned `.tmp.crc` a copy-then-rename publish leaves behind)
+    // is semantically empty: no data file references them anymore
+    def crcOnly(d: Path): Boolean =
+      try Files.exists(d) && withList(d)(_.forall { f =>
+        val n = f.getFileName.toString
+        n.startsWith(".") && n.endsWith(".crc")
+      }) catch { case _: java.io.IOException => false }
     var d = p.getParent
     // prune at most partition dir + tag dir; never the tier root
     var depth = 0
-    while (d != null && depth < 2 && !stops.contains(d.toAbsolutePath.normalize) &&
-        (try Files.exists(d) && withList(d)(!_.hasNext) catch { case _: java.io.IOException => false })) {
-      try Files.delete(d) catch { case _: java.io.IOException => () }
+    while (d != null && depth < 2 &&
+        !stops.contains(d.toAbsolutePath.normalize) && crcOnly(d)) {
+      try {
+        withList(d)(_.toSeq).foreach(Files.deleteIfExists)
+        Files.delete(d)
+      } catch { case _: java.io.IOException => () }
       d = d.getParent
       depth += 1
     }
@@ -1077,6 +1088,13 @@ final class TimeSeriesStore(
     try {
       val cand = scala.collection.mutable.ArrayBuffer.empty[(Path, Option[String])]
       var bytes = 0L
+      // Ledger-pending files are excluded here for the same reason
+      // nonEmptyTier excludes them from fresh listings — and, since
+      // delete() exists, for SEMANTICS too: a retired file may hold
+      // physically-DELETED rows that no surviving file supersedes, so a
+      // fresh read that included it would resurrect forgotten data
+      // (compaction's old∪new was LWW-equivalent; a delete's is not).
+      val pending = pendingObsolete()
       def addPartFiles(tier: Path): Unit = ranges.foreach { case (tag, (s, e)) =>
         val tagDir = tier.resolve(tagDirName(tag))
         if (Files.exists(tagDir)) withList(tagDir)(_.foreach { pd =>
@@ -1085,7 +1103,8 @@ final class TimeSeriesStore(
             val p = n.substring("partition_start=".length).toLong
             if (p >= partitionStartOf(s) && p <= partitionStartOf(e))
               withList(pd)(_.foreach { f =>
-                if (f.getFileName.toString.endsWith(".parquet")) {
+                if (f.getFileName.toString.endsWith(".parquet") &&
+                    !pending.contains(f.toAbsolutePath.normalize)) {
                   cand += ((f, Some(tag))); bytes += sizeOrZero(f)
                 }
               })
@@ -1096,6 +1115,7 @@ final class TimeSeriesStore(
       // concurrent foreign flush/ack can only DOUBLE a migrating row's
       // candidacy (mergeRead's LWW pick collapses it), never hide it
       l0FileList().filter(l0MayMatch(_, ranges))
+        .filter(f => !pending.contains(f.toAbsolutePath.normalize))
         .foreach { f => cand += ((f, None)); bytes += sizeOrZero(f) }
       addPartFiles(hotDir)
       addPartFiles(coldDir)
@@ -1702,6 +1722,103 @@ final class TimeSeriesStore(
       bumpVersion()
     }
     n
+    }
+  }
+
+  // ---------------------------------------------------- targeted delete
+
+  /** Targeted deletion — `DELETE WHERE tag = ? AND ts BETWEEN ? AND ?`
+    * physically executed against the store's own files (VERDICT r13 next
+    * #6): the GDPR/right-to-be-forgotten leg the ANN indexes
+    * (`sim_*_forget_*`) and the corpus audit (`cu_forget_audit`) already
+    * have, now on the TimeSeriesStore itself. Rides the exact
+    * publish-then-retire rewrite primitive compaction uses:
+    *
+    *  - L0 flushes first, so every doomed row lives in a partitioned
+    *    tier file;
+    *  - eligibility is a METADATA listing — only partitions of `tag`
+    *    whose frozen window `[partition_start, partition_start+width)`
+    *    intersects `[fromTs, toTs]` are touched (partition pruning makes
+    *    a targeted delete cost O(affected partitions), never a tier
+    *    rescan — the Delta/Iceberg DELETE file-pruning shape);
+    *  - ONE Spark job anti-filters the doomed rows out of the affected
+    *    files of BOTH tiers (hot and cold share the layout, and a forget
+    *    that skipped the archive would not be a forget);
+    *  - surviving rows publish next to the old files (write-unique
+    *    names, atomic moves) before the superseded files retire through
+    *    the same grace ledger — a concurrent reader in any process sees
+    *    old → old∪new → new, and a partition deleted WHOLE simply
+    *    retires (readers inside the grace still see it; after, the
+    *    partition is gone and the dir prunes away);
+    *  - lease-serialized against every other maintenance writer.
+    *
+    * @return number of rows physically deleted
+    */
+  def delete(tag: String, fromTs: Long, toTs: Long): Long =
+    mutationLock.synchronized {
+    requireInitialized()
+    require(fromTs <= toTs, s"empty delete range [$fromTs, $toTs]")
+    maintenanceLease.withLease {
+    gcSweep() // retire grace-expired files before re-listing partitions
+    flushL0() // deletion operates on the partitioned tiers
+    val width = settings.partitionWidth
+    val affected: Seq[(Path, Seq[Path])] =
+      Seq(hotDir, coldDir).filter(Files.exists(_)).flatMap { tier =>
+        val tagDir = tier.resolve(tagDirName(tag))
+        if (!Files.exists(tagDir)) Seq.empty
+        else withList(tagDir)(_
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("partition_start="))
+          .toSeq)
+          .filter { d =>
+            val ps = d.getFileName.toString.stripPrefix("partition_start=").toLong
+            ps <= toTs && ps + width - 1 >= fromTs
+          }
+          .map(d => d -> liveParquetFiles(d))
+          .filter(_._2.nonEmpty)
+      }
+    if (affected.isEmpty) return 0L
+    val withPartCols = dataFileSchema
+      .add(StructField("tag", StringType, nullable = false))
+      .add(StructField("partition_start", LongType, nullable = false))
+    val doomedPred = col("ts").between(fromTs, toTs)
+    // hot and cold rewrite separately (their outputs land in different
+    // tier roots) but each is one job over its affected files only
+    var deleted = 0L
+    Seq(hotDir, coldDir).foreach { tier =>
+      val tierAffected = affected.filter(_._1.startsWith(tier))
+      if (tierAffected.nonEmpty) {
+        val raw = spark.read.option("basePath", tier.toString)
+          .schema(withPartCols)
+          .parquet(tierAffected.flatMap(_._2).map(_.toString): _*)
+        deleted += raw.where(doomedPred).count()
+        val survivors = raw.where(!doomedPred)
+        val rewriteRoot = tmpDir.resolve(
+          s"delete-${clock()}-${seqCounter.incrementAndGet()}")
+        survivors.repartition(col("tag"), col("partition_start"))
+          .write.mode("overwrite").partitionBy("tag", "partition_start")
+          .parquet(rewriteRoot.toString)
+        tierAffected.foreach { case (dir, oldFiles) =>
+          val rel = rewriteRoot
+            .resolve(dir.getParent.getFileName.toString)
+            .resolve(dir.getFileName.toString)
+          if (Files.exists(rel)) {
+            withList(rel)(_
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+              .foreach { f =>
+                Files.move(f, dir.resolve(f.getFileName.toString),
+                  StandardCopyOption.ATOMIC_MOVE)
+              }
+          } // a fully-doomed partition has no rewritten counterpart:
+            // retiring its old files IS the delete
+          retireFiles(oldFiles)
+        }
+        deleteRecursively(rewriteRoot)
+      }
+    }
+    partSizesFresh = false
+    bumpVersion()
+    deleted
     }
   }
 }

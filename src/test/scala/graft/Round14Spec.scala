@@ -99,4 +99,91 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
         spans.agg(sum("n_toks")).head().getLong(0))
     } finally { spans.unpersist(); () }
   }
+
+  test("store delete: physical rewrite across tiers, doomed partitions pruned") {
+    import graft.tsdb.{StoreSettings, TimeSeriesStore}
+    val root = java.nio.file.Files.createTempDirectory("r14-del").toString
+    val st = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 10L))
+    st.initialize()
+    // tag A: ts 0..29 (3 partitions); tag B: ts 0..9 (1 partition)
+    st.write(Map(
+      "A" -> (0L until 30L).map(t => t -> s"a$t").toMap,
+      "B" -> (0L until 10L).map(t => t -> s"b$t").toMap))
+    st.flushL0()
+    // tier partition A-0 to cold so the delete must rewrite BOTH tiers
+    st.clock = () => System.currentTimeMillis() + 10000L
+    st.purgeScan(partitionAgeThreshold = 2, maxPartitionsToMark = 1)
+    st.pendingPurgeEntries().foreach { e =>
+      st.archiveToCold(e.id); st.purgeAck(e.id, e.partitionName, e.tag); ()
+    }
+    st.clock = () => System.currentTimeMillis()
+    assert(st.coldDF.count() === 10L)
+    // delete A's ts 5..24: partial overlap with the COLD partition (0-9),
+    // a fully-doomed HOT partition (10-19), partial with hot 20-29
+    val n = st.delete("A", 5L, 24L)
+    assert(n === 20L, s"deleted $n rows, expected 20")
+    // RAW scans — no read-side filter can hide an undeleted member
+    assert(st.allDF.where(col("tag") === "A" &&
+      col("ts").between(5L, 24L)).count() === 0L)
+    assert(st.allDF.where(col("tag") === "A").count() === 10L)
+    assert(st.allDF.where(col("tag") === "B").count() === 10L, "delete leaked into B")
+    // the fully-doomed partition directory pruned away
+    val aHot = java.nio.file.Paths.get(st.namespaceRoot).resolve("hot")
+    val gone = java.nio.file.Files.walk(aHot)
+    val dirs = try {
+      import scala.jdk.CollectionConverters._
+      gone.iterator().asScala.map(_.getFileName.toString)
+        .filter(_ == "partition_start=10").size
+    } finally gone.close()
+    assert(dirs === 0, "fully-doomed partition dir survived")
+    // readData agrees end to end
+    val a = st.readData(Map("A" -> (0L, 100L)))("A")
+    assert(a.keySet === ((0L to 4L) ++ (25L to 29L)).toSet)
+  }
+
+  test("store delete: a foreign store instance never sees a torn or failing read mid-delete") {
+    import graft.tsdb.{StoreSettings, TimeSeriesStore}
+    val root = java.nio.file.Files.createTempDirectory("r14-delc").toString
+    // grace > 0: the cross-process snapshot contract — retired files
+    // outlive the swap long enough for in-flight foreign listings
+    val cfg = StoreSettings(partitionWidth = 10L)
+    val st = new TimeSeriesStore(spark, root, cfg, obsoleteGraceMs = 60000L)
+    st.initialize()
+    st.write(Map("A" -> (0L until 40L).map(t => t -> s"a$t").toMap))
+    st.flushL0()
+    val foreign = new TimeSeriesStore(spark, root, cfg, obsoleteGraceMs = 60000L)
+    foreign.initialize()
+    val full = (0L until 40L).map(t => t -> s"a$t").toMap
+    val retained = full.filter { case (t, _) => t < 10L || t > 29L }
+    @volatile var failure: Option[String] = None
+    @volatile var run = true
+    val reader = new Thread(() => {
+      while (run && failure.isEmpty) {
+        try {
+          val got = foreign.readData(Map("A" -> (0L, 100L)))("A")
+          // every observable state is full ⊇ got ⊇ retained with original
+          // values — never a torn row, never a partial value
+          got.foreach { case (t, v) =>
+            if (full(t) != v) failure = Some(s"torn value at ts=$t: $v")
+          }
+          retained.keys.foreach { t =>
+            if (!got.contains(t)) failure = Some(s"survivor ts=$t vanished")
+          }
+        } catch {
+          case e: Exception => failure = Some(s"read failed: ${e.getMessage}")
+        }
+      }
+    }, "r14-foreign-reader")
+    reader.start()
+    try {
+      Thread.sleep(150) // let the reader observe the pre-delete state
+      val n = st.delete("A", 10L, 29L)
+      assert(n === 20L)
+      Thread.sleep(300) // and the post-delete state
+    } finally { run = false; reader.join(10000) }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    // the foreign instance converges to exactly the retained set
+    val after = foreign.readData(Map("A" -> (0L, 100L)))("A")
+    assert(after.keySet === retained.keySet)
+  }
 }

@@ -715,6 +715,139 @@ object PipelineQueries {
        |       FROM qn WHERE vec_id % 20 = 0),
        |${graphWalkSql("g", "gadj")}""".stripMargin
 
+  /** The 3-level hierarchy's adjacency CTEs over node source `src` (a
+    * qn-shaped slice whose `n3` build-depth lists are already in scope):
+    * `ladj` (level 0, top-5 of n3, WITH cos so the add row can re-rank a
+    * merged level 0), `u1adj` (level 1: member-restricted top-5), `mem2`
+    * / `r2f` / `l2e` / `u2adj` (level 2: nested md5 1/64 members, md5-
+    * ring backbone, restricted-build ∪ ring re-rank) — mirrors
+    * [[graft.analytics.Similarity.multilevelAdj]] bit-for-bit.
+    */
+  private def multilevelAdjCtes(src: String): String =
+    s"""ladj AS MATERIALIZED (SELECT u, v, cos FROM (
+       |         SELECT u, v, cos, row_number() OVER (PARTITION BY u
+       |           ORDER BY cos DESC, v) AS rn FROM n3) WHERE rn <= 5),
+       |u1adj AS MATERIALIZED (SELECT u, v FROM (
+       |         SELECT u, v, row_number() OVER (PARTITION BY u
+       |           ORDER BY cos DESC, v) AS rn FROM n3
+       |         WHERE substr(md5(CAST(u AS VARCHAR)), 1, 1) IN ('0', '1')
+       |           AND substr(md5(CAST(v AS VARCHAR)), 1, 1) IN ('0', '1'))
+       |       WHERE rn <= 5),
+       |mem2 AS MATERIALIZED (SELECT vec_id, v, nrm,
+       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |           vec_id) - 1 AS rn
+       |       FROM $src
+       |       WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1')
+       |         AND substr(md5(CAST(vec_id AS VARCHAR)), 2, 1) IN ('0', '1')),
+       |r2f AS (SELECT a.vec_id AS u, b.vec_id AS v,
+       |          ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
+       |        FROM mem2 a
+       |             CROSS JOIN (SELECT count(*) AS n FROM mem2) cnt
+       |             CROSS JOIN (SELECT unnest(range(1, 6)) AS step) st
+       |        JOIN mem2 b ON b.rn = (a.rn + st.step) % cnt.n
+       |        WHERE a.vec_id <> b.vec_id),
+       |l2e AS (SELECT u, v, cos FROM n3
+       |       WHERE u IN (SELECT vec_id FROM mem2)
+       |         AND v IN (SELECT vec_id FROM mem2)
+       |       UNION ALL SELECT u, v, cos FROM r2f
+       |       UNION ALL SELECT v AS u, u AS v, cos FROM r2f),
+       |u2adj AS MATERIALIZED (SELECT u, v FROM (
+       |         SELECT u, v, row_number() OVER (PARTITION BY u
+       |           ORDER BY cos DESC, v) AS rn FROM l2e) WHERE rn <= 5)""".stripMargin
+
+  /** The 3-level greedy-descent walk + final top-5 projection, over
+    * adjacency CTE names `topAdj` → `midAdj` → `l0adj` (the %20 query
+    * sample): a 2-entry 2-hop beam-4 scan of the top graph, a 2-hop
+    * beam-4 guided walk of level 1, layer 0 at beam 6 — all visited
+    * scores transferring downward. Mirrors
+    * [[graft.analytics.Similarity.multilevelServe]].
+    */
+  private def multilevelDescentSql(l0adj: String, topAdj: String = "u2adj",
+      midAdj: String = "u1adj"): String =
+    s"""uq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+       |       FROM qn WHERE vec_id % 20 = 0),
+       |${graphWalkSql("u", topAdj, hops = 2, beam = 4, nEntries = 2)},
+       |yq AS (SELECT * FROM uq),
+       |yvis0 AS MATERIALIZED (SELECT query_id, cand_id, cos FROM uvis2),
+       |yfr0 AS (SELECT query_id, cand_id FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos DESC, cand_id) AS rn FROM uvis2)
+       |         WHERE rn <= 2),
+       |${(1 to 2).map(graphHopSql("y", midAdj, _, 4)).mkString(",\n")},
+       |zq AS (SELECT * FROM uq),
+       |zvis0 AS MATERIALIZED (SELECT query_id, cand_id, cos FROM yvis2),
+       |zfr0 AS (SELECT query_id, cand_id FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos DESC, cand_id) AS rn FROM yvis2)
+       |         WHERE rn <= 2),
+       |${(1 to 2).map(graphHopSql("z", l0adj, _, 6)).mkString(",\n")}
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, cand_id AS neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, cand_id) AS rank
+       |  FROM zvis2 WHERE cand_id <> query_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by `sim_graph_multilevel` and `sim_graph_multilevel_persisted`
+    * — persist/load of the hierarchy must be invisible in the answer.
+    */
+  private lazy val MultilevelOracle: String =
+    s"""
+        WITH $QuantCte, $LshBucketCte,
+        $NnDescentCtes,
+        ${multilevelAdjCtes("qn")},
+        ${multilevelDescentSql("ladj")}"""
+
+  /** `sim_graph_multilevel_add`: the hierarchy built over the HISTORY
+    * slice, the %10 batch's insert walk over its frozen level-0 lists,
+    * level 0 re-ranked with the forward+reverse deltas, upper levels
+    * untouched, then the standard descent — upper levels only route, so
+    * freezing them is sound (every answer scores at level 0, where the
+    * inserts are reachable).
+    */
+  private lazy val MultilevelAddOracle: String =
+    s"""
+        WITH $QuantCte, $LshBucketCte,
+        hsrc AS (SELECT * FROM qn WHERE vec_id % 10 <> 0),
+        hbk AS (SELECT * FROM qb WHERE vec_id % 10 <> 0),
+        ${nnDescentChain("hsrc", "hbk")},
+        ${multilevelAdjCtes("hsrc")},
+        iq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM qn WHERE vec_id % 10 = 0),
+        ${graphWalkSql("i", "ladj", hops = 3, beam = 8, nEntries = 4)},
+        ifnd AS (SELECT query_id AS u, cand_id AS v, cos FROM (
+                   SELECT query_id, cand_id, cos, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+                   FROM ivis3 WHERE cand_id <> query_id) WHERE rank <= 5),
+        mrg AS (SELECT u, v, cos FROM ladj
+                UNION ALL SELECT u, v, cos FROM ifnd
+                UNION ALL SELECT v AS u, u AS v, cos FROM ifnd),
+        madj AS MATERIALIZED (SELECT u, v FROM (
+                 SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM mrg) WHERE rn <= 5),
+        ${multilevelDescentSql("madj")}"""
+
+  /** `sim_graph_multilevel_forget`: the persisted hierarchy's lists
+    * filtered on BOTH endpoints at EVERY level against the tombstone
+    * set, then the standard descent over the filtered graph.
+    */
+  private lazy val MultilevelForgetOracle: String =
+    s"""
+        WITH $QuantCte, $LshBucketCte,
+        $NnDescentCtes,
+        ${multilevelAdjCtes("qn")},
+        tomb AS (SELECT vec_id FROM qn WHERE vec_id % 10 = 7),
+        ladjf AS (SELECT u, v FROM ladj
+                  WHERE u NOT IN (SELECT vec_id FROM tomb)
+                    AND v NOT IN (SELECT vec_id FROM tomb)),
+        u1adjf AS (SELECT u, v FROM u1adj
+                   WHERE u NOT IN (SELECT vec_id FROM tomb)
+                     AND v NOT IN (SELECT vec_id FROM tomb)),
+        u2adjf AS (SELECT u, v FROM u2adj
+                   WHERE u NOT IN (SELECT vec_id FROM tomb)
+                     AND v NOT IN (SELECT vec_id FROM tomb)),
+        ${multilevelDescentSql("ladjf", "u2adjf", "u1adjf")}"""
+
   /** The shared oracle of `sim_graph_persisted_add` and `st_graph_add`
     * (the maintenance twin): history-slice NN-Descent replayed, the
     * insert walk for every new vector over the frozen base, forward +
@@ -1712,62 +1845,83 @@ object PipelineQueries {
           entryK = 2, nEntries = 2)
           .orderBy("query_id", "rank")
       },
-      Some(s"""
-        WITH $QuantCte, $LshBucketCte,
-        $NnDescentCtes,
-        ladj AS MATERIALIZED (SELECT u, v FROM (
-                 SELECT u, v, row_number() OVER (PARTITION BY u
-                   ORDER BY cos DESC, v) AS rn FROM n3) WHERE rn <= 5),
-        u1adj AS MATERIALIZED (SELECT u, v FROM (
-                 SELECT u, v, row_number() OVER (PARTITION BY u
-                   ORDER BY cos DESC, v) AS rn FROM n3
-                 WHERE substr(md5(CAST(u AS VARCHAR)), 1, 1) IN ('0', '1')
-                   AND substr(md5(CAST(v AS VARCHAR)), 1, 1) IN ('0', '1'))
-               WHERE rn <= 5),
-        mem2 AS MATERIALIZED (SELECT vec_id, v, nrm,
-                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                   vec_id) - 1 AS rn
-               FROM qn
-               WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1')
-                 AND substr(md5(CAST(vec_id AS VARCHAR)), 2, 1) IN ('0', '1')),
-        r2f AS (SELECT a.vec_id AS u, b.vec_id AS v,
-                  ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos
-                FROM mem2 a
-                     CROSS JOIN (SELECT count(*) AS n FROM mem2) cnt
-                     CROSS JOIN (SELECT unnest(range(1, 6)) AS step) st
-                JOIN mem2 b ON b.rn = (a.rn + st.step) % cnt.n
-                WHERE a.vec_id <> b.vec_id),
-        l2e AS (SELECT u, v, cos FROM n3
-               WHERE u IN (SELECT vec_id FROM mem2)
-                 AND v IN (SELECT vec_id FROM mem2)
-               UNION ALL SELECT u, v, cos FROM r2f
-               UNION ALL SELECT v AS u, u AS v, cos FROM r2f),
-        u2adj AS MATERIALIZED (SELECT u, v FROM (
-                 SELECT u, v, row_number() OVER (PARTITION BY u
-                   ORDER BY cos DESC, v) AS rn FROM l2e) WHERE rn <= 5),
-        uq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
-               FROM qn WHERE vec_id % 20 = 0),
-        ${graphWalkSql("u", "u2adj", hops = 2, beam = 4, nEntries = 2)},
-        yq AS (SELECT * FROM uq),
-        yvis0 AS MATERIALIZED (SELECT query_id, cand_id, cos FROM uvis2),
-        yfr0 AS (SELECT query_id, cand_id FROM (
-                   SELECT *, row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, cand_id) AS rn FROM uvis2)
-                 WHERE rn <= 2),
-        ${(1 to 2).map(graphHopSql("y", "u1adj", _, 4)).mkString(",\n")},
-        zq AS (SELECT * FROM uq),
-        zvis0 AS MATERIALIZED (SELECT query_id, cand_id, cos FROM yvis2),
-        zfr0 AS (SELECT query_id, cand_id FROM (
-                   SELECT *, row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, cand_id) AS rn FROM yvis2)
-                 WHERE rn <= 2),
-        ${(1 to 2).map(graphHopSql("z", "ladj", _, 6)).mkString(",\n")}
-        SELECT query_id, rank, neighbor_id, cos FROM (
-          SELECT query_id, cand_id AS neighbor_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, cand_id) AS rank
-          FROM zvis2 WHERE cand_id <> query_id)
-        WHERE rank <= 5 ORDER BY query_id, rank""")),
+      Some(MultilevelOracle)),
+
+    // ---- the multilevel hierarchy PERSISTED (VERDICT r13 next #4) ----
+    // write_index for the 3-level graph: every level's adjacency —
+    // including the md5-ring backbone and its build-time global rank —
+    // derived ONCE into the level-partitioned parquet; this probe's plan
+    // contains NO derivation work (no ring, no global rank — PlanShape-
+    // pinned), just the level-pruned list reads and the bounded descent.
+    // Build determinism makes the row share sim_graph_multilevel's
+    // oracle bit-for-bit: persist/load must be invisible in the answer.
+    QueryDef("sim_graph_multilevel_persisted",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val root = Staging.stringMemo(s"$dir#ml_index") {
+          val r = Staging.scratchDir("mlindex")
+          val buildGraph = Staging.parquetMemo(s, s"$dir#nnd_graph20")(
+            Similarity.nnDescent(emb, k = 20, rounds = 3,
+              nPlanes = 8, buildK = 20))
+          Similarity.persistMultilevelIndex(buildGraph, emb, r,
+            levels = 3, degree = 5)
+          r
+        }
+        Similarity.multilevelProbePersisted(
+          emb.where(col("vec_id") % 20 === 0), root, emb,
+          levels = 3, k = 5, beam = 6, hops = 2, upperBeam = 4,
+          topHops = 2, midHops = 2, entryK = 2, nEntries = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(MultilevelOracle)),
+
+    // ---- multilevel index: ADD a batch without rebuilding ----
+    // The hierarchy's add-without-retrain leg (the flat graph, IVF, and
+    // PQ already have theirs): new vectors insert by beam-searching the
+    // frozen persisted LEVEL-0 lists, serving re-ranks level 0 with the
+    // forward+reverse deltas, upper levels stay frozen (they only ROUTE;
+    // answers score at level 0 where the inserts are reachable — the LSM
+    // delta-against-immutable-base discipline).
+    QueryDef("sim_graph_multilevel_add",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val root = Staging.stringMemo(s"$dir#ml_index_hist") {
+          val r = Staging.scratchDir("mlindexh")
+          val hist = emb.where(pmod(col("vec_id"), lit(10L)) =!= 0)
+          val buildGraph = Staging.parquetMemo(s, s"$dir#nnd_graph20_hist")(
+            Similarity.nnDescent(hist, k = 20, rounds = 3,
+              nPlanes = 8, buildK = 20))
+          Similarity.persistMultilevelIndex(buildGraph, hist, r,
+            levels = 3, degree = 5)
+          r
+        }
+        Similarity.multilevelAddAndProbe(emb, root, batchModulo = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(MultilevelAddOracle)),
+
+    // ---- multilevel index: FORGET a tombstone set, serve filtered ----
+    // The hierarchy's GDPR leg: tombstones persist next to the level
+    // lists, serving filters every level's adjacency on BOTH endpoints
+    // (neither served as a neighbor nor left as a routing waypoint at
+    // any level), lists never rewrite.
+    QueryDef("sim_graph_multilevel_forget",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val root = Staging.stringMemo(s"$dir#ml_index") {
+          val r = Staging.scratchDir("mlindex")
+          val buildGraph = Staging.parquetMemo(s, s"$dir#nnd_graph20")(
+            Similarity.nnDescent(emb, k = 20, rounds = 3,
+              nPlanes = 8, buildK = 20))
+          Similarity.persistMultilevelIndex(buildGraph, emb, r,
+            levels = 3, degree = 5)
+          r
+        }
+        Similarity.multilevelForgetAndProbe(emb, root,
+          forgetModulo = 10, forgetResidue = 7)
+          .orderBy("query_id", "rank")
+      },
+      Some(MultilevelForgetOracle)),
 
     // ---- graph-index ADD without rebuilding: insert by search, probe ----
     // The graph family's add-without-retrain leg, completing the trio the

@@ -546,6 +546,35 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim_graph_multilevel_persisted: serve is walk-only — build's global rank absent") {
+    // the build derives ring backbones with a GLOBAL md5 rank; the whole
+    // point of persisting the hierarchy (VERDICT r13 next #4) is that no
+    // probe plan ever contains that work. Capture every walk stage.
+    val hopPlans = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.analytics.Similarity.hopPlanProbe =
+      df => hopPlans += df.queryExecution.executedPlan.toString
+    val p = try plan("sim_graph_multilevel_persisted")
+            finally graft.analytics.Similarity.hopPlanProbe = _ => ()
+    // entry scoring + topHops(2) + midHops(2) + layer-0 hops(2)
+    assert(hopPlans.size >= 7, s"expected >=7 stage plans, saw ${hopPlans.size}")
+    (hopPlans.toSeq :+ p).zipWithIndex.foreach { case (hp, i) =>
+      assert(!hp.contains("CartesianProduct"), s"stage $i:\n${hp.take(2000)}")
+      assert(!hp.contains("posexplode"), s"stage $i contains build work")
+      // every window in a serve stage is query-keyed (the beam re-rank);
+      // the build's md5 global rank has no query_id key and must not appear
+      hp.linesIterator.filter(_.contains("Window [")).foreach { l =>
+        assert(l.contains("query_id"),
+          s"stage $i carries a non-query-keyed window (build leak?):\n$l")
+      }
+    }
+    // the adjacency input is the persisted, level-PRUNED list scan (the
+    // Location path may truncate in toString; the partition filter is
+    // the durable marker)
+    assert(hopPlans.exists(
+        _.contains("PartitionFilters: [isnotnull(level#")),
+      "no stage reads the level-partitioned persisted lists")
+  }
+
   test("sim_ivf_forget_probe: deletion is a broadcast anti-join, not a rewrite or retrain") {
     val p = plan("sim_ivf_forget_probe")
     // the tombstone anti-join must broadcast (forget sets are

@@ -142,6 +142,31 @@ object StreamMultimodalQueries {
                TRUE AS jpeg_magic, TRUE AS decode_agree, TRUE AS drift_ok
         FROM documents ORDER BY doc_id""")),
 
+    // ---- multimodal: LOSSY AUDIO lane under the invariant-band oracle ----
+    // The mm_lossy_features discipline on the second modality (VERDICT
+    // r13 next #5): the media column holds REAL RIFF/WAVE containers
+    // whose payload is G.711 µ-LAW — 16-bit PCM companded to 8 bits on
+    // the executors, the logarithmic-SNR trade every telephony/MP3-class
+    // codec makes — so decode can NOT replay the source bytes and the
+    // oracle gates invariants instead: container magic + ULAW encoding
+    // tag survive, DURATION survives exactly, double-decode agrees, and
+    // the mean-abs drift vs the pre-encoding PCM stays inside the
+    // µ-law-SNR band (8000 micro-full-scale; corruption flips segment
+    // exponents and blows it — MultimodalSpec proves both directions).
+    QueryDef("mm_lossy_audio",
+      (s, dir) => Multimodal.decodeLossyAudioFeatures(s,
+        Multimodal.withLossyAudio(s, Tables.documents(s, dir)),
+        toleranceMicro = 8000L)
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("riff_magic"),
+          col("ulaw_format"), col("decode_agree"), col("drift_ok"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_samples,
+               TRUE AS riff_magic, TRUE AS ulaw_format,
+               TRUE AS decode_agree, TRUE AS drift_ok
+        FROM documents ORDER BY doc_id""")),
+
     // ---- multimodal: frame demux + sampling through a REAL container ----
     // The media column holds actual multi-frame animated GIFs written by
     // javax.imageio on the executors (8×8 gray frames, identity

@@ -224,4 +224,52 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def rows0(docs: org.apache.spark.sql.DataFrame): Long = docs.count()
+
+  test("withLossyAudio writes REAL ULAW WAVs; the lane is genuinely lossy") {
+    val feats = Multimodal.decodeLossyAudioFeatures(spark,
+      Multimodal.withLossyAudio(spark, docsFixture),
+      toleranceMicro = 8000L).collect()
+    assert(feats.length === 3)
+    feats.foreach { f =>
+      assert(f.riff_magic, s"doc ${f.doc_id}: missing RIFF magic")
+      assert(f.ulaw_format, s"doc ${f.doc_id}: container not tagged ULAW")
+      assert(f.decode_agree, s"doc ${f.doc_id}: double-decode diverged")
+      assert(f.drift_ok, s"doc ${f.doc_id}: drift ${f.drift_micro} over band")
+      // lossy means lossy: zero drift would be the 8-bit PCM lane
+      // wearing a µ-law name
+      assert(f.drift_micro > 0L, s"doc ${f.doc_id}: drift is zero — lossless?")
+    }
+  }
+
+  test("the audio drift band has headroom on the real corpus and catches corruption") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val enc = Multimodal.withLossyAudio(spark, docs).localCheckpoint(true)
+    val clean = Multimodal.decodeLossyAudioFeatures(spark, enc, 8000L).toDF()
+    val mx = clean.agg(org.apache.spark.sql.functions.max("drift_micro"))
+      .head().getLong(0)
+    assert(mx > 0L && mx < 5300L,
+      s"observed max drift $mx leaves < 1.5x headroom under the 8000 band")
+    // corruption: complement a run of µ-law payload bytes mid-stream —
+    // flipping codes flips segment EXPONENTS (log-scale damage), so the
+    // drift must blow the band (or the parse must refuse the container)
+    val corrupted = enc.map { la =>
+      val b = la.media.clone()
+      val start = b.length / 2
+      (start until math.min(b.length, start + 64)).foreach { i =>
+        b(i) = (~b(i)).toByte
+      }
+      la.copy(media = b)
+    }(org.apache.spark.sql.Encoders.product[graft.analytics.LossyAudio])
+    val caught =
+      try {
+        Multimodal.decodeLossyAudioFeatures(spark, corrupted, 8000L)
+          .collect()
+          .count(f => !f.drift_ok || !f.decode_agree || !f.riff_magic ||
+            !f.ulaw_format)
+          .toLong
+      } catch { case _: org.apache.spark.SparkException => rows0(docs) }
+    assert(caught > 0L, "corrupted audio sailed through the invariant gate")
+  }
 }

@@ -83,7 +83,7 @@ object BucketedJoin {
   def coLocatedJoinStaged(spark: SparkSession, left: => DataFrame,
       right: => DataFrame, key: String, memoKey: String,
       buckets: Int = 8): DataFrame = {
-    val (_, lt, rt) = stagedTables.computeIfAbsent(memoKey, { _ =>
+    def stage(): (SparkSession, String, String) = {
       val id = java.lang.Long.toHexString(tableId.getAndIncrement())
       val scratch = graft.queries.Staging.scratchDir("bucketed")
       def materialize(df: DataFrame, table: String): Unit =
@@ -97,7 +97,15 @@ object BucketedJoin {
       materialize(left, l)
       materialize(right, r)
       (spark, l, r)
-    })
+    }
+    val (_, lt, rt) = stagedTables.compute(memoKey, (_, cur) =>
+      // session cycling (suites share one JVM, each stops the session in
+      // afterAll): a saveAsTable registration lives in the in-memory
+      // catalog of the session that ran it — when the CURRENT session's
+      // catalog doesn't know the tables, re-stage under it
+      if (cur != null && spark.catalog.tableExists(cur._2) &&
+          spark.catalog.tableExists(cur._3)) cur
+      else stage())
     spark.table(lt).hint("merge").join(spark.table(rt), key)
   }
 }

@@ -50,8 +50,26 @@ object StoreQueries {
     t
   }
 
+  /** Staged stores survive the JVM-shared test harness's SESSION CYCLING:
+    * every suite stops the shared SparkSession in afterAll and the next
+    * getOrCreate mints a fresh one, but the memoized TimeSeriesStore still
+    * holds the dead session (its DataFrames NPE on use). The on-disk root
+    * is the durable artifact — when the staging session is stopped, RE-OPEN
+    * the same root under the current session (initialize() adopts the
+    * existing epoch; bulk state is untouched) instead of re-staging.
+    */
+  private def sessionFresh(s: SparkSession, key: String)
+      (build: => TimeSeriesStore): TimeSeriesStore =
+    stores.compute(key, (_, cur) =>
+      if (cur == null) build
+      else if (cur.spark.sparkContext.isStopped) {
+        val re = new TimeSeriesStore(s, cur.rootDir, cur.settings)
+        re.initialize()
+        re
+      } else cur)
+
   private[graft] def storeFor(s: SparkSession, dir: String): TimeSeriesStore =
-    stores.computeIfAbsent(dir, { _ =>
+    sessionFresh(s, dir) {
       val root = Files.createTempDirectory("graft-storeq").toString
       val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
       st.initialize()
@@ -66,14 +84,14 @@ object StoreQueries {
         lit("bulk").as("writerId"),
         col("event_id").as("seq")))
       st
-    })
+    }
 
   /** Second per-sf store, ingested through the DSv2 connector's
     * two-phase-commit WRITE path (one week of events) — gating writes
     * under the same oracle as reads.
     */
   private def writeStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
-    stores.computeIfAbsent(dir + "#dsv2w", { _ =>
+    sessionFresh(s, dir + "#dsv2w") {
       val root = Files.createTempDirectory("graft-storew").toString
       val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
       st.initialize()
@@ -87,7 +105,7 @@ object StoreQueries {
           lit("dsv2").as("writerId"),
           col("event_id").as("seq")))
       st
-    })
+    }
 
   /** Fourth per-sf store: a 2-day slice ingested through the FILE-DROP
     * streaming topology ([[graft.streaming.StreamingIngest.fileSampleStream]]
@@ -98,7 +116,7 @@ object StoreQueries {
     * times (and gates) the post-ingest read, not the stream.
     */
   private def fileIngestStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
-    stores.computeIfAbsent(dir + "#filedrop", { _ =>
+    sessionFresh(s, dir + "#filedrop") {
       val root = Files.createTempDirectory("graft-storef").toString
       val drop = Files.createTempDirectory("graft-dropq").toString
       val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
@@ -116,7 +134,7 @@ object StoreQueries {
       val q = graft.streaming.StreamingIngest.fileSampleStream(s, st, drop)
       try { q.processAllAvailable() } finally q.stop()
       st
-    })
+    }
 
   /** Fifth per-sf store: the file-drop topology KILLED AND RESTARTED from
     * its checkpoint mid-feed (VERDICT r12 next #1 — the one Structured
@@ -135,7 +153,7 @@ object StoreQueries {
     * supersede their originals.
     */
   private def restartIngestStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
-    stores.computeIfAbsent(dir + "#restart", { _ =>
+    sessionFresh(s, dir + "#restart") {
       val root = Files.createTempDirectory("graft-storer").toString
       val drop = Files.createTempDirectory("graft-dropr").toString
       val cp = Files.createTempDirectory("graft-cpr").toString
@@ -169,7 +187,7 @@ object StoreQueries {
         .fileSampleStream(s, st, drop, checkpointDir = Some(cp))
       try { q2.processAllAvailable() } finally q2.stop()
       st
-    })
+    }
 
   /** Sixth per-sf store: a 2-day slice ingested through the BROKER-LOG
     * topology (`graft-feed`, [[graft.sources.FeedTableProvider]] — the
@@ -185,7 +203,7 @@ object StoreQueries {
     * staging; the registered row gates the post-ingest LWW read.
     */
   private def feedIngestStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
-    stores.computeIfAbsent(dir + "#feed", { _ =>
+    sessionFresh(s, dir + "#feed") {
       val root = Files.createTempDirectory("graft-storefd").toString
       val log = Files.createTempDirectory("graft-feedlog")
       val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
@@ -218,7 +236,7 @@ object StoreQueries {
         s, st, log.toString, maxBytesPerTrigger = 8L << 10)
       try { q.processAllAvailable() } finally q.stop()
       st
-    })
+    }
 
   /** Seventh per-sf store: a day-2 slice ingested through a PARTITIONED
     * 4-log topic (VERDICT r13 next #1 — the consumer-GROUP half of the
@@ -233,7 +251,7 @@ object StoreQueries {
     */
   private def feedPartitionedStoreFor(s: SparkSession, dir: String)
       : TimeSeriesStore =
-    stores.computeIfAbsent(dir + "#feedp", { _ =>
+    sessionFresh(s, dir + "#feedp") {
       val root = Files.createTempDirectory("graft-storefp").toString
       val topic = Files.createTempDirectory("graft-feedtopic")
       val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
@@ -264,7 +282,7 @@ object StoreQueries {
         s, st, topic.toString, maxBytesPerTrigger = 8L << 10)
       try { q.processAllAvailable() } finally q.stop()
       st
-    })
+    }
 
   /** Third per-sf store: a 4-day slice bulk-ingested in TWO overlapping
     * batches (every partition gets ≥2 files; `event_id % 3 == 0` rows are
@@ -278,7 +296,7 @@ object StoreQueries {
     * recipe:43-47 names compaction as the missing LSM leg).
     */
   private def compactedStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
-    stores.computeIfAbsent(dir + "#compacted", { _ =>
+    sessionFresh(s, dir + "#compacted") {
       val root = Files.createTempDirectory("graft-storec").toString
       val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
       st.initialize()
@@ -302,7 +320,7 @@ object StoreQueries {
           col("event_id").as("seq")))
       st.compact(minFiles = 2, applyLww = true)
       st
-    })
+    }
 
   /** Eighth per-sf store: the TARGETED-DELETE staging (VERDICT r13 next
     * #6). Days 0-3 bulk-ingest, then the WHOLE hot tier ages out through
@@ -316,7 +334,7 @@ object StoreQueries {
     * oracle's retained-set replay.
     */
   private def deleteStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
-    stores.computeIfAbsent(dir + "#delete", { _ =>
+    sessionFresh(s, dir + "#delete") {
       val root = Files.createTempDirectory("graft-stored").toString
       // day partitions: the tiering loop archives O(tags × days) dirs
       val st = new TimeSeriesStore(s, root,
@@ -356,7 +374,7 @@ object StoreQueries {
       // the forget: every 'click' row of day 1, wherever it lives
       st.delete("click", day(1), day(2) - 1)
       st
-    })
+    }
 
   /** [[compactedStoreFor]]'s staging with the compaction run in LAYOUT
     * mode — `compact(zorder = true)`, the store-integrated `OPTIMIZE …
@@ -366,7 +384,7 @@ object StoreQueries {
     * same knob targets ~128 MB files).
     */
   private def zorderCompactedStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
-    stores.computeIfAbsent(dir + "#zcompacted", { _ =>
+    sessionFresh(s, dir + "#zcompacted") {
       val root = Files.createTempDirectory("graft-storez").toString
       // DAY partitions, not the hour width the other staged stores use:
       // intra-window clustering only has something to cluster when a
@@ -397,7 +415,7 @@ object StoreQueries {
       st.compact(minFiles = 2, applyLww = true, zorder = true,
         zorderRowsPerFile = 64L)
       st
-    })
+    }
 
   val all: Seq[QueryDef] = Seq(
 

@@ -63,7 +63,14 @@ object StoreQueries {
     stores.compute(key, (_, cur) =>
       if (cur == null) build
       else if (cur.spark.sparkContext.isStopped) {
-        val re = new TimeSeriesStore(s, cur.rootDir, cur.settings)
+        // carry every behavioral knob over: the time-travel store's
+        // retention window and frozen staging clock are load-bearing (a
+        // default-grace re-open would refuse its historical snapshots)
+        val re = new TimeSeriesStore(s, cur.rootDir, cur.settings,
+          directFlushMaxBytes = cur.directFlushMaxBytes,
+          leaseTtlMs = cur.leaseTtlMs, leaseWaitMs = cur.leaseWaitMs,
+          obsoleteGraceMs = cur.obsoleteGraceMs)
+        re.clock = cur.clock
         re.initialize()
         re
       } else cur)
@@ -284,6 +291,58 @@ object StoreQueries {
       st
     }
 
+  /** Like [[feedPartitionedStoreFor]] but the topic is drained by a
+    * consumer GROUP of two CONCURRENT queries with a static disjoint
+    * assignment — query 1 owns logs {0, 3}, query 2 owns logs {1, 2}
+    * (Kafka's `assign()`; the reference's competing consumers,
+    * service.js:117-120). Each query checkpoints only its own logs'
+    * cursors and admits only against its own budget; the store is the
+    * shared sink (its write paths serialize). The registered row's LWW
+    * read over the union must replay the whole slice — a log claimed by
+    * neither (or both) consumers diverges.
+    */
+  private def feedGroupStoreFor(s: SparkSession, dir: String)
+      : TimeSeriesStore =
+    sessionFresh(s, dir + "#feedg") {
+      val root = Files.createTempDirectory("graft-storefg").toString
+      val topic = Files.createTempDirectory("graft-feedgtopic")
+      val st = new TimeSeriesStore(s, root, StoreSettings(partitionWidth = W))
+      st.initialize()
+      val slice = Tables.events(s, dir)
+        .where(col("ts_ms") > day(2) && col("ts_ms") <= day(3))
+        .select(col("event_type").as("k"), to_json(struct(
+          col("event_type").as("tag"),
+          col("ts_ms").as("ts"),
+          col("value").cast("string").as("value"),
+          lit(1L).as("ingestTs"),
+          lit("w1").as("writerId"),
+          col("event_id").as("seq"))).as("payload"))
+      val it = slice.toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def flush(): Unit = if (buf.nonEmpty) {
+        graft.streaming.FeedLog.appendKeyed(topic, buf.toSeq, numLogs = 4,
+          segBytes = 4L << 10)
+        buf.clear()
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        buf += ((r.getString(0), r.getString(1)))
+        if (buf.size >= 512) flush()
+      }
+      flush()
+      val q1 = graft.streaming.StreamingIngest.feedSampleStream(
+        s, st, topic.toString, maxBytesPerTrigger = 8L << 10,
+        assign = Some("0,3"))
+      val q2 = graft.streaming.StreamingIngest.feedSampleStream(
+        s, st, topic.toString, maxBytesPerTrigger = 8L << 10,
+        assign = Some("1,2"))
+      try {
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+      } finally { q1.stop(); q2.stop() }
+      st
+    }
+
   /** Third per-sf store: a 4-day slice bulk-ingested in TWO overlapping
     * batches (every partition gets ≥2 files; `event_id % 3 == 0` rows are
     * re-written with doubled values and a later ingestTs), then
@@ -373,6 +432,54 @@ object StoreQueries {
           col("event_id").as("seq")))
       // the forget: every 'click' row of day 1, wherever it lives
       st.delete("click", day(1), day(2) - 1)
+      st
+    }
+
+  /** Staged store for the TIME-TRAVEL row: four mutations at four frozen
+    * store-clock instants under an effectively-infinite retention window
+    * (`obsoleteGraceMs = 1L << 60`, so nothing is ever swept and every
+    * historical snapshot stays resolvable):
+    *
+    *   t=1000  batch A appended        (days 0..3, ingestTs 1000)
+    *   t=2000  DELETE click day-1     (doomed files retired at clock 2000)
+    *   t=3000  batch B appended        (every 3rd event doubled, ingestTs 3000)
+    *   t=4000  compact(applyLww=true)  (originals retired at clock 4000)
+    *
+    * The clock stays frozen at 4000 afterwards so [[TimeSeriesStore
+    * .readAsOfDF]]'s retention guard sees `now = 4000` (re-opens after
+    * session cycling preserve it — see [[sessionFresh]]).
+    */
+  private def timeTravelStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
+    sessionFresh(s, dir + "#timetravel") {
+      val root = Files.createTempDirectory("graft-storett").toString
+      val st = new TimeSeriesStore(s, root,
+        StoreSettings(partitionWidth = 86400000L),
+        obsoleteGraceMs = 1L << 60)
+      st.initialize()
+      val slice = Tables.events(s, dir)
+        .where(col("ts_ms").between(day(0), day(3)))
+      st.clock = () => 1000L
+      st.writeSamplesDistributed(slice.select(
+        col("event_type").as("tag"),
+        col("ts_ms").as("ts"),
+        col("value").cast("string").as("value"),
+        lit(1000L).as("ingestTs"),
+        lit("w1").as("writerId"),
+        col("event_id").as("seq")))
+      st.clock = () => 2000L
+      st.delete("click", day(1), day(2) - 1)
+      st.clock = () => 3000L
+      st.writeSamplesDistributed(slice
+        .where(col("event_id") % 3 === 0)
+        .select(
+          col("event_type").as("tag"),
+          col("ts_ms").as("ts"),
+          (col("value") * 2).cast("string").as("value"),
+          lit(3000L).as("ingestTs"),
+          lit("w2").as("writerId"),
+          col("event_id").as("seq")))
+      st.clock = () => 4000L
+      st.compact(minFiles = 1, applyLww = true)
       st
     }
 
@@ -679,6 +786,99 @@ object StoreQueries {
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                  AS sum_cents
         FROM d GROUP BY tag ORDER BY tag""")),
+
+    // ---- CONSUMER GROUP: two queries statically splitting the topic ----
+    // The same 4-log keyed topic shape, drained by TWO concurrent
+    // graft-feed queries with disjoint `assign`ments ({0,3} and {1,2})
+    // into one shared store — the Kafka consumer-group contract with
+    // static membership, each member checkpointing only its own logs'
+    // cursors and admitting only against its own budget. The LWW read
+    // over the union must replay the original slice exactly: an orphaned
+    // log (claimed by neither), a doubly-claimed one (records written
+    // twice with distinct provenance would survive LWW as phantom
+    // members at equal ts only if provenance collided — counts diverge
+    // regardless), or cross-member budget leakage all break the hash.
+    QueryDef("ts_feed_group",
+      (s, dir) => {
+        val st = feedGroupStoreFor(s, dir)
+        st.registerViews("graftfg")
+        s.sql(s"""
+          SELECT tag, count(*) AS n,
+                 min(ts) AS min_ts_ms, max(ts) AS max_ts_ms,
+                 CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS sum_cents
+          FROM (
+            SELECT tag, ts, value,
+                   row_number() OVER (PARTITION BY tag, ts
+                     ORDER BY ingestTs DESC, seq DESC, writerId DESC) AS rn
+            FROM graftfg_hot)
+          WHERE rn = 1 GROUP BY tag ORDER BY tag""")
+      },
+      Some(s"""
+        WITH w AS (SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                     row_number() OVER (PARTITION BY event_type, epoch_ms(ts)
+                       ORDER BY event_id DESC) AS rn
+                   FROM events
+                   WHERE epoch_ms(ts) > ${day(2)} AND epoch_ms(ts) <= ${day(3)})
+        SELECT tag, count(*) AS n,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM w WHERE rn = 1 GROUP BY tag ORDER BY tag""")),
+
+    // ---- TIME TRAVEL: three snapshots of one mutating store ----
+    // The staged store lived through append → DELETE → append → compact
+    // at frozen clocks 1000/2000/3000/4000; readAsOfDF resolves each
+    // snapshot from the GC ledger's retirement clocks (files retired
+    // after T were live at T) plus row ingest provenance (rows ingested
+    // after T don't exist yet). The 1500 snapshot must RESURRECT the
+    // deleted click rows, the 2500 one must not, and the 3500 one must
+    // overlay batch B's LWW winners on the post-delete state — all read
+    // THROUGH the compaction rewrite, whose retired originals and
+    // published copies must collapse to the same answer. A snapshot that
+    // leaked a post-T row, dropped a pre-T one, or mis-clocked a
+    // retirement diverges from the oracle's per-snapshot replay.
+    QueryDef("ts_time_travel",
+      (s, dir) => {
+        val st = timeTravelStoreFor(s, dir)
+        Seq(1500L, 2500L, 3500L)
+          .map(t => st.lwwDedup(st.readAsOfDF(t)).withColumn("as_of", lit(t)))
+          .reduce(_ unionByName _)
+          .groupBy(col("as_of"), col("tag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ts")).as("min_ts_ms"), max(col("ts")).as("max_ts_ms"),
+            sum(floor(col("value").cast("double") * 100 + lit(0.5)).cast("long"))
+              .as("sum_cents"))
+          .orderBy("as_of", "tag")
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                 1000 AS ingest_ts, event_id
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        b AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
+                 value * 2 AS value, 3000 AS ingest_ts, event_id
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
+                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
+        snaps AS (
+          SELECT CAST(1500 AS BIGINT) AS as_of, * FROM a
+          UNION ALL SELECT 2500, * FROM ad
+          UNION ALL SELECT 3500, * FROM ad
+          UNION ALL SELECT 3500, * FROM b),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY as_of, tag, ts_ms
+                ORDER BY ingest_ts DESC, event_id DESC) AS rn
+              FROM snaps)
+        SELECT as_of, tag, count(*) AS n,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM w WHERE rn = 1
+        GROUP BY as_of, tag ORDER BY as_of, tag""")),
 
     // ---- compaction EXECUTED, gated by read-after-compact equivalence ----
     // The staged store ingested every event twice-ish (a full batch, then

@@ -49,9 +49,24 @@ import graft.streaming.FeedLog
   *
   * Schema: `value STRING, segment STRING, pos LONG` — payload bytes in,
   * parsing in the query (`from_json`), the Kafka-source contract.
-  * Options: `path` (log directory), `maxBytesPerTrigger` (default 1 MiB).
-  * A BATCH_READ capability reads the log's full safe range — the audit
-  * path (`spark.read.format("graft-feed")`).
+  * Options: `path` (log directory), `maxBytesPerTrigger` (default 1 MiB),
+  * `assign` (comma-separated log indices — see below). A BATCH_READ
+  * capability reads the log's full safe range — the audit path
+  * (`spark.read.format("graft-feed")`).
+  *
+  * **Consumer groups across queries** (`assign`): a query given
+  * `assign = "0,2"` owns exactly logs 0 and 2 of the topic — its
+  * offsets, admission budget, planning, frontier, and commit-time
+  * retention never touch any other log. Two concurrent queries with
+  * disjoint assignments split the topic the way a Kafka consumer GROUP
+  * splits partitions (the reference's `joinConsumerGroup`,
+  * service.js:117-120, with the static `assign()` discipline: membership
+  * is declared, not negotiated — rebalancing is re-launching a query
+  * with a new assignment, which is safe because offsets are keyed per
+  * segment and an unowned log's cursor simply goes unused). Within one
+  * query, each assigned log is still its own InputPartition, so group
+  * parallelism composes with task parallelism. A flat single-log topic
+  * is log 0.
   */
 class FeedTableProvider extends TableProvider with DataSourceRegister {
 
@@ -74,7 +89,19 @@ class FeedTableProvider extends TableProvider with DataSourceRegister {
       .getOrElse(1L << 20)
     require(maxBytes > 0, "graft-feed: maxBytesPerTrigger must be positive")
     val retain = Option(opts.get("retainConsumed")).forall(_.toBoolean)
-    new FeedTable(path, maxBytes, retain)
+    val assign = Option(opts.get("assign")).map { s =>
+      val idx = s.split(",").map(_.trim).filter(_.nonEmpty).map { t =>
+        val i = try t.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft-feed: assign expects comma-separated log indices, got '$t'")
+        }
+        require(i >= 0, s"graft-feed: assign indices must be >= 0, got $i")
+        i
+      }.toSet
+      require(idx.nonEmpty, "graft-feed: assign must name at least one log")
+      idx
+    }
+    new FeedTable(path, maxBytes, retain, assign)
   }
 }
 
@@ -86,7 +113,8 @@ object FeedSource {
 }
 
 final class FeedTable(dir: String, maxBytesPerTrigger: Long,
-    retainConsumed: Boolean) extends Table with SupportsRead {
+    retainConsumed: Boolean, assign: Option[Set[Int]] = None)
+    extends Table with SupportsRead {
 
   override def name(): String = s"graft-feed(`$dir`)"
 
@@ -98,25 +126,25 @@ final class FeedTable(dir: String, maxBytesPerTrigger: Long,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new FeedScan(dir, maxBytesPerTrigger, retainConsumed)
+        new FeedScan(dir, maxBytesPerTrigger, retainConsumed, assign)
     }
 }
 
 final class FeedScan(dir: String, maxBytesPerTrigger: Long,
-    retainConsumed: Boolean) extends Scan {
+    retainConsumed: Boolean, assign: Option[Set[Int]] = None) extends Scan {
 
   override def readSchema(): StructType = FeedSource.Schema
 
   override def description(): String = s"graft-feed scan of $dir"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FeedMicroBatchStream(dir, maxBytesPerTrigger, retainConsumed)
+    new FeedMicroBatchStream(dir, maxBytesPerTrigger, retainConsumed, assign)
 
   /** Audit path: the whole CURRENTLY-safe range as one batch. */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       FeedMicroBatchStream.partitions(dir,
-        FeedOffset(Map.empty), FeedMicroBatchStream.safeFrontier(dir))
+        FeedOffset(Map.empty), FeedMicroBatchStream.safeFrontier(dir, assign))
     override def createReaderFactory(): PartitionReaderFactory =
       new FeedReaderFactory
   }
@@ -155,14 +183,33 @@ final case class FeedSlice(path: String, segment: String,
 
 object FeedMicroBatchStream {
 
-  /** Fully-safe frontier: every segment of every log walked to its last
-    * complete record, no budget (Trigger.AvailableNow's target, and the
-    * batch audit's range).
+  /** This consumer's log index for a topic log dir (a flat topic's
+    * single log is index 0).
     */
-  def safeFrontier(dir: String): FeedOffset = FeedOffset(
-    FeedLog.allSegments(Paths.get(dir)).map { case (name, seg) =>
-      name -> FeedLog.safeEnd(seg, 0L)
+  private def logIndex(topic: java.nio.file.Path, log: java.nio.file.Path): Int =
+    if (log == topic) 0
+    else log.getFileName.toString.stripPrefix("log-").toInt
+
+  /** The topic's logs this consumer OWNS — all of them without an
+    * assignment, exactly the named ones with (Kafka `assign()`).
+    */
+  def ownedLogs(topic: java.nio.file.Path, assign: Option[Set[Int]])
+      : Seq[java.nio.file.Path] =
+    FeedLog.logs(topic).filter(log =>
+      assign.forall(_.contains(logIndex(topic, log))))
+
+  /** Fully-safe frontier over the OWNED logs: every segment walked to
+    * its last complete record, no budget (Trigger.AvailableNow's target,
+    * and the batch audit's range).
+    */
+  def safeFrontier(dir: String, assign: Option[Set[Int]] = None): FeedOffset = {
+    val topic = Paths.get(dir)
+    FeedOffset(ownedLogs(topic, assign).flatMap { log =>
+      val prefix = if (log == topic) "" else log.getFileName.toString + "/"
+      FeedLog.segments(log).map(seg =>
+        (prefix + seg.getFileName.toString) -> FeedLog.safeEnd(seg, 0L))
     }.toMap)
+  }
 
   /** One [[InputPartition]] per LOG per trigger (the consumer-group
     * shape: a log's reader is its single competing consumer for the
@@ -185,7 +232,7 @@ object FeedMicroBatchStream {
 }
 
 final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
-    retainConsumed: Boolean = true)
+    retainConsumed: Boolean = true, assign: Option[Set[Int]] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Plain MicroBatchStream.latestOffset is never consulted once the
@@ -228,7 +275,7 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
     absorb(limit)
     val out = scala.collection.mutable.Map[String, Long](s.positions.toSeq: _*)
     val topic = Paths.get(dir)
-    val logGroups = FeedLog.logs(topic)
+    val logGroups = FeedMicroBatchStream.ownedLogs(topic, assign)
     logGroups.zipWithIndex.foreach { case (log, gi) =>
       if (byteBudget > 0 && recordBudget > 0) {
         val prefix = if (log == topic) "" else log.getFileName.toString + "/"
@@ -259,7 +306,7 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
   }
 
   override def reportLatestOffset(): Offset =
-    FeedMicroBatchStream.safeFrontier(dir)
+    FeedMicroBatchStream.safeFrontier(dir, assign)
 
   override def initialOffset(): Offset = FeedOffset(Map.empty)
 
@@ -286,7 +333,9 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
     if (!retainConsumed) {
       val e = end.asInstanceOf[FeedOffset]
       val topic = Paths.get(dir)
-      FeedLog.logs(topic).foreach { log =>
+      // retention stays inside the assignment: each log has exactly one
+      // owning consumer, so its committed cursor alone decides cleanup
+      FeedMicroBatchStream.ownedLogs(topic, assign).foreach { log =>
         val prefix = if (log == topic) "" else log.getFileName.toString + "/"
         // per LOG: only rolled segments (never the lexicographically-last
         // — the single-producer rule says only it can still grow)

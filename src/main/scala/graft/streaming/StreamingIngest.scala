@@ -132,7 +132,8 @@ object StreamingIngest {
   def feedSampleStream(spark: SparkSession, store: TimeSeriesStore,
       logDir: String, maxBytesPerTrigger: Long = 1L << 20,
       checkpointDir: Option[String] = None,
-      retainConsumed: Option[Boolean] = None): StreamingQuery = {
+      retainConsumed: Option[Boolean] = None,
+      assign: Option[String] = None): StreamingQuery = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[Sample].schema
     val reader = spark.readStream
@@ -140,6 +141,7 @@ object StreamingIngest {
       .option("path", logDir)
       .option("maxBytesPerTrigger", maxBytesPerTrigger)
     retainConsumed.foreach(r => reader.option("retainConsumed", r.toString))
+    assign.foreach(a => reader.option("assign", a))
     val input = reader.load()
       .select(from_json(col("value"), schema).as("s"))
       .select(col("s.*"))

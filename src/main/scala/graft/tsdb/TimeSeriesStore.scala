@@ -734,6 +734,27 @@ final class TimeSeriesStore(
         catch { case _: java.io.IOException => Seq.empty }
       }.toSet
 
+  /** Pending-obsolete paths with the store CLOCK at which each was
+    * retired (the ledger entry's leading `<clock>` field; a path named by
+    * several entries takes the EARLIEST — the first supersession
+    * governs). An unparsable entry maps to `Long.MinValue`, i.e. "retired
+    * before any representable snapshot" — the same conservative exclusion
+    * [[pendingObsolete]] applies to it.
+    */
+  private def pendingObsoleteClocks(): Map[Path, Long] =
+    if (!Files.exists(gcDir)) Map.empty
+    else withList(gcDir)(_.filter(_.getFileName.toString.endsWith(".list")).toSeq)
+      .flatMap { e =>
+        val clockPart = e.getFileName.toString.takeWhile(_ != '-')
+        val at = try clockPart.toLong
+          catch { case _: NumberFormatException => Long.MinValue }
+        try new String(Files.readAllBytes(e), StandardCharsets.UTF_8)
+          .split('\n').toSeq.filter(_.nonEmpty)
+          .map(s => Paths.get(s).toAbsolutePath.normalize -> at)
+        catch { case _: java.io.IOException => Seq.empty }
+      }
+      .groupMapReduce(_._1)(_._2)(math.min)
+
   /** Delete a retired file and prune its now-empty partition/tag dirs
     * (the index cleanup ack-purge.lua:21-23 does; racing cleanups and
     * already-deleted files are ignorable — retirement is idempotent).
@@ -896,6 +917,81 @@ final class TimeSeriesStore(
         cachedStamp = ds
         t
     }
+  }
+
+  // ----------------------------------------------------------- time travel
+
+  /** Snapshot read — the table AS OF store-clock time `asOfMs` (Delta's
+    * `VERSION AS OF` / Iceberg's snapshot read, derived here from two
+    * pieces of machinery the store already has rather than a new
+    * metadata plane):
+    *
+    *  - **The GC ledger is the snapshot log.** Every rewriting mutation
+    *    (flush, compaction, delete, purge ack) PUBLISHES its new files
+    *    and then retires the superseded ones through a ledger entry
+    *    stamped with the mutation clock — so "the file set as of T" is
+    *    exactly: current files (live ∪ ledger-pending) minus files whose
+    *    retirement clock is ≤ T. A file retired AFTER T was live at T
+    *    and is still on disk for [[obsoleteGraceMs]].
+    *  - **Row provenance is the append log.** Every member carries its
+    *    `ingestTs`; rows ingested after T are filtered out, which also
+    *    erases appends that were later compacted into mixed files.
+    *
+    * Rewrite outputs created after T but containing pre-T rows (a
+    * compaction/ack/flush copy) appear alongside their still-included
+    * originals; both carry identical member provenance, so the standard
+    * read-side [[lwwDedup]] collapses them — every observable snapshot
+    * state is LWW-read-equivalent, the same invariant concurrent readers
+    * already rely on mid-rewrite. Deleted rows exist ONLY in files
+    * retired at delete time: a snapshot before the delete resurrects
+    * them, a snapshot after does not.
+    *
+    * The travel horizon is the retention window: files retired more than
+    * [[obsoleteGraceMs]] ago may already be swept, so historical reads
+    * beyond it (or ANY historical read when grace is 0 — immediate
+    * retirement) are refused rather than served silently incomplete.
+    * A forced [[gcSweep]] shortens the real horizon below the declared
+    * one — the VACUUM-with-retention-override caveat table formats share.
+    *
+    * Returns the RAW snapshot members (same shape as [[allDF]]); apply
+    * [[lwwDedup]] for the read semantic.
+    */
+  def readAsOfDF(asOfMs: Long): DataFrame = {
+    requireInitialized()
+    val now = clock()
+    if (asOfMs < now) {
+      require(obsoleteGraceMs > 0L && asOfMs >= now - obsoleteGraceMs,
+        s"time travel to $asOfMs is beyond the retention window " +
+          s"(now=$now, obsoleteGraceMs=$obsoleteGraceMs): files retired " +
+          "before it may already be swept, so the snapshot could be " +
+          "served incomplete")
+    }
+    val retiredAt = pendingObsoleteClocks()
+    def snapshotFiles(dir: Path): Seq[Path] =
+      if (!Files.exists(dir)) Seq.empty
+      else withWalk(dir)(_.filter { p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+          !dir.relativize(p).iterator().asScala.exists(s =>
+            s.toString.startsWith("_") || s.toString.startsWith(".")) &&
+          retiredAt.get(p.toAbsolutePath.normalize).forall(_ > asOfMs)
+      }.toSeq)
+    val l0Files = snapshotFiles(l0Dir)
+    val l0 =
+      if (l0Files.isEmpty) None
+      else Some(spark.read.schema(l0SparkSchema)
+        .parquet(l0Files.map(_.toString): _*))
+    def tierSnap(dir: Path): Option[DataFrame] = {
+      val fs = snapshotFiles(dir)
+      if (fs.isEmpty) None
+      else Some(spark.read
+        .option("basePath", dir.toString)
+        .schema(sampleSchema.add("partition_start", LongType))
+        .parquet(fs.map(_.toString): _*))
+    }
+    (Seq(l0, tierSnap(hotDir), tierSnap(coldDir)).flatten match {
+      case Nil => emptySamples
+      case dfs => dfs.reduce(_ unionByName _)
+    }).where(col("ingestTs") <= asOfMs)
   }
 
   private def emptySamples: DataFrame =

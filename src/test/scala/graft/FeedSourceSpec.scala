@@ -372,6 +372,48 @@ class FeedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rewritten === 10L, "phase-2 rewrites did not supersede phase 1")
   }
 
+  test("consumer group: static assignment is disjoint-complete; reassignment under one checkpoint stays exactly-once") {
+    val topic = Files.createTempDirectory("feedtopic-grp")
+    val keyed = (0 until 240).map(i => (s"k${i % 11}",
+      payload(s"k${i % 11}", i.toLong, s"v$i", seq = i.toLong)))
+    FeedLog.appendKeyed(topic, keyed, numLogs = 4, segBytes = 1024L)
+    def readAssign(a: Option[String]) = {
+      val r = spark.read.format("graft-feed").option("path", topic.toString)
+      a.foreach(r.option("assign", _))
+      r.load()
+    }
+    val full = readAssign(None)
+    val g1 = readAssign(Some("0,3"))
+    val g2 = readAssign(Some("1,2"))
+    // each member sees ONLY its own logs
+    def logsSeen(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(split(col("segment"), "/").getItem(0)).distinct()
+        .collect().map(_.getString(0)).toSet
+    assert(logsSeen(g1).subsetOf(Set("log-00000", "log-00003")), logsSeen(g1).toString)
+    assert(logsSeen(g2).subsetOf(Set("log-00001", "log-00002")), logsSeen(g2).toString)
+    // disjoint AND complete: the two assignments partition the topic
+    assert(g1.count() + g2.count() === full.count())
+    val union = g1.unionByName(g2)
+    assert(union.exceptAll(full).isEmpty && full.exceptAll(union).isEmpty,
+      "group members overlapped or orphaned records")
+    // membership change under ONE checkpoint: the member's assignment
+    // grows {0} -> {0,1}; carried cursors keep log 0 exactly-once while
+    // the newly-owned log 1 drains from its beginning
+    val cp = Files.createTempDirectory("feedtopic-grp-cp").toString
+    val root = Files.createTempDirectory("feedtopic-grp-store").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 100L))
+    store.initialize()
+    val qa = StreamingIngest.feedSampleStream(spark, store, topic.toString,
+      maxBytesPerTrigger = 2048L, checkpointDir = Some(cp), assign = Some("0"))
+    try qa.processAllAvailable() finally qa.stop()
+    assert(store.hotDF.count() === readAssign(Some("0")).count())
+    val qb = StreamingIngest.feedSampleStream(spark, store, topic.toString,
+      maxBytesPerTrigger = 2048L, checkpointDir = Some(cp), assign = Some("0,1"))
+    try qb.processAllAvailable() finally qb.stop()
+    assert(store.hotDF.count() === readAssign(Some("0,1")).count(),
+      "reassigned member re-read its old log or missed the new one")
+  }
+
   test("cross-JVM producer: records appended by a foreign process drain exactly") {
     val dir = Files.createTempDirectory("feedlog-xjvm")
     val scratch = Files.createTempDirectory("feedlog-xjvm-io")

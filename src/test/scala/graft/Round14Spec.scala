@@ -186,4 +186,54 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     val after = foreign.readData(Map("A" -> (0L, 100L)))("A")
     assert(after.keySet === retained.keySet)
   }
+
+  test("readAsOfDF: snapshots resolve through flush, delete, overwrite, compaction") {
+    import graft.tsdb.{StoreSettings, TimeSeriesStore}
+    val root = java.nio.file.Files.createTempDirectory("r14-tt").toString
+    val st = new TimeSeriesStore(spark, root,
+      StoreSettings(partitionWidth = 100L), obsoleteGraceMs = 1L << 60)
+    st.initialize()
+    st.clock = () => 1000L
+    st.write(Map(
+      "a" -> Map(10L -> "1", 110L -> "2", 210L -> "3"),
+      "b" -> Map(15L -> "9")))
+    st.clock = () => 2000L
+    st.flushL0() // L0 originals retire at 2000
+    st.clock = () => 3000L
+    assert(st.delete("a", 100L, 199L) === 1L) // kills (a, 110)
+    st.clock = () => 4000L
+    st.write(Map("a" -> Map(10L -> "1b"))) // LWW overwrite, lands in L0
+    st.clock = () => 5000L
+    st.compact(minFiles = 1, applyLww = true) // flush + rewrite everything
+
+    def snap(t: Long): Map[(String, Long), String] =
+      st.lwwDedup(st.readAsOfDF(t)).select("tag", "ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+
+    val gen1 = Map(("a", 10L) -> "1", ("a", 110L) -> "2",
+      ("a", 210L) -> "3", ("b", 15L) -> "9")
+    assert(snap(1500L) === gen1, "pre-flush snapshot (rows still in L0)")
+    assert(snap(2500L) === gen1, "flush is layout-only: snapshot unchanged")
+    assert(snap(3500L) === gen1 - (("a", 110L)),
+      "post-delete snapshot must NOT resurrect the doomed row")
+    val gen2 = gen1 - (("a", 110L)) + (("a", 10L) -> "1b")
+    assert(snap(4500L) === gen2, "overwrite visible, delete still honored")
+    assert(snap(5500L) === gen2, "compaction is layout-only: snapshot unchanged")
+
+    // horizon guard: grace 0 refuses ANY historical read
+    val g0root = java.nio.file.Files.createTempDirectory("r14-tt0").toString
+    val g0 = new TimeSeriesStore(spark, g0root, StoreSettings(partitionWidth = 100L))
+    g0.initialize(); g0.clock = () => 1000L
+    g0.write(Map("a" -> Map(1L -> "x")))
+    intercept[IllegalArgumentException] { g0.readAsOfDF(500L) }
+    // bounded grace refuses beyond the window, serves inside it
+    val bdroot = java.nio.file.Files.createTempDirectory("r14-ttb").toString
+    val bd = new TimeSeriesStore(spark, bdroot,
+      StoreSettings(partitionWidth = 100L), obsoleteGraceMs = 100L)
+    bd.initialize(); bd.clock = () => 1000L
+    bd.write(Map("a" -> Map(1L -> "x")))
+    intercept[IllegalArgumentException] { bd.readAsOfDF(800L) } // < now-grace
+    assert(bd.readAsOfDF(950L).count() === 0L) // inside window, pre-ingest
+    assert(bd.readAsOfDF(1000L).count() === 1L) // as of now
+  }
 }

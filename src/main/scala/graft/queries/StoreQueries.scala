@@ -880,6 +880,84 @@ object StoreQueries {
         FROM w WHERE rn = 1
         GROUP BY as_of, tag ORDER BY as_of, tag""")),
 
+    // ---- CHANGE DATA FEED: snapshot-diff classification ----
+    // changesBetween over the SAME staged mutation history: window
+    // (500→2500] must classify the whole post-delete state as inserts
+    // (the from-snapshot predates the store); window (1500→3500] must
+    // emit deletes for the click rows batch B never re-wrote, paired
+    // update pre/post images where B superseded A (including the
+    // deleted-then-rewritten keys — net change, Delta's coalesced CDF
+    // answer), and NOTHING for untouched keys even though compaction
+    // rewrote every file between the endpoints. Misclassifying layout
+    // churn as change, losing a delete, or emitting an unpaired update
+    // image diverges from the oracle's two-snapshot replay.
+    QueryDef("ts_change_feed",
+      (s, dir) => {
+        val st = timeTravelStoreFor(s, dir)
+        Seq((500L, 2500L), (1500L, 3500L))
+          .map { case (f, t) =>
+            st.changesBetween(f, t).withColumn("win", lit(t)) }
+          .reduce(_ unionByName _)
+          .groupBy(col("win"), col("change_type"), col("tag"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value").cast("double") * 100 + lit(0.5)).cast("long"))
+              .as("sum_cents"))
+          .orderBy("win", "change_type", "tag")
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                 1000 AS ingest_ts, event_id
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        b AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
+                 value * 2 AS value, 3000 AS ingest_ts, event_id
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
+                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
+        s1500 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                    PARTITION BY tag, ts_ms
+                    ORDER BY ingest_ts DESC, event_id DESC) AS rn FROM a)
+                  WHERE rn = 1),
+        s2500 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                    PARTITION BY tag, ts_ms
+                    ORDER BY ingest_ts DESC, event_id DESC) AS rn FROM ad)
+                  WHERE rn = 1),
+        s3500 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                    PARTITION BY tag, ts_ms
+                    ORDER BY ingest_ts DESC, event_id DESC) AS rn
+                  FROM (SELECT * FROM ad UNION ALL SELECT * FROM b))
+                  WHERE rn = 1),
+        j AS (
+          SELECT coalesce(p.tag, q.tag) AS tag,
+                 p.value AS pv, p.ingest_ts AS pi, p.event_id AS pe,
+                 q.value AS qv, q.ingest_ts AS qi, q.event_id AS qe
+          FROM s1500 p FULL OUTER JOIN s3500 q
+            ON p.tag = q.tag AND p.ts_ms = q.ts_ms),
+        changes AS (
+          SELECT CAST(2500 AS BIGINT) AS win, 'insert' AS change_type,
+                 tag, value FROM s2500
+          UNION ALL
+          SELECT 3500, 'delete', tag, pv FROM j WHERE qi IS NULL
+          UNION ALL
+          SELECT 3500, 'insert', tag, qv FROM j WHERE pi IS NULL
+          UNION ALL
+          SELECT 3500, 'update_preimage', tag, pv FROM j
+          WHERE pi IS NOT NULL AND qi IS NOT NULL
+            AND (pi != qi OR pe != qe)
+          UNION ALL
+          SELECT 3500, 'update_postimage', tag, qv FROM j
+          WHERE pi IS NOT NULL AND qi IS NOT NULL
+            AND (pi != qi OR pe != qe))
+        SELECT win, change_type, tag, count(*) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM changes
+        GROUP BY win, change_type, tag
+        ORDER BY win, change_type, tag""")),
+
     // ---- compaction EXECUTED, gated by read-after-compact equivalence ----
     // The staged store ingested every event twice-ish (a full batch, then
     // an overlapping superseding batch) and ran compact(applyLww = true):

@@ -994,6 +994,67 @@ final class TimeSeriesStore(
     }).where(col("ingestTs") <= asOfMs)
   }
 
+  /** Change data feed between two snapshots — Delta's `table_changes`
+    * semantics computed as a SNAPSHOT DIFF over [[readAsOfDF]]: the
+    * LWW-visible state at `fromMs` full-outer-joined with the state at
+    * `toMs` on the logical key `(tag, ts)`, each divergence classified:
+    *
+    *  - key only in `to`          → `insert`
+    *  - key only in `from`        → `delete` (the pre-image is emitted)
+    *  - both, different winner    → `update_preimage` + `update_postimage`
+    *  - both, same winner         → no row (compaction/tiering moved the
+    *    bytes but changed nothing — layout churn is invisible, which is
+    *    exactly why the diff runs over the LWW view and not raw files)
+    *
+    * A row deleted and re-written inside the window surfaces as an
+    * `update` (snapshot semantics — CDF reports net change, the same
+    * answer Delta gives for a delete+insert coalesced between two
+    * versions). Both endpoints obey [[readAsOfDF]]'s retention guard.
+    *
+    * Cost is two snapshot scans plus ONE shuffle join on `(tag, ts)` —
+    * the right shape for a BATCH reconciliation (backfills, downstream
+    * refreshes, audits). A consumer that needs per-commit increments
+    * should tail the ingest feed instead (`graft-feed` — the store's
+    * streaming twin); this API exists for the "what changed between
+    * Monday and Thursday" question where replaying every commit is the
+    * wrong cost class.
+    *
+    * Output: the member columns plus `change_type`.
+    */
+  def changesBetween(fromMs: Long, toMs: Long): DataFrame = {
+    require(fromMs <= toMs, s"empty change window [$fromMs, $toMs]")
+    val img = (src: String) => struct(
+      col(s"$src.value").as("value"), col(s"$src.ingestTs").as("ingestTs"),
+      col(s"$src.writerId").as("writerId"), col(s"$src.seq").as("seq"))
+    def winners(asOf: Long, alias: String) =
+      lwwDedup(readAsOfDF(asOf))
+        .select(col("tag"), col("ts"),
+          struct(col("value"), col("ingestTs"), col("writerId"), col("seq"))
+            .as(alias))
+    val joined = winners(fromMs, "pre")
+      .join(winners(toMs, "post"), Seq("tag", "ts"), "full_outer")
+    val sameWinner = col("pre.ingestTs") === col("post.ingestTs") &&
+      col("pre.seq") === col("post.seq") &&
+      col("pre.writerId") === col("post.writerId")
+    joined.select(col("tag"), col("ts"), explode(
+        when(col("post").isNull,
+          array(struct(img("pre").as("img"), lit("delete").as("kind"))))
+        .when(col("pre").isNull,
+          array(struct(img("post").as("img"), lit("insert").as("kind"))))
+        .when(sameWinner,
+          array(struct(img("post").as("img"),
+            lit(null).cast(StringType).as("kind"))))
+        .otherwise(array(
+          struct(img("pre").as("img"), lit("update_preimage").as("kind")),
+          struct(img("post").as("img"), lit("update_postimage").as("kind"))))
+      ).as("c"))
+      .where(col("c.kind").isNotNull)
+      .select(col("tag"), col("ts"), col("c.img.value").as("value"),
+        col("c.img.ingestTs").as("ingestTs"),
+        col("c.img.writerId").as("writerId"), col("c.img.seq").as("seq"),
+        col("c.kind").as("change_type"))
+  }
+
   private def emptySamples: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       sampleSchema.add("partition_start", LongType))

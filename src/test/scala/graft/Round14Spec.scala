@@ -236,4 +236,47 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bd.readAsOfDF(950L).count() === 0L) // inside window, pre-ingest
     assert(bd.readAsOfDF(1000L).count() === 1L) // as of now
   }
+
+  test("changesBetween: snapshot-diff CDF classifies exactly; layout churn is invisible") {
+    import graft.tsdb.{StoreSettings, TimeSeriesStore}
+    val root = java.nio.file.Files.createTempDirectory("r14-cdf").toString
+    val st = new TimeSeriesStore(spark, root,
+      StoreSettings(partitionWidth = 100L), obsoleteGraceMs = 1L << 60)
+    st.initialize()
+    st.clock = () => 1000L
+    st.write(Map(
+      "a" -> Map(10L -> "1", 110L -> "2", 210L -> "3"),
+      "b" -> Map(15L -> "9")))
+    st.clock = () => 2000L
+    st.flushL0()
+    st.clock = () => 3000L
+    st.delete("a", 100L, 199L)
+    st.clock = () => 4000L
+    st.write(Map("a" -> Map(10L -> "1b")))
+    st.clock = () => 5000L
+    st.compact(minFiles = 1, applyLww = true)
+
+    def diff(f: Long, t: Long): Set[(String, Long, String, String)] =
+      st.changesBetween(f, t).select("tag", "ts", "value", "change_type")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSet
+
+    // full mutation window: one delete, one paired update — and NOTHING
+    // for the untouched keys even though flush + compaction rewrote
+    // every one of their files between the endpoints
+    assert(diff(2500L, 5500L) === Set(
+      ("a", 110L, "2", "delete"),
+      ("a", 10L, "1", "update_preimage"),
+      ("a", 10L, "1b", "update_postimage")))
+    // a window holding ONLY the compaction: empty diff (layout-only)
+    assert(diff(4500L, 5500L) === Set.empty)
+    // from-before-the-store: everything is an insert
+    val ins = diff(500L, 1500L)
+    assert(ins.size === 4 && ins.forall(_._4 == "insert"))
+    // a pre-compaction endpoint answers identically (endpoint snapshots,
+    // not commit replay, define the diff)
+    assert(diff(2500L, 4500L) === diff(2500L, 5500L))
+    intercept[IllegalArgumentException] { st.changesBetween(9L, 1L) }
+  }
 }

@@ -953,6 +953,18 @@ final class TimeSeriesStore(
     * A forced [[gcSweep]] shortens the real horizon below the declared
     * one — the VACUUM-with-retention-override caveat table formats share.
     *
+    * Clock domain: retirement clocks and row `ingestTs` both come from
+    * the mutating process's clock, so a multi-writer deployment needs
+    * the writers' clocks comparable at the granularity snapshots are
+    * taken at. This is NOT a new assumption — the store's LWW order
+    * itself already compares cross-writer `ingestTs` (the reference's
+    * `u`-field provenance does the same, index.js:123); a deployment
+    * whose clocks are good enough for LWW is good enough for time
+    * travel. (Table formats avoid the assumption with a coordinated
+    * commit ordinal; here the maintenance lease already serializes
+    * rewrites, so retirement clocks of REWRITES are totally ordered per
+    * store in practice.)
+    *
     * Returns the RAW snapshot members (same shape as [[allDF]]); apply
     * [[lwwDedup]] for the read semantic.
     */

@@ -666,6 +666,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("FileScan parquet"), p.take(3000))
   }
 
+  test("ts_change_feed: snapshot diff is ONE keyed full-outer join with pushed ingest bounds") {
+    val p = plan("ts_change_feed")
+    // the (tag, ts) diff join is keyed (sort-merge or shuffled-hash),
+    // never a pair enumeration
+    assert(p.contains("FullOuter"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // each snapshot's ingest horizon reaches the parquet scan — rows
+    // appended after the endpoint are skipped at the reader, not post-hoc
+    assert(p.contains("PushedFilters: [IsNotNull(ingestTs), LessThanOrEqual(ingestTs"),
+      p.take(3000))
+  }
+
   test("DriverBudget branch counters observe k-means centroid materialization") {
     graft.analytics.DriverBudget.resetBranchCounts()
     SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf).count()

@@ -193,6 +193,39 @@ object StreamingIngest {
     (q, acked)
   }
 
+  /** The periodic auto-compaction driver — Delta's auto-OPTIMIZE shape on
+    * the store's own machinery: every trigger, run one
+    * [[TimeSeriesStore.compact]] pass. Eligibility IS the fragmentation
+    * threshold (`minFiles` live files in a partition dir) and is decided
+    * by a metadata listing inside compact itself, so an un-fragmented
+    * store makes the trigger a cheap no-op — the loop needs no state of
+    * its own and composes with concurrent ingest: compaction is
+    * lease-serialized against every other maintenance writer and
+    * publishes-then-retires, so readers in any process stay correct
+    * mid-rewrite. Pass `zorder = true` to make the periodic pass also
+    * maintain the clustering layout (OPTIMIZE ... ZORDER on a schedule).
+    *
+    * @return the running query and a counter of partitions rewritten
+    */
+  def compactionLoop(spark: SparkSession, store: TimeSeriesStore,
+      minFiles: Int = 4, intervalMs: Long = 500,
+      zorder: Boolean = false): (StreamingQuery, AtomicLong) = {
+    val rewritten = new AtomicLong(0L)
+    val q = spark.readStream
+      .format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        rewritten.addAndGet(
+          store.compact(minFiles = minFiles, applyLww = true,
+            zorder = zorder).toLong)
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+      .start()
+    (q, rewritten)
+  }
+
   /** One memory-pressure-gated purge cycle (the reference's write-path gate,
     * service.js:13,33-35: `if (bytes > purgeLimit) store.purgeScan(...)`,
     * and recipe:44-45's "purge when used memory crosses the budget"): if the

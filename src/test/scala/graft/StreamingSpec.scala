@@ -118,6 +118,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     } finally q.stop()
   }
 
+  test("compaction loop collapses fragmented partitions while reads stay correct") {
+    val root = Files.createTempDirectory("graft-compactloop").toString
+    val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 100L))
+    store.initialize()
+    // fragment one partition: 5 writes, each flushed = 5 files in one dir,
+    // with LWW rewrites so the merge has superseded members to drop
+    (1 to 5).foreach { i =>
+      store.clock = () => 1000L * i
+      store.write(Map("CTag" -> Map(10L -> s"v$i", (10L + i) -> s"w$i")))
+      store.flushL0()
+    }
+    def liveFiles(): Int = {
+      val dir = java.nio.file.Paths.get(store.namespaceRoot, "hot")
+      val s = java.nio.file.Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+    assert(liveFiles() === 5)
+    val expected = store.lwwDedup(store.hotDF)
+      .select("ts", "value").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (q, rewritten) = StreamingIngest.compactionLoop(spark, store, minFiles = 4)
+    try {
+      eventually(timeout(Span(30, Seconds))) { assert(rewritten.get() >= 1L) }
+      assert(liveFiles() === 1, "fragmented partition did not collapse to one file")
+      // raw row count proves superseded members are physically gone
+      assert(store.hotDF.count() === 6L) // ts 10 winner + ts 11..15
+      val after = store.readData(Map("CTag" -> (0L, 100L)))("CTag")
+      assert(after.toMap === expected, "compaction loop changed the LWW answer")
+      // an already-compacted store makes further triggers no-ops
+      val settled = rewritten.get()
+      Thread.sleep(1500)
+      assert(rewritten.get() === settled, "loop kept rewriting a compact store")
+    } finally q.stop()
+  }
+
   test("pressure purge fires on byte threshold: mark, archive, ack, hotBytes drops") {
     val root = Files.createTempDirectory("graft-pressure").toString
     val store = new TimeSeriesStore(spark, root, StoreSettings(partitionWidth = 5L))

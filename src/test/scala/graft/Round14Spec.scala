@@ -237,6 +237,43 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bd.readAsOfDF(1000L).count() === 1L) // as of now
   }
 
+  test("readAsOfDF: snapshots resolve across a FOREIGN instance's mutations (shared ledger)") {
+    import graft.tsdb.{StoreSettings, TimeSeriesStore}
+    val root = java.nio.file.Files.createTempDirectory("r14-ttx").toString
+    val cfg = StoreSettings(partitionWidth = 100L)
+    val st = new TimeSeriesStore(spark, root, cfg, obsoleteGraceMs = 1L << 60)
+    st.initialize()
+    st.clock = () => 1000L
+    st.write(Map("a" -> Map(10L -> "1", 110L -> "2")))
+    st.flushL0()
+    // a SECOND store instance (the multi-process shape: separate caches,
+    // separate clocks, same root) deletes and compacts
+    val foreign = new TimeSeriesStore(spark, root, cfg, obsoleteGraceMs = 1L << 60)
+    foreign.initialize()
+    foreign.clock = () => 3000L
+    assert(foreign.delete("a", 100L, 199L) === 1L)
+    foreign.clock = () => 5000L
+    foreign.compact(minFiles = 1, applyLww = true)
+    // OUR instance's snapshots classify the foreign mutations correctly:
+    // its ledger entries (and their retirement clocks) live on the shared
+    // root, not in the instance that wrote them
+    st.clock = () => 6000L
+    def snap(t: Long): Set[(Long, String)] =
+      st.lwwDedup(st.readAsOfDF(t)).select("ts", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap(2000L) === Set((10L, "1"), (110L, "2")),
+      "pre-foreign-delete snapshot lost rows")
+    assert(snap(4000L) === Set((10L, "1")),
+      "foreign delete invisible to this instance's snapshot")
+    assert(snap(6000L) === Set((10L, "1")),
+      "foreign compaction changed the visible state")
+    // and the diff across the foreign mutation window classifies it
+    val d = st.changesBetween(2000L, 4000L)
+      .select("ts", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d === Set((110L, "delete")))
+  }
+
   test("changesBetween: snapshot-diff CDF classifies exactly; layout churn is invisible") {
     import graft.tsdb.{StoreSettings, TimeSeriesStore}
     val root = java.nio.file.Files.createTempDirectory("r14-cdf").toString

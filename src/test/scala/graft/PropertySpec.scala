@@ -198,6 +198,85 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: time travel reproduces the model state at every mutation boundary") {
+    // ops: 0=write, 1=flushL0, 2=compact, 3=delete (tag + range drawn
+    // from the generated batch). The model tracks (value, writeClock)
+    // per key; after the full sequence, readAsOfDF at every boundary
+    // must reproduce the model state THEN, and changesBetween across
+    // random boundary pairs must classify exactly the model diff.
+    val genOps = Gen.listOfN(8, Gen.zip(Gen.choose(0, 3), genBatch))
+    forAllSeeded(genOps, n = 3) { ops =>
+      val store = new TimeSeriesStore(spark,
+        Files.createTempDirectory("graft-prop-tt").toString,
+        StoreSettings(partitionWidth = 10L), obsoleteGraceMs = 1L << 60)
+      store.initialize()
+      var now = 1000000L
+      store.clock = () => now
+      var model = Map.empty[String, Map[Long, (String, Long)]]
+      val timeline = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Map[String, Map[Long, (String, Long)]])]
+      ops.foreach { case (op, batch) =>
+        now += 5000
+        op match {
+          case 0 if batch.nonEmpty =>
+            store.write(batch)
+            model = batch.foldLeft(model) { case (a, (tag, m)) =>
+              a + (tag -> (a.getOrElse(tag, Map.empty) ++
+                m.view.mapValues(v => (v, now)).toMap))
+            }
+          case 1 => store.flushL0()
+          case 2 => store.compact(minFiles = 1, applyLww = true)
+          case 3 if batch.nonEmpty =>
+            val tag = batch.keys.min
+            val keys = batch(tag).keys
+            val (lo, hi) = (keys.min, keys.max)
+            store.delete(tag, lo, hi)
+            model = model.updatedWith(tag)(_.map(_.filter {
+              case (k, _) => k < lo || k > hi
+            }))
+          case _ => ()
+        }
+        timeline += ((now, model))
+      }
+      // every boundary's snapshot ≡ the model state then — through every
+      // later rewrite (compactions retire files at later clocks)
+      timeline.foreach { case (t, m) =>
+        val snap = store.lwwDedup(store.readAsOfDF(t))
+          .select("tag", "ts", "value").collect()
+          .groupBy(_.getString(0))
+          .map { case (tag, rows) =>
+            tag -> rows.map(r => r.getLong(1) -> r.getString(2)).toMap }
+        val want = m.collect { case (tag, kv) if kv.nonEmpty =>
+          tag -> kv.view.mapValues(_._1).toMap }
+        assert(snap === want, s"snapshot at $t diverged from the model")
+      }
+      // CDF across boundary pairs: classify against the model diff
+      // (update = winner's writeClock changed, value equality irrelevant)
+      val bs = timeline.toSeq
+      Seq((0, bs.size - 1), (0, bs.size / 2), (bs.size / 2, bs.size - 1))
+        .filter { case (i, j) => i < j }.foreach { case (i, j) =>
+          val (ti, mi) = bs(i); val (tj, mj) = bs(j)
+          def flat(m: Map[String, Map[Long, (String, Long)]]) =
+            m.flatMap { case (tag, kv) => kv.map { case (ts, v) => (tag, ts) -> v } }
+          val (fi, fj) = (flat(mi), flat(mj))
+          val wantKinds = (fi.keySet ++ fj.keySet).toSeq.flatMap { k =>
+            (fi.get(k), fj.get(k)) match {
+              case (None, Some(_))                      => Seq(k -> "insert")
+              case (Some(_), None)                      => Seq(k -> "delete")
+              case (Some((_, c1)), Some((_, c2))) if c1 != c2 =>
+                Seq(k -> "update_preimage", k -> "update_postimage")
+              case _                                    => Seq.empty
+            }
+          }.groupBy(identity).view.mapValues(_.size).toMap
+          val got = store.changesBetween(ti, tj)
+            .select("tag", "ts", "change_type").collect()
+            .map(r => ((r.getString(0), r.getLong(1)), r.getString(2)))
+            .groupBy(identity).view.mapValues(_.length).toMap
+          assert(got === wantKinds, s"diff [$ti,$tj] diverged from the model")
+        }
+    }
+  }
+
   test("property: compaction is invisible to readers") {
     forAllSeeded(Gen.listOfN(3, genBatch)) { writes =>
       if (writes.nonEmpty) {

@@ -414,6 +414,30 @@ class FeedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "reassigned member re-read its old log or missed the new one")
   }
 
+  test("consumer group: overlapping assignments are independent groups, not an error") {
+    // Kafka semantics: assignment is per GROUP — two queries that both
+    // own log 1 each read ALL of it (fan-out to two downstreams), they
+    // do not split it. Splitting is what DISJOINT assignments are for.
+    val topic = Files.createTempDirectory("feedtopic-ovl")
+    val keyed = (0 until 60).map(i => (s"k${i % 5}",
+      payload(s"k${i % 5}", i.toLong, s"v$i", seq = i.toLong)))
+    FeedLog.appendKeyed(topic, keyed, numLogs = 2, segBytes = 1024L)
+    def readAssign(a: String) = spark.read.format("graft-feed")
+      .option("path", topic.toString).option("assign", a).load()
+    val full = spark.read.format("graft-feed")
+      .option("path", topic.toString).load()
+    val g1 = readAssign("0,1")
+    val g2 = readAssign("1")
+    val log1 = full.where(col("segment").startsWith("log-00001/"))
+    assert(g1.count() === full.count(), "a full assignment must see the topic")
+    assert(g2.count() === log1.count())
+    assert(g2.exceptAll(log1).isEmpty && log1.exceptAll(g2).isEmpty,
+      "the overlapping member's view of log 1 diverged")
+    // out-of-range indices are simply unowned logs (a member may be
+    // configured for logs the producer has not created yet)
+    assert(readAssign("7").count() === 0L)
+  }
+
   test("cross-JVM producer: records appended by a foreign process drain exactly") {
     val dir = Files.createTempDirectory("feedlog-xjvm")
     val scratch = Files.createTempDirectory("feedlog-xjvm-io")

@@ -343,6 +343,93 @@ object StoreQueries {
       st
     }
 
+  /** STORE-TAIL staging (VERDICT r14 next #1 — the store as a streaming
+    * SOURCE): a SOURCE store lives through a mutation history spanning
+    * every new-data lane and every rewrite lane, and a `graft-store-tail`
+    * query replicates it into a DOWNSTREAM store:
+    *
+    *   1. batch A  — distributed bulk append (ingestTs 1, w1)
+    *   2. batch L  — small `writeSamples` batches through the L0 lane
+    *                 (every 5th event ×3, ingestTs 2, w2)
+    *   3. compact  — flushes L0 and rewrites EVERY partition, so by the
+    *                 time the tailer first lists the store, every
+    *                 new-data file it must emit is ALREADY ledger-pending
+    *                 (retired by the rewrite, held by the grace window) —
+    *                 the hardest emission case
+    *   4. first drain (emits A + L exactly once; all `rw-` outputs skipped)
+    *   5. delete   — click day-1 forgotten (append-stream semantics: not
+    *                 retracted downstream)
+    *   6. batch B  — distributed append (every 3rd event ×2, ingestTs 3, w3)
+    *   7. second drain (emits exactly B)
+    *
+    * The registered row reads the DOWNSTREAM store's LWW state, and the
+    * oracle replays the LWW over every row ever APPENDED upstream
+    * (A ∪ L ∪ B) — a tailer that re-emitted a compaction/delete rewrite,
+    * missed a pending file, or dropped a batch across the restartable
+    * manifest diverges.
+    */
+  private def tailStoreFor(s: SparkSession, dir: String): TimeSeriesStore =
+    sessionFresh(s, dir + "#tail") {
+      val srcRoot = Files.createTempDirectory("graft-storetsrc").toString
+      val dstRoot = Files.createTempDirectory("graft-storetdst").toString
+      val ckpt = Files.createTempDirectory("graft-tailckpt").toString
+      val src = new TimeSeriesStore(s, srcRoot,
+        StoreSettings(partitionWidth = W), obsoleteGraceMs = 1L << 40)
+      src.initialize()
+      val dst = new TimeSeriesStore(s, dstRoot,
+        StoreSettings(partitionWidth = W))
+      dst.initialize()
+      val slice = Tables.events(s, dir)
+        .where(col("ts_ms").between(day(0), day(2)))
+      // batch A: the distributed new-data lane
+      src.writeSamplesDistributed(slice.select(
+        col("event_type").as("tag"),
+        col("ts_ms").as("ts"),
+        col("value").cast("string").as("value"),
+        lit(1L).as("ingestTs"),
+        lit("w1").as("writerId"),
+        col("event_id").as("seq")))
+      // batch L: the L0 new-data lane (bounded driver batches)
+      val it = slice.where(col("event_id") % 5 === 0)
+        .select(col("event_type"), col("ts_ms"),
+          (col("value") * 3).cast("string"), col("event_id"))
+        .toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[graft.tsdb.Sample]
+      def flushBuf(): Unit = if (buf.nonEmpty) {
+        src.writeSamples(buf.toSeq); buf.clear()
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        buf += graft.tsdb.Sample(r.getString(0), r.getLong(1), r.getString(2),
+          2L, "w2", r.getLong(3))
+        if (buf.size >= 512) flushBuf()
+      }
+      flushBuf()
+      // rewrite storm BEFORE the tailer ever lists the store: every
+      // new-data file the first drain must emit is now ledger-pending
+      src.compact(minFiles = 1, applyLww = true)
+      val q = graft.streaming.StreamingIngest.storeTailStream(
+        s, src.namespaceRoot, dst, checkpointDir = Some(ckpt),
+        maxFilesPerTrigger = 8)
+      try {
+        q.processAllAvailable()
+        // mid-stream mutations: a physical forget (not retracted — the
+        // append-stream contract) and a third new-data batch
+        src.delete("click", day(1), day(2) - 1)
+        src.writeSamplesDistributed(slice
+          .where(col("event_id") % 3 === 0)
+          .select(
+            col("event_type").as("tag"),
+            col("ts_ms").as("ts"),
+            (col("value") * 2).cast("string").as("value"),
+            lit(3L).as("ingestTs"),
+            lit("w3").as("writerId"),
+            col("event_id").as("seq")))
+        q.processAllAvailable()
+      } finally q.stop()
+      dst
+    }
+
   /** Third per-sf store: a 4-day slice bulk-ingested in TWO overlapping
     * batches (every partition gets ≥2 files; `event_id % 3 == 0` rows are
     * re-written with doubled values and a later ingestTs), then
@@ -1237,6 +1324,61 @@ object StoreQueries {
         SELECT event_type AS tag, count(*) AS n,
                CAST(sum((epoch_ms(ts) % 1000000007) * weight) AS BIGINT) AS wsum
         FROM events JOIN dim ON event_type = d_tag
-        GROUP BY 1 ORDER BY tag"""))
+        GROUP BY 1 ORDER BY tag""")),
+
+    // ---- the store as a streaming SOURCE (graft-store-tail) ----
+    // A downstream store is populated ONLY by tailing the source store
+    // (see tailStoreFor): the tailer lists L0 + hot for non-`rw-` files,
+    // emits each exactly once through its checkpointed manifest log, and
+    // skips every flush/compact/ack/delete rewrite output by name. The
+    // staged history retires ALL of the first drain's files before the
+    // tailer ever runs (compact → ledger-pending, grace-held) and mutates
+    // again mid-stream — so this row fails if the tailer misses a
+    // pending file, double-emits a rewritten row, or loses a batch across
+    // the manifest. The oracle is the LWW replay of every row ever
+    // APPENDED upstream (the append-stream contract: the staged DELETE is
+    // physically applied upstream but never retracted downstream —
+    // Delta's ignoreDeletes semantics; net-change consumers use
+    // changesBetween, and Round15Spec pins tail/CDF window parity).
+    QueryDef("st_store_tail",
+      (s, dir) => {
+        val dst = tailStoreFor(s, dir)
+        dst.registerViews("grafttail")
+        s.sql(s"""
+          SELECT tag, count(*) AS n,
+                 min(ts) AS min_ts_ms, max(ts) AS max_ts_ms,
+                 CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS sum_cents
+          FROM (
+            SELECT tag, ts, value,
+                   row_number() OVER (PARTITION BY tag, ts
+                     ORDER BY ingestTs DESC, seq DESC, writerId DESC) AS rn
+            FROM grafttail_hot)
+          WHERE rn = 1 GROUP BY tag ORDER BY tag""")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                 1 AS ingest_ts, event_id
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(2)}
+          UNION ALL
+          SELECT event_type, epoch_ms(ts), value * 3, 2, event_id
+          FROM events
+          WHERE event_id % 5 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(2)}
+          UNION ALL
+          SELECT event_type, epoch_ms(ts), value * 2, 3, event_id
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(2)}),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY tag, ts_ms
+                ORDER BY ingest_ts DESC, event_id DESC) AS rn
+              FROM m)
+        SELECT tag, count(*) AS n,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM w WHERE rn = 1 GROUP BY tag ORDER BY tag"""))
   )
 }

@@ -1,0 +1,344 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-store-tail` — the [[graft.tsdb.TimeSeriesStore]] as a
+  * STREAMING SOURCE (VERDICT r14 next #1): a downstream consumer
+  * subscribes to the store itself, the way the reference's example
+  * deployment is a continuous consumer of store changes
+  * (service.js:113-150) and the way Delta's streaming read tails a
+  * table. `graft-feed` covers producer→store; this is store→downstream.
+  *
+  * '''What gets emitted, exactly once.''' Every logical row enters the
+  * store through exactly ONE new-data file — an L0 batch file
+  * (`writeSamples`), a distributed bulk-append part file
+  * (`writeSamplesDistributed`), or a DSv2 connector-writer file — and
+  * every later physical move of that row (L0 flush, compaction, purge
+  * ack, delete survivors) publishes under the store's
+  * [[graft.tsdb.TimeSeriesStore.RewritePrefix]] (`rw-…`). The tailer
+  * therefore lists L0 + hot for non-`rw-` parquet files and emits each
+  * exactly once; rewrite outputs are skipped BY NAME, so a compaction
+  * that moves every byte emits nothing — Delta's `dataChange=false`
+  * discipline with the directory tree as the commit log. Files pending
+  * GC retirement are still listed (they are on disk through the grace
+  * window), so a flush/compact/delete racing the tailer never hides a
+  * not-yet-emitted file.
+  *
+  * '''Semantics''': an APPEND stream (Delta `readStream` with
+  * `ignoreDeletes`/`ignoreChanges`): emitted rows are the store's raw
+  * members — the consumer applies the same read-side LWW the store
+  * does; physical DELETEs are not retracted from rows already emitted
+  * (an append stream has no retraction channel — a consumer needing
+  * net-change reconciliation runs [[graft.tsdb.TimeSeriesStore
+  * .changesBetween]], and Round15Spec pins that the two agree window by
+  * window on delete-free histories).
+  *
+  * '''Exactly-once machinery''' (the FileStreamSource shape, re-owned):
+  * the source keeps a MANIFEST LOG under its checkpoint location —
+  * `entry-NNNNNNNN`, each listing the relative paths admitted by one
+  * `latestOffset` call — and the offset is just the entry count. Ranges
+  * `[start, end)` of entries are immutable once written, so replay
+  * after any crash plans the identical files; a file appears in at most
+  * one entry ever (the seen-set is the union of all entries, rebuilt on
+  * restart from the log itself). Admission control caps each entry by
+  * file count / bytes (`maxFilesPerTrigger` / `maxBytesPerTrigger`);
+  * `Trigger.AvailableNow` plans all available.
+  *
+  * '''Deployment contract''': the store's `obsoleteGraceMs` must exceed
+  * the tailer's maximum lag (poll interval + downtime), exactly the
+  * "size grace above the slowest read" rule shared-root readers already
+  * carry — a new-data file retired by a rewrite stays readable for the
+  * grace, so a tailer inside its lag budget never loses it. A tailer
+  * that outsleeps the grace fails LOUDLY on the swept file (never a
+  * silent gap). A grace-0 store is tailable only for its distributed /
+  * connector appends (L0 files vanish at flush); tail a store written
+  * through `writeSamples` with a real grace window.
+  *
+  * Schema: the connector's 7-column table schema ([[TsdbSource.Schema]]);
+  * `tag`/`partition_start` are synthesized from directory names for hot
+  * files and read physically from L0 files.
+  */
+class StoreTailTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-store-tail"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TsdbSource.Schema
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-store-tail requires option 'path' (the store namespace root)"))
+    val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.toInt)
+      .getOrElse(64)
+    require(maxFiles > 0, "graft-store-tail: maxFilesPerTrigger must be positive")
+    val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.toLong)
+      .getOrElse(128L << 20)
+    require(maxBytes > 0, "graft-store-tail: maxBytesPerTrigger must be positive")
+    new StoreTailTable(path, maxFiles, maxBytes)
+  }
+}
+
+final class StoreTailTable(nsRoot: String, maxFiles: Int, maxBytes: Long)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-store-tail(`$nsRoot`)"
+
+  override def schema(): StructType = TsdbSource.Schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = TsdbSource.Schema
+        override def description(): String = s"graft-store-tail scan of $nsRoot"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new StoreTailStream(nsRoot, checkpointLocation, maxFiles, maxBytes)
+      }
+    }
+}
+
+/** Offset = number of immutable manifest entries consumed. */
+final case class StoreTailOffset(entries: Long) extends Offset {
+  override def json(): String = s"""{"entries":$entries}"""
+}
+
+object StoreTailOffset {
+  def fromJson(s: String): StoreTailOffset =
+    StoreTailOffset("\"entries\":(\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad tail offset: $s")))
+}
+
+/** One admitted new-data file: store-relative path plus the metadata the
+  * reader needs (hot files carry their directory-encoded key; L0 files
+  * read it physically).
+  */
+final case class TailFile(rel: String, l0: Boolean, tag: String, pStart: Long)
+
+final case class StoreTailInputPartition(nsRoot: String, files: Seq[TailFile])
+    extends InputPartition
+
+final class StoreTailStream(nsRoot: String, checkpointLocation: String,
+    maxFiles: Int, maxBytes: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val root: Path = Paths.get(nsRoot)
+  private val manifestDir: Path =
+    Paths.get(checkpointLocation.stripPrefix("file:")).resolve("graft-tail")
+
+  private def entryPath(i: Long): Path =
+    manifestDir.resolve(f"entry-$i%08d")
+
+  private def entryCount(): Long = {
+    if (!Files.exists(manifestDir)) return 0L
+    val s = Files.list(manifestDir)
+    try s.iterator().asScala
+      .count(_.getFileName.toString.matches("entry-\\d{8}")).toLong
+    finally s.close()
+  }
+
+  private def readEntry(i: Long): Seq[String] =
+    new String(Files.readAllBytes(entryPath(i)), StandardCharsets.UTF_8)
+      .split('\n').toSeq.filter(_.nonEmpty)
+
+  /** Union of every manifest entry's paths — the seen set, rebuilt from
+    * the log itself (restart-safe; the log is the only state).
+    */
+  private def seenFiles(n: Long): Set[String] =
+    (0L until n).flatMap(readEntry).toSet
+
+  /** Current NEW-DATA candidates as store-relative paths, sorted: all L0
+    * batch files plus every hot-tier parquet file not named with the
+    * rewrite prefix. Ledger-pending files are INCLUDED (on disk through
+    * the grace); hidden/staging segments (`_temporary`, `.…tmp`) are not.
+    */
+  private def candidates(): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l0 = root.resolve("l0")
+    if (Files.exists(l0)) {
+      val s = Files.list(l0)
+      try s.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith(".")) out += s"l0/$n"
+      } finally s.close()
+    }
+    val hot = root.resolve("hot")
+    def subDirs(d: Path, prefix: String): Seq[Path] =
+      if (!Files.isDirectory(d)) Seq.empty
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(prefix)).toSeq
+        finally s.close()
+      }
+    subDirs(hot, "tag=").foreach { tagDir =>
+      subDirs(tagDir, "partition_start=").foreach { pd =>
+        val s = Files.list(pd)
+        try s.iterator().asScala.foreach { p =>
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && !n.startsWith(".") &&
+              !n.startsWith(graft.tsdb.Limits.RewritePrefix))
+            out += s"hot/${tagDir.getFileName}/${pd.getFileName}/$n"
+        } finally s.close()
+      }
+    }
+    out.sorted.toSeq
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.compositeLimit(Array(
+      ReadLimit.maxFiles(maxFiles), ReadLimit.maxBytes(maxBytes)))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-store-tail uses latestOffset(start, limit)")
+
+  override def reportLatestOffset(): Offset = StoreTailOffset(entryCount())
+
+  override def initialOffset(): Offset = StoreTailOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    StoreTailOffset.fromJson(json)
+
+  /** Admit unseen new-data files under the limits into a NEW immutable
+    * manifest entry. Crash-idempotent: an entry written without the
+    * engine recording its offset is simply replayed into the seen set on
+    * the next call — every file still lands in exactly one entry.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val n = entryCount()
+    var fileBudget = Int.MaxValue
+    var byteBudget = Long.MaxValue
+    def absorb(l: ReadLimit): Unit = l match {
+      case f: ReadMaxFiles => fileBudget = math.min(fileBudget, f.maxFiles())
+      case b: ReadMaxBytes => byteBudget = math.min(byteBudget, b.maxBytes())
+      case c: CompositeReadLimit => c.getReadLimits.foreach(absorb)
+      case _: ReadAllAvailable => ()
+      case _ => ()
+    }
+    absorb(limit)
+    val seen = seenFiles(n)
+    val fresh = candidates().filterNot(seen.contains)
+    if (fresh.isEmpty) return StoreTailOffset(n)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bytes = 0L
+    val it = fresh.iterator
+    while (it.hasNext && admitted.size < fileBudget &&
+        (bytes < byteBudget || admitted.isEmpty)) {
+      val rel = it.next()
+      val sz = try Files.size(root.resolve(rel))
+        catch { case _: java.io.IOException => 0L }
+      // at-least-one-unit progress: the first file always admits
+      if (admitted.isEmpty || bytes + sz <= byteBudget) {
+        admitted += rel
+        bytes += sz
+      } else bytes = byteBudget // stop: next file would overshoot
+    }
+    if (admitted.isEmpty) return StoreTailOffset(n)
+    Files.createDirectories(manifestDir)
+    val tmp = manifestDir.resolve(s"entry-tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, admitted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, entryPath(n), StandardCopyOption.ATOMIC_MOVE)
+    StoreTailOffset(n + 1)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[StoreTailOffset].entries
+    val e = end.asInstanceOf[StoreTailOffset].entries
+    val files = (s until e).flatMap(readEntry).map(toTailFile)
+    if (files.isEmpty) return Array.empty
+    val slots = math.min(files.size, 32)
+    (0 until slots).map { i =>
+      StoreTailInputPartition(nsRoot,
+        files.zipWithIndex.filter(_._2 % slots == i).map(_._1))
+    }.toArray[InputPartition]
+  }
+
+  private def toTailFile(rel: String): TailFile =
+    if (rel.startsWith("l0/")) TailFile(rel, l0 = true, tag = "", pStart = 0L)
+    else {
+      // hot/tag=<T>/partition_start=<P>/<file>
+      val segs = rel.split('/')
+      val tag = ExternalCatalogUtils.unescapePathName(
+        segs(1).stripPrefix("tag="))
+      val ps = segs(2).stripPrefix("partition_start=").toLong
+      TailFile(rel, l0 = false, tag = tag, pStart = ps)
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StoreTailReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+final class StoreTailReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StoreTailInputPartition]
+    new PartitionReader[InternalRow] {
+      private val conf = new org.apache.hadoop.conf.Configuration()
+      private val physicalHot = TsdbSource.PhysicalOrder
+      private val physicalL0 =
+        Seq("tag", "partition_start") ++ TsdbSource.PhysicalOrder
+      private val remaining = p.files.iterator
+      private var file: TailFile = _
+      private var reader: graft.tsdb.ParquetIO.GroupFileStream = _
+      private var cur: org.apache.parquet.example.data.Group = _
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null) {
+            if (!remaining.hasNext) return false
+            file = remaining.next()
+            // a missing file here means the store's grace window was
+            // outslept — fail loudly (silent skip would hide data loss)
+            reader = new graft.tsdb.ParquetIO.GroupFileStream(
+              Paths.get(p.nsRoot).resolve(file.rel),
+              Some(if (file.l0) physicalL0 else physicalHot), conf)
+          }
+          cur = reader.next()
+          if (cur != null) return true
+          reader.close(); reader = null
+        }
+        false
+      }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        if (file.l0) UTF8String.fromString(cur.getString("tag", 0))
+        else UTF8String.fromString(file.tag),
+        if (file.l0) cur.getLong("partition_start", 0) else file.pStart,
+        cur.getLong("ts", 0),
+        UTF8String.fromString(cur.getString("value", 0)),
+        cur.getLong("ingestTs", 0),
+        UTF8String.fromString(cur.getString("writerId", 0)),
+        cur.getLong("seq", 0)))
+      override def close(): Unit =
+        if (reader != null) { reader.close(); reader = null }
+    }
+  }
+}

@@ -75,4 +75,11 @@ object Limits {
     * the driver L0 path.
     */
   val DistributedWriteRows: Long = 100000L
+  /** File-name prefix of every REWRITE-lane publish (flush/compact/ack/
+    * delete survivors) — Delta's `dataChange=false` bit encoded in the
+    * name, the contract `graft-store-tail` relies on to emit each
+    * new-data file exactly once. See
+    * [[TimeSeriesStore.RewritePrefix]] for the full discipline.
+    */
+  val RewritePrefix = "rw-"
 }

@@ -130,6 +130,25 @@ final class TimeSeriesStore(
     */
   private val stampFile: Path = nsRoot.resolve("version")
 
+  /** REWRITE-output file-name prefix (VERDICT r14 next #1): every file a
+    * REWRITE lane publishes — an L0 flush's partitioned copies (both the
+    * driver and the distributed branch), compaction outputs, purge-ack
+    * survivor rewrites, delete survivor rewrites — is named
+    * `rw-…parquet`, while NEW-DATA lanes (L0 batch files, the
+    * distributed bulk append, the DSv2 connector writer) keep plain
+    * names. The prefix is what lets the store be TAILED as a streaming
+    * source ([[graft.sources.StoreTailTableProvider]], `graft-store-tail`):
+    * a tailer that emits every non-`rw-` file exactly once and skips
+    * `rw-` outputs sees each logical row exactly once, because a row
+    * enters the store through exactly one new-data file and every later
+    * physical move (flush/compact/ack/delete survivors) is a rewrite of
+    * already-published content — Delta's `dataChange=false` bit, encoded
+    * in the file name since this store's commit log IS the directory
+    * tree. Archive copies (`arch-…`, the cold tier) are rewrites too;
+    * tailing reads L0 + hot only, so they never need the prefix.
+    */
+  val RewritePrefix: String = Limits.RewritePrefix
+
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
 
   /** Writer identity — reference `instanceName` (index.js:58). */
@@ -561,8 +580,9 @@ final class TimeSeriesStore(
               val dir = hotDir.resolve(tagDirName(tag)).resolve(s"partition_start=$pStart")
               Files.createDirectories(dir)
               // write-then-rename into the LIVE dir (see writeSamples):
-              // foreign readers/maintainers list it concurrently
-              val name = s"part-$stamp-$writerId.parquet"
+              // foreign readers/maintainers list it concurrently.
+              // RewritePrefix: these rows were already published via L0.
+              val name = s"${RewritePrefix}part-$stamp-$writerId.parquet"
               val tmp = dir.resolve(name + ".tmp")
               ParquetIO.writePartFile(tmp, rows.toSeq, hadoopConf)
               Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
@@ -577,11 +597,21 @@ final class TimeSeriesStore(
       // not one task, and (b) each Hive partition is written by exactly one
       // task → one file per partition dir per flush (file-count control
       // without collapsing parallelism the way coalesce(1) did).
+      // Staged under tmp/ and published by RewritePrefix-named atomic
+      // moves (VERDICT r14 next #1 + the builder's own PLANS note): a
+      // direct `mode("append")` into hot/ would publish Spark-named
+      // files indistinguishable from the bulk NEW-DATA lane's, and a
+      // store tailer would emit every flushed row twice (once from L0,
+      // once from its flushed copy).
+      val flushRoot = tmpDir.resolve(
+        s"flush-${clock()}-${seqCounter.incrementAndGet()}")
       spark.read.schema(l0SparkSchema)
         .parquet(files.map(_.toString): _*)
         .repartition(col("tag"), col("partition_start"))
-        .write.mode("append").partitionBy("tag", "partition_start")
-        .parquet(hotDir.toString)
+        .write.mode("overwrite").partitionBy("tag", "partition_start")
+        .parquet(flushRoot.toString)
+      publishRewriteTree(flushRoot, hotDir)
+      deleteRecursively(flushRoot)
     }
     // publish-then-retire: the partitioned copies are live above; the L0
     // originals retire through the grace ledger so a foreign reader's
@@ -1705,7 +1735,7 @@ final class TimeSeriesStore(
           // absent partition, and old∪new is LWW-read-equivalent
           val rewrite = tmpDir.resolve(s"rewrite-$purgeId")
           Files.createDirectories(rewrite)
-          val ackFile = rewrite.resolve(s"part-ack-$purgeId.parquet")
+          val ackFile = rewrite.resolve(s"${RewritePrefix}part-ack-$purgeId.parquet")
           ParquetIO.writePartFile(ackFile, remaining.toSeq, hadoopConf)
           Files.move(ackFile, partDir.resolve(ackFile.getFileName.toString),
             StandardCopyOption.ATOMIC_MOVE)
@@ -1736,7 +1766,8 @@ final class TimeSeriesStore(
           withList(Paths.get(rewrite.toString))(_
             .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
             .foreach { f =>
-              Files.move(f, partDir.resolve(f.getFileName.toString),
+              Files.move(f,
+                partDir.resolve(RewritePrefix + f.getFileName.toString),
                 StandardCopyOption.ATOMIC_MOVE)
             }
           deleteRecursively(rewrite)
@@ -1755,6 +1786,37 @@ final class TimeSeriesStore(
     if (Files.exists(p)) {
       withWalk(p)(_.toSeq).reverse.foreach(Files.delete)
     }
+  }
+
+  /** Publish a staged `tag=…/partition_start=…` rewrite tree into a live
+    * tier root: every staged parquet file MOVES (atomic rename,
+    * write-unique Spark part names) into its live partition directory
+    * under a [[RewritePrefix]]-ed name. Shared by the distributed L0
+    * flush; compaction/delete publish per-eligible-dir (they pair each
+    * publish with that dir's retirement) but apply the same prefix.
+    */
+  private def publishRewriteTree(stagedRoot: Path, tierRoot: Path): Unit = {
+    if (!Files.exists(stagedRoot)) return
+    withList(stagedRoot)(_
+      .filter(d => Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("tag=")).toSeq)
+      .foreach { tagDir =>
+        withList(tagDir)(_
+          .filter(d => Files.isDirectory(d) &&
+            d.getFileName.toString.startsWith("partition_start=")).toSeq)
+          .foreach { pd =>
+            val dest = tierRoot.resolve(tagDir.getFileName.toString)
+              .resolve(pd.getFileName.toString)
+            Files.createDirectories(dest)
+            withList(pd)(_
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+              .foreach { f =>
+                Files.move(f,
+                  dest.resolve(RewritePrefix + f.getFileName.toString),
+                  StandardCopyOption.ATOMIC_MOVE)
+              }
+          }
+      }
   }
 
   // ---------------------------------------------------------- compaction
@@ -1878,7 +1940,8 @@ final class TimeSeriesStore(
         withList(rel)(_
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
           .foreach { f =>
-            Files.move(f, dir.resolve(f.getFileName.toString),
+            Files.move(f,
+              dir.resolve(RewritePrefix + f.getFileName.toString),
               StandardCopyOption.ATOMIC_MOVE)
           }
         retireFiles(oldFiles)
@@ -1975,7 +2038,8 @@ final class TimeSeriesStore(
             withList(rel)(_
               .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
               .foreach { f =>
-                Files.move(f, dir.resolve(f.getFileName.toString),
+                Files.move(f,
+                  dir.resolve(RewritePrefix + f.getFileName.toString),
                   StandardCopyOption.ATOMIC_MOVE)
               }
           } // a fully-doomed partition has no rewritten counterpart:

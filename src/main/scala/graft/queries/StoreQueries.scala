@@ -967,6 +967,60 @@ object StoreQueries {
         FROM w WHERE rn = 1
         GROUP BY as_of, tag ORDER BY as_of, tag""")),
 
+    // ---- TIME TRAVEL through the DSv2 connector ----
+    // The SAME three snapshots of the SAME staged mutation history, but
+    // snapshot resolution runs INSIDE graft-tsdb's planning (option
+    // `asOf`): the GC-ledger retirement-clock filter is applied per file
+    // within the pruned directory listing, so a historical read sits
+    // behind plan-time pruning / DPP / footer pushdown instead of a
+    // driver-side whole-store walk. Build determinism makes the answer
+    // bit-identical to ts_time_travel's — both share one oracle; a
+    // connector listing that dropped a grace-held pre-T file or kept a
+    // retired-at-or-before-T one diverges. PlanShapeSpec additionally
+    // pins that a one-tag asOf read prunes directories (dirsKept <
+    // dirsTotal).
+    QueryDef("ts_time_travel_dsv2",
+      (s, dir) => {
+        val st = timeTravelStoreFor(s, dir)
+        Seq(1500L, 2500L, 3500L)
+          .map(t => st.lwwDedup(st.connectorAsOfDF(t)).withColumn("as_of", lit(t)))
+          .reduce(_ unionByName _)
+          .groupBy(col("as_of"), col("tag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ts")).as("min_ts_ms"), max(col("ts")).as("max_ts_ms"),
+            sum(floor(col("value").cast("double") * 100 + lit(0.5)).cast("long"))
+              .as("sum_cents"))
+          .orderBy("as_of", "tag")
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                 1000 AS ingest_ts, event_id
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        b AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
+                 value * 2 AS value, 3000 AS ingest_ts, event_id
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
+                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
+        snaps AS (
+          SELECT CAST(1500 AS BIGINT) AS as_of, * FROM a
+          UNION ALL SELECT 2500, * FROM ad
+          UNION ALL SELECT 3500, * FROM ad
+          UNION ALL SELECT 3500, * FROM b),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY as_of, tag, ts_ms
+                ORDER BY ingest_ts DESC, event_id DESC) AS rn
+              FROM snaps)
+        SELECT as_of, tag, count(*) AS n,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM w WHERE rn = 1
+        GROUP BY as_of, tag ORDER BY as_of, tag""")),
+
     // ---- CHANGE DATA FEED: snapshot-diff classification ----
     // changesBetween over the SAME staged mutation history: window
     // (500→2500] must classify the whole post-delete state as inserts

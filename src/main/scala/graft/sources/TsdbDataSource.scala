@@ -79,7 +79,15 @@ class TsdbTableProvider extends TableProvider with DataSourceRegister {
     val width = Option(opts.get("partitionWidth")).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(
         "graft-tsdb requires option 'partitionWidth' (the store's partition width, ms)"))
-    new TsdbTable(path, tier, width)
+    // snapshot option (VERDICT r14 next #3): filter FILES by GC-ledger
+    // retirement clock inside the connector's own listing, so a
+    // historical read sits BEHIND plan-time directory pruning, runtime
+    // DPP, and the footer-aggregate/top-N paths. The retention-horizon
+    // guard lives at the store API (TimeSeriesStore.connectorAsOfDF) —
+    // the store owns the clock and the grace; a caller passing the raw
+    // option owns the horizon the way a raw VACUUM-window reader does.
+    val asOf = Option(opts.get("asOf")).map(_.toLong)
+    new TsdbTable(path, tier, width, asOf)
   }
 }
 
@@ -101,7 +109,8 @@ object TsdbSource {
   val PhysicalOrder: Seq[String] = Seq("ts", "value", "ingestTs", "writerId", "seq")
 }
 
-final class TsdbTable(nsRoot: String, tier: String, width: Long)
+final class TsdbTable(nsRoot: String, tier: String, width: Long,
+    asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -114,13 +123,14 @@ final class TsdbTable(nsRoot: String, tier: String, width: Long)
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TsdbScanBuilder(nsRoot, tier, width)
+    new TsdbScanBuilder(nsRoot, tier, width, asOf)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(tier == "hot",
       s"graft-tsdb: writes append to the hot tier only, got tier=$tier")
+    require(asOf.isEmpty, "graft-tsdb: asOf is a read option")
     new TsdbWriteBuilder(nsRoot, width, info.schema(), info.queryId())
   }
 }
@@ -151,7 +161,8 @@ object TsdbAggSpec {
   */
 final case class TsdbTopNSpec(prefix: Seq[(String, Boolean)], limit: Int)
 
-final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long)
+final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long,
+    asOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -289,7 +300,7 @@ final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long)
     required = requiredSchema
 
   override def build(): Scan =
-    new TsdbScan(nsRoot, tier, width, required, pushed, aggSpec, topNSpec)
+    new TsdbScan(nsRoot, tier, width, required, pushed, aggSpec, topNSpec, asOf)
 }
 
 final class TsdbScan(
@@ -299,7 +310,8 @@ final class TsdbScan(
     required: StructType,
     pushed: Array[Filter],
     aggSpec: Option[TsdbAggSpec] = None,
-    topNSpec: Option[TsdbTopNSpec] = None)
+    topNSpec: Option[TsdbTopNSpec] = None,
+    asOf: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -434,6 +446,29 @@ final class TsdbScan(
         finally s.close()
       }
 
+    // GC-ledger retirement clocks, read once per planning (O(pending
+    // entries) — the metadata-plane cost class). Two uses:
+    //  - CURRENT reads exclude every pending file: it is superseded by
+    //    its published replacement or holds physically-DELETED rows no
+    //    survivor supersedes — including it would resurrect a forget
+    //    (the same rule the store's own fresh listings apply).
+    //  - `asOf` reads keep exactly the files retired AFTER the snapshot
+    //    instant (they were live at T and the grace holds them on disk),
+    //    dropping those retired at or before it — Iceberg's
+    //    snapshot-file-set rule, evaluated inside the pruned listing so
+    //    a one-tag historical read still never lists a pruned tag dir.
+    val retiredAt =
+      graft.tsdb.GcLedger.retirementClocks(Paths.get(nsRoot, "gc"))
+    def keepFile(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".") && {
+        retiredAt.get(p.toAbsolutePath.normalize) match {
+          case None => true
+          case Some(clock) => asOf.exists(t => clock > t)
+        }
+      }
+    }
+
     val tierNames = if (tier == "all") Seq("hot", "cold") else Seq(tier)
     val parts = ArrayBuffer.empty[TsdbInputPartition]
     var total = 0
@@ -448,8 +483,7 @@ final class TsdbScan(
           if (tagOk && ps >= psLo && ps <= psHi && psIn.forall(_.contains(ps))) {
             val s = Files.list(pd)
             val files =
-              try s.iterator().asScala.map(_.toString)
-                .filter(_.endsWith(".parquet")).toArray
+              try s.iterator().asScala.filter(keepFile).map(_.toString).toArray
               finally s.close()
             if (files.nonEmpty) parts += TsdbInputPartition(tag, ps, files)
           }

@@ -1331,8 +1331,7 @@ object Similarity {
     }
     // nested level-ℓ membership: first ℓ md5 hex chars all in {'0','1'}
     def inLevel(c: org.apache.spark.sql.Column, lvl: Int) =
-      (1 to lvl).map(i => substring(md5(c.cast("string")), i, 1)
-        .isin("0", "1")).reduce(_ && _)
+      Similarity.inLevel(c, lvl)
     def ringEdges(lvl: Int): DataFrame = {
       val members = prepQ(corpus).where(inLevel(col("vec_id"), lvl))
         .withColumn("rn", row_number().over(
@@ -1359,6 +1358,17 @@ object Similarity {
         else topPerU(restricted.unionByName(ringEdges(lvl)))
       }
   }
+
+  /** Nested level-ℓ membership — the first ℓ hex chars of `md5(vec_id)`
+    * each in {'0','1'} (HNSW §3.3's geometric 1/8^ℓ assignment made
+    * deterministic). One rule for the BUILD ([[multilevelAdj]]) and for
+    * add-time PROMOTION ([[multilevelAddAndProbe]]) — a node's level is
+    * a pure function of its id, so an id inserted today and an id
+    * present at build time land identically.
+    */
+  private def inLevel(c: org.apache.spark.sql.Column, lvl: Int) =
+    (1 to lvl).map(i => substring(md5(c.cast("string")), i, 1)
+      .isin("0", "1")).reduce(_ && _)
 
   /** The multilevel SERVE: the greedy descent over an arbitrary
     * per-level adjacency provider — in-query-derived
@@ -1432,15 +1442,23 @@ object Similarity {
   }
 
   /** ADD a vector batch to a persisted MULTILEVEL index without
-    * rebuilding: each new vector beam-searches the frozen persisted
-    * LEVEL-0 lists for its nearest reachable nodes (the HNSW §4 insert),
-    * and the serving level-0 adjacency is the per-node top-`k` re-rank
-    * of base ∪ forward ∪ reverse. Upper levels stay FROZEN — new nodes
-    * join the hierarchy's base layer now and get level assignments at
-    * the next index release (the LSM discipline: deltas accumulate
-    * against an immutable base), which is sound because upper levels
-    * only ROUTE: every answer is scored at level 0, where the inserts
-    * are reachable.
+    * rebuilding, WITH upper-level promotion (VERDICT r14 next #4): each
+    * new vector beam-searches the frozen persisted LEVEL-0 lists for its
+    * nearest reachable nodes (the HNSW §4 insert), and — because a
+    * node's level is a pure function of its id ([[inLevel]], the same
+    * md5 1/8^ℓ rule the build uses) — every inserted id that QUALIFIES
+    * for level ℓ additionally beam-searches that level's frozen lists
+    * for its nearest level-ℓ members. Serving re-ranks EVERY level's
+    * adjacency as base ∪ forward ∪ reverse per-node top-`k`, so a
+    * promoted insert both routes (upper levels reach it) and is routed
+    * through — a long-running index never needs a periodic rebuild to
+    * restore the hierarchy invariant (the r13/r14 caveat, closed).
+    *
+    * Scale shape: the level-ℓ insert walk runs for a 1/8^ℓ-thinning
+    * slice of the batch against a graph 8^ℓ× smaller — the promotion
+    * legs cost a geometric series on top of the level-0 insert, the
+    * same series that makes HNSW insertion O(log n). Each level's
+    * serve-time re-rank is one (u)-keyed window over slim edge rows.
     */
   def multilevelAddAndProbe(emb: DataFrame, root: String,
       batchModulo: Int = 10, levels: Int = 3, k: Int = 5, beam: Int = 6,
@@ -1452,21 +1470,25 @@ object Similarity {
     val batch = emb.where(pmod(col("vec_id"), lit(batchModulo.toLong)) === 0)
     val adj = spark.read.parquet(s"$root/levels")
     def levelDf(l: Int) = adj.where(col("level") === l)
-    val base0 = levelDf(0).select(col("u").as("node"),
-      col("nb").as("neighbor_id"), col("cos"))
-    val found = graphSearch(batch, base0, emb, k,
-      insertBeam, insertHops, insertEntries)
-    val fwd = found.select(col("query_id").as("u"),
-      col("neighbor_id").as("nb"), col("cos"))
-    val rev = found.select(col("neighbor_id").as("u"),
-      col("query_id").as("nb"), col("cos"))
     val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("nb"))
-    val merged0 = levelDf(0).select(col("u"), col("nb"), col("cos"))
-      .unionByName(fwd).unionByName(rev)
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select("u", "nb")
-    multilevelServe(emb.where(col("vec_id") % 20 === 0), emb,
-      lvl => if (lvl == 0) merged0 else levelDf(lvl).select("u", "nb"),
+    def mergedLevel(l: Int): DataFrame = {
+      val baseAdj = levelDf(l).select(col("u").as("node"),
+        col("nb").as("neighbor_id"), col("cos"))
+      // level 0 inserts the whole batch; level ℓ its md5-qualified slice
+      val qs = if (l == 0) batch else batch.where(inLevel(col("vec_id"), l))
+      val found = graphSearch(qs, baseAdj, emb, k,
+        insertBeam, insertHops, insertEntries)
+      val fwd = found.select(col("query_id").as("u"),
+        col("neighbor_id").as("nb"), col("cos"))
+      val rev = found.select(col("neighbor_id").as("u"),
+        col("query_id").as("nb"), col("cos"))
+      levelDf(l).select(col("u"), col("nb"), col("cos"))
+        .unionByName(fwd).unionByName(rev)
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select("u", "nb")
+    }
+    val merged = (0 until levels).map(l => l -> mergedLevel(l)).toMap
+    multilevelServe(emb.where(col("vec_id") % 20 === 0), emb, merged,
       levels, k, beam, hops, upperBeam, topHops, midHops, entryK, nEntries)
   }
 

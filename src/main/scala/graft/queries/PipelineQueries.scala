@@ -727,8 +727,8 @@ object PipelineQueries {
     s"""ladj AS MATERIALIZED (SELECT u, v, cos FROM (
        |         SELECT u, v, cos, row_number() OVER (PARTITION BY u
        |           ORDER BY cos DESC, v) AS rn FROM n3) WHERE rn <= 5),
-       |u1adj AS MATERIALIZED (SELECT u, v FROM (
-       |         SELECT u, v, row_number() OVER (PARTITION BY u
+       |u1adj AS MATERIALIZED (SELECT u, v, cos FROM (
+       |         SELECT u, v, cos, row_number() OVER (PARTITION BY u
        |           ORDER BY cos DESC, v) AS rn FROM n3
        |         WHERE substr(md5(CAST(u AS VARCHAR)), 1, 1) IN ('0', '1')
        |           AND substr(md5(CAST(v AS VARCHAR)), 1, 1) IN ('0', '1'))
@@ -751,8 +751,8 @@ object PipelineQueries {
        |         AND v IN (SELECT vec_id FROM mem2)
        |       UNION ALL SELECT u, v, cos FROM r2f
        |       UNION ALL SELECT v AS u, u AS v, cos FROM r2f),
-       |u2adj AS MATERIALIZED (SELECT u, v FROM (
-       |         SELECT u, v, row_number() OVER (PARTITION BY u
+       |u2adj AS MATERIALIZED (SELECT u, v, cos FROM (
+       |         SELECT u, v, cos, row_number() OVER (PARTITION BY u
        |           ORDER BY cos DESC, v) AS rn FROM l2e) WHERE rn <= 5)""".stripMargin
 
   /** The 3-level greedy-descent walk + final top-5 projection, over
@@ -800,10 +800,12 @@ object PipelineQueries {
 
   /** `sim_graph_multilevel_add`: the hierarchy built over the HISTORY
     * slice, the %10 batch's insert walk over its frozen level-0 lists,
-    * level 0 re-ranked with the forward+reverse deltas, upper levels
-    * untouched, then the standard descent — upper levels only route, so
-    * freezing them is sound (every answer scores at level 0, where the
-    * inserts are reachable).
+    * level 0 re-ranked with the forward+reverse deltas — and (round 15)
+    * upper-level PROMOTION: every batch id whose md5 prefix qualifies
+    * for level ℓ additionally walks that level's frozen lists, and each
+    * upper level re-ranks with its own forward+reverse promotion deltas,
+    * so inserted nodes route and are routed through at every level they
+    * belong to. The descent then runs over the fully-merged hierarchy.
     */
   private lazy val MultilevelAddOracle: String =
     s"""
@@ -825,7 +827,37 @@ object PipelineQueries {
         madj AS MATERIALIZED (SELECT u, v FROM (
                  SELECT u, v, row_number() OVER (PARTITION BY u
                    ORDER BY cos DESC, v) AS rn FROM mrg) WHERE rn <= 5),
-        ${multilevelDescentSql("madj")}"""
+        p1q AS (SELECT query_id, qv, qnrm FROM iq
+                WHERE substr(md5(CAST(query_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1')),
+        ${graphWalkSql("p1", "u1adj", hops = 3, beam = 8, nEntries = 4)},
+        p1fnd AS (SELECT query_id AS u, cand_id AS v, cos FROM (
+                   SELECT query_id, cand_id, cos, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+                   FROM p1vis3 WHERE cand_id <> query_id) WHERE rank <= 5),
+        u1mrg AS (SELECT u, v, cos FROM u1adj
+                UNION ALL SELECT u, v, cos FROM p1fnd
+                UNION ALL SELECT v AS u, u AS v, cos FROM p1fnd),
+        u1p AS MATERIALIZED (SELECT u, v FROM (
+                 SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM u1mrg) WHERE rn <= 5),
+        p2q AS (SELECT query_id, qv, qnrm FROM iq
+                WHERE substr(md5(CAST(query_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1')
+                  AND substr(md5(CAST(query_id AS VARCHAR)), 2, 1)
+                      IN ('0', '1')),
+        ${graphWalkSql("p2", "u2adj", hops = 3, beam = 8, nEntries = 4)},
+        p2fnd AS (SELECT query_id AS u, cand_id AS v, cos FROM (
+                   SELECT query_id, cand_id, cos, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+                   FROM p2vis3 WHERE cand_id <> query_id) WHERE rank <= 5),
+        u2mrg AS (SELECT u, v, cos FROM u2adj
+                UNION ALL SELECT u, v, cos FROM p2fnd
+                UNION ALL SELECT v AS u, u AS v, cos FROM p2fnd),
+        u2p AS MATERIALIZED (SELECT u, v FROM (
+                 SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY cos DESC, v) AS rn FROM u2mrg) WHERE rn <= 5),
+        ${multilevelDescentSql("madj", "u2p", "u1p")}"""
 
   /** `sim_graph_multilevel_forget`: the persisted hierarchy's lists
     * filtered on BOTH endpoints at EVERY level against the tombstone

@@ -24,6 +24,54 @@ object EventsQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
+  /** The `ts_quantile_sketch` oracle: DuckDB replays the WHOLE sketch —
+    * md5-threshold key sampling per candidate level (the trailing-hex-
+    * nibble rendering of the low-bits-zero predicate,
+    * [[graft.functions.QuantileSketch.sampledSql]]), minimum-admissible-
+    * level selection, and the integer-exact rank walk over the sampled
+    * histogram. Possible only because the sketch state is a pure
+    * function of the multiset (the design choice over KLL, whose
+    * order-dependent compaction no SQL can replay).
+    */
+  private lazy val QuantileSketchOracle: String = {
+    import graft.functions.QuantileSketch.{sampledSql, Cap, OracleMaxLevel}
+    val lvUnion = (0 to OracleMaxLevel).map(l =>
+      s"""SELECT tag, $l AS l, count(*) AS ndv FROM dv
+          WHERE ${sampledSql("h", l)} GROUP BY tag""")
+      .mkString("\n UNION ALL ")
+    val pickCase = "CASE p.lvl " +
+      (0 to OracleMaxLevel).map(l =>
+        s"WHEN $l THEN (${sampledSql("dv.h", l)})").mkString(" ") +
+      " ELSE FALSE END"
+    s"""
+      WITH cents AS (SELECT event_type AS tag,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                     FROM events),
+      dv AS (SELECT tag, c, count(*) AS cnt, md5(CAST(c AS VARCHAR)) AS h
+             FROM cents GROUP BY 1, 2),
+      lv AS ($lvUnion),
+      pick AS (SELECT tag, min(l) AS lvl FROM lv
+               WHERE ndv <= $Cap GROUP BY tag),
+      samp AS (SELECT dv.tag, dv.c, dv.cnt FROM dv
+               JOIN pick p ON dv.tag = p.tag WHERE $pickCase),
+      ranked AS (SELECT tag, c, cnt,
+                   sum(cnt) OVER (PARTITION BY tag ORDER BY c) AS cum,
+                   sum(cnt) OVER (PARTITION BY tag) AS tot
+                 FROM samp),
+      phis AS (SELECT CAST(phi AS DOUBLE) AS phi
+               FROM (VALUES (0.5), (0.9), (0.99)) v(phi)),
+      q AS (SELECT r.tag, p.phi, min(r.c) AS est_cents
+            FROM ranked r CROSS JOIN phis p
+            WHERE r.cum >= CAST(ceil(p.phi * r.tot) AS BIGINT)
+            GROUP BY 1, 2)
+      SELECT q.tag, q.phi, CAST(k.lvl AS INTEGER) AS level,
+             CAST(t.total AS BIGINT) AS total, q.est_cents
+      FROM q JOIN pick k ON q.tag = k.tag
+      JOIN (SELECT tag, CAST(sum(cnt) AS BIGINT) AS total
+            FROM samp GROUP BY 1) t ON q.tag = t.tag
+      ORDER BY q.tag, q.phi"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // beyond-reference — as-of (backward) join: for each purchase, the
@@ -504,6 +552,37 @@ object EventsQueries {
                quantile_cont(value, 0.95) AS p95,
                min(value) AS min_v, max(value) AS max_v
         FROM events GROUP BY 1 ORDER BY tag""")),
+
+    // beyond-reference — the MERGEABLE quantile sketch (VERDICT r14 next
+    // #5): production telemetry at 100 TB wants percentiles whose state
+    // is O(cap) per group and map-side combinable, next to
+    // ts_percentiles' exact-sort answer. The sketch's state is a pure
+    // function of the input multiset (deterministic md5-threshold key
+    // sampling with exact counts — see graft.functions.QuantileSketch),
+    // so unlike KLL it is exactly merge-associative AND the DuckDB
+    // oracle replays the whole sketch — level selection, sampled
+    // histogram, and rank arithmetic — hash-exactly. The row emits
+    // (tag, phi, level, total, est_cents): a sketch that picked the
+    // wrong level, lost a sampled key, mis-merged counts across
+    // map-side partials, or mis-ranked the estimate diverges.
+    QueryDef("ts_quantile_sketch",
+      (s, dir) => {
+        val sk = org.apache.spark.sql.functions.udaf(
+          graft.functions.QuantileSketch.sketch)
+        ev(s, dir)
+          .groupBy(col("event_type").as("tag"))
+          .agg(sk(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sk"))
+          .select(col("tag"), col("sk.level").as("level"),
+            col("sk.total").as("total"),
+            posexplode(col("sk.ests")).as(Seq("pos", "est_cents")))
+          .select(col("tag"),
+            element_at(
+              lit(graft.functions.QuantileSketch.Phis.toArray),
+              col("pos") + 1).as("phi"),
+            col("level"), col("total"), col("est_cents"))
+          .orderBy("tag", "phi")
+      },
+      Some(QuantileSketchOracle)),
 
     // #12-extension — processing-time session windows (streaming semantics
     // §2.2 run in batch): 30-min-gap sessionization per user via lag +

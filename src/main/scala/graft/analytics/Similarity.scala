@@ -1466,6 +1466,23 @@ object Similarity {
       midHops: Int = 2, entryK: Int = 2, nEntries: Int = 2,
       insertBeam: Int = 8, insertHops: Int = 3,
       insertEntries: Int = 4): DataFrame = {
+    val merged = multilevelAddedAdjacency(emb, root, batchModulo, levels,
+      k, insertBeam, insertHops, insertEntries)
+    multilevelServe(emb.where(col("vec_id") % 20 === 0), emb, merged,
+      levels, k, beam, hops, upperBeam, topHops, midHops, entryK, nEntries)
+  }
+
+  /** The per-level insert + promotion merge of [[multilevelAddAndProbe]],
+    * exposed so the promotion invariant is pinnable: for every level ℓ,
+    * the returned adjacency is the frozen persisted list re-ranked with
+    * the batch's forward+reverse insert edges — level 0 for the whole
+    * batch, level ℓ ≥ 1 for its md5-qualified (promoted) slice, each
+    * found by a bounded beam walk of THAT level's frozen graph.
+    */
+  def multilevelAddedAdjacency(emb: DataFrame, root: String,
+      batchModulo: Int = 10, levels: Int = 3, k: Int = 5,
+      insertBeam: Int = 8, insertHops: Int = 3,
+      insertEntries: Int = 4): Map[Int, DataFrame] = {
     val spark = emb.sparkSession
     val batch = emb.where(pmod(col("vec_id"), lit(batchModulo.toLong)) === 0)
     val adj = spark.read.parquet(s"$root/levels")
@@ -1487,9 +1504,7 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
         .select("u", "nb")
     }
-    val merged = (0 until levels).map(l => l -> mergedLevel(l)).toMap
-    multilevelServe(emb.where(col("vec_id") % 20 === 0), emb, merged,
-      levels, k, beam, hops, upperBeam, topHops, midHops, entryK, nEntries)
+    (0 until levels).map(l => l -> mergedLevel(l)).toMap
   }
 
   /** DELETE a forget set from a persisted MULTILEVEL index: tombstones

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.streaming.FeedLog
+import graft.streaming.{FeedGroup, FeedLog}
 
 /** `graft-feed` — a DataSource V2 MICRO-BATCH STREAMING source over an
   * append-only segmented record log ([[graft.streaming.FeedLog]]).
@@ -101,7 +101,20 @@ class FeedTableProvider extends TableProvider with DataSourceRegister {
       require(idx.nonEmpty, "graft-feed: assign must name at least one log")
       idx
     }
-    new FeedTable(path, maxBytes, retain, assign)
+    // DYNAMIC group membership (VERDICT r14 next #6): `group = memberId`
+    // derives the assignment from the topic's group ledger
+    // ([[graft.streaming.FeedGroup]]) every trigger instead of a static
+    // `assign` list — members join/leave via FeedGroup.join/leave and
+    // every running query re-splits at its next trigger, cursors handed
+    // off through the generation's frozen snapshot, zombies fenced.
+    val group = Option(opts.get("group")).map(_.trim).filter(_.nonEmpty)
+    require(assign.isEmpty || group.isEmpty,
+      "graft-feed: 'assign' (static) and 'group' (dynamic) are exclusive")
+    require(retain || group.isEmpty,
+      "graft-feed: retainConsumed=false (consume-once) is incompatible " +
+        "with dynamic groups — retention cleanup needs one fixed owner " +
+        "per log for the log's whole lifetime")
+    new FeedTable(path, maxBytes, retain, assign, group)
   }
 }
 
@@ -113,7 +126,8 @@ object FeedSource {
 }
 
 final class FeedTable(dir: String, maxBytesPerTrigger: Long,
-    retainConsumed: Boolean, assign: Option[Set[Int]] = None)
+    retainConsumed: Boolean, assign: Option[Set[Int]] = None,
+    group: Option[String] = None)
     extends Table with SupportsRead {
 
   override def name(): String = s"graft-feed(`$dir`)"
@@ -126,19 +140,21 @@ final class FeedTable(dir: String, maxBytesPerTrigger: Long,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new FeedScan(dir, maxBytesPerTrigger, retainConsumed, assign)
+        new FeedScan(dir, maxBytesPerTrigger, retainConsumed, assign, group)
     }
 }
 
 final class FeedScan(dir: String, maxBytesPerTrigger: Long,
-    retainConsumed: Boolean, assign: Option[Set[Int]] = None) extends Scan {
+    retainConsumed: Boolean, assign: Option[Set[Int]] = None,
+    group: Option[String] = None) extends Scan {
 
   override def readSchema(): StructType = FeedSource.Schema
 
   override def description(): String = s"graft-feed scan of $dir"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FeedMicroBatchStream(dir, maxBytesPerTrigger, retainConsumed, assign)
+    new FeedMicroBatchStream(dir, maxBytesPerTrigger, retainConsumed, assign,
+      group, Option(checkpointLocation))
 
   /** Audit path: the whole CURRENTLY-safe range as one batch. */
   override def toBatch: Batch = new Batch {
@@ -160,18 +176,24 @@ final class FeedScan(dir: String, maxBytesPerTrigger: Long,
   * the sorted map — deterministic, so offset equality is textual
   * equality (the contract Structured Streaming's offset log relies on).
   */
-final case class FeedOffset(positions: Map[String, Long]) extends Offset {
-  override def json(): String =
-    positions.toSeq.sorted
-      .map { case (s, p) => s""""$s":$p""" }
-      .mkString("{", ",", "}")
+final case class FeedOffset(positions: Map[String, Long],
+    gen: Option[Long] = None) extends Offset {
+  override def json(): String = {
+    // the generation (dynamic-group mode) leads; "__gen__" can never
+    // collide with a segment key, and its absence keeps every static-
+    // mode offset byte-identical to the pre-group format
+    val entries = gen.map(g => s""""__gen__":$g""").toSeq ++
+      positions.toSeq.sorted.map { case (s, p) => s""""$s":$p""" }
+    entries.mkString("{", ",", "}")
+  }
   def posOf(segment: String): Long = positions.getOrElse(segment, 0L)
 }
 
 object FeedOffset {
   def fromJson(s: String): FeedOffset = FeedOffset(
     "\"((?:log-\\d{5}/)?seg-\\d{8}\\.log)\":(\\d+)".r.findAllMatchIn(s)
-      .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap,
+    "\"__gen__\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong))
 }
 
 /** One contiguous record range of one segment — the unit a reader
@@ -214,11 +236,26 @@ object FeedMicroBatchStream {
   /** One [[InputPartition]] per LOG per trigger (the consumer-group
     * shape: a log's reader is its single competing consumer for the
     * batch), each carrying that log's advanced slices in segment order.
+    *
+    * Dynamic-group replay determinism: when the END offset carries a
+    * generation, a segment ABSENT from `start` begins at that
+    * generation's FROZEN handoff cursor, not at 0 — the adopting
+    * member's first batch never re-reads what the group already
+    * consumed, and because generation files are immutable a crash-replay
+    * of the adoption batch plans the identical slices.
     */
   def partitions(dir: String, start: FeedOffset, end: FeedOffset)
       : Array[InputPartition] = {
+    val genCursors: Map[String, Long] = end.gen
+      .flatMap(g => FeedGroup.generation(Paths.get(dir), g))
+      .map(_.cursors).getOrElse(Map.empty)
     val slices = end.positions.toSeq.sorted.flatMap { case (name, to) =>
-      val from = start.posOf(name)
+      // max of own checkpoint and the generation's handoff cursor: a
+      // member RE-acquiring a log it once owned has a stale own cursor
+      // for the stretch another member consumed in between — the group
+      // cursor fences that stretch out; past it, its own (possibly
+      // newer) cursor governs
+      val from = math.max(start.posOf(name), genCursors.getOrElse(name, 0L))
       if (to > from)
         Some(FeedSlice(
           Paths.get(dir).resolve(name).toString, name, from, to))
@@ -232,7 +269,8 @@ object FeedMicroBatchStream {
 }
 
 final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
-    retainConsumed: Boolean = true, assign: Option[Set[Int]] = None)
+    retainConsumed: Boolean = true, assign: Option[Set[Int]] = None,
+    group: Option[String] = None, checkpointId: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Plain MicroBatchStream.latestOffset is never consulted once the
@@ -241,6 +279,80 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "graft-feed uses latestOffset(start, limit)")
+
+  private def topicPath = Paths.get(dir)
+
+  /** Dynamic-group view of "my logs" for THIS trigger: the current
+    * generation's modular assignment — an empty set for a member that
+    * left (or was never in) the group, which is exactly the fenced-
+    * zombie behavior: it stops advancing at its next trigger.
+    */
+  private def groupState(): Option[(FeedGroup.Generation, Seq[(Int, java.nio.file.Path)])] =
+    group.map { member =>
+      val g = FeedGroup.currentGeneration(topicPath)
+        .getOrElse(FeedGroup.Generation(0L, Seq.empty, Map.empty))
+      val logs = FeedLog.logs(topicPath).map { log =>
+        val idx =
+          if (log == topicPath) 0
+          else log.getFileName.toString.stripPrefix("log-").toInt
+        (idx, log)
+      }.filter { case (idx, _) => g.owns(member, idx) }
+      (g, logs)
+    }
+
+  /** Consume-once exclusivity (ADVICE r14): `retainConsumed = false`
+    * deletes rolled segments below the committed cursor, so a log in
+    * that mode must have exactly ONE consumer AT A TIME — a concurrent
+    * second query (overlapping assignment or full-topic reader) would
+    * read ranges the owner is free to delete. Each owned log carries an
+    * `_owner` lock claimed by the running consume-once consumer's
+    * checkpoint identity and RELEASED at graceful stop (a sequential
+    * successor — restart, handoff — claims cleanly); a live different
+    * identity is rejected loudly. A crashed owner leaves a stale lock
+    * that blocks successors until the operator removes it — refusing is
+    * the safe direction, exactly a lock file's contract. Fan-out
+    * topologies keep the default `retainConsumed = true` and need no
+    * lock.
+    */
+  private def claimOwnership(): Unit =
+    checkpointId.foreach { id =>
+      FeedMicroBatchStream.ownedLogs(topicPath, assign).foreach { log =>
+        if (Files.exists(log)) {
+          val marker = log.resolve("_owner")
+          try {
+            Files.write(marker,
+              id.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            ()
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              val owner = new String(Files.readAllBytes(marker),
+                java.nio.charset.StandardCharsets.UTF_8)
+              if (owner != id)
+                throw new IllegalStateException(
+                  s"graft-feed: log $log is consume-once " +
+                    s"(retainConsumed=false) and already owned by " +
+                    s"checkpoint '$owner'; overlapping consumers would " +
+                    "lose data when the owner trims consumed segments " +
+                    "(if that owner is dead, remove the log's _owner file)")
+          }
+        }
+      }
+    }
+
+  private def releaseOwnership(): Unit =
+    if (claimed) checkpointId.foreach { id =>
+      FeedMicroBatchStream.ownedLogs(topicPath, assign).foreach { log =>
+        val marker = log.resolve("_owner")
+        try {
+          if (Files.exists(marker) &&
+              new String(Files.readAllBytes(marker),
+                java.nio.charset.StandardCharsets.UTF_8) == id)
+            Files.deleteIfExists(marker)
+          ()
+        } catch { case _: java.io.IOException => () }
+      }
+    }
 
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxBytes(maxBytesPerTrigger)
@@ -273,9 +385,25 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
       case _ => ()
     }
     absorb(limit)
+    if (!retainConsumed && !claimed) { claimOwnership(); claimed = true }
     val out = scala.collection.mutable.Map[String, Long](s.positions.toSeq: _*)
-    val topic = Paths.get(dir)
-    val logGroups = FeedMicroBatchStream.ownedLogs(topic, assign)
+    val topic = topicPath
+    val gs = groupState()
+    val logGroups = gs match {
+      case Some((_, logs)) => logs.map(_._2)
+      case None => FeedMicroBatchStream.ownedLogs(topic, assign)
+    }
+    // dynamic-group adoption base: the MAX of this member's own
+    // checkpoint cursor and the current generation's FROZEN handoff
+    // snapshot — a fresh adoption starts at the handoff, a re-adoption
+    // after losing and regaining a log skips the stretch the interim
+    // owner consumed (its commits fed this generation's snapshot), and
+    // a log held continuously follows the own (newer) cursor. Fencing
+    // guarantees a reassigned log's group cursor never advances after
+    // the generation that took it away was cut.
+    val genCursors = gs.map(_._1.cursors).getOrElse(Map.empty)
+    def baseOf(name: String): Long =
+      math.max(s.posOf(name), genCursors.getOrElse(name, 0L))
     logGroups.zipWithIndex.foreach { case (log, gi) =>
       if (byteBudget > 0 && recordBudget > 0) {
         val prefix = if (log == topic) "" else log.getFileName.toString + "/"
@@ -285,7 +413,7 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
         FeedLog.segments(log).foreach { seg =>
           if (logBytes > 0 && logRecs > 0) {
             val name = prefix + seg.getFileName.toString
-            val from = s.posOf(name)
+            val from = baseOf(name)
             val (to, n) = FeedLog.safeEndCount(seg, from, logBytes, logRecs,
               atLeastOne = logAdmitted == 0L)
             if (to > from) {
@@ -302,11 +430,48 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
         }
       }
     }
-    FeedOffset(out.toMap)
+    // Ledger the START offset's cursors (group mode): when the engine
+    // asks for a new batch, the previous batch — whose END is `start` —
+    // is already durably committed (Spark constructs batch N+1 only
+    // after batch N's commit-log entry), so `start` is always safe to
+    // record. This closes the one-trigger lag of relying on
+    // source.commit alone, which Spark defers until the NEXT batch with
+    // data is constructed — without it, the last drained batch of an
+    // idle member never reached the group ledger and every graceful
+    // handoff replayed it. Cached to one write per change.
+    gs.foreach { case (g, logs) =>
+      val cursorSnapshot = logs.map { case (idx, log) =>
+        val prefix = if (log == topic) "" else log.getFileName.toString + "/"
+        val mine = s.positions.keysIterator
+          .filter(n => n.startsWith(prefix) && (prefix.nonEmpty || !n.contains("/")))
+          .map(n => n -> baseOf(n)).toMap
+        (idx, mine)
+      }.filter(_._2.nonEmpty)
+      if (cursorSnapshot.toMap != lastLedgered) {
+        cursorSnapshot.foreach { case (idx, mine) =>
+          FeedGroup.commitCursors(topicPath, group.get, g.gen, idx, mine)
+          ()
+        }
+        lastLedgered = cursorSnapshot.toMap
+      }
+    }
+    FeedOffset(out.toMap, gs.map(_._1.gen).orElse(s.gen))
   }
 
-  override def reportLatestOffset(): Offset =
-    FeedMicroBatchStream.safeFrontier(dir, assign)
+  @volatile private var lastLedgered: Map[Int, Map[String, Long]] = Map.empty
+
+  @volatile private var claimed = false
+
+  override def reportLatestOffset(): Offset = groupState() match {
+    case Some((g, logs)) =>
+      val topic = topicPath
+      FeedOffset(logs.flatMap { case (_, log) =>
+        val prefix = if (log == topic) "" else log.getFileName.toString + "/"
+        FeedLog.segments(log).map(seg =>
+          (prefix + seg.getFileName.toString) -> FeedLog.safeEnd(seg, 0L))
+      }.toMap, Some(g.gen))
+    case None => FeedMicroBatchStream.safeFrontier(dir, assign)
+  }
 
   override def initialOffset(): Offset = FeedOffset(Map.empty)
 
@@ -329,7 +494,28 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
     * deleted segments stay in the map harmlessly (nothing ever plans a
     * `to <= from` range). Default keeps everything — replay-forever.
     */
-  override def commit(end: Offset): Unit =
+  override def commit(end: Offset): Unit = {
+    // dynamic-group cursor commit: record each OWNED log's committed
+    // positions in the group ledger (fenced — a zombie's write is
+    // refused), so the NEXT generation's handoff snapshot starts every
+    // adopted log exactly where its last owner durably finished
+    (groupState(), group) match {
+      case (Some((g, logs)), Some(member)) =>
+        val e = end.asInstanceOf[FeedOffset]
+        logs.foreach { case (idx, log) =>
+          val prefix =
+            if (log == topicPath) "" else log.getFileName.toString + "/"
+          val mine = e.positions.filter(_._1.startsWith(prefix))
+            .filter { case (name, _) =>
+              prefix.nonEmpty || !name.contains("/") }
+          if (mine.nonEmpty) {
+            FeedGroup.commitCursors(topicPath, member,
+              e.gen.getOrElse(g.gen), idx, mine)
+            ()
+          }
+        }
+      case _ => ()
+    }
     if (!retainConsumed) {
       val e = end.asInstanceOf[FeedOffset]
       val topic = Paths.get(dir)
@@ -347,8 +533,9 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
         }
       }
     }
+  }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = releaseOwnership()
 }
 
 /** One LOG's micro-batch advance: its slices in segment order (the task

@@ -133,7 +133,8 @@ object StreamingIngest {
       logDir: String, maxBytesPerTrigger: Long = 1L << 20,
       checkpointDir: Option[String] = None,
       retainConsumed: Option[Boolean] = None,
-      assign: Option[String] = None): StreamingQuery = {
+      assign: Option[String] = None,
+      group: Option[String] = None): StreamingQuery = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[Sample].schema
     val reader = spark.readStream
@@ -142,6 +143,7 @@ object StreamingIngest {
       .option("maxBytesPerTrigger", maxBytesPerTrigger)
     retainConsumed.foreach(r => reader.option("retainConsumed", r.toString))
     assign.foreach(a => reader.option("assign", a))
+    group.foreach(g => reader.option("group", g))
     val input = reader.load()
       .select(from_json(col("value"), schema).as("s"))
       .select(col("s.*"))
@@ -245,16 +247,20 @@ object StreamingIngest {
   }
 
   /** The periodic auto-compaction driver — Delta's auto-OPTIMIZE shape on
-    * the store's own machinery: every trigger, run one
-    * [[TimeSeriesStore.compact]] pass. Eligibility IS the fragmentation
-    * threshold (`minFiles` live files in a partition dir) and is decided
-    * by a metadata listing inside compact itself, so an un-fragmented
-    * store makes the trigger a cheap no-op — the loop needs no state of
-    * its own and composes with concurrent ingest: compaction is
-    * lease-serialized against every other maintenance writer and
-    * publishes-then-retires, so readers in any process stay correct
-    * mid-rewrite. Pass `zorder = true` to make the periodic pass also
-    * maintain the clustering layout (OPTIMIZE ... ZORDER on a schedule).
+    * the store's own machinery: every trigger, check the cheap
+    * lock-free fragmentation pre-gate ([[TimeSeriesStore
+    * .maintenanceDue]] — L0 past its flush threshold, a partition with
+    * ≥ `minFiles` live files, or sweep-due GC entries) and only then run
+    * a [[TimeSeriesStore.compact]] pass. The gate is what makes a
+    * quiescent-store tick genuinely free (ADVICE r14: ungated, every
+    * tick took the cross-process lease and force-flushed each small L0
+    * batch, AMPLIFYING fragmentation under concurrent ingest). The loop
+    * needs no state of its own and composes with concurrent ingest:
+    * compaction is lease-serialized against every other maintenance
+    * writer and publishes-then-retires, so readers in any process stay
+    * correct mid-rewrite. Pass `zorder = true` to make the periodic pass
+    * also maintain the clustering layout (OPTIMIZE ... ZORDER on a
+    * schedule).
     *
     * @return the running query and a counter of partitions rewritten
     */
@@ -267,9 +273,10 @@ object StreamingIngest {
       .writeStream
       .outputMode("append")
       .foreachBatch { (_: DataFrame, _: Long) =>
-        rewritten.addAndGet(
-          store.compact(minFiles = minFiles, applyLww = true,
-            zorder = zorder).toLong)
+        if (store.maintenanceDue(minFiles))
+          rewritten.addAndGet(
+            store.compact(minFiles = minFiles, applyLww = true,
+              zorder = zorder).toLong)
         ()
       }
       .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))

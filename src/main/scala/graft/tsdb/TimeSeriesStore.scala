@@ -2135,6 +2135,43 @@ final class TimeSeriesStore(
     }
   }
 
+  /** Cheap, LOCK-FREE fragmentation pre-check for periodic maintenance
+    * drivers (ADVICE r14): whether a [[compact]] pass has anything to do
+    * — L0 at or past its flush threshold, some hot partition holding at
+    * least `minFiles` live data files, or grace-expired GC entries
+    * waiting to sweep. A pure metadata listing with early exit: no
+    * lease, no job, no flush — so an auto-compaction loop polling every
+    * few hundred ms costs directory stats on a quiescent store instead
+    * of a lease + unconditional gcSweep + flushL0 per tick (which
+    * force-flushed every small L0 batch and AMPLIFIED the fragmentation
+    * it was meant to curb). Racy by design: a concurrent writer can
+    * change the answer mid-check, and the worst outcome either way is
+    * one deferred (or one no-op) compact tick.
+    */
+  def maintenanceDue(minFiles: Int = 2): Boolean = {
+    requireInitialized()
+    if (l0FileList().size >= L0FlushFileCount) return true
+    val now = clock()
+    val gcDue = Files.exists(gcDir) && withList(gcDir)(_
+      .filter(_.getFileName.toString.endsWith(".list"))
+      .exists { e =>
+        val ts = e.getFileName.toString.takeWhile(_ != '-')
+        try now - ts.toLong >= obsoleteGraceMs
+        catch { case _: NumberFormatException => true }
+      })
+    if (gcDue) return true
+    if (!Files.exists(hotDir)) return false
+    val pending = pendingObsolete()
+    withWalk(hotDir, 2)(_
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("partition_start="))
+      .exists { d =>
+        withList(d)(_.count(p =>
+          p.getFileName.toString.endsWith(".parquet") &&
+            !pending.contains(p.toAbsolutePath.normalize)) >= minFiles)
+      })
+  }
+
   // ---------------------------------------------------- targeted delete
 
   /** Targeted deletion — `DELETE WHERE tag = ? AND ts BETWEEN ? AND ?`

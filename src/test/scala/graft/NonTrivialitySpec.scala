@@ -223,6 +223,48 @@ class NonTrivialitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"3-level descent scored MORE than 2-layer: $mlScored >= $layScored")
   }
 
+  test("multilevel add: promoted inserts are reachable at every level they qualify for") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r14 next #4: an inserted id whose md5 prefix qualifies for
+    // level l must JOIN that level — both routable (it has out-edges: it
+    // walked the frozen level graph for its neighbors) and REACHABLE
+    // (some member's re-ranked list points at it), so the hierarchy
+    // invariant survives adds without a periodic rebuild. With the
+    // staged sf0.01 batch the qualifying ids are fixed (md5 is md5):
+    // seven at level 1, id 410 at the top level.
+    val S = graft.analytics.Similarity
+    val emb = Tables.embeddings(spark, sfMid)
+    val hist = emb.where(pmod(col("vec_id"), lit(10L)) =!= 0)
+    val g20 = S.nnDescent(hist, k = 20, rounds = 3, nPlanes = 8, buildK = 20)
+      .localCheckpoint(true)
+    val root = java.nio.file.Files.createTempDirectory("nts-mlpromo").toString
+    S.persistMultilevelIndex(g20, hist, root, levels = 3, degree = 5)
+    val merged = S.multilevelAddedAdjacency(emb, root, batchModulo = 10,
+      levels = 3)
+    def levelOf(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      var l = 0
+      while (l < 2 && (hex(l) == '0' || hex(l) == '1')) l += 1
+      l
+    }
+    val batch = emb.where(pmod(col("vec_id"), lit(10L)) === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    (1 to 2).foreach { l =>
+      val promoted = batch.filter(levelOf(_) >= l)
+      assert(promoted.nonEmpty, s"staging lost its level-$l inserts")
+      val adj = merged(l).localCheckpoint(true)
+      val us = adj.select("u").distinct().collect().map(_.getLong(0)).toSet
+      val nbs = adj.select("nb").distinct().collect().map(_.getLong(0)).toSet
+      promoted.foreach { id =>
+        assert(us.contains(id),
+          s"promoted insert $id has no out-edges at level $l (cannot route)")
+        assert(nbs.contains(id),
+          s"promoted insert $id has no in-edges at level $l (unreachable)")
+      }
+    }
+  }
+
   test("sim_graph_search recall dominates the IVF probe's on the same query set") {
     import org.apache.spark.sql.functions._
     // The serving contract that justifies building the graph index at

@@ -411,7 +411,14 @@ final class TimeSeriesStore(
   def writeSamples(samples: Seq[Sample]): Unit = mutationLock.synchronized {
     requireInitialized()
     if (samples.isEmpty) return // no zero-row L0 files, no min-of-empty throw
-    val file = l0Dir.resolve(s"l0-${clock()}-${seqCounter.get()}-$writerId.parquet")
+    // incrementAndGet, not get: the counter must advance per BATCH or
+    // two batches under one clock tick (frozen test clocks; two driver
+    // batches inside one wall millisecond) name the SAME file and the
+    // atomic move silently replaces the earlier batch — caught by the
+    // round-15 change-feed probe staging, where 3 of 4 frozen-clock
+    // batches vanished this way
+    val file = l0Dir.resolve(
+      s"l0-${clock()}-${seqCounter.incrementAndGet()}-$writerId.parquet")
     // write-then-rename: another PROCESS's flush may list this directory
     // at any instant, and parquet-java writes the footer last — a direct
     // write would expose a torn file (observed: a foreign maintainer

@@ -33,7 +33,7 @@ object EventsQueries {
     * function of the multiset (the design choice over KLL, whose
     * order-dependent compaction no SQL can replay).
     */
-  private lazy val QuantileSketchOracle: String = {
+  private[queries] lazy val QuantileSketchOracle: String = {
     import graft.functions.QuantileSketch.{sampledSql, Cap, OracleMaxLevel}
     val lvUnion = (0 to OracleMaxLevel).map(l =>
       s"""SELECT tag, $l AS l, count(*) AS ndv FROM dv

@@ -418,6 +418,17 @@ object StreamMultimodalQueries {
         FROM e CROSS JOIN b
         GROUP BY 1, 2 ORDER BY tag, bucket""")),
 
+    // ---- streaming: the mergeable quantile sketch at its deployment ----
+    // The sketch's state is a pure function of the input multiset, so
+    // folding it micro-batch by micro-batch through the state store
+    // yields BIT-IDENTICAL results to the batch row — st_quantile_sketch
+    // shares ts_quantile_sketch's hash-exact DuckDB replay, making
+    // stream/batch parity a proof rather than a tolerance. O(64) state
+    // per tag in the store — the production percentile telemetry lane.
+    QueryDef("st_quantile_sketch",
+      (s, dir) => StreamingIngest.streamingQuantileSketch(s, dir),
+      Some(EventsQueries.QuantileSketchOracle)),
+
     // ---- streaming: event-time session windows (30-min gap) ----
     // Real session_window aggregation; the oracle is the batch islands
     // construction (new session when the gap is >= the threshold —

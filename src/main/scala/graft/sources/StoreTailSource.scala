@@ -154,30 +154,110 @@ final class StoreTailStream(nsRoot: String, checkpointLocation: String,
   private def entryPath(i: Long): Path =
     manifestDir.resolve(f"entry-$i%08d")
 
-  private def entryCount(): Long = {
-    if (!Files.exists(manifestDir)) return 0L
+  /** Compaction marker: `compact-N` holds the union of entries `< N`
+    * (written at [[commit]] once the engine has durably passed N), so
+    * the seen-set rebuild reads ONE file plus the live tail of the log
+    * instead of every entry ever written — FileStreamSource's
+    * metadata-log compaction, re-owned. Entries below the newest marker
+    * are deleted after it lands; replay safety holds because Spark
+    * never re-plans below a committed offset.
+    */
+  private def compactPath(n: Long): Path =
+    manifestDir.resolve(f"compact-$n%08d")
+
+  private def newestCompact(): Option[Long] = {
+    if (!Files.exists(manifestDir)) return None
     val s = Files.list(manifestDir)
     try s.iterator().asScala
-      .count(_.getFileName.toString.matches("entry-\\d{8}")).toLong
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.matches("compact-\\d{8}")) Some(n.stripPrefix("compact-").toLong)
+        else None
+      }.maxOption
     finally s.close()
   }
 
-  private def readEntry(i: Long): Seq[String] =
-    new String(Files.readAllBytes(entryPath(i)), StandardCharsets.UTF_8)
+  private def entryCount(): Long = {
+    if (!Files.exists(manifestDir)) return newestCompact().getOrElse(0L)
+    val s = Files.list(manifestDir)
+    val maxEntry =
+      try s.iterator().asScala
+        .flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.matches("entry-\\d{8}")) Some(n.stripPrefix("entry-").toLong + 1)
+          else None
+        }.maxOption
+      finally s.close()
+    math.max(maxEntry.getOrElse(0L), newestCompact().getOrElse(0L))
+  }
+
+  private def readLines(p: Path): Seq[String] =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split('\n').toSeq.filter(_.nonEmpty)
 
-  /** Union of every manifest entry's paths — the seen set, rebuilt from
-    * the log itself (restart-safe; the log is the only state).
+  /** Entry `i`'s paths — from the entry file, or (after compaction
+    * deleted it) absent; callers below a compaction marker must read the
+    * marker instead.
     */
-  private def seenFiles(n: Long): Set[String] =
-    (0L until n).flatMap(readEntry).toSet
+  private def readEntry(i: Long): Seq[String] =
+    if (Files.exists(entryPath(i))) readLines(entryPath(i)) else Seq.empty
+
+  /** The seen set, maintained INCREMENTALLY on the live stream object:
+    * rebuilt once per (re)start from the newest compaction marker plus
+    * the live entries, then extended in memory as this instance writes
+    * new entries — a long-running tail stops re-reading its whole
+    * manifest every trigger (the O(entries²) lifetime cost the naive
+    * rebuild had). Memory is O(live new-data files), the same class as
+    * FileStreamSource's seen map.
+    */
+  private var seenCache: Set[String] = null
+  private var seenThrough: Long = -1L
+
+  private def seenFiles(n: Long): Set[String] = {
+    if (seenCache == null || seenThrough > n) {
+      val base = newestCompact()
+      val from = base.getOrElse(0L)
+      seenCache = base.map(b => readLines(compactPath(b)).toSet)
+        .getOrElse(Set.empty) ++ (from until n).flatMap(readEntry)
+      seenThrough = n
+    } else if (seenThrough < n) {
+      seenCache ++= (seenThrough until n).flatMap(readEntry)
+      seenThrough = n
+    }
+    seenCache
+  }
 
   /** Current NEW-DATA candidates as store-relative paths, sorted: all L0
     * batch files plus every hot-tier parquet file not named with the
     * rewrite prefix. Ledger-pending files are INCLUDED (on disk through
     * the grace); hidden/staging segments (`_temporary`, `.…tmp`) are not.
+    *
+    * Gated on the store's cross-process CHANGE STAMP: every mutation in
+    * any process rewrites `<ns>/version`, so an idle trigger pays one
+    * small read instead of an O(partitions) tier walk — the metadata
+    * plane a 200 ms-trigger tail needs at millions of directories. A
+    * missing/unreadable stamp disables the gate (walk every trigger —
+    * correct, just uncached).
     */
+  private var lastStamp: String = null
+  private var lastCandidates: Seq[String] = null
+
+  private def stamp(): String =
+    try new String(Files.readAllBytes(root.resolve("version")),
+      StandardCharsets.UTF_8)
+    catch { case _: java.io.IOException => "" }
+
   private def candidates(): Seq[String] = {
+    val st = stamp()
+    if (st.nonEmpty && lastCandidates != null && st == lastStamp)
+      return lastCandidates
+    val got = listCandidates()
+    lastStamp = st
+    lastCandidates = got
+    got
+  }
+
+  private def listCandidates(): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val l0 = root.resolve("l0")
     if (Files.exists(l0)) {
@@ -265,12 +345,54 @@ final class StoreTailStream(nsRoot: String, checkpointLocation: String,
     val tmp = manifestDir.resolve(s"entry-tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, admitted.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, entryPath(n), StandardCopyOption.ATOMIC_MOVE)
+    seenCache = seen ++ admitted
+    seenThrough = n + 1
     StoreTailOffset(n + 1)
+  }
+
+  /** Compact the manifest up to the durably-committed offset: write
+    * `compact-N` = the union of everything seen below N, then delete the
+    * subsumed entry files. Spark never re-plans a batch below a
+    * committed offset, so the deleted entries can never be asked for
+    * again; a crash between marker and deletions just leaves both (the
+    * rebuild prefers the newest marker, and the stale entries are
+    * re-deleted at the next commit).
+    */
+  override def commit(end: Offset): Unit = {
+    val n = end.asInstanceOf[StoreTailOffset].entries
+    if (n <= 0 || newestCompact().exists(_ >= n)) return
+    val union = seenFiles(n)
+    Files.createDirectories(manifestDir)
+    val tmp = manifestDir.resolve(s"compact-tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp,
+      union.toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, compactPath(n), StandardCopyOption.ATOMIC_MOVE)
+    val s = Files.list(manifestDir)
+    try s.iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      val old =
+        (name.matches("entry-\\d{8}") &&
+          name.stripPrefix("entry-").toLong < n) ||
+        (name.matches("compact-\\d{8}") &&
+          name.stripPrefix("compact-").toLong < n)
+      if (old) { Files.deleteIfExists(p); () }
+    } finally s.close()
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[StoreTailOffset].entries
     val e = end.asInstanceOf[StoreTailOffset].entries
+    // entries in a replayable range are deleted ONLY below a committed
+    // offset — being asked for one anyway means the checkpoint and the
+    // manifest diverged (e.g. a copied/older checkpoint); fail loudly
+    // rather than silently planning an empty (data-losing) batch
+    (s until e).foreach { i =>
+      if (!Files.exists(entryPath(i)))
+        throw new IllegalStateException(
+          s"graft-store-tail: manifest entry $i of range [$s, $e) is " +
+            "missing (compacted below a committed offset?) — the " +
+            "checkpoint does not match this manifest")
+    }
     val files = (s until e).flatMap(readEntry).map(toTailFile)
     if (files.isEmpty) return Array.empty
     val slots = math.min(files.size, 32)
@@ -293,8 +415,6 @@ final class StoreTailStream(nsRoot: String, checkpointLocation: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new StoreTailReaderFactory
-
-  override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 }

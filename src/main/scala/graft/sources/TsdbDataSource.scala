@@ -1026,6 +1026,15 @@ final class TsdbWrite(
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
+    // advertise the mutation on the store's cross-process CHANGE STAMP,
+    // like every store-instance write path does (bumpVersion): stamp
+    // readers — foreign instances' tier caches, graft-store-tail's
+    // listing gate — must see an external producer's connector commit,
+    // not just store-API mutations
+    try Files.write(Paths.get(nsRoot, "version"),
+      s"dsv2-$commitId-${System.nanoTime()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
     deleteRecursively(staging)
   }
 

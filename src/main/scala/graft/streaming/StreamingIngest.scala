@@ -1233,6 +1233,35 @@ object StreamingIngest {
     drain(out, "complete").orderBy("tag", "bucket")
   }
 
+  /** Streaming mergeable-quantile maintenance — stream/batch parity with
+    * `ts_quantile_sketch`, and the sketch's DEPLOYMENT story: each
+    * micro-batch folds into the per-tag sketch state (O(cap) per group
+    * in the state store), and because the state is a pure function of
+    * the input multiset (exactly merge-associative, order-invariant —
+    * see [[graft.functions.QuantileSketch]]), the drained final answer
+    * is BIT-IDENTICAL to the batch row's no matter how the stream
+    * micro-batched — the shared oracle is the proof, not a tolerance.
+    */
+  def streamingQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val sk = org.apache.spark.sql.functions.udaf(
+      graft.functions.QuantileSketch.sketch)
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val out = eventStream(spark, sfDir)
+      .withWatermark("event_time", "1 hour")
+      .select(col("event_type").as("tag"), cents.as("c"))
+      .groupBy(col("tag"))
+      .agg(sk(col("c")).as("sk"))
+    drain(out, "complete")
+      .select(col("tag"), col("sk.level").as("level"),
+        col("sk.total").as("total"),
+        posexplode(col("sk.ests")).as(Seq("pos", "est_cents")))
+      .select(col("tag"),
+        element_at(lit(graft.functions.QuantileSketch.Phis.toArray),
+          col("pos") + 1).as("phi"),
+        col("level"), col("total"), col("est_cents"))
+      .orderBy("tag", "phi")
+  }
+
   /** Streaming SCD2 dimension maintenance — stream/batch parity with
     * `rel_scd2_merge`. Each micro-batch merges its orders into the
     * per-customer history cell, recomputes the merge-on-change version

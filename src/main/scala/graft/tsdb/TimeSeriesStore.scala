@@ -2154,10 +2154,25 @@ final class TimeSeriesStore(
     * it was meant to curb). Racy by design: a concurrent writer can
     * change the answer mid-check, and the worst outcome either way is
     * one deferred (or one no-op) compact tick.
+    *
+    * @param l0MaxAgeMs a small L0 backlog still folds once its OLDEST
+    *   batch (by the clock in its file name) is at least this stale —
+    *   without an age rule, a store that stops writing below the
+    *   64-file flush threshold would keep its tail batches in L0
+    *   forever (point-read fan-in stays bounded either way; this is a
+    *   tidiness bound, so the default is a full minute)
     */
-  def maintenanceDue(minFiles: Int = 2): Boolean = {
+  def maintenanceDue(minFiles: Int = 2, l0MaxAgeMs: Long = 60000L): Boolean = {
     requireInitialized()
-    if (l0FileList().size >= L0FlushFileCount) return true
+    val l0 = l0FileList()
+    if (l0.size >= L0FlushFileCount) return true
+    if (l0.nonEmpty) {
+      val oldest = l0.iterator.map { p =>
+        val t = p.getFileName.toString.stripPrefix("l0-").takeWhile(_ != '-')
+        try t.toLong catch { case _: NumberFormatException => Long.MaxValue }
+      }.min
+      if (clock() - oldest >= l0MaxAgeMs) return true
+    }
     val now = clock()
     val gcDue = Files.exists(gcDir) && withList(gcDir)(_
       .filter(_.getFileName.toString.endsWith(".list"))

@@ -85,6 +85,21 @@ class Round15Spec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     val total = (a.size + f.size + b.size).toLong
     assert(dst.hotDF.count() === total,
       "tail did not emit each appended row exactly once")
+    // the exactly-once above ran WITH manifest compaction active:
+    // commits during the drains compacted entries below the committed
+    // offset into a compact-N marker (and the restart rebuilt its seen
+    // set from it) — assert the machinery actually engaged
+    val manifest = java.nio.file.Paths.get(ckpt, "sources", "0", "graft-tail")
+    assert(Files.exists(manifest), s"no tail manifest under $manifest")
+    val entries = {
+      val s = Files.list(manifest)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally s.close()
+    }
+    assert(entries.exists(_.startsWith("compact-")),
+      s"commit never compacted the manifest: $entries")
     // LWW equivalence against the append history (delete NOT retracted)
     val got = dst.lwwDedup(dst.hotDF)
       .select("tag", "ts", "value").collect()

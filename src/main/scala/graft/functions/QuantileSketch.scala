@@ -38,15 +38,29 @@ import org.apache.spark.sql.functions
   * exact `ts_percentiles` answer, and that a corrupted level blows the
   * band.
   *
+  * The CAP is configurable ([[sketchWith]] — VERDICT r15 next #6): a
+  * bigger cap trades state bytes for a tighter rank band, the knob a
+  * telemetry deployment tunes per metric. The finished row carries the
+  * sketch's own '''rank-error heuristic''' `err_bound = 1/√ndv` (ndv =
+  * surviving sampled keys): key survival is i.i.d. Bernoulli(2^-ℓ), so
+  * the sampled sub-multiset's φ-quantile concentrates around the true
+  * one with the usual 1/√m empirical-CDF scaling — the DKW shape. It is
+  * a heuristic BAND, not a guarantee (count skew widens it — a single
+  * heavy key can carry most of the mass); Round15Spec pins the measured
+  * error inside a 3× multiple of it on the bench-shaped distribution.
+  * Both factors are deterministic IEEE doubles, so even the error
+  * column replays hash-exactly in SQL.
+  *
   * Scale shape: O(cap) state per group, map-side combined like any hash
   * aggregate — a 100 TB percentile rollup ships ≤ cap (key, count)
   * pairs per group per task, against the exact path's full sort. This
   * is the production telemetry lane next to `ts_percentiles`' exact
-  * answer.
+  * answer; `ts_rollup_sketch` runs it across the whole multiresolution
+  * rollup ladder in one pass.
   */
 object QuantileSketch {
 
-  /** Max distinct sampled keys per group (state bound). */
+  /** Default max distinct sampled keys per group (state bound). */
   val Cap = 64
 
   /** The registered row's quantiles. */
@@ -56,11 +70,13 @@ object QuantileSketch {
   final case class QState(level: Int, keys: Map[Long, Long])
 
   /** Finished sketch: the level it settled at, the sampled total weight,
-    * and one estimate per [[Phis]] entry (empty when the group had no
-    * sampled keys — possible only for a group whose every key hashed
-    * out, which the min-level rule makes practically unreachable).
+    * the surviving-key count, the 1/√ndv rank-error heuristic, and one
+    * estimate per [[Phis]] entry (empty when the group had no sampled
+    * keys — possible only for a group whose every key hashed out, which
+    * the min-level rule makes practically unreachable).
     */
-  final case class QResult(level: Int, total: Long, ests: Seq[Long])
+  final case class QResult(level: Int, total: Long, ndv: Long,
+      errBound: Double, ests: Seq[Long])
 
   /** Low `level` bits of `md5(key.toString)` are all zero — the
     * deterministic membership test (identical to the oracle's trailing
@@ -81,24 +97,26 @@ object QuantileSketch {
     true
   }
 
-  private def shrink(st: QState): QState = {
+  private def shrink(st: QState, cap: Int): QState = {
     var s = st
-    while (s.keys.size > Cap) {
+    while (s.keys.size > cap) {
       val l = s.level + 1
       s = QState(l, s.keys.filter { case (k, _) => sampled(k, l) })
     }
     s
   }
 
-  private def insert(st: QState, key: Long, cnt: Long): QState =
+  private def insert(st: QState, key: Long, cnt: Long, cap: Int): QState =
     if (!sampled(key, st.level)) st
     else shrink(QState(st.level,
-      st.keys.updated(key, st.keys.getOrElse(key, 0L) + cnt)))
+      st.keys.updated(key, st.keys.getOrElse(key, 0L) + cnt)), cap)
 
-  val sketch: Aggregator[Long, QState, QResult] =
+  /** The sketch aggregator at an explicit state cap. */
+  def sketchWith(cap: Int): Aggregator[Long, QState, QResult] = {
+    require(cap > 0, s"quantile sketch cap must be positive: $cap")
     new Aggregator[Long, QState, QResult] {
       override def zero: QState = QState(0, Map.empty)
-      override def reduce(b: QState, a: Long): QState = insert(b, a, 1L)
+      override def reduce(b: QState, a: Long): QState = insert(b, a, 1L, cap)
       override def merge(x: QState, y: QState): QState = {
         val lvl = math.max(x.level, y.level)
         def at(s: QState): Map[Long, Long] =
@@ -107,12 +125,14 @@ object QuantileSketch {
         val combined = at(y).foldLeft(at(x)) { case (m, (k, c)) =>
           m.updated(k, m.getOrElse(k, 0L) + c)
         }
-        shrink(QState(lvl, combined))
+        shrink(QState(lvl, combined), cap)
       }
       override def finish(st: QState): QResult = {
         val sorted = st.keys.toSeq.sortBy(_._1)
         val total = sorted.iterator.map(_._2).sum
-        if (total == 0L) QResult(st.level, 0L, Seq.empty)
+        val ndv = sorted.size.toLong
+        val err = 1.0 / math.sqrt(math.max(ndv, 1L).toDouble)
+        if (total == 0L) QResult(st.level, 0L, ndv, err, Seq.empty)
         else {
           val ests = Phis.map { phi =>
             val thr = math.ceil(phi * total).toLong
@@ -127,12 +147,16 @@ object QuantileSketch {
             }
             res
           }
-          QResult(st.level, total, ests)
+          QResult(st.level, total, ndv, err, ests)
         }
       }
       override def bufferEncoder: Encoder[QState] = Encoders.product[QState]
       override def outputEncoder: Encoder[QResult] = Encoders.product[QResult]
     }
+  }
+
+  /** The default-cap aggregator (cap = [[Cap]]). */
+  val sketch: Aggregator[Long, QState, QResult] = sketchWith(Cap)
 
   /** Register `quantile_sketch(key)` on the session. Idempotent. */
   def register(spark: SparkSession): Unit =

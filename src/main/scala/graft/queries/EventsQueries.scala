@@ -24,52 +24,150 @@ object EventsQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
-  /** The `ts_quantile_sketch` oracle: DuckDB replays the WHOLE sketch —
-    * md5-threshold key sampling per candidate level (the trailing-hex-
-    * nibble rendering of the low-bits-zero predicate,
-    * [[graft.functions.QuantileSketch.sampledSql]]), minimum-admissible-
-    * level selection, and the integer-exact rank walk over the sampled
-    * histogram. Possible only because the sketch state is a pure
-    * function of the multiset (the design choice over KLL, whose
-    * order-dependent compaction no SQL can replay).
+  /** The sketch-replay SQL generator: DuckDB replays the WHOLE
+    * [[graft.functions.QuantileSketch]] — md5-threshold key sampling per
+    * candidate level (the trailing-hex-nibble rendering of the
+    * low-bits-zero predicate, `sampledSql`), minimum-admissible-level
+    * selection, the integer-exact rank walk over the sampled histogram,
+    * and the 1/√ndv error heuristic. Possible only because the sketch
+    * state is a pure function of the multiset (the design choice over
+    * KLL, whose order-dependent compaction no SQL can replay).
+    *
+    * The level grid is a LEFT JOIN against the distinct group keys
+    * (ADVICE r15): a level at which a group has ZERO surviving keys
+    * still appears with ndv = 0 — admissible, exactly the Scala shrink
+    * loop's minimum-level rule (an inner-join grid silently skipped such
+    * levels, diverging on the pathological all-keys-hash-out group).
+    *
+    * @param dv   name of a CTE with columns (groupKeys..., c, cnt, h)
+    * @param keys the group-key column names
+    * @param cap  the sketch's state cap
+    * @param p    CTE-name prefix, so several replays compose in one query
+    * @return (cte definitions, final SELECT columns source) — the caller
+    *         appends its own projection over `${p}out`
     */
-  private[queries] lazy val QuantileSketchOracle: String = {
-    import graft.functions.QuantileSketch.{sampledSql, Cap, OracleMaxLevel}
+  private[queries] def sketchReplayCtes(dv: String, keys: Seq[String],
+      cap: Int, p: String): String = {
+    import graft.functions.QuantileSketch.{sampledSql, OracleMaxLevel}
+    val kg = keys.map(k => s"g.$k").mkString(", ")
+    val kq = keys.map(k => s"q.$k").mkString(", ")
+    val eqGd = keys.map(k => s"d.$k = g.$k").mkString(" AND ")
+    val eqPd = keys.map(k => s"d.$k = p.$k").mkString(" AND ")
+    val eqQK = keys.map(k => s"q.$k = k.$k").mkString(" AND ")
+    val eqQT = keys.map(k => s"q.$k = t.$k").mkString(" AND ")
+    val byN = keys.indices.map(_ + 1).mkString(", ")
     val lvUnion = (0 to OracleMaxLevel).map(l =>
-      s"""SELECT tag, $l AS l, count(*) AS ndv FROM dv
-          WHERE ${sampledSql("h", l)} GROUP BY tag""")
-      .mkString("\n UNION ALL ")
+      s"""SELECT $kg, $l AS l, count(d.c) AS ndv
+          FROM ${p}tg g LEFT JOIN $dv d
+            ON $eqGd AND (${sampledSql("d.h", l)})
+          GROUP BY $byN""").mkString("\n UNION ALL ")
     val pickCase = "CASE p.lvl " +
       (0 to OracleMaxLevel).map(l =>
-        s"WHEN $l THEN (${sampledSql("dv.h", l)})").mkString(" ") +
+        s"WHEN $l THEN (${sampledSql("d.h", l)})").mkString(" ") +
       " ELSE FALSE END"
+    s"""
+      ${p}tg AS (SELECT DISTINCT ${keys.mkString(", ")} FROM $dv),
+      ${p}lv AS ($lvUnion),
+      ${p}pick AS (SELECT ${keys.mkString(", ")}, min(l) AS lvl FROM ${p}lv
+               WHERE ndv <= $cap GROUP BY ${keys.mkString(", ")}),
+      ${p}samp AS (SELECT ${keys.map(k => s"d.$k").mkString(", ")}, d.c, d.cnt
+               FROM $dv d JOIN ${p}pick p ON $eqPd WHERE $pickCase),
+      ${p}ranked AS (SELECT ${keys.mkString(", ")}, c, cnt,
+                   sum(cnt) OVER (PARTITION BY ${keys.mkString(", ")}
+                     ORDER BY c) AS cum,
+                   sum(cnt) OVER (PARTITION BY ${keys.mkString(", ")}) AS tot
+                 FROM ${p}samp),
+      ${p}q AS (SELECT ${keys.map(k => s"r.$k").mkString(", ")}, p.phi,
+                  min(r.c) AS est_cents
+            FROM ${p}ranked r CROSS JOIN phis p
+            WHERE r.cum >= CAST(ceil(p.phi * r.tot) AS BIGINT)
+            GROUP BY ${(keys.indices :+ keys.size).map(_ + 1).mkString(", ")}),
+      ${p}tot AS (SELECT ${keys.mkString(", ")},
+                    CAST(sum(cnt) AS BIGINT) AS total,
+                    CAST(count(*) AS BIGINT) AS ndv
+                  FROM ${p}samp GROUP BY ${keys.mkString(", ")}),
+      ${p}out AS (
+        SELECT $kq, q.phi, CAST(k.lvl AS INTEGER) AS level,
+               t.total AS total, t.ndv AS ndv,
+               1.0 / sqrt(CAST(greatest(t.ndv, 1) AS DOUBLE)) AS err_bound,
+               q.est_cents AS est_cents
+        FROM ${p}q q JOIN ${p}pick k ON $eqQK
+        JOIN ${p}tot t ON $eqQT)"""
+  }
+
+  /** Shared `phis` CTE for every sketch replay. */
+  private[queries] val PhisCte: String =
+    """phis AS (SELECT CAST(phi AS DOUBLE) AS phi
+               FROM (VALUES (0.5), (0.9), (0.99)) v(phi))"""
+
+  /** The `ts_quantile_sketch` / `st_quantile_sketch` oracle: one per-tag
+    * replay at the default cap over the events cents.
+    */
+  private[queries] lazy val QuantileSketchOracle: String = {
+    import graft.functions.QuantileSketch.Cap
     s"""
       WITH cents AS (SELECT event_type AS tag,
                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
                      FROM events),
       dv AS (SELECT tag, c, count(*) AS cnt, md5(CAST(c AS VARCHAR)) AS h
              FROM cents GROUP BY 1, 2),
-      lv AS ($lvUnion),
-      pick AS (SELECT tag, min(l) AS lvl FROM lv
-               WHERE ndv <= $Cap GROUP BY tag),
-      samp AS (SELECT dv.tag, dv.c, dv.cnt FROM dv
-               JOIN pick p ON dv.tag = p.tag WHERE $pickCase),
-      ranked AS (SELECT tag, c, cnt,
-                   sum(cnt) OVER (PARTITION BY tag ORDER BY c) AS cum,
-                   sum(cnt) OVER (PARTITION BY tag) AS tot
-                 FROM samp),
-      phis AS (SELECT CAST(phi AS DOUBLE) AS phi
-               FROM (VALUES (0.5), (0.9), (0.99)) v(phi)),
-      q AS (SELECT r.tag, p.phi, min(r.c) AS est_cents
-            FROM ranked r CROSS JOIN phis p
-            WHERE r.cum >= CAST(ceil(p.phi * r.tot) AS BIGINT)
-            GROUP BY 1, 2)
-      SELECT q.tag, q.phi, CAST(k.lvl AS INTEGER) AS level,
-             CAST(t.total AS BIGINT) AS total, q.est_cents
-      FROM q JOIN pick k ON q.tag = k.tag
-      JOIN (SELECT tag, CAST(sum(cnt) AS BIGINT) AS total
-            FROM samp GROUP BY 1) t ON q.tag = t.tag
-      ORDER BY q.tag, q.phi"""
+      $PhisCte,
+      ${sketchReplayCtes("dv", Seq("tag"), Cap, "s_")}
+      SELECT tag, phi, level, total, ndv, err_bound, est_cents
+      FROM s_out ORDER BY tag, phi"""
+  }
+
+  /** The `ts_rollup_sketch` oracle: eight replays — the four rollup
+    * grouping sets of (tag, day_start, hour_start) × caps {64, 256} —
+    * each over the level-appropriate aggregation of one shared distinct-
+    * value table, unioned with NULL literals for the rolled-up keys
+    * (exactly the grouping-set shape `rollup` produces).
+    */
+  private[queries] lazy val RollupSketchOracle: String = {
+    val levels = Seq(
+      (0, Seq("tag", "day_start", "hour_start")),
+      (1, Seq("tag", "day_start")),
+      (3, Seq("tag")),
+      (7, Seq.empty[String]))
+    val caps = Seq(64, 256)
+    // per-level dv: aggregate the base (tag, day, hour, c) counts up to
+    // the kept keys; the all-rolled-up level keys on a constant
+    val dvCtes = levels.map { case (lvl, ks) =>
+      val keep = if (ks.isEmpty) "0 AS g0" else ks.mkString(", ")
+      val by = if (ks.isEmpty) "1" else (1 to ks.size).mkString(", ") + ", " + (ks.size + 1)
+      // group by kept keys + c
+      val byCols = (if (ks.isEmpty) Seq("g0") else ks) :+ "c"
+      s"""dvl$lvl AS (SELECT $keep, c, CAST(sum(cnt) AS BIGINT) AS cnt,
+            md5(CAST(c AS VARCHAR)) AS h
+          FROM dv0 GROUP BY ${byCols.mkString(", ")})"""
+    }
+    val blocks = for ((lvl, ks) <- levels; cap <- caps) yield
+      sketchReplayCtes(s"dvl$lvl", if (ks.isEmpty) Seq("g0") else ks,
+        cap, s"r${lvl}c${cap}_")
+    val selects = for ((lvl, ks) <- levels; cap <- caps) yield {
+      val tagC = if (ks.contains("tag")) "tag" else "CAST(NULL AS VARCHAR) AS tag"
+      val dayC = if (ks.contains("day_start")) "day_start"
+        else "CAST(NULL AS BIGINT) AS day_start"
+      val hrC = if (ks.contains("hour_start")) "hour_start"
+        else "CAST(NULL AS BIGINT) AS hour_start"
+      s"""SELECT CAST($lvl AS BIGINT) AS lvl, $tagC, $dayC, $hrC,
+             CAST($cap AS INTEGER) AS cap, phi, level, total, ndv,
+             err_bound, est_cents
+          FROM r${lvl}c${cap}_out"""
+    }
+    s"""
+      WITH base AS (SELECT event_type AS tag,
+                      $MS - ($MS % 86400000) AS day_start,
+                      $MS - ($MS % 3600000) AS hour_start,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                    FROM events),
+      dv0 AS (SELECT tag, day_start, hour_start, c, count(*) AS cnt
+              FROM base GROUP BY 1, 2, 3, 4),
+      ${dvCtes.mkString(",\n      ")},
+      $PhisCte,
+      ${blocks.mkString(",\n      ")}
+      SELECT * FROM (${selects.mkString("\n UNION ALL \n")})
+      ORDER BY lvl, tag, day_start, hour_start, cap, phi"""
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -573,16 +671,65 @@ object EventsQueries {
           .groupBy(col("event_type").as("tag"))
           .agg(sk(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sk"))
           .select(col("tag"), col("sk.level").as("level"),
-            col("sk.total").as("total"),
+            col("sk.total").as("total"), col("sk.ndv").as("ndv"),
+            col("sk.errBound").as("err_bound"),
             posexplode(col("sk.ests")).as(Seq("pos", "est_cents")))
           .select(col("tag"),
             element_at(
               lit(graft.functions.QuantileSketch.Phis.toArray),
               col("pos") + 1).as("phi"),
-            col("level"), col("total"), col("est_cents"))
+            col("level"), col("total"), col("ndv"), col("err_bound"),
+            col("est_cents"))
           .orderBy("tag", "phi")
       },
       Some(QuantileSketchOracle)),
+
+    // beyond-reference — the quantile sketch ACROSS the multiresolution
+    // rollup ladder (VERDICT r15 next #6): ts_multires_rollup's grouping
+    // sets (hour, day, tag, grand total) each carry the mergeable sketch
+    // at TWO state caps (64, 256) from ONE pass over the events — the
+    // approximate-percentile twin of the exact rollup, and the
+    // 100 TB-shaped telemetry plan: partial sketch states combine
+    // map-side per grouping set, ≤ cap (key, count) pairs per group per
+    // task, where the exact-percentile ladder would pay one full sort
+    // per resolution. Each (group, cap) row carries the sketch's own
+    // 1/√ndv error heuristic; the oracle replays all EIGHT grouping-set
+    // × cap sketches — level pick, sampled histogram, rank walk, and
+    // error column — hash-exactly.
+    QueryDef("ts_rollup_sketch",
+      (s, dir) => {
+        val sk64 = org.apache.spark.sql.functions.udaf(
+          graft.functions.QuantileSketch.sketchWith(64))
+        val sk256 = org.apache.spark.sql.functions.udaf(
+          graft.functions.QuantileSketch.sketchWith(256))
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        ev(s, dir)
+          .select(col("event_type").as("tag"),
+            (col("ts_ms") - (col("ts_ms") % 86400000L)).as("day_start"),
+            (col("ts_ms") - (col("ts_ms") % 3600000L)).as("hour_start"),
+            cents.as("cents"))
+          .rollup(col("tag"), col("day_start"), col("hour_start"))
+          .agg(grouping_id().as("lvl"),
+            sk64(col("cents")).as("sk64"), sk256(col("cents")).as("sk256"))
+          .select(col("lvl"), col("tag"), col("day_start"), col("hour_start"),
+            explode(array(
+              struct(lit(64).as("cap"), col("sk64").as("sk")),
+              struct(lit(256).as("cap"), col("sk256").as("sk")))).as("cs"))
+          .select(col("lvl"), col("tag"), col("day_start"), col("hour_start"),
+            col("cs.cap").as("cap"), col("cs.sk.level").as("level"),
+            col("cs.sk.total").as("total"), col("cs.sk.ndv").as("ndv"),
+            col("cs.sk.errBound").as("err_bound"),
+            posexplode(col("cs.sk.ests")).as(Seq("pos", "est_cents")))
+          .select(col("lvl"), col("tag"), col("day_start"), col("hour_start"),
+            col("cap"),
+            element_at(
+              lit(graft.functions.QuantileSketch.Phis.toArray),
+              col("pos") + 1).as("phi"),
+            col("level"), col("total"), col("ndv"), col("err_bound"),
+            col("est_cents"))
+          .orderBy("lvl", "tag", "day_start", "hour_start", "cap", "phi")
+      },
+      Some(RollupSketchOracle)),
 
     // #12-extension — processing-time session windows (streaming semantics
     // §2.2 run in batch): 30-min-gap sessionization per user via lag +

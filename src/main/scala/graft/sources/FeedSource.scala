@@ -119,10 +119,15 @@ class FeedTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object FeedSource {
+  /** `pos` = the record's start byte (its identity); `end_pos` = the
+    * byte after it — what a delivery ack records (acking by `pos`
+    * would re-deliver the acked record itself).
+    */
   val Schema: StructType = StructType(Seq(
     StructField("value", StringType, nullable = false),
     StructField("segment", StringType, nullable = false),
-    StructField("pos", LongType, nullable = false)))
+    StructField("pos", LongType, nullable = false),
+    StructField("end_pos", LongType, nullable = false)))
 }
 
 final class FeedTable(dir: String, maxBytesPerTrigger: Long,
@@ -177,12 +182,20 @@ final class FeedScan(dir: String, maxBytesPerTrigger: Long,
   * equality (the contract Structured Streaming's offset log relies on).
   */
 final case class FeedOffset(positions: Map[String, Long],
-    gen: Option[Long] = None) extends Offset {
+    gen: Option[Long] = None,
+    /** PEL adoption floors (group mode): segment → the sink-ACKED
+      * position the planning base was lifted to when this offset was
+      * cut. Baked into the offset (not read live at plan time) so a
+      * crash-replay of the adoption batch plans the identical slices —
+      * the same immutability rule the generation files follow.
+      */
+    claims: Map[String, Long] = Map.empty) extends Offset {
   override def json(): String = {
-    // the generation (dynamic-group mode) leads; "__gen__" can never
-    // collide with a segment key, and its absence keeps every static-
-    // mode offset byte-identical to the pre-group format
+    // the generation (dynamic-group mode) leads; "__gen__"/"__claim__"
+    // can never collide with a segment key, and their absence keeps
+    // every static-mode offset byte-identical to the pre-group format
     val entries = gen.map(g => s""""__gen__":$g""").toSeq ++
+      claims.toSeq.sorted.map { case (s, p) => s""""__claim__$s":$p""" } ++
       positions.toSeq.sorted.map { case (s, p) => s""""$s":$p""" }
     entries.mkString("{", ",", "}")
   }
@@ -190,10 +203,13 @@ final case class FeedOffset(positions: Map[String, Long],
 }
 
 object FeedOffset {
+  private val SegKey = "((?:log-\\d{5}/)?seg-\\d{8}\\.log)"
   def fromJson(s: String): FeedOffset = FeedOffset(
-    "\"((?:log-\\d{5}/)?seg-\\d{8}\\.log)\":(\\d+)".r.findAllMatchIn(s)
+    ("\"" + SegKey + "\":(\\d+)").r.findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2).toLong).toMap,
-    "\"__gen__\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong))
+    "\"__gen__\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong),
+    ("\"__claim__" + SegKey + "\":(\\d+)").r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap)
 }
 
 /** One contiguous record range of one segment — the unit a reader
@@ -250,12 +266,16 @@ object FeedMicroBatchStream {
       .flatMap(g => FeedGroup.generation(Paths.get(dir), g))
       .map(_.cursors).getOrElse(Map.empty)
     val slices = end.positions.toSeq.sorted.flatMap { case (name, to) =>
-      // max of own checkpoint and the generation's handoff cursor: a
-      // member RE-acquiring a log it once owned has a stale own cursor
-      // for the stretch another member consumed in between — the group
-      // cursor fences that stretch out; past it, its own (possibly
-      // newer) cursor governs
-      val from = math.max(start.posOf(name), genCursors.getOrElse(name, 0L))
+      // max of own checkpoint, the generation's handoff cursor, and the
+      // offset's baked-in PEL claim: a member RE-acquiring a log it once
+      // owned has a stale own cursor for the stretch another member
+      // consumed in between — the group cursor fences that stretch out;
+      // the claim additionally fences out a crashed owner's DELIVERED-
+      // but-uncommitted stretch (recorded by the sink ack ledger at the
+      // latestOffset that cut this offset); past both, its own
+      // (possibly newer) cursor governs
+      val from = math.max(math.max(start.posOf(name),
+        genCursors.getOrElse(name, 0L)), end.claims.getOrElse(name, 0L))
       if (to > from)
         Some(FeedSlice(
           Paths.get(dir).resolve(name).toString, name, from, to))
@@ -313,16 +333,28 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
     * the safe direction, exactly a lock file's contract. Fan-out
     * topologies keep the default `retainConsumed = true` and need no
     * lock.
+    *
+    * Called every trigger, claiming any OWNED log not yet claimed by
+    * this stream — a log directory created AFTER the first trigger (a
+    * producer rolling a new log mid-topic) gets its lock the moment it
+    * appears, instead of never (ADVICE r15: a single first-trigger
+    * claim left late logs lockless, so an overlapping consumer on one
+    * went undetected).
     */
+  private val claimedLogs =
+    scala.collection.mutable.HashSet.empty[java.nio.file.Path]
+
   private def claimOwnership(): Unit =
     checkpointId.foreach { id =>
-      FeedMicroBatchStream.ownedLogs(topicPath, assign).foreach { log =>
+      FeedMicroBatchStream.ownedLogs(topicPath, assign)
+        .filterNot(claimedLogs.contains).foreach { log =>
         if (Files.exists(log)) {
           val marker = log.resolve("_owner")
           try {
             Files.write(marker,
               id.getBytes(java.nio.charset.StandardCharsets.UTF_8),
               java.nio.file.StandardOpenOption.CREATE_NEW)
+            claimedLogs += log
             ()
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
@@ -335,14 +367,15 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
                     s"checkpoint '$owner'; overlapping consumers would " +
                     "lose data when the owner trims consumed segments " +
                     "(if that owner is dead, remove the log's _owner file)")
+              claimedLogs += log
           }
         }
       }
     }
 
   private def releaseOwnership(): Unit =
-    if (claimed) checkpointId.foreach { id =>
-      FeedMicroBatchStream.ownedLogs(topicPath, assign).foreach { log =>
+    if (claimedLogs.nonEmpty) checkpointId.foreach { id =>
+      claimedLogs.foreach { log =>
         val marker = log.resolve("_owner")
         try {
           if (Files.exists(marker) &&
@@ -352,6 +385,7 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
           ()
         } catch { case _: java.io.IOException => () }
       }
+      claimedLogs.clear()
     }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -385,7 +419,7 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
       case _ => ()
     }
     absorb(limit)
-    if (!retainConsumed && !claimed) { claimOwnership(); claimed = true }
+    if (!retainConsumed) claimOwnership()
     val out = scala.collection.mutable.Map[String, Long](s.positions.toSeq: _*)
     val topic = topicPath
     val gs = groupState()
@@ -394,16 +428,28 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
       case None => FeedMicroBatchStream.ownedLogs(topic, assign)
     }
     // dynamic-group adoption base: the MAX of this member's own
-    // checkpoint cursor and the current generation's FROZEN handoff
-    // snapshot — a fresh adoption starts at the handoff, a re-adoption
-    // after losing and regaining a log skips the stretch the interim
-    // owner consumed (its commits fed this generation's snapshot), and
-    // a log held continuously follows the own (newer) cursor. Fencing
-    // guarantees a reassigned log's group cursor never advances after
-    // the generation that took it away was cut.
+    // checkpoint cursor, the current generation's FROZEN handoff
+    // snapshot, and the sink-ACK ledger (the PEL floor) — a fresh
+    // adoption starts at the handoff, a re-adoption after losing and
+    // regaining a log skips the stretch the interim owner consumed (its
+    // commits fed this generation's snapshot), the ack floor skips a
+    // CRASHED owner's delivered-but-uncommitted stretch (VERDICT r15
+    // next #3 — the XAUTOCLAIM rule: acked entries are never
+    // redelivered, unacked ones are), and a log held continuously
+    // follows the own (newer) cursor. Fencing guarantees a reassigned
+    // log's group cursor never advances after the generation that took
+    // it away was cut. Ack floors that lift the base are BAKED INTO the
+    // returned offset as claims, so a crash-replay of this very batch
+    // plans identical slices without re-reading the live ack ledger.
     val genCursors = gs.map(_._1.cursors).getOrElse(Map.empty)
-    def baseOf(name: String): Long =
-      math.max(s.posOf(name), genCursors.getOrElse(name, 0L))
+    val acked: Map[String, Long] =
+      if (gs.isDefined) FeedGroup.ackedPositions(topic) else Map.empty
+    val claims = scala.collection.mutable.Map.empty[String, Long]
+    def baseOf(name: String): Long = {
+      val committed = math.max(s.posOf(name), genCursors.getOrElse(name, 0L))
+      val ack = acked.getOrElse(name, 0L)
+      if (ack > committed) { claims(name) = ack; ack } else committed
+    }
     logGroups.zipWithIndex.foreach { case (log, gi) =>
       if (byteBudget > 0 && recordBudget > 0) {
         val prefix = if (log == topic) "" else log.getFileName.toString + "/"
@@ -455,12 +501,10 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
         lastLedgered = cursorSnapshot.toMap
       }
     }
-    FeedOffset(out.toMap, gs.map(_._1.gen).orElse(s.gen))
+    FeedOffset(out.toMap, gs.map(_._1.gen).orElse(s.gen), claims.toMap)
   }
 
   @volatile private var lastLedgered: Map[Int, Map[String, Long]] = Map.empty
-
-  @volatile private var claimed = false
 
   override def reportLatestOffset(): Offset = groupState() match {
     case Some((g, logs)) =>
@@ -571,7 +615,7 @@ final class FeedReaderFactory extends PartitionReaderFactory {
           val (pos, payload) = it.next()
           cur = new GenericInternalRow(Array[Any](
             UTF8String.fromString(payload),
-            UTF8String.fromString(slice.segment), pos))
+            UTF8String.fromString(slice.segment), pos, it.lastRecordEnd))
           true
         }
       }

@@ -97,11 +97,16 @@ class StoreTailTableProvider extends TableProvider with DataSourceRegister {
     val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.toLong)
       .getOrElse(128L << 20)
     require(maxBytes > 0, "graft-store-tail: maxBytesPerTrigger must be positive")
-    new StoreTailTable(path, maxFiles, maxBytes)
+    val compactEvery = Option(opts.get("manifestCompactEvery")).map(_.toInt)
+      .getOrElse(8)
+    require(compactEvery > 0,
+      "graft-store-tail: manifestCompactEvery must be positive")
+    new StoreTailTable(path, maxFiles, maxBytes, compactEvery)
   }
 }
 
-final class StoreTailTable(nsRoot: String, maxFiles: Int, maxBytes: Long)
+final class StoreTailTable(nsRoot: String, maxFiles: Int, maxBytes: Long,
+    compactEvery: Int = 8)
     extends Table with SupportsRead {
 
   override def name(): String = s"graft-store-tail(`$nsRoot`)"
@@ -117,7 +122,8 @@ final class StoreTailTable(nsRoot: String, maxFiles: Int, maxBytes: Long)
         override def readSchema(): StructType = TsdbSource.Schema
         override def description(): String = s"graft-store-tail scan of $nsRoot"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new StoreTailStream(nsRoot, checkpointLocation, maxFiles, maxBytes)
+          new StoreTailStream(nsRoot, checkpointLocation, maxFiles, maxBytes,
+            compactEvery)
       }
     }
 }
@@ -144,7 +150,7 @@ final case class StoreTailInputPartition(nsRoot: String, files: Seq[TailFile])
     extends InputPartition
 
 final class StoreTailStream(nsRoot: String, checkpointLocation: String,
-    maxFiles: Int, maxBytes: Long)
+    maxFiles: Int, maxBytes: Long, compactEvery: Int = 8)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val root: Path = Paths.get(nsRoot)
@@ -207,8 +213,10 @@ final class StoreTailStream(nsRoot: String, checkpointLocation: String,
     * the live entries, then extended in memory as this instance writes
     * new entries — a long-running tail stops re-reading its whole
     * manifest every trigger (the O(entries²) lifetime cost the naive
-    * rebuild had). Memory is O(live new-data files), the same class as
-    * FileStreamSource's seen map.
+    * rebuild had). Interval compaction prunes GC-swept files from both
+    * the marker and this set (ADVICE r15), so memory is bounded by the
+    * store's LIVE new-data files plus one compaction interval — the
+    * FileStreamSource seen-map class, now genuinely.
     */
   private var seenCache: Set[String] = null
   private var seenThrough: Long = -1L
@@ -350,23 +358,40 @@ final class StoreTailStream(nsRoot: String, checkpointLocation: String,
     StoreTailOffset(n + 1)
   }
 
-  /** Compact the manifest up to the durably-committed offset: write
-    * `compact-N` = the union of everything seen below N, then delete the
-    * subsumed entry files. Spark never re-plans a batch below a
-    * committed offset, so the deleted entries can never be asked for
-    * again; a crash between marker and deletions just leaves both (the
-    * rebuild prefers the newest marker, and the stale entries are
-    * re-deleted at the next commit).
+  /** Compact the manifest up to the durably-committed offset — on an
+    * INTERVAL, not per commit (ADVICE r15: a per-commit full-union
+    * rewrite cost O(total files) per batch, O(total²) over a long-lived
+    * 200 ms-trigger tail): write `compact-N` = the union of everything
+    * seen below N, then delete the subsumed entry files, but only once
+    * `compactEvery` entries have accumulated past the newest marker
+    * (FileStreamSource's `compactInterval`, re-owned). Spark never
+    * re-plans a batch below a committed offset, so the deleted entries
+    * can never be asked for again; a crash between marker and deletions
+    * just leaves both (the rebuild prefers the newest marker, and the
+    * stale entries are re-deleted at the next compaction).
+    *
+    * The marker additionally PRUNES entries whose file was already
+    * GC-swept from disk AND whose emission is durably below the marker:
+    * swept files can never be listed again (every publish uses a fresh
+    * unique name), so dropping them bounds the marker — and the
+    * in-memory seen set — by the store's LIVE new-data files plus one
+    * interval, instead of every file ever emitted.
     */
   override def commit(end: Offset): Unit = {
     val n = end.asInstanceOf[StoreTailOffset].entries
-    if (n <= 0 || newestCompact().exists(_ >= n)) return
-    val union = seenFiles(n)
+    val base = newestCompact()
+    if (n <= 0 || base.exists(_ >= n)) return
+    if (n - base.getOrElse(0L) < compactEvery) return
+    val union = seenFiles(n).filter(rel => Files.exists(root.resolve(rel)))
     Files.createDirectories(manifestDir)
     val tmp = manifestDir.resolve(s"compact-tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp,
       union.toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, compactPath(n), StandardCopyOption.ATOMIC_MOVE)
+    // the pruned entries leave the in-memory set too (they are below
+    // the marker, so no rebuild can resurrect them)
+    seenCache = union
+    seenThrough = n
     val s = Files.list(manifestDir)
     try s.iterator().asScala.toSeq.foreach { p =>
       val name = p.getFileName.toString

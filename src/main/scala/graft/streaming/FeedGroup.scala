@@ -24,14 +24,33 @@ import scala.jdk.CollectionConverters._
   *    change under a replay (offsets reference generations by number,
   *    which is what makes crash-replay of an adoption batch
   *    deterministic).
-  *  - '''Cursors''' (`cursors/log-NNNNN.json`, atomic overwrite): the
-  *    log's CURRENT owner records the group-committed positions at each
-  *    Spark commit, FENCED by generation — a write is refused unless
-  *    the writer owns the log in the CURRENT generation and is not
-  *    regressing a newer generation's file. A fenced member (left, or
-  *    superseded by a newer generation) can neither advance the group
-  *    cursor nor drain newly-arrived data: its next trigger derives an
-  *    empty assignment from the current generation.
+  *  - '''Cursors''' (`cursors/log-NNNNN-gen-NNNNNN.json`, atomic
+  *    overwrite, one file PER GENERATION per log): the log's CURRENT
+  *    owner records the group-committed positions at each Spark commit,
+  *    FENCED by generation — a write is refused unless the writer owns
+  *    the log in the CURRENT generation. Per-generation files close the
+  *    check-then-act overwrite window a single shared file had (ADVICE
+  *    r15): a stale owner's in-flight write that passed the fence before
+  *    a newer generation was cut lands in ITS generation's file and can
+  *    never clobber the newer generation's — [[committedCursors]]
+  *    max-merges across every generation's file, so positions only move
+  *    forward. A fenced member (left, or superseded by a newer
+  *    generation) can neither advance the group cursor nor drain
+  *    newly-arrived data: its next trigger derives an empty assignment
+  *    from the current generation.
+  *  - '''Acks''' (`cursors/ack-NNNNN-gen-NNNNNN.json`, same discipline):
+  *    the PEL leg (VERDICT r15 next #3 — the reference's XACK/XAUTOCLAIM
+  *    shape, service.js:117-120). A consumer's SINK records, after each
+  *    batch's data is durably written, the per-segment end positions it
+  *    has DELIVERED. Where the cursor ledger records what Spark has
+  *    committed (one batch behind a crash), the ack ledger records what
+  *    actually reached the sink — so a crashed owner's delivered-but-
+  *    uncommitted stretch is never redelivered by the adopting owner
+  *    ([[ackedPositions]] lifts the adoption base), while an undelivered
+  *    stretch (no ack) IS redelivered (XAUTOCLAIM's no-loss rule). The
+  *    residual window is delivery→ack (the classic two-phase gap the
+  *    reference shares); the store sink's LWW identity absorbs exactly
+  *    that.
   *
   * Delivery contract (Kafka's): exactly-once across GRACEFUL membership
   * change (join/leave between a member's triggers — the handoff cursor
@@ -113,18 +132,19 @@ object FeedGroup {
     else Some(parseGen(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
   }
 
-  /** The group-committed cursor map right now: the latest generation's
-    * snapshot overlaid with every per-log cursor file (positions only
-    * move forward, so max wins).
+  /** Max-merge the position entries of every ledger file whose name
+    * matches `pattern` over `base` (positions only move forward, so max
+    * wins — which is also what makes a stale generation's late write
+    * harmless: its file survives, its positions are dominated).
     */
-  def committedCursors(topic: Path): Map[String, Long] = {
-    val base = currentGeneration(topic).map(_.cursors).getOrElse(Map.empty)
+  private def maxMerged(topic: Path, base: Map[String, Long],
+      pattern: String): Map[String, Long] = {
     val dir = cursorsDir(topic)
     if (!Files.exists(dir)) return base
     val s = Files.list(dir)
     val files =
       try s.iterator().asScala
-        .filter(_.getFileName.toString.matches("log-\\d{5}\\.json")).toSeq
+        .filter(_.getFileName.toString.matches(pattern)).toSeq
       finally s.close()
     files.foldLeft(base) { (acc, f) =>
       val content =
@@ -139,11 +159,20 @@ object FeedGroup {
     }
   }
 
-  private def cursorGenOf(f: Path): Long =
-    try "\"gen\":(\\d+)".r
-      .findFirstMatchIn(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
-      .map(_.group(1).toLong).getOrElse(-1L)
-    catch { case _: java.io.IOException => -1L }
+  /** The group-committed cursor map right now: the latest generation's
+    * snapshot overlaid with every per-(log, generation) cursor file
+    * (max-merged; the legacy single-file name is still read so ledgers
+    * written before the per-generation scheme keep their positions).
+    */
+  def committedCursors(topic: Path): Map[String, Long] =
+    maxMerged(topic, currentGeneration(topic).map(_.cursors).getOrElse(Map.empty),
+      "log-\\d{5}(-gen-\\d{6})?\\.json")
+
+  /** Sink-DELIVERED positions (the PEL ack ledger), max-merged across
+    * every generation's ack file. Empty where no consumer ever acked.
+    */
+  def ackedPositions(topic: Path): Map[String, Long] =
+    maxMerged(topic, Map.empty, "ack-\\d{5}-gen-\\d{6}\\.json")
 
   /** Membership change: write the NEXT generation with `member` added
     * (`add = true`) or removed. CREATE_NEW makes concurrent changes
@@ -183,31 +212,45 @@ object FeedGroup {
   def leave(topic: Path, member: String): Generation =
     changeMembership(topic, member, add = false)
 
-  /** FENCED cursor commit: `member`, acting under generation `gen`,
-    * records log `logIdx`'s committed positions. Refused (false) when a
-    * NEWER generation no longer assigns it the log, or when the cursor
-    * file already carries a newer generation — the zombie cases.
-    */
-  def commitCursors(topic: Path, member: String, gen: Long, logIdx: Int,
-      positions: Map[String, Long]): Boolean = {
+  /** Fenced write of a per-(log, generation) ledger file. */
+  private def fencedWrite(topic: Path, member: String, gen: Long, logIdx: Int,
+      positions: Map[String, Long], kind: String): Boolean = {
     // the CURRENT generation must still assign this member the log:
     // under a newer generation that reassigned it, the old owner is
     // fenced even for work it finished before noticing the change
     val cur = currentGeneration(topic)
     if (!cur.exists(g => g.gen >= gen && g.owns(member, logIdx))) return false
+    val curGen = cur.map(_.gen).getOrElse(gen)
     Files.createDirectories(cursorsDir(topic))
-    val f = cursorsDir(topic).resolve(f"log-$logIdx%05d.json")
-    if (Files.exists(f) && cursorGenOf(f) > cur.map(_.gen).getOrElse(gen))
-      return false
+    // one file per (log, generation): a write that raced a membership
+    // change lands in the generation it passed the fence under and can
+    // never overwrite a newer generation's file (ADVICE r15)
+    val f = cursorsDir(topic).resolve(f"$kind-$logIdx%05d-gen-$curGen%06d.json")
     val entries = positions.toSeq.sorted
       .map { case (k, v) => s"${js(k)}:$v" }
-    val payload = (s""""gen":${cur.map(_.gen).getOrElse(gen)}""" +: entries)
+    val payload = (s""""gen":$curGen""" +: entries)
       .mkString("{", ",", "}")
     val tmp = cursorsDir(topic)
-      .resolve(s".log-$logIdx-${java.util.UUID.randomUUID()}.tmp")
+      .resolve(s".$kind-$logIdx-${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, payload.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     true
   }
+
+  /** FENCED cursor commit: `member`, acting under generation `gen`,
+    * records log `logIdx`'s committed positions. Refused (false) when a
+    * NEWER generation no longer assigns it the log — the zombie case.
+    */
+  def commitCursors(topic: Path, member: String, gen: Long, logIdx: Int,
+      positions: Map[String, Long]): Boolean =
+    fencedWrite(topic, member, gen, logIdx, positions, "log")
+
+  /** FENCED delivery ack (the PEL leg): the SINK records, post-write,
+    * the per-segment end positions durably delivered for log `logIdx`.
+    * Same fence as [[commitCursors]] — a zombie's late ack is refused.
+    */
+  def commitAcks(topic: Path, member: String, gen: Long, logIdx: Int,
+      positions: Map[String, Long]): Boolean =
+    fencedWrite(topic, member, gen, logIdx, positions, "ack")
 }

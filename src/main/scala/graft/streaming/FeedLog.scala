@@ -283,6 +283,13 @@ object FeedLog {
       more
     }
 
+    /** End byte position (= the next record's start) of the record the
+      * last [[next]] returned — what a delivery ACK records (the PEL
+      * leg needs record ENDS: acking a start would re-deliver the acked
+      * record itself).
+      */
+    var lastRecordEnd: Long = from
+
     override def next(): (Long, String) = {
       ensure(HeaderBytes)
       val at = pos + buf.position()
@@ -290,6 +297,7 @@ object FeedLog {
       ensure(len)
       val bytes = new Array[Byte](len)
       buf.get(bytes)
+      lastRecordEnd = at + HeaderBytes + len
       (at, new String(bytes, StandardCharsets.UTF_8))
     }
 

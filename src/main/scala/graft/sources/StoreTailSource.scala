@@ -242,30 +242,57 @@ final class StoreTailStream(nsRoot: String, checkpointLocation: String,
     *
     * Gated on the store's cross-process CHANGE STAMP: every mutation in
     * any process rewrites `<ns>/version`, so an idle trigger pays one
-    * small read instead of an O(partitions) tier walk — the metadata
-    * plane a 200 ms-trigger tail needs at millions of directories. A
-    * missing/unreadable stamp disables the gate (walk every trigger —
-    * correct, just uncached).
+    * small read instead of an O(partitions) tier walk. When the stamp
+    * DOES move, the hot tier is maintained INCREMENTALLY from the
+    * ACTIVITY ledger (VERDICT r15 next #1): the full tier walk runs once
+    * per (re)start to seed the set, and every later refresh reads only
+    * the activity bytes appended since the last one
+    * ([[graft.tsdb.ActivityLedger.readAppended]]) and lists exactly the
+    * partitions whose activity advanced — steady ingest costs O(touched
+    * dirs) per trigger, not O(all partitions). Sound because every
+    * NEW-DATA lane (L0 write, distributed append, DSv2 commit) appends
+    * its per-partition activity row BEFORE bumping the stamp, and every
+    * other stamp move is a rewrite/sweep that by the `rw-` contract
+    * never adds candidates (sweeps only REMOVE — handled by the commit-
+    * time prune). A missing/unreadable stamp disables the gate (refresh
+    * every trigger — correct, just uncached).
     */
   private var lastStamp: String = null
   private var lastCandidates: Seq[String] = null
+  /** Hot-tier candidates discovered so far (store-relative). */
+  private var knownHot: scala.collection.mutable.TreeSet[String] = null
+  /** Activity-ledger byte cursors (file name → bytes consumed). */
+  private var actOffsets: Map[String, Long] = Map.empty
 
   private def stamp(): String =
     try new String(Files.readAllBytes(root.resolve("version")),
       StandardCharsets.UTF_8)
     catch { case _: java.io.IOException => "" }
 
-  private def candidates(): Seq[String] = {
-    val st = stamp()
-    if (st.nonEmpty && lastCandidates != null && st == lastStamp)
-      return lastCandidates
-    val got = listCandidates()
-    lastStamp = st
-    lastCandidates = got
-    got
+  private def subDirs(d: Path, prefix: String): Seq[Path] =
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(prefix)).toSeq
+      finally s.close()
+    }
+
+  private def hotFilesOf(pd: Path, tagDirName: String, pdName: String,
+      into: scala.collection.mutable.TreeSet[String]): Unit = {
+    if (!Files.isDirectory(pd)) return
+    val s = Files.list(pd)
+    try s.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && !n.startsWith(".") &&
+          !n.startsWith(graft.tsdb.Limits.RewritePrefix)) {
+        into += s"hot/$tagDirName/$pdName/$n"; ()
+      }
+    } finally s.close()
   }
 
-  private def listCandidates(): Seq[String] = {
+  private def l0Listing(): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val l0 = root.resolve("l0")
     if (Files.exists(l0)) {
@@ -275,28 +302,42 @@ final class StoreTailStream(nsRoot: String, checkpointLocation: String,
         if (n.endsWith(".parquet") && !n.startsWith(".")) out += s"l0/$n"
       } finally s.close()
     }
+    out.toSeq
+  }
+
+  private def candidates(): Seq[String] = {
+    val st = stamp()
+    if (st.nonEmpty && lastCandidates != null && st == lastStamp)
+      return lastCandidates
     val hot = root.resolve("hot")
-    def subDirs(d: Path, prefix: String): Seq[Path] =
-      if (!Files.isDirectory(d)) Seq.empty
-      else {
-        val s = Files.list(d)
-        try s.iterator().asScala
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith(prefix)).toSeq
-        finally s.close()
+    if (knownHot == null) {
+      // (re)start: snapshot the activity cursors FIRST, then walk — a
+      // row appended mid-walk is re-read by the next refresh, and its
+      // files are either already in the walk or discovered then
+      actOffsets = graft.tsdb.ActivityLedger.readAppended(
+        root.resolve("activity"), Map.empty)._1
+      knownHot = scala.collection.mutable.TreeSet.empty[String]
+      subDirs(hot, "tag=").foreach { tagDir =>
+        subDirs(tagDir, "partition_start=").foreach { pd =>
+          hotFilesOf(pd, tagDir.getFileName.toString,
+            pd.getFileName.toString, knownHot)
+        }
       }
-    subDirs(hot, "tag=").foreach { tagDir =>
-      subDirs(tagDir, "partition_start=").foreach { pd =>
-        val s = Files.list(pd)
-        try s.iterator().asScala.foreach { p =>
-          val n = p.getFileName.toString
-          if (n.endsWith(".parquet") && !n.startsWith(".") &&
-              !n.startsWith(graft.tsdb.Limits.RewritePrefix))
-            out += s"hot/${tagDir.getFileName}/${pd.getFileName}/$n"
-        } finally s.close()
+    } else {
+      val (newOffsets, touched) = graft.tsdb.ActivityLedger
+        .readAppended(root.resolve("activity"), actOffsets)
+      actOffsets = newOffsets
+      touched.foreach { case (tag, ps) =>
+        val tagDirName = "tag=" + ExternalCatalogUtils.escapePathName(tag)
+        val pdName = s"partition_start=$ps"
+        hotFilesOf(hot.resolve(tagDirName).resolve(pdName),
+          tagDirName, pdName, knownHot)
       }
     }
-    out.sorted.toSeq
+    val out = (l0Listing() ++ knownHot).sorted
+    lastStamp = st
+    lastCandidates = out
+    out
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -382,7 +423,17 @@ final class StoreTailStream(nsRoot: String, checkpointLocation: String,
     val base = newestCompact()
     if (n <= 0 || base.exists(_ >= n)) return
     if (n - base.getOrElse(0L) < compactEvery) return
-    val union = seenFiles(n).filter(rel => Files.exists(root.resolve(rel)))
+    val all = seenFiles(n)
+    val union = all.filter(rel => Files.exists(root.resolve(rel)))
+    // swept ADMITTED files leave the candidate cache too: pruning them
+    // from seen alone would let a stale candidate entry re-admit a file
+    // that no longer exists (never-admitted swept files stay — their
+    // admission must fail LOUDLY, the outslept-grace contract)
+    val swept = all -- union
+    if (swept.nonEmpty && knownHot != null) {
+      knownHot --= swept
+      lastCandidates = null
+    }
     Files.createDirectories(manifestDir)
     val tmp = manifestDir.resolve(s"compact-tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp,

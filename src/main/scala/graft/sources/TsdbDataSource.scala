@@ -1013,10 +1013,15 @@ final class TsdbWrite(
         case c => c.toString
       } + "\""
       val sb = new StringBuilder
+      // pmax = running activityTs max within this (write-once) file —
+      // the change planner's backward-scan stop bound, so a cold plan
+      // skips a whole historical commit file from its last line alone
+      var pmax = Long.MinValue
       acts.foreach { case (tag, ps, actTs) =>
+        if (actTs > pmax) pmax = actTs
         val pName = tag + graft.tsdb.Limits.Separator + ps
         sb.append(s"""{"partitionName":${js(pName)},"tag":${js(tag)},""")
-          .append(s""""partitionStart":$ps,"activityTs":$actTs,"kind":${js("w")}}""")
+          .append(s""""partitionStart":$ps,"activityTs":$actTs,"kind":${js("w")},"pmax":$pmax}""")
           .append('\n')
       }
       val actDir = Paths.get(nsRoot, "activity")

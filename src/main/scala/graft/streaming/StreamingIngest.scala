@@ -167,6 +167,67 @@ object StreamingIngest {
       .start()
   }
 
+  /** [[feedSampleStream]] in DYNAMIC-GROUP mode with the PEL ACK
+    * discipline (VERDICT r15 next #3 — the reference's XACK,
+    * service.js:117-120): after each micro-batch's samples are durably
+    * in the store, the sink records the batch's per-segment END
+    * positions in the group's ack ledger ([[FeedGroup.commitAcks]],
+    * fenced by generation). The source lifts every adoption base to the
+    * ack floor, so a crashed owner's DELIVERED-but-uncommitted stretch
+    * is never redelivered by the adopting member — raw provenance
+    * counts stay exact across an owner crash, no LWW absorption needed
+    * — while an UNDELIVERED stretch (no ack) is redelivered
+    * (XAUTOCLAIM's no-loss rule). The residual at-least-once window is
+    * store-write → ack-write, the same two-phase gap the reference has;
+    * the store's LWW identity absorbs exactly that.
+    */
+  def feedGroupSampleStream(spark: SparkSession, store: TimeSeriesStore,
+      logDir: String, member: String, maxBytesPerTrigger: Long = 1L << 20,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[Sample].schema
+    val input = spark.readStream
+      .format("graft-feed")
+      .option("path", logDir)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger)
+      .option("group", member)
+      .load()
+      .select(col("segment"), col("end_pos"),
+        from_json(col("value"), schema).as("s"))
+    val topicPath = java.nio.file.Paths.get(logDir)
+    def logIdxOf(segment: String): Int = {
+      val i = segment.indexOf('/')
+      if (i < 0) 0
+      else segment.substring(0, i).stripPrefix("log-").toInt
+    }
+    val writer = input.writeStream.outputMode("append")
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          val rows = cached.select("s.*").as[Sample].collect()
+          if (rows.nonEmpty) store.writeSamples(rows.toIndexedSeq)
+          // delivery is durable — XACK the drained stretch (per log,
+          // fenced: a zombie's late ack is refused by the ledger)
+          val acks = cached.groupBy(col("segment"))
+            .agg(max(col("end_pos")).as("end")).collect()
+          if (acks.nonEmpty) {
+            val gen = FeedGroup.currentGeneration(topicPath)
+              .map(_.gen).getOrElse(0L)
+            acks.groupBy(r => logIdxOf(r.getString(0))).foreach {
+              case (idx, rs) =>
+                FeedGroup.commitAcks(topicPath, member, gen, idx,
+                  rs.map(r => r.getString(0) -> r.getLong(1)).toMap)
+                ()
+            }
+          }
+        } finally { cached.unpersist(); () }
+      }
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+  }
+
   /** The store→downstream topology (VERDICT r14 next #1): tail a SOURCE
     * store through `graft-store-tail` ([[graft.sources
     * .StoreTailTableProvider]]) and replicate every emitted member into a
@@ -215,6 +276,49 @@ object StreamingIngest {
             if (rows.nonEmpty) dest.writeSamples(rows.toIndexedSeq)
           }
         } finally { cached.unpersist(); () }
+      }
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+  }
+
+  /** The CDC-mode store tail (VERDICT r15 next #2): subscribe to the
+    * store's NET CHANGES through `graft-store-cdf`
+    * ([[graft.sources.StoreCdfTableProvider]]) and materialize each
+    * window into a partitioned parquet CHANGE LOG — one
+    * `win_to=<clock>` partition per micro-batch, written with DYNAMIC
+    * partition overwrite so a crash-replayed window rewrites its own
+    * partition instead of duplicating it (the idempotent-sink
+    * discipline every ingest topology here uses, rendered for a log
+    * whose rows have no LWW identity to absorb replays). Unlike the
+    * append tail, deletions ARE observed (`delete` rows), so a consumer
+    * folding insert/update_postimage/delete over the log reconstructs
+    * the exact upstream LWW state window by window — Round16Spec pins
+    * that parity on a history WITH deletes and a compaction, extending
+    * the delete-free Round15 pin.
+    *
+    * @param graceMs the store's deployed `obsoleteGraceMs` (the window
+    *   retention guard)
+    */
+  def storeCdfStream(spark: SparkSession, srcNamespaceRoot: String,
+      changeLogDir: String, graceMs: Long,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val input = spark.readStream
+      .format("graft-store-cdf")
+      .option("path", srcNamespaceRoot)
+      .option("graceMs", graceMs.toString)
+      .load()
+    val writer = input.writeStream.outputMode("append")
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("win_to")
+            .parquet(changeLogDir)
+        }
+        ()
       }
       .trigger(Trigger.ProcessingTime("200 milliseconds"))
       .start()

@@ -292,6 +292,91 @@ object ParquetIO {
     }
   }
 
+  // ------------------------------------------------ point-read index
+
+  /** A decoded file as a SERVING index: rows sorted by (tag, ts) with a
+    * per-tag slice map, so a 20 ms point window costs one binary search
+    * plus the matching rows instead of a full-file filter (VERDICT r15
+    * next #4: at 17 L0 batches × 2,000 rows, the linear filter WAS the
+    * point-read floor). Keyed by (path, dirTag) ALONE — no size/mtime
+    * stat per read — which is sound because store data files are
+    * immutable once published: every batch, flush, compaction, ack, or
+    * delete rewrite creates a file under a NEW unique name, never
+    * rewrites one in place.
+    */
+  private final case class PointIndex(rows: IndexedSeq[SampleRow],
+      slices: Map[String, (Int, Int)], est: Long)
+
+  private val pointCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val PointCacheBudget = 128L << 20
+  private val pointCache =
+    new java.util.LinkedHashMap[(String, Option[String]), PointIndex](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Option[String]), PointIndex]): Boolean = {
+        val over = size() > 4096 || pointCacheBytes.get() > PointCacheBudget
+        if (over) pointCacheBytes.addAndGet(-e.getValue.est)
+        over
+      }
+    }
+
+  private def pointIndex(file: JPath, dirTag: Option[String],
+      conf: Configuration): PointIndex = {
+    val key = (file.toString, dirTag)
+    val hit = pointCache.synchronized(Option(pointCache.get(key)))
+    hit.getOrElse {
+      val raw = readAllRows(file, dirTag, conf)
+      val rows = raw.sortBy(r => (r._1, r._2))
+      val slices = scala.collection.mutable.HashMap.empty[String, (Int, Int)]
+      var i = 0
+      while (i < rows.length) {
+        val t = rows(i)._1
+        var j = i
+        while (j < rows.length && rows(j)._1 == t) j += 1
+        slices(t) = (i, j)
+        i = j
+      }
+      val est = rows.iterator
+        .map(r => 72L + r._1.length + r._3.length + r._5.length).sum
+      val idx = PointIndex(rows, slices.toMap, est)
+      if (est <= PointCacheBudget / 8) pointCache.synchronized {
+        if (pointCache.put(key, idx) == null) pointCacheBytes.addAndGet(est)
+      }
+      idx
+    }
+  }
+
+  /** Fold `file`'s rows for `tag` within `[start, end]` into the LWW
+    * winner map `acc` — binary-searched from the point index.
+    */
+  def foldPointRows(file: JPath, dirTag: Option[String], tag: String,
+      start: Long, end: Long, conf: Configuration,
+      acc: mutable.Map[Long, (String, Long, Long, String)]): Unit = {
+    val idx = pointIndex(file, dirTag, conf)
+    idx.slices.get(tag) match {
+      case None => ()
+      case Some((lo, hi)) =>
+        // lower bound of `start` in rows[lo, hi) by ts
+        var a = lo
+        var b = hi
+        while (a < b) {
+          val m = (a + b) >>> 1
+          if (idx.rows(m)._2 < start) a = m + 1 else b = m
+        }
+        val lwwOrd = Ordering.Tuple3(Ordering.Long, Ordering.Long, Ordering.String)
+        var i = a
+        while (i < hi && idx.rows(i)._2 <= end) {
+          val r = idx.rows(i)
+          val keep = acc.get(r._2) match {
+            case Some((_, i0, q0, w0)) => lwwOrd.lt((i0, q0, w0), (r._4, r._6, r._5))
+            case None => true
+          }
+          if (keep) acc(r._2) = (r._3, r._4, r._6, r._5)
+          i += 1
+        }
+    }
+  }
+
   /** Merge rows from candidate files with last-write-wins resolution:
     * for each requested (tag, [start, end]) keep, per ts, the row with the
     * greatest (ingestTs, seq, writerId) — identical semantics to

@@ -1603,51 +1603,110 @@ final class TimeSeriesStore(
     }
   }
 
-  /** Driver-side pruned merge read; None when the candidate set is too
-    * large for the fast path (or on any IO race with a concurrent flush —
-    * the Spark path is the always-correct fallback).
+  // ----------------------------------------------- point-read fast path
+
+  /** Serving-index caches (VERDICT r15 next #4): the fast path's
+    * candidate LISTINGS — pending-exclusion snapshot, L0 files with
+    * sizes, and per-tag partition directories — resolve once per store
+    * state instead of once per read (keyed on the same
+    * version + cross-process stamp pair the tier DataFrames use). A
+    * 20 ms point read then costs one stamp stat, map lookups, and the
+    * binary-searched [[ParquetIO.foldPointRows]] per candidate file —
+    * the reference's single-ZRANGE cost class, which per-read directory
+    * listings and full-file filters were burying (~3-5 k/s before;
+    * ≥ 20 k/s single-thread is the bench gate).
     */
-  private def fastRead(ranges: Map[String, (Long, Long)]): Option[Map[String, SortedMap[Long, String]]] =
-    try {
-      val cand = scala.collection.mutable.ArrayBuffer.empty[(Path, Option[String])]
-      var bytes = 0L
-      // Ledger-pending files are excluded here for the same reason
-      // nonEmptyTier excludes them from fresh listings — and, since
-      // delete() exists, for SEMANTICS too: a retired file may hold
-      // physically-DELETED rows that no surviving file supersedes, so a
-      // fresh read that included it would resurrect forgotten data
-      // (compaction's old∪new was LWW-equivalent; a delete's is not).
+  @volatile private var servingKey: (Long, String) = null
+  @volatile private var servingPending: Set[Path] = Set.empty
+  @volatile private var servingL0: Seq[(Path, Long)] = Seq.empty
+  private val servingTags = scala.collection.concurrent.TrieMap
+    .empty[String, IndexedSeq[(Long, Seq[(Path, Long)])]]
+  private val servingLock = new Object
+
+  private def refreshServing(): Unit = {
+    val key = (storeVersion.get(), diskStamp())
+    if (servingKey == key) return
+    servingLock.synchronized {
+      if (servingKey == key) return
       val pending = pendingObsolete()
-      def addPartFiles(tier: Path): Unit = ranges.foreach { case (tag, (s, e)) =>
+      val l0 = l0FileList().filter(f =>
+        !pending.contains(f.toAbsolutePath.normalize))
+        .map(f => (f, sizeOrZero(f)))
+      servingTags.clear()
+      servingPending = pending
+      servingL0 = l0
+      servingKey = key
+    }
+  }
+
+  /** A tag's partition directories across BOTH tiers, with live files
+    * and their sizes — built on first read of the tag per store state.
+    */
+  private def tagCandidates(tag: String): IndexedSeq[(Long, Seq[(Path, Long)])] =
+    servingTags.getOrElseUpdate(tag, {
+      val pending = servingPending
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Seq[(Path, Long)])]
+      Seq(hotDir, coldDir).foreach { tier =>
         val tagDir = tier.resolve(tagDirName(tag))
         if (Files.exists(tagDir)) withList(tagDir)(_.foreach { pd =>
           val n = pd.getFileName.toString
           if (n.startsWith("partition_start=")) {
-            val p = n.substring("partition_start=".length).toLong
-            if (p >= partitionStartOf(s) && p <= partitionStartOf(e))
-              withList(pd)(_.foreach { f =>
-                if (f.getFileName.toString.endsWith(".parquet") &&
-                    !pending.contains(f.toAbsolutePath.normalize)) {
-                  cand += ((f, Some(tag))); bytes += sizeOrZero(f)
-                }
-              })
+            val ps = n.substring("partition_start=".length).toLong
+            val files = withList(pd)(_.filter { f =>
+              f.getFileName.toString.endsWith(".parquet") &&
+                !pending.contains(f.toAbsolutePath.normalize)
+            }.map(f => (f, sizeOrZero(f))).toSeq)
+            if (files.nonEmpty) { out += ((ps, files)); () }
           }
         })
       }
+      out.toIndexedSeq
+    })
+
+  /** Driver-side pruned merge read; None when the candidate set is too
+    * large for the fast path (or on any IO race with a concurrent flush —
+    * the Spark path is the always-correct fallback).
+    *
+    * Ledger-pending files are excluded for the same reason nonEmptyTier
+    * excludes them from fresh listings — and, since delete() exists, for
+    * SEMANTICS too: a retired file may hold physically-DELETED rows that
+    * no surviving file supersedes, so a fresh read that included it
+    * would resurrect forgotten data (compaction's old∪new was
+    * LWW-equivalent; a delete's is not).
+    */
+  private def fastRead(ranges: Map[String, (Long, Long)]): Option[Map[String, SortedMap[Long, String]]] =
+    try {
+      refreshServing()
       // upstream-first (L0 → hot → cold), same reasoning as `tiers`: a
       // concurrent foreign flush/ack can only DOUBLE a migrating row's
-      // candidacy (mergeRead's LWW pick collapses it), never hide it
-      l0FileList().filter(l0MayMatch(_, ranges))
-        .filter(f => !pending.contains(f.toAbsolutePath.normalize))
-        .foreach { f => cand += ((f, None)); bytes += sizeOrZero(f) }
-      addPartFiles(hotDir)
-      addPartFiles(coldDir)
+      // candidacy (the LWW fold collapses it), never hide it
+      val l0Cand = servingL0.filter { case (f, _) => l0MayMatch(f, ranges) }
+      val tagCand = ranges.toSeq.map { case (tag, (s, e)) =>
+        val lo = partitionStartOf(s)
+        val hi = partitionStartOf(e)
+        (tag, s, e, tagCandidates(tag).filter(p => p._1 >= lo && p._1 <= hi))
+      }
+      val bytes = l0Cand.iterator.map(_._2).sum +
+        tagCand.iterator.flatMap(_._4.iterator.flatMap(_._2.iterator.map(_._2))).sum
       if (bytes > Limits.fastPathMaxBytes) None
       else {
-        val merged = ParquetIO.mergeRead(cand.toSeq, ranges, hadoopConf)
-        Some(merged.map { case (t, m) =>
-          t -> SortedMap(m.view.map { case (ts, (v, _, _, _)) => ts -> v }.toSeq: _*)
-        }.toMap)
+        val out = Map.newBuilder[String, SortedMap[Long, String]]
+        tagCand.foreach { case (tag, s, e, parts) =>
+          val acc = scala.collection.mutable
+            .Map.empty[Long, (String, Long, Long, String)]
+          l0Cand.foreach { case (f, _) =>
+            ParquetIO.foldPointRows(f, None, tag, s, e, hadoopConf, acc)
+          }
+          parts.foreach { case (_, files) =>
+            files.foreach { case (f, _) =>
+              ParquetIO.foldPointRows(f, Some(tag), tag, s, e, hadoopConf, acc)
+            }
+          }
+          if (acc.nonEmpty)
+            out += tag -> SortedMap(acc.view.mapValues(_._1).toSeq: _*)
+        }
+        Some(out.result())
       }
     } catch { case _: java.io.IOException => None }
 

@@ -249,6 +249,42 @@ class Round16Spec extends AnyFunSuite with BeforeAndAfterAll {
       "undelivered stretch must be redelivered")
   }
 
+  // ------------------------------------------------ restartable BPE
+
+  test("restartable BPE: resumed sittings are bit-identical to an unbroken run") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // unbroken reference at the same knobs
+    val unbroken = graft.analytics.TextAnalysis
+      .bpeTrainDeep(docs, targetMerges = 40, batchM = 8, poolK = 48)
+      .select("round", "sel_rank", "pair_a", "pair_b", "merged", "cnt")
+      .as[(Long, Long, String, String, String, Long)].collect().toSeq.sorted
+    assert(unbroken.size === 40)
+    // restartable drive forced through >= 2 sittings of 3 rounds, with
+    // a checkpoint interval that does NOT divide the sitting length (so
+    // resume exercises the recompute-from-checkpoint leg too)
+    val root = Files.createTempDirectory("r16-bpe").toString
+    var sittings = 0
+    var done = false
+    while (!done && sittings < 20) {
+      done = graft.analytics.TextAnalysis.bpeTrainDeepRestartable(
+        docs, root, targetMerges = 40, batchM = 8, poolK = 48,
+        roundsPerSitting = 3, checkpointEvery = 2)._2
+      sittings += 1
+    }
+    assert(done && sittings >= 2, s"drive should span >= 2 sittings: $sittings")
+    val resumed = graft.analytics.TextAnalysis.loadBpeRules(spark, root)
+      .select("round", "sel_rank", "pair_a", "pair_b", "merged", "cnt")
+      .as[(Long, Long, String, String, String, Long)].collect().toSeq.sorted
+    assert(resumed === unbroken,
+      "resumed training diverged from the unbroken run")
+    // idempotent completion: another sitting on a done root changes nothing
+    val (again, d2) = graft.analytics.TextAnalysis.bpeTrainDeepRestartable(
+      docs, root, targetMerges = 40, batchM = 8, poolK = 48)
+    assert(d2)
+    assert(again.count() === 40L)
+  }
+
   // --------------------------------------------- quantile sketch error
 
   test("quantile sketch: err_bound is 1/sqrt(ndv) and bounds the measured rank error at 3x") {

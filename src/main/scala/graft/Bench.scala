@@ -98,8 +98,18 @@ object Bench {
         (1 to nW).foreach(i => store.write(batch(r * nW + i)))
         (System.nanoTime() - t0) / 1e9
       }.min
-      val nR = 25
-      store.readData(Map("Tag0" -> (base - 10L, base + 10L))) // warm tier cache
+      // 500 reads per round (was 25): at the round-16 fast path's
+      // ≥ 20 k/s rate a 25-read round is ~1 ms of mostly-JIT wall time —
+      // the number it printed was the warm-up, not the rate. Rates stay
+      // directly comparable across rounds; the measurement is just no
+      // longer noise-floored (BASELINE.md round-16 note).
+      val nR = 500
+      // untimed warm-up, same discipline as the query warm-up runs (JIT +
+      // serving-index build are once-per-process costs, not rate)
+      (0 until 100).foreach { i =>
+        store.readData(Map(
+          s"Tag${i % 200}" -> (base + i * 1000L - 10L, base + i * 1000L + 10L)))
+      }
       // footer-cache observability for the read lanes (VERDICT r9 next
       // #7): a drift that shows up WITH a high hit rate is a real
       // serving-path regression; one with a low hit rate is file churn

@@ -229,8 +229,15 @@ object Similarity {
     * compiles one enormous tree (measured 11 s first-run at sf0.1 vs ~2 s
     * materialized). Corpus-sized data never reaches the driver.
     */
+  /** Idempotent: a frame that already carries (qv, nrm) — e.g. a staged
+    * checkpoint shared across walk legs — passes through untouched, so
+    * callers can pay the quantize projection ONCE per operator instead
+    * of once per hop-scan (VERDICT r15 next #5).
+    */
   private[graft] def prepQ(emb: DataFrame): DataFrame =
-    prep(emb).select(col("vec_id"), quantizeF(col("v")).as("qv"), col("nrm"))
+    if (emb.columns.contains("qv") && emb.columns.contains("nrm"))
+      emb.select(col("vec_id"), col("qv"), col("nrm"))
+    else prep(emb).select(col("vec_id"), quantizeF(col("v")).as("qv"), col("nrm"))
 
   /** Argmax-cosine assignment of every vector in `all` to its nearest
     * centroid, as a map-side-combined max(struct) aggregate — same
@@ -1185,7 +1192,10 @@ object Similarity {
       val hopScored = scoreCands(fresh)
       hopPlanProbe(hopScored)
       val scored = hopScored.localCheckpoint(true)
-      vis = vis.unionByName(scored).localCheckpoint(true)
+      // lazy union: every component is already checkpointed, so the
+      // growing visited set needs no materialization job of its own per
+      // hop — the anti-join and the final top-K read the cached pieces
+      vis = vis.unionByName(scored)
       val wb = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("cand_id"))
       frontier = scored.withColumn("rn", row_number().over(wb))
@@ -1466,9 +1476,15 @@ object Similarity {
       midHops: Int = 2, entryK: Int = 2, nEntries: Int = 2,
       insertBeam: Int = 8, insertHops: Int = 3,
       insertEntries: Int = 4): DataFrame = {
-    val merged = multilevelAddedAdjacency(emb, root, batchModulo, levels,
+    // stage the quantized corpus ONCE (VERDICT r15 next #5): every
+    // insert leg (levels × hops) and every serve hop scores against the
+    // same (vec_id, qv, nrm) projection — one exchange, all legs
+    // consumers, instead of re-quantizing the corpus per hop-scan
+    // (prepQ passes a staged frame through untouched)
+    val corpusQ = prepQ(emb).localCheckpoint(true)
+    val merged = multilevelAddedAdjacency(corpusQ, root, batchModulo, levels,
       k, insertBeam, insertHops, insertEntries)
-    multilevelServe(emb.where(col("vec_id") % 20 === 0), emb, merged,
+    multilevelServe(corpusQ.where(col("vec_id") % 20 === 0), corpusQ, merged,
       levels, k, beam, hops, upperBeam, topHops, midHops, entryK, nEntries)
   }
 
@@ -1504,7 +1520,17 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
         .select("u", "nb")
     }
-    (0 until levels).map(l => l -> mergedLevel(l)).toMap
+    // the level legs are INDEPENDENT (each inserts against its own
+    // frozen level's lists), and each is a driver-sequential chain of
+    // small walk jobs — running them concurrently overlaps that
+    // scheduling so the promotion premium costs max(leg), not Σ(legs)
+    // (VERDICT r15 next #5; the answer is unchanged — same plans, same
+    // checkpoints, just materialized in parallel)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val legs = (0 until levels).map(l => l -> Future(mergedLevel(l)))
+    legs.map { case (l, f) => l -> Await.result(f, Duration.Inf) }.toMap
   }
 
   /** DELETE a forget set from a persisted MULTILEVEL index: tombstones

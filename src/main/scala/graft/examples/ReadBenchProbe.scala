@@ -50,8 +50,13 @@ object ReadBenchProbe {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-    val nR = 25
-    store.readData(Map("Tag0" -> (base - 10L, base + 10L))) // warm tier cache
+    val nR = 500 // round 16: match Bench's widened read window
+    // untimed warm-up, same discipline as the query warm-up runs (JIT +
+      // serving-index build are once-per-process costs, not rate)
+      (0 until 100).foreach { i =>
+        store.readData(Map(
+          s"Tag${i % 200}" -> (base + i * 1000L - 10L, base + i * 1000L + 10L)))
+      }
     FooterCache.resetCounts()
     val rSec = (0 until 2).map { _ =>
       val t1 = System.nanoTime()

@@ -249,6 +249,43 @@ class Round16Spec extends AnyFunSuite with BeforeAndAfterAll {
       "undelivered stretch must be redelivered")
   }
 
+  // ---------------------------------------------- point-read fast path
+
+  test("point-read fast path: answers equal the Spark plan; over-cap falls back") {
+    import graft.tsdb.Limits
+    val root = Files.createTempDirectory("r16-fastread").toString
+    val st = new TimeSeriesStore(spark, root,
+      StoreSettings(partitionWidth = 100L), obsoleteGraceMs = 1L << 60)
+    st.initialize()
+    st.clock = () => 1000L
+    // L0 lane + an overlapping rewrite + a delete: the fast path must
+    // honor LWW across files AND the pending-file exclusion
+    st.writeSamples(samples("A", 0 until 30, t => s"a$t", 1000L, "w1", 0L) ++
+      samples("B", 100 until 130, t => s"b$t", 1000L, "w1", 500L))
+    st.writeSamples(samples("A", 10 until 20, t => s"x$t", 1500L, "w2", 900L))
+    st.flushL0()
+    st.clock = () => 2000L
+    st.delete("A", 25L, 27L)
+    val ranges = Map("A" -> (5L, 28L), "B" -> (100L, 110L), "C" -> (0L, 9L))
+    val fast = st.readData(ranges)
+    // force the Spark plan via the byte-cap seam and compare
+    Limits.fastPathMaxBytesOverride = 0L
+    val viaPlan = try st.readData(ranges)
+    finally Limits.fastPathMaxBytesOverride = -1L
+    assert(fast === viaPlan, "fast path diverged from the Spark plan")
+    assert(fast("A").keySet === ((5L to 24L) ++ (28L to 28L)).toSet)
+    assert((10L to 19L).forall(t => fast("A")(t) == s"x$t"),
+      "LWW winner lost in the fast path")
+    assert(!fast.contains("C"), "hitless tags must be omitted")
+    // a mutation after the cached listing is visible to the next read
+    st.clock = () => 3000L
+    st.writeSamples(samples("A", 5 until 7, t => s"z$t", 3000L, "w3", 2000L))
+    val fresh = st.readData(Map("A" -> (5L, 6L)))
+    assert(fresh("A") === scala.collection.immutable.SortedMap(
+      5L -> "z5", 6L -> "z6"),
+      "serving index missed a post-cache mutation")
+  }
+
   // ------------------------------------------------ restartable BPE
 
   test("restartable BPE: resumed sittings are bit-identical to an unbroken run") {

@@ -1529,7 +1529,11 @@ object Similarity {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val legs = (0 until levels).map(l => l -> Future(mergedLevel(l)))
+    // each merged level CHECKPOINTS inside its leg: the serve walks the
+    // level's lists once per hop, and a lazy merged plan would re-run
+    // the re-rank window per hop job
+    val legs = (0 until levels).map(l =>
+      l -> Future(mergedLevel(l).localCheckpoint(true)))
     legs.map { case (l, f) => l -> Await.result(f, Duration.Inf) }.toMap
   }
 

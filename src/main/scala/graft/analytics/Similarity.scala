@@ -1192,10 +1192,13 @@ object Similarity {
       val hopScored = scoreCands(fresh)
       hopPlanProbe(hopScored)
       val scored = hopScored.localCheckpoint(true)
-      // lazy union: every component is already checkpointed, so the
-      // growing visited set needs no materialization job of its own per
-      // hop — the anti-join and the final top-K read the cached pieces
-      vis = vis.unionByName(scored)
+      // the visited set re-materializes per hop DELIBERATELY: a lazy
+      // union over the checkpointed pieces looks free but makes hop h's
+      // anti-join scan h cached frames' partitions — task count grows
+      // quadratically over the walk, and the round-16 bench measured
+      // every serve-only graph row 1.5-2.2× slower under it (the
+      // consolidation job is cheaper than the fan-out it prevents)
+      vis = vis.unionByName(scored).localCheckpoint(true)
       val wb = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("cand_id"))
       frontier = scored.withColumn("rn", row_number().over(wb))

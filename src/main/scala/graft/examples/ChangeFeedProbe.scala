@@ -49,7 +49,48 @@ object ChangeFeedProbe {
         runPlan(spark, n, c)
       }
     }
+    if (mode == "mv" || mode == "both") {
+      println(f"${"partitions"}%10s ${"churned"}%8s ${"mv_fold_s"}%10s")
+      Seq((10000, 8), (100000, 8), (100000, 80)).foreach { case (n, c) =>
+        runMv(spark, n, c)
+      }
+    }
     spark.stop()
+  }
+
+  /** One CDC-MV maintenance tick at scale (round 16): source staged at N
+    * partitions with `churn` mutated in-window, the MV pre-seeded with N
+    * groups (a synced-MV-sized base), then ONE
+    * [[graft.streaming.StreamingIngest.applyCdfWindow]] fold of the
+    * churn window is timed end to end — window diff, sliced base +
+    * extremes reads ([[TimeSeriesStore.readAsOfSliceDF]]), merge, write.
+    * Churn-proportional maintenance means flat at 10× partitions and
+    * roughly linear in churn.
+    */
+  private def runMv(spark: SparkSession, nPartitions: Int, churn: Int): Unit = {
+    import graft.streaming.StreamingIngest
+    val st = stage(spark, nPartitions, churn, viaL0 = false)
+    val mv = new TimeSeriesStore(spark,
+      Files.createTempDirectory(s"graft-cdfmv$nPartitions").toString,
+      StoreSettings(partitionWidth = 100L), obsoleteGraceMs = 1L << 60)
+    mv.initialize()
+    // seed the MV at source group count through the distributed lane —
+    // the probe times a MAINTENANCE tick against a full-sized MV, not a
+    // first sync (payload values don't matter for the timing)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, col}
+    mv.writeSamplesDistributed(spark.range(nPartitions.toLong).select(
+      concat(lit("t"), col("id")).as("tag"),
+      (col("id") * 100L).as("ts"),
+      lit("1:100:100:100").as("value"),
+      lit(1000L).as("ingestTs"),
+      lit("seed").as("writerId"),
+      col("id").as("seq")))
+    val t0 = System.nanoTime()
+    StreamingIngest.applyCdfWindow(mv, st,
+      StreamingIngest.cdfWindowDF(spark, st, 1500L, 3500L), bucketMs = 100L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"$nPartitions%10d $churn%8d $secs%10.3f")
   }
 
   /** Plan + diff at N partitions, fixed churn 8 (the round-15 legs). */

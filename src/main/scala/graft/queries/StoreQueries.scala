@@ -490,6 +490,66 @@ object StoreQueries {
       logDir
     })
 
+  /** CDC-MV staging: the SAME mutation script as [[cdfLogFor]] (append →
+    * delete → superseding append → compaction at frozen clocks, a drain
+    * between each), but the subscriber is
+    * [[graft.streaming.StreamingIngest.cdfRollupMv]] — an incrementally
+    * maintained per-(tag, 6h-bucket) rollup held in a SECOND store,
+    * folded window by window (invertible aggregates from the log alone;
+    * min/max by touched-group partial recompute). The compaction window
+    * arrives empty and must fold as a no-op. Returns the MV store.
+    */
+  private val MvBucketMs = 21600000L // 6h — a handful of buckets per tag-day
+
+  private def cdfMvFor(s: SparkSession, dir: String): TimeSeriesStore =
+    sessionFresh(s, dir + "#cdfmv") {
+      val srcRoot = Files.createTempDirectory("graft-storemvsrc").toString
+      val mvRoot = Files.createTempDirectory("graft-storemv").toString
+      val ckpt = Files.createTempDirectory("graft-mvckpt").toString
+      val src = new TimeSeriesStore(s, srcRoot,
+        StoreSettings(partitionWidth = 86400000L),
+        obsoleteGraceMs = 1L << 60)
+      src.initialize()
+      val mv = new TimeSeriesStore(s, mvRoot,
+        StoreSettings(partitionWidth = 86400000L),
+        obsoleteGraceMs = 1L << 60) // MV snapshots are the replay base
+      mv.initialize()
+      val slice = Tables.events(s, dir)
+        .where(col("ts_ms").between(day(0), day(3)))
+      src.clock = () => 1000L
+      src.writeSamplesDistributed(slice.select(
+        col("event_type").as("tag"),
+        col("ts_ms").as("ts"),
+        col("value").cast("string").as("value"),
+        lit(1000L).as("ingestTs"),
+        lit("w1").as("writerId"),
+        col("event_id").as("seq")))
+      val q = graft.streaming.StreamingIngest.cdfRollupMv(
+        s, src.namespaceRoot, mv, graceMs = 1L << 60,
+        bucketMs = MvBucketMs, checkpointDir = Some(ckpt))
+      try {
+        q.processAllAvailable() // window (0, 1000]: full-sync fold
+        src.clock = () => 2000L
+        src.delete("click", day(1), day(2) - 1)
+        q.processAllAvailable() // window (1000, 2000]: retraction fold
+        src.clock = () => 3000L
+        src.writeSamplesDistributed(slice
+          .where(col("event_id") % 3 === 0)
+          .select(
+            col("event_type").as("tag"),
+            col("ts_ms").as("ts"),
+            (col("value") * 2).cast("string").as("value"),
+            lit(3000L).as("ingestTs"),
+            lit("w2").as("writerId"),
+            col("event_id").as("seq")))
+        q.processAllAvailable() // window (2000, 3000]: update/re-insert fold
+        src.clock = () => 4000L
+        src.compact(minFiles = 1, applyLww = true)
+        q.processAllAvailable() // window (3000, 4000]: MUST fold as no-op
+      } finally q.stop()
+      mv
+    }
+
   /** Third per-sf store: a 4-day slice bulk-ingested in TWO overlapping
     * batches (every partition gets ≥2 files; `event_id % 3 == 0` rows are
     * re-written with doubled values and a later ingestTs), then
@@ -1578,6 +1638,61 @@ object StoreQueries {
                  AS sum_cents
         FROM changes
         GROUP BY win, change_type, tag
-        ORDER BY win, change_type, tag"""))
+        ORDER BY win, change_type, tag""")),
+
+    // ---- CDC-maintained INCREMENTAL MATERIALIZED VIEW (IVM) ----
+    // The capability the CDC feed exists to enable: a per-(tag,
+    // 6h-bucket) rollup maintained window by window from net changes —
+    // count and exact cent-sum FOLD from the log alone (invertible
+    // aggregates; retraction = signed delta), min/max PARTIALLY
+    // RECOMPUTE over only the touched groups (non-invertible: deleting
+    // the current minimum reveals an unknown runner-up). Exactly-once
+    // without a batch ledger: the fold base is the MV store's own time
+    // travel at win_from and results write with ingestTs = win_to, so a
+    // crash-replayed window recomputes bit-identical rows that LWW
+    // absorbs. The staged history appends, DELETES (the fold must
+    // retract), supersedes (paired-image fold must net to the value
+    // delta), and compacts (must fold as a no-op); the oracle recomputes
+    // the rollup from the final LWW state — a maintainer that
+    // double-applied a window, missed a retraction, or left a stale
+    // extreme diverges.
+    QueryDef("st_cdf_rollup_mv",
+      (s, dir) => {
+        val mv = cdfMvFor(s, dir)
+        val part = split(col("value"), ":")
+        mv.lwwDedup(mv.allDF)
+          .select(col("tag"), col("ts").as("bucket_ts"),
+            part.getItem(0).cast("long").as("n"),
+            part.getItem(1).cast("long").as("sum_cents"),
+            part.getItem(2).cast("long").as("min_cents"),
+            part.getItem(3).cast("long").as("max_cents"))
+          .where(col("n") > 0) // n = 0 rows are LWW tombstones
+          .orderBy("tag", "bucket_ts")
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                 1000 AS ingest_ts, event_id
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        b AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
+                 value * 2 AS value, 3000 AS ingest_ts, event_id
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
+                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
+        s3 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                 PARTITION BY tag, ts_ms
+                 ORDER BY ingest_ts DESC, event_id DESC) AS rn
+               FROM (SELECT * FROM ad UNION ALL SELECT * FROM b))
+               WHERE rn = 1),
+        c AS (SELECT tag, ts_ms - (ts_ms % $MvBucketMs) AS bucket_ts,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM s3)
+        SELECT tag, bucket_ts, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               min(cents) AS min_cents, max(cents) AS max_cents
+        FROM c GROUP BY tag, bucket_ts ORDER BY tag, bucket_ts"""))
   )
 }

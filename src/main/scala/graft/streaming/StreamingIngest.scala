@@ -324,6 +324,236 @@ object StreamingIngest {
       .start()
   }
 
+  /** One CDC window as a DataFrame in the `graft-store-cdf` row shape —
+    * the batch twin of a single micro-batch. Specs drive
+    * [[applyCdfWindow]] through it (replay cases need the same window
+    * twice), and a backfill job can use it to catch an MV up over a
+    * window the stream missed.
+    */
+  def cdfWindowDF(spark: SparkSession, source: TimeSeriesStore,
+      fromMs: Long, toMs: Long): DataFrame = {
+    import spark.implicits._
+    source.changesBetweenLocal(fromMs, toMs)
+      .toDF("tag", "ts", "value", "ingestTs", "writerId", "seq", "change_type")
+      .withColumn("win_from", lit(fromMs))
+      .withColumn("win_to", lit(toMs))
+  }
+
+  /** Apply ONE net-change window to an incrementally-maintained rollup
+    * (IVM — the classic incremental-view-maintenance split, rendered on
+    * the store's own primitives):
+    *
+    *  - '''Invertible aggregates''' (`n`, `sum_cents`) FOLD from the
+    *    change log alone: `insert`/`update_postimage` contribute `+1`/
+    *    `+cents`, `delete`/`update_preimage` contribute `-1`/`-cents` —
+    *    no source read, churn-sized work (the window is byte-capped by
+    *    the CDC source's contract, so the per-group delta table is too).
+    *    Sums fold in integer CENTS so the fold is exactly associative —
+    *    a double fold would drift from a recompute by summation order.
+    *  - '''Non-invertible aggregates''' (`min_cents`, `max_cents`) can't
+    *    be folded through a retraction (deleting the current minimum
+    *    reveals an unknown runner-up), so they PARTIALLY RECOMPUTE: only
+    *    the window's TOUCHED groups re-read from the SOURCE snapshot as
+    *    of the window end — churn-proportional, never MV- or
+    *    corpus-sized. `trackExtremes = false` drops the lane and the MV
+    *    becomes a pure log consumer (no source access at all).
+    *
+    * '''Exactly-once without a batch ledger.''' The base state is the MV
+    * store's OWN time travel at the window START (`readAsOfDF(win_from)`
+    * — rows the MV wrote for this or any later window carry
+    * `ingestTs = win_to > win_from`, so they don't exist in the base),
+    * and the result rows are written with `ingestTs = win_to`: a
+    * crash-replayed window recomputes from the identical base, produces
+    * bit-identical rows, and the store's LWW order absorbs the rewrite.
+    * The MV's own provenance IS the ledger — the same discipline every
+    * ingest topology here uses, extended to read-modify-write.
+    *
+    * A group folding to `n = 0` writes a `0:0[:0:0]` TOMBSTONE (the MV
+    * is LWW-keyed, so "absent" must be an explicit newest state, not a
+    * missing row); readers filter `n > 0`.
+    *
+    * '''Two merge branches, one semantics.''' A steady tail's window
+    * touches few groups: the merge runs DRIVER-side (collect the delta
+    * table, point-filter the two snapshots, one L0 serving write). A
+    * reconciliation/backfill window can touch millions: above
+    * `maxDriverGroups` the SAME merge runs as joins — deltas ⟕ MV base ⟕
+    * touched-group extremes, written through the distributed bulk lane —
+    * so no window size forces state through the driver. Both branches
+    * produce bit-identical rows (integer arithmetic, deterministic
+    * payload rendering).
+    *
+    * Deployment contract: the MV store's `obsoleteGraceMs` must cover
+    * the fold horizon (its snapshots are the replay base), and MV
+    * `ingestTs` values live in the SOURCE's mutation-clock domain — the
+    * same cross-writer clock comparability LWW already assumes.
+    */
+  def applyCdfWindow(mv: TimeSeriesStore, source: TimeSeriesStore,
+      window: DataFrame, bucketMs: Long,
+      trackExtremes: Boolean = true,
+      maxDriverGroups: Long = 100000L): Unit = {
+    val w = window.persist()
+    try {
+      if (w.isEmpty) return // layout-churn-only window (e.g. compaction)
+      val bounds = w.agg(min("win_from"), max("win_to")).head()
+      val wf = bounds.getLong(0)
+      val wt = bounds.getLong(1)
+      def cents(c: org.apache.spark.sql.Column) =
+        floor(c.cast("double") * 100 + lit(0.5)).cast("long")
+      def bucketOf(c: org.apache.spark.sql.Column) =
+        (c - pmod(c, lit(bucketMs))).as("bucket_ts")
+      val deltasDF = w.select(
+          col("tag"), bucketOf(col("ts")),
+          when(col("change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L).as("sign"),
+          cents(col("value")).as("cents"))
+        .groupBy("tag", "bucket_ts")
+        .agg(sum("sign").as("dn"), sum(col("sign") * col("cents")).as("dc"))
+        .persist()
+      try {
+        val nGroups = deltasDF.count()
+        // both snapshot reads go through the SLICED asOf lane: planning
+        // lists only the touched groups' partition dirs (∝ churn, never
+        // store size). The touched-KEY list is metadata — the plan
+        // itself — and stays driver-side in both branches; only the
+        // VALUES split between the driver and distributed merges.
+        // MV base is replay-stable (rows of this window or later carry
+        // ingestTs > win_from); the source slice at the window END is
+        // stable under post-window mutations by the CDC replay contract.
+        def mvBaseDF(keys: Seq[(String, Long)]) = {
+          val p = split(col("value"), ":")
+          mv.lwwDedup(mv.readAsOfSliceDF(wf,
+              keys.map { case (t, b) => (t, mv.partitionStartOf(b)) }))
+            .select(col("tag"), col("ts").as("bucket_ts"),
+              p.getItem(0).cast("long").as("n0"),
+              p.getItem(1).cast("long").as("c0"))
+        }
+        def srcCentsDF(keys: Seq[(String, Long)]) = {
+          val w = source.settings.partitionWidth
+          val srcKeys = keys.flatMap { case (t, b) =>
+            (source.partitionStartOf(b) to
+              source.partitionStartOf(b + bucketMs - 1) by w).map((t, _))
+          }
+          source.lwwDedup(source.readAsOfSliceDF(wt, srcKeys))
+            .select(col("tag"), bucketOf(col("ts")),
+              cents(col("value")).as("cents"))
+        }
+        if (nGroups <= maxDriverGroups) {
+          // ---- driver branch: churn-sized maps, one L0 serving write
+          val deltas = deltasDF.collect()
+            .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+            .toMap
+          val keySeq = deltas.keysIterator.toSeq
+          val tags = keySeq.map(_._1).distinct
+          val buckets = keySeq.map(_._2).distinct
+          val base: Map[(String, Long), (Long, Long)] =
+            if (wf <= 0L) Map.empty
+            else mvBaseDF(keySeq)
+              .where(col("tag").isin(tags: _*) &&
+                col("bucket_ts").isin(buckets: _*))
+              .collect()
+              .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+              .toMap
+          val extremes: Map[(String, Long), (Long, Long)] =
+            if (!trackExtremes) Map.empty
+            else srcCentsDF(keySeq)
+              .where(col("tag").isin(tags: _*) &&
+                col("bucket_ts").isin(buckets: _*))
+              .groupBy("tag", "bucket_ts")
+              .agg(min("cents").as("mn"), max("cents").as("mx"))
+              .collect()
+              .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+              .toMap
+          val samples = deltas.toSeq.sortBy(_._1).map { case ((tag, b), (dn, dc)) =>
+            val (n0, c0) = base.getOrElse((tag, b), (0L, 0L))
+            val n1 = n0 + dn
+            val c1 = c0 + dc
+            val payload =
+              if (n1 <= 0L) { if (trackExtremes) "0:0:0:0" else "0:0" }
+              else if (trackExtremes) {
+                // a live group MUST appear in the snapshot slice; a miss
+                // is a fold bug and must fail loudly, not write a zero
+                val (mn, mx) = extremes((tag, b))
+                s"$n1:$c1:$mn:$mx"
+              } else s"$n1:$c1"
+            Sample(tag, b, payload, ingestTs = wt, writerId = "mv", seq = wt)
+          }
+          mv.writeSamples(samples.toIndexedSeq)
+        } else {
+          // ---- distributed branch: the same merge as joins (backfill /
+          // reconciliation windows; only the key list — the plan —
+          // touches the driver)
+          val keySeq = deltasDF.select("tag", "bucket_ts").collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          val keys = Seq("tag", "bucket_ts")
+          val noBase = deltasDF.select(col("tag"), col("bucket_ts"),
+            lit(0L).as("n0"), lit(0L).as("c0")).limit(0)
+          val merged = deltasDF
+            .join(if (wf <= 0L) noBase else mvBaseDF(keySeq), keys, "left")
+            .select(col("tag"), col("bucket_ts"),
+              (coalesce(col("n0"), lit(0L)) + col("dn")).as("n1"),
+              (coalesce(col("c0"), lit(0L)) + col("dc")).as("c1"))
+          val out =
+            if (!trackExtremes)
+              merged.select(col("tag"), col("bucket_ts"),
+                when(col("n1") <= 0L, lit("0:0"))
+                  .otherwise(concat_ws(":", col("n1"), col("c1"))).as("value"))
+            else {
+              val ext = srcCentsDF(keySeq)
+                .join(deltasDF.select("tag", "bucket_ts"), keys, "left_semi")
+                .groupBy("tag", "bucket_ts")
+                .agg(min("cents").as("mn"), max("cents").as("mx"))
+              merged.join(ext, keys, "left")
+                .select(col("tag"), col("bucket_ts"),
+                  when(col("n1") <= 0L, lit("0:0:0:0"))
+                    .when(col("mn").isNull, raise_error(concat(
+                      lit("cdf MV fold bug: live group absent from the " +
+                        "source snapshot slice: "),
+                      col("tag"), lit(":"), col("bucket_ts").cast("string"))))
+                    .otherwise(concat_ws(":",
+                      col("n1"), col("c1"), col("mn"), col("mx")))
+                    .as("value"))
+            }
+          mv.writeSamplesDistributed(out
+            .select(col("tag"), col("bucket_ts").as("ts"), col("value"),
+              lit(wt).as("ingestTs"), lit("mv").as("writerId"),
+              lit(wt).as("seq")))
+        }
+      } finally { deltasDF.unpersist(); () }
+    } finally { w.unpersist(); () }
+  }
+
+  /** CDC-maintained materialized view: subscribe to a source store's net
+    * changes (`graft-store-cdf`) and keep a per-(tag, `bucketMs`-bucket)
+    * rollup — row count, exact cent sum, min/max — in a SECOND
+    * TimeSeriesStore, window by window via [[applyCdfWindow]]. At 100 TB
+    * this is the lane that makes thousands of downstream rollups
+    * affordable: each maintenance tick costs the CHURN (fold the window;
+    * partially recompute only touched groups), never a ladder recompute
+    * over the corpus, and the MV store serves the answer through the
+    * same point-read fast path as any other store.
+    */
+  def cdfRollupMv(spark: SparkSession, srcNamespaceRoot: String,
+      mv: TimeSeriesStore, graceMs: Long, bucketMs: Long,
+      checkpointDir: Option[String] = None,
+      trackExtremes: Boolean = true): StreamingQuery = {
+    lazy val source =
+      TimeSeriesStore.openNamespace(spark, srcNamespaceRoot, graceMs)
+    val input = spark.readStream
+      .format("graft-store-cdf")
+      .option("path", srcNamespaceRoot)
+      .option("graceMs", graceMs.toString)
+      .load()
+    val writer = input.writeStream.outputMode("append")
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdfWindow(mv, source, batch, bucketMs, trackExtremes)
+        ()
+      }
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+  }
+
   /** The periodic purge driver + consumer (service.js:123-134): every
     * trigger, mark aged partitions, then archive + ack each queue entry.
     * Runs as a rate-source stream so it lives inside the Structured

@@ -1072,6 +1072,60 @@ final class TimeSeriesStore(
     snapshotDF(asOfMs, l0Files, hotFiles, coldFiles)
   }
 
+  /** [[readAsOfDF]] restricted to the given `(tag, partition_start)`
+    * keys — the CHURN-PROPORTIONAL snapshot lane. Where the full asOf
+    * read walks every tier file (a cold-driver O(files) listing), this
+    * lists ONLY the requested keys' partition directories in both tiers
+    * plus the footer-range-intersecting slice of the bounded L0 tier:
+    * planning cost ∝ |keys|, never store size. The consumer that knows
+    * which partitions it needs (the CDC materialized-view maintainer's
+    * touched-group base/extremes reads; any point-in-time serving read)
+    * should come through here.
+    *
+    * Returns RAW snapshot members of a SUPERSET of the requested keys
+    * (an L0 file can straddle requested and unrequested partitions) —
+    * callers filter rows to their keys, exactly as they already must
+    * filter to their tags. Same retention guard, retirement filtering,
+    * and sweep re-verification as [[readAsOfDF]].
+    */
+  def readAsOfSliceDF(asOfMs: Long,
+      keys: Iterable[(String, Long)]): DataFrame = {
+    requireInitialized()
+    guardHorizon(asOfMs)
+    val retiredAt = pendingObsoleteClocks()
+    val ks = keys.toSeq.distinct.sortBy(k => (k._1, k._2))
+    def live(fs: Seq[Path]): Seq[Path] = fs.filter(f =>
+      retiredAt.get(f.toAbsolutePath.normalize).forall(_ > asOfMs))
+    def scanOf(tier: Path): Seq[Path] = live(ks.flatMap { k =>
+      val d = tier.resolve(tagDirName(k._1))
+        .resolve(s"partition_start=${k._2}")
+      if (!Files.isDirectory(d)) Seq.empty
+      else withList(d)(_.filter(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith(".")).toSeq)
+    })
+    val psSet = ks.iterator.map(_._2).toSet
+    val l0Files = live(l0FileList().filter { p =>
+      val (lo, hi) = l0FooterRange(p)
+      psSet.exists(ps => ps >= lo && ps <= hi)
+    })
+    val hotFiles = scanOf(hotDir)
+    val coldFiles = scanOf(coldDir)
+    verifySnapshotFiles(l0Files ++ hotFiles ++ coldFiles, retiredAt)
+    snapshotDF(asOfMs, l0Files, hotFiles, coldFiles)
+  }
+
+  /** An L0 file's footer `partition_start` range (unbounded when the
+    * footer is unreadable — the caller then keeps the file).
+    */
+  private def l0FooterRange(p: Path): (Long, Long) = {
+    val meta = try FooterCache.get(p.toString, hadoopConf)
+      catch { case _: Throwable => null }
+    if (meta == null) (Long.MinValue, Long.MaxValue)
+    else meta.stats.get("partition_start")
+      .getOrElse((Long.MinValue, Long.MaxValue))
+  }
+
   /** The time-travel retention guard, shared by every snapshot consumer
     * (direct reads, the change feed, the connector's `asOf` option via
     * [[connectorAsOfDF]]): a snapshot older than the grace window may
@@ -1184,11 +1238,23 @@ final class TimeSeriesStore(
     val img = (src: String) => struct(
       col(s"$src.value").as("value"), col(s"$src.ingestTs").as("ingestTs"),
       col(s"$src.writerId").as("writerId"), col(s"$src.seq").as("seq"))
+    // restrict both endpoint folds to MARKED keys: an L0 file in the
+    // scan set can straddle marked and unmarked partitions, and if it
+    // was flushed in-window its unmarked keys' republished rows live in
+    // dirs the plan never listed — reconstructing those keys from the
+    // scan set alone fabricates deletes. An unmarked key provably diffs
+    // to nothing, so it has no business in either endpoint fold. The key
+    // list is churn-sized (it is the plan itself), hence broadcastable.
+    val markedDF = {
+      import spark.implicits._
+      broadcast(plan.changedKeys.toSeq.toDF("tag", "partition_start"))
+    }
     def winners(asOf: Long, alias: String) = {
       def at(fs: Seq[Path]): Seq[Path] = fs.filter(f =>
         retiredAt.get(f.toAbsolutePath.normalize).forall(_ > asOf))
       lwwDedup(snapshotDF(asOf,
-          at(plan.l0Files), at(plan.hotFiles), at(plan.coldFiles)))
+          at(plan.l0Files), at(plan.hotFiles), at(plan.coldFiles))
+          .join(markedDF, Seq("tag", "partition_start"), "left_semi"))
         .select(col("tag"), col("ts"),
           struct(col("value"), col("ingestTs"), col("writerId"), col("seq"))
             .as(alias))
@@ -1309,17 +1375,10 @@ final class TimeSeriesStore(
     val coldScan = scanOf(coldDir)
     // phase 3: the bounded L0 tier, footer-range intersected
     val changedPs: Set[Long] = changedKeys.iterator.map(_._2).toSet
-    def l0Range(p: Path): (Long, Long) = {
-      val meta = try FooterCache.get(p.toString, hadoopConf)
-        catch { case _: Throwable => null }
-      if (meta == null) (Long.MinValue, Long.MaxValue)
-      else meta.stats.get("partition_start")
-        .getOrElse((Long.MinValue, Long.MaxValue))
-    }
     val l0Scan =
       if (changedPs.isEmpty) Seq.empty[Path]
       else listFiles(l0Dir).filter { p =>
-        val (lo, hi) = l0Range(p)
+        val (lo, hi) = l0FooterRange(p)
         changedPs.exists(ps => ps >= lo && ps <= hi)
       }
     def countDirs(tier: Path): Int =
@@ -1331,7 +1390,8 @@ final class TimeSeriesStore(
       }.sum
     ChangeScanPlan(l0Scan, hotScan, coldScan,
       dirsScanned = kept,
-      dirsTotal = if (countTotal) countDirs(hotDir) + countDirs(coldDir) else -1)
+      dirsTotal = if (countTotal) countDirs(hotDir) + countDirs(coldDir) else -1,
+      changedKeys = changedKeys)
   }
 
   /** [[changesBetween]] computed DRIVER-SIDE over the same ledger-pruned
@@ -1384,7 +1444,15 @@ final class TimeSeriesStore(
           if (retiredAt.get(f.toAbsolutePath.normalize).forall(_ > asOf))
             ParquetIO.foreachSample(f, dirTag(f), hadoopConf) {
               (tag, ts, value, ingestTs, wId, seq) =>
-                if (ingestTs <= asOf) {
+                // restrict to MARKED keys: an L0 file in the scan set can
+                // straddle marked and unmarked partitions, and if it was
+                // flushed in-window its unmarked keys' republished rows
+                // live in dirs the plan never listed — reconstructing
+                // those keys from the scan set alone fabricates deletes.
+                // An unmarked key provably diffs to nothing, so it has no
+                // business in either endpoint fold.
+                if (ingestTs <= asOf &&
+                    plan.changedKeys((tag, partitionStartOf(ts)))) {
                   val k = (tag, ts)
                   val keep = acc.get(k) match {
                     case Some((_, i0, q0, w0)) =>
@@ -2513,7 +2581,8 @@ private[graft] final case class ChangeScanPlan(
     hotFiles: Seq[java.nio.file.Path],
     coldFiles: Seq[java.nio.file.Path],
     dirsScanned: Int,
-    dirsTotal: Int)
+    dirsTotal: Int,
+    changedKeys: Set[(String, Long)])
 
 object TimeSeriesStore {
 

@@ -345,4 +345,181 @@ class Round16Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(res256.ndv > res.ndv && res256.errBound < res.errBound)
   }
+
+  test("change feed: an in-window L0 flush must not fabricate deletes for unmarked partitions") {
+    // Found by the CDC MV consumer: delete() flushes L0 first, retiring
+    // an L0 file that STRADDLES marked and unmarked partitions. The
+    // post-window snapshot excludes the retired L0 file, but only marked
+    // partitions' dirs are listed — so an unmarked key whose winner sat
+    // in that L0 file vanished from the reconstruction and surfaced as a
+    // spurious delete. Both diff lanes must restrict their endpoint
+    // folds to the plan's marked keys.
+    val src = new TimeSeriesStore(spark,
+      Files.createTempDirectory("r16-l0straddle").toString,
+      StoreSettings(partitionWidth = 100L), obsoleteGraceMs = 1L << 60)
+    src.initialize()
+    src.clock = () => 1000L
+    src.writeSamples(Seq( // ONE L0 file spanning partitions 0/100/200
+      Sample("a", 10L, "2", 1000L, "w1", 1L),
+      Sample("a", 20L, "4", 1000L, "w1", 2L),
+      Sample("a", 210L, "6", 1000L, "w1", 3L),
+      Sample("b", 10L, "5", 1000L, "w1", 4L),
+      Sample("b", 20L, "9", 1000L, "w1", 5L)))
+    src.clock = () => 2000L
+    src.delete("a", 0L, 199L) // flushes L0, retires the straddling file
+    src.delete("b", 10L, 10L)
+    val expected = Seq(("a", 10L, "delete"), ("a", 20L, "delete"),
+      ("b", 10L, "delete"))
+    val local = src.changesBetweenLocal(1000L, 2000L)
+      .map(r => (r._1, r._2, r._7)).sorted
+    assert(local === expected,
+      "driver-side diff fabricated or missed a change")
+    val dist = src.changesBetween(1000L, 2000L)
+      .select("tag", "ts", "change_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(dist === expected,
+      "distributed diff fabricated or missed a change")
+    // the untouched partition's key is still alive at both endpoints
+    assert(src.lwwDedup(src.readAsOfDF(2000L))
+      .where(col("tag") === "a" && col("ts") === 210L).count() === 1L)
+  }
+
+  // ------------------------------- CDC-maintained materialized view (IVM)
+
+  /** MV read state: (tag, bucket, n, sum_cents, min_cents, max_cents),
+    * tombstones filtered.
+    */
+  private def mvState(mv: TimeSeriesStore): Seq[(String, Long, Long, Long, Long, Long)] = {
+    val part = split(col("value"), ":")
+    mv.lwwDedup(mv.allDF)
+      .select(col("tag"), col("ts"),
+        part.getItem(0).cast("long"), part.getItem(1).cast("long"),
+        part.getItem(2).cast("long"), part.getItem(3).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .filter(_._3 > 0L).toSeq.sorted
+  }
+
+  /** The full-recompute answer the MV must track, from the source
+    * snapshot at `clock`.
+    */
+  private def recomputed(src: TimeSeriesStore, clock: Long,
+      bucketMs: Long): Seq[(String, Long, Long, Long, Long, Long)] = {
+    val cents = floor(col("value").cast("double") * 100 + lit(0.5)).cast("long")
+    src.lwwDedup(src.readAsOfDF(clock))
+      .select(col("tag"),
+        (col("ts") - pmod(col("ts"), lit(bucketMs))).as("b"),
+        cents.as("c"))
+      .groupBy("tag", "b")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        min("c").as("mn"), max("c").as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq.sorted
+  }
+
+  test("CDC MV: window folds track recompute, retraction reveals the runner-up, replay is idempotent") {
+    val bucketMs = 200L
+    def newStore(prefix: String): TimeSeriesStore = {
+      val st = new TimeSeriesStore(spark,
+        Files.createTempDirectory(prefix).toString,
+        StoreSettings(partitionWidth = 100L), obsoleteGraceMs = 1L << 60)
+      st.initialize()
+      st
+    }
+    val src = newStore("r16-mvsrc")
+    val mv = newStore("r16-mv")
+    val mv2 = newStore("r16-mvfold") // fold-only lane (no source access)
+
+    def drainTo(clock: Long, from: Long): Unit = {
+      val w = StreamingIngest.cdfWindowDF(spark, src, from, clock)
+      StreamingIngest.applyCdfWindow(mv, src, w, bucketMs)
+      StreamingIngest.applyCdfWindow(mv2, src, w, bucketMs,
+        trackExtremes = false)
+      assert(mvState(mv) === recomputed(src, clock, bucketMs),
+        s"MV diverged from recompute at clock $clock")
+    }
+
+    // w1: inserts across two buckets of "a" and one of "b"
+    src.clock = () => 1000L
+    src.writeSamples(Seq(
+      Sample("a", 10L, "2", 1000L, "w1", 1L),
+      Sample("a", 20L, "4", 1000L, "w1", 2L),
+      Sample("a", 210L, "6", 1000L, "w1", 3L),
+      Sample("b", 10L, "5", 1000L, "w1", 4L),
+      Sample("b", 20L, "9", 1000L, "w1", 5L)))
+    drainTo(1000L, 0L)
+
+    // w2: retractions — (a, bucket 0) vanishes entirely (tombstone);
+    // (b, bucket 0) loses its MINIMUM, so the fold alone can't know the
+    // new min — the partial-recompute lane must surface the runner-up
+    src.clock = () => 2000L
+    src.delete("a", 0L, 199L)
+    src.delete("b", 10L, 10L)
+    drainTo(2000L, 1000L)
+    val afterW2 = mvState(mv)
+    assert(!afterW2.exists(r => r._1 == "a" && r._2 == 0L),
+      "fully-retracted group must read as absent")
+    val b0 = afterW2.find(r => r._1 == "b" && r._2 == 0L).get
+    assert(b0 === (("b", 0L, 1L, 900L, 900L, 900L)),
+      "retracting the min must reveal the runner-up")
+    // ... and the tombstone is an explicit LWW row, not a missing one
+    val rawA0 = mv.lwwDedup(mv.allDF)
+      .where(col("tag") === "a" && col("ts") === 0L)
+      .select("value").collect()
+    assert(rawA0.map(_.getString(0)).toSeq === Seq("0:0:0:0"))
+
+    // w3: an update (paired images net to the value delta) plus a
+    // re-insert into the tombstoned group
+    src.clock = () => 3000L
+    src.writeSamples(Seq(
+      Sample("a", 30L, "7", 3000L, "w2", 6L),
+      Sample("b", 20L, "18", 3000L, "w2", 7L)))
+    val w3 = StreamingIngest.cdfWindowDF(spark, src, 2000L, 3000L)
+    StreamingIngest.applyCdfWindow(mv, src, w3, bucketMs)
+    StreamingIngest.applyCdfWindow(mv2, src, w3, bucketMs,
+      trackExtremes = false)
+    val afterW3 = mvState(mv)
+    assert(afterW3 === recomputed(src, 3000L, bucketMs))
+    assert(afterW3.contains(("a", 0L, 1L, 700L, 700L, 700L)),
+      "re-insert must revive the tombstoned group")
+
+    // crash-replay: re-applying the SAME window recomputes from the same
+    // time-travel base and writes bit-identical rows — LWW absorbs it
+    StreamingIngest.applyCdfWindow(mv, src, w3, bucketMs)
+    assert(mvState(mv) === afterW3, "window replay must be idempotent")
+
+    // the fold-only MV agrees on the invertible aggregates throughout
+    val foldOnly = mvState2(mv2)
+    assert(foldOnly === afterW3.map(r => (r._1, r._2, r._3, r._4)))
+
+    // the DISTRIBUTED merge branch (backfill/reconciliation windows —
+    // maxDriverGroups = 0 forces every window through the join lane)
+    // folds the same history to the same state, replay included
+    val mv3 = newStore("r16-mvdist")
+    Seq((0L, 1000L), (1000L, 2000L), (2000L, 3000L)).foreach {
+      case (f, t) =>
+        val win = StreamingIngest.cdfWindowDF(spark, src, f, t)
+        StreamingIngest.applyCdfWindow(mv3, src, win, bucketMs,
+          maxDriverGroups = 0L)
+    }
+    assert(mvState(mv3) === afterW3,
+      "distributed merge branch must fold to the driver branch's state")
+    StreamingIngest.applyCdfWindow(mv3, src, w3, bucketMs,
+      maxDriverGroups = 0L)
+    assert(mvState(mv3) === afterW3,
+      "distributed window replay must be idempotent")
+  }
+
+  private def mvState2(mv: TimeSeriesStore): Seq[(String, Long, Long, Long)] = {
+    val part = split(col("value"), ":")
+    mv.lwwDedup(mv.allDF)
+      .select(col("tag"), col("ts"),
+        part.getItem(0).cast("long"), part.getItem(1).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._3 > 0L).toSeq.sorted
+  }
 }

@@ -22,7 +22,11 @@ import graft.tsdb.{Sample, StoreSettings, TimeSeriesStore}
   *   mode "diff"  — the round-15 legs (360 / 3600 partitions, full diff)
   *   mode "plan"  — the round-16 legs (10k / 100k partitions, planning
   *                  time at churn 8 and 80)
-  *   default      — both
+  *   mode "mv"    — one CDC-MV maintenance tick ([[graft.streaming
+  *                  .StreamingIngest.applyCdfWindow]]) at 10k / 100k
+  *                  partitions — fold + sliced snapshot reads + write
+  *                  must be flat in store size, linear in churn
+  *   default      — all three
   */
 object ChangeFeedProbe {
 
@@ -137,7 +141,7 @@ object ChangeFeedProbe {
     if (viaL0) {
       // one tag per partition window, 20 rows each — N partition dirs
       val rows = (0 until nPartitions).flatMap { p =>
-        (0 until 20).map(i => Sample(s"t$p", p * 100L + i, s"v$i", 1000L,
+        (0 until 20).map(i => Sample(s"t$p", p * 100L + i, s"$i", 1000L,
           "w1", p * 100L + i))
       }
       rows.grouped(2000).foreach(st.writeSamples(_))
@@ -151,7 +155,7 @@ object ChangeFeedProbe {
           org.apache.spark.sql.functions.lit("t"),
           org.apache.spark.sql.functions.col("id")).as("tag"),
         (org.apache.spark.sql.functions.col("id") * 100L).as("ts"),
-        org.apache.spark.sql.functions.lit("v").as("value"),
+        org.apache.spark.sql.functions.lit("7").as("value"),
         org.apache.spark.sql.functions.lit(1000L).as("ingestTs"),
         org.apache.spark.sql.functions.lit("w1").as("writerId"),
         org.apache.spark.sql.functions.col("id").as("seq"))
@@ -162,7 +166,7 @@ object ChangeFeedProbe {
     st.delete("t3", 300L, 305L)
     st.clock = () => 3000L
     val upd = (0 until churn).flatMap { k =>
-      (0 until 5).map(i => Sample(s"t$k", k * 100L + i, s"u$i", 3000L,
+      (0 until 5).map(i => Sample(s"t$k", k * 100L + i, s"${i + 10}", 3000L,
         "w2", 1000000L + k * 100L + i))
     }
     st.writeSamples(upd)

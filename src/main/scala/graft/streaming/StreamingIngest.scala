@@ -393,8 +393,10 @@ object StreamingIngest {
       maxDriverGroups: Long = 100000L): Unit = {
     val w = window.persist()
     try {
-      if (w.isEmpty) return // layout-churn-only window (e.g. compaction)
+      // one job answers both "is the window empty" (layout-churn-only,
+      // e.g. a compaction) and the window bounds
       val bounds = w.agg(min("win_from"), max("win_to")).head()
+      if (bounds.isNullAt(0)) return
       val wf = bounds.getLong(0)
       val wt = bounds.getLong(1)
       def cents(c: org.apache.spark.sql.Column) =
@@ -410,7 +412,11 @@ object StreamingIngest {
         .agg(sum("sign").as("dn"), sum(col("sign") * col("cents")).as("dc"))
         .persist()
       try {
-        val nGroups = deltasDF.count()
+        // one job decides the branch AND feeds the driver merge: collect
+        // up to the budget + 1 — a steady window comes back whole, an
+        // over-budget one reveals itself without a separate count
+        val probe = deltasDF.limit(
+          math.min(maxDriverGroups, Int.MaxValue - 1L).toInt + 1).collect()
         // both snapshot reads go through the SLICED asOf lane: planning
         // lists only the touched groups' partition dirs (∝ churn, never
         // store size). The touched-KEY list is metadata — the plan
@@ -437,9 +443,9 @@ object StreamingIngest {
             .select(col("tag"), bucketOf(col("ts")),
               cents(col("value")).as("cents"))
         }
-        if (nGroups <= maxDriverGroups) {
+        if (probe.length <= maxDriverGroups) {
           // ---- driver branch: churn-sized maps, one L0 serving write
-          val deltas = deltasDF.collect()
+          val deltas = probe
             .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
             .toMap
           val keySeq = deltas.keysIterator.toSeq

@@ -26,7 +26,14 @@ import graft.tsdb.{Sample, StoreSettings, TimeSeriesStore}
   *                  .StreamingIngest.applyCdfWindow]]) at 10k / 100k
   *                  partitions — fold + sliced snapshot reads + write
   *                  must be flat in store size, linear in churn
-  *   default      — all three
+  *   mode "mvbig" — the round-17 leg (VERDICT r16 next #3): ONE
+  *                  backfill window touching 1,000,000 groups folded
+  *                  through the distributed merge — the driver holds
+  *                  only the DISTINCT (tag, partition_start) slice plan
+  *                  (bounded by partition count, printed next to the
+  *                  group count), and the fold result is verified
+  *                  hash-equal to a full recompute
+  *   default      — diff + plan + mv
   */
 object ChangeFeedProbe {
 
@@ -59,7 +66,86 @@ object ChangeFeedProbe {
         runMv(spark, n, c)
       }
     }
+    if (mode == "mvbig") runMvBig(spark)
     spark.stop()
+  }
+
+  /** The MILLION-GROUP backfill window (VERDICT r16 next #3): 10⁶
+    * (tag, bucket) groups across 1,000 partition dirs, two backfill
+    * commits, each folded through [[graft.streaming.StreamingIngest
+    * .applyCdfWindow]]'s DISTRIBUTED branch (`maxDriverGroups = 0`).
+    * The driver never holds the group list — only the DISTINCT
+    * (tag, partition_start) slice plan, which this probe prints next to
+    * the group count (1,000 vs 1,000,000; ~64 B a key ⇒ tens of KB where
+    * group keys would be tens of MB). The second window exercises the MV
+    * BASE slice read at full width too (wf > 0). The fold result is
+    * verified hash-equal to a full recompute from the source.
+    */
+  private def runMvBig(spark: SparkSession): Unit = {
+    import graft.streaming.StreamingIngest
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val groups = 1000000L
+    val pW = 100000L   // partition width
+    val bucketMs = 100L // 1,000 buckets per partition dir
+    val src = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-cdfmvbig-src").toString,
+      StoreSettings(partitionWidth = pW), obsoleteGraceMs = 1L << 60)
+    src.initialize()
+    val mv = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-cdfmvbig-mv").toString,
+      StoreSettings(partitionWidth = pW), obsoleteGraceMs = 1L << 60)
+    mv.initialize()
+    def backfill(clock: Long, v: Long, writer: String): Unit = {
+      src.clock = () => clock
+      src.writeSamplesDistributed(spark.range(groups).select(
+        lit("t").as("tag"),
+        (col("id") * bucketMs).as("ts"),
+        ((col("id") + v) % 997L).cast("string").as("value"),
+        lit(clock).as("ingestTs"),
+        lit(writer).as("writerId"),
+        col("id").as("seq")))
+    }
+    def fold(from: Long, to: Long): Double = {
+      val t0 = System.nanoTime()
+      StreamingIngest.applyCdfWindow(mv, src,
+        StreamingIngest.cdfWindowDF(spark, src, from, to,
+          distributed = true), // the window itself must not ride the driver
+        bucketMs = bucketMs, maxDriverGroups = 0L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"window"}%16s ${"groups"}%9s ${"sliceKeys"}%10s " +
+      f"${"keyBytes"}%9s ${"fold_s"}%8s")
+    backfill(1000L, 0L, "w1")
+    val s1 = fold(0L, 1000L)
+    backfill(3000L, 7L, "w2") // every group churns again
+    val s2 = fold(1000L, 3000L)
+    // the driver-held slice plan, recomputed the way the fold plans it
+    val sliceKeys = src.lwwDedup(src.allDF)
+      .select(col("tag"), (col("ts") - pmod(col("ts"), lit(pW))).as("ps"))
+      .distinct().count()
+    val keyBytes = sliceKeys * 64L
+    println(f"${"(0,1000]"}%16s $groups%9d $sliceKeys%10d $keyBytes%9d $s1%8.1f")
+    println(f"${"(1000,3000]"}%16s $groups%9d $sliceKeys%10d $keyBytes%9d $s2%8.1f")
+    // fold result hash-unchanged vs a full recompute from the source
+    val part = split(col("value"), ":")
+    val mvHash = mv.lwwDedup(mv.allDF)
+      .where(part.getItem(0).cast("long") > 0L)
+      .select(xxhash64(col("tag"), col("ts"), col("value")).as("h"))
+      .agg(sum("h")).head().getLong(0)
+    val cents = floor(col("value").cast("double") * 100 + lit(0.5)).cast("long")
+    val wantHash = src.lwwDedup(src.allDF)
+      .select(col("tag"),
+        (col("ts") - pmod(col("ts"), lit(bucketMs))).as("b"), cents.as("c"))
+      .groupBy("tag", "b")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        min("c").as("mn"), max("c").as("mx"))
+      .select(xxhash64(col("tag"), col("b"),
+        concat_ws(":", col("n"), col("s"), col("mn"), col("mx"))).as("h"))
+      .agg(sum("h")).head().getLong(0)
+    println(s"fold hash ${if (mvHash == wantHash) "MATCHES" else "DIVERGED"} " +
+      s"recompute ($mvHash vs $wantHash)")
+    require(mvHash == wantHash, "mvbig fold diverged from recompute")
   }
 
   /** One CDC-MV maintenance tick at scale (round 16): source staged at N

@@ -3,6 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** SQL registration for the engine's native expressions, so `spark.sql`
   * users get them alongside the Column API
@@ -37,11 +38,58 @@ object GraftFunctions {
         SimhashBitCounts(exprs.head).toAggregateExpression()
       }))
 
-  def register(spark: SparkSession): Unit =
+  /** SQL TABLE functions (VERDICT r16 next #4 — Delta's `table_changes`
+    * shape): `tsdb_changes(path, graceMs, fromMs, toMs)` resolves to the
+    * store's ledger-pruned [[graft.tsdb.TimeSeriesStore.changesBetween]]
+    * plan, so a pure-SQL consumer reads the change feed without the
+    * Scala API. Arguments must be literals (they parameterize PLANNING —
+    * which ledgers to read — not row evaluation).
+    */
+  val tableDescriptors: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
+    ("tsdb_changes",
+      "tsdb_changes(path, graceMs, fromMs, toMs) - net changes of the " +
+        "tsdb store at `path` between two snapshot clocks (insert / " +
+        "update_preimage / update_postimage / delete rows)",
+      exprs => {
+        require(exprs.length == 4,
+          "tsdb_changes(path, graceMs, fromMs, toMs) takes exactly 4 arguments")
+        def evalLit(e: Expression, what: String): Any = {
+          require(e.foldable, s"tsdb_changes: $what must be a literal")
+          val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          require(v != null, s"tsdb_changes: $what must not be NULL")
+          v
+        }
+        def asLong(e: Expression, what: String): Long =
+          evalLit(e, what) match {
+            case n: Long => n
+            case n: Int => n.toLong
+            case n: Short => n.toLong
+            case n: Byte => n.toLong
+            case other => throw new IllegalArgumentException(
+              s"tsdb_changes: $what must be an integer literal, got $other")
+          }
+        val path = evalLit(exprs.head, "path").toString
+        val grace = asLong(exprs(1), "graceMs")
+        val from = asLong(exprs(2), "fromMs")
+        val to = asLong(exprs(3), "toMs")
+        val spark = SparkSession.active
+        val store = graft.tsdb.TimeSeriesStore.openNamespace(spark, path, grace)
+        // the resolved plan of the Scala lane, verbatim — the TVF is a
+        // SQL front door, not a second implementation (PlanShapeSpec
+        // pins the equivalence)
+        store.changesBetween(from, to).queryExecution.analyzed
+      }))
+
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }
+    tableDescriptors.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+  }
 }
 
 /** `spark.sql.extensions` entry point — the idiomatic zero-code way to add
@@ -60,6 +108,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (name, usage, builder) =>
       ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.expressions.GraftFunctions", null, name, usage, ""),
+        builder))
+    }
+    GraftFunctions.tableDescriptors.foreach { case (name, usage, builder) =>
+      ext.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.expressions.GraftFunctions", null, name, usage, ""),
         builder))

@@ -501,6 +501,64 @@ object StoreQueries {
     */
   private val MvBucketMs = 21600000L // 6h — a handful of buckets per tag-day
 
+  /** The `ts_change_feed` oracle — shared verbatim by
+    * `ts_change_feed_sql` (the TVF is the same plan behind a SQL front
+    * door, so the two rows must share one answer bit for bit).
+    */
+  private lazy val ChangeFeedOracle: String = s"""
+        WITH a AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                 1000 AS ingest_ts, event_id
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        b AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
+                 value * 2 AS value, 3000 AS ingest_ts, event_id
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
+                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
+        s1500 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                    PARTITION BY tag, ts_ms
+                    ORDER BY ingest_ts DESC, event_id DESC) AS rn FROM a)
+                  WHERE rn = 1),
+        s2500 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                    PARTITION BY tag, ts_ms
+                    ORDER BY ingest_ts DESC, event_id DESC) AS rn FROM ad)
+                  WHERE rn = 1),
+        s3500 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                    PARTITION BY tag, ts_ms
+                    ORDER BY ingest_ts DESC, event_id DESC) AS rn
+                  FROM (SELECT * FROM ad UNION ALL SELECT * FROM b))
+                  WHERE rn = 1),
+        j AS (
+          SELECT coalesce(p.tag, q.tag) AS tag,
+                 p.value AS pv, p.ingest_ts AS pi, p.event_id AS pe,
+                 q.value AS qv, q.ingest_ts AS qi, q.event_id AS qe
+          FROM s1500 p FULL OUTER JOIN s3500 q
+            ON p.tag = q.tag AND p.ts_ms = q.ts_ms),
+        changes AS (
+          SELECT CAST(2500 AS BIGINT) AS win, 'insert' AS change_type,
+                 tag, value FROM s2500
+          UNION ALL
+          SELECT 3500, 'delete', tag, pv FROM j WHERE qi IS NULL
+          UNION ALL
+          SELECT 3500, 'insert', tag, qv FROM j WHERE pi IS NULL
+          UNION ALL
+          SELECT 3500, 'update_preimage', tag, pv FROM j
+          WHERE pi IS NOT NULL AND qi IS NOT NULL
+            AND (pi != qi OR pe != qe)
+          UNION ALL
+          SELECT 3500, 'update_postimage', tag, qv FROM j
+          WHERE pi IS NOT NULL AND qi IS NOT NULL
+            AND (pi != qi OR pe != qe))
+        SELECT win, change_type, tag, count(*) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM changes
+        GROUP BY win, change_type, tag
+        ORDER BY win, change_type, tag"""
+
   private def cdfMvFor(s: SparkSession, dir: String): TimeSeriesStore =
     sessionFresh(s, dir + "#cdfmv") {
       val srcRoot = Files.createTempDirectory("graft-storemvsrc").toString
@@ -546,6 +604,65 @@ object StoreQueries {
         src.clock = () => 4000L
         src.compact(minFiles = 1, applyLww = true)
         q.processAllAvailable() // window (3000, 4000]: MUST fold as no-op
+      } finally q.stop()
+      mv
+    }
+
+  /** Sketch-MV staging (VERDICT r16 next #2): the SAME mutation script
+    * as [[cdfMvFor]], but the maintainer also carries the QUANTILE
+    * SKETCH column at cap 64 — merge-associative but NOT
+    * retraction-invertible, so it rides the min/max lane (touched-group
+    * partial recompute through the sliced asOf read) while count/sum
+    * still fold from the log alone. This completes `ts_rollup_sketch`
+    * into a CONTINUOUSLY-MAINTAINED percentile ladder: at 100 TB each
+    * tick recomputes sketches only for churned groups, never the corpus.
+    */
+  private def cdfSketchMvFor(s: SparkSession, dir: String): TimeSeriesStore =
+    sessionFresh(s, dir + "#cdfskmv") {
+      val srcRoot = Files.createTempDirectory("graft-storeskmvsrc").toString
+      val mvRoot = Files.createTempDirectory("graft-storeskmv").toString
+      val ckpt = Files.createTempDirectory("graft-skmvckpt").toString
+      val src = new TimeSeriesStore(s, srcRoot,
+        StoreSettings(partitionWidth = 86400000L),
+        obsoleteGraceMs = 1L << 60)
+      src.initialize()
+      val mv = new TimeSeriesStore(s, mvRoot,
+        StoreSettings(partitionWidth = 86400000L),
+        obsoleteGraceMs = 1L << 60)
+      mv.initialize()
+      val slice = Tables.events(s, dir)
+        .where(col("ts_ms").between(day(0), day(3)))
+      src.clock = () => 1000L
+      src.writeSamplesDistributed(slice.select(
+        col("event_type").as("tag"),
+        col("ts_ms").as("ts"),
+        col("value").cast("string").as("value"),
+        lit(1000L).as("ingestTs"),
+        lit("w1").as("writerId"),
+        col("event_id").as("seq")))
+      val q = graft.streaming.StreamingIngest.cdfRollupMv(
+        s, src.namespaceRoot, mv, graceMs = 1L << 60,
+        bucketMs = MvBucketMs, checkpointDir = Some(ckpt),
+        sketchCap = Some(64))
+      try {
+        q.processAllAvailable() // window (0, 1000]: full-sync fold
+        src.clock = () => 2000L
+        src.delete("click", day(1), day(2) - 1)
+        q.processAllAvailable() // (1000, 2000]: retraction — sketch shrinks
+        src.clock = () => 3000L
+        src.writeSamplesDistributed(slice
+          .where(col("event_id") % 3 === 0)
+          .select(
+            col("event_type").as("tag"),
+            col("ts_ms").as("ts"),
+            (col("value") * 2).cast("string").as("value"),
+            lit(3000L).as("ingestTs"),
+            lit("w2").as("writerId"),
+            col("event_id").as("seq")))
+        q.processAllAvailable() // (2000, 3000]: update/re-insert fold
+        src.clock = () => 4000L
+        src.compact(minFiles = 1, applyLww = true)
+        q.processAllAvailable() // (3000, 4000]: MUST fold as no-op
       } finally q.stop()
       mv
     }
@@ -1165,59 +1282,32 @@ object StoreQueries {
               .as("sum_cents"))
           .orderBy("win", "change_type", "tag")
       },
-      Some(s"""
-        WITH a AS (
-          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
-                 1000 AS ingest_ts, event_id
-          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
-        b AS (
-          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
-                 value * 2 AS value, 3000 AS ingest_ts, event_id
-          FROM events
-          WHERE event_id % 3 = 0
-            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
-        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
-                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
-        s1500 AS (SELECT * FROM (SELECT *, row_number() OVER (
-                    PARTITION BY tag, ts_ms
-                    ORDER BY ingest_ts DESC, event_id DESC) AS rn FROM a)
-                  WHERE rn = 1),
-        s2500 AS (SELECT * FROM (SELECT *, row_number() OVER (
-                    PARTITION BY tag, ts_ms
-                    ORDER BY ingest_ts DESC, event_id DESC) AS rn FROM ad)
-                  WHERE rn = 1),
-        s3500 AS (SELECT * FROM (SELECT *, row_number() OVER (
-                    PARTITION BY tag, ts_ms
-                    ORDER BY ingest_ts DESC, event_id DESC) AS rn
-                  FROM (SELECT * FROM ad UNION ALL SELECT * FROM b))
-                  WHERE rn = 1),
-        j AS (
-          SELECT coalesce(p.tag, q.tag) AS tag,
-                 p.value AS pv, p.ingest_ts AS pi, p.event_id AS pe,
-                 q.value AS qv, q.ingest_ts AS qi, q.event_id AS qe
-          FROM s1500 p FULL OUTER JOIN s3500 q
-            ON p.tag = q.tag AND p.ts_ms = q.ts_ms),
-        changes AS (
-          SELECT CAST(2500 AS BIGINT) AS win, 'insert' AS change_type,
-                 tag, value FROM s2500
-          UNION ALL
-          SELECT 3500, 'delete', tag, pv FROM j WHERE qi IS NULL
-          UNION ALL
-          SELECT 3500, 'insert', tag, qv FROM j WHERE pi IS NULL
-          UNION ALL
-          SELECT 3500, 'update_preimage', tag, pv FROM j
-          WHERE pi IS NOT NULL AND qi IS NOT NULL
-            AND (pi != qi OR pe != qe)
-          UNION ALL
-          SELECT 3500, 'update_postimage', tag, qv FROM j
-          WHERE pi IS NOT NULL AND qi IS NOT NULL
-            AND (pi != qi OR pe != qe))
-        SELECT win, change_type, tag, count(*) AS n,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                 AS sum_cents
-        FROM changes
-        GROUP BY win, change_type, tag
-        ORDER BY win, change_type, tag""")),
+      Some(ChangeFeedOracle)),
+
+    // ---- the change feed through SQL (VERDICT r16 next #4) ----
+    // The SAME two windows, consumed through the `tsdb_changes(path,
+    // graceMs, from, to)` TABLE FUNCTION — Delta's `table_changes`
+    // shape — so a pure-SQL consumer reads the feed without the Scala
+    // API. The TVF resolves to the Scala lane's analyzed plan verbatim
+    // (one implementation, two front doors — Round17Spec pins the plan
+    // equivalence); the oracle is ts_change_feed's, bit for bit.
+    QueryDef("ts_change_feed_sql",
+      (s, dir) => {
+        val st = timeTravelStoreFor(s, dir)
+        graft.expressions.GraftFunctions.register(s)
+        Seq((500L, 2500L), (1500L, 3500L))
+          .map { case (f, t) =>
+            s.sql("SELECT * FROM tsdb_changes(" +
+                s"'${st.namespaceRoot}', ${1L << 60}, $f, $t)")
+              .withColumn("win", lit(t)) }
+          .reduce(_ unionByName _)
+          .groupBy(col("win"), col("change_type"), col("tag"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value").cast("double") * 100 + lit(0.5)).cast("long"))
+              .as("sum_cents"))
+          .orderBy("win", "change_type", "tag")
+      },
+      Some(ChangeFeedOracle)),
 
     // ---- compaction EXECUTED, gated by read-after-compact equivalence ----
     // The staged store ingested every event twice-ish (a full batch, then
@@ -1693,6 +1783,85 @@ object StoreQueries {
         SELECT tag, bucket_ts, count(*) AS n,
                CAST(sum(cents) AS BIGINT) AS sum_cents,
                min(cents) AS min_cents, max(cents) AS max_cents
-        FROM c GROUP BY tag, bucket_ts ORDER BY tag, bucket_ts"""))
+        FROM c GROUP BY tag, bucket_ts ORDER BY tag, bucket_ts""")),
+
+    // ---- the IVM with the QUANTILE SKETCH column (VERDICT r16 next #2) ----
+    // The same maintained rollup, now carrying a per-group quantile
+    // sketch at cap 64: merge-associative but not retraction-invertible,
+    // so the maintainer recomputes it over only the window's TOUCHED
+    // groups (the min/max lane) while count/sum still fold from the log.
+    // The oracle REPLAYS the whole sketch in SQL over the final LWW
+    // state — md5-threshold sampling, minimum-admissible-level pick, the
+    // integer rank walk, the 1/sqrt(ndv) error heuristic — possible only
+    // because the sketch state is a pure function of the multiset. A
+    // maintainer that left a stale sketch after the delete window, or
+    // whose driver/distributed lanes rendered differently, diverges.
+    QueryDef("st_sketch_mv",
+      (s, dir) => {
+        val mv = cdfSketchMvFor(s, dir)
+        val p = split(col("value"), ":")
+        mv.lwwDedup(mv.allDF)
+          .select(col("tag"), col("ts").as("bucket_ts"),
+            p.getItem(0).cast("long").as("n"),
+            p.getItem(1).cast("long").as("sum_cents"),
+            p.getItem(2).cast("long").as("min_cents"),
+            p.getItem(3).cast("long").as("max_cents"),
+            p.getItem(4).cast("int").as("level"),
+            p.getItem(5).cast("long").as("total"),
+            p.getItem(6).cast("long").as("ndv"),
+            (lit(1.0) / sqrt(greatest(p.getItem(6).cast("long"), lit(1L))
+              .cast("double"))).as("err_bound"),
+            p.getItem(7).cast("long").as("p50_cents"),
+            p.getItem(8).cast("long").as("p90_cents"),
+            p.getItem(9).cast("long").as("p99_cents"))
+          .where(col("n") > 0) // n = 0 rows are LWW tombstones
+          .orderBy("tag", "bucket_ts")
+      },
+      Some {
+        import EventsQueries.{sketchReplayCtes, PhisCte}
+        s"""
+        WITH a AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                 1000 AS ingest_ts, event_id
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        b AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
+                 value * 2 AS value, 3000 AS ingest_ts, event_id
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
+                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
+        s3 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                 PARTITION BY tag, ts_ms
+                 ORDER BY ingest_ts DESC, event_id DESC) AS rn
+               FROM (SELECT * FROM ad UNION ALL SELECT * FROM b))
+               WHERE rn = 1),
+        c AS (SELECT tag, ts_ms - (ts_ms % $MvBucketMs) AS bucket_ts,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM s3),
+        base AS (SELECT tag, bucket_ts, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   min(cents) AS min_cents, max(cents) AS max_cents
+                 FROM c GROUP BY tag, bucket_ts),
+        dv AS (SELECT tag, bucket_ts, cents AS c, count(*) AS cnt,
+                 md5(CAST(cents AS VARCHAR)) AS h
+               FROM c GROUP BY 1, 2, 3),
+        $PhisCte,
+        ${sketchReplayCtes("dv", Seq("tag", "bucket_ts"), 64, "m_")},
+        piv AS (SELECT tag, bucket_ts,
+                  max(level) AS level, max(total) AS total,
+                  max(ndv) AS ndv, max(err_bound) AS err_bound,
+                  max(CASE WHEN phi = 0.5 THEN est_cents END) AS p50_cents,
+                  max(CASE WHEN phi = 0.9 THEN est_cents END) AS p90_cents,
+                  max(CASE WHEN phi = 0.99 THEN est_cents END) AS p99_cents
+                FROM m_out GROUP BY tag, bucket_ts)
+        SELECT b.tag, b.bucket_ts, b.n, b.sum_cents, b.min_cents,
+               b.max_cents, q.level, q.total, q.ndv, q.err_bound,
+               q.p50_cents, q.p90_cents, q.p99_cents
+        FROM base b JOIN piv q
+          ON b.tag = q.tag AND b.bucket_ts = q.bucket_ts
+        ORDER BY b.tag, b.bucket_ts"""
+      })
   )
 }

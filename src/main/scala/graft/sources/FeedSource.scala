@@ -291,7 +291,48 @@ object FeedMicroBatchStream {
 final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
     retainConsumed: Boolean = true, assign: Option[Set[Int]] = None,
     group: Option[String] = None, checkpointId: Option[String] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with ReportsSourceMetrics {
+
+  /** Per-trigger LAG gauges (VERDICT r16 next #5 — the consumer-group
+    * health signal a production operator watches, Kafka's consumer-lag
+    * shape): committed cursor vs log end across this stream's OWNED
+    * logs, surfaced through [[ReportsSourceMetrics]] so they land in
+    * every `StreamingQueryProgress.sources[i].metrics` without any
+    * custom listener. `lagBytes` uses the SAFE frontier (complete
+    * records only), so a torn producer tail never reads as lag;
+    * `generation` stamps which group generation the numbers describe.
+    */
+  override def metrics(latestConsumedOffset: util.Optional[Offset])
+      : util.Map[String, String] = {
+    val consumed: Map[String, Long] =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.asInstanceOf[FeedOffset].positions
+      else Map.empty
+    val topic = topicPath
+    val gs = groupState()
+    val logs = gs match {
+      case Some((_, ls)) => ls.map(_._2)
+      case None => FeedMicroBatchStream.ownedLogs(topic, assign)
+    }
+    var end = 0L
+    var done = 0L
+    logs.foreach { log =>
+      val prefix = if (log == topic) "" else log.getFileName.toString + "/"
+      FeedLog.segments(log).foreach { seg =>
+        val name = prefix + seg.getFileName.toString
+        val safe = FeedLog.safeEnd(seg, 0L)
+        end += safe
+        done += math.min(consumed.getOrElse(name, 0L), safe)
+      }
+    }
+    val out = new util.HashMap[String, String]()
+    out.put("logEndBytes", end.toString)
+    out.put("committedBytes", done.toString)
+    out.put("lagBytes", math.max(end - done, 0L).toString)
+    gs.foreach { case (g, _) => out.put("generation", g.gen.toString) }
+    out
+  }
 
   /** Plain MicroBatchStream.latestOffset is never consulted once the
     * source declares admission control (the Kafka source does the same).

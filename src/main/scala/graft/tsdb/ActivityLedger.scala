@@ -37,9 +37,16 @@ import scala.jdk.CollectionConverters._
   */
 object ActivityLedger {
 
-  /** One parsed activity line. */
+  /** One parsed activity line. `amin` is the batch's MIN ingestTs for the
+    * partition (round 17 — the admission-control field): together with
+    * `activityTs` (the batch MAX) it brackets the line's row clocks, so a
+    * change window `(from, to]` can SKIP a line whose whole bracket lies
+    * above `to` — which is what lets the CDF stream cut a deep backlog
+    * into budget-sized windows. A legacy line without `amin` is treated
+    * as unbounded below (always eligible — conservative superset).
+    */
   final case class Act(tag: String, partitionStart: Long, activityTs: Long,
-      kind: String, pmax: Option[Long])
+      kind: String, pmax: Option[Long], amin: Option[Long] = None)
 
   private def unescape(s: String): String =
     if (!s.contains('\\')) s
@@ -95,7 +102,8 @@ object ActivityLedger {
       ps <- longField(line, "partitionStart")
       at <- longField(line, "activityTs")
       kind <- strField(line, "kind")
-    } yield Act(tag, ps, at, kind, longField(line, "pmax"))
+    } yield Act(tag, ps, at, kind, longField(line, "pmax"),
+      longField(line, "amin"))
 
   /** The `pmax` of a file's LAST line — the file's activity high-water
     * (every line's running max ends there). None for an empty file or a
@@ -153,18 +161,69 @@ object ActivityLedger {
     * the change-planner's "gained in-window rows" key set. Reads each
     * ledger file BACKWARDS, stopping at the first `pmax ≤ fromMs` line.
     */
-  def changedSince(activityDir: Path, fromMs: Long): Set[(String, Long)] = {
+  def changedSince(activityDir: Path, fromMs: Long): Set[(String, Long)] =
+    changedBetween(activityDir, fromMs, Long.MaxValue)
+
+  /** [[changedSince]] with an UPPER bound: partitions with a `"w"` line
+    * whose clock bracket intersects `(fromMs, toMs]` — `activityTs`
+    * (batch max) above `fromMs` AND `amin` (batch min) at or below
+    * `toMs`. A line whose whole bracket lies above `toMs` provably
+    * contributes no row visible at the `toMs` snapshot cut, so the key
+    * it names need not be planned — which is what makes an
+    * admission-control-cut change window CHEAPER than the full backlog,
+    * not just smaller. Legacy lines without `amin` stay eligible
+    * (conservative superset; merely unpruned).
+    */
+  def changedBetween(activityDir: Path, fromMs: Long,
+      toMs: Long): Set[(String, Long)] = {
     val out = scala.collection.mutable.HashSet.empty[(String, Long)]
     ledgerFiles(activityDir).foreach { f =>
-      try scanBackwards(f, fromMs, out) catch {
+      try scanBackwards(f, fromMs) { a =>
+        if (a.kind == "w" && a.activityTs > fromMs &&
+            a.amin.forall(_ <= toMs)) {
+          out += ((a.tag, a.partitionStart)); ()
+        }
+      } catch {
         case _: java.io.IOException => () // vanished mid-plan (compaction)
       }
     }
     out.toSet
   }
 
-  private def scanBackwards(file: Path, fromMs: Long,
-      out: scala.collection.mutable.HashSet[(String, Long)]): Unit = {
+  /** The admission planner's per-key churn brackets: for every key with
+    * a `"w"` line whose `activityTs > fromMs`, the MIN `amin` and MAX
+    * `activityTs` over those lines. The min-amin is the earliest window
+    * end at which the key becomes plan-eligible; the max-activityTs is
+    * the clock past which it stops being eligible for later windows.
+    * A legacy line's missing `amin` maps to `Long.MinValue` (eligible
+    * from the first window — conservative). Churn-proportional: the
+    * same backward `pmax` stop bound as [[changedSince]].
+    */
+  def churnBrackets(activityDir: Path,
+      fromMs: Long): Map[(String, Long), (Long, Long)] = {
+    val out = scala.collection.mutable.HashMap
+      .empty[(String, Long), (Long, Long)]
+    ledgerFiles(activityDir).foreach { f =>
+      try scanBackwards(f, fromMs) { a =>
+        if (a.kind == "w" && a.activityTs > fromMs) {
+          val k = (a.tag, a.partitionStart)
+          val lo = a.amin.getOrElse(Long.MinValue)
+          out.get(k) match {
+            case Some((l0, h0)) =>
+              out(k) = (math.min(l0, lo), math.max(h0, a.activityTs))
+            case None => out(k) = (lo, a.activityTs)
+          }
+          ()
+        }
+      } catch {
+        case _: java.io.IOException => ()
+      }
+    }
+    out.toMap
+  }
+
+  private def scanBackwards(file: Path, fromMs: Long)(
+      each: Act => Unit): Unit = {
     val size = Files.size(file)
     if (size == 0L) return
     val ch = FileChannel.open(file, StandardOpenOption.READ)
@@ -192,9 +251,7 @@ object ActivityLedger {
         while (i >= first && !stop) {
           val line = parts(i)
           if (line.nonEmpty) parseLine(line).foreach { a =>
-            if (a.kind == "w" && a.activityTs > fromMs) {
-              out += ((a.tag, a.partitionStart)); ()
-            }
+            each(a)
             // pmax bounds every line at or below this one
             if (a.pmax.exists(_ <= fromMs)) stop = true
           }

@@ -435,7 +435,8 @@ final class TimeSeriesStore(
     val acts = samples
       .groupBy(s => (s.tag, partitionStartOf(s.ts)))
       .map { case ((tag, pStart), ss) =>
-        (partitionName(tag, pStart), tag, pStart, ss.map(_.ingestTs).max, "w")
+        (partitionName(tag, pStart), tag, pStart,
+          ss.map(_.ingestTs).max, ss.map(_.ingestTs).min, "w")
       }.toSeq
     appendActivity(acts)
     bumpVersion()
@@ -477,14 +478,18 @@ final class TimeSeriesStore(
     * the activity directory's file count O(writers), not O(batches).
     * Each line carries `pmax`, the file's running `activityTs` max —
     * the index that makes change PLANNING churn-proportional (VERDICT
-    * r15 next #1; see [[ActivityLedger]]).
+    * r15 next #1; see [[ActivityLedger]]) — and `amin`, the batch's MIN
+    * ingest clock for the partition, which brackets the line's row
+    * clocks from below so an upper-bounded change window can skip it
+    * (round 17: CDF admission control).
     */
-  private def appendActivity(rows: Seq[(String, String, Long, Long, String)]): Unit = {
+  private def appendActivity(rows: Seq[(String, String, Long, Long, Long, String)]): Unit = {
     val sb = new StringBuilder
-    rows.foreach { case (pName, tag, pStart, actTs, kind) =>
+    rows.foreach { case (pName, tag, pStart, actTs, actMin, kind) =>
       if (actTs > actMaxSeen) actMaxSeen = actTs
       sb.append(s"""{"partitionName":${jsStr(pName)},"tag":${jsStr(tag)},""")
         .append(s""""partitionStart":$pStart,"activityTs":$actTs,""")
+        .append(s""""amin":$actMin,""")
         .append(s""""kind":${jsStr(kind)},"pmax":$actMaxSeen}""")
         .append('\n')
     }
@@ -522,11 +527,12 @@ final class TimeSeriesStore(
     // activity rows are one per touched PARTITION (bounded, small) — the
     // collect here is metadata-sized, not data-sized
     val acts = withPart.groupBy(col("tag"), col("partition_start"))
-      .agg(max(col("ingestTs")).as("activityTs"))
+      .agg(max(col("ingestTs")).as("activityTs"),
+        min(col("ingestTs")).as("amin"))
       .collect().toIndexedSeq
       .map { r =>
         val tag = r.getString(0); val pStart = r.getLong(1)
-        (partitionName(tag, pStart), tag, pStart, r.getLong(2), "w")
+        (partitionName(tag, pStart), tag, pStart, r.getLong(2), r.getLong(3), "w")
       }
     appendActivity(acts)
     partSizesFresh = false
@@ -1102,7 +1108,11 @@ final class TimeSeriesStore(
       if (!Files.isDirectory(d)) Seq.empty
       else withList(d)(_.filter(p =>
         p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith(".")).toSeq)
+          // same segment filter as readAsOfDF (ADVICE r16): both snapshot
+          // lanes must resolve identical member sets, so '_'-prefixed
+          // artifacts (a concurrent writer's _temporary) are excluded too
+          !p.getFileName.toString.startsWith(".") &&
+          !p.getFileName.toString.startsWith("_")).toSeq)
     })
     val psSet = ks.iterator.map(_._2).toSet
     val l0Files = live(l0FileList().filter { p =>
@@ -1116,11 +1126,13 @@ final class TimeSeriesStore(
   }
 
   /** An L0 file's footer `partition_start` range (unbounded when the
-    * footer is unreadable — the caller then keeps the file).
+    * footer is unreadable — the caller then keeps the file). NonFatal
+    * only (ADVICE r16): an OOM/interrupt must propagate, not silently
+    * widen the scan set.
     */
   private def l0FooterRange(p: Path): (Long, Long) = {
     val meta = try FooterCache.get(p.toString, hadoopConf)
-      catch { case _: Throwable => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (meta == null) (Long.MinValue, Long.MaxValue)
     else meta.stats.get("partition_start")
       .getOrElse((Long.MinValue, Long.MaxValue))
@@ -1226,7 +1238,10 @@ final class TimeSeriesStore(
   def changesBetween(fromMs: Long, toMs: Long): DataFrame = {
     require(fromMs <= toMs, s"empty change window [$fromMs, $toMs]")
     requireInitialized()
-    guardHorizon(fromMs)
+    // fromMs = 0 is a stream's initial full sync (the pre-snapshot is
+    // empty by the ingest cut) — same exemption as changesBetweenLocal,
+    // so the CDF source's over-budget cold-start fallback can serve it
+    if (fromMs > 0L) guardHorizon(fromMs)
     guardHorizon(toMs)
     val retiredAt = pendingObsoleteClocks()
     // countTotal = false: the dirsTotal census is an O(partitions)
@@ -1283,6 +1298,124 @@ final class TimeSeriesStore(
         col("c.kind").as("change_type"))
   }
 
+  /** The `(tag, partition_start)` key a retired tier file's path encodes
+    * (None for L0/tmp retirements — flush churn, state-preserving).
+    */
+  private def retiredKeyOf(p: Path): Option[(String, Long)] = {
+    val hotAbs = hotDir.toAbsolutePath.normalize
+    val coldAbs = coldDir.toAbsolutePath.normalize
+    val tier =
+      if (p.startsWith(hotAbs)) Some(hotAbs)
+      else if (p.startsWith(coldAbs)) Some(coldAbs)
+      else None
+    tier.flatMap { t =>
+      val rel = t.relativize(p)
+      if (rel.getNameCount < 3) None
+      else {
+        val tagSeg = rel.getName(0).toString
+        val psSeg = rel.getName(1).toString
+        if (!tagSeg.startsWith("tag=") ||
+            !psSeg.startsWith("partition_start=")) None
+        else try Some((
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(tagSeg.stripPrefix("tag=")),
+          psSeg.stripPrefix("partition_start=").toLong))
+        catch { case _: NumberFormatException => None }
+      }
+    }
+  }
+
+  /** ADMISSION CONTROL for the streaming change feed (VERDICT r16 next
+    * #1, Delta's `maxBytesPerTrigger` shape): the largest window end
+    * `e ∈ (fromMs, hwMs]` whose ledger-planned scan set stays under
+    * `budgetBytes`, so a cold start or deep backlog drains as a SEQUENCE
+    * of bounded windows instead of throwing over the driver cap on the
+    * full `(0, hw]` diff.
+    *
+    * Mechanics: both ledgers yield per-key CLOCK BRACKETS churn-
+    * proportionally (the activity ledger's `[amin, activityTs]` batch
+    * brackets via [[ActivityLedger.churnBrackets]] — backward `pmax`-
+    * bounded scan; the GC ledger's retirement clocks) — a key joins the
+    * window `(fromMs, e]` scan plan exactly when `e` reaches its
+    * earliest bracket clock. Keys are swept in eligibility order,
+    * accumulating their partition dirs' live bytes plus any L0 file
+    * whose footer range a newly-admitted key intersects (the same cost
+    * model [[changesBetweenLocal]] enforces); the sweep stops one clock
+    * BELOW the tick that would blow the budget. Same-clock keys are
+    * indivisible (a window end is a clock), so a single over-budget
+    * tick — one backfill commit bigger than the budget — is returned
+    * as-is: the caller must serve that one window through the
+    * DISTRIBUTED [[changesBetween]] lane (the CDF source materializes it
+    * to scratch parquet its readers stream).
+    *
+    * Cost per call: O(churn lines past fromMs) ledger bytes + one
+    * directory listing per still-eligible churned key — proportional to
+    * the REMAINING backlog, never store size; an idle tail never calls
+    * this (its high water is stamp-gated upstream).
+    */
+  def admitChangeWindow(fromMs: Long, hwMs: Long, budgetBytes: Long): Long = {
+    requireInitialized()
+    if (hwMs <= fromMs) return hwMs
+    val brackets = scala.collection.mutable.HashMap
+      .empty[(String, Long), (Long, Long)]
+    ActivityLedger.churnBrackets(activityDir, fromMs).foreach {
+      case (k, v) => brackets(k) = v
+    }
+    pendingObsoleteClocks().foreach { case (p, at) =>
+      if (at > fromMs) retiredKeyOf(p).foreach { k =>
+        brackets.get(k) match {
+          case Some((lo, hi)) =>
+            brackets(k) = (math.min(lo, at), math.max(hi, at))
+          case None => brackets(k) = (at, at)
+        }
+      }
+    }
+    if (brackets.isEmpty) return hwMs
+    val eligible = brackets.iterator.map { case (k, (lo, _)) =>
+      (math.max(lo, fromMs + 1), k)
+    }.toIndexedSeq.sortBy(e => (e._1, e._2))
+    def keep(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }
+    def dirBytes(k: (String, Long)): Long =
+      Seq(hotDir, coldDir).map { tier =>
+        val d = tier.resolve(tagDirName(k._1))
+          .resolve(s"partition_start=${k._2}")
+        if (!Files.isDirectory(d)) 0L
+        else withList(d)(_.filter(keep).map(sizeOrZero).sum)
+      }.sum
+    val l0 = l0FileList().map(p => (l0FooterRange(p), sizeOrZero(p)))
+    val l0Counted = Array.fill(l0.size)(false)
+    var total = 0L
+    var cut = fromMs
+    var i = 0
+    while (i < eligible.length) {
+      val clock = eligible(i)._1
+      var j = i
+      var tickBytes = 0L
+      while (j < eligible.length && eligible(j)._1 == clock) {
+        val k = eligible(j)._2
+        tickBytes += dirBytes(k)
+        var fi = 0
+        while (fi < l0.length) {
+          if (!l0Counted(fi)) {
+            val ((lo, hi), sz) = l0(fi)
+            if (k._2 >= lo && k._2 <= hi) { l0Counted(fi) = true; tickBytes += sz }
+          }
+          fi += 1
+        }
+        j += 1
+      }
+      if (total + tickBytes > budgetBytes)
+        return math.min(if (cut == fromMs) clock else clock - 1, hwMs)
+      total += tickBytes
+      cut = clock
+      i = j
+    }
+    hwMs
+  }
+
   /** The change feed's ledger-pruned scan set: every file that can
     * contribute a diff row to `(fromMs, toMs]`, plus the pruning counts
     * the spec pins read.
@@ -1330,35 +1463,16 @@ final class TimeSeriesStore(
       else withList(dir)(_.filter(p =>
         p.getFileName.toString.endsWith(".parquet") &&
           !p.getFileName.toString.startsWith(".")).toSeq)
-    // phase 1a: partitions with in-window ingest, from the activity ledger
-    val actChanged = ActivityLedger.changedSince(activityDir, fromMs)
+    // phase 1a: partitions with in-window ingest, from the activity
+    // ledger — bracketed on BOTH sides (round 17): a line whose whole
+    // [amin, activityTs] clock bracket lies above `toMs` contributes no
+    // row visible at the `toMs` snapshot cut, so an admission-cut window
+    // plans (and pays for) only its own slice of a deep backlog
+    val actChanged = ActivityLedger.changedBetween(activityDir, fromMs, toMs)
     // phase 1b: partitions with an in-window retirement, from the GC
     // ledger entries' directory-encoded paths
-    val hotAbs = hotDir.toAbsolutePath.normalize
-    val coldAbs = coldDir.toAbsolutePath.normalize
-    def keyOfRetired(p: Path): Option[(String, Long)] = {
-      val tier =
-        if (p.startsWith(hotAbs)) Some(hotAbs)
-        else if (p.startsWith(coldAbs)) Some(coldAbs)
-        else None // an L0/tmp retirement: flush churn, state-preserving
-      tier.flatMap { t =>
-        val rel = t.relativize(p)
-        if (rel.getNameCount < 3) None
-        else {
-          val tagSeg = rel.getName(0).toString
-          val psSeg = rel.getName(1).toString
-          if (!tagSeg.startsWith("tag=") ||
-              !psSeg.startsWith("partition_start=")) None
-          else try Some((
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .unescapePathName(tagSeg.stripPrefix("tag=")),
-            psSeg.stripPrefix("partition_start=").toLong))
-          catch { case _: NumberFormatException => None }
-        }
-      }
-    }
     val retChanged = retiredAt.iterator.collect {
-      case (p, at) if at > fromMs && at <= toMs => keyOfRetired(p)
+      case (p, at) if at > fromMs && at <= toMs => retiredKeyOf(p)
     }.flatten.toSet
     val changedKeys = actChanged ++ retChanged
     // phase 2: list ONLY the marked keys' dirs, both tiers
@@ -1424,7 +1538,7 @@ final class TimeSeriesStore(
     val bytes = (plan.l0Files ++ plan.hotFiles ++ plan.coldFiles)
       .map(sizeOrZero).sum
     if (bytes > maxBytes)
-      throw new IllegalStateException(
+      throw new ChangeWindowOverBudgetException(
         s"change window ($fromMs, $toMs] scans $bytes bytes — over the " +
           s"driver-side cap $maxBytes; run changesBetween (the " +
           "distributed plan) for reconciliation-sized windows")
@@ -1890,12 +2004,22 @@ final class TimeSeriesStore(
     val parsed = lines.flatMap(ActivityLedger.parseLine)
     // per (tag, partitionStart, kind) only the max activityTs matters to
     // recentActivityDF's aggregate — and to the change planner's
-    // "activity > fromMs" predicate
+    // "activity > fromMs" predicate. The merged line's `amin` must be the
+    // MIN over every merged line (a missing legacy amin poisons the merge
+    // to None — unbounded below): the bracket prunes an upper-bounded
+    // window only when NO dropped line's rows could fall inside it.
     val best = scala.collection.mutable.LinkedHashMap
       .empty[(String, Long, String), ActivityLedger.Act]
     parsed.foreach { a =>
       val k = (a.tag, a.partitionStart, a.kind)
-      if (!best.contains(k) || best(k).activityTs < a.activityTs) best(k) = a
+      best.get(k) match {
+        case None => best(k) = a
+        case Some(b) =>
+          val mergedMin =
+            for (x <- a.amin; y <- b.amin) yield math.min(x, y)
+          best(k) =
+            (if (a.activityTs > b.activityTs) a else b).copy(amin = mergedMin)
+      }
     }
     val removed = lines.size.toLong - best.size
     if (removed > 0) {
@@ -1910,9 +2034,10 @@ final class TimeSeriesStore(
       var pmax = Long.MinValue
       best.values.toSeq.sortBy(_.activityTs).foreach { a =>
         if (a.activityTs > pmax) pmax = a.activityTs
+        val aminField = a.amin.fold("")(m => s""""amin":$m,""")
         sb.append(s"""{"partitionName":${jsStr(partitionName(a.tag, a.partitionStart))},""")
           .append(s""""tag":${jsStr(a.tag)},"partitionStart":${a.partitionStart},""")
-          .append(s""""activityTs":${a.activityTs},"kind":${jsStr(a.kind)},"pmax":$pmax}""")
+          .append(s""""activityTs":${a.activityTs},$aminField"kind":${jsStr(a.kind)},"pmax":$pmax}""")
           .append('\n')
       }
       val tmp = tmpDir.resolve(s"act-compact-$writerId")
@@ -2002,7 +2127,7 @@ final class TimeSeriesStore(
           s""""maxSeq":$maxSeq,"maxIngestTs":$maxIngest,"rows":$nRows}"""
       Files.write(entryDir.resolve("meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       // Mark: removes it from RecentActivity until a newer write (lua:19).
-      appendActivity(Seq((pName, tag, pStart, markTs, "m")))
+      appendActivity(Seq((pName, tag, pStart, markTs, markTs, "m")))
       id
     }
     }
@@ -2630,6 +2755,14 @@ object TimeSeriesStore {
   * files by retirement clock inside its OWN directory listing — snapshot
   * resolution behind plan-time pruning, VERDICT r14 next #3).
   */
+/** A driver-side change window's scan set exceeded its byte cap — the
+  * typed signal for callers (the `graft-store-cdf` stream) to serve the
+  * window through the distributed [[TimeSeriesStore.changesBetween]]
+  * lane instead of failing the query.
+  */
+final class ChangeWindowOverBudgetException(msg: String)
+    extends IllegalStateException(msg)
+
 object GcLedger {
 
   /** Path → retirement clock for every pending entry under `gcDir`: the

@@ -438,6 +438,53 @@ class FeedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readAssign("7").count() === 0L)
   }
 
+  test("consumer-group lag gauges surface in the streaming progress across a two-member drain") {
+    import graft.streaming.FeedGroup
+    val topic = Files.createTempDirectory("feedtopic-lag")
+    val keyed = (0 until 160).map(i => (s"k${i % 7}",
+      payload(s"k${i % 7}", i.toLong, s"v$i", seq = i.toLong)))
+    FeedLog.appendKeyed(topic, keyed, numLogs = 2, segBytes = 1024L)
+    FeedGroup.join(topic, "a")
+    FeedGroup.join(topic, "b")
+    def store() = {
+      val st = new TimeSeriesStore(spark,
+        Files.createTempDirectory("feedlag-store").toString,
+        StoreSettings(partitionWidth = 1000000L))
+      st.initialize()
+      st
+    }
+    def drain(member: String): Seq[Map[String, String]] = {
+      val q = StreamingIngest.feedGroupSampleStream(spark, store(),
+        topic.toString, member, maxBytesPerTrigger = 2048L,
+        checkpointDir =
+          Some(Files.createTempDirectory(s"feedlag-ck$member").toString))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      q.recentProgress.toSeq.flatMap(p =>
+        p.sources.toSeq.map(_.metrics.asScala.toMap))
+        .filter(_.nonEmpty)
+    }
+    Seq("a", "b").foreach { member =>
+      val ms = drain(member)
+      assert(ms.nonEmpty, s"member $member reported no source metrics")
+      assert(ms.forall(m => m.contains("lagBytes") &&
+        m.contains("logEndBytes") && m.contains("committedBytes")),
+        s"missing gauges: ${ms.last}")
+      // the member owns one of two logs: its log end is positive and the
+      // backlog drains to zero lag under the small per-trigger budget
+      val end = ms.map(_("logEndBytes").toLong).max
+      assert(end > 0L, s"member $member saw no owned bytes")
+      assert(ms.exists(_("lagBytes").toLong > 0L),
+        s"a budgeted drain should report mid-drain lag: $ms")
+      assert(ms.map(_("lagBytes").toLong).min === 0L,
+        s"member $member never reached zero lag: $ms")
+      assert(ms.map(_("committedBytes").toLong).max === end,
+        s"committed cursor never reached the log end for $member")
+      assert(ms.forall(_.get("generation").contains("2")),
+        "gauges must carry the group generation")
+    }
+  }
+
   test("cross-JVM producer: records appended by a foreign process drain exactly") {
     val dir = Files.createTempDirectory("feedlog-xjvm")
     val scratch = Files.createTempDirectory("feedlog-xjvm-io")

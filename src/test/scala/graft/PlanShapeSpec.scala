@@ -679,6 +679,46 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(3000))
   }
 
+  test("tsdb_changes TVF resolves to the Scala lane's ledger-pruned plan verbatim") {
+    // the SQL table function must be the SAME plan behind a SQL front
+    // door: identical pruned input-file set, identical answer — never a
+    // second implementation that could drift
+    import org.apache.spark.sql.functions._
+    import graft.tsdb.{Sample, StoreSettings, TimeSeriesStore}
+    graft.expressions.GraftFunctions.register(spark)
+    val st = new TimeSeriesStore(spark,
+      java.nio.file.Files.createTempDirectory("planshape-tvf").toString,
+      StoreSettings(partitionWidth = 100L), obsoleteGraceMs = 1L << 60)
+    st.initialize()
+    st.clock = () => 1000L
+    st.writeSamples((0 until 30).map(i =>
+      Sample(s"t${i % 3}", i * 10L, s"v$i", 1000L, "w1", i.toLong)))
+    st.flushL0()
+    st.clock = () => 2000L
+    st.writeSamples(Seq(Sample("t0", 0L, "u", 2000L, "w2", 100L)))
+    st.flushL0()
+    val api = st.changesBetween(1500L, 2500L)
+    val sql = spark.sql("SELECT * FROM tsdb_changes(" +
+      s"'${st.namespaceRoot}', ${1L << 60}, 1500, 2500)")
+    // same ledger-pruned file set (the plan), same rows (the answer)
+    assert(sql.inputFiles.sorted.toSeq === api.inputFiles.sorted.toSeq,
+      "the TVF scanned a different (un-pruned?) file set")
+    val a = api.orderBy("tag", "ts", "change_type").collect().toSeq
+    val b = sql.orderBy("tag", "ts", "change_type").collect().toSeq
+    assert(a === b, "the TVF answered differently from the Scala lane")
+    // pruning pins: only the churned tag's dir is in the scan set
+    assert(sql.inputFiles.nonEmpty &&
+      sql.inputFiles.forall(f => f.contains("tag=t0") || f.contains("/l0/")),
+      sql.inputFiles.mkString(","))
+    // literal-argument contract is enforced loudly
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM tsdb_changes('${st.namespaceRoot}', " +
+        s"${1L << 60}, 1500, CAST(rand() * 10 AS BIGINT))").collect()
+    }
+    assert(err.getMessage.contains("literal") ||
+      err.getMessage.toLowerCase.contains("fold"), err.getMessage)
+  }
+
   test("DriverBudget branch counters observe k-means centroid materialization") {
     graft.analytics.DriverBudget.resetBranchCounts()
     SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf).count()

@@ -66,8 +66,33 @@ object ChangeFeedProbe {
         runMv(spark, n, c)
       }
     }
+    if (mode == "admit") {
+      println(f"${"partitions"}%10s ${"churned"}%8s ${"admit_s"}%8s " +
+        f"${"cutTight"}%9s ${"cutOpen"}%8s")
+      Seq((10000, 8), (100000, 8), (100000, 80)).foreach { case (n, c) =>
+        runAdmit(spark, n, c)
+      }
+    }
     if (mode == "mvbig") runMvBig(spark)
     spark.stop()
+  }
+
+  /** Admission-control planning cost (round 17): `admitChangeWindow`
+    * reads churn brackets (backward ledger scan, `pmax`-bounded) and
+    * sizes ONLY the eligible keys' directories — so cutting a window
+    * must be flat in store size and linear in churn, like the plan leg.
+    * `cutTight` is the budget-1 cut (the first eligible tick — an
+    * indivisible tick is returned as-is), `cutOpen` the unbounded one
+    * (the window end).
+    */
+  private def runAdmit(spark: SparkSession, nPartitions: Int, churn: Int): Unit = {
+    val st = stage(spark, nPartitions, churn, viaL0 = false)
+    val t0 = System.nanoTime()
+    val cutTight = st.admitChangeWindow(1500L, 3500L, 1L)
+    val cutOpen = st.admitChangeWindow(1500L, 3500L, Long.MaxValue)
+    val admitS = (System.nanoTime() - t0) / 1e9
+    println(f"$nPartitions%10d $churn%8d $admitS%8.3f " +
+      f"$cutTight%9d $cutOpen%8d")
   }
 
   /** The MILLION-GROUP backfill window (VERDICT r16 next #3): 10⁶
@@ -129,10 +154,12 @@ object ChangeFeedProbe {
     println(f"${"(1000,3000]"}%16s $groups%9d $sliceKeys%10d $keyBytes%9d $s2%8.1f")
     // fold result hash-unchanged vs a full recompute from the source
     val part = split(col("value"), ":")
+    // bit_xor, not sum: an order-independent combine of 10⁶ xxhash64
+    // longs that cannot overflow under ANSI arithmetic
     val mvHash = mv.lwwDedup(mv.allDF)
       .where(part.getItem(0).cast("long") > 0L)
       .select(xxhash64(col("tag"), col("ts"), col("value")).as("h"))
-      .agg(sum("h")).head().getLong(0)
+      .agg(expr("bit_xor(h)")).head().getLong(0)
     val cents = floor(col("value").cast("double") * 100 + lit(0.5)).cast("long")
     val wantHash = src.lwwDedup(src.allDF)
       .select(col("tag"),
@@ -142,7 +169,7 @@ object ChangeFeedProbe {
         min("c").as("mn"), max("c").as("mx"))
       .select(xxhash64(col("tag"), col("b"),
         concat_ws(":", col("n"), col("s"), col("mn"), col("mx"))).as("h"))
-      .agg(sum("h")).head().getLong(0)
+      .agg(expr("bit_xor(h)")).head().getLong(0)
     println(s"fold hash ${if (mvHash == wantHash) "MATCHES" else "DIVERGED"} " +
       s"recompute ($mvHash vs $wantHash)")
     require(mvHash == wantHash, "mvbig fold diverged from recompute")

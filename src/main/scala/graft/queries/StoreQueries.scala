@@ -501,6 +501,40 @@ object StoreQueries {
     */
   private val MvBucketMs = 21600000L // 6h — a handful of buckets per tag-day
 
+  /** The `ts_time_travel` oracle — shared verbatim by
+    * `ts_time_travel_dsv2` (the connector's `asOf` planning) and
+    * `ts_time_travel_sql` (`VERSION AS OF` through the catalog): three
+    * resolution paths, one answer.
+    */
+  private lazy val TimeTravelOracle: String = s"""
+        WITH a AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
+                 1000 AS ingest_ts, event_id
+          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        b AS (
+          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
+                 value * 2 AS value, 3000 AS ingest_ts, event_id
+          FROM events
+          WHERE event_id % 3 = 0
+            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
+        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
+                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
+        snaps AS (
+          SELECT CAST(1500 AS BIGINT) AS as_of, * FROM a
+          UNION ALL SELECT 2500, * FROM ad
+          UNION ALL SELECT 3500, * FROM ad
+          UNION ALL SELECT 3500, * FROM b),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY as_of, tag, ts_ms
+                ORDER BY ingest_ts DESC, event_id DESC) AS rn
+              FROM snaps)
+        SELECT as_of, tag, count(*) AS n,
+               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM w WHERE rn = 1
+        GROUP BY as_of, tag ORDER BY as_of, tag"""
+
   /** The `ts_change_feed` oracle — shared verbatim by
     * `ts_change_feed_sql` (the TVF is the same plan behind a SQL front
     * door, so the two rows must share one answer bit for bit).
@@ -1175,34 +1209,7 @@ object StoreQueries {
               .as("sum_cents"))
           .orderBy("as_of", "tag")
       },
-      Some(s"""
-        WITH a AS (
-          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
-                 1000 AS ingest_ts, event_id
-          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
-        b AS (
-          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
-                 value * 2 AS value, 3000 AS ingest_ts, event_id
-          FROM events
-          WHERE event_id % 3 = 0
-            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
-        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
-                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
-        snaps AS (
-          SELECT CAST(1500 AS BIGINT) AS as_of, * FROM a
-          UNION ALL SELECT 2500, * FROM ad
-          UNION ALL SELECT 3500, * FROM ad
-          UNION ALL SELECT 3500, * FROM b),
-        w AS (SELECT *, row_number() OVER (
-                PARTITION BY as_of, tag, ts_ms
-                ORDER BY ingest_ts DESC, event_id DESC) AS rn
-              FROM snaps)
-        SELECT as_of, tag, count(*) AS n,
-               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                 AS sum_cents
-        FROM w WHERE rn = 1
-        GROUP BY as_of, tag ORDER BY as_of, tag""")),
+      Some(TimeTravelOracle)),
 
     // ---- TIME TRAVEL through the DSv2 connector ----
     // The SAME three snapshots of the SAME staged mutation history, but
@@ -1229,34 +1236,42 @@ object StoreQueries {
               .as("sum_cents"))
           .orderBy("as_of", "tag")
       },
-      Some(s"""
-        WITH a AS (
-          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, value,
-                 1000 AS ingest_ts, event_id
-          FROM events WHERE epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
-        b AS (
-          SELECT event_type AS tag, epoch_ms(ts) AS ts_ms,
-                 value * 2 AS value, 3000 AS ingest_ts, event_id
-          FROM events
-          WHERE event_id % 3 = 0
-            AND epoch_ms(ts) BETWEEN ${day(0)} AND ${day(3)}),
-        ad AS (SELECT * FROM a WHERE NOT (tag = 'click'
-                 AND ts_ms BETWEEN ${day(1)} AND ${day(2) - 1})),
-        snaps AS (
-          SELECT CAST(1500 AS BIGINT) AS as_of, * FROM a
-          UNION ALL SELECT 2500, * FROM ad
-          UNION ALL SELECT 3500, * FROM ad
-          UNION ALL SELECT 3500, * FROM b),
-        w AS (SELECT *, row_number() OVER (
-                PARTITION BY as_of, tag, ts_ms
-                ORDER BY ingest_ts DESC, event_id DESC) AS rn
-              FROM snaps)
-        SELECT as_of, tag, count(*) AS n,
-               min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                 AS sum_cents
-        FROM w WHERE rn = 1
-        GROUP BY as_of, tag ORDER BY as_of, tag""")),
+      Some(TimeTravelOracle)),
+
+    // ---- TIME TRAVEL from PURE SQL: VERSION AS OF through the catalog ----
+    // The SAME three snapshots a third way — zero Scala: the TableCatalog
+    // resolves `VERSION AS OF <clock>` (the store mutation clock, ms)
+    // via loadTable(ident, version) into the connector's COMPLETE
+    // snapshot mode (tier files by the GC-ledger retirement rule + the
+    // bounded L0 tier + the `ingestTs <= asOf` row bound — the two
+    // steps connectorAsOfDF performs outside the connector), and LWW
+    // resolution is the SQL window the store's lwwDedup defines. The
+    // horizon guard rides the catalog's `graceMs` option. Bit-identical
+    // to ts_time_travel / ts_time_travel_dsv2 — all three share one
+    // oracle.
+    QueryDef("ts_time_travel_sql",
+      (s, dir) => {
+        val st = timeTravelStoreFor(s, dir)
+        s.conf.set("spark.sql.catalog.tsdbtt", "graft.sources.TsdbCatalog")
+        s.conf.set("spark.sql.catalog.tsdbtt.root", st.rootDir)
+        s.conf.set("spark.sql.catalog.tsdbtt.graceMs", (1L << 60).toString)
+        val ns = st.settings.settingsHash
+        Seq(1500L, 2500L, 3500L)
+          .map(t => s.sql(s"""
+            SELECT CAST($t AS BIGINT) AS as_of, tag, ts, value
+            FROM (SELECT *, row_number() OVER (PARTITION BY tag, ts
+                    ORDER BY ingestTs DESC, seq DESC, writerId DESC) AS rn
+                  FROM tsdbtt.`$ns`.`all` VERSION AS OF $t)
+            WHERE rn = 1"""))
+          .reduce(_ unionByName _)
+          .groupBy(col("as_of"), col("tag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ts")).as("min_ts_ms"), max(col("ts")).as("max_ts_ms"),
+            sum(floor(col("value").cast("double") * 100 + lit(0.5)).cast("long"))
+              .as("sum_cents"))
+          .orderBy("as_of", "tag")
+      },
+      Some(TimeTravelOracle)),
 
     // ---- CHANGE DATA FEED: snapshot-diff classification ----
     // changesBetween over the SAME staged mutation history: window

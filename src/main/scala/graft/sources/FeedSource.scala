@@ -305,10 +305,14 @@ final class FeedMicroBatchStream(dir: String, maxBytesPerTrigger: Long,
     */
   override def metrics(latestConsumedOffset: util.Optional[Offset])
       : util.Map[String, String] = {
+    // after a restart the engine reports the checkpointed offset as a
+    // raw SerializedOffset — parse either form
     val consumed: Map[String, Long] =
-      if (latestConsumedOffset.isPresent)
-        latestConsumedOffset.get.asInstanceOf[FeedOffset].positions
-      else Map.empty
+      if (!latestConsumedOffset.isPresent) Map.empty
+      else latestConsumedOffset.get match {
+        case o: FeedOffset => o.positions
+        case o => FeedOffset.fromJson(o.json).positions
+      }
     val topic = topicPath
     val gs = groupState()
     val logs = gs match {

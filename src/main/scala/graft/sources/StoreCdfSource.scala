@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -163,7 +163,31 @@ final case class StoreCdfScratchPartition(path: String,
     winFrom: Long, winTo: Long) extends InputPartition
 
 final class StoreCdfStream(nsRoot: String, graceMs: Long, maxBytes: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with ReportsSourceMetrics {
+
+  /** The admission-control health gauge (the feed source's lag-metrics
+    * sibling): how far the consumed cursor trails the ledgers' high
+    * water, in store-clock ms — nonzero across triggers means the tail
+    * is draining a backlog under its byte budget; growing means it is
+    * falling behind. One stamp-gated metadata read per progress event.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    // after a restart the engine reports the checkpointed offset as a
+    // raw SerializedOffset — parse either form
+    val consumed =
+      if (!latestConsumedOffset.isPresent) 0L
+      else latestConsumedOffset.get match {
+        case o: StoreCdfOffset => o.clock
+        case o => StoreCdfOffset.fromJson(o.json).clock
+      }
+    val hw =
+      try highWater()
+      catch { case scala.util.control.NonFatal(_) => consumed }
+    java.util.Map.of("backlogClockMs",
+      math.max(hw - consumed, 0L).toString)
+  }
 
   private val root = Paths.get(nsRoot)
   private val scratchRoot = root.resolve(".cdf-scratch")

@@ -32,12 +32,14 @@ class TsdbCatalog extends TableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+  private var graceMs: Option[Long] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option 'root' (the store root directory)"))
+    graceMs = Option(options.get("graceMs")).map(_.toLong)
   }
 
   override def name(): String = catalogName
@@ -70,6 +72,51 @@ class TsdbCatalog extends TableCatalog {
           s"settings.json in $nsRoot has no partitionWidth: $json"))
     }
     new TsdbTable(nsRoot.toString, ident.name, width)
+  }
+
+  // ------------------------------------------------- SQL time travel
+  // Delta's `table_changes` sibling surface (VERDICT r16 next #4): the
+  // store's asOf snapshot from PURE SQL —
+  //   SELECT * FROM tsdb.`<ns>`.hot VERSION AS OF 1500          (store clock, ms)
+  //   SELECT * FROM tsdb.`<ns>`.hot TIMESTAMP AS OF '1970-01-01 00:00:01.5'
+  // The returned table is the COMPLETE snapshot (tier files by the
+  // GC-ledger retirement rule + the bounded L0 tier + the
+  // `ingestTs <= asOf` row bound — TsdbTable's snapshot mode), so a SQL
+  // consumer needs no post-read fix-up. The retention-horizon guard
+  // needs the DEPLOYED grace (not part of the hashed settings), declared
+  // once as the catalog option `graceMs` — the same contract the CDF
+  // source's option carries.
+
+  /** `VERSION AS OF <clock>` — the version IS the store mutation clock
+    * in epoch millis (the clock domain every ledger/snapshot API uses).
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    timeTravel(ident,
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"tsdb VERSION AS OF takes the store mutation clock in epoch " +
+            s"millis, got '$version'")
+      })
+
+  /** `TIMESTAMP AS OF <expr>` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    timeTravel(ident, Math.floorDiv(timestamp, 1000L))
+
+  private def timeTravel(ident: Identifier, asOfMs: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val grace = graceMs.getOrElse(throw new IllegalArgumentException(
+      s"catalog $catalogName: time travel needs the deployed retention " +
+        s"window — SET spark.sql.catalog.$catalogName.graceMs to the " +
+        "store's obsoleteGraceMs"))
+    val nsRoot = Paths.get(root, ident.namespace()(0)).toString
+    // the shared horizon guard (refuses a snapshot old enough that
+    // grace-swept files could serve it incomplete)
+    graft.tsdb.TimeSeriesStore.openNamespace(
+      org.apache.spark.sql.SparkSession.active, nsRoot, grace)
+      .guardHorizon(asOfMs)
+    val base = loadTable(ident).asInstanceOf[TsdbTable]
+    base.withSnapshot(asOfMs)
   }
 
   override def createTable(

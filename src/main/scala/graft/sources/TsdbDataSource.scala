@@ -109,8 +109,17 @@ object TsdbSource {
   val PhysicalOrder: Seq[String] = Seq("ts", "value", "ingestTs", "writerId", "seq")
 }
 
+/** @param snapshot SQL time-travel mode (`VERSION AS OF` /
+  *   `TIMESTAMP AS OF` through [[TsdbCatalog]]): the scan must be a
+  *   COMPLETE self-contained snapshot — it additionally unions the
+  *   bounded L0 tier (eligible by the same retirement rule) and bounds
+  *   every row by `ingestTs <= asOf`, the two steps
+  *   [[graft.tsdb.TimeSeriesStore.connectorAsOfDF]] otherwise performs
+  *   OUTSIDE the connector. Aggregate/top-N pushdown is refused in this
+  *   mode (footer statistics cannot honor the row bound).
+  */
 final class TsdbTable(nsRoot: String, tier: String, width: Long,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None, snapshot: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -122,8 +131,14 @@ final class TsdbTable(nsRoot: String, tier: String, width: Long,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
 
+  /** The catalog's time-travel handle: same table, complete-snapshot
+    * read semantics at `asOfMs`.
+    */
+  private[sources] def withSnapshot(asOfMs: Long): TsdbTable =
+    new TsdbTable(nsRoot, tier, width, Some(asOfMs), snapshot = true)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TsdbScanBuilder(nsRoot, tier, width, asOf)
+    new TsdbScanBuilder(nsRoot, tier, width, asOf, snapshot)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -162,7 +177,7 @@ object TsdbAggSpec {
 final case class TsdbTopNSpec(prefix: Seq[(String, Boolean)], limit: Int)
 
 final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None, snapshot: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -189,7 +204,7 @@ final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long,
   override def isPartiallyPushed(): Boolean = true
 
   override def pushLimit(n: Int): Boolean = {
-    if (aggSpec.nonEmpty) return false // defensive: never co-offered by Spark
+    if (aggSpec.nonEmpty || snapshot) return false // defensive: never co-offered by Spark
     topNSpec = Some(TsdbTopNSpec(Nil, n))
     true
   }
@@ -197,7 +212,7 @@ final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long,
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
-    if (aggSpec.nonEmpty) return false
+    if (aggSpec.nonEmpty || snapshot) return false
     import org.apache.spark.sql.connector.expressions.SortDirection
     val prefix = orders.toSeq
       .map(o => (refName(o.expression()),
@@ -242,6 +257,9 @@ final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long,
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
+    // snapshot mode: footer row counts / int64 stats describe WHOLE
+    // files and cannot honor the `ingestTs <= asOf` row bound
+    if (snapshot) return false
     import org.apache.spark.sql.connector.expressions.aggregate._
     val groupCols = agg.groupByExpressions.toSeq.map(refName)
     // only directory-encoded columns are constant per split — any other
@@ -300,7 +318,8 @@ final class TsdbScanBuilder(nsRoot: String, tier: String, width: Long,
     required = requiredSchema
 
   override def build(): Scan =
-    new TsdbScan(nsRoot, tier, width, required, pushed, aggSpec, topNSpec, asOf)
+    new TsdbScan(nsRoot, tier, width, required, pushed, aggSpec, topNSpec,
+      asOf, snapshot)
 }
 
 final class TsdbScan(
@@ -311,7 +330,8 @@ final class TsdbScan(
     pushed: Array[Filter],
     aggSpec: Option[TsdbAggSpec] = None,
     topNSpec: Option[TsdbTopNSpec] = None,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    snapshot: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -329,7 +349,7 @@ final class TsdbScan(
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    if (perDirSplits &&
+    if (perDirSplits && l0SnapshotParts.isEmpty &&
       Seq("tag", "partition_start").forall(readSchema().fieldNames.contains))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(
@@ -349,7 +369,8 @@ final class TsdbScan(
     * for a broadcast decision).
     */
   override def estimateStatistics(): Statistics = {
-    val bytes = planned._1.iterator.flatMap(_.files.iterator)
+    val bytes = (planned._1.iterator.flatMap(_.files.iterator) ++
+        l0SnapshotParts.iterator.flatMap(_.files.iterator))
       .map(f => try Files.size(Paths.get(f)) catch { case _: Throwable => 0L })
       .sum
     new Statistics {
@@ -579,12 +600,51 @@ final class TsdbScan(
       .filter(_.dirs.nonEmpty).toArray[InputPartition]
   }
 
-  override def planInputPartitions(): Array[InputPartition] = groupedSplits
+  /** Snapshot mode's L0 leg: the bounded batch tier (at most
+    * `Limits.L0FlushFileCount` files by the flush invariant) joins the
+    * time-travel file set under the same retirement rule as the tier
+    * listing — a file retired at or before the snapshot is dropped, one
+    * retired after it (grace-held) stays. L0 files span tags, so they
+    * cannot ride [[TsdbInputPartition]] (whose readers synthesize the
+    * key columns from directory names): each file becomes its own
+    * [[TsdbL0SnapshotPartition]] carrying the STATIC exactly-handled
+    * pushed filters, which its reader re-evaluates row-wise (Spark
+    * dropped them trusting the source).
+    */
+  private lazy val l0SnapshotParts: Array[TsdbL0SnapshotPartition] = {
+    if (!snapshot || asOf.isEmpty || tier == "cold") Array.empty
+    else {
+      val l0 = Paths.get(nsRoot, "l0")
+      if (!Files.isDirectory(l0)) Array.empty
+      else {
+        val retiredAt =
+          graft.tsdb.GcLedger.retirementClocks(Paths.get(nsRoot, "gc"))
+        val files = {
+          val s = Files.list(l0)
+          try s.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith(".") && {
+              retiredAt.get(p.toAbsolutePath.normalize) match {
+                case None => true
+                case Some(clock) => asOf.exists(t => clock > t)
+              }
+            }
+          }.map(_.toString).toArray
+          finally s.close()
+        }
+        files.map(f => TsdbL0SnapshotPartition(Array(f), pushed))
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    groupedSplits ++ l0SnapshotParts
 
   override def createReaderFactory(): PartitionReaderFactory =
     aggSpec match {
       case Some(spec) => TsdbAggReaderFactory(spec)
-      case None => TsdbReaderFactory(required)
+      case None =>
+        TsdbReaderFactory(required, if (snapshot) asOf else None)
     }
 
   // ---------------------------------------------- observability
@@ -643,6 +703,15 @@ final case class TsdbInputPartition(
 final case class TsdbManyDirPartition(dirs: Array[TsdbInputPartition])
     extends InputPartition
 
+/** One L0 batch file of a SQL time-travel snapshot: rows span tags, so
+  * `tag`/`partition_start` are read from the file's own columns (L0
+  * files carry both — ParquetIO batch schema) instead of directory
+  * names. Carries the scan's static pushed filters for row-wise
+  * re-evaluation.
+  */
+final case class TsdbL0SnapshotPartition(
+    files: Array[String], pushed: Array[Filter]) extends InputPartition
+
 private object TsdbSplit {
   def dirsOf(partition: InputPartition): Array[TsdbInputPartition] =
     partition match {
@@ -685,11 +754,23 @@ object TsdbMetrics {
     }
 }
 
-final case class TsdbReaderFactory(schema: StructType) extends PartitionReaderFactory {
+/** @param snapshotAsOf when set (SQL time-travel mode), every reader
+  *   additionally bounds rows by `ingestTs <= asOf` — the row half of
+  *   the snapshot rule (the file half is the retirement-clock listing).
+  */
+final case class TsdbReaderFactory(schema: StructType,
+    snapshotAsOf: Option[Long] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val counters = new TsdbReadCounters
-    new TsdbMultiDirReader(TsdbSplit.dirsOf(partition),
-      d => new TsdbPartitionReader(d, schema, counters), counters)
+    partition match {
+      case l0: TsdbL0SnapshotPartition =>
+        new TsdbL0SnapshotReader(l0, schema,
+          snapshotAsOf.getOrElse(Long.MaxValue), counters)
+      case _ =>
+        new TsdbMultiDirReader(TsdbSplit.dirsOf(partition),
+          d => new TsdbPartitionReader(d, schema, counters, snapshotAsOf),
+          counters)
+    }
   }
 }
 
@@ -833,14 +914,22 @@ final class TsdbAggPartitionReader(p: TsdbInputPartition, spec: TsdbAggSpec,
   * (the distributed bulk lane writes Spark-nullable columns).
   */
 final class TsdbPartitionReader(p: TsdbInputPartition, schema: StructType,
-    counters: TsdbReadCounters = new TsdbReadCounters)
+    counters: TsdbReadCounters = new TsdbReadCounters,
+    ingestBound: Option[Long] = None)
     extends PartitionReader[InternalRow] {
 
   private val physical: Seq[String] =
     TsdbSource.PhysicalOrder.filter(schema.fieldNames.contains)
   // a pure-count or dir-column-only projection still needs one physical
-  // column to drive row iteration; `seq` is a fixed-width int64
-  private val readCols = if (physical.isEmpty) Seq("seq") else physical
+  // column to drive row iteration; `seq` is a fixed-width int64.
+  // A snapshot read decodes `ingestTs` even when unprojected — the row
+  // bound needs it.
+  private val readCols = {
+    val base = if (physical.isEmpty) Seq("seq") else physical
+    if (ingestBound.isDefined && !base.contains("ingestTs"))
+      base :+ "ingestTs"
+    else base
+  }
   private val conf = new Configuration()
 
   private val tagU8 = UTF8String.fromString(p.tag)
@@ -858,8 +947,10 @@ final class TsdbPartitionReader(p: TsdbInputPartition, schema: StructType,
         fileIdx += 1
       }
       current = reader.next()
-      if (current != null) return true
-      reader.close(); reader = null
+      if (current != null &&
+          ingestBound.forall(current.getLong("ingestTs", 0) <= _))
+        return true
+      if (current == null) { reader.close(); reader = null }
     }
     false
   }
@@ -884,6 +975,89 @@ final class TsdbPartitionReader(p: TsdbInputPartition, schema: StructType,
 
   override def close(): Unit =
     if (reader != null) { reader.close(); reader = null }
+}
+
+/** Executor-side reader for one L0 batch file of a time-travel snapshot:
+  * streams the file through the same local page reader, takes
+  * `tag`/`partition_start` from the FILE's columns (an L0 batch spans
+  * tags — ParquetIO.scala batch schema), bounds rows by
+  * `ingestTs <= asOf`, and re-evaluates the scan's exactly-handled
+  * static filters (tag equality/IN, partition_start comparisons) that
+  * Spark dropped trusting the source.
+  */
+final class TsdbL0SnapshotReader(p: TsdbL0SnapshotPartition,
+    schema: StructType, asOf: Long, counters: TsdbReadCounters)
+    extends PartitionReader[InternalRow] {
+
+  private val readCols = {
+    val requested = TsdbSource.PhysicalOrder.filter(schema.fieldNames.contains)
+    (requested ++ Seq("tag", "partition_start", "ingestTs")).distinct
+  }
+  private def asLong(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case other => other.toString.toLong
+  }
+  private def keep(tag: String, ps: Long): Boolean =
+    p.pushed.forall {
+      case EqualTo("tag", v) => v != null && tag == v.toString
+      case In("tag", vs) => vs.exists(v => v != null && tag == v.toString)
+      case EqualTo("partition_start", v) => ps == asLong(v)
+      case GreaterThan("partition_start", v) => ps > asLong(v)
+      case GreaterThanOrEqual("partition_start", v) => ps >= asLong(v)
+      case LessThan("partition_start", v) => ps < asLong(v)
+      case LessThanOrEqual("partition_start", v) => ps <= asLong(v)
+      case _ => true // residuals (ts bounds, IsNotNull) — Spark re-applies
+    }
+
+  private val conf = new Configuration()
+  private var fileIdx = 0
+  private var reader: graft.tsdb.ParquetIO.GroupFileStream = _
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null) {
+        if (fileIdx >= p.files.length) return false
+        reader = new graft.tsdb.ParquetIO.GroupFileStream(
+          Paths.get(p.files(fileIdx)), Some(readCols), conf)
+        counters.filesOpened += 1
+        fileIdx += 1
+      }
+      current = reader.next()
+      if (current == null) { reader.close(); reader = null }
+      else if (current.getLong("ingestTs", 0) <= asOf &&
+          keep(current.getString("tag", 0),
+            current.getLong("partition_start", 0)))
+        return true
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    schema.fields.foreach { f =>
+      vals(i) = f.name match {
+        case "tag"             => UTF8String.fromString(current.getString("tag", 0))
+        case "partition_start" => current.getLong("partition_start", 0)
+        case "ts"              => current.getLong("ts", 0)
+        case "value"           => UTF8String.fromString(current.getString("value", 0))
+        case "ingestTs"        => current.getLong("ingestTs", 0)
+        case "writerId"        => UTF8String.fromString(current.getString("writerId", 0))
+        case "seq"             => current.getLong("seq", 0)
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit =
+    if (reader != null) { reader.close(); reader = null }
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(TsdbMetrics.task("filesOpened", counters.filesOpened),
+      TsdbMetrics.task("rowsFromFooters", counters.rowsFromFooters))
 }
 
 // ======================================================= write path

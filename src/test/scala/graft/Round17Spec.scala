@@ -124,6 +124,12 @@ class Round17Spec extends AnyFunSuite with BeforeAndAfterAll {
       checkpointDir = Some(Files.createTempDirectory("r17-admitck").toString),
       maxBytesPerWindow = Some(budget))
     try q.processAllAvailable() finally q.stop()
+    // the admission gauge (ReportsSourceMetrics) reads zero once the
+    // backlog has drained
+    val lp = q.lastProgress
+    assert(lp != null &&
+      lp.sources.head.metrics.get("backlogClockMs") == "0",
+      s"backlogClockMs should be 0 after a full drain: $lp")
     val wins = spark.read.parquet(logDir)
       .select(col("win_to").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
@@ -371,6 +377,89 @@ class Round17Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // the matching config keeps folding (replay) fine
     StreamingIngest.applyCdfWindow(mv, src, w, bucketMs = 200L)
+  }
+
+  // ------------------------------------------------- SQL time travel
+
+  test("VERSION AS OF / TIMESTAMP AS OF through the catalog: complete snapshot incl. L0 and the ingest bound") {
+    val st = newStore("r17-sqltt")
+    st.clock = () => 1000L
+    st.writeSamples(samples("A", 0 until 5, t => s"v1-$t", 1000L, "w1", 0L))
+    st.flushL0()
+    st.clock = () => 2000L
+    st.writeSamples(samples("B", 0 until 3, t => s"b1-$t", 2000L, "w1", 50L))
+    st.flushL0()
+    st.clock = () => 3000L
+    // UNFLUSHED driver batch: stays in the L0 tier — a snapshot read
+    // that missed the L0 union would lose these rows
+    st.writeSamples(
+      samples("A", 2 until 7, t => s"v2-$t", 3000L, "w1", 100L) ++
+      samples("B", 3 until 5, t => s"b2-$t", 3000L, "w1", 200L))
+
+    spark.conf.set("spark.sql.catalog.tsdbr17", "graft.sources.TsdbCatalog")
+    spark.conf.set("spark.sql.catalog.tsdbr17.root", st.rootDir)
+    spark.conf.set("spark.sql.catalog.tsdbr17.graceMs", (1L << 60).toString)
+    val ns = st.settings.settingsHash
+
+    def sqlSnap(travel: String): Seq[(String, Long, String)] =
+      spark.sql(s"""
+          SELECT tag, ts, value
+          FROM (SELECT *, row_number() OVER (PARTITION BY tag, ts
+                  ORDER BY ingestTs DESC, seq DESC, writerId DESC) AS rn
+                FROM tsdbr17.`$ns`.`all` $travel)
+          WHERE rn = 1""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted
+    def apiSnap(t: Long): Seq[(String, Long, String)] =
+      st.lwwDedup(st.connectorAsOfDF(t)).select("tag", "ts", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted
+
+    // t=1000: B's hot file (published at 2000) and the L0 batch exist
+    // ON DISK but every row carries a later ingest clock — the row
+    // bound must exclude them all
+    assert(sqlSnap("VERSION AS OF 1000") === apiSnap(1000L))
+    assert(sqlSnap("VERSION AS OF 1000").forall(r =>
+        r._1 == "A" && r._3.startsWith("v1")),
+      "rows ingested after the snapshot leaked through the SQL read")
+    // t=3000: the unflushed L0 rows MUST be visible
+    val at3000 = sqlSnap("VERSION AS OF 3000")
+    assert(at3000 === apiSnap(3000L))
+    assert(at3000.exists(_._3.startsWith("b2")),
+      "unflushed L0 rows missing from SQL snapshot")
+    // TIMESTAMP AS OF — Spark hands epoch micros; 3000 ms = '…00:00:03'
+    assert(sqlSnap("TIMESTAMP AS OF '1970-01-01 00:00:03'") === at3000)
+
+    // a tag-filtered time travel still dir-prunes (B's dir dropped) and
+    // the L0 reader re-applies the dropped tag filter row-wise
+    val filtered = spark.sql(
+      s"SELECT tag, ts, value FROM tsdbr17.`$ns`.`all` VERSION AS OF 3000 " +
+        "WHERE tag = 'A'")
+    val p = filtered.queryExecution.executedPlan.toString
+    val m = """dirs=(\d+)/(\d+)""".r.findFirstMatchIn(p)
+    assert(m.isDefined && m.get.group(1).toLong < m.get.group(2).toLong,
+      s"expected a strict directory prune under time travel:\n$p")
+    assert(filtered.collect().map(_.getString(0)).forall(_ == "A"))
+    // raw (pre-LWW) member parity with the Scala snapshot lane
+    assert(filtered.count() ===
+      st.connectorAsOfDF(3000L).where(col("tag") === "A").count())
+
+    // guards: time travel without the deployed grace is refused loudly;
+    // a snapshot beyond the retention window is refused by the shared
+    // horizon guard
+    spark.conf.set("spark.sql.catalog.tsdbng", "graft.sources.TsdbCatalog")
+    spark.conf.set("spark.sql.catalog.tsdbng.root", st.rootDir)
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM tsdbng.`$ns`.`all` VERSION AS OF 2000").collect()
+    }
+    assert(e1.getMessage.contains("graceMs"), e1.getMessage)
+    spark.conf.set("spark.sql.catalog.tsdbsh", "graft.sources.TsdbCatalog")
+    spark.conf.set("spark.sql.catalog.tsdbsh.root", st.rootDir)
+    spark.conf.set("spark.sql.catalog.tsdbsh.graceMs", "1")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM tsdbsh.`$ns`.`all` VERSION AS OF 1000").collect()
+    }
+    assert(e2.getMessage.contains("retention window"), e2.getMessage)
   }
 
   // --------------------------------------------- sketch-extended IVM

@@ -261,14 +261,26 @@ object Graph {
     val p = pairs.toDF("u", "v")
     def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(newMod.toLong)) === 0
     val hist = p.where(!isNew(col("u")) && !isNew(col("v"))).localCheckpoint(true)
+    componentsBudgeted(hist)
+  }
+
+  /** Component labels by the cheapest proven-identical path: heap-guarded
+    * driver union-find when the edge list fits the [[DriverBudget]]
+    * (counters observable in the bench), else the distributed
+    * [[starComponents]] rounds. Both produce (doc_id, cluster_id =
+    * component min) for every node with ≥ 1 edge — oracle-proven
+    * bit-identical (the [[historyLabels]] contract, now shared with
+    * [[mergeDelta]]'s contracted-graph step).
+    */
+  private[graft] def componentsBudgeted(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("u", "v")
     val spark = p.sparkSession
     import spark.implicits._
-    val he = hist.as[(Long, Long)]
-    DriverBudget.collectWithin(he, hist.count(), Dedup.BytesPerEdge,
-        hardCap = 10000000L) match {
+    DriverBudget.collectWithin(p.as[(Long, Long)], p.count(),
+        Dedup.BytesPerEdge, hardCap = 10000000L) match {
       case Some(edges) => Dedup.driverUnionFind(spark, edges)
         .toDF("doc_id", "cluster_id")
-      case None => starComponents(hist)
+      case None => starComponents(p)
     }
   }
 
@@ -313,7 +325,13 @@ object Graph {
         Seq("v"), "left")
       .select(coalesce(col("ul"), col("u")).as("u"),
         coalesce(col("vl"), col("v")).as("v"))
-    val merged = starComponents(contracted).localCheckpoint(true)
+    // the contracted graph is |delta|-sized over component-level nodes —
+    // at any realistic batch it fits the driver budget, so take the same
+    // proven-identical cheapest path historyLabels and duplicateClusters
+    // already take (heap-guarded union-find when the edge list fits,
+    // else the distributed star rounds): the star fixpoint's 3 jobs per
+    // round × ~4 rounds dominated every mergeDelta at bench scale
+    val merged = componentsBudgeted(contracted).localCheckpoint(true)
     val universe = lh.select(col("doc_id"))
       .union(delta.select(col("u").as("doc_id")))
       .union(delta.select(col("v").as("doc_id"))).distinct()

@@ -1182,29 +1182,34 @@ object Similarity {
     */
   private def walkFrom(scoreCands: DataFrame => DataFrame, adj: DataFrame,
       vis0: DataFrame, frontier0: DataFrame, hops: Int, beam: Int): DataFrame = {
-    var vis = vis0
+    // ONE eager materialization per hop (optimization guide §1.2/§2.4 —
+    // remove whole scheduled jobs before shaving per-task work): the hop's
+    // fresh scores ride into the visited union TAGGED with the hop index,
+    // so the next frontier derives from the SAME checkpointed frame
+    // (filter __hop = h, then the query-keyed beam window) instead of
+    // needing its own checkpoint. The round-16 rule still holds — the
+    // visited set re-materializes per hop, never a lazy union over h
+    // cached pieces (that made hop h's anti-join scan h frames' partitions
+    // — task fan-out quadratic over the walk, every serve row 1.5-2.2×
+    // slower). This just makes the consolidation job the ONLY job.
+    var vis = vis0.withColumn("__hop", lit(0))
     var frontier = frontier0
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val expanded = frontier.join(adj, frontier("cand_id") === adj("u"))
         .select(col("query_id"), col("nb").as("cand_id")).distinct()
       val fresh = expanded.join(vis.select("query_id", "cand_id"),
         Seq("query_id", "cand_id"), "left_anti")
       val hopScored = scoreCands(fresh)
       hopPlanProbe(hopScored)
-      val scored = hopScored.localCheckpoint(true)
-      // the visited set re-materializes per hop DELIBERATELY: a lazy
-      // union over the checkpointed pieces looks free but makes hop h's
-      // anti-join scan h cached frames' partitions — task count grows
-      // quadratically over the walk, and the round-16 bench measured
-      // every serve-only graph row 1.5-2.2× slower under it (the
-      // consolidation job is cheaper than the fan-out it prevents)
-      vis = vis.unionByName(scored).localCheckpoint(true)
+      vis = vis.unionByName(hopScored.withColumn("__hop", lit(h)))
+        .localCheckpoint(true)
       val wb = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("cand_id"))
-      frontier = scored.withColumn("rn", row_number().over(wb))
+      frontier = vis.where(col("__hop") === h)
+        .withColumn("rn", row_number().over(wb))
         .where(col("rn") <= beam).select("query_id", "cand_id")
     }
-    vis
+    vis.drop("__hop")
   }
 
   private def topKVisited(vis: DataFrame, k: Int): DataFrame = {
@@ -1219,7 +1224,12 @@ object Similarity {
 
   private def candScorer(corpus: DataFrame,
       q: DataFrame): DataFrame => DataFrame = {
-    val all = prepQ(corpus)
+    // stage the quantized corpus ONCE per serve unless the caller already
+    // did (the add lane's r15 fix applied to every walk): every hop's
+    // scoring job otherwise re-scans and re-quantizes the corpus —
+    // prepQ passes a staged (vec_id, qv, nrm) frame through untouched
+    val all = if (corpus.columns.contains("qv")) prepQ(corpus)
+      else prepQ(corpus).localCheckpoint(true)
     cands => all
       .select(col("vec_id").as("cand_id"), col("qv"), col("nrm"))
       .join(broadcast(cands), "cand_id")
@@ -1317,7 +1327,13 @@ object Similarity {
       midHops: Int = 1, entryK: Int = 2, nEntries: Int = 4): DataFrame = {
     require(levels >= 2, s"a hierarchy needs >= 2 levels: $levels")
     val adjOf = multilevelAdj(buildGraph, corpus, degree)
-    multilevelServe(queries, corpus, lvl => adjOf(lvl).select("u", "nb"),
+    // checkpoint each derived level ONCE (the in-query variant re-derives
+    // its top-degree window per hop job otherwise; the persisted probe
+    // reads pruned parquet directly and needs no such staging)
+    val staged = scala.collection.mutable.Map.empty[Int, DataFrame]
+    multilevelServe(queries, corpus,
+      lvl => staged.getOrElseUpdate(lvl,
+        adjOf(lvl).select("u", "nb").localCheckpoint(true)),
       levels, k, beam, hops, upperBeam, topHops, midHops, entryK, nEntries)
   }
 
@@ -1611,9 +1627,14 @@ object Similarity {
     val rev = found.select(col("neighbor_id").as("u"),
       col("query_id").as("v"), col("cos"))
     val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("v"))
+    // the merged lists checkpoint ONCE: entrySeeds plus every walk hop
+    // joins this adjacency, and a lazy plan re-runs the re-rank window
+    // per hop job (the same rationale as multilevelAddedAdjacency's
+    // per-leg checkpoint)
     val merged = base.unionByName(fwd).unionByName(rev)
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("u").as("node"), col("v").as("neighbor_id"))
+      .localCheckpoint(true)
     graphSearch(emb.where(col("vec_id") % 20 === 0), merged, emb,
       k, beam, hops, nEntries)
   }

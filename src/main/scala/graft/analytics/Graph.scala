@@ -50,11 +50,18 @@ object Graph {
         .select(col("dst").as("node"),
           expr("(r * 85 div 100) div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
+      val prev = ranks
       ranks = nodes.join(contribs, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(RankScale * 15L / 100L) + coalesce(col("contrib"), lit(0L))).as("r"))
         .localCheckpoint(true)
+      // round r's checkpoint holds the full rank table — round r-1's
+      // blocks are dead (guide §5: unpersist when done)
+      CheckpointLease.release(prev)
     }
+    // the final round materialized through the edges — release them too
+    // (the returned table IS the last checkpoint; it stays)
+    CheckpointLease.release(edges)
     ranks
   }
 
@@ -80,11 +87,14 @@ object Graph {
     for (_ <- 1 to rounds) {
       val nbrMin = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nl"))
+      val prev = labels
       labels = labels.join(nbrMin, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
+      CheckpointLease.release(prev) // superseded round (guide §5)
     }
+    CheckpointLease.release(edges)
     labels.select(col("node"), col("lbl").as("community"))
   }
 
@@ -191,6 +201,10 @@ object Graph {
           withM.select(col("v").as("u"), col("m").as("v"))
             .union(withM.select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
+      // `small` copied the round's full edge state — the round's `large`
+      // intermediate and the previous round's edge set are dead (§5)
+      CheckpointLease.release(large)
+      CheckpointLease.release(cur)
       val nfp = fingerprint(small)
       converged = nfp == fp
       fp = nfp
@@ -243,7 +257,11 @@ object Graph {
     // checkpoint the (typically expensive) pair source ONCE before both
     // legs re-derive their slices from it
     val p = pairs.toDF("u", "v").localCheckpoint(true)
-    incrementalMerge(p, historyLabels(p, newMod), newMod)
+    val out = incrementalMerge(p, historyLabels(p, newMod), newMod)
+    // the merge result is an eager checkpoint — the staged pair source
+    // has no consumer left (guide §5)
+    CheckpointLease.release(p)
+    out
   }
 
   /** "Yesterday's" component labels over the HISTORY slice of the pair
@@ -261,7 +279,12 @@ object Graph {
     val p = pairs.toDF("u", "v")
     def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(newMod.toLong)) === 0
     val hist = p.where(!isNew(col("u")) && !isNew(col("v"))).localCheckpoint(true)
-    componentsBudgeted(hist)
+    val out = componentsBudgeted(hist)
+    // both componentsBudgeted branches have consumed the staged history
+    // edges by return time (driver union-find collects them; the star
+    // rounds copy them into their own first checkpoint) — release (§5)
+    CheckpointLease.release(hist)
+    out
   }
 
   /** Component labels by the cheapest proven-identical path: heap-guarded
@@ -301,7 +324,9 @@ object Graph {
     // mergeDelta's universe (lh nodes ∪ delta endpoints) equals this
     // pair set's endpoint universe — the single-shot merge IS one
     // mergeDelta step
-    mergeDelta(p.where(isNew(col("u")) || isNew(col("v"))), lhIn)
+    val out = mergeDelta(p.where(isNew(col("u")) || isNew(col("v"))), lhIn)
+    CheckpointLease.release(p) // merge result is eager; p is dead (§5)
+    out
   }
 
   /** ONE batch of the continuous components contract — the state-update
@@ -318,6 +343,10 @@ object Graph {
   def mergeDelta(deltaEdges: DataFrame, lhIn: DataFrame): DataFrame = {
     val delta = deltaEdges.toDF("u", "v").localCheckpoint(true)
     val lh = lhIn.select(col("doc_id"), col("cluster_id")).localCheckpoint(true)
+    // stage the contracted edges BEFORE componentsBudgeted: it runs a
+    // count() and then a collect() (or the star rounds) over them, so a
+    // lazy plan would execute the delta-through-labels join twice
+    // (ADVICE r17 — the historyLabels staging pattern)
     val contracted = delta
       .join(lh.select(col("doc_id").as("u"), col("cluster_id").as("ul")),
         Seq("u"), "left")
@@ -325,6 +354,7 @@ object Graph {
         Seq("v"), "left")
       .select(coalesce(col("ul"), col("u")).as("u"),
         coalesce(col("vl"), col("v")).as("v"))
+      .localCheckpoint(true)
     // the contracted graph is |delta|-sized over component-level nodes —
     // at any realistic batch it fits the driver budget, so take the same
     // proven-identical cheapest path historyLabels and duplicateClusters
@@ -332,16 +362,27 @@ object Graph {
     // else the distributed star rounds): the star fixpoint's 3 jobs per
     // round × ~4 rounds dominated every mergeDelta at bench scale
     val merged = componentsBudgeted(contracted).localCheckpoint(true)
+    CheckpointLease.release(contracted)
     val universe = lh.select(col("doc_id"))
       .union(delta.select(col("u").as("doc_id")))
       .union(delta.select(col("v").as("doc_id"))).distinct()
-    universe
+    // checkpoint the composed label table so the per-call staging frames
+    // (delta, lh, merged) release here instead of accumulating across a
+    // streaming deployment's micro-batches (guide §5); the table is
+    // node-universe-sized — the same thing the caller threads into the
+    // next batch anyway
+    val out = universe
       .join(lh.select(col("doc_id"), col("cluster_id").as("lh")),
         Seq("doc_id"), "left")
       .withColumn("key", coalesce(col("lh"), col("doc_id")))
       .join(merged.select(col("doc_id").as("key"), col("cluster_id").as("m")),
         Seq("key"), "left")
       .select(col("doc_id"), coalesce(col("m"), col("key")).as("cluster_id"))
+      .localCheckpoint(true)
+    CheckpointLease.release(delta)
+    CheckpointLease.release(lh)
+    CheckpointLease.release(merged)
+    out
   }
 
   /** Bounded-round k-core peeling (Matula–Beck peel, synchronized):
@@ -370,11 +411,13 @@ object Graph {
       val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val surv = deg.where(col("deg") >= k).select("node")
+      val prev = e
       e = e
         .join(surv.select(col("node").as("u")), "u")
         .join(surv.select(col("node").as("v")), "v")
         .select("u", "v")
         .localCheckpoint(true)
+      CheckpointLease.release(prev) // superseded peel round (§5)
     }
     e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -403,12 +446,15 @@ object Graph {
     for (_ <- 1 to maxHops) {
       val nd = edges.join(dist, col("src") === col("node"))
         .groupBy(col("dst")).agg((min(col("dist")) + 1L).as("nd"))
+      val prev = dist
       dist = dist.join(nd, col("node") === col("dst"), "full_outer")
         .select(coalesce(col("node"), col("dst")).as("node"),
           least(coalesce(col("dist"), col("nd")),
             coalesce(col("nd"), col("dist"))).as("dist"))
         .localCheckpoint(true)
+      CheckpointLease.release(prev) // superseded frontier round (§5)
     }
+    CheckpointLease.release(edges)
     dist
   }
 
@@ -478,8 +524,10 @@ object Graph {
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .where(col("n.lbl") =!= col("o.lbl"))
         .count()
+      CheckpointLease.release(labels) // compared above; now superseded (§5)
       labels = next
     }
+    CheckpointLease.release(edges)
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 }

@@ -309,9 +309,12 @@ object Similarity {
         seedDf.as[(Long, Array[Long], Long)], numCentroids, CentroidBytesEst) match {
       case None =>
         var centroids = seedDf
-        (0 until iters).foreach { _ =>
+        (0 until iters).foreach { i =>
+          val prev = centroids
           centroids = centroidMeans(assignToCentroids(all, centroids))
             .toDF("c_id", "cv", "cnrm").localCheckpoint(true)
+          // round i's checkpoint holds the full state — release i-1's
+          if (i > 0) CheckpointLease.release(prev)
         }
         Left(centroids)
       case Some(seed) =>
@@ -947,8 +950,16 @@ object Similarity {
         .where(col("rn") === 1)
         .select(col("query_id"), col("cand_id"), col("rel"), col("score"),
           lit(t.toLong).as("sel_rank"))
+      val prev = selAll
       selAll = selAll.unionByName(pick).localCheckpoint(true)
+      // round t's checkpoint copied every selected row — round t-1's
+      // blocks are dead (guide §5)
+      CheckpointLease.release(prev)
     }
+    // the final round's checkpoint materialized through sl and pairs —
+    // neither has a consumer left (the result below reads only selAll)
+    CheckpointLease.release(sl)
+    CheckpointLease.release(pairs)
     selAll.select(col("query_id"), col("sel_rank"), col("cand_id"),
       col("rel"), col("score"))
   }
@@ -1111,14 +1122,25 @@ object Similarity {
         .select(col("x.u").as("u"), col("y.v").as("v"))
         .where(col("u") =!= col("v"))
       val cand = twoHop.union(g.select("u", "v")).distinct()
+      val prev = g
       g = topk(score(cand), buildK).select("u", "v", "cos")
         .localCheckpoint(true)
+      // round r's checkpoint copied every surviving edge — round r-1's
+      // blocks are dead (guide §5, VERDICT r17 next #1)
+      CheckpointLease.release(prev)
     }
     val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("v"))
-    g.withColumn("rank", row_number().over(w))
+    // checkpoint the emitted top-k lists so the final buildK-wide round
+    // frame releases too — and so the graph's many consumers (every
+    // serve joins the adjacency once per hop) scan a materialized frame
+    // instead of re-running this window per hop job
+    val out = g.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("u").as("node"), col("rank"),
         col("v").as("neighbor_id"), col("cos"))
+      .localCheckpoint(true)
+    CheckpointLease.release(g)
+    out
   }
 
   /** SERVE the [[nnDescent]] graph for a query batch — the greedy/beam
@@ -1192,8 +1214,17 @@ object Similarity {
     // cached pieces (that made hop h's anti-join scan h frames' partitions
     // — task fan-out quadratic over the walk, every serve row 1.5-2.2×
     // slower). This just makes the consolidation job the ONLY job.
+    //
+    // Checkpoint lifecycle (guide §5, VERDICT r17 next #1): hop h's eager
+    // checkpoint copies every visited row, so hop h-1's blocks are dead
+    // the moment it materializes — release them instead of letting hops ×
+    // serves × queries of them pile up in the block manager. The CALLER
+    // owns vis0 (released after this walk returns, which is why hops ≥ 1
+    // is required — with hops = 0 the return would alias vis0).
+    require(hops >= 1, s"walkFrom needs >= 1 hop: $hops")
     var vis = vis0.withColumn("__hop", lit(0))
     var frontier = frontier0
+    var owned: DataFrame = null // the last checkpoint THIS walk created
     for (h <- 1 to hops) {
       val expanded = frontier.join(adj, frontier("cand_id") === adj("u"))
         .select(col("query_id"), col("nb").as("cand_id")).distinct()
@@ -1203,6 +1234,8 @@ object Similarity {
       hopPlanProbe(hopScored)
       vis = vis.unionByName(hopScored.withColumn("__hop", lit(h)))
         .localCheckpoint(true)
+      if (owned != null) CheckpointLease.release(owned)
+      owned = vis
       val wb = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("cand_id"))
       frontier = vis.where(col("__hop") === h)
@@ -1223,19 +1256,26 @@ object Similarity {
   }
 
   private def candScorer(corpus: DataFrame,
-      q: DataFrame): DataFrame => DataFrame = {
+      q: DataFrame): (DataFrame => DataFrame, Option[DataFrame]) = {
     // stage the quantized corpus ONCE per serve unless the caller already
     // did (the add lane's r15 fix applied to every walk): every hop's
     // scoring job otherwise re-scans and re-quantizes the corpus —
-    // prepQ passes a staged (vec_id, qv, nrm) frame through untouched
-    val all = if (corpus.columns.contains("qv")) prepQ(corpus)
+    // prepQ passes a staged (vec_id, qv, nrm) frame through untouched.
+    // The gate matches prepQ's pass-through EXACTLY (qv AND nrm — a
+    // qv-without-nrm frame would re-quantize per hop yet skip the stage,
+    // ADVICE r17). The staged handle is returned so the serve releases
+    // its blocks once the result frame has materialized (guide §5).
+    val preStaged = corpus.columns.contains("qv") &&
+      corpus.columns.contains("nrm")
+    val all = if (preStaged) prepQ(corpus)
       else prepQ(corpus).localCheckpoint(true)
-    cands => all
+    val scorer: DataFrame => DataFrame = cands => all
       .select(col("vec_id").as("cand_id"), col("qv"), col("nrm"))
       .join(broadcast(cands), "cand_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("cand_id"),
         cosineQ(dotLL(col("qqv"), col("qv")), col("qnrm"), col("nrm")).as("cos"))
+    (scorer, if (preStaged) None else Some(all))
   }
 
   /** nEntries md5-smallest adjacency sources — index METADATA (a
@@ -1251,7 +1291,7 @@ object Similarity {
     val adj = graph.select(col("node").as("u"), col("neighbor_id").as("nb"))
     val q = prepQ(queries).select(col("vec_id").as("query_id"),
       col("qv").as("qqv"), col("nrm").as("qnrm"))
-    val scoreCands = candScorer(corpus, q)
+    val (scoreCands, staged) = candScorer(corpus, q)
     val entryIds = entrySeeds(adj, nEntries)
     val entryScored = scoreCands(q.select(col("query_id"))
       .withColumn("cand_id", explode(lit(entryIds))))
@@ -1259,8 +1299,15 @@ object Similarity {
     val vis0 = entryScored.localCheckpoint(true)
     val vis = walkFrom(scoreCands, adj, vis0,
       vis0.select("query_id", "cand_id"), hops, beam)
+    CheckpointLease.release(vis0) // hop 1's checkpoint copied its rows
     recordScored(vis)
-    topKVisited(vis, k)
+    // checkpoint the k-per-query RESULT (tiny) so the walk's full visited
+    // set — the big frame — can be released instead of riding out of the
+    // serve pinned in storage until the ContextCleaner notices (guide §5)
+    val out = topKVisited(vis, k).localCheckpoint(true)
+    CheckpointLease.release(vis)
+    staged.foreach(CheckpointLease.release)
+    out
   }
 
   /** HNSW-layered serve (VERDICT r11 #8): route entries through a SAMPLED
@@ -1331,10 +1378,14 @@ object Similarity {
     // its top-degree window per hop job otherwise; the persisted probe
     // reads pruned parquet directly and needs no such staging)
     val staged = scala.collection.mutable.Map.empty[Int, DataFrame]
-    multilevelServe(queries, corpus,
+    val out = multilevelServe(queries, corpus,
       lvl => staged.getOrElseUpdate(lvl,
         adjOf(lvl).select("u", "nb").localCheckpoint(true)),
       levels, k, beam, hops, upperBeam, topHops, midHops, entryK, nEntries)
+    // the serve's result frame is an eager checkpoint — the staged level
+    // lists have no live consumer left (guide §5)
+    staged.values.foreach(CheckpointLease.release)
+    out
   }
 
   /** The multilevel BUILD: per-level adjacency (u, nb, cos) derivation.
@@ -1413,7 +1464,7 @@ object Similarity {
       nEntries: Int): DataFrame = {
     val q = prepQ(queries).select(col("vec_id").as("query_id"),
       col("qv").as("qqv"), col("nrm").as("qnrm"))
-    val scoreCands = candScorer(corpus, q)
+    val (scoreCands, staged) = candScorer(corpus, q)
     // top level: md5-seeded wide-entry walk of the smallest graph
     val topAdj = adjOf(levels - 1)
     val entryIds = entrySeeds(topAdj, nEntries)
@@ -1423,6 +1474,7 @@ object Similarity {
     val vis0 = entryScored.localCheckpoint(true)
     var vis = walkFrom(scoreCands, topAdj, vis0,
       vis0.select("query_id", "cand_id"), topHops, upperBeam)
+    CheckpointLease.release(vis0) // the top walk's first hop copied it
     // greedy descent: each level seeds the next from its best entryK;
     // every score transfers (membership is nested)
     val we = Window.partitionBy(col("query_id"))
@@ -1430,12 +1482,22 @@ object Similarity {
     def seedsOf(v: DataFrame): DataFrame =
       v.withColumn("rn", row_number().over(we))
         .where(col("rn") <= entryK).select("query_id", "cand_id")
+    def descend(next: DataFrame => DataFrame): Unit = {
+      val prev = vis
+      vis = next(prev)
+      CheckpointLease.release(prev) // the leg's first hop copied it
+    }
     for (lvl <- (levels - 2) to 1 by -1)
-      vis = walkFrom(scoreCands, adjOf(lvl), vis, seedsOf(vis),
-        midHops, upperBeam)
-    vis = walkFrom(scoreCands, adjOf(0), vis, seedsOf(vis), hops, beam)
+      descend(prev => walkFrom(scoreCands, adjOf(lvl), prev, seedsOf(prev),
+        midHops, upperBeam))
+    descend(prev =>
+      walkFrom(scoreCands, adjOf(0), prev, seedsOf(prev), hops, beam))
     recordScored(vis)
-    topKVisited(vis, k)
+    // small checkpointed result out, big visited frame released (guide §5)
+    val out = topKVisited(vis, k).localCheckpoint(true)
+    CheckpointLease.release(vis)
+    staged.foreach(CheckpointLease.release)
+    out
   }
 
   /** PERSIST the multilevel index (VERDICT r13 next #4): every level's
@@ -1503,8 +1565,14 @@ object Similarity {
     val corpusQ = prepQ(emb).localCheckpoint(true)
     val merged = multilevelAddedAdjacency(corpusQ, root, batchModulo, levels,
       k, insertBeam, insertHops, insertEntries)
-    multilevelServe(corpusQ.where(col("vec_id") % 20 === 0), corpusQ, merged,
+    val out = multilevelServe(corpusQ.where(col("vec_id") % 20 === 0),
+      corpusQ, merged,
       levels, k, beam, hops, upperBeam, topHops, midHops, entryK, nEntries)
+    // serve result is an eager checkpoint — the staged corpus and merged
+    // per-level lists are dead (guide §5)
+    merged.values.foreach(CheckpointLease.release)
+    CheckpointLease.release(corpusQ)
+    out
   }
 
   /** The per-level insert + promotion merge of [[multilevelAddAndProbe]],
@@ -1534,10 +1602,17 @@ object Similarity {
         col("neighbor_id").as("nb"), col("cos"))
       val rev = found.select(col("neighbor_id").as("u"),
         col("query_id").as("nb"), col("cos"))
-      levelDf(l).select(col("u"), col("nb"), col("cos"))
+      // each merged level CHECKPOINTS here (the serve walks the level's
+      // lists once per hop, and a lazy merged plan would re-run the
+      // re-rank window per hop job); `found` — itself an eager serve
+      // result checkpoint — is dead once the merge has materialized
+      val out = levelDf(l).select(col("u"), col("nb"), col("cos"))
         .unionByName(fwd).unionByName(rev)
         .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
         .select("u", "nb")
+        .localCheckpoint(true)
+      CheckpointLease.release(found)
+      out
     }
     // the level legs are INDEPENDENT (each inserts against its own
     // frozen level's lists), and each is a driver-sequential chain of
@@ -1548,11 +1623,7 @@ object Similarity {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    // each merged level CHECKPOINTS inside its leg: the serve walks the
-    // level's lists once per hop, and a lazy merged plan would re-run
-    // the re-rank window per hop job
-    val legs = (0 until levels).map(l =>
-      l -> Future(mergedLevel(l).localCheckpoint(true)))
+    val legs = (0 until levels).map(l => l -> Future(mergedLevel(l)))
     legs.map { case (l, f) => l -> Await.result(f, Duration.Inf) }.toMap
   }
 
@@ -1607,9 +1678,22 @@ object Similarity {
   def graphAddAndProbe(emb: DataFrame, baseGraph: DataFrame,
       batchModulo: Int = 10, k: Int = 5, beam: Int = 8, hops: Int = 3,
       nEntries: Int = 4): DataFrame = {
-    val batch = emb.where(pmod(col("vec_id"), lit(batchModulo.toLong)) === 0)
-    val found = graphSearch(batch, baseGraph, emb, k, beam, hops, nEntries)
-    graphMergeAndProbe(found, baseGraph, emb, k, beam, hops, nEntries)
+    // stage the quantized corpus ONCE for both serves (the insert walk
+    // and the probe walk would otherwise each checkpoint their own copy
+    // inside candScorer — ADVICE r17); prepQ passes the staged frame
+    // through untouched in both
+    val corpusQ = prepQ(emb).localCheckpoint(true)
+    val batch =
+      corpusQ.where(pmod(col("vec_id"), lit(batchModulo.toLong)) === 0)
+    val found = graphSearch(batch, baseGraph, corpusQ, k, beam, hops, nEntries)
+    val out = graphMergeAndProbe(found, baseGraph, corpusQ,
+      k, beam, hops, nEntries)
+    // `out` is an eager serve-result checkpoint and `found`'s edges have
+    // been folded into the (released-inside) merged lists — both staged
+    // frames are dead (guide §5)
+    CheckpointLease.release(found)
+    CheckpointLease.release(corpusQ)
+    out
   }
 
   /** [[graphAddAndProbe]]'s merge + serve half, split out so the
@@ -1635,8 +1719,12 @@ object Similarity {
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("u").as("node"), col("v").as("neighbor_id"))
       .localCheckpoint(true)
-    graphSearch(emb.where(col("vec_id") % 20 === 0), merged, emb,
+    val out = graphSearch(emb.where(col("vec_id") % 20 === 0), merged, emb,
       k, beam, hops, nEntries)
+    // the probe's result checkpoint is in hand — the merged lists' blocks
+    // have no consumer left (guide §5)
+    CheckpointLease.release(merged)
+    out
   }
 
   /** HYBRID retrieval — reciprocal-rank fusion of a LEXICAL arm and a

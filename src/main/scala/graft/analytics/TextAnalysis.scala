@@ -177,6 +177,7 @@ object TextAnalysis {
         val b = top(0).getString(1)
         val cnt = top(0).getLong(2)
         rules += ((r.toLong, a, b, a + b, cnt))
+        val prev = vocab
         vocab = vocab.withColumn("toks",
             aggregate(col("toks"), array().cast("array<string>"),
               (acc, x) => when(size(acc) > 0 &&
@@ -184,6 +185,7 @@ object TextAnalysis {
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
                 .otherwise(concat(acc, array(x)))))
           .localCheckpoint(true)
+        CheckpointLease.release(prev) // superseded round vocab (guide §5)
         r += 1
       }
     }
@@ -441,7 +443,9 @@ object TextAnalysis {
             c == a || c == b || d == a || d == b }
         }.map(_._1).take(math.min(batchM.toLong,
           targetMerges - rulesCount).toInt)
+        val prev = vocab
         vocab = applyMergeBatch(vocab, accepted.toSeq).localCheckpoint(true)
+        CheckpointLease.release(prev) // superseded round vocab (guide §5)
         accepted.zipWithIndex.foreach { case ((a, b, cnt), j) =>
           pendingRules += ((r.toLong, (j + 1).toLong, a, b, a + b, cnt))
         }
@@ -672,7 +676,9 @@ object TextAnalysis {
         // simultaneous application against the pre-round sequence
         // (applyMergeBatch: match flags from the ORIGINAL toks; the fold
         // only carries the "previous position merged" skip bit)
+        val prev = vocab
         vocab = applyMergeBatch(vocab, accepted.toSeq).localCheckpoint(true)
+        CheckpointLease.release(prev) // superseded round vocab (guide §5)
         costs += ((r, accepted.length, pairRows, (System.nanoTime() - t0) / 1e9))
         r += 1
       }

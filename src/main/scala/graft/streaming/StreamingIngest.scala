@@ -2007,9 +2007,13 @@ object StreamingIngest {
     val q = input.toDS().toDF("u", "v").writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty)
+        if (!b.isEmpty) {
+          val prev = state
+          // mergeDelta returns its own eager checkpoint; the superseded
+          // state's blocks release instead of accumulating per batch (§5)
           state = graft.analytics.Graph.mergeDelta(b, state)
-            .localCheckpoint(true)
+          graft.analytics.CheckpointLease.release(prev)
+        }
         ()
       }
       .start()
@@ -2087,11 +2091,15 @@ object StreamingIngest {
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
           val part = dimSums(b)
+          val prev = newState
           newState =
             (if (newState == null) part
              else newState.unionByName(part).groupBy("bucket", "pos")
                .agg(sum(col("sx")).as("sx"), sum(col("n")).as("n")))
               .localCheckpoint(true)
+          // the new checkpoint folded the previous sums in — release the
+          // superseded batch state (guide §5)
+          if (prev != null) graft.analytics.CheckpointLease.release(prev)
         }
         ()
       }
@@ -2158,10 +2166,15 @@ object StreamingIngest {
       .writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty)
+        if (!b.isEmpty) {
+          val prev = state
           state = R.mvMergePartials(state,
             R.mvPartialsFrom(b, cn, broadcastFact = true))
             .localCheckpoint(true)
+          // merged checkpoint holds the full MV state — release the
+          // superseded batch state (guide §5)
+          graft.analytics.CheckpointLease.release(prev)
+        }
         ()
       }
       .start()
